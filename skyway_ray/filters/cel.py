@@ -1,0 +1,456 @@
+"""CEL (Common Expression Language) predicate filter — vectorized subset.
+
+The reference compiles a CEL program once and evaluates it per element
+against a context of ``tags`` (map<string,string>), ``changeset``,
+``user``, ``uid``, ``id``, ``timestamp``, ``visible``, ``type``
+(``/root/reference/src/filter/cel/mod.rs:16-44``, docs table
+``docs/src/cel-filters.md:12-22``).  Contract:
+
+* the expression must yield a boolean — anything else is a compile/
+  usage error (``cel/mod.rs:9-14``);
+* a **runtime** evaluation error (e.g. indexing a missing tag key,
+  comparing against an absent context field) drops that row with a
+  warning (``cel/mod.rs:51-54``).
+
+This implementation parses a CEL subset (boolean ops ``&& || !``,
+comparisons, ``in``, map indexing ``tags["k"]``, string methods
+``startsWith / endsWith / contains / matches``, ``size()``, ``has()``
+macro, parentheses, int/string/bool literals) and evaluates it
+vectorized over the batch with an explicit per-row error mask — every
+node returns (values, err); errors propagate and erroring rows are
+dropped, matching the reference.
+"""
+
+from __future__ import annotations
+
+import re
+import warnings
+
+import numpy as np
+
+_TOKEN_RE = re.compile(
+    r"""\s*(?:
+        (?P<string>"(?:\\.|[^"\\])*"|'(?:\\.|[^'\\])*')
+      | (?P<number>\d+)
+      | (?P<ident>[A-Za-z_][A-Za-z0-9_]*)
+      | (?P<op>&&|\|\||[!<>=]=|[()\[\].,!<>])
+    )""",
+    re.VERBOSE,
+)
+
+_CONTEXT_FIELDS = ("changeset", "user", "uid", "id", "timestamp", "visible", "type")
+
+
+class CelParseError(ValueError):
+    pass
+
+
+class _Tok:
+    def __init__(self, kind, value):
+        self.kind = kind
+        self.value = value
+
+    def __repr__(self):
+        return f"{self.kind}:{self.value}"
+
+
+def _tokenize(src: str):
+    toks = []
+    pos = 0
+    while pos < len(src):
+        m = _TOKEN_RE.match(src, pos)
+        if not m:
+            if src[pos:].strip() == "":
+                break
+            raise CelParseError(f"bad token at {src[pos:pos+20]!r}")
+        pos = m.end()
+        if m.lastgroup == "string":
+            raw = m.group("string")[1:-1]
+            toks.append(_Tok("string", raw.replace('\\"', '"').replace("\\'", "'")
+                             .replace("\\\\", "\\").replace("\\n", "\n").replace("\\t", "\t")))
+        elif m.lastgroup == "number":
+            toks.append(_Tok("number", int(m.group("number"))))
+        elif m.lastgroup == "ident":
+            toks.append(_Tok("ident", m.group("ident")))
+        else:
+            toks.append(_Tok("op", m.group("op")))
+    return toks
+
+
+# ---- AST ----------------------------------------------------------------
+
+class _Lit:
+    def __init__(self, value):
+        self.value = value
+
+
+class _Var:
+    def __init__(self, name):
+        self.name = name
+
+
+class _Index:     # tags["key"]
+    def __init__(self, base, key):
+        self.base = base
+        self.key = key
+
+
+class _InMap:     # "key" in tags
+    def __init__(self, key, base):
+        self.key = key
+        self.base = base
+
+
+class _Has:       # has(tags.key)
+    def __init__(self, base, key):
+        self.base = base
+        self.key = key
+
+
+class _Method:    # x.startsWith("y"), size(x)
+    def __init__(self, base, name, args):
+        self.base = base
+        self.name = name
+        self.args = args
+
+
+class _Cmp:
+    def __init__(self, op, lhs, rhs):
+        self.op = op
+        self.lhs = lhs
+        self.rhs = rhs
+
+
+class _Bool:
+    def __init__(self, op, lhs, rhs):
+        self.op = op
+        self.lhs = lhs
+        self.rhs = rhs
+
+
+class _Not:
+    def __init__(self, inner):
+        self.inner = inner
+
+
+class _Parser:
+    def __init__(self, toks):
+        self.toks = toks
+        self.i = 0
+
+    def peek(self):
+        return self.toks[self.i] if self.i < len(self.toks) else None
+
+    def next(self):
+        t = self.peek()
+        if t is None:
+            raise CelParseError("unexpected end of expression")
+        self.i += 1
+        return t
+
+    def expect(self, kind, value=None):
+        t = self.next()
+        if t.kind != kind or (value is not None and t.value != value):
+            raise CelParseError(f"expected {kind} {value}, got {t!r}")
+        return t
+
+    def parse(self):
+        e = self.parse_or()
+        if self.peek() is not None:
+            raise CelParseError(f"trailing tokens at {self.peek()!r}")
+        return e
+
+    def parse_or(self):
+        lhs = self.parse_and()
+        while self.peek() and self.peek().kind == "op" and self.peek().value == "||":
+            self.next()
+            lhs = _Bool("||", lhs, self.parse_and())
+        return lhs
+
+    def parse_and(self):
+        lhs = self.parse_cmp()
+        while self.peek() and self.peek().kind == "op" and self.peek().value == "&&":
+            self.next()
+            lhs = _Bool("&&", lhs, self.parse_cmp())
+        return lhs
+
+    def parse_cmp(self):
+        lhs = self.parse_unary()
+        t = self.peek()
+        if t and t.kind == "op" and t.value in ("==", "!=", "<", "<=", ">", ">="):
+            self.next()
+            return _Cmp(t.value, lhs, self.parse_unary())
+        if t and t.kind == "ident" and t.value == "in":
+            self.next()
+            return _InMap(lhs, self.parse_unary())
+        return lhs
+
+    def parse_unary(self):
+        t = self.peek()
+        if t and t.kind == "op" and t.value == "!":
+            self.next()
+            return _Not(self.parse_unary())
+        return self.parse_postfix()
+
+    def parse_postfix(self):
+        e = self.parse_atom()
+        while True:
+            t = self.peek()
+            if t and t.kind == "op" and t.value == "[":
+                self.next()
+                key = self.parse_or()
+                self.expect("op", "]")
+                e = _Index(e, key)
+            elif t and t.kind == "op" and t.value == ".":
+                self.next()
+                name = self.expect("ident").value
+                if self.peek() and self.peek().kind == "op" and self.peek().value == "(":
+                    self.next()
+                    args = []
+                    if not (self.peek().kind == "op" and self.peek().value == ")"):
+                        args.append(self.parse_or())
+                        while self.peek().kind == "op" and self.peek().value == ",":
+                            self.next()
+                            args.append(self.parse_or())
+                    self.expect("op", ")")
+                    e = _Method(e, name, args)
+                else:
+                    e = _Index(e, _Lit(name))  # tags.key sugar
+            else:
+                return e
+
+    def parse_atom(self):
+        t = self.next()
+        if t.kind == "string":
+            return _Lit(t.value)
+        if t.kind == "number":
+            return _Lit(t.value)
+        if t.kind == "ident":
+            if t.value == "true":
+                return _Lit(True)
+            if t.value == "false":
+                return _Lit(False)
+            if t.value in ("size", "has") and self.peek() and \
+                    self.peek().kind == "op" and self.peek().value == "(":
+                self.next()
+                arg = self.parse_or()
+                self.expect("op", ")")
+                if t.value == "size":
+                    return _Method(arg, "size", [])
+                if isinstance(arg, _Index):
+                    return _Has(arg.base, arg.key)
+                raise CelParseError("has() needs a field selection like has(tags.key)")
+            return _Var(t.value)
+        if t.kind == "op" and t.value == "(":
+            e = self.parse_or()
+            self.expect("op", ")")
+            return e
+        raise CelParseError(f"unexpected token {t!r}")
+
+
+# ---- vectorized evaluation ---------------------------------------------
+#
+# Every node evaluates to (values: object ndarray | scalar, err: bool ndarray).
+# `None` values represent CEL null / absent; using one in a comparison is a
+# runtime error for that row.
+
+class CelFilter:
+    """Compiled CEL predicate. Callable over a batch context dict of
+    numpy object arrays (keys: tags + _CONTEXT_FIELDS). Returns a keep
+    mask; rows with runtime errors are dropped with one warning per
+    batch (mirroring cel/mod.rs:51-54)."""
+
+    def __init__(self, source: str):
+        self.source = source
+        self.ast = _Parser(_tokenize(source)).parse()
+
+    # -- public API --
+
+    def evaluate_context(self, ctx: dict, n: int) -> np.ndarray:
+        vals, err = self._eval(self.ast, ctx, n)
+        vals = np.asarray(vals, dtype=object)
+        bad_type = np.array([not isinstance(v, (bool, np.bool_)) for v in vals],
+                            dtype=bool) & ~err
+        if bad_type.any():
+            # non-boolean output is a usage error in the reference
+            # (convert_filter_output panics); we drop those rows + warn
+            err = err | bad_type
+        if err.any():
+            warnings.warn(
+                f"CEL runtime error on {int(err.sum())} row(s); dropping them "
+                f"(expression: {self.source!r})", stacklevel=2)
+        keep = np.zeros(n, dtype=bool)
+        ok = ~err
+        keep[ok] = vals[ok].astype(bool)
+        return keep
+
+    def apply_table(self, table):
+        import pyarrow as pa
+
+        from .tagarray import TagArray
+
+        n = table.num_rows
+        if n == 0:
+            return table
+        tags = TagArray.from_arrow(table["tags"], n) if "tags" in table.column_names else TagArray.from_dicts([{}] * n)
+        ctx = {"tags": tags}
+        for f in _CONTEXT_FIELDS:
+            if f in table.column_names:
+                ctx[f] = np.asarray(table[f].to_pylist(), dtype=object)
+        keep = self.evaluate_context(ctx, n)
+        return table.take(pa.array(np.flatnonzero(keep), pa.int64()))
+
+    # -- node evaluation --
+
+    def _eval(self, node, ctx, n):
+        no_err = np.zeros(n, dtype=bool)
+        if isinstance(node, _Lit):
+            return np.full(n, node.value, dtype=object), no_err
+        if isinstance(node, _Var):
+            if node.name == "tags":
+                return "__TAGS__", no_err
+            if node.name in ctx:
+                vals = ctx[node.name]
+                # absent context field (null) -> runtime error when used;
+                # flag now, comparisons will propagate
+                err = np.array([v is None for v in vals], dtype=bool)
+                return vals, err
+            raise CelParseError(f"unknown identifier {node.name!r}")
+        if isinstance(node, _Index):
+            base, berr = self._eval(node.base, ctx, n)
+            key, kerr = self._eval(node.key, ctx, n)
+            if not (isinstance(base, str) and base == "__TAGS__"):
+                raise CelParseError("only tags[...] indexing is supported")
+            tags = ctx["tags"]
+            # constant key fast path
+            k0 = key[0] if len(key) else None
+            if all(k == k0 for k in key):
+                vals = tags.get(str(k0))
+            else:
+                vals = np.array([tags.get(str(k))[i] for i, k in enumerate(key)],
+                                dtype=object)
+            err = berr | kerr | np.array([v is None for v in vals], dtype=bool)
+            return vals, err
+        if isinstance(node, _Has):
+            key, kerr = self._eval(node.key, ctx, n)
+            k0 = str(key[0])
+            return ctx["tags"].has(k0).astype(object), kerr
+        if isinstance(node, _InMap):
+            key, kerr = self._eval(node.key, ctx, n)
+            k0 = str(key[0])
+            return ctx["tags"].has(k0).astype(object), kerr
+        if isinstance(node, _Not):
+            vals, err = self._eval(node.inner, ctx, n)
+            out = np.array([(not v) if isinstance(v, (bool, np.bool_)) else None
+                            for v in vals], dtype=object)
+            err = err | np.array([v is None for v in out], dtype=bool)
+            return out, err
+        if isinstance(node, _Bool):
+            lv, le = self._eval(node.lhs, ctx, n)
+            rv, re_ = self._eval(node.rhs, ctx, n)
+            out = np.empty(n, dtype=object)
+            if node.op == "&&":
+                # CEL short-circuit: false && error == false
+                for i in range(n):
+                    l = lv[i] if not le[i] else None
+                    r = rv[i] if not re_[i] else None
+                    if l is False or r is False:
+                        out[i] = False
+                    elif l is True and r is True:
+                        out[i] = True
+                    else:
+                        out[i] = None
+            else:
+                for i in range(n):
+                    l = lv[i] if not le[i] else None
+                    r = rv[i] if not re_[i] else None
+                    if l is True or r is True:
+                        out[i] = True
+                    elif l is False and r is False:
+                        out[i] = False
+                    else:
+                        out[i] = None
+            err = np.array([v is None for v in out], dtype=bool)
+            return out, err
+        if isinstance(node, _Cmp):
+            lv, le = self._eval(node.lhs, ctx, n)
+            rv, re_ = self._eval(node.rhs, ctx, n)
+            err = le | re_
+            out = np.empty(n, dtype=object)
+            op = node.op
+            for i in range(n):
+                if err[i]:
+                    out[i] = None
+                    continue
+                l, r = lv[i], rv[i]
+                try:
+                    if op == "==":
+                        out[i] = l == r
+                    elif op == "!=":
+                        out[i] = l != r
+                    elif type(l) is bool or type(r) is bool or \
+                            (isinstance(l, str) != isinstance(r, str)):
+                        out[i] = None  # heterogeneous order comparison: error
+                    elif op == "<":
+                        out[i] = l < r
+                    elif op == "<=":
+                        out[i] = l <= r
+                    elif op == ">":
+                        out[i] = l > r
+                    else:
+                        out[i] = l >= r
+                except TypeError:
+                    out[i] = None
+            err = err | np.array([v is None for v in out], dtype=bool)
+            return out, err
+        if isinstance(node, _Method):
+            base, berr = self._eval(node.base, ctx, n)
+            if isinstance(base, str) and base == "__TAGS__":
+                if node.name == "size":
+                    tags = ctx["tags"]
+                    counts = (np.bincount(tags.row, minlength=n)
+                              if len(tags.row) else np.zeros(n, np.int64))
+                    return counts.astype(object), berr
+                raise CelParseError(f"unsupported tags method {node.name!r}")
+            args = [self._eval(a, ctx, n) for a in node.args]
+            out = np.empty(n, dtype=object)
+            for i in range(n):
+                b = base[i] if not berr[i] else None
+                avs = [a[0][i] if not a[1][i] else None for a in args]
+                try:
+                    if b is None or any(v is None for v in avs):
+                        out[i] = None
+                    elif node.name == "startsWith":
+                        out[i] = str(b).startswith(str(avs[0]))
+                    elif node.name == "endsWith":
+                        out[i] = str(b).endswith(str(avs[0]))
+                    elif node.name == "contains":
+                        out[i] = str(avs[0]) in str(b)
+                    elif node.name == "matches":
+                        out[i] = re.search(str(avs[0]), str(b)) is not None
+                    elif node.name == "size":
+                        out[i] = len(b)
+                    else:
+                        out[i] = None
+                except Exception:
+                    out[i] = None
+            err = np.array([v is None for v in out], dtype=bool)
+            return out, err
+        raise CelParseError(f"cannot evaluate {node!r}")
+
+
+def create_filter(source: str):
+    """Mirror of the reference's ``create_filter`` dispatch
+    (``src/filter/mod.rs:18-28``): try OSMFilter first, fall back to
+    CEL; raise if neither parses (the reference panics)."""
+    from .osmfilter import parse_osmfilter, FilterParseError
+    from .vector import CompiledFilter
+
+    try:
+        return CompiledFilter(parse_osmfilter(source))
+    except FilterParseError:
+        pass
+    try:
+        return CelFilter(source)
+    except CelParseError as e:
+        raise ValueError(f"input is neither a valid OSMFilter nor CEL program: {e}")

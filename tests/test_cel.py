@@ -1,0 +1,94 @@
+import warnings
+
+import numpy as np
+import pytest
+
+from skyway_ray.filters.cel import CelFilter, create_filter
+from skyway_ray.filters.vector import CompiledFilter
+from skyway_ray.fixtures import make_osm_elements
+
+
+@pytest.fixture(scope="module")
+def elements():
+    return make_osm_elements(2000)
+
+
+def _tags_of(table, i):
+    lst = table["tags"][i].as_py()
+    return {kv["key"]: kv["value"] for kv in (lst or [])}
+
+
+def _oracle(table, fn):
+    """Row-at-a-time CEL oracle: fn(row_ctx) -> bool, raising = dropped."""
+    keep = []
+    for i in range(table.num_rows):
+        ctx = {
+            "tags": _tags_of(table, i),
+            "type": table["type"][i].as_py(),
+            "id": table["id"][i].as_py(),
+            "uid": table["uid"][i].as_py(),
+            "user": table["user"][i].as_py(),
+            "changeset": table["changeset"][i].as_py(),
+            "timestamp": table["timestamp"][i].as_py(),
+            "visible": table["visible"][i].as_py(),
+        }
+        try:
+            r = fn(ctx)
+            keep.append(bool(r) if isinstance(r, bool) else False)
+        except Exception:
+            keep.append(False)
+    return keep
+
+
+CASES = [
+    ('type == "node"', lambda c: c["type"] == "node"),
+    ('type == "way" || type == "relation"', lambda c: c["type"] in ("way", "relation")),
+    ('"highway" in tags', lambda c: "highway" in c["tags"]),
+    ('tags["highway"] == "footway"',
+     lambda c: (_ for _ in ()).throw(KeyError()) if "highway" not in c["tags"]
+     else c["tags"]["highway"] == "footway"),
+    ('id < 500', lambda c: c["id"] < 500),
+    ('uid >= 500', lambda c: (_ for _ in ()).throw(KeyError()) if c["uid"] is None
+     else c["uid"] >= 500),
+    ('visible == true', lambda c: (_ for _ in ()).throw(KeyError()) if c["visible"] is None
+     else c["visible"] is True),
+    ('has(tags.name) && type != "relation"',
+     lambda c: "name" in c["tags"] and c["type"] != "relation"),
+    ('tags["name"].startsWith("Main")',
+     lambda c: (_ for _ in ()).throw(KeyError()) if "name" not in c["tags"]
+     else c["tags"]["name"].startswith("Main")),
+    ('user.contains("ob")', lambda c: (_ for _ in ()).throw(KeyError()) if c["user"] is None
+     else "ob" in c["user"]),
+    ('!("surface" in tags)', lambda c: "surface" not in c["tags"]),
+    ('size(tags) > 2', lambda c: len(c["tags"]) > 2),
+    ('timestamp.matches("2024-01-0[1-5]")',
+     lambda c: (_ for _ in ()).throw(KeyError()) if c["timestamp"] is None
+     else __import__("re").search("2024-01-0[1-5]", c["timestamp"]) is not None),
+]
+
+
+class TestCel:
+    @pytest.mark.parametrize("src,fn", CASES, ids=[c[0] for c in CASES])
+    def test_vs_oracle(self, src, fn, elements):
+        f = CelFilter(src)
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            got = f.apply_table(elements)
+        want_ids = [elements["id"][i].as_py()
+                    for i, k in enumerate(_oracle(elements, fn)) if k]
+        assert got["id"].to_pylist() == want_ids, src
+
+    def test_runtime_error_warns_and_drops(self, elements):
+        # indexing a key many rows lack -> those rows dropped with warning
+        f = CelFilter('tags["no_such_key"] == "x"')
+        with pytest.warns(UserWarning):
+            got = f.apply_table(elements)
+        assert got.num_rows == 0
+
+    def test_dispatch_osmfilter_first(self):
+        f = create_filter("OSMFilter v0.2.0\n\nCOMMIT\n")
+        assert isinstance(f, CompiledFilter)
+        f2 = create_filter('type == "node"')
+        assert isinstance(f2, CelFilter)
+        with pytest.raises(ValueError):
+            create_filter("@@@ not a filter @@@")
