@@ -1,0 +1,111 @@
+"""The flagship pipeline: read → geotag/cell-encode → tag filter →
+STRtree point-in-polygon join → z/x/y tile stats.
+
+This is the benchmarked end-to-end job (BASELINE.md): every stage is a
+``map_batches`` over zero-copy Arrow except the final pre-aggregated
+tile groupby.  The boundary side goes through the OSMFilter tag-filter
+(the reference's element-selection semantics applied to region tags)
+on the driver — it is the small side — then broadcasts via ``ray.put``
+into the ``PIPJoiner`` actor pool.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from ..filters.osmfilter import parse_osmfilter
+from ..filters.vector import CompiledFilter
+from ..stages.cellencode import CellEncode
+from ..stages.geotag import add_geotag
+from ..stages.pip_join import PIPJoiner
+from ..stages.tiling import add_tile_xy, tile_stats
+
+
+def _default_concurrency() -> int:
+    """Actor-pool size that leaves headroom for read/shuffle tasks —
+    a pool reserving every CPU starves the upstream read and the
+    pipeline stalls (see ray_guide: actor pools)."""
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 4))
+    return max(2, cpus - 2)
+
+# Default region filter — exercises EQUALS/HAS selection, SET mutation,
+# COMMIT/DROP short-circuit on the boundary tags (docs/src/osmfilter.md
+# shape, retargeted at OSM-boundary-style tags).
+FLAGSHIP_FILTER = (
+    "OSMFilter v0.2.0\n"
+    "\n"
+    'EQUALS "admin_level" "2"\n'
+    "\tDROP\n"
+    'HAS "boundary"\n'
+    '\tSET "included" "yes"\n'
+    "\tCOMMIT\n"
+    "DROP\n"
+)
+
+
+def load_filtered_boundaries(boundaries_path: str,
+                             filter_source: str = FLAGSHIP_FILTER) -> pa.Table:
+    """Driver-side: read the small boundary table and run the tag
+    filter over it (it is broadcast state, not a Dataset)."""
+    table = pq.read_table(boundaries_path)
+    if filter_source:
+        program = (filter_source if isinstance(filter_source, list)
+                   else parse_osmfilter(filter_source))
+        table = CompiledFilter(program).apply_table(table)
+    return table
+
+
+def flagship_pipeline(images_path, boundaries_path: str,
+                      filter_source: str = FLAGSHIP_FILTER,
+                      z: int = 12, mode: str = "inner",
+                      concurrency: int | None = None,
+                      columns=("image_id", "phash")):
+    """Build (lazily) the flagship Dataset: per-tile image counts over
+    filter-selected regions.  Consume with ``.to_pandas()`` /
+    ``write_parquet`` — nothing is materialized here.
+
+    ``columns`` prunes the read to what the pipeline needs (pass None
+    to keep all columns, e.g. when the sink re-emits image bytes).
+    """
+    import ray
+    import ray.data
+
+    ds = ray.data.read_parquet(images_path,
+                               columns=list(columns) if columns else None)
+    ds = ds.map_batches(add_geotag, batch_format="pyarrow")
+    ds = ds.map_batches(CellEncode(resolutions=(7, 12)), batch_format="pyarrow")
+
+    boundaries = load_filtered_boundaries(boundaries_path, filter_source)
+    ref = ray.put(boundaries)
+    joined = ds.map_batches(
+        PIPJoiner,
+        fn_constructor_kwargs=dict(boundaries_ref=ref, mode=mode),
+        batch_format="pyarrow",
+        concurrency=concurrency or _default_concurrency(),
+    )
+    return tile_stats(joined, z=z)
+
+
+def flagship_join(images_path, boundaries_path: str,
+                  filter_source: str = FLAGSHIP_FILTER, mode: str = "inner",
+                  concurrency: int | None = None, columns=None, z: int = 12):
+    """The join itself (one row per image×region match, with tile
+    columns) — used by golden tests and the per-row invariant check."""
+    import ray
+    import ray.data
+
+    ds = ray.data.read_parquet(images_path,
+                               columns=list(columns) if columns else None)
+    ds = ds.map_batches(add_geotag, batch_format="pyarrow")
+    boundaries = load_filtered_boundaries(boundaries_path, filter_source)
+    ref = ray.put(boundaries)
+    joined = ds.map_batches(
+        PIPJoiner,
+        fn_constructor_kwargs=dict(boundaries_ref=ref, mode=mode),
+        batch_format="pyarrow",
+        concurrency=concurrency or _default_concurrency(),
+    )
+    return joined.map_batches(lambda b: add_tile_xy(b, z), batch_format="pyarrow")

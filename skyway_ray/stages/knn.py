@@ -1,0 +1,136 @@
+"""Exact kNN lookup via per-cell sorted Hilbert-key candidate arrays.
+
+Index layout (BASELINE.json north_star: "kNN lookups via per-cell
+sorted Hilbert-key arrays"): reference points are bucketed by grid cell
+at ``res``; within each cell the candidate arrays are sorted by Hilbert
+key, so a probe scans spatially-coherent contiguous memory.
+
+Probe algorithm (exact, not approximate): expand Chebyshev rings of
+cells around the probe's cell; after exhausting rings ≤ r, any unseen
+point lies in a cell at Chebyshev distance ≥ r+1 and therefore at least
+``r * cell_lat_extent`` degrees away — stop once the kth-best distance
+is within that bound.  Distance metric: squared Euclidean in degrees
+(SQL-oracle-mirrorable); ties broken by reference id.
+
+The index is built once per actor from a broadcast table (small side);
+for a large reference side, shard the index by coarse cell and route
+probes with a ``groupby(cell)`` — documented scale path, not needed at
+fixture scale.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..geo.cells import cell_id, cell_ring, cell_size_deg
+from ..geo.hilbert import hilbert_key
+
+
+class CellKnnIndex:
+    def __init__(self, lat: np.ndarray, lon: np.ndarray, ids: np.ndarray,
+                 res: int = 7):
+        self.res = res
+        self.cell_h, _ = cell_size_deg(res)
+        cells = cell_id(lat, lon, res)
+        hk = hilbert_key(lat, lon)
+        order = np.lexsort((hk, cells))
+        self.lat = np.asarray(lat, dtype=np.float64)[order]
+        self.lon = np.asarray(lon, dtype=np.float64)[order]
+        self.ids = np.asarray(ids)[order]
+        sorted_cells = cells[order]
+        uniq, starts = np.unique(sorted_cells, return_index=True)
+        ends = np.append(starts[1:], len(sorted_cells))
+        self.cell_slices = {int(c): (int(s), int(e))
+                            for c, s, e in zip(uniq, starts, ends)}
+        self.n = len(self.ids)
+
+    def _candidates_in_cells(self, cells: np.ndarray):
+        segs = [self.cell_slices[int(c)] for c in cells if int(c) in self.cell_slices]
+        if not segs:
+            return np.empty(0, dtype=np.int64)
+        return np.concatenate([np.arange(s, e) for s, e in segs])
+
+    def query_one(self, qlat: float, qlon: float, k: int):
+        """Returns (ids, dist2) of the exact k nearest, ordered by
+        (dist2, id)."""
+        center = int(cell_id(np.array([qlat]), np.array([qlon]), self.res)[0])
+        best_idx = np.empty(0, dtype=np.int64)
+        best_d2 = np.empty(0, dtype=np.float64)
+        r = 0
+        while True:
+            ring = cell_ring(center, r) if r > 0 else np.asarray([center])
+            cand = self._candidates_in_cells(ring)
+            if len(cand):
+                d2 = (self.lat[cand] - qlat) ** 2 + (self.lon[cand] - qlon) ** 2
+                best_idx = np.concatenate([best_idx, cand])
+                best_d2 = np.concatenate([best_d2, d2])
+                if len(best_idx) > k:
+                    keep = np.lexsort((self.ids[best_idx], best_d2))[:k]
+                    best_idx, best_d2 = best_idx[keep], best_d2[keep]
+            # stopping bound: unseen points are >= r * cell_h degrees away
+            if len(best_idx) >= k and len(best_idx) > 0:
+                kth = best_d2.max()
+                if (r * self.cell_h) ** 2 >= kth:
+                    break
+            r += 1
+            if (r - 1) * self.cell_h > 360.0:  # scanned the whole grid
+                break
+        order = np.lexsort((self.ids[best_idx], best_d2))[:k]
+        best_idx, best_d2 = best_idx[order], best_d2[order]
+        return self.ids[best_idx], best_d2
+
+    def query_batch(self, qlat, qlon, k: int, qids=None) -> pa.Table:
+        """kNN for a probe batch → long-form (probe_id, neighbor_id,
+        dist2, rank)."""
+        qlat = np.asarray(qlat, dtype=np.float64)
+        qlon = np.asarray(qlon, dtype=np.float64)
+        probe_ids, neigh, d2s, ranks = [], [], [], []
+        for i in range(len(qlat)):
+            ids, d2 = self.query_one(float(qlat[i]), float(qlon[i]), k)
+            m = len(ids)
+            probe_ids.extend([qids[i] if qids is not None else i] * m)
+            neigh.extend(ids.tolist())
+            d2s.extend(d2.tolist())
+            ranks.extend(range(1, m + 1))
+        return pa.table({
+            "probe_id": probe_ids,
+            "neighbor_id": neigh,
+            "dist2": pa.array(d2s, pa.float64()),
+            "rank": pa.array(ranks, pa.int64()),
+        })
+
+
+class KnnStage:
+    """Actor-pool stage: broadcast reference index, probe per batch.
+
+    ``ds.map_batches(KnnStage, fn_constructor_kwargs=dict(ref_table_ref=ref,
+    k=5), batch_format="pyarrow", concurrency=N)``.
+    """
+
+    def __init__(self, ref_table_ref=None, ref_table: pa.Table | None = None,
+                 k: int = 5, res: int = 7, id_col: str = "image_id",
+                 lat_col: str = "lat", lon_col: str = "lon"):
+        if ref_table_ref is not None:
+            import ray
+            ref_table = ray.get(ref_table_ref)
+        if ref_table is None:
+            raise ValueError("need ref_table_ref or ref_table")
+        self.index = CellKnnIndex(
+            ref_table[lat_col].to_numpy(zero_copy_only=False),
+            ref_table[lon_col].to_numpy(zero_copy_only=False),
+            np.asarray(ref_table[id_col].to_pylist()),
+            res=res,
+        )
+        self.k = k
+        self.id_col = id_col
+        self.lat_col = lat_col
+        self.lon_col = lon_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        return self.index.query_batch(
+            batch[self.lat_col].to_numpy(zero_copy_only=False),
+            batch[self.lon_col].to_numpy(zero_copy_only=False),
+            self.k,
+            qids=np.asarray(batch[self.id_col].to_pylist()),
+        )

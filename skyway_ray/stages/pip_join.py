@@ -1,0 +1,130 @@
+"""Broadcast point-in-polygon spatial join (the engine's central join).
+
+The boundary table is the small side: the driver ``ray.put``s it once
+and every ``PIPJoiner`` actor builds its :class:`BoundaryIndex`
+(STR-packed R-tree over ring bboxes + packed ring coordinate arrays)
+ONCE in ``__init__`` — the Ray Data actor-pool analogue of the
+reference's compiled-filter-per-thread state
+(``/root/reference/src/main.rs:150-171``).  No shuffle: each batch is
+joined where it already lives.
+
+Join modes mirror the reference's selection semantics generalized to
+containment (SURVEY.md §2.5):
+
+* ``inner`` — one output row per (image, containing region); multi-
+  match duplicates the image row (overlapping regions).
+* ``left``  — like inner but images in no region survive with a null
+  ``region_id``.
+* ``semi``  — images in ≥1 region, once (HAS-analogue).
+* ``anti``  — images in no region (DROP-analogue).
+
+Usage::
+
+    ref = ray.put(boundaries_table)           # once, on the driver
+    ds = ds.map_batches(PIPJoiner, fn_constructor_kwargs=dict(
+             boundaries_ref=ref, mode="inner"),
+             batch_format="pyarrow", concurrency=8)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..geo.pip import points_in_ring, ring_bbox
+from ..geo.strtree import STRtree
+
+
+class BoundaryIndex:
+    """STRtree over ring bboxes + exact ray-cast verification."""
+
+    def __init__(self, boundaries: pa.Table):
+        self.region_ids = np.asarray(boundaries["region_id"].to_pylist(), dtype=object)
+        self.rings = []
+        bboxes = np.empty((boundaries.num_rows, 4), dtype=np.float64)
+        lons = boundaries["ring_lon"].to_pylist()
+        lats = boundaries["ring_lat"].to_pylist()
+        for j in range(boundaries.num_rows):
+            rx = np.asarray(lons[j], dtype=np.float64)
+            ry = np.asarray(lats[j], dtype=np.float64)
+            self.rings.append((rx, ry))
+            bboxes[j] = ring_bbox(rx, ry)
+        self.tree = STRtree(bboxes)
+
+    def match(self, lon: np.ndarray, lat: np.ndarray):
+        """Exact containment pairs, sorted by (point_idx, region_idx)."""
+        cand_p, cand_r = self.tree.query_points(lon, lat)
+        if len(cand_p) == 0:
+            z = np.empty(0, dtype=np.int64)
+            return z, z
+        order = np.argsort(cand_r, kind="stable")
+        cand_p, cand_r = cand_p[order], cand_r[order]
+        hit = np.zeros(len(cand_p), dtype=bool)
+        # one vectorized ray-cast per distinct candidate region
+        bounds = np.flatnonzero(np.diff(cand_r)) + 1
+        starts = np.concatenate([[0], bounds])
+        ends = np.concatenate([bounds, [len(cand_r)]])
+        for s, e in zip(starts, ends):
+            rj = cand_r[s]
+            rx, ry = self.rings[rj]
+            pts = cand_p[s:e]
+            hit[s:e] = points_in_ring(lon[pts], lat[pts], rx, ry)
+        p, r = cand_p[hit], cand_r[hit]
+        order = np.lexsort((r, p))
+        return p[order], r[order]
+
+
+class PIPJoiner:
+    """Actor-pool stage: point-in-polygon join against broadcast
+    boundaries. Exactly one of ``boundaries_ref`` (a ``ray.put`` ref)
+    / ``boundaries_path`` (parquet path) / ``boundaries_table`` must
+    be given."""
+
+    def __init__(self, boundaries_ref=None, boundaries_path: str | None = None,
+                 boundaries_table: pa.Table | None = None, mode: str = "inner",
+                 lat_col: str = "lat", lon_col: str = "lon",
+                 region_col: str = "region_id"):
+        if mode not in ("inner", "left", "semi", "anti"):
+            raise ValueError(f"bad join mode {mode!r}")
+        if boundaries_ref is not None:
+            import ray
+            table = ray.get(boundaries_ref)
+        elif boundaries_path is not None:
+            import pyarrow.parquet as pq
+            table = pq.read_table(boundaries_path)
+        elif boundaries_table is not None:
+            table = boundaries_table
+        else:
+            raise ValueError("need boundaries_ref, boundaries_path or boundaries_table")
+        self.index = BoundaryIndex(table)
+        self.mode = mode
+        self.lat_col = lat_col
+        self.lon_col = lon_col
+        self.region_col = region_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        lat = batch[self.lat_col].to_numpy(zero_copy_only=False)
+        lon = batch[self.lon_col].to_numpy(zero_copy_only=False)
+        p, r = self.index.match(lon, lat)
+        if self.mode == "inner":
+            out = batch.take(pa.array(p, pa.int64()))
+            return out.append_column(
+                self.region_col, pa.array(self.index.region_ids[r], pa.string()))
+        if self.mode == "left":
+            matched = np.zeros(len(lat), dtype=bool)
+            matched[p] = True
+            unmatched = np.flatnonzero(~matched)
+            idx = np.concatenate([p, unmatched])
+            regions = np.concatenate([
+                self.index.region_ids[r],
+                np.full(len(unmatched), None, dtype=object),
+            ])
+            order = np.argsort(idx, kind="stable")
+            out = batch.take(pa.array(idx[order], pa.int64()))
+            return out.append_column(
+                self.region_col, pa.array(regions[order], pa.string()))
+        matched = np.zeros(len(lat), dtype=bool)
+        matched[p] = True
+        if self.mode == "anti":
+            matched = ~matched
+        return batch.take(pa.array(np.flatnonzero(matched), pa.int64()))

@@ -1,0 +1,205 @@
+"""Stage tests against pure-Python oracles (FIXTURES.md §4 goldens)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from skyway_ray.fixtures import (
+    ensure_boundaries_parquet, ensure_images_parquet, make_boundaries,
+    make_images,
+)
+from skyway_ray.geo.geotag import latlon_from_phash
+from skyway_ray.geo.pip import point_in_ring_slow
+from skyway_ray.geo.tiles import tile_xy
+from skyway_ray.stages.pip_join import BoundaryIndex, PIPJoiner
+from skyway_ray.stages.knn import CellKnnIndex
+
+
+@pytest.fixture(scope="module")
+def images():
+    return make_images(1000)
+
+
+@pytest.fixture(scope="module")
+def boundaries():
+    return make_boundaries(50)
+
+
+def _oracle_pairs(images, boundaries):
+    """Golden join pairs via the scalar oracle."""
+    lat, lon = latlon_from_phash(images["phash"].to_numpy())
+    lons = boundaries["ring_lon"].to_pylist()
+    lats = boundaries["ring_lat"].to_pylist()
+    pairs = set()
+    for i in range(images.num_rows):
+        for j in range(boundaries.num_rows):
+            if point_in_ring_slow(lon[i], lat[i], lons[j], lats[j]):
+                pairs.add((i, j))
+    return pairs
+
+
+class TestBoundaryIndex:
+    def test_matches_oracle(self, images, boundaries):
+        idx = BoundaryIndex(boundaries)
+        lat, lon = latlon_from_phash(images["phash"].to_numpy())
+        p, r = idx.match(lon, lat)
+        got = set(zip(p.tolist(), r.tolist()))
+        assert got == _oracle_pairs(images, boundaries)
+
+    def test_hot_region_gets_skew_cluster(self, images, boundaries):
+        idx = BoundaryIndex(boundaries)
+        lat, lon = latlon_from_phash(images["phash"].to_numpy())
+        p, r = idx.match(lon, lat)
+        # region 0 is the hot region around the skew cluster (~10% of rows)
+        hot = (r == 0).sum()
+        assert hot >= 80
+
+
+class TestPIPJoinerModes:
+    def test_modes_consistent(self, images, boundaries):
+        import pyarrow.parquet  # noqa: F401
+
+        lat, lon = latlon_from_phash(images["phash"].to_numpy())
+        batch = images.append_column("lat", pa.array(lat)).append_column(
+            "lon", pa.array(lon))
+        inner = PIPJoiner(boundaries_table=boundaries, mode="inner")(batch)
+        semi = PIPJoiner(boundaries_table=boundaries, mode="semi")(batch)
+        anti = PIPJoiner(boundaries_table=boundaries, mode="anti")(batch)
+        left = PIPJoiner(boundaries_table=boundaries, mode="left")(batch)
+        assert semi.num_rows + anti.num_rows == batch.num_rows
+        assert inner.num_rows >= semi.num_rows
+        assert left.num_rows == inner.num_rows + anti.num_rows
+        assert set(semi["image_id"].to_pylist()) == set(inner["image_id"].to_pylist())
+        # multi-match duplicates exist (overlapping region pairs)
+        ids = inner["image_id"].to_pylist()
+        assert len(ids) > len(set(ids))
+
+
+class TestKnn:
+    def test_exact_vs_bruteforce(self):
+        rng = np.random.default_rng(5)
+        n = 4000
+        lat = rng.uniform(-60, 60, n)
+        lon = rng.uniform(-180, 180, n)
+        ids = np.arange(n)
+        index = CellKnnIndex(lat, lon, ids, res=6)
+        k = 7
+        for qi in range(40):
+            qlat, qlon = float(lat[qi] + 0.3), float(lon[qi] - 0.2)
+            got_ids, got_d2 = index.query_one(qlat, qlon, k)
+            d2 = (lat - qlat) ** 2 + (lon - qlon) ** 2
+            want = np.lexsort((ids, d2))[:k]
+            assert list(got_ids) == list(ids[want])
+            assert np.allclose(got_d2, d2[want])
+
+    def test_fewer_than_k(self):
+        index = CellKnnIndex(np.array([1.0, 2.0]), np.array([1.0, 2.0]),
+                             np.array([10, 20]), res=7)
+        ids, d2 = index.query_one(0.0, 0.0, 5)
+        assert list(ids) == [10, 20]
+
+
+class TestRayStages:
+    def test_flagship_smoke(self, ray_session):
+        from skyway_ray.pipelines.flagship import flagship_pipeline, flagship_join
+
+        images_path = ensure_images_parquet("smoke")
+        boundaries_path = ensure_boundaries_parquet(50)
+        stats = flagship_pipeline(images_path, boundaries_path, z=7).to_pandas()
+        assert len(stats) > 0
+        assert set(stats.columns) == {"tile_z", "tile_x", "tile_y", "n_images"}
+        # total joined rows match the golden pair count for filtered regions
+        joined = flagship_join(images_path, boundaries_path).to_pandas()
+        assert stats["n_images"].sum() == len(joined)
+        # tile assignment equals direct computation
+        lat, lon = latlon_from_phash(joined["phash"].to_numpy())
+        # joined dropped phash? it kept all columns (columns=None)
+        tx, ty = tile_xy(joined["lat"].to_numpy(), joined["lon"].to_numpy(), 12)
+        assert (joined["tile_x"].to_numpy() == tx).all()
+        assert (joined["tile_y"].to_numpy() == ty).all()
+
+    def test_join_golden_and_row_invariant(self, ray_session):
+        """Row-for-row join golden + per-row invariant (decoded-pixel
+        PSNR >= 40dB / exact for png, caption equality)."""
+        from skyway_ray.fixtures import _gen_pixels
+        from skyway_ray.functions.image_codec import decode_image, psnr
+        from skyway_ray.pipelines.flagship import (
+            flagship_join, load_filtered_boundaries)
+
+        images_path = ensure_images_parquet("smoke")
+        boundaries_path = ensure_boundaries_parquet(50)
+        joined = flagship_join(images_path, boundaries_path).to_pandas()
+
+        images = make_images(1000)
+        fb = load_filtered_boundaries(boundaries_path)
+        golden = _oracle_pairs(images, fb)
+        got = set()
+        id_to_i = {f"img_{i:012d}": i for i in range(1000)}
+        rid_to_j = {rid: j for j, rid in enumerate(fb["region_id"].to_pylist())}
+        for iid, rid in zip(joined["image_id"], joined["region_id"]):
+            got.add((id_to_i[iid], rid_to_j[rid]))
+        assert got == golden
+        assert len(joined) == len(golden)  # no dup pairs
+
+        # per-row invariant on a sample of emitted rows
+        caps = {images["image_id"][i].as_py(): images["caption"][i].as_py()
+                for i in range(1000)}
+        sample = joined.head(50)
+        for _, row in sample.iterrows():
+            i = id_to_i[row["image_id"]]
+            assert row["caption"] == caps[row["image_id"]]
+            img = decode_image(row["bytes"], row["fmt"])
+            ref_img = _gen_pixels(i, row["w"])
+            if row["fmt"] == "png":
+                assert (img == ref_img).all()
+            else:
+                assert psnr(img, ref_img) >= 40.0
+
+    def test_exact_dedup(self, ray_session):
+        import ray.data
+        from skyway_ray.stages.dedup import exact_dedup, exact_dedup_projected
+
+        images_path = ensure_images_parquet("smoke")
+        ds = ray.data.read_parquet(images_path)
+        out = exact_dedup(ds, key="phash", order_col="image_id").to_pandas()
+        t = make_images(1000).to_pandas()
+        want = t.sort_values("image_id").groupby("phash", as_index=False).first()
+        assert len(out) == len(want)
+        assert set(out["image_id"]) == set(want["image_id"])
+        out2 = exact_dedup_projected(
+            ray.data.read_parquet(images_path), "phash", "image_id").to_pandas()
+        assert set(out2["image_id"]) == set(want["image_id"])
+
+    def test_top_k(self, ray_session):
+        import ray.data
+        from skyway_ray.stages.topk import top_k
+
+        images_path = ensure_images_parquet("smoke")
+        ds = ray.data.read_parquet(images_path, columns=["image_id", "phash"])
+        got = top_k(ds, "phash", 10, descending=True,
+                    tiebreak_col="image_id").to_pandas()
+        t = make_images(1000).to_pandas()
+        want = t.sort_values(["phash", "image_id"],
+                             ascending=[False, True]).head(10)
+        assert got["image_id"].tolist() == want["image_id"].tolist()
+
+    def test_knn_stage(self, ray_session):
+        import ray
+        import ray.data
+        from skyway_ray.stages.knn import KnnStage
+        from skyway_ray.stages.geotag import add_geotag
+
+        images = make_images(500)
+        lat, lon = latlon_from_phash(images["phash"].to_numpy())
+        ref_table = pa.table({
+            "image_id": images["image_id"], "lat": pa.array(lat),
+            "lon": pa.array(lon)})
+        ref = ray.put(ref_table)
+        probes = ray.data.from_arrow(ref_table.slice(0, 20))
+        out = probes.map_batches(
+            KnnStage, fn_constructor_kwargs=dict(ref_table_ref=ref, k=3),
+            batch_format="pyarrow", concurrency=2).to_pandas()
+        assert len(out) == 60
+        # each probe's rank-1 neighbor is itself (dist 0)
+        r1 = out[out["rank"] == 1]
+        assert (r1["probe_id"] == r1["neighbor_id"]).all()
