@@ -1,0 +1,146 @@
+"""Approximate-nearest-neighbor / similarity search over an embedding
+column (``list<float>``).
+
+* :func:`cosine_topk_batch` — the brute-force baseline: one numpy
+  matmul per batch against a broadcast query matrix, emitting per-batch
+  partial top-k (k rows per query per batch); merge with a tiny
+  ``groupby(query_id).map_groups`` or driver-side merge.  Exact.
+* :class:`LshIndex` — the scale path: random-hyperplane (SimHash-style)
+  bucketing; candidates share ≥1 band bucket, then exact cosine rerank.
+  Sub-linear probes at the cost of recall < 1.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return m / norms
+
+
+def embeddings_to_matrix(col) -> np.ndarray:
+    """list<float> Arrow column → (n, d) float32 matrix (zero-copy
+    flatten + reshape; assumes fixed dimension)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    flat = col.flatten().to_numpy(zero_copy_only=False)
+    n = len(col)
+    return flat.reshape(n, -1) if n else flat.reshape(0, 0)
+
+
+def cosine_topk_batch(batch_vecs: np.ndarray, batch_ids: np.ndarray,
+                      query_matrix: np.ndarray, query_ids: np.ndarray,
+                      k: int) -> pa.Table:
+    """Per-batch partial top-k: (query_id, neighbor_id, cos, rank is
+    assigned after the global merge).  ``query_matrix`` must be
+    L2-normalized; batch vectors are normalized here."""
+    bv = _normalize(batch_vecs.astype(np.float64))
+    sims = query_matrix @ bv.T                      # (q, nb)
+    nq, nb = sims.shape
+    kk = min(k, nb)
+    # top-k per query within the batch (argpartition then exact sort)
+    part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+    rows = {"query_id": [], "neighbor_id": [], "cos": []}
+    for qi in range(nq):
+        idx = part[qi]
+        order = np.lexsort((batch_ids[idx], -sims[qi, idx]))
+        sel = idx[order]
+        rows["query_id"].extend([query_ids[qi]] * kk)
+        rows["neighbor_id"].extend(batch_ids[sel].tolist())
+        rows["cos"].extend(sims[qi, sel].tolist())
+    return pa.table({
+        "query_id": pa.array(rows["query_id"], pa.int64()),
+        "neighbor_id": pa.array(rows["neighbor_id"], pa.int64()),
+        "cos": pa.array(rows["cos"], pa.float64()),
+    })
+
+
+class BruteForceTopK:
+    """Actor-pool stage for the exact baseline. Broadcast the
+    (normalized) query matrix once; each batch contributes partial
+    top-k rows; finish with ``groupby("query_id").map_groups`` keeping
+    the global top-k per query."""
+
+    def __init__(self, queries_ref=None, query_matrix=None, query_ids=None,
+                 k: int = 10, vec_col: str = "embedding", id_col: str = "vec_id"):
+        if queries_ref is not None:
+            import ray
+            query_matrix, query_ids = ray.get(queries_ref)
+        self.qm = _normalize(np.asarray(query_matrix, dtype=np.float64))
+        self.qids = np.asarray(query_ids, dtype=np.int64)
+        self.k = k
+        self.vec_col = vec_col
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vecs = embeddings_to_matrix(batch[self.vec_col])
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+        if len(ids) == 0:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "neighbor_id": pa.array([], pa.int64()),
+                             "cos": pa.array([], pa.float64())})
+        return cosine_topk_batch(vecs, ids, self.qm, self.qids, self.k)
+
+
+def merge_topk(partials, k: int):
+    """Global merge of partial top-k rows → (query_id, neighbor_id,
+    rank).  ``partials``: Dataset with (query_id, neighbor_id, cos)."""
+    import pandas as pd
+
+    def per_query(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["cos", "neighbor_id"], ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["query_id", "neighbor_id", "rank"]]
+
+    return partials.groupby("query_id").map_groups(per_query, batch_format="pandas")
+
+
+class LshIndex:
+    """Random-hyperplane LSH over unit vectors: ``bands`` bands of
+    ``bits`` bits each.  Two vectors are candidates if any band bucket
+    matches; rerank candidates with exact cosine.  Deterministic
+    (seeded hyperplanes)."""
+
+    def __init__(self, dim: int, bands: int = 8, bits: int = 8, seed: int = 42):
+        rng = np.random.default_rng(seed)
+        self.planes = rng.standard_normal((bands * bits, dim))
+        self.bands = bands
+        self.bits = bits
+        self.buckets: list[dict[int, list[int]]] = [dict() for _ in range(bands)]
+        self.vecs = None
+        self.ids = None
+
+    def _codes(self, m: np.ndarray) -> np.ndarray:
+        bits = (m @ self.planes.T) > 0                    # (n, bands*bits)
+        weights = (1 << np.arange(self.bits, dtype=np.int64))
+        return np.stack([
+            bits[:, b * self.bits:(b + 1) * self.bits] @ weights
+            for b in range(self.bands)
+        ], axis=1)                                        # (n, bands)
+
+    def build(self, vecs: np.ndarray, ids: np.ndarray) -> None:
+        self.vecs = _normalize(np.asarray(vecs, dtype=np.float64))
+        self.ids = np.asarray(ids)
+        codes = self._codes(self.vecs)
+        for i in range(len(ids)):
+            for b in range(self.bands):
+                self.buckets[b].setdefault(int(codes[i, b]), []).append(i)
+
+    def query(self, q: np.ndarray, k: int):
+        q = np.asarray(q, dtype=np.float64)
+        q = q / (np.linalg.norm(q) or 1.0)
+        code = self._codes(q[None, :])[0]
+        cand = set()
+        for b in range(self.bands):
+            cand.update(self.buckets[b].get(int(code[b]), ()))
+        if not cand:
+            return np.empty(0, dtype=self.ids.dtype), np.empty(0)
+        cand = np.fromiter(cand, dtype=np.int64)
+        sims = self.vecs[cand] @ q
+        order = np.lexsort((self.ids[cand], -sims))[:k]
+        return self.ids[cand[order]], sims[order]

@@ -82,18 +82,36 @@ def guess_lang(texts: pd.Series) -> np.ndarray:
     return out
 
 
-def fingerprint64(texts: pd.Series, prime: int = 1099511628211,
-                  basis: int = 14695981039346656037) -> np.ndarray:
-    """FNV-1a 64-bit rolling document fingerprint (content hash for
-    exact dedup / shard-stable sampling). Vectorized over the batch via
-    per-string C-speed encode + numpy reduce."""
-    out = np.empty(len(texts), dtype=np.uint64)
-    p = np.uint64(prime)
-    for i, t in enumerate(texts.fillna("")):
-        h = np.uint64(basis)
-        data = np.frombuffer(t.encode("utf-8"), dtype=np.uint8)
+_FP_K = np.uint64(1099511628211)
+_FP_POW_CACHE = np.array([1], dtype=np.uint64)
+
+
+def _fp_powers(n: int) -> np.ndarray:
+    global _FP_POW_CACHE
+    if len(_FP_POW_CACHE) < n:
+        m = len(_FP_POW_CACHE)
+        ext = np.empty(n, dtype=np.uint64)
+        ext[:m] = _FP_POW_CACHE
         with np.errstate(over="ignore"):
-            for b in data:
-                h = (h ^ np.uint64(b)) * p
-        out[i] = h
+            for i in range(m, n):
+                ext[i] = ext[i - 1] * _FP_K  # uint64 wraps (mod 2^64)
+        _FP_POW_CACHE = ext
+    return _FP_POW_CACHE
+
+
+def fingerprint64(texts: pd.Series) -> np.ndarray:
+    """64-bit polynomial rolling document fingerprint over UTF-8 bytes:
+    ``h = Σ (b_i + 1) * K^(n-1-i) mod 2^64``.  One vectorized
+    multiply-accumulate per string (no per-byte Python), deterministic
+    across runs/platforms.  Content hash for exact dedup, shard-stable
+    sampling, and doc-identity lineage."""
+    out = np.empty(len(texts), dtype=np.uint64)
+    for i, t in enumerate(texts.fillna("")):
+        data = np.frombuffer(t.encode("utf-8"), dtype=np.uint8).astype(np.uint64)
+        n = len(data)
+        if n == 0:
+            out[i] = 0
+            continue
+        pows = _fp_powers(n)[:n][::-1]
+        out[i] = np.sum((data + np.uint64(1)) * pows, dtype=np.uint64)
     return out.view(np.int64)

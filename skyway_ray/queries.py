@@ -1,0 +1,555 @@
+"""Driver-facing query suite: one entry per operator (SURVEY.md §2),
+each with a Ray Data implementation and (where SQL-expressible) a
+DuckDB oracle that reproduces it bit-for-bit.
+
+Shared derivation: the TPC-H-ish test tables carry no coordinates, so
+point queries derive (lat, lon) from an integer key with pure integer
+arithmetic + one double division — written identically on both sides
+(same operation order) so float results hash-match:
+
+    u_hi = (key * 2654435761 + 12345) % 4294967296
+    u_lo = (key * 1103515245 + 54321) % 4294967296
+    lat  = -60.0 + 120.0 * (u_hi / 4294967296.0)
+    lon  = -180.0 + 360.0 * (u_lo / 4294967296.0)
+
+Float-summation order is NOT deterministic across a distributed
+aggregate, so hash-checked aggregates stick to counts/mins over ints;
+double columns appear only as raw pass-throughs or per-row derivations.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from .geo.cells import cell_id, cell_sql
+from .geo.tiles import tile_sql, tile_xy
+
+# ---------------------------------------------------------------------------
+# shared derivations
+
+
+def derive_latlon(key: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    key = np.asarray(key, dtype=np.int64)
+    u_hi = (key * 2654435761 + 12345) % 4294967296
+    u_lo = (key * 1103515245 + 54321) % 4294967296
+    lat = -60.0 + 120.0 * (u_hi.astype(np.float64) / 4294967296.0)
+    lon = -180.0 + 360.0 * (u_lo.astype(np.float64) / 4294967296.0)
+    return lat, lon
+
+
+def latlon_sql(key_expr: str) -> tuple[str, str]:
+    u_hi = f"(({key_expr} * 2654435761 + 12345) % 4294967296)"
+    u_lo = f"(({key_expr} * 1103515245 + 54321) % 4294967296)"
+    lat = f"(-60.0 + 120.0 * ({u_hi} / 4294967296.0))"
+    lon = f"(-180.0 + 360.0 * ({u_lo} / 4294967296.0))"
+    return lat, lon
+
+
+def _geotag_batch(batch: pa.Table, key: str) -> pa.Table:
+    lat, lon = derive_latlon(batch[key].to_numpy(zero_copy_only=False))
+    return (batch.append_column("lat", pa.array(lat, pa.float64()))
+                 .append_column("lon", pa.array(lon, pa.float64())))
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray.data
+
+    return ray.data.read_parquet(os.path.join(sf_dir, f"{table}.parquet"),
+                                 columns=columns)
+
+
+# boxes for the SQL-expressible rectangle PIP join (from nation keys)
+def _box_params(nationkey: np.ndarray):
+    k = np.asarray(nationkey, dtype=np.int64)
+    clat = -50.0 + 100.0 * (((k * 37) % 100).astype(np.float64) / 100.0)
+    clon = -170.0 + 340.0 * (((k * 73) % 100).astype(np.float64) / 100.0)
+    hh = 3.0 + (k % 5).astype(np.float64)
+    hw = 4.0 + (k % 7).astype(np.float64)
+    return clat, clon, hh, hw
+
+
+_BOX_SQL = (
+    "SELECT n_name AS region_id, "
+    "(-50.0 + 100.0 * (((n_nationkey * 37) % 100) / 100.0)) AS clat, "
+    "(-170.0 + 340.0 * (((n_nationkey * 73) % 100) / 100.0)) AS clon, "
+    "(3.0 + (n_nationkey % 5)) AS hh, "
+    "(4.0 + (n_nationkey % 7)) AS hw FROM nation"
+)
+
+
+# ---------------------------------------------------------------------------
+# hash-verified queries (Ray + SQL oracle)
+
+
+def q_geotag(sf_dir: str):
+    """events → derived (lat, lon) points (the geotag stage over a
+    SQL-visible table)."""
+    return _read(sf_dir, "events", ["event_id"]).map_batches(
+        lambda b: _geotag_batch(b, "event_id"), batch_format="pyarrow")
+
+
+def q_geotag_sql() -> str:
+    lat, lon = latlon_sql("event_id")
+    return f"SELECT event_id, {lat} AS lat, {lon} AS lon FROM events"
+
+
+def q_cells(sf_dir: str):
+    """Hierarchical cell encode (h3_r7/r9/r12) over derived points."""
+
+    def enc(batch: pa.Table) -> pa.Table:
+        lat, lon = derive_latlon(batch["event_id"].to_numpy(zero_copy_only=False))
+        for r in (7, 9, 12):
+            batch = batch.append_column(
+                f"h3_r{r}", pa.array(cell_id(lat, lon, r), pa.int64()))
+        return batch
+
+    return _read(sf_dir, "events", ["event_id"]).map_batches(
+        enc, batch_format="pyarrow")
+
+
+def q_cells_sql() -> str:
+    lat, lon = latlon_sql("event_id")
+    parts = ", ".join(f"{cell_sql(lat, lon, r)} AS h3_r{r}" for r in (7, 9, 12))
+    return f"SELECT event_id, {parts} FROM events"
+
+
+def q_tiles(sf_dir: str):
+    """Web-mercator z=12 tile assignment over derived points."""
+
+    def enc(batch: pa.Table) -> pa.Table:
+        lat, lon = derive_latlon(batch["event_id"].to_numpy(zero_copy_only=False))
+        x, y = tile_xy(lat, lon, 12)
+        return (batch.append_column("tile_x", pa.array(x, pa.int64()))
+                     .append_column("tile_y", pa.array(y, pa.int64())))
+
+    return _read(sf_dir, "events", ["event_id"]).map_batches(
+        enc, batch_format="pyarrow")
+
+
+def q_tiles_sql() -> str:
+    lat, lon = latlon_sql("event_id")
+    xe, ye = tile_sql(lat, lon, 12)
+    return f"SELECT event_id, {xe} AS tile_x, {ye} AS tile_y FROM events"
+
+
+def q_tile_stats(sf_dir: str):
+    """Per-tile counts at z=7 — pre-aggregated inside map_batches, then
+    a small groupby-sum shuffle (the flagship reduction shape)."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lat, lon = derive_latlon(batch["event_id"].to_numpy(zero_copy_only=False))
+        x, y = tile_xy(lat, lon, 7)
+        t = pa.table({"tile_x": x, "tile_y": y})
+        g = t.group_by(["tile_x", "tile_y"]).aggregate([("tile_x", "count")])
+        return g.rename_columns(["tile_x", "tile_y", "partial_n"])
+
+    partials = _read(sf_dir, "events", ["event_id"]).map_batches(
+        partial, batch_format="pyarrow")
+    return partials.groupby(["tile_x", "tile_y"]).aggregate(
+        Sum("partial_n", alias_name="n_events"))
+
+
+def q_tile_stats_sql() -> str:
+    lat, lon = latlon_sql("event_id")
+    xe, ye = tile_sql(lat, lon, 7)
+    return (f"SELECT {xe} AS tile_x, {ye} AS tile_y, "
+            f"count(*) AS n_events FROM events GROUP BY 1, 2")
+
+
+def q_events_by_type(sf_dir: str):
+    """Plain grouped aggregate parity check."""
+    from ray.data.aggregate import Count
+
+    return _read(sf_dir, "events", ["event_type"]).groupby(
+        "event_type").aggregate(Count(alias_name="n_events"))
+
+
+def q_events_by_type_sql() -> str:
+    return "SELECT event_type, count(*) AS n_events FROM events GROUP BY 1"
+
+
+def q_dedup_docs(sf_dir: str):
+    """Exact dedup by document text: keep the min-doc_id row per text
+    (hash-partition + per-group first)."""
+
+    def first(g: pd.DataFrame) -> pd.DataFrame:
+        return g.nsmallest(1, "doc_id")[["doc_id", "n_chars"]]
+
+    return _read(sf_dir, "documents", ["doc_id", "text", "n_chars"]).groupby(
+        "text").map_groups(first, batch_format="pandas")
+
+
+def q_dedup_docs_sql() -> str:
+    return ("SELECT min(doc_id) AS doc_id, min(n_chars) AS n_chars "
+            "FROM documents GROUP BY text")
+
+
+def q_topk_events(sf_dir: str):
+    """Distributed top-100 by value (per-batch partial top-k + tiny
+    global sort)."""
+    from .stages.topk import top_k
+
+    ds = _read(sf_dir, "events", ["event_id", "value"])
+    return top_k(ds, "value", 100, descending=True, tiebreak_col="event_id")
+
+
+def q_topk_events_sql() -> str:
+    return ("SELECT event_id, value FROM events "
+            "ORDER BY value DESC, event_id LIMIT 100")
+
+
+def q_token_count(sf_dir: str):
+    """Token counting over documents (text-analysis op)."""
+    from .functions.text import token_count
+
+    def f(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": batch["doc_id"],
+            "n_tokens": token_count(batch["text"]),
+        })
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        f, batch_format="pandas")
+
+
+def q_token_count_sql() -> str:
+    return ("SELECT doc_id, cast(length(regexp_extract_all(text, "
+            "'[A-Za-z0-9]+')) as bigint) AS n_tokens FROM documents")
+
+
+def q_quality(sf_dir: str):
+    """Quality-scoring features (counts + one ratio of ints)."""
+    from .functions.text import char_count, punct_count, token_count
+
+    def f(batch: pd.DataFrame) -> pd.DataFrame:
+        n_chars = char_count(batch["text"])
+        n_punct = punct_count(batch["text"])
+        with np.errstate(divide="ignore", invalid="ignore"):
+            ratio = np.where(n_chars > 0, n_punct / n_chars, 0.0)
+        return pd.DataFrame({
+            "doc_id": batch["doc_id"],
+            "n_chars2": n_chars,
+            "n_punct": n_punct,
+            "punct_ratio": ratio,
+        })
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        f, batch_format="pandas")
+
+
+def q_quality_sql() -> str:
+    punct = r"[.,;:!?'\"()\[\]{}-]"
+    return (
+        "SELECT doc_id, length(text) AS n_chars2, "
+        f"cast(length(regexp_extract_all(text, '{punct}')) as bigint) AS n_punct, "
+        "CASE WHEN length(text) > 0 THEN "
+        f"cast(length(regexp_extract_all(text, '{punct}')) as bigint) "
+        "/ cast(length(text) as double) ELSE 0.0 END AS punct_ratio "
+        "FROM documents"
+    )
+
+
+def q_knn(sf_dir: str):
+    """Exact kNN (k=5): supplier-derived probes against customer-derived
+    reference points, via the per-cell sorted Hilbert-key index."""
+    import pyarrow.parquet as pq
+
+    from .stages.knn import CellKnnIndex
+
+    cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
+                         columns=["c_custkey"])
+    ckey = cust["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    clat, clon = derive_latlon(ckey)
+    index = CellKnnIndex(clat, clon, ckey, res=5)
+
+    def probe(batch: pa.Table) -> pa.Table:
+        skey = batch["s_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        slat, slon = derive_latlon(skey)
+        t = index.query_batch(slat, slon, 5, qids=skey)
+        return pa.table({
+            "probe_id": t["probe_id"],
+            "neighbor_id": t["neighbor_id"],
+            "knn_rank": t["rank"],
+        })
+
+    return _read(sf_dir, "supplier", ["s_suppkey"]).map_batches(
+        probe, batch_format="pyarrow")
+
+
+def q_knn_sql() -> str:
+    plat, plon = latlon_sql("s_suppkey")
+    rlat, rlon = latlon_sql("c_custkey")
+    return (
+        "WITH probes AS (SELECT s_suppkey AS probe_id, "
+        f"{plat} AS lat, {plon} AS lon FROM supplier), "
+        "refs AS (SELECT c_custkey AS neighbor_id, "
+        f"{rlat} AS lat, {rlon} AS lon FROM customer), "
+        "d AS (SELECT probe_id, neighbor_id, "
+        "(r.lat - p.lat) * (r.lat - p.lat) + (r.lon - p.lon) * (r.lon - p.lon) "
+        "AS dist2 FROM probes p CROSS JOIN refs r), "
+        "ranked AS (SELECT probe_id, neighbor_id, "
+        "row_number() OVER (PARTITION BY probe_id ORDER BY dist2, neighbor_id) "
+        "AS knn_rank FROM d) "
+        "SELECT probe_id, neighbor_id, knn_rank FROM ranked WHERE knn_rank <= 5"
+    )
+
+
+def q_pip_join_boxes(sf_dir: str):
+    """Point-in-polygon inner join against rectangle regions derived
+    from the nation table — the STRtree/ray-casting join on a geometry
+    a SQL oracle can also express (BETWEEN on both axes)."""
+    import pyarrow.parquet as pq
+    import ray
+
+    from .stages.pip_join import PIPJoiner
+
+    nation = pq.read_table(os.path.join(sf_dir, "nation.parquet"),
+                           columns=["n_nationkey", "n_name"])
+    nk = nation["n_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    clat, clon, hh, hw = _box_params(nk)
+    ring_lon = [[clon[j] - hw[j], clon[j] + hw[j], clon[j] + hw[j], clon[j] - hw[j]]
+                for j in range(len(nk))]
+    ring_lat = [[clat[j] - hh[j], clat[j] - hh[j], clat[j] + hh[j], clat[j] + hh[j]]
+                for j in range(len(nk))]
+    boundaries = pa.table({
+        "region_id": nation["n_name"],
+        "ring_lon": pa.array(ring_lon, pa.list_(pa.float64())),
+        "ring_lat": pa.array(ring_lat, pa.list_(pa.float64())),
+    })
+    ref = ray.put(boundaries)
+    pts = _read(sf_dir, "events", ["event_id"]).map_batches(
+        lambda b: _geotag_batch(b, "event_id"), batch_format="pyarrow")
+    joined = pts.map_batches(
+        PIPJoiner, fn_constructor_kwargs=dict(boundaries_ref=ref, mode="inner"),
+        batch_format="pyarrow", concurrency=2)
+    return joined.map_batches(
+        lambda b: b.select(["event_id", "region_id"]), batch_format="pyarrow")
+
+
+def q_pip_join_boxes_sql() -> str:
+    lat, lon = latlon_sql("event_id")
+    return (
+        f"WITH pts AS (SELECT event_id, {lat} AS lat, {lon} AS lon FROM events), "
+        f"boxes AS ({_BOX_SQL}) "
+        "SELECT p.event_id, b.region_id FROM pts p JOIN boxes b "
+        "ON p.lat > b.clat - b.hh AND p.lat < b.clat + b.hh "
+        "AND p.lon > b.clon - b.hw AND p.lon < b.clon + b.hw"
+    )
+
+
+def q_ann_cosine(sf_dir: str):
+    """Brute-force cosine top-10 for the first 5 embedding vectors
+    (ANN baseline; numpy matmul per batch against broadcast queries)."""
+    import pyarrow.parquet as pq
+    import ray
+
+    from .functions.ann import BruteForceTopK, embeddings_to_matrix, merge_topk, _normalize
+
+    emb = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    qmask = emb["vec_id"].to_numpy(zero_copy_only=False) < 5
+    qtab = emb.filter(pa.array(qmask))
+    qm = _normalize(embeddings_to_matrix(qtab["embedding"]).astype(np.float64))
+    qids = qtab["vec_id"].to_numpy(zero_copy_only=False)
+    ref = ray.put((qm, qids))
+    ds = _read(sf_dir, "embeddings")
+    partials = ds.map_batches(
+        BruteForceTopK, fn_constructor_kwargs=dict(queries_ref=ref, k=10),
+        batch_format="pyarrow", concurrency=2)
+    out = merge_topk(partials, 10)
+    return out.map_batches(
+        lambda b: b.rename_columns(["query_id", "neighbor_id", "ann_rank"]),
+        batch_format="pyarrow")
+
+
+def q_ann_cosine_sql() -> str:
+    return (
+        "WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings "
+        "WHERE vec_id < 5), "
+        "sims AS (SELECT q.query_id, e.vec_id AS neighbor_id, "
+        "list_cosine_similarity(q.embedding, e.embedding) AS cos "
+        "FROM q CROSS JOIN embeddings e), "
+        "ranked AS (SELECT query_id, neighbor_id, row_number() OVER "
+        "(PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS ann_rank "
+        "FROM sims) "
+        "SELECT query_id, neighbor_id, ann_rank FROM ranked WHERE ann_rank <= 10"
+    )
+
+
+# ---------------------------------------------------------------------------
+# rows-only queries (no SQL equivalent — driver records a weaker check)
+
+
+def q_flagship_tiles(sf_dir: str):
+    """The flagship filter→PIP-join→tile pipeline over the synthetic
+    image fixture matching this sf (FIXTURES.md scale mapping)."""
+    from .fixtures import (ensure_boundaries_parquet, ensure_images_parquet,
+                           scale_for_sf_dir)
+    from .pipelines.flagship import flagship_pipeline
+
+    images = ensure_images_parquet(scale_for_sf_dir(sf_dir))
+    boundaries = ensure_boundaries_parquet(50)
+    return flagship_pipeline(images, boundaries, z=12)
+
+
+def q_osmfilter_docs(sf_dir: str):
+    """The canonical docs filter over the OSM-element conformance
+    fixture (vectorized OSMFilter semantics)."""
+    import ray.data
+
+    from .filters.vector import CompiledFilter
+    from .fixtures import ensure_osm_elements_parquet, scale_for_sf_dir
+
+    path = ensure_osm_elements_parquet(scale_for_sf_dir(sf_dir))
+    docs_filter = (
+        "OSMFilter v0.2.0\n\n"
+        "TYPE way\n"
+        '\tHAS "footway"\n'
+        '\t\tSET "surface" "concrete"\n'
+        "\t\tCOMMIT\n"
+        "TYPE relation\n"
+        '\tEQUALS "type" "route"\n'
+        "\t\tDROP\n"
+        "COMMIT\n"
+    )
+    f = CompiledFilter.from_source(docs_filter)
+    ds = ray.data.read_parquet(path)
+    out = ds.map_batches(f.apply_table, batch_format="pyarrow")
+    return out.map_batches(
+        lambda b: pa.table({
+            "id": b["id"],
+            "type": b["type"],
+            "n_tags": pa.compute.fill_null(
+                pa.compute.list_value_length(b["tags"]), 0),
+        }),
+        batch_format="pyarrow")
+
+
+def q_exact_dedup_images(sf_dir: str):
+    """Exact dedup by phash over the image fixture (projected shuffle —
+    wide bytes never enter the shuffle)."""
+    import ray.data
+
+    from .fixtures import ensure_images_parquet, scale_for_sf_dir
+    from .stages.dedup import exact_dedup_projected
+
+    images = ensure_images_parquet(scale_for_sf_dir(sf_dir))
+    ds = ray.data.read_parquet(images, columns=["image_id", "phash"])
+    return exact_dedup_projected(ds, "phash", "image_id")
+
+
+def q_minhash_dedup(sf_dir: str):
+    """MinHash+LSH near-dedup over documents (survivor doc_ids)."""
+    from .functions.near_dup import minhash_lsh_dedup
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = minhash_lsh_dedup(ds, threshold=0.7)
+    return out.map_batches(lambda b: b.select(["doc_id"]),
+                           batch_format="pyarrow")
+
+
+def q_simhash(sf_dir: str):
+    """SimHash fingerprints over documents."""
+    from .functions.near_dup import simhash64
+
+    def f(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"doc_id": batch["doc_id"],
+                             "simhash": simhash64(batch["text"])})
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        f, batch_format="pandas")
+
+
+def q_langid(sf_dir: str):
+    """Language-ID heuristic over documents."""
+    from .functions.text import guess_lang
+
+    def f(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"doc_id": batch["doc_id"],
+                             "lang_guess": guess_lang(batch["text"])})
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        f, batch_format="pandas")
+
+
+def q_fingerprint(sf_dir: str):
+    """Rolling-hash document fingerprints."""
+    from .functions.text import fingerprint64
+
+    def f(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"doc_id": batch["doc_id"],
+                             "fp64": fingerprint64(batch["text"])})
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        f, batch_format="pandas")
+
+
+def q_knn_images(sf_dir: str):
+    """kNN over the image fixture: 100 probe images against the full
+    set, via the cell index (exact)."""
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data
+
+    from .fixtures import ensure_images_parquet, scale_for_sf_dir
+    from .geo.geotag import latlon_from_phash
+    from .stages.knn import KnnStage
+
+    images = ensure_images_parquet(scale_for_sf_dir(sf_dir))
+    tab = pq.read_table(images, columns=["image_id", "phash"])
+    lat, lon = latlon_from_phash(tab["phash"].to_numpy(zero_copy_only=False))
+    ref_table = pa.table({"image_id": tab["image_id"],
+                          "lat": pa.array(lat), "lon": pa.array(lon)})
+    ref = ray.put(ref_table)
+    probes = ray.data.from_arrow(ref_table.slice(0, 100))
+    return probes.map_batches(
+        KnnStage, fn_constructor_kwargs=dict(ref_table_ref=ref, k=5, res=6),
+        batch_format="pyarrow", concurrency=2)
+
+
+# ---------------------------------------------------------------------------
+# registry
+
+
+QUERIES = {
+    "geotag": q_geotag,
+    "cells": q_cells,
+    "tiles": q_tiles,
+    "tile_stats": q_tile_stats,
+    "events_by_type": q_events_by_type,
+    "dedup_docs": q_dedup_docs,
+    "topk_events": q_topk_events,
+    "token_count": q_token_count,
+    "quality": q_quality,
+    "knn": q_knn,
+    "pip_join_boxes": q_pip_join_boxes,
+    "ann_cosine": q_ann_cosine,
+    # rows-only (non-SQL-expressible)
+    "flagship_tiles": q_flagship_tiles,
+    "osmfilter_docs": q_osmfilter_docs,
+    "exact_dedup_images": q_exact_dedup_images,
+    "minhash_dedup": q_minhash_dedup,
+    "simhash": q_simhash,
+    "langid": q_langid,
+    "fingerprint": q_fingerprint,
+    "knn_images": q_knn_images,
+}
+
+ORACLE_SQL = {
+    "geotag": q_geotag_sql(),
+    "cells": q_cells_sql(),
+    "tiles": q_tiles_sql(),
+    "tile_stats": q_tile_stats_sql(),
+    "events_by_type": q_events_by_type_sql(),
+    "dedup_docs": q_dedup_docs_sql(),
+    "topk_events": q_topk_events_sql(),
+    "token_count": q_token_count_sql(),
+    "quality": q_quality_sql(),
+    "knn": q_knn_sql(),
+    "pip_join_boxes": q_pip_join_boxes_sql(),
+    "ann_cosine": q_ann_cosine_sql(),
+}

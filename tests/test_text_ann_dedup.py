@@ -1,0 +1,158 @@
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from skyway_ray.functions.ann import (
+    BruteForceTopK, LshIndex, cosine_topk_batch, embeddings_to_matrix,
+    merge_topk, _normalize,
+)
+from skyway_ray.functions.near_dup import (
+    MinHasher, band_rows, hamming64, jaccard, minhash_lsh_dedup,
+    ngram_jaccard_pairs, simhash64, _token_hashes,
+)
+from skyway_ray.functions.text import (
+    fingerprint64, guess_lang, quality_features, token_count,
+)
+
+
+class TestText:
+    def test_token_count(self):
+        s = pd.Series(["a b  c", "", "one,two;three", None, "héllo world 42"])
+        # note: "héllo" splits at the accented char under [A-Za-z0-9]+
+        assert list(token_count(s)) == [3, 0, 3, 0, 4]
+
+    def test_quality(self):
+        s = pd.Series(["Hello, world!", ""])
+        q = quality_features(s)
+        assert q["n_punct"][0] == 2
+        assert q["n_chars"][0] == 13
+        assert q["punct_ratio"][1] == 0.0
+
+    def test_guess_lang(self):
+        s = pd.Series([
+            "the cat and the dog sat in the garden for a while",
+            "der Hund ist nicht mit der Katze und das ist gut",
+            "le chat est dans la maison et les oiseaux pour que",
+            "xyzzy plugh",
+        ])
+        assert list(guess_lang(s)) == ["en", "de", "fr", "und"]
+
+    def test_fingerprint(self):
+        s = pd.Series(["hello", "hello", "hellp", ""])
+        f = fingerprint64(s)
+        assert f[0] == f[1] and f[0] != f[2] and f[3] == 0
+        assert (fingerprint64(s) == f).all()
+
+
+class TestAnn:
+    def _data(self, n=300, d=16, seed=3):
+        rng = np.random.default_rng(seed)
+        vecs = rng.standard_normal((n, d))
+        ids = np.arange(n, dtype=np.int64)
+        return vecs, ids
+
+    def test_bruteforce_exact(self):
+        vecs, ids = self._data()
+        qm = _normalize(vecs[:5].copy())
+        t = cosine_topk_batch(vecs, ids, qm, ids[:5], k=10)
+        nv = _normalize(vecs)
+        sims = qm @ nv.T
+        for qi in range(5):
+            got = t.filter(pa.compute.equal(t["query_id"], qi))
+            want = np.lexsort((ids, -sims[qi]))[:10]
+            assert got["neighbor_id"].to_pylist() == list(ids[want])
+        # self is always rank 1 with cos ~1
+        assert t["neighbor_id"][0].as_py() == 0
+
+    def test_lsh_recall(self):
+        vecs, ids = self._data(500, 32)
+        idx = LshIndex(dim=32, bands=12, bits=6)
+        idx.build(vecs, ids)
+        nv = _normalize(vecs)
+        hits = 0
+        for qi in range(30):
+            got_ids, _ = idx.query(vecs[qi], 5)
+            sims = nv @ nv[qi]
+            want = set(ids[np.lexsort((ids, -sims))[:5]].tolist())
+            hits += len(want & set(got_ids.tolist()))
+        assert hits / (30 * 5) > 0.5  # recall well above chance
+
+    def test_ray_pipeline(self, ray_session):
+        import ray
+        import ray.data
+
+        vecs, ids = self._data(400, 8)
+        table = pa.table({
+            "vec_id": ids,
+            "embedding": pa.array(vecs.astype(np.float32).tolist(),
+                                  pa.list_(pa.float32())),
+        })
+        qm = _normalize(embeddings_to_matrix(table["embedding"])[:4].astype(np.float64))
+        ref = ray.put((qm, ids[:4]))
+        ds = ray.data.from_arrow(table).repartition(4)
+        partials = ds.map_batches(
+            BruteForceTopK, fn_constructor_kwargs=dict(queries_ref=ref, k=5),
+            batch_format="pyarrow", concurrency=2)
+        out = merge_topk(partials, 5).to_pandas()
+        assert len(out) == 20
+        r1 = out[out["rank"] == 1]
+        assert set(r1["query_id"]) == set(r1["neighbor_id"])  # self first
+
+
+class TestNearDup:
+    def test_jaccard_and_minhash_estimate(self):
+        a = _token_hashes("the quick brown fox jumps over the lazy dog")
+        b = _token_hashes("the quick brown fox jumped over a lazy dog")
+        j = jaccard(np.unique(a), np.unique(b))
+        mh = MinHasher(256)
+        sa, sb = mh.signature(a), mh.signature(b)
+        est = (sa == sb).mean()
+        assert abs(est - j) < 0.15
+
+    def test_simhash_close_for_near_dups(self):
+        s = pd.Series([
+            "the quick brown fox jumps over the lazy dog again and again",
+            "the quick brown fox jumps over the lazy dog again and again!",
+            "completely different content about databases and query engines",
+        ])
+        h = simhash64(s)
+        assert hamming64(h[0], h[1])[0] <= 8
+        assert hamming64(h[0], h[2])[0] > 8
+
+    def test_ngram_pairs(self):
+        texts = pd.Series([
+            "alpha beta gamma delta epsilon zeta eta theta",
+            "alpha beta gamma delta epsilon zeta eta iota",
+            "unrelated words entirely here now",
+        ])
+        t = ngram_jaccard_pairs(texts, np.array([1, 2, 3]), n=3, threshold=0.4)
+        assert t.num_rows == 1
+        assert (t["doc_a"][0].as_py(), t["doc_b"][0].as_py()) == (1, 2)
+
+    def test_band_rows_shape(self):
+        mh = MinHasher(64)
+        sigs = mh.signatures(pd.Series(["a b c", "d e f"]))
+        t = band_rows(sigs, np.array([10, 20]), bands=8)
+        assert t.num_rows == 16
+        assert set(t["doc_id"].to_pylist()) == {10, 20}
+
+    def test_minhash_lsh_dedup_ray(self, ray_session):
+        import ray.data
+
+        base = ("the quick brown fox jumps over the lazy dog and then "
+                "runs far away into the deep green forest tonight")
+        texts, ids = [], []
+        for i in range(40):
+            texts.append(f"document{i} " + " ".join(
+                f"w{i}x{j}" for j in range(20)))
+            ids.append(i)
+        # plant 3 near-dups of base
+        for i, extra in enumerate(["", " extra", " bonus"]):
+            texts.append(base + extra)
+            ids.append(100 + i)
+        ds = ray.data.from_arrow(pa.table({"doc_id": ids, "text": texts}))
+        out = minhash_lsh_dedup(ds, threshold=0.6).to_pandas()
+        kept = set(out["doc_id"])
+        assert 100 in kept and 101 not in kept and 102 not in kept
+        assert all(i in kept for i in range(40))
