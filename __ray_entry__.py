@@ -1,16 +1,16 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+The driver calls ``ray.init(...)`` itself before importing this module:
+nothing here (or in skyway_ray) calls ``ray.init()``/``ray.shutdown()``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+* ``entry()`` — flagship filter→PIP-join→tile pipeline on the smoke-
+  scale synthetic image fixture (the driver smoke-checks rows ≥ 0).
+* ``queries()`` — one callable per implemented operator/pipeline from
+  SURVEY.md §2 (see ``skyway_ray/queries.py``).
+* ``oracle_sql()`` — DuckDB-equivalent SQL for every hash-verifiable
+  query; non-SQL-expressible ops (PIP join on irregular polygons,
+  MinHash dedup, SimHash, langid, fingerprints, flagship pipeline)
+  are omitted and get the driver's rows-only check.
 """
 
 from __future__ import annotations
@@ -20,25 +20,23 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline at smoke scale; returns the per-tile stats."""
+    from skyway_ray.fixtures import (ensure_boundaries_parquet,
+                                     ensure_images_parquet)
+    from skyway_ray.pipelines.flagship import flagship_pipeline
+
+    images = ensure_images_parquet("smoke")
+    boundaries = ensure_boundaries_parquet(50)
+    return flagship_pipeline(images, boundaries, z=12)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from skyway_ray.queries import QUERIES
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from skyway_ray.queries import ORACLE_SQL
+
+    return dict(ORACLE_SQL)

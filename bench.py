@@ -1,0 +1,131 @@
+#!/usr/bin/env python
+"""bench.py — headline pipelines over $GRAFT_SF_DIR (default
+/root/testdata/sf0.1) at $RAY_GRAFT_CPUS CPUs (default 32).
+
+Prints ONE JSON line:
+  {"metric": "flagship_e2e_sec", "value": <sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": ..., "num_cpus": N,
+   "images_per_sec": ...}
+
+``--scaling`` runs the same job in two fresh processes at 8 and 32
+CPUs on the same input and reports both throughputs plus scaling
+efficiency (the sandbox stand-in for the N vs 4N-node criterion —
+BASELINE.md "Sandbox scaling-evidence protocol").
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+
+def _consume(result) -> int:
+    """Force full execution; return row count."""
+    try:
+        import ray.data
+
+        if isinstance(result, ray.data.Dataset):
+            return result.count()
+    except ImportError:
+        pass
+    return len(result)
+
+
+def run_bench() -> dict:
+    import ray
+
+    ncpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    ray.init(address="local", num_cpus=ncpus, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "")
+
+    from skyway_ray.fixtures import (SCALES, ensure_boundaries_parquet,
+                                     ensure_images_parquet, scale_for_sf_dir)
+    from skyway_ray.pipelines.flagship import flagship_pipeline
+
+    scale = scale_for_sf_dir(sf_dir)
+    images = ensure_images_parquet(scale)
+    boundaries = ensure_boundaries_parquet(50)
+    n_images = SCALES[scale]
+
+    # warm the OS page cache so we measure compute + shuffle, not cold disk
+    import glob
+
+    paths = ([images] if os.path.isfile(images)
+             else glob.glob(os.path.join(images, "*.parquet")))
+    for p in paths:
+        with open(p, "rb") as f:
+            while f.read(1 << 22):
+                pass
+
+    queries: dict[str, float] = {}
+
+    t0 = time.perf_counter()
+    flagship_pipeline(images, boundaries, z=12).to_pandas()
+    t_flagship = time.perf_counter() - t0
+    queries["flagship"] = round(t_flagship, 3)
+
+    from skyway_ray.queries import QUERIES
+
+    for name in ("tile_stats", "pip_join_boxes", "dedup_docs", "topk_events",
+                 "token_count", "ann_cosine", "knn", "exact_dedup_images",
+                 "osmfilter_docs"):
+        t0 = time.perf_counter()
+        _consume(QUERIES[name](sf_dir))
+        queries[name] = round(time.perf_counter() - t0, 3)
+
+    out = {
+        "metric": "flagship_e2e_sec",
+        "value": round(t_flagship, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "num_cpus": ncpus,
+        "images_per_sec": round(n_images / t_flagship, 1),
+        "n_images": n_images,
+    }
+    ray.shutdown()
+    return out
+
+
+def run_scaling() -> dict:
+    def one(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        proc = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                              env=env, capture_output=True, text=True,
+                              check=True)
+        return json.loads(proc.stdout.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo = one(lo)
+    r_hi = one(hi)
+    tp_lo = r_lo["images_per_sec"]
+    tp_hi = r_hi["images_per_sec"]
+    eff = (tp_hi / tp_lo) / (hi / lo)
+    return {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "images_per_sec_8": tp_lo,
+        "images_per_sec_32": tp_hi,
+        "sec_8": r_lo["value"],
+        "sec_32": r_hi["value"],
+        "sf": r_hi["sf"],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

@@ -243,7 +243,7 @@ def q_quality(sf_dir: str):
 
 
 def q_quality_sql() -> str:
-    punct = r"[.,;:!?'\"()\[\]{}-]"
+    punct = r"[.,;:!?''\"()\[\]{}-]"  # '' = escaped quote inside SQL literal
     return (
         "SELECT doc_id, length(text) AS n_chars2, "
         f"cast(length(regexp_extract_all(text, '{punct}')) as bigint) AS n_punct, "

@@ -1,0 +1,88 @@
+"""Driver-mimicking correctness gate: run every ``queries()`` entry at
+sf0.001 and compare against its ``oracle_sql()`` via DuckDB — row
+count, schema (column names), and order-insensitive value equality —
+the same comparison the driver performs at sf0.01."""
+
+import glob
+import os
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = ("region nation customer supplier part orders lineitem events "
+          "documents embeddings").split()
+
+
+def _to_pandas(result) -> pd.DataFrame:
+    import pyarrow as pa
+
+    if isinstance(result, pd.DataFrame):
+        return result
+    if isinstance(result, pa.Table):
+        return result.to_pandas()
+    return result.to_pandas()  # ray Dataset
+
+
+def _con():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{SF_DIR}/{t}.parquet')")
+    return con
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+@pytest.fixture(scope="module")
+def entries(ray_session):
+    import __ray_entry__
+
+    return __ray_entry__.queries(), __ray_entry__.oracle_sql()
+
+
+def test_entry_smoke(ray_session):
+    import __ray_entry__
+
+    out = _to_pandas(__ray_entry__.entry())
+    assert len(out) >= 0
+    assert set(out.columns) == {"tile_z", "tile_x", "tile_y", "n_images"}
+
+
+@pytest.mark.parametrize("name", [
+    "geotag", "cells", "tiles", "tile_stats", "events_by_type", "dedup_docs",
+    "topk_events", "token_count", "quality", "knn", "pip_join_boxes",
+    "ann_cosine",
+])
+def test_sql_parity(name, entries):
+    qs, oracles = entries
+    got = _canon(_to_pandas(qs[name](SF_DIR)))
+    con = _con()
+    want = _canon(con.sql(oracles[name]).df())
+    assert list(got.columns) == list(want.columns), f"{name}: column mismatch"
+    assert len(got) == len(want), f"{name}: row count {len(got)} vs {len(want)}"
+    for c in got.columns:
+        if got[c].dtype.kind == "f" or want[c].dtype.kind == "f":
+            assert np.array_equal(got[c].to_numpy(), want[c].to_numpy()), \
+                f"{name}.{c}: float values differ"
+        else:
+            assert (got[c].to_numpy() == want[c].to_numpy()).all(), \
+                f"{name}.{c}: values differ"
+
+
+@pytest.mark.parametrize("name", [
+    "flagship_tiles", "osmfilter_docs", "exact_dedup_images",
+    "minhash_dedup", "simhash", "langid", "fingerprint", "knn_images",
+])
+def test_rows_only_queries_run(name, entries):
+    qs, _ = entries
+    out = _to_pandas(qs[name](SF_DIR))
+    assert len(out) > 0
