@@ -145,6 +145,23 @@ def ngram_jaccard_pairs(texts: pd.Series, doc_ids: np.ndarray, n: int = 3,
     })
 
 
+def embedding_near_dup_pairs(vecs: np.ndarray, ids: np.ndarray,
+                             threshold: float = 0.95) -> pa.Table:
+    """Embedding-cosine near-dup pairs within one bucket/batch (run
+    after LSH bucketing at scale; exact within the group)."""
+    norms = np.linalg.norm(vecs, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    nv = vecs / norms
+    sims = nv @ nv.T
+    iu = np.triu_indices(len(ids), k=1)
+    mask = sims[iu] >= threshold
+    return pa.table({
+        "doc_a": pa.array(np.asarray(ids)[iu[0][mask]], pa.int64()),
+        "doc_b": pa.array(np.asarray(ids)[iu[1][mask]], pa.int64()),
+        "cos": pa.array(sims[iu][mask], pa.float64()),
+    })
+
+
 # ---------------- Ray Data pipelines ----------------
 
 

@@ -1,0 +1,139 @@
+"""Multimodal (image/audio/video) actor-pool stages.
+
+Binary payloads stay opaque ``binary`` columns with typed metadata;
+decode/feature/resize work happens in actor pools with small batches
+(multi-MB rows × batch_size × concurrency must fit worker heaps — see
+the ``batch_size`` guidance in each class).
+
+Codec availability in this container (see functions/image_codec.py):
+PNG decode/encode is real (pure zlib); jpeg/webp are deterministic
+fake-lossy STUBS; genuine jpeg/webp byte streams raise
+``NotImplementedError``.  Audio/video decoding has no available
+library at all, so those stages are STUBS raising
+``NotImplementedError`` at decode time — the Ray-side plumbing
+(schemas, actor signatures, batch sizing, output layout) is real and
+tested via the deterministic fake codec.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..functions.image_codec import decode_image, encode_png
+
+
+class ImageFeatures:
+    """Decode → per-image features (mean RGB, brightness, aspect).
+
+    Usage: ``ds.map_batches(ImageFeatures, batch_format="pyarrow",
+    batch_size=256, concurrency=N)`` — small batches: decoded pixels
+    are w*h*3 bytes each and live only inside the call."""
+
+    def __init__(self, bytes_col: str = "bytes", fmt_col: str = "fmt",
+                 id_col: str = "image_id"):
+        self.bytes_col = bytes_col
+        self.fmt_col = fmt_col
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        blobs = batch[self.bytes_col].to_pylist()
+        fmts = batch[self.fmt_col].to_pylist()
+        n = len(blobs)
+        means = np.empty((n, 3), dtype=np.float64)
+        bright = np.empty(n, dtype=np.float64)
+        aspect = np.empty(n, dtype=np.float64)
+        for i in range(n):
+            img = decode_image(blobs[i], fmts[i])
+            means[i] = img.reshape(-1, 3).mean(axis=0)
+            bright[i] = img.mean()
+            h, w, _ = img.shape
+            aspect[i] = w / h
+        return pa.table({
+            self.id_col: batch[self.id_col],
+            "mean_r": means[:, 0],
+            "mean_g": means[:, 1],
+            "mean_b": means[:, 2],
+            "brightness": bright,
+            "aspect": aspect,
+        })
+
+
+class ImageResize:
+    """Decode → nearest-neighbor resize → re-encode PNG thumbnail.
+    Output schema: (id, thumb:binary, thumb_w, thumb_h)."""
+
+    def __init__(self, side: int = 8, bytes_col: str = "bytes",
+                 fmt_col: str = "fmt", id_col: str = "image_id"):
+        self.side = side
+        self.bytes_col = bytes_col
+        self.fmt_col = fmt_col
+        self.id_col = id_col
+
+    def _resize(self, img: np.ndarray) -> np.ndarray:
+        h, w, _ = img.shape
+        ys = (np.arange(self.side) * h // self.side).clip(0, h - 1)
+        xs = (np.arange(self.side) * w // self.side).clip(0, w - 1)
+        return img[np.ix_(ys, xs)]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        blobs = batch[self.bytes_col].to_pylist()
+        fmts = batch[self.fmt_col].to_pylist()
+        thumbs = [encode_png(self._resize(decode_image(b, f)))
+                  for b, f in zip(blobs, fmts)]
+        return pa.table({
+            self.id_col: batch[self.id_col],
+            "thumb": pa.array(thumbs, pa.binary()),
+            "thumb_w": pa.array([self.side] * len(thumbs), pa.int32()),
+            "thumb_h": pa.array([self.side] * len(thumbs), pa.int32()),
+        })
+
+
+class BinaryStats:
+    """Modality-agnostic pass over any binary column: size + crc32 —
+    cheap integrity/lineage features that need no codec."""
+
+    def __init__(self, bytes_col: str = "bytes", id_col: str = "image_id"):
+        self.bytes_col = bytes_col
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import zlib
+
+        blobs = batch[self.bytes_col].to_pylist()
+        return pa.table({
+            self.id_col: batch[self.id_col],
+            "n_bytes": pa.array([len(b) for b in blobs], pa.int64()),
+            "crc32": pa.array([zlib.crc32(b) for b in blobs], pa.int64()),
+        })
+
+
+class AudioFeatures:
+    """STUB — no audio codec is available in this container.  The actor
+    signature, schema, and batch plumbing mirror ImageFeatures; decode
+    raises ``NotImplementedError`` (swap in soundfile/librosa on a real
+    cluster)."""
+
+    def __init__(self, bytes_col: str = "bytes", id_col: str = "audio_id"):
+        self.bytes_col = bytes_col
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        raise NotImplementedError(
+            "audio decode is STUBBED: no audio library in this environment")
+
+
+class VideoFrameSample:
+    """STUB — no video codec is available.  On a real cluster this is a
+    `map_batches` actor stage with batch_size=1-8 (frames are large),
+    emitting (video_id, frame_idx, frame_png) rows via flat output."""
+
+    def __init__(self, bytes_col: str = "bytes", id_col: str = "video_id",
+                 every_n: int = 30):
+        self.bytes_col = bytes_col
+        self.id_col = id_col
+        self.every_n = every_n
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        raise NotImplementedError(
+            "video decode is STUBBED: no video library in this environment")

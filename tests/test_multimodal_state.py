@@ -1,0 +1,125 @@
+import os
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from skyway_ray.fixtures import ensure_images_parquet, make_images
+from skyway_ray.stages.multimodal import (
+    AudioFeatures, BinaryStats, ImageFeatures, ImageResize, VideoFrameSample,
+)
+
+
+class TestMultimodal:
+    def test_image_features(self, ray_session):
+        import ray.data
+
+        ds = ray.data.read_parquet(ensure_images_parquet("smoke")).limit(200)
+        out = ds.map_batches(ImageFeatures, batch_format="pyarrow",
+                             batch_size=64, concurrency=2).to_pandas()
+        assert len(out) == 200
+        assert ((out["mean_r"] >= 0) & (out["mean_r"] <= 255)).all()
+        assert (out["aspect"] == 1.0).all()  # square fixtures
+
+    def test_image_resize(self, ray_session):
+        import ray.data
+        from skyway_ray.functions.image_codec import decode_png
+
+        ds = ray.data.read_parquet(ensure_images_parquet("smoke")).limit(50)
+        out = ds.map_batches(ImageResize, fn_constructor_kwargs=dict(side=8),
+                             batch_format="pyarrow", batch_size=32,
+                             concurrency=2).to_pandas()
+        assert len(out) == 50
+        img = decode_png(out["thumb"].iloc[0])
+        assert img.shape == (8, 8, 3)
+
+    def test_binary_stats(self):
+        t = make_images(20)
+        out = BinaryStats()(t).to_pandas()
+        assert (out["n_bytes"] > 0).all()
+
+    def test_audio_video_stubs(self):
+        t = make_images(2).rename_columns(
+            ["audio_id", "bytes", "w", "h", "fmt", "caption", "phash"])
+        with pytest.raises(NotImplementedError):
+            AudioFeatures()(t)
+        t2 = t.rename_columns(
+            ["video_id", "bytes", "w", "h", "fmt", "caption", "phash"])
+        with pytest.raises(NotImplementedError):
+            VideoFrameSample()(t2)
+
+
+class TestCheckpoint:
+    def test_run_with_checkpoint(self, ray_session, tmp_path):
+        import ray.data
+        from skyway_ray.state.checkpoint import run_with_checkpoint
+
+        calls = {"n": 0}
+
+        def factory():
+            calls["n"] += 1
+            return ray.data.range(100)
+
+        ds1, was_cached = run_with_checkpoint("stage1", factory, str(tmp_path),
+                                              inputs={"x": 1})
+        assert not was_cached and ds1.count() == 100
+        ds2, was_cached = run_with_checkpoint("stage1", factory, str(tmp_path),
+                                              inputs={"x": 1})
+        assert was_cached and calls["n"] == 1
+        assert ds2.count() == 100
+        # different inputs -> different fingerprint -> recompute
+        _, was_cached = run_with_checkpoint("stage1", factory, str(tmp_path),
+                                            inputs={"x": 2})
+        assert not was_cached and calls["n"] == 2
+
+    def test_lineage_manifest(self, ray_session, tmp_path):
+        import json
+
+        import ray.data
+        from skyway_ray.state.checkpoint import checkpoint_dataset
+
+        out = checkpoint_dataset(ray.data.range(50), str(tmp_path / "ck"),
+                                 lineage={"stage": "test"})
+        with open(os.path.join(out, "_lineage.json")) as f:
+            m = json.load(f)
+        assert m["rows"] == 50
+        assert m["lineage"]["stage"] == "test"
+        assert all(p["rows"] > 0 for p in m["partitions"])
+
+    def test_resumable_shards(self, tmp_path):
+        from skyway_ray.state.checkpoint import resumable_shards
+
+        processed = []
+
+        def work(shard, tmp_dir):
+            processed.append(shard)
+            with open(os.path.join(tmp_dir, "out.txt"), "w") as f:
+                f.write(shard)
+            return {"rows": 1}
+
+        r1 = resumable_shards(["a", "b"], work, str(tmp_path / "out"))
+        assert r1["done"] == ["a", "b"]
+        r2 = resumable_shards(["a", "b", "c"], work, str(tmp_path / "out"))
+        assert r2["skipped"] == ["a", "b"] and r2["done"] == ["c"]
+        assert processed == ["a", "b", "c"]
+
+
+class TestSalt:
+    def test_salted_count_matches_plain(self, ray_session):
+        import ray.data
+        from skyway_ray.stages.salt import salted_count
+
+        rng = np.random.default_rng(1)
+        keys = np.concatenate([
+            np.full(5000, 7, dtype=np.int64),          # hot key
+            rng.integers(0, 50, 5000),                 # cold keys
+        ])
+        ds = ray.data.from_arrow(pa.table({"cell": keys})).repartition(8)
+        got = salted_count(ds, "cell", num_salts=8, hot_threshold=1000,
+                           sample_fraction=1.0).to_pandas()
+        got = got.sort_values("cell").reset_index(drop=True)
+        import pandas as pd
+
+        want = pd.Series(keys).value_counts().sort_index()
+        assert got["n"].tolist() == want.tolist()
+        assert got["cell"].tolist() == want.index.tolist()
