@@ -25,11 +25,25 @@ from ..stages.tiling import add_tile_xy, tile_stats
 def _default_concurrency() -> int:
     """Actor-pool size that leaves headroom for read/shuffle tasks —
     a pool reserving every CPU starves the upstream read and the
-    pipeline stalls (see ray_guide: actor pools)."""
+    pipeline stalls; and spawning CPU-count actors costs seconds of
+    startup the join doesn't need (its compute is a small fraction of
+    the read). Cap at 16."""
     import ray
 
     cpus = int(ray.cluster_resources().get("CPU", 4))
-    return max(2, cpus - 2)
+    return max(2, min(16, cpus - 2))
+
+
+def _default_read_blocks() -> int:
+    """Block-count override for the fixture-scale read: Ray's default
+    targets ~200 blocks for this CPU count, which at 500k-row fixture
+    scale yields 2.4k-row blocks — per-block overhead then dominates
+    every downstream stage.  At 100 TB the 128 MiB target block size
+    governs instead and this override is a no-op-sized hint."""
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 4))
+    return max(16, cpus)
 
 # Default region filter — exercises EQUALS/HAS selection, SET mutation,
 # COMMIT/DROP short-circuit on the boundary tags (docs/src/osmfilter.md
@@ -74,7 +88,8 @@ def flagship_pipeline(images_path, boundaries_path: str,
     import ray.data
 
     ds = ray.data.read_parquet(images_path,
-                               columns=list(columns) if columns else None)
+                               columns=list(columns) if columns else None,
+                               override_num_blocks=_default_read_blocks())
     ds = ds.map_batches(add_geotag, batch_format="pyarrow")
     ds = ds.map_batches(CellEncode(resolutions=(7, 12)), batch_format="pyarrow")
 
@@ -98,7 +113,8 @@ def flagship_join(images_path, boundaries_path: str,
     import ray.data
 
     ds = ray.data.read_parquet(images_path,
-                               columns=list(columns) if columns else None)
+                               columns=list(columns) if columns else None,
+                               override_num_blocks=_default_read_blocks())
     ds = ds.map_batches(add_geotag, batch_format="pyarrow")
     boundaries = load_filtered_boundaries(boundaries_path, filter_source)
     ref = ray.put(boundaries)

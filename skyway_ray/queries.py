@@ -438,7 +438,9 @@ def q_exact_dedup_images(sf_dir: str):
     from .stages.dedup import exact_dedup_projected
 
     images = ensure_images_parquet(scale_for_sf_dir(sf_dir))
-    ds = ray.data.read_parquet(images, columns=["image_id", "phash"])
+    cpus = int(__import__("ray").cluster_resources().get("CPU", 8))
+    ds = ray.data.read_parquet(images, columns=["image_id", "phash"],
+                               override_num_blocks=max(16, cpus))
     return exact_dedup_projected(ds, "phash", "image_id")
 
 

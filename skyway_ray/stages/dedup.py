@@ -5,15 +5,17 @@
 (deterministic across runs and parallelism levels).  The 2% controlled
 duplicate rate in the fixtures (FIXTURES.md §1) exercises this.
 
-Scale note: this is a full shuffle of the keyed columns; for very wide
-rows (multi-MB image bytes) dedup should run on a projected
-(key, order_col) view followed by a semi-join on the winners — see
-``exact_dedup_projected``.
-"""
+Scale note: ``exact_dedup`` shuffles whole rows; for wide rows
+(multi-MB image bytes) use ``exact_dedup_projected`` — the shuffle
+carries only (key, order_col), and the winner set is broadcast ONCE via
+``ray.put`` into an actor pool (a closure-captured Python set would be
+re-pickled into every task)."""
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
+import pyarrow as pa
 
 
 def exact_dedup(ds, key: str = "phash", order_col: str = "image_id"):
@@ -26,20 +28,45 @@ def exact_dedup(ds, key: str = "phash", order_col: str = "image_id"):
     return ds.groupby(key).map_groups(first, batch_format="pandas")
 
 
-def exact_dedup_projected(ds, key: str = "phash", order_col: str = "image_id"):
+class _WinnerFilter:
+    """Actor-pool filter: keep rows whose ``order_col`` is in the
+    broadcast winner array (sorted numpy array + searchsorted)."""
+
+    def __init__(self, winners_ref, order_col: str):
+        import ray
+
+        winners = ray.get(winners_ref)
+        self.winners = np.sort(np.asarray(winners))
+        self.order_col = order_col
+        self.is_str = self.winners.dtype.kind in "OU"
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vals = np.asarray(batch[self.order_col].to_pylist()) if self.is_str \
+            else batch[self.order_col].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(self.winners, vals)
+        pos = np.clip(pos, 0, len(self.winners) - 1)
+        keep = self.winners[pos] == vals
+        return batch.filter(pa.array(keep))
+
+
+def exact_dedup_projected(ds, key: str = "phash", order_col: str = "image_id",
+                          concurrency: int = 4):
     """Scale path for wide rows: shuffle only (key, order_col), compute
-    winner ids, then semi-join the winners back via a broadcast filter.
-    Valid when ``order_col`` is unique per row (image_id is)."""
+    winner ids, broadcast them once, then semi-join back via an actor
+    pool. Valid when ``order_col`` is unique per row (image_id is)."""
+    import ray
     from ray.data.aggregate import Min
 
-    winners = (
+    winners_df = (
         ds.select_columns([key, order_col])
         .groupby(key)
         .aggregate(Min(order_col, alias_name="winner"))
+    ).to_pandas()
+    winners_ref = ray.put(winners_df["winner"].to_numpy())
+
+    return ds.map_batches(
+        _WinnerFilter,
+        fn_constructor_kwargs=dict(winners_ref=winners_ref, order_col=order_col),
+        batch_format="pyarrow",
+        concurrency=concurrency,
     )
-    winner_set = set(winners.to_pandas()["winner"].tolist())
-
-    def keep_winners(batch: pd.DataFrame) -> pd.DataFrame:
-        return batch[batch[order_col].isin(winner_set)]
-
-    return ds.map_batches(keep_winners, batch_format="pandas")
