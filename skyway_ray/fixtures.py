@@ -29,7 +29,10 @@ from .schemas import BOUNDARY_SCHEMA, IMAGE_SCHEMA, OSM_ELEMENT_SCHEMA, TAGS_TYP
 
 FIXTURE_DIR = os.environ.get("SKYWAY_FIXTURE_DIR", "/tmp/skyway_fixtures")
 
-SCALES = {"smoke": 1_000, "correctness": 20_000, "bench": 500_000}
+SCALES = {"smoke": 1_000, "correctness": 20_000, "bench": 500_000,
+          # xbench*: scaling-evidence runs (no bytes column payload);
+          # sized so the job is compute-bound at the higher CPU level
+          "xbench": 4_000_000, "xbench16m": 16_000_000}
 # sf test-data dir name -> images fixture scale (queries() parameterization)
 SF_TO_SCALE = {"sf0.001": "smoke", "sf0.01": "correctness", "sf0.1": "bench"}
 
@@ -254,12 +257,18 @@ def _atomic_write(table: pa.Table, dest: str, shards: int = 1) -> str:
 
 def ensure_images_parquet(scale: str = "correctness") -> str:
     n = SCALES[scale]
-    max_side = 16 if scale == "bench" else 64
-    shards = 16 if scale == "bench" else 1
+    max_side = 16 if scale.startswith(("bench", "xbench")) else 64
+    shards = {"bench": 16, "xbench": 64, "xbench16m": 128}.get(scale, 1)
+    # xbench exists to make the two-parallelism scaling run compute-
+    # bound; bytes are empty there (FIXTURES.md: bytes downsized at
+    # bench scale to keep disk bounded — xbench takes that to zero)
+    with_bytes = not scale.startswith("xbench")
     dest = os.path.join(FIXTURE_DIR, f"images_{scale}.parquet")
     if os.path.exists(dest):
         return dest
-    return _atomic_write(make_images(n, max_side=max_side), dest, shards=shards)
+    return _atomic_write(make_images(n, max_side=max_side,
+                                     with_bytes=with_bytes),
+                         dest, shards=shards)
 
 
 def ensure_boundaries_parquet(n_regions: int = 50) -> str:

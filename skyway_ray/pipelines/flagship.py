@@ -18,7 +18,7 @@ from ..filters.osmfilter import parse_osmfilter
 from ..filters.vector import CompiledFilter
 from ..stages.cellencode import CellEncode
 from ..stages.geotag import add_geotag
-from ..stages.pip_join import PIPJoiner
+from ..stages.pip_join import PIPJoiner, make_pip_join_fn
 from ..stages.tiling import add_tile_xy, tile_stats
 
 
@@ -95,12 +95,11 @@ def flagship_pipeline(images_path, boundaries_path: str,
 
     boundaries = load_filtered_boundaries(boundaries_path, filter_source)
     ref = ray.put(boundaries)
-    joined = ds.map_batches(
-        PIPJoiner,
-        fn_constructor_kwargs=dict(boundaries_ref=ref, mode=mode),
-        batch_format="pyarrow",
-        concurrency=concurrency or _default_concurrency(),
-    )
+    # stateless-task join: the 50-region index builds once per worker
+    # (process cache) — no actor-pool spawn latency, stage fuses with
+    # the upstream maps
+    joined = ds.map_batches(make_pip_join_fn(ref, mode=mode),
+                            batch_format="pyarrow")
     return tile_stats(joined, z=z)
 
 
@@ -118,10 +117,6 @@ def flagship_join(images_path, boundaries_path: str,
     ds = ds.map_batches(add_geotag, batch_format="pyarrow")
     boundaries = load_filtered_boundaries(boundaries_path, filter_source)
     ref = ray.put(boundaries)
-    joined = ds.map_batches(
-        PIPJoiner,
-        fn_constructor_kwargs=dict(boundaries_ref=ref, mode=mode),
-        batch_format="pyarrow",
-        concurrency=concurrency or _default_concurrency(),
-    )
+    joined = ds.map_batches(make_pip_join_fn(ref, mode=mode),
+                            batch_format="pyarrow")
     return joined.map_batches(lambda b: add_tile_xy(b, z), batch_format="pyarrow")

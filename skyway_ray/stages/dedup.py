@@ -50,19 +50,33 @@ class _WinnerFilter:
 
 
 def exact_dedup_projected(ds, key: str = "phash", order_col: str = "image_id",
-                          concurrency: int = 4):
+                          concurrency: int = 4, strategy: str = "tree"):
     """Scale path for wide rows: shuffle only (key, order_col), compute
     winner ids, broadcast them once, then semi-join back via an actor
-    pool. Valid when ``order_col`` is unique per row (image_id is)."""
-    import ray
-    from ray.data.aggregate import Min
+    pool. Valid when ``order_col`` is unique per row (image_id is).
 
-    winners_df = (
-        ds.select_columns([key, order_col])
-        .groupby(key)
-        .aggregate(Min(order_col, alias_name="winner"))
-    ).to_pandas()
-    winners_ref = ray.put(winners_df["winner"].to_numpy())
+    ``strategy="tree"`` (default) computes per-key min via the Arrow
+    combiner tree — right when the winner set fits one block (it must
+    anyway, since it is broadcast).  ``strategy="groupby"`` uses the
+    hash-partitioned Dataset groupby for unbounded key spaces, where
+    the broadcast itself must also be replaced (bloom filter / join)."""
+    import ray
+
+    projected = ds.select_columns([key, order_col])
+    if strategy == "tree":
+        from .agg_tree import tree_aggregate
+
+        winners_ds = tree_aggregate(projected, [key], [(order_col, "min")])
+        winners_df = winners_ds.to_pandas()
+        winners_arr = winners_df[order_col].to_numpy()
+    else:
+        from ray.data.aggregate import Min
+
+        winners_df = (projected.groupby(key)
+                      .aggregate(Min(order_col, alias_name="winner"))
+                      ).to_pandas()
+        winners_arr = winners_df["winner"].to_numpy()
+    winners_ref = ray.put(winners_arr)
 
     return ds.map_batches(
         _WinnerFilter,

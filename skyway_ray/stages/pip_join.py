@@ -74,6 +74,67 @@ class BoundaryIndex:
         return p[order], r[order]
 
 
+def _apply_pip(index: BoundaryIndex, batch: pa.Table, mode: str,
+               lat_col: str, lon_col: str, region_col: str) -> pa.Table:
+    lat = batch[lat_col].to_numpy(zero_copy_only=False)
+    lon = batch[lon_col].to_numpy(zero_copy_only=False)
+    p, r = index.match(lon, lat)
+    if mode == "inner":
+        out = batch.take(pa.array(p, pa.int64()))
+        return out.append_column(
+            region_col, pa.array(index.region_ids[r], pa.string()))
+    if mode == "left":
+        matched = np.zeros(len(lat), dtype=bool)
+        matched[p] = True
+        unmatched = np.flatnonzero(~matched)
+        idx = np.concatenate([p, unmatched])
+        regions = np.concatenate([
+            index.region_ids[r],
+            np.full(len(unmatched), None, dtype=object),
+        ])
+        order = np.argsort(idx, kind="stable")
+        out = batch.take(pa.array(idx[order], pa.int64()))
+        return out.append_column(
+            region_col, pa.array(regions[order], pa.string()))
+    matched = np.zeros(len(lat), dtype=bool)
+    matched[p] = True
+    if mode == "anti":
+        matched = ~matched
+    return batch.take(pa.array(np.flatnonzero(matched), pa.int64()))
+
+
+# per-worker-process cache: stateless PIP tasks rebuild the (tiny)
+# index at most once per worker instead of paying an actor-pool spawn
+_PROCESS_INDEX_CACHE: dict = {}
+
+
+def make_pip_join_fn(boundaries_ref, mode: str = "inner",
+                     lat_col: str = "lat", lon_col: str = "lon",
+                     region_col: str = "region_id"):
+    """Stateless-task variant of the PIP join for SMALL boundary sets:
+    the index builds once per worker process (module-level cache keyed
+    by the object ref) — same amortization as an actor pool without
+    the pool's spawn latency, and the stage stays elastic/fusable.
+    Prefer :class:`PIPJoiner` (actor pool) when index build is
+    expensive (many polygons) or memory should be bounded to N actors.
+    """
+    if mode not in ("inner", "left", "semi", "anti"):
+        raise ValueError(f"bad join mode {mode!r}")
+
+    def pip_join(batch: pa.Table) -> pa.Table:
+        key = str(boundaries_ref)
+        index = _PROCESS_INDEX_CACHE.get(key)
+        if index is None:
+            import ray
+
+            index = BoundaryIndex(ray.get(boundaries_ref))
+            _PROCESS_INDEX_CACHE.clear()   # at most one cached index
+            _PROCESS_INDEX_CACHE[key] = index
+        return _apply_pip(index, batch, mode, lat_col, lon_col, region_col)
+
+    return pip_join
+
+
 class PIPJoiner:
     """Actor-pool stage: point-in-polygon join against broadcast
     boundaries. Exactly one of ``boundaries_ref`` (a ``ray.put`` ref)
@@ -103,28 +164,5 @@ class PIPJoiner:
         self.region_col = region_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        lat = batch[self.lat_col].to_numpy(zero_copy_only=False)
-        lon = batch[self.lon_col].to_numpy(zero_copy_only=False)
-        p, r = self.index.match(lon, lat)
-        if self.mode == "inner":
-            out = batch.take(pa.array(p, pa.int64()))
-            return out.append_column(
-                self.region_col, pa.array(self.index.region_ids[r], pa.string()))
-        if self.mode == "left":
-            matched = np.zeros(len(lat), dtype=bool)
-            matched[p] = True
-            unmatched = np.flatnonzero(~matched)
-            idx = np.concatenate([p, unmatched])
-            regions = np.concatenate([
-                self.index.region_ids[r],
-                np.full(len(unmatched), None, dtype=object),
-            ])
-            order = np.argsort(idx, kind="stable")
-            out = batch.take(pa.array(idx[order], pa.int64()))
-            return out.append_column(
-                self.region_col, pa.array(regions[order], pa.string()))
-        matched = np.zeros(len(lat), dtype=bool)
-        matched[p] = True
-        if self.mode == "anti":
-            matched = ~matched
-        return batch.take(pa.array(np.flatnonzero(matched), pa.int64()))
+        return _apply_pip(self.index, batch, self.mode, self.lat_col,
+                          self.lon_col, self.region_col)

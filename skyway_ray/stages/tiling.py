@@ -41,18 +41,21 @@ def tile_stats(ds, z: int = 12, lat_col: str = "lat", lon_col: str = "lon"):
     read → add_tile_xy → per-batch partial counts → small groupby-sum.
     Returns a Dataset with columns (tile_z, tile_x, tile_y, n_images).
     """
-    import ray
-    from ray.data.aggregate import Sum
+    import ray.data
+
+    from .agg_tree import tree_aggregate_to_table
 
     tiled = ds.map_batches(
         lambda b: _partial_tile_counts(add_tile_xy(b, z, lat_col, lon_col)),
         batch_format="pyarrow",
     )
-    # partials are tiny (≤ |tiles| rows per input block) but numerous;
-    # coalesce before the shuffle — the sort-based aggregate's cost is
-    # per-block, and 200 one-KB blocks cost more than the data itself
-    cpus = int(ray.cluster_resources().get("CPU", 8))
-    tiled = tiled.repartition(max(8, cpus // 4))
-    out = tiled.groupby(["tile_z", "tile_x", "tile_y"]).aggregate(
-        Sum("n", alias_name="n_images"))
-    return out
+    # distinct tiles are bounded by 4**z, so after the distributed
+    # per-block combine the final merge is a streaming driver reduce
+    # (stages/agg_tree.py) — keeping the plan free of all-to-all ops,
+    # which would throttle the upstream map stages (executor reserves
+    # them a resource share), and avoiding Ray Aggregate's per-group
+    # Python overhead over 10^5+ tiny groups
+    out = tree_aggregate_to_table(tiled, ["tile_z", "tile_x", "tile_y"],
+                                  [("n", "sum")])
+    out = out.rename_columns(["tile_z", "tile_x", "tile_y", "n_images"])
+    return ray.data.from_arrow(out)
