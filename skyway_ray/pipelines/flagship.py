@@ -35,15 +35,17 @@ def _default_concurrency() -> int:
 
 
 def _default_read_blocks() -> int:
-    """Block-count override for the fixture-scale read: Ray's default
-    targets ~200 blocks for this CPU count, which at 500k-row fixture
-    scale yields 2.4k-row blocks — per-block overhead then dominates
-    every downstream stage.  At 100 TB the 128 MiB target block size
-    governs instead and this override is a no-op-sized hint."""
+    """Block-count override for the fixture-scale read.  Measured on
+    the bench fixtures: Ray's default (~200 blocks) makes per-block
+    overhead dominate; fewer blocks than input files serializes the
+    packed read+fused-map chains.  64 (or 2×CPUs if larger) is the
+    stable optimum at every CPU level tested (2/8/32) and both 4M and
+    16M rows.  At 100 TB the 128 MiB target block size governs instead
+    and this override is a no-op-sized hint."""
     import ray
 
     cpus = int(ray.cluster_resources().get("CPU", 4))
-    return max(16, cpus)
+    return max(64, 2 * cpus)
 
 # Default region filter — exercises EQUALS/HAS selection, SET mutation,
 # COMMIT/DROP short-circuit on the boundary tags (docs/src/osmfilter.md

@@ -28,25 +28,31 @@ def exact_dedup(ds, key: str = "phash", order_col: str = "image_id"):
     return ds.groupby(key).map_groups(first, batch_format="pandas")
 
 
-class _WinnerFilter:
-    """Actor-pool filter: keep rows whose ``order_col`` is in the
-    broadcast winner array (sorted numpy array + searchsorted)."""
+# per-worker-process cache for the broadcast winner array (stateless
+# tasks — an actor pool sized near the CPU count can starve the
+# upstream read in small sessions)
+_WINNER_CACHE: dict = {}
 
-    def __init__(self, winners_ref, order_col: str):
-        import ray
 
-        winners = ray.get(winners_ref)
-        self.winners = np.sort(np.asarray(winners))
-        self.order_col = order_col
-        self.is_str = self.winners.dtype.kind in "OU"
+def _make_winner_filter(winners_ref, order_col: str):
+    def winner_filter(batch: pa.Table) -> pa.Table:
+        key = str(winners_ref)
+        winners = _WINNER_CACHE.get(key)
+        if winners is None:
+            import ray
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        vals = np.asarray(batch[self.order_col].to_pylist()) if self.is_str \
-            else batch[self.order_col].to_numpy(zero_copy_only=False)
-        pos = np.searchsorted(self.winners, vals)
-        pos = np.clip(pos, 0, len(self.winners) - 1)
-        keep = self.winners[pos] == vals
+            winners = np.sort(np.asarray(ray.get(winners_ref)))
+            _WINNER_CACHE.clear()
+            _WINNER_CACHE[key] = winners
+        is_str = winners.dtype.kind in "OU"
+        vals = np.asarray(batch[order_col].to_pylist()) if is_str \
+            else batch[order_col].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(winners, vals)
+        pos = np.clip(pos, 0, len(winners) - 1)
+        keep = winners[pos] == vals
         return batch.filter(pa.array(keep))
+
+    return winner_filter
 
 
 def exact_dedup_projected(ds, key: str = "phash", order_col: str = "image_id",
@@ -78,9 +84,5 @@ def exact_dedup_projected(ds, key: str = "phash", order_col: str = "image_id",
         winners_arr = winners_df["winner"].to_numpy()
     winners_ref = ray.put(winners_arr)
 
-    return ds.map_batches(
-        _WinnerFilter,
-        fn_constructor_kwargs=dict(winners_ref=winners_ref, order_col=order_col),
-        batch_format="pyarrow",
-        concurrency=concurrency,
-    )
+    return ds.map_batches(_make_winner_filter(winners_ref, order_col),
+                          batch_format="pyarrow")
