@@ -18,6 +18,7 @@ CLI::
 from __future__ import annotations
 
 import argparse
+import sys
 
 from ..filters.cel import create_filter
 from ..io.registry import read_elements, write_elements
@@ -55,14 +56,19 @@ def main(argv=None) -> int:
     if not ray.is_initialized():
         ray.init(address="local", include_dashboard=False,
                  ignore_reinit_error=True, logging_level="ERROR")
-    sources = []
-    for path in args.filters:
-        with open(path, encoding="utf-8") as f:
-            sources.append(f.read())
-    n = convert(args.input, args.output, args.input_format,
-                args.output_format, sources, overpass=args.overpass)
+    try:
+        sources = []
+        for path in args.filters:
+            with open(path, encoding="utf-8") as f:
+                sources.append(f.read())
+        n = convert(args.input, args.output, args.input_format,
+                    args.output_format, sources, overpass=args.overpass)
+    except (ValueError, FileNotFoundError, NotImplementedError) as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 2
+    finally:
+        ray.shutdown()
     print(f"wrote {n} elements to {args.output}")
-    ray.shutdown()
     return 0
 
 
