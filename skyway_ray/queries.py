@@ -380,6 +380,154 @@ def q_ann_cosine_sql() -> str:
     )
 
 
+def q_cell_stats(sf_dir: str):
+    """Per-cell (h3_r7) counts with explicit hot-key salting: hot cells
+    split across salt reducers then exactly re-merged (stages/salt.py).
+    Result equals a plain groupby — the salting is transparent."""
+    from .stages.salt import salted_count
+
+    pts = _read(sf_dir, "events", ["event_id"]).map_batches(
+        lambda b: _geotag_batch(b, "event_id"), batch_format="pyarrow")
+
+    def enc(batch: pa.Table) -> pa.Table:
+        lat = batch["lat"].to_numpy(zero_copy_only=False)
+        lon = batch["lon"].to_numpy(zero_copy_only=False)
+        return pa.table({"h3_r7": cell_id(lat, lon, 7)})
+
+    cells = pts.map_batches(enc, batch_format="pyarrow")
+    out = salted_count(cells, "h3_r7", num_salts=8, hot_threshold=3,
+                       sample_fraction=1.0)
+    return out.map_batches(
+        lambda b: b.rename_columns(["h3_r7", "n_events"]),
+        batch_format="pyarrow")
+
+
+def q_cell_stats_sql() -> str:
+    lat, lon = latlon_sql("event_id")
+    return (f"SELECT {cell_sql(lat, lon, 7)} AS h3_r7, count(*) AS n_events "
+            f"FROM events GROUP BY 1")
+
+
+def q_orders_per_nation(sf_dir: str):
+    """Broadcast hash join (dimension-table pattern): orders ⋈ customer
+    (broadcast) → order count per nation key. No shuffle of the fact
+    side."""
+    import pyarrow.parquet as pq
+
+    from .stages.agg_tree import grouped_count
+    from .stages.joins import broadcast_hash_join
+
+    cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
+                         columns=["c_custkey", "c_nationkey"]).to_pandas()
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    joined = broadcast_hash_join(orders, cust, on="o_custkey",
+                                 small_on="c_custkey")
+    joined = joined.map_batches(
+        lambda b: b.select(["c_nationkey"]), batch_format="pyarrow")
+    out = grouped_count(joined, ["c_nationkey"], out_col="n_orders")
+    return out
+
+
+def q_orders_per_nation_sql() -> str:
+    return ("SELECT c_nationkey, count(*) AS n_orders FROM orders "
+            "JOIN customer ON o_custkey = c_custkey GROUP BY 1")
+
+
+def q_semi_join_events(sf_dir: str):
+    """Broadcast semi join: events whose user is a customer with
+    acctbal > 5000 (HAS-selector analogue over a foreign key)."""
+    import pyarrow.parquet as pq
+
+    from .stages.joins import broadcast_semi_join
+
+    cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
+                         columns=["c_custkey", "c_acctbal"])
+    keys = cust.filter(pa.compute.greater(cust["c_acctbal"], 5000.0))[
+        "c_custkey"].to_numpy(zero_copy_only=False)
+    ev = _read(sf_dir, "events", ["event_id", "user_id"])
+    return broadcast_semi_join(ev, keys, on="user_id")
+
+
+def q_semi_join_events_sql() -> str:
+    return ("SELECT event_id, user_id FROM events WHERE user_id IN "
+            "(SELECT c_custkey FROM customer WHERE c_acctbal > 5000.0)")
+
+
+def q_window_counts(sf_dir: str):
+    """Tumbling 1-hour window counts per user (stream-shaped op:
+    event-time bucketing; see ray_guide 'Streaming-shaped')."""
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].to_numpy(zero_copy_only=False)
+        hours = ts.astype("datetime64[us]").astype(np.int64) // 3_600_000_000
+        t = pa.table({"user_id": batch["user_id"],
+                      "window_h": pa.array(hours, pa.int64())})
+        g = t.group_by(["user_id", "window_h"]).aggregate([("user_id", "count")])
+        return g.rename_columns(["user_id", "window_h", "n"])
+
+    from .stages.agg_tree import tree_aggregate
+
+    partials = _read(sf_dir, "events", ["user_id", "ts"]).map_batches(
+        bucket, batch_format="pyarrow")
+    out = tree_aggregate(partials, ["user_id", "window_h"], [("n", "sum")])
+    return out.map_batches(
+        lambda b: b.rename_columns(["user_id", "window_h", "n_events"]),
+        batch_format="pyarrow")
+
+
+def q_window_counts_sql() -> str:
+    return ("SELECT user_id, cast(floor(epoch(ts) / 3600) as bigint) "
+            "AS window_h, count(*) AS n_events FROM events GROUP BY 1, 2")
+
+
+def q_asof_join(sf_dir: str):
+    """As-of join: for each event, the user's latest order with
+    o_orderdate <= ts (ties → max orderkey); events with no qualifying
+    order are dropped. pd.merge_asof per batch against the broadcast
+    (sorted) orders side."""
+    import pyarrow.parquet as pq
+
+    from .stages.joins import asof_join_broadcast
+
+    orders = pq.read_table(os.path.join(sf_dir, "orders.parquet"),
+                           columns=["o_orderkey", "o_custkey", "o_orderdate"]
+                           ).to_pandas()
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    joined = asof_join_broadcast(ev, orders, key="user_id", ts="ts",
+                                 right_key="o_custkey", right_ts="o_orderdate",
+                                 right_cols=["o_orderkey"])
+
+    def finish(batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch.dropna(subset=["o_orderkey"])
+        return pd.DataFrame({
+            "event_id": out["event_id"].astype(np.int64),
+            "o_orderkey": out["o_orderkey"].astype(np.int64),
+        })
+
+    return joined.map_batches(finish, batch_format="pandas")
+
+
+def q_asof_join_sql() -> str:
+    return (
+        "WITH j AS (SELECT e.event_id, o.o_orderkey, row_number() OVER ("
+        "PARTITION BY e.event_id ORDER BY o.o_orderdate DESC, "
+        "o.o_orderkey DESC) AS rn FROM events e JOIN orders o "
+        "ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts) "
+        "SELECT event_id, o_orderkey FROM j WHERE rn = 1"
+    )
+
+
+def q_distinct_types(sf_dir: str):
+    """DISTINCT over a column (set op)."""
+    ds = _read(sf_dir, "events", ["event_type"])
+    vals = sorted(ds.unique("event_type"))
+    return pa.table({"event_type": pa.array(vals, pa.string())})
+
+
+def q_distinct_types_sql() -> str:
+    return "SELECT DISTINCT event_type FROM events"
+
+
 # ---------------------------------------------------------------------------
 # rows-only queries (no SQL equivalent — driver records a weaker check)
 
@@ -530,6 +678,12 @@ QUERIES = {
     "knn": q_knn,
     "pip_join_boxes": q_pip_join_boxes,
     "ann_cosine": q_ann_cosine,
+    "cell_stats": q_cell_stats,
+    "orders_per_nation": q_orders_per_nation,
+    "semi_join_events": q_semi_join_events,
+    "window_counts": q_window_counts,
+    "asof_join": q_asof_join,
+    "distinct_types": q_distinct_types,
     # rows-only (non-SQL-expressible)
     "flagship_tiles": q_flagship_tiles,
     "osmfilter_docs": q_osmfilter_docs,
@@ -554,4 +708,10 @@ ORACLE_SQL = {
     "knn": q_knn_sql(),
     "pip_join_boxes": q_pip_join_boxes_sql(),
     "ann_cosine": q_ann_cosine_sql(),
+    "cell_stats": q_cell_stats_sql(),
+    "orders_per_nation": q_orders_per_nation_sql(),
+    "semi_join_events": q_semi_join_events_sql(),
+    "window_counts": q_window_counts_sql(),
+    "asof_join": q_asof_join_sql(),
+    "distinct_types": q_distinct_types_sql(),
 }

