@@ -89,7 +89,9 @@ def run_bench() -> dict:
 
         for name in ("tile_stats", "pip_join_boxes", "dedup_docs",
                      "topk_events", "token_count", "ann_cosine", "knn",
-                     "exact_dedup_images", "osmfilter_docs"):
+                     "exact_dedup_images", "osmfilter_docs", "cell_stats",
+                     "orders_per_nation", "semi_join_events",
+                     "window_counts", "asof_join"):
             t0 = time.perf_counter()
             _consume(QUERIES[name](sf_dir))
             queries[name] = round(time.perf_counter() - t0, 3)

