@@ -167,15 +167,24 @@ def embedding_near_dup_pairs(vecs: np.ndarray, ids: np.ndarray,
 
 def minhash_lsh_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
                       num_perm: int = 128, bands: int = 16,
-                      threshold: float = 0.7):
+                      threshold: float = 0.7, shingle: str = "ngram",
+                      ngram_n: int = 3):
     """MinHash+LSH near-dedup: returns the Dataset of surviving rows
     (duplicate clusters keep their min-id representative).
+
+    ``shingle``: "ngram" (default; word n-grams — discriminative even
+    over tiny vocabularies) or "token" (word-set Jaccard).
 
     Stages: signature (stateful actor: hasher built once) → band
     explode → groupby bucket → verified pairs → winner set broadcast →
     filter.  The candidate-pair set is tiny at realistic dup rates, so
     the union-find runs on the driver (documented assumption; swap to
     min-label propagation for adversarial inputs)."""
+    if shingle == "ngram":
+        def shingler(t):
+            return _ngram_hashes(t, ngram_n)
+    else:
+        shingler = _token_hashes
 
     class Signer:
         def __init__(self):
@@ -183,7 +192,7 @@ def minhash_lsh_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             texts = pd.Series(batch[text_col].to_pylist())
-            sigs = self.mh.signatures(texts)
+            sigs = self.mh.signatures(texts, shingler=shingler)
             ids = batch[id_col].to_numpy(zero_copy_only=False)
             return band_rows(sigs, ids, bands=bands)
 
@@ -225,8 +234,8 @@ def minhash_lsh_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
             batch_format="pyarrow").to_pandas()
         texts_by_id = dict(zip(small[id_col], small[text_col]))
         for a, b in zip(pairs["doc_a"], pairs["doc_b"]):
-            ja = jaccard(np.unique(_token_hashes(texts_by_id[a])),
-                         np.unique(_token_hashes(texts_by_id[b])))
+            ja = jaccard(np.unique(shingler(texts_by_id[a])),
+                         np.unique(shingler(texts_by_id[b])))
             if ja >= threshold:
                 union(int(a), int(b))
 
