@@ -341,36 +341,29 @@ class CelFilter:
             return ctx["tags"].has(k0).astype(object), kerr
         if isinstance(node, _Not):
             vals, err = self._eval(node.inner, ctx, n)
-            out = np.array([(not v) if isinstance(v, (bool, np.bool_)) else None
-                            for v in vals], dtype=object)
-            err = err | np.array([v is None for v in out], dtype=bool)
-            return out, err
+            vt = np.asarray(vals == True, dtype=bool) & ~err   # noqa: E712
+            vf = np.asarray(vals == False, dtype=bool) & ~err  # noqa: E712
+            out = np.full(n, None, dtype=object)
+            out[vt] = False
+            out[vf] = True
+            return out, ~(vt | vf)
         if isinstance(node, _Bool):
+            # vectorized three-valued logic with CEL short-circuit
+            # (false && error == false; true || error == true)
             lv, le = self._eval(node.lhs, ctx, n)
             rv, re_ = self._eval(node.rhs, ctx, n)
-            out = np.empty(n, dtype=object)
+            lt = np.asarray(lv == True, dtype=bool) & ~le   # noqa: E712
+            lf = np.asarray(lv == False, dtype=bool) & ~le  # noqa: E712
+            rt = np.asarray(rv == True, dtype=bool) & ~re_  # noqa: E712
+            rf = np.asarray(rv == False, dtype=bool) & ~re_ # noqa: E712
             if node.op == "&&":
-                # CEL short-circuit: false && error == false
-                for i in range(n):
-                    l = lv[i] if not le[i] else None
-                    r = rv[i] if not re_[i] else None
-                    if l is False or r is False:
-                        out[i] = False
-                    elif l is True and r is True:
-                        out[i] = True
-                    else:
-                        out[i] = None
+                out_t, out_f = lt & rt, lf | rf
             else:
-                for i in range(n):
-                    l = lv[i] if not le[i] else None
-                    r = rv[i] if not re_[i] else None
-                    if l is True or r is True:
-                        out[i] = True
-                    elif l is False and r is False:
-                        out[i] = False
-                    else:
-                        out[i] = None
-            err = np.array([v is None for v in out], dtype=bool)
+                out_t, out_f = lt | rt, lf & rf
+            out = np.full(n, None, dtype=object)
+            out[out_t] = True
+            out[out_f & ~out_t] = False
+            err = ~(out_t | out_f)
             return out, err
         if isinstance(node, _Cmp):
             lv, le = self._eval(node.lhs, ctx, n)
@@ -378,29 +371,31 @@ class CelFilter:
             err = le | re_
             out = np.empty(n, dtype=object)
             op = node.op
-            for i in range(n):
-                if err[i]:
-                    out[i] = None
-                    continue
-                l, r = lv[i], rv[i]
-                try:
-                    if op == "==":
-                        out[i] = l == r
-                    elif op == "!=":
-                        out[i] = l != r
-                    elif type(l) is bool or type(r) is bool or \
-                            (isinstance(l, str) != isinstance(r, str)):
-                        out[i] = None  # heterogeneous order comparison: error
-                    elif op == "<":
-                        out[i] = l < r
-                    elif op == "<=":
-                        out[i] = l <= r
-                    elif op == ">":
-                        out[i] = l > r
-                    else:
-                        out[i] = l >= r
-                except TypeError:
-                    out[i] = None
+            if op in ("==", "!="):
+                # vectorized elementwise richcompare (C loop)
+                eq = np.asarray(lv == rv, dtype=bool)
+                out[:] = list(eq if op == "==" else ~eq)
+                out[err] = None
+            else:
+                for i in range(n):
+                    if err[i]:
+                        out[i] = None
+                        continue
+                    l, r = lv[i], rv[i]
+                    try:
+                        if type(l) is bool or type(r) is bool or \
+                                (isinstance(l, str) != isinstance(r, str)):
+                            out[i] = None  # heterogeneous order cmp: error
+                        elif op == "<":
+                            out[i] = l < r
+                        elif op == "<=":
+                            out[i] = l <= r
+                        elif op == ">":
+                            out[i] = l > r
+                        else:
+                            out[i] = l >= r
+                    except TypeError:
+                        out[i] = None
             err = err | np.array([v is None for v in out], dtype=bool)
             return out, err
         if isinstance(node, _Method):

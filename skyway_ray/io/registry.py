@@ -22,7 +22,7 @@ def infer_format(path: str, explicit: str | None = None) -> str:
         f = os.path.splitext(path)[1].lstrip(".").lower()
     aliases = {"osm": "xml", "overpass": "json"}
     f = aliases.get(f, f)
-    if f not in ("json", "opl", "xml", "pbf", "parquet"):
+    if f not in ("json", "opl", "xml", "pbf", "parquet", "lance"):
         raise ValueError(f"unrecognized format {f!r} for {path!r}")
     return f
 
@@ -43,6 +43,9 @@ def read_elements(path: str, fmt: str | None = None):
         return read_opl(path), {}
     if f == "parquet":
         return ray.data.read_parquet(path), {}
+    if f == "lance":
+        from .lance_io import read_lance
+        return read_lance(path), {}
     raise NotImplementedError(
         "PBF decode requires a protobuf/osmpbf library not present in this "
         "environment (the reference's parallel blob decode maps to one Ray "
@@ -64,8 +67,11 @@ def write_elements(ds, path: str, fmt: str | None = None,
     if f == "parquet":
         ds.write_parquet(path)
         return -1
+    if f == "lance":
+        from .lance_io import write_lance
+        return write_lance(ds, path)
     raise NotImplementedError(f"no writer for {f!r}")
 
 
-READERS = ("json", "opl", "xml", "parquet")
-WRITERS = ("json", "overpass-json", "opl", "xml", "parquet")
+READERS = ("json", "opl", "xml", "parquet", "lance")
+WRITERS = ("json", "overpass-json", "opl", "xml", "parquet", "lance")
