@@ -517,6 +517,57 @@ def q_asof_join_sql() -> str:
     )
 
 
+def q_tile_polygons(sf_dir: str):
+    """Raster→vector: distinct z=6 tiles of the event points, converted
+    back to lon/lat bounding boxes (tile polygonization)."""
+    from .geo.raster import tiles_to_polygons
+
+    def enc(batch: pa.Table) -> pa.Table:
+        lat, lon = derive_latlon(batch["event_id"].to_numpy(zero_copy_only=False))
+        x, y = tile_xy(lat, lon, 6)
+        t = pa.table({"tile_x": x, "tile_y": y})
+        return t.group_by(["tile_x", "tile_y"]).aggregate([])
+
+    from .stages.agg_tree import tree_aggregate
+
+    tiles = _read(sf_dir, "events", ["event_id"]).map_batches(
+        enc, batch_format="pyarrow")
+    distinct = tree_aggregate(tiles.map_batches(
+        lambda b: b.append_column("one", pa.array(np.ones(b.num_rows, np.int64))),
+        batch_format="pyarrow"), ["tile_x", "tile_y"], [("one", "min")])
+    def finish(b: pa.Table) -> pa.Table:
+        b = tiles_to_polygons(b.drop_columns(["one"]), z=6)
+        # north/south come through atan/exp, which differ by 1 ulp
+        # across libms — emit microdegrees via floor(x*1e6 + 0.5)
+        # (identical rounding on both sides; DuckDB round() is
+        # half-away, numpy round() is half-even, so use neither)
+        out = {"tile_x": b["tile_x"], "tile_y": b["tile_y"],
+               "west": b["west"], "east": b["east"]}
+        for c in ("south", "north"):
+            v = b[c].to_numpy(zero_copy_only=False)
+            out[f"{c}_udeg"] = pa.array(
+                np.floor(v * 1e6 + 0.5).astype(np.int64), pa.int64())
+        return pa.table(out)
+
+    return distinct.map_batches(finish, batch_format="pyarrow")
+
+
+def q_tile_polygons_sql() -> str:
+    from .geo.raster import tile_bounds_sql
+    from .geo.tiles import tile_sql
+
+    lat, lon = latlon_sql("event_id")
+    xe, ye = tile_sql(lat, lon, 6)
+    w, s, e, n = tile_bounds_sql("tile_x", "tile_y", 6)
+    return (
+        f"WITH tiles AS (SELECT DISTINCT {xe} AS tile_x, {ye} AS tile_y "
+        f"FROM events) SELECT tile_x, tile_y, {w} AS west, {e} AS east, "
+        f"cast(floor(({s}) * 1000000 + 0.5) as bigint) AS south_udeg, "
+        f"cast(floor(({n}) * 1000000 + 0.5) as bigint) AS north_udeg "
+        f"FROM tiles"
+    )
+
+
 def q_distinct_types(sf_dir: str):
     """DISTINCT over a column (set op)."""
     ds = _read(sf_dir, "events", ["event_type"])
@@ -684,6 +735,7 @@ QUERIES = {
     "window_counts": q_window_counts,
     "asof_join": q_asof_join,
     "distinct_types": q_distinct_types,
+    "tile_polygons": q_tile_polygons,
     # rows-only (non-SQL-expressible)
     "flagship_tiles": q_flagship_tiles,
     "osmfilter_docs": q_osmfilter_docs,
@@ -714,4 +766,5 @@ ORACLE_SQL = {
     "window_counts": q_window_counts_sql(),
     "asof_join": q_asof_join_sql(),
     "distinct_types": q_distinct_types_sql(),
+    "tile_polygons": q_tile_polygons_sql(),
 }
