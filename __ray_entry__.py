@@ -15,8 +15,21 @@ nothing here (or in skyway_ray) calls ``ray.init()``/``ray.shutdown()``.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 from typing import Any
+
+# Ray workers resolve `skyway_ray` via the driver's cwd/PYTHONPATH at
+# ray.init time — make both robust for drivers importing this module
+# from elsewhere (workers spawned after this import inherit PYTHONPATH
+# when the raylet starts later; already-started raylets rely on cwd).
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+if _REPO not in os.environ.get("PYTHONPATH", ""):
+    os.environ["PYTHONPATH"] = (
+        _REPO + os.pathsep + os.environ.get("PYTHONPATH", "")).rstrip(os.pathsep)
 
 
 def entry() -> Any:

@@ -306,7 +306,7 @@ def q_pip_join_boxes(sf_dir: str):
     import pyarrow.parquet as pq
     import ray
 
-    from .stages.pip_join import PIPJoiner
+    from .stages.pip_join import make_pip_join_fn
 
     nation = pq.read_table(os.path.join(sf_dir, "nation.parquet"),
                            columns=["n_nationkey", "n_name"])
@@ -324,9 +324,8 @@ def q_pip_join_boxes(sf_dir: str):
     ref = ray.put(boundaries)
     pts = _read(sf_dir, "events", ["event_id"]).map_batches(
         lambda b: _geotag_batch(b, "event_id"), batch_format="pyarrow")
-    joined = pts.map_batches(
-        PIPJoiner, fn_constructor_kwargs=dict(boundaries_ref=ref, mode="inner"),
-        batch_format="pyarrow", concurrency=2)
+    joined = pts.map_batches(make_pip_join_fn(ref, mode="inner"),
+                             batch_format="pyarrow")
     return joined.map_batches(
         lambda b: b.select(["event_id", "region_id"]), batch_format="pyarrow")
 

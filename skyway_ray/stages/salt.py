@@ -58,14 +58,16 @@ def salted_count(ds, key: str, num_salts: int = 16,
 
     hot = find_hot_keys(ds, key, hot_threshold, sample_fraction)
 
-    def salt_batch(b: pa.Table) -> pa.Table:
-        return add_salt_column(b, key, hot, num_salts)
+    def salt_and_combine(b: pa.Table) -> pa.Table:
+        # combine within the batch before the shuffle: the groupby then
+        # moves ≤ |keys in batch| × |salts| partials instead of rows
+        b = add_salt_column(b, key, hot, num_salts)
+        g = b.group_by([key, "_salt"]).aggregate([(key, "count")])
+        return g.rename_columns([key, "_salt", "n_partial"])
 
-    phase1 = (ds.map_batches(salt_batch, batch_format="pyarrow")
+    phase1 = (ds.map_batches(salt_and_combine, batch_format="pyarrow")
               .groupby([key, "_salt"])
-              .count())
+              .aggregate(Sum("n_partial", alias_name="n_salted")))
     phase1 = phase1.map_batches(
-        lambda b: b.rename_columns([key, "_salt", "n_partial"])
-                   .drop_columns(["_salt"]),
-        batch_format="pyarrow")
-    return phase1.groupby(key).aggregate(Sum("n_partial", alias_name="n"))
+        lambda b: b.drop_columns(["_salt"]), batch_format="pyarrow")
+    return phase1.groupby(key).aggregate(Sum("n_salted", alias_name="n"))
