@@ -516,6 +516,61 @@ def q_asof_join_sql() -> str:
     )
 
 
+def q_session_windows(sf_dir: str):
+    """Session windows per user (gap > 1h splits a session) — the
+    stream-shaped op the guide maps to ``groupby(key).map_groups`` over
+    ts-sorted groups. Deterministic: ordering by (ts, event_id), gaps
+    in integer microseconds."""
+    GAP_US = 3_600_000_000
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        ts_us = g["ts"].astype("int64").to_numpy()
+        new_sess = np.zeros(len(g), dtype=np.int64)
+        if len(g) > 1:
+            new_sess[1:] = (np.diff(ts_us) > GAP_US).astype(np.int64)
+        session_id = np.cumsum(new_sess)
+        out = pd.DataFrame({"user_id": g["user_id"].to_numpy(),
+                            "session_id": session_id})
+        return out.groupby(["user_id", "session_id"], as_index=False).agg(
+            n_events=("session_id", "size"))
+
+    return _read(sf_dir, "events", ["event_id", "user_id", "ts"]).groupby(
+        "user_id").map_groups(sessions, batch_format="pandas")
+
+
+def q_session_windows_sql() -> str:
+    return (
+        "WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us "
+        "FROM events), "
+        "flagged AS (SELECT user_id, ts_us, CASE WHEN ts_us - lag(ts_us) "
+        "OVER (PARTITION BY user_id ORDER BY ts_us, event_id) > 3600000000 "
+        "THEN 1 ELSE 0 END AS new_sess FROM e), "
+        "numbered AS (SELECT user_id, sum(new_sess) OVER (PARTITION BY "
+        "user_id ORDER BY ts_us ROWS UNBOUNDED PRECEDING) AS session_id "
+        "FROM flagged) "
+        "SELECT user_id, session_id, count(*) AS n_events FROM numbered "
+        "GROUP BY 1, 2"
+    )
+
+
+def q_union_all(sf_dir: str):
+    """UNION ALL (set op): high-value events ∪ low-value events —
+    partition-recombine without a shuffle."""
+    hi = _read(sf_dir, "events", ["event_id", "value"]).map_batches(
+        lambda b: b.filter(pa.compute.greater(b["value"], 50.0)),
+        batch_format="pyarrow")
+    lo = _read(sf_dir, "events", ["event_id", "value"]).map_batches(
+        lambda b: b.filter(pa.compute.less_equal(b["value"], 50.0)),
+        batch_format="pyarrow")
+    return hi.union(lo)
+
+
+def q_union_all_sql() -> str:
+    return ("SELECT event_id, value FROM events WHERE value > 50.0 "
+            "UNION ALL SELECT event_id, value FROM events WHERE value <= 50.0")
+
+
 def q_tile_polygons(sf_dir: str):
     """Raster→vector: distinct z=6 tiles of the event points, converted
     back to lon/lat bounding boxes (tile polygonization)."""
@@ -735,6 +790,8 @@ QUERIES = {
     "asof_join": q_asof_join,
     "distinct_types": q_distinct_types,
     "tile_polygons": q_tile_polygons,
+    "session_windows": q_session_windows,
+    "union_all": q_union_all,
     # rows-only (non-SQL-expressible)
     "flagship_tiles": q_flagship_tiles,
     "osmfilter_docs": q_osmfilter_docs,
@@ -766,4 +823,6 @@ ORACLE_SQL = {
     "asof_join": q_asof_join_sql(),
     "distinct_types": q_distinct_types_sql(),
     "tile_polygons": q_tile_polygons_sql(),
+    "session_windows": q_session_windows_sql(),
+    "union_all": q_union_all_sql(),
 }
