@@ -109,7 +109,12 @@ class CompiledFilter:
         n = table.num_rows
         if n == 0:
             return table
-        tags = TagArray.from_arrow(table[self.tags_column], n)
+        if self.tags_column in table.column_names:
+            tags = TagArray.from_arrow(table[self.tags_column], n)
+        else:
+            # tagless table: selectors on tags match nothing, mutations
+            # create a tags column (HAS/EQUALS false, SET adds)
+            tags = TagArray.from_dicts([{}] * n)
         types = None
         if self.type_column in table.column_names:
             types = np.asarray(table[self.type_column].to_pylist(), dtype=object)
@@ -117,5 +122,7 @@ class CompiledFilter:
         idx = np.flatnonzero(keep)
         out = table.take(pa.array(idx, pa.int64()))
         new_tags = tags.take(idx).to_arrow()
-        col_idx = out.column_names.index(self.tags_column)
-        return out.set_column(col_idx, self.tags_column, new_tags)
+        if self.tags_column in out.column_names:
+            col_idx = out.column_names.index(self.tags_column)
+            return out.set_column(col_idx, self.tags_column, new_tags)
+        return out.append_column(self.tags_column, new_tags)

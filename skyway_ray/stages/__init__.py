@@ -5,9 +5,17 @@ from .tiling import add_tile_xy, tile_stats
 from .dedup import exact_dedup, exact_dedup_projected
 from .topk import top_k
 from .knn import CellKnnIndex, KnnStage
+from .pip_join import make_pip_join_fn
+from .joins import asof_join_broadcast, broadcast_hash_join, broadcast_semi_join
+from .salt import salted_count
+from .agg_tree import tree_aggregate, tree_aggregate_to_table, grouped_count
+from .multimodal import BinaryStats, ImageFeatures, ImageResize
 
 __all__ = [
     "add_geotag", "CellEncode", "BoundaryIndex", "PIPJoiner",
-    "add_tile_xy", "tile_stats", "exact_dedup", "exact_dedup_projected",
-    "top_k", "CellKnnIndex", "KnnStage",
+    "make_pip_join_fn", "add_tile_xy", "tile_stats", "exact_dedup",
+    "exact_dedup_projected", "top_k", "CellKnnIndex", "KnnStage",
+    "asof_join_broadcast", "broadcast_hash_join", "broadcast_semi_join",
+    "salted_count", "tree_aggregate", "tree_aggregate_to_table",
+    "grouped_count", "BinaryStats", "ImageFeatures", "ImageResize",
 ]
