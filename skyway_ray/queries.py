@@ -520,23 +520,50 @@ def q_session_windows(sf_dir: str):
     """Session windows per user (gap > 1h splits a session) — the
     stream-shaped op the guide maps to ``groupby(key).map_groups`` over
     ts-sorted groups. Deterministic: ordering by (ts, event_id), gaps
-    in integer microseconds."""
+    in integer microseconds.
+
+    Scale shape: grouping by a COARSE user-hash bucket (32 groups)
+    rather than per user — Ray pays per-group overhead, so each group
+    call sessionizes every user in its bucket with one vectorized
+    numpy pass (boundary cumsum)."""
     GAP_US = 3_600_000_000
+    N_BUCKETS = 32
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        u = b["user_id"].to_numpy(zero_copy_only=False)
+        return b.append_column("_bucket", pa.array(u % N_BUCKETS, pa.int64()))
 
     def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"], kind="mergesort")
-        ts_us = g["ts"].astype("int64").to_numpy()
-        new_sess = np.zeros(len(g), dtype=np.int64)
-        if len(g) > 1:
-            new_sess[1:] = (np.diff(ts_us) > GAP_US).astype(np.int64)
-        session_id = np.cumsum(new_sess)
-        out = pd.DataFrame({"user_id": g["user_id"].to_numpy(),
-                            "session_id": session_id})
-        return out.groupby(["user_id", "session_id"], as_index=False).agg(
-            n_events=("session_id", "size"))
+        d = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        user = d["user_id"].to_numpy()
+        ts_us = d["ts"].astype("int64").to_numpy()
+        n = len(d)
+        new_user = np.ones(n, dtype=bool)
+        new_user[1:] = user[1:] != user[:-1]
+        gap = np.zeros(n, dtype=bool)
+        gap[1:] = (ts_us[1:] - ts_us[:-1]) > GAP_US
+        boundary = new_user | gap
+        # session_id within user = (#boundaries so far) - (#boundaries
+        # at this user's first row)
+        b_cum = np.cumsum(boundary)
+        user_start = np.repeat(b_cum[new_user], np.diff(
+            np.append(np.flatnonzero(new_user), n)))
+        session_id = b_cum - user_start
+        seg_id = b_cum - 1  # 0-based contiguous segment index
+        counts = np.bincount(seg_id - seg_id[0])
+        first_of_seg = np.flatnonzero(boundary)
+        return pd.DataFrame({
+            "user_id": user[first_of_seg],
+            "session_id": session_id[first_of_seg],
+            "n_events": counts.astype(np.int64),
+        })
 
-    return _read(sf_dir, "events", ["event_id", "user_id", "ts"]).groupby(
-        "user_id").map_groups(sessions, batch_format="pandas")
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"]).map_batches(
+        add_bucket, batch_format="pyarrow")
+    out = ds.groupby("_bucket").map_groups(sessions, batch_format="pandas")
+    return out.map_batches(
+        lambda b: b.select(["user_id", "session_id", "n_events"]),
+        batch_format="pyarrow")
 
 
 def q_session_windows_sql() -> str:
