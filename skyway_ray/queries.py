@@ -56,10 +56,15 @@ def _geotag_batch(batch: pa.Table, key: str) -> pa.Table:
 
 
 def _read(sf_dir: str, table: str, columns=None):
+    import ray
     import ray.data
 
+    # single-file tables: Ray's default (~200 tiny blocks) costs more in
+    # per-block overhead than it buys in parallelism at these scales
+    cpus = int(ray.cluster_resources().get("CPU", 8))
     return ray.data.read_parquet(os.path.join(sf_dir, f"{table}.parquet"),
-                                 columns=columns)
+                                 columns=columns,
+                                 override_num_blocks=max(16, cpus // 2))
 
 
 # boxes for the SQL-expressible rectangle PIP join (from nation keys)
