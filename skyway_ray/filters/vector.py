@@ -63,13 +63,14 @@ class CompiledFilter:
         if isinstance(sel, TypeSelector):
             if types is None:
                 return np.zeros(tags.n, dtype=bool)
+            import pyarrow.compute as pc
+
             m = np.zeros(tags.n, dtype=bool)
-            if sel.node:
-                m |= types == "node"
-            if sel.way:
-                m |= types == "way"
-            if sel.relation:
-                m |= types == "relation"
+            for flag, name in ((sel.node, "node"), (sel.way, "way"),
+                               (sel.relation, "relation")):
+                if flag:
+                    m |= pc.equal(types, name).fill_null(False).to_numpy(
+                        zero_copy_only=False)
             return m
         if isinstance(sel, Has):
             return tags.has(sel.key)
@@ -117,7 +118,9 @@ class CompiledFilter:
             tags = TagArray.from_dicts([{}] * n)
         types = None
         if self.type_column in table.column_names:
-            types = np.asarray(table[self.type_column].to_pylist(), dtype=object)
+            types = table[self.type_column]
+            if isinstance(types, pa.ChunkedArray):
+                types = types.combine_chunks()
         keep = self.evaluate(tags, types)
         idx = np.flatnonzero(keep)
         out = table.take(pa.array(idx, pa.int64()))
