@@ -32,7 +32,8 @@ FIXTURE_DIR = os.environ.get("SKYWAY_FIXTURE_DIR", "/tmp/skyway_fixtures")
 SCALES = {"smoke": 1_000, "correctness": 20_000, "bench": 500_000,
           # xbench*: scaling-evidence runs (no bytes column payload);
           # sized so the job is compute-bound at the higher CPU level
-          "xbench": 4_000_000, "xbench16m": 16_000_000}
+          "xbench": 4_000_000, "xbench16m": 16_000_000,
+          "xbench64m": 64_000_000}
 # sf test-data dir name -> images fixture scale (queries() parameterization)
 SF_TO_SCALE = {"sf0.001": "smoke", "sf0.01": "correctness", "sf0.1": "bench"}
 
@@ -258,7 +259,8 @@ def _atomic_write(table: pa.Table, dest: str, shards: int = 1) -> str:
 def ensure_images_parquet(scale: str = "correctness") -> str:
     n = SCALES[scale]
     max_side = 16 if scale.startswith(("bench", "xbench")) else 64
-    shards = {"bench": 16, "xbench": 64, "xbench16m": 128}.get(scale, 1)
+    shards = {"bench": 16, "xbench": 64, "xbench16m": 128,
+              "xbench64m": 256}.get(scale, 1)
     # xbench exists to make the two-parallelism scaling run compute-
     # bound; bytes are empty there (FIXTURES.md: bytes downsized at
     # bench scale to keep disk bounded — xbench takes that to zero)
