@@ -4,8 +4,8 @@ Mirrors ``InputFileFormat::from_str`` / ``OutputFileFormat::from_str``
 (``/root/reference/src/readers/mod.rs:36-50``,
 ``/root/reference/src/writers/mod.rs:33-48``): json/opl/osm(xml)/xml
 for both directions, ``overpass`` as a JSON-writer variant, ``pbf``
-read-only in the reference (stubbed here: protobuf decode needs the
-osmpbf schema — gated behind ImportError), ``o5m`` unfinished in the
+read-only in the reference, read+write here (own pure-Python wire
+codec — io/osm_pbf.py), ``o5m`` unfinished in the
 reference and documented-only here.  ``parquet`` is this engine's
 native format (the scale path).
 """
@@ -46,10 +46,10 @@ def read_elements(path: str, fmt: str | None = None):
     if f == "lance":
         from .lance_io import read_lance
         return read_lance(path), {}
-    raise NotImplementedError(
-        "PBF decode requires a protobuf/osmpbf library not present in this "
-        "environment (the reference's parallel blob decode maps to one Ray "
-        "read task per blob range)")
+    if f == "pbf":
+        from .osm_pbf import read_pbf
+        return read_pbf(path)
+    raise NotImplementedError(f"no reader for {f!r}")
 
 
 def write_elements(ds, path: str, fmt: str | None = None,
@@ -70,8 +70,11 @@ def write_elements(ds, path: str, fmt: str | None = None,
     if f == "lance":
         from .lance_io import write_lance
         return write_lance(ds, path)
+    if f == "pbf":
+        from .osm_pbf import write_pbf
+        return write_pbf(ds, path)
     raise NotImplementedError(f"no writer for {f!r}")
 
 
-READERS = ("json", "opl", "xml", "parquet", "lance")
-WRITERS = ("json", "overpass-json", "opl", "xml", "parquet", "lance")
+READERS = ("json", "opl", "xml", "pbf", "parquet", "lance")
+WRITERS = ("json", "overpass-json", "opl", "xml", "pbf", "parquet", "lance")
