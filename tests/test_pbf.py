@@ -78,6 +78,23 @@ class TestPbfRoundtrip:
         # PBF model: missing-changeset/uid/version become... preserved
         assert _norm(t) == _norm(t2)
 
+    def test_reference_corpus_through_pbf(self, ray_session, tmp_path):
+        """example.json → PBF → docs-style filter → element count matches
+        the direct JSON path (69 residential ways)."""
+        from skyway_ray.filters.vector import CompiledFilter
+        from skyway_ray.io.osm_json import read_osm_json
+        from skyway_ray.io.osm_pbf import read_pbf, write_pbf
+
+        ds, _ = read_osm_json("/root/reference/src/examples/example.json")
+        path = str(tmp_path / "ex.osm.pbf")
+        assert write_pbf(ds, path) == 1551
+        ds2, _ = read_pbf(path)
+        f = CompiledFilter.from_source(
+            "OSMFilter v0.2.0\n\n"
+            'EQUALS "highway" "residential"\n\tCOMMIT\nDROP\n')
+        out = ds2.map_batches(f.apply_table, batch_format="pyarrow")
+        assert out.count() == 69
+
     def test_multi_blob_unordered_ok(self, ray_session, tmp_path):
         import ray.data
         from skyway_ray.io.osm_pbf import read_pbf, scan_blobs, write_pbf
