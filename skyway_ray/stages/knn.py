@@ -43,6 +43,10 @@ class CellKnnIndex:
         ends = np.append(starts[1:], len(sorted_cells))
         self.cell_slices = {int(c): (int(s), int(e))
                             for c, s, e in zip(uniq, starts, ends)}
+        # parallel arrays for vectorized (searchsorted) segment lookup
+        self._uniq_cells = uniq
+        self._starts = starts.astype(np.int64)
+        self._ends = ends.astype(np.int64)
         self.n = len(self.ids)
 
     def _candidates_in_cells(self, cells: np.ndarray):
@@ -80,19 +84,97 @@ class CellKnnIndex:
         best_idx, best_d2 = best_idx[order], best_d2[order]
         return self.ids[best_idx], best_d2
 
+    def _bulk_disk1(self, qlat: np.ndarray, qlon: np.ndarray, k: int):
+        """Vectorized phase: candidates from each probe's 3×3 cell disk,
+        top-k per probe in one flattened pass. Returns (neigh_idx,
+        d2, counts, resolved) — ``resolved[i]`` is True when the
+        disk-1 answer is provably the exact kNN (kth distance within
+        the ring-1 safety bound)."""
+        from ..geo.cells import cell_xy, CELL_RES_BITS, _XY_BITS
+
+        nq = len(qlat)
+        if self.res < 2:
+            # 3x3 disk would wrap onto itself (duplicate candidates);
+            # force the per-probe fallback
+            return (np.empty(0, np.int64), np.empty(0),
+                    np.zeros(nq, np.int64), np.zeros(nq, dtype=bool))
+        ix, iy = cell_xy(qlat, qlon, self.res)
+        ncell = np.int64(1) << self.res
+        # 3x3 neighborhood, lon wraps / lat clamps (out-of-range rows
+        # dropped by the searchsorted miss below for clamped overflow)
+        dx, dy = np.meshgrid([-1, 0, 1], [-1, 0, 1])
+        nx = (ix[:, None] + dx.ravel()[None, :]) % ncell          # (nq, 9)
+        ny = iy[:, None] + dy.ravel()[None, :]
+        valid = (ny >= 0) & (ny < ncell)
+        cells9 = ((np.int64(self.res) << CELL_RES_BITS)
+                  | (nx << _XY_BITS) | np.where(valid, ny, 0))
+        # segment lookup via searchsorted on the unique-cell array
+        flat_cells = cells9.ravel()
+        pos = np.searchsorted(self._uniq_cells, flat_cells)
+        pos = np.clip(pos, 0, len(self._uniq_cells) - 1)
+        found = (self._uniq_cells[pos] == flat_cells) & valid.ravel() \
+            if len(self._uniq_cells) else np.zeros(nq * 9, dtype=bool)
+        seg_start = np.where(found, self._starts[pos], 0)
+        seg_len = np.where(found, self._ends[pos] - self._starts[pos], 0)
+        # flatten candidate point indices per (probe, cell)
+        total = int(seg_len.sum())
+        if total == 0:
+            return (np.empty(0, np.int64), np.empty(0), np.zeros(nq, np.int64),
+                    np.zeros(nq, dtype=bool))
+        reps = np.repeat(np.arange(nq * 9), seg_len)
+        offs_base = np.repeat(seg_start, seg_len)
+        within = np.arange(total) - np.repeat(
+            np.cumsum(seg_len) - seg_len, seg_len)
+        cand_point = offs_base + within
+        cand_probe = reps // 9
+        d2 = ((self.lat[cand_point] - qlat[cand_probe]) ** 2
+              + (self.lon[cand_point] - qlon[cand_probe]) ** 2)
+        order = np.lexsort((self.ids[cand_point], d2, cand_probe))
+        cand_probe = cand_probe[order]
+        cand_point = cand_point[order]
+        d2 = d2[order]
+        counts = np.bincount(cand_probe, minlength=nq)
+        grp_start = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        rank = np.arange(total) - np.repeat(grp_start, counts)
+        keep = rank < k
+        # exactness bound: unseen points sit at Chebyshev >= 2 cells,
+        # i.e. >= 1 * cell_h degrees away
+        kth_pos = grp_start + np.minimum(counts, k) - 1
+        kth_d2 = np.where(counts > 0, d2[np.clip(kth_pos, 0, total - 1)],
+                          np.inf)
+        resolved = (counts >= k) & (kth_d2 <= self.cell_h ** 2)
+        return cand_point[keep], d2[keep], np.minimum(counts, k), resolved
+
     def query_batch(self, qlat, qlon, k: int, qids=None) -> pa.Table:
         """kNN for a probe batch → long-form (probe_id, neighbor_id,
-        dist2, rank)."""
+        dist2, rank). Bulk vectorized disk-1 phase resolves most
+        probes; the rest fall back to exact per-probe ring expansion
+        (identical results either way)."""
         qlat = np.asarray(qlat, dtype=np.float64)
         qlon = np.asarray(qlon, dtype=np.float64)
+        nq = len(qlat)
+        if qids is None:
+            qids = np.arange(nq)
+        bulk_pts, bulk_d2, bulk_counts, resolved = self._bulk_disk1(
+            qlat, qlon, k)
         probe_ids, neigh, d2s, ranks = [], [], [], []
-        for i in range(len(qlat)):
-            ids, d2 = self.query_one(float(qlat[i]), float(qlon[i]), k)
-            m = len(ids)
-            probe_ids.extend([qids[i] if qids is not None else i] * m)
-            neigh.extend(ids.tolist())
-            d2s.extend(d2.tolist())
-            ranks.extend(range(1, m + 1))
+        # emit bulk-resolved probes
+        offsets = np.concatenate([[0], np.cumsum(bulk_counts)])
+        for i in range(nq):
+            if resolved[i]:
+                s, e = offsets[i], offsets[i + 1]
+                m = e - s
+                probe_ids.extend([qids[i]] * m)
+                neigh.extend(self.ids[bulk_pts[s:e]].tolist())
+                d2s.extend(bulk_d2[s:e].tolist())
+                ranks.extend(range(1, m + 1))
+            else:
+                ids, d2 = self.query_one(float(qlat[i]), float(qlon[i]), k)
+                m = len(ids)
+                probe_ids.extend([qids[i]] * m)
+                neigh.extend(ids.tolist())
+                d2s.extend(d2.tolist())
+                ranks.extend(range(1, m + 1))
         return pa.table({
             "probe_id": probe_ids,
             "neighbor_id": neigh,

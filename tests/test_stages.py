@@ -98,6 +98,27 @@ class TestKnn:
         ids, d2 = index.query_one(0.0, 0.0, 5)
         assert list(ids) == [10, 20]
 
+    def test_query_batch_equals_query_one(self):
+        """The bulk vectorized disk-1 phase must agree with the exact
+        per-probe ring expansion on every probe (dense AND sparse
+        regions, so both the resolved and fallback paths fire)."""
+        rng = np.random.default_rng(11)
+        lat = np.concatenate([rng.uniform(-60, 60, 3000),
+                              rng.uniform(10.0, 10.5, 3000)])  # dense patch
+        lon = np.concatenate([rng.uniform(-180, 180, 3000),
+                              rng.uniform(20.0, 20.5, 3000)])
+        ids = np.arange(len(lat))
+        index = CellKnnIndex(lat, lon, ids, res=6)
+        qlat = np.concatenate([lat[:40] + 0.01, rng.uniform(-60, 60, 20)])
+        qlon = np.concatenate([lon[:40] - 0.01, rng.uniform(-180, 180, 20)])
+        out = index.query_batch(qlat, qlon, 5).to_pandas()
+        for i in range(len(qlat)):
+            want_ids, want_d2 = index.query_one(float(qlat[i]),
+                                                float(qlon[i]), 5)
+            got = out[out["probe_id"] == i]
+            assert got["neighbor_id"].tolist() == list(want_ids), f"probe {i}"
+            assert np.allclose(got["dist2"].to_numpy(), want_d2)
+
 
 class TestRayStages:
     def test_flagship_smoke(self, ray_session):
