@@ -302,6 +302,41 @@ class CelFilter:
 
     # -- node evaluation --
 
+    @staticmethod
+    def _order_cmp_fast(lv, rv, err, op, out) -> bool:
+        """Vectorized <,<=,>,>= when both sides are homogeneous ints or
+        homogeneous strings on the non-err rows (the common case);
+        returns False to request the per-row fallback.  Booleans and
+        mixed types must error per row, so they take the slow path."""
+        ok = ~err
+        if not ok.any():
+            out[:] = None
+            return True
+        lt = {type(v) for v in lv[ok]}
+        rt = {type(v) for v in rv[ok]}
+        if bool in lt or bool in rt:
+            return False
+        numeric = {int, float}
+        if lt <= numeric and rt <= numeric:
+            a = lv[ok].astype(np.float64)
+            b = rv[ok].astype(np.float64)
+        elif lt == {str} and rt == {str}:
+            a = lv[ok].astype(str)
+            b = rv[ok].astype(str)
+        else:
+            return False
+        if op == "<":
+            res = a < b
+        elif op == "<=":
+            res = a <= b
+        elif op == ">":
+            res = a > b
+        else:
+            res = a >= b
+        out[:] = None
+        out[ok] = list(np.asarray(res, dtype=bool))
+        return True
+
     def _eval(self, node, ctx, n):
         no_err = np.zeros(n, dtype=bool)
         if isinstance(node, _Lit):
@@ -376,6 +411,8 @@ class CelFilter:
                 eq = np.asarray(lv == rv, dtype=bool)
                 out[:] = list(eq if op == "==" else ~eq)
                 out[err] = None
+            elif self._order_cmp_fast(lv, rv, err, op, out):
+                pass  # homogeneous fast path filled `out`
             else:
                 for i in range(n):
                     if err[i]:
