@@ -183,6 +183,146 @@ class CellKnnIndex:
         })
 
 
+def build_sharded_knn(ref_ds, coarse_res: int = 4, id_col: str = "image_id",
+                      lat_col: str = "lat", lon_col: str = "lon"):
+    """Scale path: partition the reference side by COARSE grid cell into
+    object-store shards — no single-node broadcast of the whole table.
+
+    The reference Dataset is sorted by coarse cell (range shuffle), then
+    streamed block-by-block on the driver, slicing per cell; each cell's
+    (lat, lon, id — Hilbert-sorted) arrays are ``ray.put`` individually
+    and only the small {cell: ObjectRef} directory is broadcast.  Probe
+    workers fetch the shards their ring expansion touches (plasma
+    handles locality/eviction) and cache them per process.
+
+    Returns (directory_ref, coarse_res)."""
+    import ray
+
+    from ..geo.cells import cell_id as _cell_id
+
+    def add_cell(batch: pa.Table) -> pa.Table:
+        lat = batch[lat_col].to_numpy(zero_copy_only=False)
+        lon = batch[lon_col].to_numpy(zero_copy_only=False)
+        hk = hilbert_key(lat, lon)
+        return (batch.append_column(
+            "_cell", pa.array(_cell_id(lat, lon, coarse_res), pa.int64()))
+            .append_column("_hk", pa.array(hk, pa.int64())))
+
+    ds = ref_ds.map_batches(add_cell, batch_format="pyarrow").sort(
+        ["_cell", "_hk"])
+    directory: dict[int, object] = {}
+    carry: pa.Table | None = None
+
+    def put_cells(table: pa.Table, final: bool):
+        nonlocal carry
+        if carry is not None:
+            table = pa.concat_tables([carry, table])
+            carry = None
+        if table.num_rows == 0:
+            return
+        cells = table["_cell"].to_numpy(zero_copy_only=False)
+        bounds = np.flatnonzero(np.diff(cells)) + 1
+        starts = np.concatenate([[0], bounds])
+        ends = np.concatenate([bounds, [len(cells)]])
+        for s, e in zip(starts, ends):
+            chunk = table.slice(s, e - s)
+            if not final and e == len(cells):
+                carry = chunk  # cell may continue in the next block
+                return
+            directory[int(cells[s])] = ray.put({
+                "lat": chunk[lat_col].to_numpy(zero_copy_only=False),
+                "lon": chunk[lon_col].to_numpy(zero_copy_only=False),
+                "ids": np.asarray(chunk[id_col].to_pylist()),
+            })
+
+    for block_ref in ds.to_arrow_refs():
+        put_cells(ray.get(block_ref), final=False)
+    if carry is not None:  # flush the final cell
+        chunk, carry = carry, None
+        directory[int(chunk["_cell"][0].as_py())] = ray.put({
+            "lat": chunk[lat_col].to_numpy(zero_copy_only=False),
+            "lon": chunk[lon_col].to_numpy(zero_copy_only=False),
+            "ids": np.asarray(chunk[id_col].to_pylist()),
+        })
+    return ray.put(directory), coarse_res
+
+
+class ShardedKnnStage:
+    """Probe stage against a sharded reference (see build_sharded_knn):
+    fetches + caches the coarse-cell shards its probes' ring expansions
+    touch; exact kNN with the same Chebyshev-ring distance bound as
+    :class:`CellKnnIndex`."""
+
+    def __init__(self, directory_ref, coarse_res: int, k: int = 5,
+                 id_col: str = "image_id", lat_col: str = "lat",
+                 lon_col: str = "lon"):
+        import ray
+
+        self.directory = ray.get(directory_ref)
+        self.res = coarse_res
+        self.cell_h, _ = cell_size_deg(coarse_res)
+        self.k = k
+        self.id_col = id_col
+        self.lat_col = lat_col
+        self.lon_col = lon_col
+        self._cache: dict[int, dict] = {}
+
+    def _shard(self, cell: int):
+        s = self._cache.get(cell)
+        if s is None and cell in self.directory:
+            import ray
+
+            s = ray.get(self.directory[cell])
+            self._cache[cell] = s
+        return s
+
+    def _query_one(self, qlat: float, qlon: float):
+        center = int(cell_id(np.array([qlat]), np.array([qlon]), self.res)[0])
+        r = 0
+        cand_lat = np.empty(0)
+        cand_lon = np.empty(0)
+        cand_ids = np.empty(0, dtype=object)
+        best_d2 = np.empty(0)
+        while True:
+            ring = cell_ring(center, r) if r > 0 else np.asarray([center])
+            parts = [self._shard(int(c)) for c in ring]
+            parts = [p for p in parts if p is not None]
+            if parts:
+                cand_lat = np.concatenate([cand_lat] + [p["lat"] for p in parts])
+                cand_lon = np.concatenate([cand_lon] + [p["lon"] for p in parts])
+                cand_ids = np.concatenate([cand_ids] + [p["ids"] for p in parts])
+                d2 = (cand_lat - qlat) ** 2 + (cand_lon - qlon) ** 2
+                order = np.lexsort((cand_ids, d2))[:self.k]
+                cand_lat, cand_lon = cand_lat[order], cand_lon[order]
+                cand_ids, best_d2 = cand_ids[order], d2[order]
+            if len(cand_ids) >= self.k and len(best_d2):
+                if (r * self.cell_h) ** 2 >= best_d2.max():
+                    break
+            r += 1
+            if (r - 1) * self.cell_h > 360.0:
+                break
+        return cand_ids, best_d2
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        qlat = batch[self.lat_col].to_numpy(zero_copy_only=False)
+        qlon = batch[self.lon_col].to_numpy(zero_copy_only=False)
+        qids = np.asarray(batch[self.id_col].to_pylist())
+        probe_ids, neigh, d2s, ranks = [], [], [], []
+        for i in range(len(qlat)):
+            ids, d2 = self._query_one(float(qlat[i]), float(qlon[i]))
+            m = len(ids)
+            probe_ids.extend([qids[i]] * m)
+            neigh.extend(ids.tolist())
+            d2s.extend(d2.tolist())
+            ranks.extend(range(1, m + 1))
+        return pa.table({
+            "probe_id": probe_ids,
+            "neighbor_id": neigh,
+            "dist2": pa.array(d2s, pa.float64()),
+            "rank": pa.array(ranks, pa.int64()),
+        })
+
+
 class KnnStage:
     """Actor-pool stage: broadcast reference index, probe per batch.
 

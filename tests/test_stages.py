@@ -204,6 +204,39 @@ class TestRayStages:
                              ascending=[False, True]).head(10)
         assert got["image_id"].tolist() == want["image_id"].tolist()
 
+    def test_sharded_knn_matches_broadcast(self, ray_session):
+        """The sharded scale path (coarse-cell object-store shards,
+        ring-expansion fetch) returns exactly the broadcast index's
+        results."""
+        import ray
+        import ray.data
+        from skyway_ray.stages.knn import (
+            CellKnnIndex, ShardedKnnStage, build_sharded_knn)
+
+        rng = np.random.default_rng(9)
+        n = 20_000
+        lat = rng.uniform(-60, 60, n)
+        lon = rng.uniform(-180, 180, n)
+        ids = np.arange(n, dtype=np.int64)
+        ref_table = pa.table({"image_id": ids, "lat": lat, "lon": lon})
+        directory_ref, cres = build_sharded_knn(
+            ray.data.from_arrow(ref_table).repartition(8), coarse_res=4)
+        probes = pa.table({"image_id": ids[:200],
+                           "lat": lat[:200] + 0.05, "lon": lon[:200] - 0.05})
+        out = (ray.data.from_arrow(probes)
+               .map_batches(ShardedKnnStage,
+                            fn_constructor_kwargs=dict(
+                                directory_ref=directory_ref, coarse_res=cres,
+                                k=5),
+                            batch_format="pyarrow", concurrency=2)
+               ).to_pandas()
+        index = CellKnnIndex(lat, lon, ids, res=6)
+        for i in range(200):
+            want_ids, _ = index.query_one(float(lat[i] + 0.05),
+                                          float(lon[i] - 0.05), 5)
+            got = out[out["probe_id"] == i].sort_values("rank")
+            assert got["neighbor_id"].tolist() == list(want_ids), f"probe {i}"
+
     def test_knn_stage(self, ray_session):
         import ray
         import ray.data
