@@ -775,6 +775,21 @@ def q_fingerprint(sf_dir: str):
         f, batch_format="pandas")
 
 
+def q_image_features(sf_dir: str):
+    """Multimodal decode → per-image features over the image fixture
+    (PNG decode is real; jpeg/webp are the deterministic fake-lossy
+    stubs — functions/image_codec.py). Actor pool, small batches."""
+    import ray.data
+
+    from .fixtures import ensure_images_parquet, scale_for_sf_dir
+    from .stages.multimodal import ImageFeatures
+
+    images = ensure_images_parquet(scale_for_sf_dir(sf_dir))
+    ds = ray.data.read_parquet(images, columns=["image_id", "bytes", "fmt"])
+    return ds.map_batches(ImageFeatures, batch_format="pyarrow",
+                          batch_size=512, concurrency=2)
+
+
 def q_knn_images(sf_dir: str):
     """kNN over the image fixture: 100 probe images against the full
     set, via the cell index (exact)."""
@@ -833,6 +848,7 @@ QUERIES = {
     "langid": q_langid,
     "fingerprint": q_fingerprint,
     "knn_images": q_knn_images,
+    "image_features": q_image_features,
 }
 
 ORACLE_SQL = {

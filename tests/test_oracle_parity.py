@@ -83,6 +83,7 @@ def test_sql_parity(name, entries):
 @pytest.mark.parametrize("name", [
     "flagship_tiles", "osmfilter_docs", "exact_dedup_images",
     "minhash_dedup", "simhash", "langid", "fingerprint", "knn_images",
+    "image_features",
 ])
 def test_rows_only_queries_run(name, entries):
     qs, _ = entries
