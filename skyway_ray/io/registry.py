@@ -22,7 +22,7 @@ def infer_format(path: str, explicit: str | None = None) -> str:
         f = os.path.splitext(path)[1].lstrip(".").lower()
     aliases = {"osm": "xml", "overpass": "json"}
     f = aliases.get(f, f)
-    if f not in ("json", "opl", "xml", "pbf", "parquet", "lance"):
+    if f not in ("json", "opl", "xml", "pbf", "o5m", "parquet", "lance"):
         raise ValueError(f"unrecognized format {f!r} for {path!r}")
     return f
 
@@ -49,6 +49,9 @@ def read_elements(path: str, fmt: str | None = None):
     if f == "pbf":
         from .osm_pbf import read_pbf
         return read_pbf(path)
+    if f == "o5m":
+        from .o5m_io import read_o5m
+        return read_o5m(path)
     raise NotImplementedError(f"no reader for {f!r}")
 
 
@@ -73,8 +76,11 @@ def write_elements(ds, path: str, fmt: str | None = None,
     if f == "pbf":
         from .osm_pbf import write_pbf
         return write_pbf(ds, path)
+    if f == "o5m":
+        from .o5m_io import write_o5m
+        return write_o5m(ds, path)
     raise NotImplementedError(f"no writer for {f!r}")
 
 
-READERS = ("json", "opl", "xml", "pbf", "parquet", "lance")
-WRITERS = ("json", "overpass-json", "opl", "xml", "pbf", "parquet", "lance")
+READERS = ("json", "opl", "xml", "pbf", "o5m", "parquet", "lance")
+WRITERS = ("json", "overpass-json", "opl", "xml", "pbf", "o5m", "parquet", "lance")
