@@ -156,6 +156,34 @@ class TestRayIO:
         t2 = pa.concat_tables([ray.get(r) for r in ds2.to_arrow_refs()])
         assert sorted(_norm_rows(t)) == sorted(_norm_rows(t2))
 
+    def test_cross_format_matrix(self, ray_session, tmp_path):
+        """The same element set survives every format chain: the
+        reference corpus converted json→{opl,xml,pbf,o5m}→back keeps
+        the identical (type, id) set and tag dicts."""
+        import ray
+        from skyway_ray.io.registry import read_elements, write_elements
+
+        src, _ = read_elements(EXAMPLE_JSON, "json")
+        base = pa.concat_tables([ray.get(r) for r in src.to_arrow_refs()])
+
+        def key_set(t):
+            out = {}
+            for r in t.to_pylist():
+                tags = tuple(sorted(
+                    (kv["key"], kv["value"]) for kv in (r["tags"] or [])))
+                out[(r["type"], r["id"])] = tags
+            return out
+
+        want = key_set(base)
+        for fmt, name in (("opl", "m.opl"), ("xml", "m.osm"),
+                          ("pbf", "m.osm.pbf"), ("o5m", "m.o5m")):
+            path = str(tmp_path / name)
+            src2, _ = read_elements(EXAMPLE_JSON, "json")
+            write_elements(src2, path, fmt)
+            back, _ = read_elements(path, fmt)
+            t2 = pa.concat_tables([ray.get(r) for r in back.to_arrow_refs()])
+            assert key_set(t2) == want, fmt
+
     def test_example_json_through_filter_to_opl(self, ray_session, tmp_path):
         """Reference corpus end-to-end: read example.json → docs filter →
         write OPL."""
