@@ -109,18 +109,40 @@ class BinaryStats:
 
 
 class AudioFeatures:
-    """STUB — no audio codec is available in this container.  The actor
-    signature, schema, and batch plumbing mirror ImageFeatures; decode
-    raises ``NotImplementedError`` (swap in soundfile/librosa on a real
-    cluster)."""
+    """Audio decode → features.  REAL for PCM WAV (own pure-struct
+    codec, functions/audio_codec.py): duration, RMS, peak, channels.
+    Compressed formats (mp3/ogg/flac) raise ``NotImplementedError`` —
+    swap in soundfile/librosa on a real cluster."""
 
     def __init__(self, bytes_col: str = "bytes", id_col: str = "audio_id"):
         self.bytes_col = bytes_col
         self.id_col = id_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        raise NotImplementedError(
-            "audio decode is STUBBED: no audio library in this environment")
+        import numpy as np
+
+        from ..functions.audio_codec import decode_wav
+
+        blobs = batch[self.bytes_col].to_pylist()
+        n = len(blobs)
+        dur = np.empty(n)
+        rms = np.empty(n)
+        peak = np.empty(n)
+        ch = np.empty(n, dtype=np.int32)
+        for i, b in enumerate(blobs):
+            samples, sr = decode_wav(b)
+            x = samples.astype(np.float64) / 32768.0
+            dur[i] = len(samples) / sr
+            rms[i] = float(np.sqrt(np.mean(x ** 2))) if len(x) else 0.0
+            peak[i] = float(np.abs(x).max()) if len(x) else 0.0
+            ch[i] = samples.shape[1]
+        return pa.table({
+            self.id_col: batch[self.id_col],
+            "duration_sec": pa.array(dur, pa.float64()),
+            "rms": pa.array(rms, pa.float64()),
+            "peak": pa.array(peak, pa.float64()),
+            "channels": pa.array(ch, pa.int32()),
+        })
 
 
 class VideoFrameSample:

@@ -38,12 +38,26 @@ class TestMultimodal:
         out = BinaryStats()(t).to_pandas()
         assert (out["n_bytes"] > 0).all()
 
-    def test_audio_video_stubs(self):
-        t = make_images(2).rename_columns(
-            ["audio_id", "bytes", "w", "h", "fmt", "caption", "phash"])
+    def test_audio_wav_real(self):
+        from skyway_ray.functions.audio_codec import decode_wav, encode_wav
+
+        t = 2.0 * np.pi * 440.0 * np.arange(16000) / 16000.0
+        tone = (np.sin(t) * 20000).astype(np.int16)
+        wav = encode_wav(tone, 16000)
+        back, sr = decode_wav(wav)
+        assert sr == 16000 and (back[:, 0] == tone).all()
+        batch = pa.table({"audio_id": ["a1"], "bytes": pa.array([wav], pa.binary())})
+        out = AudioFeatures()(batch).to_pandas()
+        assert abs(out["duration_sec"][0] - 1.0) < 1e-9
+        assert 0.4 < out["rms"][0] < 0.5  # sine RMS = peak/sqrt(2) ~ 0.43
+        assert out["channels"][0] == 1
+
+    def test_audio_compressed_stub_and_video_stub(self):
+        batch = pa.table({"audio_id": ["a1"],
+                          "bytes": pa.array([b"ID3\x03fakemp3data"], pa.binary())})
         with pytest.raises(NotImplementedError):
-            AudioFeatures()(t)
-        t2 = t.rename_columns(
+            AudioFeatures()(batch)
+        t2 = make_images(2).rename_columns(
             ["video_id", "bytes", "w", "h", "fmt", "caption", "phash"])
         with pytest.raises(NotImplementedError):
             VideoFrameSample()(t2)
