@@ -603,6 +603,25 @@ def q_union_all_sql() -> str:
             "UNION ALL SELECT event_id, value FROM events WHERE value <= 50.0")
 
 
+def q_hash_sample(sf_dir: str):
+    """Deterministic 10% hash sample — stable across runs, block
+    layouts, and cluster sizes (unlike seeded random_sample, whose
+    draw depends on block structure); the SQL mirror is exact."""
+
+    def samp(batch: pa.Table) -> pa.Table:
+        k = batch["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = ((k * 2654435761) % 4294967296) % 100 < 10
+        return batch.filter(pa.array(keep))
+
+    return _read(sf_dir, "events", ["event_id", "event_type"]).map_batches(
+        samp, batch_format="pyarrow")
+
+
+def q_hash_sample_sql() -> str:
+    return ("SELECT event_id, event_type FROM events "
+            "WHERE ((event_id * 2654435761) % 4294967296) % 100 < 10")
+
+
 def q_tile_polygons(sf_dir: str):
     """Raster→vector: distinct z=6 tiles of the event points, converted
     back to lon/lat bounding boxes (tile polygonization)."""
@@ -839,6 +858,7 @@ QUERIES = {
     "tile_polygons": q_tile_polygons,
     "session_windows": q_session_windows,
     "union_all": q_union_all,
+    "hash_sample": q_hash_sample,
     # rows-only (non-SQL-expressible)
     "flagship_tiles": q_flagship_tiles,
     "osmfilter_docs": q_osmfilter_docs,
@@ -873,4 +893,5 @@ ORACLE_SQL = {
     "tile_polygons": q_tile_polygons_sql(),
     "session_windows": q_session_windows_sql(),
     "union_all": q_union_all_sql(),
+    "hash_sample": q_hash_sample_sql(),
 }

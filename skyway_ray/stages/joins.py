@@ -63,6 +63,28 @@ def broadcast_semi_join(ds, keys, on: str, anti: bool = False):
     return ds.map_batches(filt, batch_format="pyarrow")
 
 
+def bloom_semi_join(ds, keys, on: str, bits_per_key: int = 10):
+    """Approximate semi join for key sets too large to broadcast
+    exactly: ~1% false-positive over-keep, zero false drops. Chain an
+    exact filter on the (much smaller) survivor set when exactness is
+    required."""
+    import ray
+
+    from ..functions.bloom import BloomFilter
+
+    keys = np.asarray(keys)
+    bf = BloomFilter(len(keys), bits_per_key=bits_per_key)
+    bf.add(keys)
+    ref = ray.put(bf)
+
+    def filt(batch: pa.Table) -> pa.Table:
+        f = _cached(ref)
+        vals = batch[on].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(f.contains(vals)))
+
+    return ds.map_batches(filt, batch_format="pyarrow")
+
+
 def asof_join_broadcast(ds, right: pd.DataFrame, key: str, ts: str,
                         right_key: str, right_ts: str, right_cols: list[str],
                         direction: str = "backward"):

@@ -257,3 +257,22 @@ class TestRayStages:
         # each probe's rank-1 neighbor is itself (dist 0)
         r1 = out[out["rank"] == 1]
         assert (r1["probe_id"] == r1["neighbor_id"]).all()
+
+
+class TestBloomSemiJoin:
+    def test_no_false_drops(self, ray_session):
+        import ray.data
+        from skyway_ray.stages.joins import bloom_semi_join, broadcast_semi_join
+
+        rng = np.random.default_rng(4)
+        vals = rng.integers(0, 1_000_000, 20_000)
+        keys = rng.choice(vals, 500, replace=False)
+        ds = ray.data.from_arrow(pa.table({"k": vals})).repartition(4)
+        exact = set(broadcast_semi_join(ds, keys, on="k").to_pandas()["k"])
+        approx = set(bloom_semi_join(
+            ray.data.from_arrow(pa.table({"k": vals})).repartition(4),
+            keys, on="k").to_pandas()["k"])
+        assert exact <= approx                       # zero false drops
+        non_keys = len(set(vals.tolist()) - exact)
+        fp_rate = len(approx - exact) / max(1, non_keys)
+        assert fp_rate < 0.03                        # ~1% theoretical FP
