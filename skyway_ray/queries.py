@@ -603,6 +603,26 @@ def q_union_all_sql() -> str:
             "UNION ALL SELECT event_id, value FROM events WHERE value <= 50.0")
 
 
+def q_lineitem_stats(sf_dir: str):
+    """TPC-H Q1-shaped grouped aggregate (count/min/max only — those
+    are order-independent over doubles, unlike sums, so the result
+    hash-matches across any distributed execution order)."""
+    from ray.data.aggregate import Count, Max, Min
+
+    return _read(sf_dir, "lineitem",
+                 ["l_returnflag", "l_linestatus", "l_quantity"]).groupby(
+        ["l_returnflag", "l_linestatus"]).aggregate(
+        Count(alias_name="n_items"),
+        Min("l_quantity", alias_name="min_qty"),
+        Max("l_quantity", alias_name="max_qty"))
+
+
+def q_lineitem_stats_sql() -> str:
+    return ("SELECT l_returnflag, l_linestatus, count(*) AS n_items, "
+            "min(l_quantity) AS min_qty, max(l_quantity) AS max_qty "
+            "FROM lineitem GROUP BY 1, 2")
+
+
 def q_hash_sample(sf_dir: str):
     """Deterministic 10% hash sample — stable across runs, block
     layouts, and cluster sizes (unlike seeded random_sample, whose
@@ -859,6 +879,7 @@ QUERIES = {
     "session_windows": q_session_windows,
     "union_all": q_union_all,
     "hash_sample": q_hash_sample,
+    "lineitem_stats": q_lineitem_stats,
     # rows-only (non-SQL-expressible)
     "flagship_tiles": q_flagship_tiles,
     "osmfilter_docs": q_osmfilter_docs,
@@ -894,4 +915,5 @@ ORACLE_SQL = {
     "session_windows": q_session_windows_sql(),
     "union_all": q_union_all_sql(),
     "hash_sample": q_hash_sample_sql(),
+    "lineitem_stats": q_lineitem_stats_sql(),
 }

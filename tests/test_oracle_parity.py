@@ -62,7 +62,7 @@ def test_entry_smoke(ray_session):
     "topk_events", "token_count", "quality", "knn", "pip_join_boxes",
     "ann_cosine", "cell_stats", "orders_per_nation", "semi_join_events",
     "window_counts", "asof_join", "distinct_types", "tile_polygons",
-    "session_windows", "union_all", "hash_sample",
+    "session_windows", "union_all", "hash_sample", "lineitem_stats",
 ])
 def test_sql_parity(name, entries):
     qs, oracles = entries
