@@ -96,10 +96,29 @@ def decode_message(data: bytes) -> dict[int, list]:
 
 
 def decode_packed_varints(data: bytes, zigzag: bool = False) -> np.ndarray:
-    out = []
-    pos = 0
-    n = len(data)
-    while pos < n:
-        v, pos = decode_varint(data, pos)
-        out.append(zigzag_decode(v) if zigzag else v)
-    return np.asarray(out, dtype=np.int64)
+    """Vectorized packed-varint decode: one numpy pass over the bytes
+    (terminator bytes have the high bit clear; each value is the
+    base-128 sum of its 7-bit groups).  Exact for full 64-bit values
+    (``np.add.at`` on uint64 — no float round-trip)."""
+    buf = np.frombuffer(data, dtype=np.uint8)
+    n = len(buf)
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    term = (buf & 0x80) == 0
+    # group id per byte: 0-based running count of terminators BEFORE it
+    gid = np.zeros(n, dtype=np.int64)
+    np.cumsum(term[:-1], out=gid[1:])
+    n_groups = int(gid[-1]) + 1
+    # byte position within its group
+    starts = np.flatnonzero(np.concatenate([[True], term[:-1]]))
+    wpos = np.arange(n, dtype=np.int64) - starts[gid]
+    vals = np.zeros(n_groups, dtype=np.uint64)
+    np.add.at(vals, gid,
+              (buf & np.uint8(0x7F)).astype(np.uint64)
+              << (np.uint64(7) * wpos.astype(np.uint64)))
+    if zigzag:
+        out = (vals >> np.uint64(1)).view(np.int64)
+        neg = (vals & np.uint64(1)).astype(bool)
+        out = np.where(neg, -out - 1, out)
+        return out.astype(np.int64)
+    return vals.view(np.int64)

@@ -38,6 +38,60 @@ class TestPngProperty:
         assert (decode_png(encode_png(img)) == img).all()
 
 
+class TestPackedVarintProperty:
+    @settings(max_examples=200, deadline=None)
+    @given(st.lists(st.integers(0, 2**64 - 1), max_size=30),
+           st.booleans())
+    def test_vectorized_matches_scalar(self, values, zz):
+        from skyway_ray.functions.pbf_wire import (
+            decode_packed_varints, decode_varint, encode_varint,
+            zigzag_decode, zigzag_encode,
+        )
+
+        if zz:  # treat inputs as signed via zigzag space
+            values = [v - 2**63 for v in values]
+            body = b"".join(encode_varint(zigzag_encode(v)) for v in values)
+        else:
+            body = b"".join(encode_varint(v) for v in values)
+        got = decode_packed_varints(body, zigzag=zz)
+        # scalar reference
+        want = []
+        pos = 0
+        while pos < len(body):
+            u, pos = decode_varint(body, pos)
+            want.append(zigzag_decode(u) if zz
+                        else (u - 2**64 if u >= 2**63 else u))
+        assert [int(v) for v in got] == want
+
+
+class TestPbfBlockProperty:
+    @settings(max_examples=40, deadline=None)
+    @given(st.lists(st.integers(0, 2**31), min_size=1, max_size=20),
+           st.integers(0, 2**31 - 1))
+    def test_dense_node_block_roundtrip(self, raw_ids, seed):
+        import numpy as np
+
+        from skyway_ray.io.osm_pbf import (
+            _encode_primitive_block, decode_primitive_block)
+
+        rng = np.random.default_rng(seed)
+        ids = sorted(set(raw_ids))
+        rows = [{"type": "node", "id": i,
+                 "lat": float(rng.uniform(-85, 85)),
+                 "lon": float(rng.uniform(-180, 180)),
+                 "nodes": None, "members": None,
+                 "tags": [{"key": "k", "value": str(i)}],
+                 "changeset": None, "uid": None, "user": None,
+                 "version": 1, "timestamp": None, "visible": None}
+                for i in ids]
+        out = decode_primitive_block(_encode_primitive_block(rows))
+        assert out["id"].to_pylist() == ids
+        for r_in, r_out in zip(rows, out.to_pylist()):
+            assert abs(r_in["lat"] - r_out["lat"]) < 1e-7 + 1e-9
+            assert abs(r_in["lon"] - r_out["lon"]) < 1e-7 + 1e-9
+            assert r_out["tags"][0]["value"] == str(r_in["id"])
+
+
 ids = st.integers(min_value=1, max_value=2**62)
 tag_kv = st.tuples(texts.filter(bool), texts)
 
