@@ -105,17 +105,14 @@ def decode_packed_varints(data: bytes, zigzag: bool = False) -> np.ndarray:
     if n == 0:
         return np.empty(0, dtype=np.int64)
     term = (buf & 0x80) == 0
-    # group id per byte: 0-based running count of terminators BEFORE it
-    gid = np.zeros(n, dtype=np.int64)
-    np.cumsum(term[:-1], out=gid[1:])
-    n_groups = int(gid[-1]) + 1
-    # byte position within its group
+    # values occupy contiguous byte ranges; group starts follow each
+    # terminator, so a reduceat sums each group's 7-bit contributions
     starts = np.flatnonzero(np.concatenate([[True], term[:-1]]))
-    wpos = np.arange(n, dtype=np.int64) - starts[gid]
-    vals = np.zeros(n_groups, dtype=np.uint64)
-    np.add.at(vals, gid,
-              (buf & np.uint8(0x7F)).astype(np.uint64)
-              << (np.uint64(7) * wpos.astype(np.uint64)))
+    counts = np.diff(np.append(starts, n))
+    wpos = (np.arange(n, dtype=np.uint64)
+            - np.repeat(starts.astype(np.uint64), counts))
+    contrib = (buf & np.uint8(0x7F)).astype(np.uint64) << (np.uint64(7) * wpos)
+    vals = np.add.reduceat(contrib, starts)
     if zigzag:
         out = (vals >> np.uint64(1)).view(np.int64)
         neg = (vals & np.uint64(1)).astype(bool)
