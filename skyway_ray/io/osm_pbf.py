@@ -254,6 +254,7 @@ def decode_primitive_block(payload: bytes) -> pa.Table:
         return out
 
     _TYPE_NAME = {0: "node", 1: "way", 2: "relation"}
+    dense_parts: list[pa.Table] = []
     for group_bytes in blk.get(2, []):
         grp = decode_message(group_bytes)
         for dense_bytes in grp.get(2, []):        # DenseNodes
@@ -274,28 +275,70 @@ def decode_primitive_block(payload: bytes) -> pa.Table:
                     "user_sid": np.cumsum(decode_packed_varints(di[5][0], zigzag=True)) if 5 in di else None,
                     "visible": decode_packed_varints(di[6][0]) if 6 in di else None,
                 }
-            kv_pos = 0
-            for i in range(len(ids)):
-                tags = []
-                while kv_pos < len(kv) and kv[kv_pos] != 0:
-                    tags.append({"key": st[kv[kv_pos]],
-                                 "value": st[kv[kv_pos + 1]]})
-                    kv_pos += 2
-                kv_pos += 1
-                info = {}
-                if dinfo:
-                    if dinfo["version"] is not None:
-                        info["version"] = int(dinfo["version"][i])
-                    if dinfo["changeset"] is not None:
-                        info["changeset"] = int(dinfo["changeset"][i])
-                    if dinfo["uid"] is not None:
-                        info["uid"] = int(dinfo["uid"][i])
-                    if dinfo["user_sid"] is not None and dinfo["user_sid"][i]:
-                        info["user"] = st[int(dinfo["user_sid"][i])]
-                    if dinfo["visible"] is not None:
-                        info["visible"] = bool(dinfo["visible"][i])
-                put("node", ids[i], lat=float(lat_deg[i]),
-                    lon=float(lon_deg[i]), tags=tags, info=info)
+            # vectorized tag assembly: keys_vals is k,v,…,0 per node —
+            # pair split is valid globally (even count per node) and a
+            # numpy string-table gather replaces the per-tag lookups
+            nn = len(ids)
+            st_arr = np.asarray(st, dtype=object)
+            if len(kv):
+                zeros = np.flatnonzero(kv == 0)
+                seg_starts = np.concatenate([[0], zeros[:-1] + 1])
+                n_tags = ((zeros - seg_starts) // 2).astype(np.int64)
+                flat = kv[kv != 0]
+                keys = st_arr[flat[0::2]]
+                values = st_arr[flat[1::2]]
+            else:
+                n_tags = np.zeros(nn, dtype=np.int64)
+                keys = values = np.empty(0, dtype=object)
+            offsets = np.zeros(nn + 1, dtype=np.int32)
+            np.cumsum(n_tags, out=offsets[1:])
+            tags_arr = pa.ListArray.from_arrays(
+                pa.array(offsets, pa.int32()),
+                pa.StructArray.from_arrays(
+                    [pa.array(keys, pa.string()), pa.array(values, pa.string())],
+                    names=["key", "value"]))
+
+            def opt(arr, cast=pa.int64()):
+                if arr is None:
+                    return pa.nulls(nn, cast)
+                return pa.array(np.asarray(arr), cast)
+
+            if dinfo:
+                user_sid = dinfo.get("user_sid")
+                if user_sid is not None:
+                    users = np.where(user_sid > 0, st_arr[user_sid], None)
+                    user_arr = pa.array(users, pa.string())
+                else:
+                    user_arr = pa.nulls(nn, pa.string())
+                visible = dinfo.get("visible")
+                visible_arr = (pa.array(np.asarray(visible, dtype=bool))
+                               if visible is not None
+                               else pa.nulls(nn, pa.bool_()))
+                version_arr = opt(dinfo.get("version"), pa.int32())
+                changeset_arr = opt(dinfo.get("changeset"))
+                uid_arr = opt(dinfo.get("uid"), pa.int32())
+            else:
+                user_arr = pa.nulls(nn, pa.string())
+                visible_arr = pa.nulls(nn, pa.bool_())
+                version_arr = pa.nulls(nn, pa.int32())
+                changeset_arr = pa.nulls(nn, pa.int64())
+                uid_arr = pa.nulls(nn, pa.int32())
+            part = pa.Table.from_arrays([
+                pa.array(["node"] * nn, pa.string()),
+                pa.array(ids, pa.int64()),
+                pa.array(lat_deg, pa.float64()),
+                pa.array(lon_deg, pa.float64()),
+                pa.nulls(nn, pa.list_(pa.int64())),
+                pa.nulls(nn, OSM_ELEMENT_SCHEMA.field("members").type),
+                tags_arr,
+                changeset_arr,
+                uid_arr,
+                user_arr,
+                version_arr,
+                pa.nulls(nn, pa.string()),   # timestamp not carried
+                visible_arr,
+            ], schema=OSM_ELEMENT_SCHEMA)
+            dense_parts.append(part)
         for node_bytes in grp.get(1, []):          # plain Nodes
             m = decode_message(node_bytes)
             tags = [{"key": st[k], "value": st[v]}
@@ -330,7 +373,11 @@ def decode_primitive_block(payload: bytes) -> pa.Table:
                 info=parse_info(m[4][0]) if 4 in m else None)
 
     arrays = [pa.array(cols[f.name], f.type) for f in OSM_ELEMENT_SCHEMA]
-    return pa.Table.from_arrays(arrays, schema=OSM_ELEMENT_SCHEMA)
+    rest = pa.Table.from_arrays(arrays, schema=OSM_ELEMENT_SCHEMA)
+    parts = dense_parts + ([rest] if rest.num_rows else [])
+    if not parts:
+        return OSM_ELEMENT_SCHEMA.empty_table()
+    return pa.concat_tables(parts) if len(parts) > 1 else parts[0]
 
 
 def read_pbf(path: str):
