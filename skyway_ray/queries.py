@@ -457,6 +457,26 @@ def q_semi_join_events_sql() -> str:
             "(SELECT c_custkey FROM customer WHERE c_acctbal > 5000.0)")
 
 
+def q_anti_join_events(sf_dir: str):
+    """Broadcast anti join: events whose user is NOT a high-balance
+    customer (the DROP-selector analogue over a foreign key)."""
+    import pyarrow.parquet as pq
+
+    from .stages.joins import broadcast_semi_join
+
+    cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
+                         columns=["c_custkey", "c_acctbal"])
+    keys = cust.filter(pa.compute.greater(cust["c_acctbal"], 5000.0))[
+        "c_custkey"].to_numpy(zero_copy_only=False)
+    ev = _read(sf_dir, "events", ["event_id", "user_id"])
+    return broadcast_semi_join(ev, keys, on="user_id", anti=True)
+
+
+def q_anti_join_events_sql() -> str:
+    return ("SELECT event_id, user_id FROM events WHERE user_id NOT IN "
+            "(SELECT c_custkey FROM customer WHERE c_acctbal > 5000.0)")
+
+
 def q_window_counts(sf_dir: str):
     """Tumbling 1-hour window counts per user (stream-shaped op:
     event-time bucketing; see ray_guide 'Streaming-shaped')."""
@@ -872,6 +892,7 @@ QUERIES = {
     "cell_stats": q_cell_stats,
     "orders_per_nation": q_orders_per_nation,
     "semi_join_events": q_semi_join_events,
+    "anti_join_events": q_anti_join_events,
     "window_counts": q_window_counts,
     "asof_join": q_asof_join,
     "distinct_types": q_distinct_types,
@@ -908,6 +929,7 @@ ORACLE_SQL = {
     "cell_stats": q_cell_stats_sql(),
     "orders_per_nation": q_orders_per_nation_sql(),
     "semi_join_events": q_semi_join_events_sql(),
+    "anti_join_events": q_anti_join_events_sql(),
     "window_counts": q_window_counts_sql(),
     "asof_join": q_asof_join_sql(),
     "distinct_types": q_distinct_types_sql(),

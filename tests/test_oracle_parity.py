@@ -61,6 +61,7 @@ def test_entry_smoke(ray_session):
     "geotag", "cells", "tiles", "tile_stats", "events_by_type", "dedup_docs",
     "topk_events", "token_count", "quality", "knn", "pip_join_boxes",
     "ann_cosine", "cell_stats", "orders_per_nation", "semi_join_events",
+    "anti_join_events",
     "window_counts", "asof_join", "distinct_types", "tile_polygons",
     "session_windows", "union_all", "hash_sample", "lineitem_stats",
 ])
