@@ -595,11 +595,13 @@ def q_session_windows_sql() -> str:
     return (
         "WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us "
         "FROM events), "
-        "flagged AS (SELECT user_id, ts_us, CASE WHEN ts_us - lag(ts_us) "
+        "flagged AS (SELECT user_id, ts_us, event_id, CASE WHEN ts_us - "
+        "lag(ts_us) "
         "OVER (PARTITION BY user_id ORDER BY ts_us, event_id) > 3600000000 "
         "THEN 1 ELSE 0 END AS new_sess FROM e), "
-        "numbered AS (SELECT user_id, sum(new_sess) OVER (PARTITION BY "
-        "user_id ORDER BY ts_us ROWS UNBOUNDED PRECEDING) AS session_id "
+        "numbered AS (SELECT user_id, cast(sum(new_sess) OVER (PARTITION BY "
+        "user_id ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING) "
+        "AS bigint) AS session_id "
         "FROM flagged) "
         "SELECT user_id, session_id, count(*) AS n_events FROM numbered "
         "GROUP BY 1, 2"
