@@ -24,9 +24,10 @@ class BloomFilter:
         self.bits = np.zeros((self.m + 63) // 64, dtype=np.uint64)
 
     def _positions(self, keys: np.ndarray) -> np.ndarray:
-        x = keys.astype(np.uint64).astype(object)[:, None]
-        h = (x * self.a.astype(object) + self.b.astype(object)) % _P
-        return np.asarray(h % self.m, dtype=np.uint64)  # (n, k)
+        from .mersenne import universal_hash
+
+        x = keys.astype(np.uint64)[:, None]
+        return universal_hash(x, self.a, self.b) % np.uint64(self.m)  # (n, k)
 
     def add(self, keys) -> None:
         pos = self._positions(np.asarray(keys)).ravel()
