@@ -26,22 +26,30 @@ from ..io.registry import read_elements, write_elements
 
 def convert(input_path: str, output_path: str, input_format: str | None = None,
             output_format: str | None = None, filters: list[str] | None = None,
-            overpass: bool = False) -> int:
+            overpass: bool = False, single_part: bool = False) -> int:
     """Run the convert pipeline; returns rows written (or -1 for sinks
-    that don't count)."""
+    that don't count).  ``single_part`` coalesces to one block before
+    the sink (order-preserving) — used for stdout piping, where part
+    files would interleave element order."""
     result = read_elements(input_path, input_format)
     ds, metadata = result if isinstance(result, tuple) else (result, {})
     for source in filters or []:
         f = create_filter(source)
         ds = ds.map_batches(f.apply_table, batch_format="pyarrow")
+    if single_part:
+        ds = ds.repartition(1)
     return write_elements(ds, output_path, output_format, metadata,
                           overpass=overpass)
 
 
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("input")
-    p.add_argument("output")
+    p.add_argument("input", nargs="?", default="-",
+                   help="input path, or '-'/omitted for stdin "
+                        "(requires --from)")
+    p.add_argument("output", nargs="?", default="-",
+                   help="output path, or '-'/omitted for stdout "
+                        "(requires --to)")
     p.add_argument("--from", dest="input_format", default=None)
     p.add_argument("--to", dest="output_format", default=None)
     p.add_argument("--filter", dest="filters", action="append", default=[],
@@ -56,20 +64,61 @@ def main(argv=None) -> int:
     if not ray.is_initialized():
         ray.init(address="local", include_dashboard=False,
                  ignore_reinit_error=True, logging_level="ERROR")
+    # stdin/stdout piping, mirroring the reference's open_or_stdin
+    # (src/readers/mod.rs:60-68) and stdout default (src/main.rs:176-184):
+    # stdin spools to a temp file (readers are distributed and need a
+    # path); stdout streams the written part files in name order.
+    import shutil
+    import tempfile
+
+    tmp_root = None
+    inp, outp = args.input, args.output
     try:
+        if inp == "-" or outp == "-":
+            tmp_root = tempfile.mkdtemp(prefix="skyway_pipe_")
+        if inp == "-":
+            if not args.input_format:
+                print("error: --from FORMAT is required when reading stdin",
+                      file=sys.stderr)
+                return 2
+            inp = f"{tmp_root}/stdin.{args.input_format}"
+            with open(inp, "wb") as f:
+                shutil.copyfileobj(sys.stdin.buffer, f)
+        if outp == "-":
+            if not args.output_format:
+                print("error: --to FORMAT is required when writing stdout",
+                      file=sys.stderr)
+                return 2
+            outp = f"{tmp_root}/stdout_{args.output_format}"
         sources = []
         for path in args.filters:
             with open(path, encoding="utf-8") as f:
                 sources.append(f.read())
-        n = convert(args.input, args.output, args.input_format,
-                    args.output_format, sources, overpass=args.overpass)
-    except (ValueError, FileNotFoundError, NotImplementedError) as e:
-        print(f"error: {e}", file=sys.stderr)
-        return 2
+        try:
+            n = convert(inp, outp, args.input_format,
+                        args.output_format, sources, overpass=args.overpass,
+                        single_part=(args.output == "-"))
+        except (ValueError, FileNotFoundError, NotImplementedError) as e:
+            print(f"error: {e}", file=sys.stderr)
+            return 2
+        finally:
+            ray.shutdown()
+        if args.output == "-":
+            import os
+
+            paths = ([outp] if os.path.isfile(outp) else
+                     [os.path.join(outp, name)
+                      for name in sorted(os.listdir(outp))])
+            for path in paths:
+                with open(path, "rb") as f:
+                    shutil.copyfileobj(f, sys.stdout.buffer)
+            sys.stdout.buffer.flush()
+        else:
+            print(f"wrote {n} elements to {args.output}")
+        return 0
     finally:
-        ray.shutdown()
-    print(f"wrote {n} elements to {args.output}")
-    return 0
+        if tmp_root:
+            shutil.rmtree(tmp_root, ignore_errors=True)
 
 
 if __name__ == "__main__":

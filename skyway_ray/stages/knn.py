@@ -155,31 +155,34 @@ class CellKnnIndex:
         nq = len(qlat)
         if qids is None:
             qids = np.arange(nq)
+        qids = np.asarray(qids)
         bulk_pts, bulk_d2, bulk_counts, resolved = self._bulk_disk1(
             qlat, qlon, k)
-        probe_ids, neigh, d2s, ranks = [], [], [], []
-        # emit bulk-resolved probes
-        offsets = np.concatenate([[0], np.cumsum(bulk_counts)])
-        for i in range(nq):
-            if resolved[i]:
-                s, e = offsets[i], offsets[i + 1]
-                m = e - s
-                probe_ids.extend([qids[i]] * m)
-                neigh.extend(self.ids[bulk_pts[s:e]].tolist())
-                d2s.extend(bulk_d2[s:e].tolist())
-                ranks.extend(range(1, m + 1))
-            else:
-                ids, d2 = self.query_one(float(qlat[i]), float(qlon[i]), k)
-                m = len(ids)
-                probe_ids.extend([qids[i]] * m)
-                neigh.extend(ids.tolist())
-                d2s.extend(d2.tolist())
-                ranks.extend(range(1, m + 1))
+        # bulk path: one np.repeat/boolean-mask emit for every resolved
+        # probe (rows are already grouped by probe, sorted by (d2, id))
+        probe_of_row = np.repeat(np.arange(nq), bulk_counts)
+        row_rank = (np.arange(len(bulk_pts))
+                    - np.repeat(np.concatenate([[0], np.cumsum(bulk_counts)])
+                                [:-1], bulk_counts))
+        mask = resolved[probe_of_row] if len(bulk_pts) else \
+            np.zeros(0, dtype=bool)
+        out_p = [qids[probe_of_row[mask]]]
+        out_n = [self.ids[bulk_pts[mask]]]
+        out_d = [bulk_d2[mask]]
+        out_r = [row_rank[mask] + 1]
+        # per-probe fallback only for the (rare) unresolved probes
+        for i in np.flatnonzero(~resolved):
+            ids, d2 = self.query_one(float(qlat[i]), float(qlon[i]), k)
+            m = len(ids)
+            out_p.append(np.repeat(qids[i], m))
+            out_n.append(ids)
+            out_d.append(d2)
+            out_r.append(np.arange(1, m + 1))
         return pa.table({
-            "probe_id": probe_ids,
-            "neighbor_id": neigh,
-            "dist2": pa.array(d2s, pa.float64()),
-            "rank": pa.array(ranks, pa.int64()),
+            "probe_id": pa.array(np.concatenate(out_p)),
+            "neighbor_id": pa.array(np.concatenate(out_n)),
+            "dist2": pa.array(np.concatenate(out_d), pa.float64()),
+            "rank": pa.array(np.concatenate(out_r), pa.int64()),
         })
 
 
@@ -303,23 +306,79 @@ class ShardedKnnStage:
                 break
         return cand_ids, best_d2
 
+    def _disk1_cands(self, center: int):
+        """Concatenated candidate arrays of the 3×3 coarse-cell disk
+        around ``center`` (shards themselves are process-cached)."""
+        ring = np.concatenate([[center], cell_ring(center, 1)])
+        parts = [self._shard(int(c)) for c in ring]
+        parts = [p for p in parts if p is not None]
+        if not parts:
+            return None
+        return {"lat": np.concatenate([p["lat"] for p in parts]),
+                "lon": np.concatenate([p["lon"] for p in parts]),
+                "ids": np.concatenate([p["ids"] for p in parts])}
+
     def __call__(self, batch: pa.Table) -> pa.Table:
+        """Probes grouped by coarse center cell; each group's disk-1
+        candidates are scored as one chunked distance matrix with a
+        vectorized top-k (argpartition + within-k lexsort).  A probe
+        falls back to exact per-probe ring expansion only when the
+        disk-1 kth distance exceeds the Chebyshev ring-1 bound."""
         qlat = batch[self.lat_col].to_numpy(zero_copy_only=False)
         qlon = batch[self.lon_col].to_numpy(zero_copy_only=False)
         qids = np.asarray(batch[self.id_col].to_pylist())
-        probe_ids, neigh, d2s, ranks = [], [], [], []
-        for i in range(len(qlat)):
+        k = self.k
+        out_p, out_n, out_d, out_r = [], [], [], []
+
+        def fallback(i: int):
             ids, d2 = self._query_one(float(qlat[i]), float(qlon[i]))
             m = len(ids)
-            probe_ids.extend([qids[i]] * m)
-            neigh.extend(ids.tolist())
-            d2s.extend(d2.tolist())
-            ranks.extend(range(1, m + 1))
+            out_p.append(np.repeat(qids[i], m))
+            out_n.append(ids)
+            out_d.append(d2)
+            out_r.append(np.arange(1, m + 1))
+
+        centers = cell_id(qlat, qlon, self.res)
+        uniq, inv = np.unique(centers, return_inverse=True)
+        for ci, c in enumerate(uniq):
+            sel = np.flatnonzero(inv == ci)
+            cand = self._disk1_cands(int(c))
+            if cand is None or len(cand["lat"]) < k:
+                for i in sel:
+                    fallback(i)
+                continue
+            for lo in range(0, len(sel), 512):  # bound the (probes, cand)
+                idx = sel[lo:lo + 512]          # distance matrix
+                d2 = ((cand["lat"][None, :] - qlat[idx][:, None]) ** 2
+                      + (cand["lon"][None, :] - qlon[idx][:, None]) ** 2)
+                part = np.argpartition(d2, k - 1, axis=1)[:, :k]
+                pd2 = np.take_along_axis(d2, part, axis=1)
+                pid = cand["ids"][part]
+                row = np.repeat(np.arange(len(idx)), k)
+                order = np.lexsort((pid.ravel(), pd2.ravel(), row))
+                pd2 = pd2.ravel()[order].reshape(len(idx), k)
+                pid = pid.ravel()[order].reshape(len(idx), k)
+                kth = pd2[:, -1]
+                # a tie AT the kth distance makes argpartition's pick
+                # ambiguous (exact semantics break ties by id) — route
+                # those probes through the exact fallback
+                n_le = (d2 <= kth[:, None]).sum(axis=1)
+                ok = (kth <= self.cell_h ** 2) & (n_le == k)  # ring-1 bound
+                n_ok = int(ok.sum())
+                if n_ok:
+                    out_p.append(np.repeat(qids[idx[ok]], k))
+                    out_n.append(pid[ok].ravel())
+                    out_d.append(pd2[ok].ravel())
+                    out_r.append(np.tile(np.arange(1, k + 1), n_ok))
+                for i in idx[~ok]:
+                    fallback(i)
+        cat = (lambda parts, dt=None: np.concatenate(parts)
+               if parts else np.empty(0, dtype=dt or np.float64))
         return pa.table({
-            "probe_id": probe_ids,
-            "neighbor_id": neigh,
-            "dist2": pa.array(d2s, pa.float64()),
-            "rank": pa.array(ranks, pa.int64()),
+            "probe_id": pa.array(cat(out_p, np.int64)),
+            "neighbor_id": pa.array(cat(out_n, np.int64)),
+            "dist2": pa.array(cat(out_d), pa.float64()),
+            "rank": pa.array(cat(out_r, np.int64), pa.int64()),
         })
 
 

@@ -1,23 +1,30 @@
-"""Hot-key salting for skewed shuffles (SURVEY.md §4 "Skew").
+"""Skew-proof grouped counting via partial-salting (SURVEY.md §4
+"Skew").
 
 Dense urban cells (the fixtures plant ~10% of rows in one region —
 FIXTURES.md) make a plain ``groupby(cell)`` ship one giant partition to
-one reducer.  Explicit handling, since Ray Data won't fix key skew:
+one reducer.  Explicit handling, since Ray Data won't fix key skew —
+but the detection pre-pass is unnecessary:
 
-1. :func:`find_hot_keys` — count keys on a cheap sample (or exactly on
-   the pre-aggregated combiner output) and flag keys above a threshold.
-2. :func:`add_salt_column` — add a ``_salt`` int8 column: a rotating
-   salt for hot keys, 0 for cold ones.  A separate column (not folded
-   into the key by arithmetic — cell ids use the high int64 bits, so
-   ``key * S`` would overflow).
-3. aggregate on ``(key, _salt)`` — hot keys now spread across ≤ S
-   reducers — then drop ``_salt`` and re-aggregate the ≤ S partials.
+1. combine per batch FIRST — after ``pyarrow.Table.group_by`` inside
+   ``map_batches``, every key has at most ONE partial row per block,
+   so the worst-case reducer input is already #blocks rows, not #rows;
+2. attach a deterministic per-batch ``_salt`` to the PARTIALS — the
+   hot key's #blocks partial rows now spread across ``num_salts``
+   reducers (each sees ≤ ceil(#blocks / num_salts) rows per key);
+3. aggregate on ``(key, _salt)``, then a tiny second aggregate merges
+   the ≤ num_salts rows per key.
 
-The two-phase re-aggregation is exact for decomposable aggregates
-(count/sum/min/max — the flagship tile stats use count).
+No hot-key counting pass, no sampled estimate, no driver-side key set
+— works for unbounded key spaces and is exact for decomposable
+aggregates (count/sum/min/max).  :func:`find_hot_keys` /
+:func:`add_salt_column` remain for callers that salt RAW rows (e.g.
+before a ``map_groups`` whose per-group work scales with row count).
 """
 
 from __future__ import annotations
+
+import zlib
 
 import numpy as np
 import pyarrow as pa
@@ -49,21 +56,31 @@ def add_salt_column(batch: pa.Table, key: str, hot_keys: set, num_salts: int,
 
 
 def salted_count(ds, key: str, num_salts: int = 16,
-                 hot_threshold: int = 100_000,
-                 sample_fraction: float = 0.01):
-    """groupby-count with two-phase salting: hot keys split across
-    ``num_salts`` reducers, then a tiny second aggregate merges the
-    partials. Returns Dataset (key, n) — equal to a plain groupby."""
-    from ray.data.aggregate import Sum
+                 hot_threshold: int | None = None,
+                 sample_fraction: float | None = None):
+    """groupby-count with partial-salting: per-batch combine, then a
+    deterministic per-batch salt routes each block's partials across
+    ``num_salts`` reducers, and a tiny second aggregate merges the ≤
+    num_salts partials per key.  Returns Dataset (key, n) — equal to a
+    plain groupby, with no hot-key detection pass.
 
-    hot = find_hot_keys(ds, key, hot_threshold, sample_fraction)
+    ``hot_threshold`` / ``sample_fraction`` are accepted for
+    backward compatibility and ignored (hotness no longer needs
+    detecting — partials are salted unconditionally)."""
+    from ray.data.aggregate import Sum
 
     def salt_and_combine(b: pa.Table) -> pa.Table:
         # combine within the batch before the shuffle: the groupby then
-        # moves ≤ |keys in batch| × |salts| partials instead of rows
-        b = add_salt_column(b, key, hot, num_salts)
-        g = b.group_by([key, "_salt"]).aggregate([(key, "count")])
-        return g.rename_columns([key, "_salt", "n_partial"])
+        # moves ≤ |keys in batch| partials instead of rows
+        g = b.group_by([key]).aggregate([(key, "count")])
+        g = g.rename_columns([key, "n_partial"])
+        # deterministic per-batch salt (content-derived, not random —
+        # results must not depend on scheduling; any value works, it
+        # only routes partials)
+        s = zlib.crc32(g[key].to_numpy(zero_copy_only=False)[:64]
+                       .tobytes()) % num_salts if g.num_rows else 0
+        return g.append_column(
+            "_salt", pa.array(np.full(g.num_rows, s, np.int8), pa.int8()))
 
     phase1 = (ds.map_batches(salt_and_combine, batch_format="pyarrow")
               .groupby([key, "_salt"])
