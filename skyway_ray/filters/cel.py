@@ -12,13 +12,19 @@ against a context of ``tags`` (map<string,string>), ``changeset``,
   comparing against an absent context field) drops that row with a
   warning (``cel/mod.rs:51-54``).
 
-This implementation parses a CEL subset (boolean ops ``&& || !``,
-comparisons, ``in``, map indexing ``tags["k"]``, string methods
-``startsWith / endsWith / contains / matches``, ``size()``, ``has()``
-macro, parentheses, int/string/bool literals) and evaluates it
-vectorized over the batch with an explicit per-row error mask — every
-node returns (values, err); errors propagate and erroring rows are
-dropped, matching the reference.
+This implementation parses the practical CEL surface the reference's
+docs exercise (boolean ops ``&& || !``, comparisons, arithmetic
+``+ - * / %`` with CEL's truncated int division and no silent
+int/double coercion, unary minus, ternary ``?:`` with branch-local
+error scoping, list literals with ``in`` membership, map-key ``in``
+over ``tags``, map indexing ``tags["k"]``, string methods
+``startsWith / endsWith / contains / matches``, string ``+`` concat,
+``size()``, ``has()`` macro, parentheses, int/float/string/bool
+literals) and evaluates it vectorized over the batch with an explicit
+per-row error mask — every node returns (values, err); errors
+propagate and erroring rows are dropped, matching the reference.
+
+Known deviation: int64 overflow wraps (numpy) instead of erroring.
 """
 
 from __future__ import annotations
@@ -31,9 +37,9 @@ import numpy as np
 _TOKEN_RE = re.compile(
     r"""\s*(?:
         (?P<string>"(?:\\.|[^"\\])*"|'(?:\\.|[^'\\])*')
-      | (?P<number>\d+)
+      | (?P<number>\d+\.\d+(?:[eE][+-]?\d+)?|\d+[eE][+-]?\d+|\d+)
       | (?P<ident>[A-Za-z_][A-Za-z0-9_]*)
-      | (?P<op>&&|\|\||[!<>=]=|[()\[\].,!<>])
+      | (?P<op>&&|\|\||[!<>=]=|[()\[\].,!<>?:+*/%-])
     )""",
     re.VERBOSE,
 )
@@ -69,7 +75,10 @@ def _tokenize(src: str):
             toks.append(_Tok("string", raw.replace('\\"', '"').replace("\\'", "'")
                              .replace("\\\\", "\\").replace("\\n", "\n").replace("\\t", "\t")))
         elif m.lastgroup == "number":
-            toks.append(_Tok("number", int(m.group("number"))))
+            raw = m.group("number")
+            toks.append(_Tok("number",
+                             float(raw) if ("." in raw or "e" in raw
+                                            or "E" in raw) else int(raw)))
         elif m.lastgroup == "ident":
             toks.append(_Tok("ident", m.group("ident")))
         else:
@@ -95,10 +104,34 @@ class _Index:     # tags["key"]
         self.key = key
 
 
-class _InMap:     # "key" in tags
+class _In:        # x in tags (map-key test) | x in [list]
     def __init__(self, key, base):
         self.key = key
         self.base = base
+
+
+class _Arith:     # + - * / %
+    def __init__(self, op, lhs, rhs):
+        self.op = op
+        self.lhs = lhs
+        self.rhs = rhs
+
+
+class _Neg:       # unary -
+    def __init__(self, inner):
+        self.inner = inner
+
+
+class _Ternary:   # cond ? a : b
+    def __init__(self, cond, then, other):
+        self.cond = cond
+        self.then = then
+        self.other = other
+
+
+class _List:      # [a, b, c]
+    def __init__(self, items):
+        self.items = items
 
 
 class _Has:       # has(tags.key)
@@ -155,10 +188,21 @@ class _Parser:
         return t
 
     def parse(self):
-        e = self.parse_or()
+        e = self.parse_ternary()
         if self.peek() is not None:
             raise CelParseError(f"trailing tokens at {self.peek()!r}")
         return e
+
+    def parse_ternary(self):
+        cond = self.parse_or()
+        t = self.peek()
+        if t and t.kind == "op" and t.value == "?":
+            self.next()
+            then = self.parse_ternary()
+            self.expect("op", ":")
+            other = self.parse_ternary()
+            return _Ternary(cond, then, other)
+        return cond
 
     def parse_or(self):
         lhs = self.parse_and()
@@ -175,14 +219,30 @@ class _Parser:
         return lhs
 
     def parse_cmp(self):
-        lhs = self.parse_unary()
+        lhs = self.parse_add()
         t = self.peek()
         if t and t.kind == "op" and t.value in ("==", "!=", "<", "<=", ">", ">="):
             self.next()
-            return _Cmp(t.value, lhs, self.parse_unary())
+            return _Cmp(t.value, lhs, self.parse_add())
         if t and t.kind == "ident" and t.value == "in":
             self.next()
-            return _InMap(lhs, self.parse_unary())
+            return _In(lhs, self.parse_add())
+        return lhs
+
+    def parse_add(self):
+        lhs = self.parse_mul()
+        while self.peek() and self.peek().kind == "op" and \
+                self.peek().value in ("+", "-"):
+            op = self.next().value
+            lhs = _Arith(op, lhs, self.parse_mul())
+        return lhs
+
+    def parse_mul(self):
+        lhs = self.parse_unary()
+        while self.peek() and self.peek().kind == "op" and \
+                self.peek().value in ("*", "/", "%"):
+            op = self.next().value
+            lhs = _Arith(op, lhs, self.parse_unary())
         return lhs
 
     def parse_unary(self):
@@ -190,6 +250,13 @@ class _Parser:
         if t and t.kind == "op" and t.value == "!":
             self.next()
             return _Not(self.parse_unary())
+        if t and t.kind == "op" and t.value == "-":
+            self.next()
+            inner = self.parse_unary()
+            if isinstance(inner, _Lit) and isinstance(inner.value, (int, float)) \
+                    and not isinstance(inner.value, bool):
+                return _Lit(-inner.value)
+            return _Neg(inner)
         return self.parse_postfix()
 
     def parse_postfix(self):
@@ -198,7 +265,7 @@ class _Parser:
             t = self.peek()
             if t and t.kind == "op" and t.value == "[":
                 self.next()
-                key = self.parse_or()
+                key = self.parse_ternary()
                 self.expect("op", "]")
                 e = _Index(e, key)
             elif t and t.kind == "op" and t.value == ".":
@@ -208,10 +275,10 @@ class _Parser:
                     self.next()
                     args = []
                     if not (self.peek().kind == "op" and self.peek().value == ")"):
-                        args.append(self.parse_or())
+                        args.append(self.parse_ternary())
                         while self.peek().kind == "op" and self.peek().value == ",":
                             self.next()
-                            args.append(self.parse_or())
+                            args.append(self.parse_ternary())
                     self.expect("op", ")")
                     e = _Method(e, name, args)
                 else:
@@ -233,7 +300,7 @@ class _Parser:
             if t.value in ("size", "has") and self.peek() and \
                     self.peek().kind == "op" and self.peek().value == "(":
                 self.next()
-                arg = self.parse_or()
+                arg = self.parse_ternary()
                 self.expect("op", ")")
                 if t.value == "size":
                     return _Method(arg, "size", [])
@@ -242,9 +309,20 @@ class _Parser:
                 raise CelParseError("has() needs a field selection like has(tags.key)")
             return _Var(t.value)
         if t.kind == "op" and t.value == "(":
-            e = self.parse_or()
+            e = self.parse_ternary()
             self.expect("op", ")")
             return e
+        if t.kind == "op" and t.value == "[":
+            items = []
+            if not (self.peek() and self.peek().kind == "op"
+                    and self.peek().value == "]"):
+                items.append(self.parse_ternary())
+                while self.peek() and self.peek().kind == "op" and \
+                        self.peek().value == ",":
+                    self.next()
+                    items.append(self.parse_ternary())
+            self.expect("op", "]")
+            return _List(items)
         raise CelParseError(f"unexpected token {t!r}")
 
 
@@ -268,6 +346,9 @@ class CelFilter:
 
     def evaluate_context(self, ctx: dict, n: int) -> np.ndarray:
         vals, err = self._eval(self.ast, ctx, n)
+        if isinstance(vals, str) or isinstance(vals, tuple):
+            raise CelParseError("expression must yield a boolean, not a "
+                                "map/list")
         vals = np.asarray(vals, dtype=object)
         bad_type = np.array([not isinstance(v, (bool, np.bool_)) for v in vals],
                             dtype=bool) & ~err
@@ -294,8 +375,12 @@ class CelFilter:
             return table
         tags = TagArray.from_arrow(table["tags"], n) if "tags" in table.column_names else TagArray.from_dicts([{}] * n)
         ctx = {"tags": tags}
-        for f in _CONTEXT_FIELDS:
-            if f in table.column_names:
+        # the reference's context is the fixed OSM field set
+        # (cel/mod.rs:16-44); exposing every column of the batch as an
+        # identifier is a strict superset that lets CEL filter
+        # arbitrary tables (identifier-shaped names only)
+        for f in table.column_names:
+            if f != "tags" and f.isidentifier():
                 ctx[f] = np.asarray(table[f].to_pylist(), dtype=object)
         keep = self.evaluate_context(ctx, n)
         return table.take(pa.array(np.flatnonzero(keep), pa.int64()))
@@ -337,10 +422,143 @@ class CelFilter:
         out[ok] = list(np.asarray(res, dtype=bool))
         return True
 
+    @staticmethod
+    def _map_has(tags, key, kerr, n):
+        """Per-row map-key membership: grouped by distinct key value so
+        the common constant-key case stays one vectorized ``has``."""
+        out = np.zeros(n, dtype=bool)
+        ok = ~kerr
+        for k in {key[i] for i in np.flatnonzero(ok)}:
+            rows = ok & (key == k)
+            out[rows] = tags.has(str(k))[rows]
+        return out.astype(object), kerr.copy()
+
+    @staticmethod
+    def _arith_fast(op, lv, rv, err, out) -> bool:
+        """Vectorized arithmetic when both sides are homogeneous ints,
+        homogeneous floats, or (for +) homogeneous strings on the
+        non-err rows; returns False to request the per-row fallback."""
+        ok = ~err
+        if not ok.any():
+            out[:] = None
+            return True
+        lt = {type(v) for v in lv[ok]}
+        rt = {type(v) for v in rv[ok]}
+        if bool in lt or bool in rt:
+            return False
+        if lt == {int} and rt == {int}:
+            a = lv[ok].astype(np.int64)
+            b = rv[ok].astype(np.int64)
+            if op in ("/", "%"):
+                if (b == 0).any():
+                    return False
+                q = np.abs(a) // np.abs(b)
+                q = np.where((a < 0) != (b < 0), -q, q)
+                res = q if op == "/" else a - q * b
+            elif op == "+":
+                res = a + b
+            elif op == "-":
+                res = a - b
+            else:
+                res = a * b
+            out[:] = None
+            out[ok] = [int(x) for x in res]
+            return True
+        if lt == {float} and rt == {float}:
+            if op == "%":
+                return False  # % undefined for doubles in CEL
+            a = lv[ok].astype(np.float64)
+            b = rv[ok].astype(np.float64)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                res = {"+": a + b, "-": a - b, "*": a * b,
+                       "/": a / b}[op]
+            out[:] = None
+            out[ok] = [float(x) for x in res]
+            return True
+        if op == "+" and lt == {str} and rt == {str}:
+            out[:] = None
+            out[ok] = [l + r for l, r in zip(lv[ok], rv[ok])]
+            return True
+        return False
+
+    @staticmethod
+    def _arith_rows(op, l, r):
+        """One row of CEL arithmetic; returns None for a runtime error.
+        CEL rules: no implicit int/double coercion; int / truncates
+        toward zero; % is C-style (sign of dividend); / and % by zero
+        error for ints; string + string concatenates."""
+        lb, rb = type(l) is bool, type(r) is bool
+        if lb or rb:
+            return None
+        if isinstance(l, str) and isinstance(r, str):
+            return l + r if op == "+" else None
+        if isinstance(l, str) or isinstance(r, str):
+            return None
+        if isinstance(l, float) != isinstance(r, float):
+            return None  # int op double is a CEL type error
+        if op == "+":
+            return l + r
+        if op == "-":
+            return l - r
+        if op == "*":
+            return l * r
+        if isinstance(l, float):
+            if op == "/":
+                return l / r if r != 0 else (float("inf") if l > 0 else
+                                             float("-inf") if l < 0 else
+                                             float("nan"))
+            return None  # % undefined for doubles in CEL
+        if r == 0:
+            return None
+        q = abs(l) // abs(r)
+        if (l < 0) != (r < 0):
+            q = -q
+        return q if op == "/" else l - q * r
+
     def _eval(self, node, ctx, n):
         no_err = np.zeros(n, dtype=bool)
         if isinstance(node, _Lit):
             return np.full(n, node.value, dtype=object), no_err
+        if isinstance(node, _List):
+            return ("__LIST__", [self._eval(i, ctx, n)
+                                 for i in node.items]), no_err
+        if isinstance(node, _Neg):
+            vals, err = self._eval(node.inner, ctx, n)
+            out = np.empty(n, dtype=object)
+            for i in range(n):
+                v = vals[i] if not err[i] else None
+                out[i] = (-v if isinstance(v, (int, float))
+                          and type(v) is not bool else None)
+            return out, np.array([v is None for v in out], dtype=bool)
+        if isinstance(node, _Ternary):
+            cv, cerr = self._eval(node.cond, ctx, n)
+            tv, terr = self._eval(node.then, ctx, n)
+            ov, oerr = self._eval(node.other, ctx, n)
+            ct = np.asarray(cv == True, dtype=bool) & ~cerr   # noqa: E712
+            cf = np.asarray(cv == False, dtype=bool) & ~cerr  # noqa: E712
+            out = np.full(n, None, dtype=object)
+            out[ct] = tv[ct]
+            out[cf] = ov[cf]
+            # branch-local error scoping: only the TAKEN branch's
+            # errors propagate (CEL ternary is lazy)
+            err = ~(ct | cf) | (ct & terr) | (cf & oerr)
+            out[err] = None
+            return out, err
+        if isinstance(node, _Arith):
+            lv, le = self._eval(node.lhs, ctx, n)
+            rv, re_ = self._eval(node.rhs, ctx, n)
+            err = le | re_
+            out = np.empty(n, dtype=object)
+            if not self._arith_fast(node.op, lv, rv, err, out):
+                for i in range(n):
+                    out[i] = (self._arith_rows(node.op, lv[i], rv[i])
+                              if not err[i] else None)
+            err = np.array([v is None for v in out], dtype=bool)
+            # NaN from float 0/0 is a value, not an error
+            for i in np.flatnonzero(err):
+                if isinstance(out[i], float):
+                    err[i] = False
+            return out, err
         if isinstance(node, _Var):
             if node.name == "tags":
                 return "__TAGS__", no_err
@@ -368,12 +586,20 @@ class CelFilter:
             return vals, err
         if isinstance(node, _Has):
             key, kerr = self._eval(node.key, ctx, n)
-            k0 = str(key[0])
-            return ctx["tags"].has(k0).astype(object), kerr
-        if isinstance(node, _InMap):
+            return self._map_has(ctx["tags"], key, kerr, n)
+        if isinstance(node, _In):
+            base, berr = self._eval(node.base, ctx, n)
             key, kerr = self._eval(node.key, ctx, n)
-            k0 = str(key[0])
-            return ctx["tags"].has(k0).astype(object), kerr
+            if isinstance(base, str) and base == "__TAGS__":
+                return self._map_has(ctx["tags"], key, kerr, n)
+            if isinstance(base, tuple) and base[0] == "__LIST__":
+                acc = np.zeros(n, dtype=bool)
+                err = kerr.copy()
+                for vals, verr in base[1]:
+                    acc |= np.asarray(key == vals, dtype=bool) & ~verr & ~kerr
+                return acc.astype(object), err
+            raise CelParseError(
+                "'in' requires a list literal or the tags map on the right")
         if isinstance(node, _Not):
             vals, err = self._eval(node.inner, ctx, n)
             vt = np.asarray(vals == True, dtype=bool) & ~err   # noqa: E712

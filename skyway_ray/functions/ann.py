@@ -122,22 +122,12 @@ class IvfIndex:
     def build(self, vecs: np.ndarray, ids: np.ndarray) -> None:
         self.vecs = _normalize(np.asarray(vecs, dtype=np.float64))
         self.ids = np.asarray(ids)
-        n = len(self.ids)
-        k = min(self.n_centroids, n)
-        rng = np.random.default_rng(self.seed)
-        cent = self.vecs[rng.choice(n, size=k, replace=False)].copy()
-        for _ in range(self.n_iter):
-            assign = np.argmax(self.vecs @ cent.T, axis=1)
-            for c in range(k):
-                members = self.vecs[assign == c]
-                if len(members):
-                    m = members.mean(axis=0)
-                    norm = np.linalg.norm(m)
-                    if norm > 0:
-                        cent[c] = m / norm
+        cent = _kmeans_unit(self.vecs, self.n_centroids, self.n_iter,
+                            self.seed)
         self.centroids = cent
         assign = np.argmax(self.vecs @ cent.T, axis=1)
-        self.lists = {c: np.flatnonzero(assign == c) for c in range(k)}
+        self.lists = {c: np.flatnonzero(assign == c)
+                      for c in range(len(cent))}
 
     def query(self, q: np.ndarray, k: int, n_probe: int = 4):
         q = np.asarray(q, dtype=np.float64)
@@ -150,6 +140,97 @@ class IvfIndex:
         sims = self.vecs[cand] @ q
         top = np.lexsort((self.ids[cand], -sims))[:k]
         return self.ids[cand[top]], sims[top]
+
+
+def _kmeans_unit(vecs: np.ndarray, k: int, n_iter: int = 5,
+                 seed: int = 42) -> np.ndarray:
+    """Seeded spherical k-means (fixed Lloyd iterations) over unit
+    vectors; returns (k, d) unit centroids."""
+    n = len(vecs)
+    k = min(k, n)
+    rng = np.random.default_rng(seed)
+    cent = vecs[rng.choice(n, size=k, replace=False)].copy()
+    for _ in range(n_iter):
+        assign = np.argmax(vecs @ cent.T, axis=1)
+        for c in range(k):
+            members = vecs[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                norm = np.linalg.norm(m)
+                if norm > 0:
+                    cent[c] = m / norm
+    return cent
+
+
+_IVF_CACHE: dict = {}
+
+
+def _ivf_cached(ref):
+    key = str(ref)
+    val = _IVF_CACHE.get(key)
+    if val is None:
+        import ray
+
+        val = ray.get(ref)
+        _IVF_CACHE.clear()
+        _IVF_CACHE[key] = val
+    return val
+
+
+def ivf_topk(ds, query_matrix: np.ndarray, query_ids: np.ndarray,
+             k: int = 10, n_centroids: int = 64, n_probe: int = 4,
+             n_iter: int = 5, seed: int = 42, sample_limit: int = 8192,
+             vec_col: str = "embedding", id_col: str = "vec_id"):
+    """Distributed IVF ANN over an embedding Dataset.
+
+    Scale shape: centroids train on a bounded driver sample
+    (``random_sample`` → ``limit`` — never the full table), broadcast
+    once via ``ray.put``; an assignment ``map_batches`` tags each
+    vector with its centroid list; ``groupby(centroid_id)`` CO-LOCATES
+    each inverted list, and the per-list ``map_groups`` reranks exactly
+    the queries whose ``n_probe`` nearest centroids include that list.
+    Partial top-k rows merge with the same tiny
+    :func:`merge_topk` as the brute-force baseline.  Recall < 1 by
+    construction (queries only see ``n_probe`` lists); exactness is the
+    brute-force path's job."""
+    import pandas as pd
+    import ray
+
+    # bounded, seeded sample for the coarse quantizer
+    sample = ds.random_sample(0.5, seed=seed).limit(sample_limit).to_pandas()
+    svecs = _normalize(np.stack(sample[vec_col].to_numpy()).astype(np.float64))
+    cent = _kmeans_unit(svecs, n_centroids, n_iter, seed)
+    qm = _normalize(np.asarray(query_matrix, dtype=np.float64))
+    qids = np.asarray(query_ids, dtype=np.int64)
+    # (nq, n_probe) probe lists — queries are the small broadcast side
+    probe = np.argsort(-(qm @ cent.T), axis=1)[:, :min(n_probe, len(cent))]
+    ref = ray.put((cent, qm, qids, probe))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        cent_b, _, _, _ = _ivf_cached(ref)
+        vecs = embeddings_to_matrix(batch[vec_col])
+        a = np.argmax(_normalize(vecs.astype(np.float64)) @ cent_b.T, axis=1)
+        return batch.append_column("centroid_id",
+                                   pa.array(a.astype(np.int64), pa.int64()))
+
+    assigned = ds.map_batches(assign, batch_format="pyarrow")
+
+    def probe_list(g: pd.DataFrame) -> pa.Table:
+        empty = pa.table({"query_id": pa.array([], pa.int64()),
+                          "neighbor_id": pa.array([], pa.int64()),
+                          "cos": pa.array([], pa.float64())})
+        _, qm_b, qids_b, probe_b = _ivf_cached(ref)
+        c = int(g["centroid_id"].iloc[0])
+        qsel = np.flatnonzero((probe_b == c).any(axis=1))
+        if not len(qsel) or not len(g):
+            return empty
+        vecs = np.stack(g[vec_col].to_numpy()).astype(np.float64)
+        ids = g[id_col].to_numpy()
+        return cosine_topk_batch(vecs, ids, qm_b[qsel], qids_b[qsel], k)
+
+    partials = (assigned.groupby("centroid_id")
+                .map_groups(probe_list, batch_format="pandas"))
+    return merge_topk(partials, k)
 
 
 class LshIndex:

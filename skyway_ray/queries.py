@@ -194,6 +194,26 @@ def q_dedup_docs_sql() -> str:
             "FROM documents GROUP BY text")
 
 
+def q_bloom_dedup(sf_dir: str):
+    """Unbounded-key exact dedup via the Bloom chain
+    (stages/dedup.py exact_dedup_bloom): dup-key Bloom split +
+    left_outer exact-confirm join — everything sized by the duplicate
+    rate, never the distinct-key count.  Result rows equal plain
+    dedup, so the oracle is the window-min filter."""
+    from .stages.dedup import exact_dedup_bloom
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "n_chars"])
+    out = exact_dedup_bloom(ds, key="text", order_col="doc_id")
+    return out.map_batches(lambda b: b.select(["doc_id", "n_chars"]),
+                           batch_format="pyarrow")
+
+
+def q_bloom_dedup_sql() -> str:
+    return ("SELECT doc_id, n_chars FROM ("
+            "SELECT doc_id, n_chars, min(doc_id) OVER (PARTITION BY text) "
+            "AS w FROM documents) WHERE doc_id = w")
+
+
 def q_topk_events(sf_dir: str):
     """Distributed top-100 by value (per-batch partial top-k + tiny
     global sort)."""
@@ -382,6 +402,32 @@ def q_ann_cosine_sql() -> str:
         "FROM sims) "
         "SELECT query_id, neighbor_id, ann_rank FROM ranked WHERE ann_rank <= 10"
     )
+
+
+def q_ivf_ann(sf_dir: str):
+    """Distributed IVF ANN (functions/ann.py ivf_topk): sampled
+    k-means centroids broadcast once, inverted lists co-located via
+    ``groupby(centroid_id)``, per-list exact rerank of only the queries
+    probing that list.  Approximate by construction (rows-only driver
+    check; recall-vs-brute-force asserted in tests)."""
+    import pyarrow.parquet as pq
+
+    from .functions.ann import _normalize, embeddings_to_matrix, ivf_topk
+
+    emb = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                        columns=["vec_id", "embedding"])
+    qmask = emb["vec_id"].to_numpy(zero_copy_only=False) < 5
+    qtab = emb.filter(pa.array(qmask))
+    qm = _normalize(embeddings_to_matrix(qtab["embedding"]).astype(np.float64))
+    qids = qtab["vec_id"].to_numpy(zero_copy_only=False)
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    # the synthetic embeddings are near-isotropic (no cluster
+    # structure), so 0.9 recall needs probing ~60% of lists; real
+    # clustered corpora probe far fewer (see test_ivf_recall_clustered)
+    out = ivf_topk(ds, qm, qids, k=10, n_centroids=16, n_probe=10)
+    return out.map_batches(
+        lambda b: b.rename_columns(["query_id", "neighbor_id", "ann_rank"]),
+        batch_format="pyarrow")
 
 
 def q_cell_stats(sf_dir: str):
@@ -645,6 +691,32 @@ def q_lineitem_stats_sql() -> str:
             "FROM lineitem GROUP BY 1, 2")
 
 
+CEL_EVENTS_EXPR = ('value * 2.0 > 150.0 ? event_type == "click" '
+                   ': event_type in ["view", "purchase"]')
+
+
+def q_cel_filter(sf_dir: str):
+    """CEL-filtered scan (filters/cel.py): exercises float arithmetic,
+    the lazy ternary, equality, and list membership in one expression —
+    the practical surface the reference's embedded cel-interpreter
+    exposes (docs/src/cel-filters.md).  The batch's columns are the CEL
+    identifiers.  Hash-stable: ``value * 2.0`` is a power-of-two scale
+    (exact in IEEE), everything else is string/bool logic."""
+    from .filters.cel import CelFilter
+
+    f = CelFilter(CEL_EVENTS_EXPR)
+    return _read(sf_dir, "events",
+                 ["event_id", "event_type", "value"]).map_batches(
+        f.apply_table, batch_format="pyarrow")
+
+
+def q_cel_filter_sql() -> str:
+    return ("SELECT event_id, event_type, value FROM events "
+            "WHERE CASE WHEN value * 2.0 > 150.0 "
+            "THEN event_type = 'click' "
+            "ELSE event_type IN ('view', 'purchase') END")
+
+
 def q_hash_sample(sf_dir: str):
     """Deterministic 10% hash sample — stable across runs, block
     layouts, and cluster sizes (unlike seeded random_sample, whose
@@ -903,11 +975,14 @@ QUERIES = {
     "union_all": q_union_all,
     "hash_sample": q_hash_sample,
     "lineitem_stats": q_lineitem_stats,
+    "cel_filter": q_cel_filter,
+    "bloom_dedup": q_bloom_dedup,
     # rows-only (non-SQL-expressible)
     "flagship_tiles": q_flagship_tiles,
     "osmfilter_docs": q_osmfilter_docs,
     "exact_dedup_images": q_exact_dedup_images,
     "minhash_dedup": q_minhash_dedup,
+    "ivf_ann": q_ivf_ann,
     "simhash": q_simhash,
     "langid": q_langid,
     "fingerprint": q_fingerprint,
@@ -940,4 +1015,6 @@ ORACLE_SQL = {
     "union_all": q_union_all_sql(),
     "hash_sample": q_hash_sample_sql(),
     "lineitem_stats": q_lineitem_stats_sql(),
+    "cel_filter": q_cel_filter_sql(),
+    "bloom_dedup": q_bloom_dedup_sql(),
 }

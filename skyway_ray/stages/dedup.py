@@ -55,6 +55,87 @@ def _make_winner_filter(winners_ref, order_col: str):
     return winner_filter
 
 
+def _key_hash64(col) -> np.ndarray:
+    """Key column → uint64 hashes for the Bloom filter (strings via
+    crc32 pair; ints pass through).  Collisions only add Bloom false
+    positives, which the exact-confirm join removes."""
+    import zlib
+
+    if pa.types.is_integer(col.type):
+        return col.to_numpy(zero_copy_only=False).astype(np.uint64)
+    out = np.fromiter(
+        ((zlib.crc32(s.encode()) << 32) | zlib.crc32(s.encode(), 0xA5A5A5A5)
+         for s in col.to_pylist()), dtype=np.uint64, count=len(col))
+    return out
+
+
+def exact_dedup_bloom(ds, key: str = "phash", order_col: str = "image_id",
+                      num_partitions: int = 8, bits_per_key: int = 10):
+    """Unbounded-key-space exact dedup — the fallback named by
+    ``exact_dedup_projected`` for when the winner set cannot be
+    broadcast (winners ≈ distinct keys ≈ corpus size).
+
+    The trick is to size everything by the DUPLICATE rate, not the key
+    count: (1) the projected (key, order) groupby emits only keys with
+    count > 1 and their winning order value — small; (2) a Bloom
+    filter of those dup keys (built streaming, fixed driver memory)
+    splits the corpus into bloom-clean rows (definitely unique-keyed →
+    kept as-is) and a small flagged subset; (3) the flagged subset
+    exact-confirms against the dup-winner table with a distributed
+    ``left_outer`` hash join — Bloom false positives come back with a
+    null winner and are kept.  No unbounded driver state, no broadcast
+    proportional to distinct keys."""
+    import ray
+
+    from ray.data.aggregate import Count, Min
+
+    from ..functions.bloom import BloomFilter
+
+    projected = ds.select_columns([key, order_col])
+    agg = projected.groupby(key).aggregate(
+        Min(order_col, alias_name="_winner"), Count(alias_name="_n"))
+    dup_winners = agg.map_batches(
+        lambda b: b.filter(pa.compute.greater(b["_n"], 1))
+        .select([key, "_winner"]),
+        batch_format="pyarrow").materialize()
+    if dup_winners.count() == 0:
+        return ds
+    bf = BloomFilter(dup_winners.count(), bits_per_key=bits_per_key)
+    for b in dup_winners.iter_batches(batch_format="pyarrow"):
+        bf.add(_key_hash64(b[key]))
+    bf_ref = ray.put(bf)
+
+    def split(flagged: bool):
+        def f(batch: pa.Table) -> pa.Table:
+            blm = _WINNER_CACHE.get(str(bf_ref))
+            if blm is None:
+                import ray as _r
+
+                blm = _r.get(bf_ref)
+                _WINNER_CACHE.clear()
+                _WINNER_CACHE[str(bf_ref)] = blm
+            hit = blm.contains(_key_hash64(batch[key]))
+            return batch.filter(pa.array(hit if flagged else ~hit))
+        return f
+
+    clean = ds.map_batches(split(False), batch_format="pyarrow")
+    cand = ds.map_batches(split(True), batch_format="pyarrow")
+    j = cand.join(dup_winners, "left_outer", num_partitions,
+                  on=(key,), right_on=(key,), right_suffix="_r")
+
+    def confirm(batch: pa.Table) -> pa.Table:
+        w = batch["_winner"]
+        keep = pa.compute.or_kleene(
+            pa.compute.is_null(w),
+            pa.compute.equal(w, batch[order_col]))
+        out = batch.filter(pa.compute.fill_null(keep, False))
+        drop = [c for c in out.column_names
+                if c in ("_winner",) or c.endswith("_r")]
+        return out.drop_columns(drop)
+
+    return clean.union(j.map_batches(confirm, batch_format="pyarrow"))
+
+
 def exact_dedup_projected(ds, key: str = "phash", order_col: str = "image_id",
                           concurrency: int = 4, strategy: str = "tree"):
     """Scale path for wide rows: shuffle only (key, order_col), compute

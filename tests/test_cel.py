@@ -64,6 +64,38 @@ CASES = [
     ('timestamp.matches("2024-01-0[1-5]")',
      lambda c: (_ for _ in ()).throw(KeyError()) if c["timestamp"] is None
      else __import__("re").search("2024-01-0[1-5]", c["timestamp"]) is not None),
+    # --- arithmetic (CEL: trunc int division, C-style %, no int/double mix)
+    ('id * 2 > 1000', lambda c: c["id"] * 2 > 1000),
+    ('id % 7 == 3', lambda c: c["id"] % 7 == 3),
+    ('id / 3 >= 200', lambda c: c["id"] // 3 >= 200),
+    ('(id - 3) * 2 >= 10', lambda c: (c["id"] - 3) * 2 >= 10),
+    ('changeset + 1 > 900000', lambda c: (_ for _ in ()).throw(KeyError())
+     if c["changeset"] is None else c["changeset"] + 1 > 900000),
+    ('-id < -500', lambda c: -c["id"] < -500),
+    ('size(user) * 2 >= 6', lambda c: (_ for _ in ()).throw(KeyError())
+     if c["user"] is None else len(c["user"]) * 2 >= 6),
+    # int op double is a CEL type error -> every row drops
+    ('id * 1.0 > 500.0', lambda c: (_ for _ in ()).throw(TypeError())),
+    # --- floats
+    ('1.5 < 2.5', lambda c: True),
+    # cross-type numeric ORDER comparison is allowed (cel-spec
+    # heterogeneous numeric comparisons) — only arithmetic mixing errors
+    ('id < 1e3', lambda c: c["id"] < 1000.0),
+    # --- ternary (lazy: untaken branch errors don't propagate)
+    ('type == "node" ? id < 500 : id >= 500',
+     lambda c: c["id"] < 500 if c["type"] == "node" else c["id"] >= 500),
+    ('has(tags.name) ? tags["name"].startsWith("Main") : false',
+     lambda c: c["tags"]["name"].startswith("Main")
+     if "name" in c["tags"] else False),
+    # --- list literals + in
+    ('type in ["node", "way"]', lambda c: c["type"] in ("node", "way")),
+    ('id in [1, 2, 3, 500]', lambda c: c["id"] in (1, 2, 3, 500)),
+    # --- per-row map-key in (key is not a constant)
+    ('user in tags', lambda c: (_ for _ in ()).throw(KeyError())
+     if c["user"] is None else c["user"] in c["tags"]),
+    # --- string concat
+    ('user + "!" == "bob!"', lambda c: (_ for _ in ()).throw(KeyError())
+     if c["user"] is None else c["user"] + "!" == "bob!"),
 ]
 
 

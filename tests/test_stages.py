@@ -276,3 +276,47 @@ class TestBloomSemiJoin:
         non_keys = len(set(vals.tolist()) - exact)
         fp_rate = len(approx - exact) / max(1, non_keys)
         assert fp_rate < 0.03                        # ~1% theoretical FP
+
+
+class TestBloomDedup:
+    def test_matches_exact_dedup(self, ray_session):
+        import ray.data
+
+        from skyway_ray.stages.dedup import exact_dedup, exact_dedup_bloom
+
+        rng = np.random.default_rng(11)
+        n = 2000
+        keys = rng.integers(0, 1500, n)  # ~30% keys duplicated
+        tab = pa.table({"phash": keys.astype(np.int64),
+                        "image_id": np.arange(n, dtype=np.int64),
+                        "payload": rng.integers(0, 99, n)})
+        ds = ray.data.from_arrow(tab).repartition(4)
+        want = exact_dedup(ds, "phash", "image_id").to_pandas() \
+            .sort_values("image_id").reset_index(drop=True)
+        got = exact_dedup_bloom(
+            ray.data.from_arrow(tab).repartition(4),
+            "phash", "image_id").to_pandas() \
+            .sort_values("image_id").reset_index(drop=True)
+        assert got[sorted(got.columns)].equals(want[sorted(want.columns)])
+
+    def test_no_duplicates_passthrough(self, ray_session):
+        import ray.data
+
+        from skyway_ray.stages.dedup import exact_dedup_bloom
+
+        tab = pa.table({"phash": np.arange(100, dtype=np.int64),
+                        "image_id": np.arange(100, dtype=np.int64)})
+        ds = ray.data.from_arrow(tab)
+        assert exact_dedup_bloom(ds, "phash", "image_id").count() == 100
+
+    def test_string_keys(self, ray_session):
+        import ray.data
+
+        from skyway_ray.stages.dedup import exact_dedup_bloom
+
+        tab = pa.table({"text": ["a", "b", "a", "c", "b", "d"],
+                        "doc_id": np.arange(6, dtype=np.int64)})
+        out = exact_dedup_bloom(
+            ray.data.from_arrow(tab).repartition(2),
+            "text", "doc_id").to_pandas()
+        assert sorted(out["doc_id"]) == [0, 1, 3, 5]

@@ -174,3 +174,61 @@ class TestNearDup:
         kept = set(out["doc_id"])
         assert 100 in kept and 101 not in kept and 102 not in kept
         assert all(i in kept for i in range(40))
+
+
+class TestIvfDistributed:
+    def test_ivf_recall_clustered(self, ray_session):
+        """Distributed IVF (groupby(centroid) inverted lists) on a
+        clustered corpus: recall@10 >= 0.9 vs exact brute force while
+        probing a minority of lists."""
+        import ray.data
+
+        from skyway_ray.functions.ann import _normalize, ivf_topk
+
+        rng = np.random.default_rng(7)
+        centers = _normalize(rng.standard_normal((20, 32)))
+        vecs, ids = [], []
+        for c in range(20):
+            pts = centers[c] + 0.15 * rng.standard_normal((50, 32))
+            vecs.append(pts)
+            ids.extend(range(c * 50, c * 50 + 50))
+        V = _normalize(np.concatenate(vecs))
+        ids = np.asarray(ids, dtype=np.int64)
+        qm = V[::100][:5]
+        qids = np.arange(5, dtype=np.int64)
+        tab = pa.table({
+            "vec_id": ids,
+            "embedding": pa.array([row.astype(np.float32) for row in V],
+                                  pa.list_(pa.float32()))})
+        ds = ray.data.from_arrow(tab).repartition(4)
+        got = ivf_topk(ds, qm, qids, k=10, n_centroids=20,
+                       n_probe=4).to_pandas()
+        exact = np.argsort(-(qm @ V.T), axis=1)[:, :10]
+        recalls = []
+        for qi in range(5):
+            want = set(ids[exact[qi]])
+            have = set(got[got["query_id"] == qi]["neighbor_id"])
+            recalls.append(len(want & have) / 10)
+        assert np.mean(recalls) >= 0.9, recalls
+
+    def test_ivf_deterministic(self, ray_session):
+        import ray.data
+
+        from skyway_ray.functions.ann import _normalize, ivf_topk
+
+        rng = np.random.default_rng(3)
+        V = _normalize(rng.standard_normal((200, 16)))
+        tab = pa.table({
+            "vec_id": np.arange(200, dtype=np.int64),
+            "embedding": pa.array([r.astype(np.float32) for r in V],
+                                  pa.list_(pa.float32()))})
+        qm = V[:3]
+        a = ivf_topk(ray.data.from_arrow(tab).repartition(3), qm,
+                     np.arange(3), k=5, n_centroids=8,
+                     n_probe=6).to_pandas()
+        b = ivf_topk(ray.data.from_arrow(tab).repartition(5), qm,
+                     np.arange(3), k=5, n_centroids=8,
+                     n_probe=6).to_pandas()
+        key = ["query_id", "rank"]
+        assert a.sort_values(key).reset_index(drop=True).equals(
+            b.sort_values(key).reset_index(drop=True))
