@@ -34,27 +34,31 @@ class FilterParseError(ValueError):
     pass
 
 
-def _unescape(s: str) -> str:
-    out = []
+def _check_escapes(s: str) -> str:
+    """Validate escape-sequence FORM but keep the raw span: the
+    reference's pest grammar accepts ``\\" \\\\ \\/ \\b \\f \\n \\r
+    \\t \\uXXXX`` syntactically yet ``get_inner_string``
+    (parse.rs:13-15) returns the span as-is — escapes stay literal in
+    the parsed program ("TODO: think more about what/how to escape" in
+    the grammar).  Matching byte-for-byte means NOT unescaping here;
+    malformed escapes are still parse errors, as in pest."""
     i = 0
     while i < len(s):
-        c = s[i]
-        if c == "\\":
+        if s[i] == "\\":
             if i + 1 >= len(s):
                 raise FilterParseError(f"dangling escape in string: {s!r}")
             nxt = s[i + 1]
             if nxt in _ESCAPES:
-                out.append(_ESCAPES[nxt])
                 i += 2
             elif nxt == "u":
-                out.append(chr(int(s[i + 2:i + 6], 16)))
+                if not re.fullmatch(r"[0-9a-fA-F]{4}", s[i + 2:i + 6]):
+                    raise FilterParseError(f"bad \\u escape in string: {s!r}")
                 i += 6
             else:
                 raise FilterParseError(f"bad escape \\{nxt} in string: {s!r}")
         else:
-            out.append(c)
             i += 1
-    return "".join(out)
+    return s
 
 
 def _strip_comment(line: str) -> str:
@@ -75,7 +79,8 @@ def _strip_comment(line: str) -> str:
 
 
 def _parse_quoted_list(rest: str, line_no: int) -> list[str]:
-    """Parse `"a", "b", …` — returns unescaped strings."""
+    """Parse `"a", "b", …` — returns raw-span strings (escape forms
+    validated, not transformed — see :func:`_check_escapes`)."""
     items = []
     i = 0
     n = len(rest)
@@ -93,7 +98,7 @@ def _parse_quoted_list(rest: str, line_no: int) -> list[str]:
                 j += 1
         if j >= n:
             raise FilterParseError(f"line {line_no}: unterminated string")
-        items.append(_unescape("".join(buf)))
+        items.append(_check_escapes("".join(buf)))
         i = j + 1
         if i < n:
             if rest[i:i + 2] == ", ":

@@ -32,23 +32,32 @@ def embeddings_to_matrix(col) -> np.ndarray:
     return flat.reshape(n, -1) if n else flat.reshape(0, 0)
 
 
+def quantize_cos(sims: np.ndarray) -> np.ndarray:
+    """Similarity → micro-unit int64 (floor(cos*1e6+0.5)) — the SAME
+    quantization as the tile_polygons microdegree convention, applied
+    BEFORE ranking so the rank order is a pure-integer comparison:
+    two candidates within ~1 ulp at the k boundary would otherwise
+    order differently between numpy's and an oracle's sum order."""
+    return np.floor(sims * 1e6 + 0.5).astype(np.int64)
+
+
 def cosine_topk_batch(batch_vecs: np.ndarray, batch_ids: np.ndarray,
                       query_matrix: np.ndarray, query_ids: np.ndarray,
                       k: int) -> pa.Table:
     """Per-batch partial top-k: (query_id, neighbor_id, cos, rank is
     assigned after the global merge).  ``query_matrix`` must be
-    L2-normalized; batch vectors are normalized here."""
+    L2-normalized; batch vectors are normalized here.  Ranking is by
+    (quantized cos desc, id asc) — full lexsort, because an
+    argpartition on raw floats could drop the id-ordered winner among
+    boundary ties."""
     bv = _normalize(batch_vecs.astype(np.float64))
     sims = query_matrix @ bv.T                      # (q, nb)
+    q = quantize_cos(sims)
     nq, nb = sims.shape
     kk = min(k, nb)
-    # top-k per query within the batch (argpartition then exact sort)
-    part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
     rows = {"query_id": [], "neighbor_id": [], "cos": []}
     for qi in range(nq):
-        idx = part[qi]
-        order = np.lexsort((batch_ids[idx], -sims[qi, idx]))
-        sel = idx[order]
+        sel = np.lexsort((batch_ids, -q[qi]))[:kk]
         rows["query_id"].extend([query_ids[qi]] * kk)
         rows["neighbor_id"].extend(batch_ids[sel].tolist())
         rows["cos"].extend(sims[qi, sel].tolist())
@@ -92,7 +101,9 @@ def merge_topk(partials, k: int):
     import pandas as pd
 
     def per_query(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["cos", "neighbor_id"], ascending=[False, True]).head(k)
+        g = g.assign(_q=quantize_cos(g["cos"].to_numpy()))
+        g = g.sort_values(["_q", "neighbor_id"],
+                          ascending=[False, True]).head(k)
         g = g.reset_index(drop=True)
         g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
         return g[["query_id", "neighbor_id", "rank"]]

@@ -69,10 +69,28 @@ def run_flagship_job(images_path: str, boundaries_path: str, out_dir: str,
     # shard id = file stem (a '.parquet' suffix on the output DIRECTORY
     # would make readers treat it as a file)
     by_stem = {os.path.splitext(os.path.basename(s))[0]: s for s in shards}
+
+    bst = os.stat(boundaries_path)
+
+    def shard_fingerprint(stem: str) -> dict:
+        """Everything a shard's join output depends on: the shard file
+        itself, the boundaries table, and the filter program — a change
+        in any re-processes instead of reusing stale output."""
+        st = os.stat(by_stem[stem])
+        return {
+            "input": {"path": os.path.basename(by_stem[stem]),
+                      "size": st.st_size, "mtime_ns": st.st_mtime_ns},
+            "boundaries": {"path": os.path.basename(boundaries_path),
+                           "size": bst.st_size, "mtime_ns": bst.st_mtime_ns},
+            "filter": filter_source if isinstance(filter_source, str)
+            else repr(filter_source),
+        }
+
     shard_result = resumable_shards(
         sorted(by_stem),
         lambda stem, tmp: process_shard(by_stem[stem], tmp),
-        join_dir)
+        join_dir,
+        fingerprint_of=shard_fingerprint)
 
     # tile stage from the join checkpoints
     from ..stages.tiling import tile_stats
@@ -96,6 +114,7 @@ def run_flagship_job(images_path: str, boundaries_path: str, out_dir: str,
     metrics = {
         "shards_done": shard_result["done"],
         "shards_skipped": shard_result["skipped"],
+        "shards_stale": shard_result.get("stale", []),
         "n_tiles": sum(pq.read_metadata(p).num_rows
                        for p in glob.glob(os.path.join(tiles_dir, "*.parquet"))),
         "wall_time_sec": round(time.perf_counter() - t_start, 3),

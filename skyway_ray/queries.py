@@ -398,7 +398,9 @@ def q_ann_cosine_sql() -> str:
         "list_cosine_similarity(q.embedding, e.embedding) AS cos "
         "FROM q CROSS JOIN embeddings e), "
         "ranked AS (SELECT query_id, neighbor_id, row_number() OVER "
-        "(PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS ann_rank "
+        "(PARTITION BY query_id ORDER BY "
+        "cast(floor(cos * 1000000 + 0.5) AS bigint) DESC, neighbor_id) "
+        "AS ann_rank "
         "FROM sims) "
         "SELECT query_id, neighbor_id, ann_rank FROM ranked WHERE ann_rank <= 10"
     )

@@ -90,25 +90,47 @@ def run_with_checkpoint(name: str, ds_factory, checkpoint_dir: str,
     return loaded, False
 
 
-def resumable_shards(shards, process_one, out_root: str) -> dict:
+def resumable_shards(shards, process_one, out_root: str,
+                     fingerprint_of=None) -> dict:
     """Process input shards with per-shard resume: ``process_one(shard,
-    tmp_dir)`` writes its output under ``tmp_dir``; finished shards
-    (present marker) are skipped.  Returns
-    {"done": [...], "skipped": [...]}."""
+    tmp_dir)`` writes its output under ``tmp_dir``; finished shards are
+    skipped ONLY when their recorded input fingerprint still matches.
+
+    ``fingerprint_of(shard)`` returns a JSON-able description of
+    everything the shard's output depends on (input file size/mtime,
+    broadcast-side fingerprints, filter source, …); its hash is stored
+    in ``_lineage.json`` and compared on rerun — a changed input,
+    boundaries file or filter re-processes the shard instead of
+    silently reusing stale output (mirrors ``run_with_checkpoint``'s
+    name+fingerprint keying).  Without ``fingerprint_of`` the marker
+    alone decides (legacy behavior).  Returns {"done": [...],
+    "skipped": [...], "stale": [...]}."""
     os.makedirs(out_root, exist_ok=True)
-    done, skipped = [], []
+    done, skipped, stale = [], [], []
     for shard in shards:
         shard_id = str(shard).replace("/", "_")
         final = os.path.join(out_root, shard_id)
+        fp = _fingerprint(fingerprint_of(shard)) if fingerprint_of else None
         if os.path.exists(os.path.join(final, "_SUCCESS")):
-            skipped.append(shard_id)
-            continue
+            recorded = None
+            lineage_path = os.path.join(final, "_lineage.json")
+            if os.path.exists(lineage_path):
+                try:
+                    with open(lineage_path) as f:
+                        recorded = json.load(f).get("fingerprint")
+                except (OSError, json.JSONDecodeError):
+                    recorded = None
+            if fp is None or recorded == fp:
+                skipped.append(shard_id)
+                continue
+            stale.append(shard_id)  # inputs changed → not-done
         tmp = final + f".tmp-{uuid.uuid4().hex[:8]}"
         os.makedirs(tmp, exist_ok=True)
         t0 = time.perf_counter()
         meta = process_one(shard, tmp) or {}
         with open(os.path.join(tmp, "_lineage.json"), "w") as f:
             json.dump({"shard": shard_id,
+                       "fingerprint": fp,
                        "wall_time_sec": round(time.perf_counter() - t0, 3),
                        **meta}, f)
         with open(os.path.join(tmp, "_SUCCESS"), "w") as f:
@@ -117,4 +139,4 @@ def resumable_shards(shards, process_one, out_root: str) -> dict:
             shutil.rmtree(final)
         os.replace(tmp, final)
         done.append(shard_id)
-    return {"done": done, "skipped": skipped}
+    return {"done": done, "skipped": skipped, "stale": stale}

@@ -98,8 +98,16 @@ class TestParser:
             parse_osmfilter(HEADER + 'TYPE way\nCOMMIT\n')
 
     def test_escapes(self):
+        # escape FORMS are validated but kept literal — the reference's
+        # get_inner_string (parse.rs:13-15) returns the raw span
         prog = parse_osmfilter(HEADER + 'SET "a\\"b" "c\\u00e9\\n"\n')
-        assert prog == [Set('a"b', "cé\n")]
+        assert prog == [Set('a\\"b', "c\\u00e9\\n")]
+
+    def test_bad_escape_rejected(self):
+        with pytest.raises(FilterParseError):
+            parse_osmfilter(HEADER + 'HAS "a\\xb"\n')
+        with pytest.raises(FilterParseError):
+            parse_osmfilter(HEADER + 'HAS "a\\uZZZZ"\n')
 
     def test_keep_list(self):
         prog = parse_osmfilter(HEADER + 'KEEP "a", "b", "c"\n')

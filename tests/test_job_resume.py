@@ -71,3 +71,42 @@ class TestFlagshipJob:
         a = job_tiles.sort_values(key).reset_index(drop=True)
         b = direct.sort_values(key).reset_index(drop=True)
         pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+class TestLineageFingerprint:
+    def test_stale_shard_reprocessed(self, tmp_path):
+        from skyway_ray.state.checkpoint import resumable_shards
+
+        calls = []
+
+        def process(shard, tmp):
+            calls.append(shard)
+            (tmp_path / "out" / shard).mkdir(parents=True, exist_ok=True)
+            return {"rows": 1}
+
+        fp = {"a": {"v": 1}, "b": {"v": 1}}
+        r1 = resumable_shards(["a", "b"], process, str(tmp_path / "out"),
+                              fingerprint_of=lambda s: fp[s])
+        assert r1["done"] == ["a", "b"] and not r1["stale"]
+        # unchanged inputs -> both skipped
+        r2 = resumable_shards(["a", "b"], process, str(tmp_path / "out"),
+                              fingerprint_of=lambda s: fp[s])
+        assert r2["skipped"] == ["a", "b"] and not r2["done"]
+        # change one shard's input -> only it reprocesses, marked stale
+        fp["b"] = {"v": 2}
+        calls.clear()
+        r3 = resumable_shards(["a", "b"], process, str(tmp_path / "out"),
+                              fingerprint_of=lambda s: fp[s])
+        assert r3["skipped"] == ["a"]
+        assert r3["done"] == ["b"] and r3["stale"] == ["b"]
+        assert calls == ["b"]
+
+    def test_legacy_marker_only(self, tmp_path):
+        from skyway_ray.state.checkpoint import resumable_shards
+
+        def process(shard, tmp):
+            return {}
+
+        r1 = resumable_shards(["x"], process, str(tmp_path / "o"))
+        r2 = resumable_shards(["x"], process, str(tmp_path / "o"))
+        assert r1["done"] == ["x"] and r2["skipped"] == ["x"]
