@@ -179,14 +179,30 @@ def q_events_by_type_sql() -> str:
 
 
 def q_dedup_docs(sf_dir: str):
-    """Exact dedup by document text: keep the min-doc_id row per text
-    (hash-partition + per-group first)."""
+    """Exact dedup by document text: keep the min-doc_id row per text.
+
+    The groupby KEY is a 64-bit hash of the text (cheap int
+    partitioning/sort instead of long-string comparisons at shuffle
+    time); the text rides as payload and the per-group step groups by
+    the exact text, so hash collisions cannot merge distinct docs."""
+    import zlib
+
+    def add_h(b: pa.Table) -> pa.Table:
+        h = np.fromiter(
+            ((zlib.crc32(t.encode()) << 32)
+             | zlib.crc32(t.encode(), 0xA5A5A5A5)
+             for t in b["text"].to_pylist()),
+            dtype=np.uint64, count=len(b))
+        return b.append_column("_h", pa.array(h.view(np.int64), pa.int64()))
 
     def first(g: pd.DataFrame) -> pd.DataFrame:
-        return g.nsmallest(1, "doc_id")[["doc_id", "n_chars"]]
+        out = (g.sort_values("doc_id").groupby("text", sort=False)
+               .first().reset_index())
+        return out[["doc_id", "n_chars"]]
 
-    return _read(sf_dir, "documents", ["doc_id", "text", "n_chars"]).groupby(
-        "text").map_groups(first, batch_format="pandas")
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "n_chars"])
+    return ds.map_batches(add_h, batch_format="pyarrow").groupby(
+        "_h").map_groups(first, batch_format="pandas")
 
 
 def q_dedup_docs_sql() -> str:

@@ -87,7 +87,25 @@ def tile_stats(ds, z: int = 12, lat_col: str = "lat", lon_col: str = "lon",
         merge = ("tree" if (4 ** z) > _DRIVER_KEY_LIMIT or _multi_node()
                  else "driver")
     if merge == "tree":
-        out = tree_aggregate(tiled, keys, [("n", "sum")])
+        # Pipeline break on purpose: with the Repartition in the same
+        # plan, the streaming executor reserves the all-to-all a
+        # resource share and the (expensive) upstream map chain runs at
+        # a fraction of the CPUs — measured 34 s vs 5 s at 16M rows.
+        # Materializing the per-block PARTIALS (bounded: ≤ distinct
+        # tiles per block, spillable) lets the map stage run at full
+        # width; the tree then only shuffles partials.
+        tiled = tiled.materialize()
+        from .agg_tree import _combine
+
+        combine = _combine(keys, [("n", "sum")])
+        if tiled.count() <= 4_000_000:
+            # short tree: one coalesce + one Arrow group_by — the full
+            # 2-level tree's five stages cost ~1.7 s in per-op fixed
+            # overhead at this size vs ~0.1 s of actual combine work
+            out = tiled.repartition(1).map_batches(
+                combine, batch_format="pyarrow")
+        else:
+            out = tree_aggregate(tiled, keys, [("n", "sum")])
         return out.map_batches(
             lambda b: b.rename_columns(keys + ["n_images"]),
             batch_format="pyarrow")
