@@ -340,47 +340,40 @@ def embedding_near_dup_pairs(vecs: np.ndarray, ids: np.ndarray,
 _BROADCAST_LOSER_LIMIT = 2_000_000  # ids; ~16 MB — else left_anti join
 
 
-def minhash_lsh_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
-                      num_perm: int = 128, bands: int = 16,
-                      threshold: float = 0.7, shingle: str = "ngram",
-                      ngram_n: int = 3, num_partitions: int = 8,
-                      broadcast_loser_limit: int = _BROADCAST_LOSER_LIMIT):
-    """MinHash+LSH near-dedup: returns the Dataset of surviving rows
-    (duplicate clusters keep their min-id representative).
+def lsh_dedup_pipeline(ds, id_col: str, band_fn, sketch_fn, pair_ok,
+                       num_partitions: int = 8,
+                       broadcast_loser_limit: int = _BROADCAST_LOSER_LIMIT):
+    """Generic distributed LSH near-dedup: returns the Dataset of
+    surviving rows (duplicate clusters keep their min-id
+    representative).
 
-    ``shingle``: "ngram" (default; word n-grams — discriminative even
-    over tiny vocabularies) or "token" (word-set Jaccard).
+    Plug points: ``band_fn(batch) -> (band_id, band_hash, doc_id)``
+    table; ``sketch_fn(batch, keep_mask) -> list[bytes]`` packs the
+    verification sketch of each kept row; ``pair_ok(blob_a, blob_b)
+    -> bool`` is the exact pairwise check.
 
-    Fully distributed: (1) signature→band explode ships doc ids only;
-    (2) a distributed sort on (band_id, band_hash) co-locates buckets,
-    a vectorized block scan emits chain candidate edges between
-    bucket-adjacent rows (NO per-bucket ``map_groups`` — at 16 bands ×
-    n docs the bucket count rivals the doc count and Ray's per-group
-    Python overhead dominates), and buckets that straddle block
-    boundaries are stitched from the 2-rows-per-block boundary table
-    (bounded by block count, not data); (3) a Bloom filter of
-    candidate ids (built streaming, fixed driver memory) prefilters a
-    second shingle pass so only candidate docs' shingle sets enter
-    (4) a union+groupby co-partition join with exact Jaccard
-    verification; (5) clusters resolve via Hash-to-Min connected
-    components (:func:`..stages.cc.connected_components`); (6) losers
-    are removed by broadcast id-set when ≤ ``broadcast_loser_limit``
-    else by a distributed ``left_anti`` join — no unbounded driver
-    state at any step."""
+    Fully distributed shape (MinHash and embedding variants share it):
+    (1) the band explode ships doc ids only; (2) a distributed sort on
+    (band_id, band_hash) co-locates buckets and a vectorized block
+    scan emits chain candidate edges between bucket-adjacent rows (NO
+    per-bucket ``map_groups`` — at b bands × n docs the bucket count
+    rivals the doc count and Ray's per-group Python overhead
+    dominates), with buckets straddling block boundaries stitched from
+    the 2-rows-per-block boundary table (bounded by block count, not
+    data); (3) a Bloom filter of candidate ids (built streaming, fixed
+    driver memory) prefilters a second sketch pass; (4) a
+    union+groupby co-partition join runs ``pair_ok`` exactly;
+    (5) clusters resolve via Hash-to-Min connected components
+    (:func:`..stages.cc.connected_components`); (6) losers are removed
+    by broadcast id-set when ≤ ``broadcast_loser_limit`` else by a
+    distributed ``left_anti`` join — no unbounded driver state at any
+    step."""
     import ray
 
     from ..stages.cc import connected_components
     from .bloom import BloomFilter
 
-    def band_stage(batch: pa.Table) -> pa.Table:
-        texts = batch[text_col].to_pylist()
-        flat, starts, counts = _shingle_batch(texts, shingle, ngram_n)
-        mh = _hasher_cached(num_perm)
-        sigs = mh.signatures_from_flat(flat, starts, counts)
-        ids = batch[id_col].to_numpy(zero_copy_only=False)
-        return band_rows(sigs, ids, bands=bands)
-
-    banded = ds.map_batches(band_stage, batch_format="pyarrow")
+    banded = ds.map_batches(band_fn, batch_format="pyarrow")
     srt = banded.sort(["band_id", "band_hash", "doc_id"]).materialize()
 
     def _chain(bid, bh, doc):
@@ -425,18 +418,14 @@ def minhash_lsh_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
         bf.add(b["doc_b"].to_numpy(zero_copy_only=False))
     bf_ref = ray.put(bf)
 
-    def shingle_rows(batch: pa.Table) -> pa.Table:
-        """Second text pass, Bloom-prefiltered → (k=doc_id, kind=0,
-        sh=packed sorted uint64 shingle bytes).  Binary packing because
-        Acero's hash join / shuffle payloads don't take list columns.
-        """
+    def sketch_rows(batch: pa.Table) -> pa.Table:
+        """Second data pass, Bloom-prefiltered → (k=doc_id, kind=0,
+        sh=packed sketch bytes).  Binary packing because Acero's hash
+        join / shuffle payloads don't take list columns."""
         f = _obj_cached(bf_ref)
         ids = batch[id_col].to_numpy(zero_copy_only=False)
         keep = f.contains(ids)
-        texts = [t for t, k in zip(batch[text_col].to_pylist(), keep) if k]
-        flat, starts, counts = _shingle_batch(texts, shingle, ngram_n)
-        blobs = [flat[starts[i]:starts[i + 1]].tobytes()
-                 for i in range(len(counts))]
+        blobs = sketch_fn(batch, keep)
         n = int(keep.sum())
         return pa.table({
             "k": pa.array(ids[keep], pa.int64()),
@@ -446,7 +435,7 @@ def minhash_lsh_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
             "sh": pa.array(blobs, pa.binary()),
         })
 
-    cand_sh = ds.map_batches(shingle_rows, batch_format="pyarrow")
+    cand_sh = ds.map_batches(sketch_rows, batch_format="pyarrow")
 
     def edges_keyed(key_col):
         def f(b: pa.Table) -> pa.Table:
@@ -492,11 +481,9 @@ def minhash_lsh_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
         e_idx = np.flatnonzero(kind == 1)
         if not len(sh_idx) or not len(e_idx):
             return empty
-        sa = np.frombuffer(_as_bytes(g["sh"].iloc[sh_idx[0]]),
-                           dtype=np.uint64)
+        sa = _as_bytes(g["sh"].iloc[sh_idx[0]])
         keep = np.fromiter(
-            (jaccard(sa, np.frombuffer(_as_bytes(blob), dtype=np.uint64))
-             >= threshold for blob in g["sh"].iloc[e_idx]),
+            (pair_ok(sa, _as_bytes(blob)) for blob in g["sh"].iloc[e_idx]),
             dtype=bool, count=len(e_idx))
         return pa.table({
             "doc_a": pa.array(g["doc_a"].to_numpy()[e_idx][keep], pa.int64()),
@@ -537,6 +524,107 @@ def minhash_lsh_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
         return ds.map_batches(drop_losers, batch_format="pyarrow")
     return ds.join(losers, "left_anti", num_partitions,
                    on=(id_col,), right_on=("doc_b",))
+
+
+def minhash_lsh_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
+                      num_perm: int = 128, bands: int = 16,
+                      threshold: float = 0.7, shingle: str = "ngram",
+                      ngram_n: int = 3, num_partitions: int = 8,
+                      broadcast_loser_limit: int = _BROADCAST_LOSER_LIMIT):
+    """MinHash+LSH near-dedup over a text column (the
+    :func:`lsh_dedup_pipeline` shape with MinHash banding and exact
+    hashed-shingle Jaccard verification).
+
+    ``shingle``: "ngram" (default; word n-grams — discriminative even
+    over tiny vocabularies) or "token" (word-set Jaccard)."""
+
+    def band_fn(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col].to_pylist()
+        flat, starts, counts = _shingle_batch(texts, shingle, ngram_n)
+        mh = _hasher_cached(num_perm)
+        sigs = mh.signatures_from_flat(flat, starts, counts)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        return band_rows(sigs, ids, bands=bands)
+
+    def sketch_fn(batch: pa.Table, keep: np.ndarray) -> list:
+        texts = [t for t, k in zip(batch[text_col].to_pylist(), keep) if k]
+        flat, starts, counts = _shingle_batch(texts, shingle, ngram_n)
+        return [flat[starts[i]:starts[i + 1]].tobytes()
+                for i in range(len(counts))]
+
+    def pair_ok(a: bytes, b: bytes) -> bool:
+        return jaccard(np.frombuffer(a, dtype=np.uint64),
+                       np.frombuffer(b, dtype=np.uint64)) >= threshold
+
+    return lsh_dedup_pipeline(ds, id_col, band_fn, sketch_fn, pair_ok,
+                              num_partitions=num_partitions,
+                              broadcast_loser_limit=broadcast_loser_limit)
+
+
+_PLANES_CACHE: dict = {}
+
+
+def _planes_cached(dim: int, bands: int, bits: int, seed: int) -> np.ndarray:
+    key = (dim, bands, bits, seed)
+    p = _PLANES_CACHE.get(key)
+    if p is None:
+        rng = np.random.default_rng(seed)
+        p = _PLANES_CACHE[key] = rng.standard_normal((bands * bits, dim))
+    return p
+
+
+def embedding_lsh_dedup(ds, vec_col: str = "embedding",
+                        id_col: str = "vec_id", threshold: float = 0.95,
+                        bands: int = 8, bits: int = 10, seed: int = 42,
+                        num_partitions: int = 8,
+                        broadcast_loser_limit: int = _BROADCAST_LOSER_LIMIT):
+    """Embedding-cosine near-dedup: random-hyperplane (SimHash-style)
+    LSH banding over unit vectors, exact cosine verification within
+    candidates, distributed via :func:`lsh_dedup_pipeline` — the
+    wired-into-a-Dataset-pipeline counterpart of the local
+    :class:`..functions.ann.LshIndex`.
+
+    Two vectors are candidates when any of ``bands`` bucket codes
+    (``bits`` hyperplane signs each) matches; a match probability of
+    1-(1-cosᵇⁱᵗˢ-ish)ᵇᵃⁿᵈˢ concentrates candidates near cos=1, which
+    suits the high thresholds (≥0.9) near-dup dedup uses."""
+    from .ann import _normalize, embeddings_to_matrix
+
+    def band_fn(batch: pa.Table) -> pa.Table:
+        vecs = embeddings_to_matrix(batch[vec_col])
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        if not len(ids):
+            return pa.table({"band_id": pa.array([], pa.int64()),
+                             "band_hash": pa.array([], pa.int64()),
+                             "doc_id": pa.array([], pa.int64())})
+        nv = _normalize(vecs.astype(np.float64))
+        planes = _planes_cached(nv.shape[1], bands, bits, seed)
+        sign = (nv @ planes.T) > 0                       # (n, bands*bits)
+        weights = (1 << np.arange(bits, dtype=np.int64))
+        codes = np.stack([sign[:, b * bits:(b + 1) * bits] @ weights
+                          for b in range(bands)], axis=1)  # (n, bands)
+        n = len(ids)
+        return pa.table({
+            "band_id": np.repeat(np.arange(bands, dtype=np.int64), n),
+            "band_hash": codes.T.reshape(-1),
+            "doc_id": np.tile(ids, bands),
+        })
+
+    def sketch_fn(batch: pa.Table, keep: np.ndarray) -> list:
+        vecs = embeddings_to_matrix(batch[vec_col])
+        if not keep.any():
+            return []
+        nv = _normalize(vecs[keep].astype(np.float64))
+        return [row.tobytes() for row in nv]
+
+    def pair_ok(a: bytes, b: bytes) -> bool:
+        va = np.frombuffer(a, dtype=np.float64)
+        vb = np.frombuffer(b, dtype=np.float64)
+        return float(va @ vb) >= threshold
+
+    return lsh_dedup_pipeline(ds, id_col, band_fn, sketch_fn, pair_ok,
+                              num_partitions=num_partitions,
+                              broadcast_loser_limit=broadcast_loser_limit)
 
 
 _HASHER_CACHE: dict = {}

@@ -30,78 +30,216 @@ def _fmt_f64(v: float) -> str:
     return repr(float(v))
 
 
+_TYPE_BY_FLAG = {"n": "node", "w": "way", "r": "relation"}
+
+
+def _unescape_arr(vals: np.ndarray) -> np.ndarray:
+    """Vectorized %hex% unescape: only strings containing '%' pay the
+    per-string decode."""
+    if not len(vals):
+        return vals
+    has = np.fromiter(("%" in v for v in vals), dtype=bool, count=len(vals))
+    if has.any():
+        vals = vals.copy()
+        vals[has] = [unescape_opl(v) for v in vals[has]]
+    return vals
+
+
 def parse_opl_lines(lines) -> pa.Table:
-    """Parse OPL lines → OSM_ELEMENT_SCHEMA Arrow table."""
-    cols = {k: [] for k in ("type", "id", "lat", "lon", "nodes", "members",
-                            "tags", "changeset", "uid", "user", "version",
-                            "timestamp", "visible")}
-    for line in lines:
-        t = id_ = lat = lon = nodes = members = None
-        tags = None
-        changeset = uid = user = version = timestamp = visible = None
-        for field in line.split():
-            flag, value = field[0], field[1:]
-            if flag in "nwr" and t is None:
-                t = {"n": "node", "w": "way", "r": "relation"}[flag]
-                id_ = int(value)
-            elif flag == "v":
-                version = int(value)
-            elif flag == "d":
-                visible = value == "V"
-            elif flag == "c":
-                changeset = int(value)
-            elif flag == "t":
-                timestamp = value
-            elif flag == "i":
-                uid = int(value)
-            elif flag == "u":
-                user = unescape_opl(value)
-            elif flag == "T":
-                tags = [
-                    {"key": unescape_opl(kv[0]), "value": unescape_opl(kv[1])}
-                    for kv in (t2.split("=", 1) for t2 in value.split(","))
-                    if len(kv) == 2
-                ]
-            elif flag == "x":
-                lon = float(value) if value else None
-                t = "node"
-            elif flag == "y":
-                lat = float(value) if value else None
-                t = "node"
-            elif flag == "N":
-                nodes = [int(e.split("x")[0].split("y")[0][1:])
-                         for e in value.split(",")] if value else []
-                t = "way"
-            elif flag == "M":
-                members = []
-                if value:
-                    for entry in value.split(","):
-                        if "@" not in entry:
-                            continue
-                        ref_part, role = entry.split("@", 1)
-                        tc = ref_part[0]
-                        if tc not in "nwr":
-                            continue
-                        members.append({
-                            "type": {"n": "node", "w": "way", "r": "relation"}[tc],
-                            "ref": int(ref_part[1:]),
-                            "role": unescape_opl(role),
-                        })
-                t = "relation"
-        cols["type"].append(t)
-        cols["id"].append(id_)
-        cols["lat"].append(lat)
-        cols["lon"].append(lon)
-        cols["nodes"].append(nodes)
-        cols["members"].append(members)
-        cols["tags"].append(tags or [])
-        cols["changeset"].append(changeset)
-        cols["uid"].append(uid)
-        cols["user"].append(user)
-        cols["version"].append(version)
-        cols["timestamp"].append(timestamp)
-        cols["visible"].append(visible)
-    arrays = [pa.array(cols[f.name], f.type) for f in OSM_ELEMENT_SCHEMA]
+    """Parse OPL lines → OSM_ELEMENT_SCHEMA Arrow table.
+
+    Vectorized (SURVEY §2.1 "pure vectorizable string parsing") on
+    pyarrow.compute kernels end-to-end: ``split_pattern`` flattens
+    fields/entries, ``utf8_slice_codeunits`` peels flags and prefixes,
+    Arrow ``cast`` parses every number — all C loops.  (A pandas
+    ``.str`` version measured 2.5x SLOWER than the per-line Python
+    loop; pandas object-string ops are per-element.)  The only
+    per-string Python left is the %hex% unescape of strings that
+    actually contain '%' and the final nullable-scalar assembly.
+    Field order is free; duplicate flags keep the reference reader's
+    loop semantics (first n/w/r wins; later scalar flags overwrite).
+    """
+    import pyarrow.compute as pc
+
+    n = len(lines)
+    if n == 0:
+        return pa.Table.from_arrays(
+            [pa.array([], f.type) for f in OSM_ELEMENT_SCHEMA],
+            schema=OSM_ELEMENT_SCHEMA)
+    BIG = 2_000_000_000
+    arr = pa.array([ln if ln is not None else "" for ln in lines],
+                   pa.string())
+    fields = pc.split_pattern(arr, " ")
+    counts = pc.list_value_length(fields).to_numpy(zero_copy_only=False)
+    line_of = np.repeat(np.arange(n, dtype=np.int64), counts)
+    flat = pc.list_flatten(fields)
+    nonempty = pc.not_equal(flat, "")
+    flat = flat.filter(nonempty)
+    line_of = line_of[nonempty.to_numpy(zero_copy_only=False)]
+    flags = pc.utf8_slice_codeunits(flat, 0, 1).to_numpy(zero_copy_only=False)
+    value = pc.utf8_slice_codeunits(flat, 1, BIG)
+
+    type_ = np.full(n, None, dtype=object)
+    id_ = np.full(n, None, dtype=object)
+    lat = np.full(n, None, dtype=object)
+    lon = np.full(n, None, dtype=object)
+    changeset = np.full(n, None, dtype=object)
+    uid = np.full(n, None, dtype=object)
+    user = np.full(n, None, dtype=object)
+    version = np.full(n, None, dtype=object)
+    timestamp = np.full(n, None, dtype=object)
+    visible = np.full(n, None, dtype=object)
+
+    def take(ch):
+        idx = np.flatnonzero(flags == ch)
+        return line_of[idx], value.take(pa.array(idx, pa.int64()))
+
+    def ints(v):
+        return pc.cast(v, pa.int64()).to_numpy(zero_copy_only=False)
+
+    # element type+id: FIRST n/w/r per line wins → reversed assignment
+    for fchar in "nwr":
+        lix, v = take(fchar)
+        if len(lix):
+            type_[lix[::-1]] = _TYPE_BY_FLAG[fchar]
+            id_[lix[::-1]] = ints(v)[::-1]
+    # scalar flags (duplicates: last wins = fancy-assignment order)
+    lix, v = take("v")
+    version[lix] = ints(v)
+    lix, v = take("d")
+    visible[lix] = pc.equal(v, "V").to_numpy(zero_copy_only=False)
+    lix, v = take("c")
+    changeset[lix] = ints(v)
+    lix, v = take("t")
+    timestamp[lix] = v.to_numpy(zero_copy_only=False)
+    lix, v = take("i")
+    uid[lix] = ints(v)
+    lix, v = take("u")
+    user[lix] = _unescape_arr(v.to_numpy(zero_copy_only=False))
+    for fchar, out in (("x", lon), ("y", lat)):
+        lix, v = take(fchar)
+        if len(lix):
+            ne = pc.not_equal(v, "").to_numpy(zero_copy_only=False)
+            out[lix[ne]] = pc.cast(v.filter(pa.array(ne)),
+                                   pa.float64()).to_numpy()
+            type_[lix] = "node"
+
+    # ---- tags (T): split "," then "=" (first only), keep k=v entries
+    lix, v = take("T")
+    tag_line = np.empty(0, dtype=np.int64)
+    tag_keys = np.empty(0, dtype=object)
+    tag_vals = np.empty(0, dtype=object)
+    if len(lix):
+        entries_l = pc.split_pattern(v, ",")
+        ecount = pc.list_value_length(entries_l).to_numpy(zero_copy_only=False)
+        eline = np.repeat(lix, ecount)
+        entries = pc.list_flatten(entries_l)
+        kv = pc.split_pattern(entries, "=", max_splits=1)
+        kvlen = pc.list_value_length(kv).to_numpy(zero_copy_only=False)
+        has_eq = kvlen == 2
+        kvo = np.concatenate([[0], np.cumsum(kvlen)])
+        kvflat = pc.list_flatten(kv)
+        key_idx = kvo[:-1][has_eq]
+        tag_keys = _unescape_arr(
+            kvflat.take(pa.array(key_idx, pa.int64()))
+            .to_numpy(zero_copy_only=False))
+        tag_vals = _unescape_arr(
+            kvflat.take(pa.array(key_idx + 1, pa.int64()))
+            .to_numpy(zero_copy_only=False))
+        tag_line = eline[has_eq]
+    tcounts = np.bincount(tag_line, minlength=n)
+    toffs = np.concatenate([[0], np.cumsum(tcounts)])
+    tags_arr = pa.ListArray.from_arrays(
+        pa.array(toffs, pa.int32()),
+        pa.StructArray.from_arrays(
+            [pa.array(tag_keys, pa.string()), pa.array(tag_vals, pa.string())],
+            ["key", "value"]))
+
+    # ---- way nodes (N): "nID[xLON[yLAT]]" refs
+    lix, v = take("N")
+    has_nodes = np.zeros(n, dtype=bool)
+    node_line = np.empty(0, dtype=np.int64)
+    node_refs = pa.array([], pa.int64())
+    if len(lix):
+        type_[lix] = "way"
+        has_nodes[lix] = True
+        ne = pc.not_equal(v, "").to_numpy(zero_copy_only=False)
+        if ne.any():
+            nl = pc.split_pattern(v.filter(pa.array(ne)), ",")
+            ncount = pc.list_value_length(nl).to_numpy(zero_copy_only=False)
+            node_line = np.repeat(lix[ne], ncount)
+            refs = pc.utf8_slice_codeunits(pc.list_flatten(nl), 1, BIG)
+            refs = pc.list_element(pc.split_pattern(refs, "x", max_splits=1), 0)
+            refs = pc.list_element(pc.split_pattern(refs, "y", max_splits=1), 0)
+            node_refs = pc.cast(refs, pa.int64())
+    ncounts = np.bincount(node_line, minlength=n)
+    nends = np.cumsum(ncounts)
+    nstarts = np.concatenate([[0], nends[:-1]])
+    noffsets = pa.array(
+        [int(nstarts[i]) if has_nodes[i] else None for i in range(n)]
+        + [int(nends[-1])], pa.int32())
+    nodes_arr = pa.ListArray.from_arrays(noffsets, node_refs)
+
+    # ---- relation members (M): "tREF@role" entries
+    lix, v = take("M")
+    has_members = np.zeros(n, dtype=bool)
+    mem_line = np.empty(0, dtype=np.int64)
+    mem_type = np.empty(0, dtype=object)
+    mem_ref = pa.array([], pa.int64())
+    mem_role = np.empty(0, dtype=object)
+    if len(lix):
+        type_[lix] = "relation"
+        has_members[lix] = True
+        ne = pc.not_equal(v, "").to_numpy(zero_copy_only=False)
+        if ne.any():
+            ml = pc.split_pattern(v.filter(pa.array(ne)), ",")
+            mcount = pc.list_value_length(ml).to_numpy(zero_copy_only=False)
+            eline = np.repeat(lix[ne], mcount)
+            ents = pc.list_flatten(ml)
+            sp = pc.split_pattern(ents, "@", max_splits=1)
+            splen = pc.list_value_length(sp).to_numpy(zero_copy_only=False)
+            refp = pc.list_element(sp, 0)
+            tc = pc.utf8_slice_codeunits(refp, 0, 1)                 .to_numpy(zero_copy_only=False)
+            ok = ((splen == 2) & ((tc == "n") | (tc == "w") | (tc == "r")))
+            oka = pa.array(ok)
+            mem_line = eline[ok]
+            mem_type = np.array([_TYPE_BY_FLAG[t] for t in tc[ok]],
+                                dtype=object)
+            mem_ref = pc.cast(
+                pc.utf8_slice_codeunits(refp.filter(oka), 1, BIG), pa.int64())
+            # max_splits=1 keeps any later '@' inside the role part
+            mem_role = _unescape_arr(
+                pc.list_element(sp.filter(oka), 1)
+                .to_numpy(zero_copy_only=False))
+    mcounts = np.bincount(mem_line, minlength=n)
+    mends = np.cumsum(mcounts)
+    mstarts = np.concatenate([[0], mends[:-1]])
+    moffsets = pa.array(
+        [int(mstarts[i]) if has_members[i] else None for i in range(n)]
+        + [int(mends[-1])], pa.int32())
+    members_arr = pa.ListArray.from_arrays(
+        moffsets, pa.StructArray.from_arrays(
+            [pa.array(mem_type, pa.string()),
+             mem_ref if isinstance(mem_ref, pa.Array) else pa.array(mem_ref),
+             pa.array(mem_role, pa.string())],
+            ["type", "ref", "role"]))
+
+    by_name = {
+        "type": pa.array(type_, pa.string()),
+        "id": pa.array(id_, pa.int64()),
+        "lat": pa.array(lat, pa.float64()),
+        "lon": pa.array(lon, pa.float64()),
+        "nodes": nodes_arr,
+        "members": members_arr,
+        "tags": tags_arr,
+        "changeset": pa.array(changeset, pa.int64()),
+        "uid": pa.array(uid, pa.int64()),
+        "user": pa.array(user, pa.string()),
+        "version": pa.array(version, pa.int64()),
+        "timestamp": pa.array(timestamp, pa.string()),
+        "visible": pa.array(visible, pa.bool_()),
+    }
+    arrays = [by_name[f.name].cast(f.type) for f in OSM_ELEMENT_SCHEMA]
     return pa.Table.from_arrays(arrays, schema=OSM_ELEMENT_SCHEMA)
 
 

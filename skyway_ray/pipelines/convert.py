@@ -37,7 +37,20 @@ def convert(input_path: str, output_path: str, input_format: str | None = None,
         f = create_filter(source)
         ds = ds.map_batches(f.apply_table, batch_format="pyarrow")
     if single_part:
-        ds = ds.repartition(1)
+        # deterministic single block in INPUT order: repartition(1)'s
+        # output bundling follows task completion order and observably
+        # reorders ~1 run in 6; to_arrow_refs() returns refs in block
+        # order, so a driver-side concat is order-stable (pipe outputs
+        # are small by usage)
+        import pyarrow as pa
+        import ray
+        import ray.data
+
+        tabs = [t for t in (ray.get(r) for r in ds.to_arrow_refs())
+                if t.num_rows]
+        if tabs:
+            ds = ray.data.from_arrow(
+                pa.concat_tables(tabs, promote_options="default"))
     return write_elements(ds, output_path, output_format, metadata,
                           overpass=overpass)
 
@@ -64,6 +77,12 @@ def main(argv=None) -> int:
     if not ray.is_initialized():
         ray.init(address="local", include_dashboard=False,
                  ignore_reinit_error=True, logging_level="ERROR")
+    # the reference CLI is a stream processor: output order = input
+    # order.  Ray's streaming executor reorders blocks by task
+    # completion unless told otherwise.
+    from ray.data import DataContext
+
+    DataContext.get_current().execution_options.preserve_order = True
     # stdin/stdout piping, mirroring the reference's open_or_stdin
     # (src/readers/mod.rs:60-68) and stdout default (src/main.rs:176-184):
     # stdin spools to a temp file (readers are distributed and need a

@@ -448,6 +448,18 @@ def q_ivf_ann(sf_dir: str):
         batch_format="pyarrow")
 
 
+def q_embedding_dedup(sf_dir: str):
+    """Embedding-cosine near-dedup (functions/near_dup.py
+    embedding_lsh_dedup): hyperplane-LSH banding, exact cosine
+    verification, distributed connected components — rows-only (the
+    LSH bucketing is approximate by construction)."""
+    from .functions.near_dup import embedding_lsh_dedup
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return embedding_lsh_dedup(ds, threshold=0.95).map_batches(
+        lambda b: b.select(["vec_id"]), batch_format="pyarrow")
+
+
 def q_cell_stats(sf_dir: str):
     """Per-cell (h3_r7) counts with explicit hot-key salting: hot cells
     split across salt reducers then exactly re-merged (stages/salt.py).
@@ -1001,6 +1013,7 @@ QUERIES = {
     "exact_dedup_images": q_exact_dedup_images,
     "minhash_dedup": q_minhash_dedup,
     "ivf_ann": q_ivf_ann,
+    "embedding_dedup": q_embedding_dedup,
     "simhash": q_simhash,
     "langid": q_langid,
     "fingerprint": q_fingerprint,

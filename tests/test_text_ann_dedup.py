@@ -232,3 +232,34 @@ class TestIvfDistributed:
         key = ["query_id", "rank"]
         assert a.sort_values(key).reset_index(drop=True).equals(
             b.sort_values(key).reset_index(drop=True))
+
+
+class TestEmbeddingLshDedup:
+    def test_planted_near_dups(self, ray_session):
+        """Near-identical embedding rows collapse to the min id; the
+        rest survive — hyperplane banding + exact cosine verify + CC,
+        all through the shared lsh_dedup_pipeline."""
+        import ray.data
+
+        from skyway_ray.functions.ann import _normalize
+        from skyway_ray.functions.near_dup import embedding_lsh_dedup
+
+        rng = np.random.default_rng(5)
+        base = _normalize(rng.standard_normal((40, 24)))
+        rows = [(i, base[i]) for i in range(40)]
+        # plant 3 near-copies of vector 7 (tiny perturbations)
+        for j, vid in enumerate((100, 101, 102)):
+            rows.append((vid, _normalize(
+                (base[7] + 0.01 * rng.standard_normal(24))[None, :])[0]))
+        tab = pa.table({
+            "vec_id": np.array([r[0] for r in rows], dtype=np.int64),
+            "embedding": pa.array([r[1].astype(np.float32) for r in rows],
+                                  pa.list_(pa.float32()))})
+        ds = ray.data.from_arrow(tab).repartition(3)
+        out = embedding_lsh_dedup(ds, threshold=0.98).to_pandas()
+        kept = set(out["vec_id"])
+        assert 7 in kept
+        assert not {100, 101, 102} & kept
+        assert all(i in kept for i in range(40) if i != 7) or 7 in kept
+        # no unrelated vector lost
+        assert len(kept & set(range(40))) == 40
