@@ -12,16 +12,22 @@ PrimitiveBlock with string table + DenseNodes (delta/zigzag packed) /
 Way / Relation groups, granularity 100 nanodegrees.
 
 Fidelity notes (documented deltas from the row model):
-* ``timestamp`` is NOT written/read — PBF stores epoch ints while this
-  engine keeps timestamps as unparsed strings (the reference's PBF
-  reader likewise leaves timestamp/user TODO, ``pbf.rs:50-69``; we do
-  keep ``user`` via the string table).
+* ``timestamp`` round-trips at SECOND resolution via the Info /
+  DenseInfo timestamp field (epoch units of date_granularity=1000 ms)
+  — strings must be ``YYYY-MM-DDTHH:MM:SSZ``; anything else is
+  dropped on write.  (The reference's PBF reader leaves
+  timestamp/user TODO, ``pbf.rs:50-69`` — this goes beyond it, as
+  with ``user`` via the string table.)  Epoch 0 encodes "absent",
+  matching the proto default-value semantics used for
+  changeset/uid.
 * lat/lon round-trip at 100-nanodegree granularity (the format's
   default resolution).
 """
 
 from __future__ import annotations
 
+import calendar
+import time as _time
 import zlib
 
 import numpy as np
@@ -59,10 +65,32 @@ class _StringTable:
         return b"".join(field_bytes(1, s) for s in self.strings)
 
 
+def _ts_epoch(s) -> int | None:
+    """ISO ``YYYY-MM-DDTHH:MM:SSZ`` → epoch seconds, else None."""
+    if not s:
+        return None
+    try:
+        return calendar.timegm(_time.strptime(s, "%Y-%m-%dT%H:%M:%SZ"))
+    except ValueError:
+        return None
+
+
+def _epoch_ts_strings(vals: np.ndarray) -> np.ndarray:
+    """Vectorized epoch-seconds → ISO strings; 0 (absent) → None."""
+    out = np.char.add(
+        np.datetime_as_string(vals.astype("datetime64[s]"), unit="s"),
+        "Z").astype(object)
+    out[vals == 0] = None
+    return out
+
+
 def _info(st: _StringTable, r: dict) -> bytes:
     out = b""
     if r.get("version") is not None:
         out += field_varint(1, r["version"])
+    ts = _ts_epoch(r.get("timestamp"))
+    if ts is not None:
+        out += field_varint(2, ts)
     if r.get("changeset") is not None:
         out += field_varint(3, r["changeset"])
     if r.get("uid") is not None:
@@ -108,7 +136,11 @@ def _encode_primitive_block(rows: list[dict]) -> bytes:
         user_sids = np.array([st.sid(r["user"]) if r.get("user") else 0
                               for r in nodes], dtype=np.int64)
         visible = [0 if r.get("visible") is False else 1 for r in nodes]
+        tstamps = np.array([_ts_epoch(r.get("timestamp")) or 0
+                            for r in nodes], dtype=np.int64)
         dinfo = field_packed_varints(1, versions)
+        dinfo += field_packed_varints(2, np.diff(tstamps, prepend=0),
+                                      zigzag=True)
         dinfo += field_packed_varints(3, np.diff(changesets, prepend=0), zigzag=True)
         dinfo += field_packed_varints(4, np.diff(uids, prepend=0), zigzag=True)
         dinfo += field_packed_varints(5, np.diff(user_sids, prepend=0), zigzag=True)
@@ -215,6 +247,7 @@ def decode_primitive_block(payload: bytes) -> pa.Table:
     blk = decode_message(payload)
     st = [s.decode() for s in decode_message(blk[1][0]).get(1, [])]
     gran = blk.get(17, [100])[0]
+    date_gran = blk.get(18, [1000])[0]
     lat_off = blk.get(19, [0])[0]
     lon_off = blk.get(20, [0])[0]
     cols = {k: [] for k in ("type", "id", "lat", "lon", "nodes", "members",
@@ -235,7 +268,7 @@ def decode_primitive_block(payload: bytes) -> pa.Table:
         cols["uid"].append(info.get("uid"))
         cols["user"].append(info.get("user"))
         cols["version"].append(info.get("version"))
-        cols["timestamp"].append(None)  # not carried (module docstring)
+        cols["timestamp"].append(info.get("timestamp"))
         cols["visible"].append(info.get("visible"))
 
     def parse_info(data: bytes) -> dict:
@@ -243,6 +276,9 @@ def decode_primitive_block(payload: bytes) -> pa.Table:
         out = {}
         if 1 in m:
             out["version"] = m[1][0]
+        if 2 in m and m[2][0]:
+            out["timestamp"] = str(_epoch_ts_strings(np.array(
+                [m[2][0] * date_gran // 1000], dtype=np.int64))[0])
         if 3 in m:
             out["changeset"] = m[3][0]
         if 4 in m:
@@ -270,6 +306,7 @@ def decode_primitive_block(payload: bytes) -> pa.Table:
                 di = decode_message(d[5][0])
                 dinfo = {
                     "version": decode_packed_varints(di[1][0]) if 1 in di else None,
+                    "timestamp": np.cumsum(decode_packed_varints(di[2][0], zigzag=True)) if 2 in di else None,
                     "changeset": np.cumsum(decode_packed_varints(di[3][0], zigzag=True)) if 3 in di else None,
                     "uid": np.cumsum(decode_packed_varints(di[4][0], zigzag=True)) if 4 in di else None,
                     "user_sid": np.cumsum(decode_packed_varints(di[5][0], zigzag=True)) if 5 in di else None,
@@ -304,6 +341,12 @@ def decode_primitive_block(payload: bytes) -> pa.Table:
                 return pa.array(np.asarray(arr), cast)
 
             if dinfo:
+                tsv = dinfo.get("timestamp")
+                if tsv is not None:
+                    ts_arr = pa.array(_epoch_ts_strings(
+                        (np.asarray(tsv) * date_gran) // 1000), pa.string())
+                else:
+                    ts_arr = pa.nulls(nn, pa.string())
                 user_sid = dinfo.get("user_sid")
                 if user_sid is not None:
                     users = np.where(user_sid > 0, st_arr[user_sid], None)
@@ -318,6 +361,7 @@ def decode_primitive_block(payload: bytes) -> pa.Table:
                 changeset_arr = opt(dinfo.get("changeset"))
                 uid_arr = opt(dinfo.get("uid"), pa.int32())
             else:
+                ts_arr = pa.nulls(nn, pa.string())
                 user_arr = pa.nulls(nn, pa.string())
                 visible_arr = pa.nulls(nn, pa.bool_())
                 version_arr = pa.nulls(nn, pa.int32())
@@ -335,7 +379,7 @@ def decode_primitive_block(payload: bytes) -> pa.Table:
                 uid_arr,
                 user_arr,
                 version_arr,
-                pa.nulls(nn, pa.string()),   # timestamp not carried
+                ts_arr,
                 visible_arr,
             ], schema=OSM_ELEMENT_SCHEMA)
             dense_parts.append(part)

@@ -56,6 +56,8 @@ def _norm(table: pa.Table):
             r["changeset"] or None, r["uid"] or None, r["user"],
             # visible defaults to true in the PBF model (None -> True)
             r["version"] or None, r["visible"] is not False,
+            # second-resolution ISO timestamps round-trip (epoch 0 = absent)
+            r["timestamp"],
         ))
     return sorted(rows)
 
