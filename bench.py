@@ -92,6 +92,7 @@ def run_bench() -> dict:
                      "exact_dedup_images", "osmfilter_docs", "cell_stats",
                      "orders_per_nation", "semi_join_events",
                      "window_counts", "asof_join", "session_windows", "union_all",
+                     "sliding_windows", "stratified_sample",
                      "tile_polygons", "minhash_dedup", "cel_filter",
                      "bloom_dedup", "ivf_ann"):
             t0 = time.perf_counter()

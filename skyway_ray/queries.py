@@ -580,6 +580,77 @@ def q_window_counts_sql() -> str:
             "AS window_h, count(*) AS n_events FROM events GROUP BY 1, 2")
 
 
+def q_sliding_windows(sf_dir: str):
+    """Sliding event-time windows: 1-hour windows every 15 minutes —
+    each event lands in 4 windows.  The flat_map-style expansion stays
+    inside ``map_batches`` (one ``np.repeat`` per batch, then a LOCAL
+    Arrow combine), so the shuffle moves per-(window) partials, not
+    4x the event rows."""
+    STEP_US = 900_000_000  # 15 min
+    NSUB = 4               # 1h window / 15m step
+
+    def expand_partial(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].to_numpy(zero_copy_only=False)
+        slot = ts.astype("datetime64[us]").astype(np.int64) // STEP_US
+        wins = (np.repeat(slot, NSUB)
+                - np.tile(np.arange(NSUB, dtype=np.int64), len(slot)))
+        t = pa.table({"win_slot": pa.array(wins, pa.int64())})
+        g = t.group_by(["win_slot"]).aggregate([("win_slot", "count")])
+        return g.rename_columns(["win_slot", "n"])
+
+    from .stages.agg_tree import tree_aggregate
+
+    partials = _read(sf_dir, "events", ["ts"]).map_batches(
+        expand_partial, batch_format="pyarrow")
+    out = tree_aggregate(partials, ["win_slot"], [("n", "sum")])
+
+    def finish(b: pa.Table) -> pa.Table:
+        slots = b["win_slot"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "win_start_us": pa.array(slots * STEP_US, pa.int64()),
+            "n_events": b["n"],
+        })
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+def q_sliding_windows_sql() -> str:
+    return (
+        "WITH e AS (SELECT epoch_us(ts) AS t FROM events), "
+        "j AS (SELECT unnest(range(4)) AS j), "
+        "w AS (SELECT ((t // 900000000) - j) * 900000000 AS win_start_us "
+        "FROM e CROSS JOIN j) "
+        "SELECT win_start_us, count(*) AS n_events FROM w GROUP BY 1"
+    )
+
+
+def q_stratified_sample(sf_dir: str):
+    """Stratified deterministic sample: different hash-sample rates
+    per event_type stratum (click 50%, view 20%, else 5%) — the
+    per-group sampling a training-data pipeline uses for class
+    rebalancing, exactly mirrorable in SQL."""
+    RATES = {"click": 50, "view": 20}
+
+    def samp(batch: pa.Table) -> pa.Table:
+        k = batch["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        et = batch["event_type"].to_numpy(zero_copy_only=False)
+        rate = np.full(len(k), 5, dtype=np.int64)
+        for name, r in RATES.items():
+            rate[et == name] = r
+        keep = ((k * 2654435761) % 4294967296) % 100 < rate
+        return batch.filter(pa.array(keep))
+
+    return _read(sf_dir, "events", ["event_id", "event_type"]).map_batches(
+        samp, batch_format="pyarrow")
+
+
+def q_stratified_sample_sql() -> str:
+    return ("SELECT event_id, event_type FROM events "
+            "WHERE ((event_id * 2654435761) % 4294967296) % 100 < "
+            "CASE event_type WHEN 'click' THEN 50 WHEN 'view' THEN 20 "
+            "ELSE 5 END")
+
+
 def q_asof_join(sf_dir: str):
     """As-of join: for each event, the user's latest order with
     o_orderdate <= ts (ties → max orderkey); events with no qualifying
@@ -998,6 +1069,8 @@ QUERIES = {
     "semi_join_events": q_semi_join_events,
     "anti_join_events": q_anti_join_events,
     "window_counts": q_window_counts,
+    "sliding_windows": q_sliding_windows,
+    "stratified_sample": q_stratified_sample,
     "asof_join": q_asof_join,
     "distinct_types": q_distinct_types,
     "tile_polygons": q_tile_polygons,
@@ -1039,6 +1112,8 @@ ORACLE_SQL = {
     "semi_join_events": q_semi_join_events_sql(),
     "anti_join_events": q_anti_join_events_sql(),
     "window_counts": q_window_counts_sql(),
+    "sliding_windows": q_sliding_windows_sql(),
+    "stratified_sample": q_stratified_sample_sql(),
     "asof_join": q_asof_join_sql(),
     "distinct_types": q_distinct_types_sql(),
     "tile_polygons": q_tile_polygons_sql(),

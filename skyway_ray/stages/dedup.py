@@ -34,16 +34,42 @@ def exact_dedup(ds, key: str = "phash", order_col: str = "image_id"):
 _WINNER_CACHE: dict = {}
 
 
-def _make_winner_filter(winners_ref, order_col: str):
+def _make_winner_filter(winners_ref, order_col: str, key_col: str | None = None):
+    """Keep rows whose ``order_col`` equals their key's winner.
+
+    With ``key_col`` (numeric keys), the broadcast payload is (sorted
+    keys, aligned winner values): the lookup is one C ``searchsorted``
+    on int64 plus one Arrow string/scalar equality — no Python-object
+    comparisons.  Without it (legacy), the payload is the sorted winner
+    id array and membership decides (string ids pay object-dtype
+    searchsorted — avoid for large sets)."""
+
     def winner_filter(batch: pa.Table) -> pa.Table:
-        key = str(winners_ref)
-        winners = _WINNER_CACHE.get(key)
-        if winners is None:
+        ck = str(winners_ref)
+        payload = _WINNER_CACHE.get(ck)
+        if payload is None:
             import ray
 
-            winners = np.sort(np.asarray(ray.get(winners_ref)))
+            payload = ray.get(winners_ref)
+            if key_col is None:
+                payload = np.sort(np.asarray(payload))
             _WINNER_CACHE.clear()
-            _WINNER_CACHE[key] = winners
+            _WINNER_CACHE[ck] = payload
+        if key_col is not None:
+            keys_sorted, winner_vals = payload
+            kv = batch[key_col].to_numpy(zero_copy_only=False)
+            pos = np.clip(np.searchsorted(keys_sorted, kv), 0,
+                          max(len(keys_sorted) - 1, 0))
+            hit = keys_sorted[pos] == kv if len(keys_sorted) else \
+                np.zeros(len(kv), dtype=bool)
+            winner = pa.array(winner_vals[pos])
+            eq = pa.compute.equal(
+                batch[order_col],
+                winner.cast(batch.schema.field(order_col).type))
+            keep = (np.asarray(eq.to_numpy(zero_copy_only=False), dtype=bool)
+                    & hit)
+            return batch.filter(pa.array(keep))
+        winners = payload
         is_str = winners.dtype.kind in "OU"
         vals = np.asarray(batch[order_col].to_pylist()) if is_str \
             else batch[order_col].to_numpy(zero_copy_only=False)
@@ -155,15 +181,25 @@ def exact_dedup_projected(ds, key: str = "phash", order_col: str = "image_id",
 
         winners_ds = tree_aggregate(projected, [key], [(order_col, "min")])
         winners_df = winners_ds.to_pandas()
-        winners_arr = winners_df[order_col].to_numpy()
+        winner_col = order_col
     else:
         from ray.data.aggregate import Min
 
         winners_df = (projected.groupby(key)
                       .aggregate(Min(order_col, alias_name="winner"))
                       ).to_pandas()
-        winners_arr = winners_df["winner"].to_numpy()
-    winners_ref = ray.put(winners_arr)
-
+        winner_col = "winner"
+    keys_np = winners_df[key].to_numpy()
+    if keys_np.dtype.kind in "iuf":
+        # numeric keys: broadcast (sorted keys, aligned winners) so the
+        # filter is one C searchsorted + one Arrow equality, never an
+        # object-dtype search over winner-id strings
+        order = np.argsort(keys_np, kind="mergesort")
+        winners_ref = ray.put((keys_np[order],
+                               winners_df[winner_col].to_numpy()[order]))
+        return ds.map_batches(
+            _make_winner_filter(winners_ref, order_col, key_col=key),
+            batch_format="pyarrow")
+    winners_ref = ray.put(winners_df[winner_col].to_numpy())
     return ds.map_batches(_make_winner_filter(winners_ref, order_col),
                           batch_format="pyarrow")
