@@ -68,17 +68,39 @@ _WORD_RE = re.compile(r"[a-zà-ÿ']+")
 def guess_lang(texts: pd.Series) -> np.ndarray:
     """Stopword-hit language heuristic; 'und' (undetermined) when no
     list scores ≥ 2 hits. Deterministic; ties broken by language code
-    order."""
-    out = np.empty(len(texts), dtype=object)
+    order.
+
+    Vectorized: stopword membership is computed once per UNIQUE batch
+    token (``pd.factorize``) into a (vocab, n_langs) matrix; per-doc
+    hit counts are one ``np.add.reduceat`` — the only per-doc Python
+    is the tokenizing regex."""
+    texts = list(pd.Series(texts).fillna(""))
+    n = len(texts)
+    out = np.full(n, "und", dtype=object)
+    if not n:
+        return out
+    flat: list = []
+    offs = np.empty(n + 1, dtype=np.int64)
+    offs[0] = 0
+    for i, t in enumerate(texts):
+        flat.extend(_WORD_RE.findall(t.lower()))
+        offs[i + 1] = len(flat)
+    if not flat:
+        return out
+    codes, uniq = pd.factorize(np.asarray(flat, dtype=object))
     langs = sorted(_LANG_STOPWORDS)
-    for i, t in enumerate(texts.fillna("")):
-        words = _WORD_RE.findall(t.lower())
-        best, best_hits = "und", 1
-        for lang in langs:
-            hits = sum(w in _LANG_STOPWORDS[lang] for w in words)
-            if hits > best_hits:
-                best, best_hits = lang, hits
-        out[i] = best
+    memb = np.stack(
+        [np.fromiter((u in _LANG_STOPWORDS[lg] for u in uniq),
+                     dtype=np.int64, count=len(uniq)) for lg in langs],
+        axis=1)                                   # (vocab, n_langs)
+    tok_m = memb[codes]                           # (tokens, n_langs)
+    lens = np.diff(offs)
+    ne = np.flatnonzero(lens > 0)
+    hits = np.add.reduceat(tok_m, offs[ne], axis=0)   # (n_docs', n_langs)
+    best = np.argmax(hits, axis=1)                # first max = lang order
+    best_hits = hits[np.arange(len(ne)), best]
+    lang_arr = np.array(langs, dtype=object)
+    out[ne[best_hits >= 2]] = lang_arr[best[best_hits >= 2]]
     return out
 
 

@@ -184,7 +184,13 @@ def q_dedup_docs(sf_dir: str):
     The groupby KEY is a 64-bit hash of the text (cheap int
     partitioning/sort instead of long-string comparisons at shuffle
     time); the text rides as payload and the per-group step groups by
-    the exact text, so hash collisions cannot merge distinct docs."""
+    the exact text, so hash collisions cannot merge distinct docs.
+
+    Scale note: ``map_groups`` pays per-group Python, so group count ≈
+    distinct docs makes this the FIXTURE-scale demonstration of the
+    hash-partition+first pattern; at web scale route through
+    ``stages.dedup.exact_dedup_bloom`` (the ``bloom_dedup`` query) —
+    its cost is sized by the duplicate rate, not the key count."""
     import zlib
 
     def add_h(b: pa.Table) -> pa.Table:
