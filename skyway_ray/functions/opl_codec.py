@@ -30,7 +30,8 @@ _SAFE = (
     "\u00a1-\u00ac"   # 161-172
     "\u00ae-\u05ff"   # 174-1535
 )
-_UNSAFE_RE = re.compile(f"[^{_SAFE}]")
+UNSAFE_PATTERN = f"[^{_SAFE}]"
+_UNSAFE_RE = re.compile(UNSAFE_PATTERN)
 _ESCAPE_RE = re.compile(r"%([^%]*)(?:%|$)")
 
 

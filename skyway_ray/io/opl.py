@@ -243,41 +243,118 @@ def parse_opl_lines(lines) -> pa.Table:
     return pa.Table.from_arrays(arrays, schema=OSM_ELEMENT_SCHEMA)
 
 
+def _escape_col(col: pa.Array) -> pa.Array:
+    """Vectorized OPL escape: only strings containing an unsafe char
+    (RE2 scan) pay the per-string Python substitution; nulls pass."""
+    import pyarrow.compute as pc
+
+    from ..functions.opl_codec import UNSAFE_PATTERN
+
+    need = pc.fill_null(pc.match_substring_regex(col, UNSAFE_PATTERN), False)
+    idx = np.flatnonzero(need.to_numpy(zero_copy_only=False))
+    if not len(idx):
+        return col
+    vals = col.to_numpy(zero_copy_only=False).copy()
+    vals[idx] = [escape_opl(v) for v in vals[idx]]
+    return pa.array(vals, pa.string())
+
+
+def _list_join(col, child_str: pa.Array, sep: str) -> pa.Array:
+    """Rebuild ``col``'s list layout over transformed child strings and
+    join each list with ``sep`` (null lists stay null)."""
+    import pyarrow.compute as pc
+
+    counts = pc.list_value_length(col)
+    cnp = pc.fill_null(counts, 0).to_numpy(zero_copy_only=False)
+    offs = np.concatenate([[0], np.cumsum(cnp)]).astype(np.int64)
+    valid = counts.is_valid().to_numpy(zero_copy_only=False)
+    n = len(cnp)
+    offsets = pa.array(
+        [int(offs[i]) if valid[i] else None for i in range(n)]
+        + [int(offs[-1])], pa.int32())
+    return pc.binary_join(pa.ListArray.from_arrays(offsets, child_str), sep)
+
+
 def serialize_opl_batch(table: pa.Table) -> list[str]:
     """OSM_ELEMENT_SCHEMA table → OPL lines (writer field order,
-    ``writers/opl.rs:62-168``)."""
-    rows = table.to_pylist()
-    out = []
-    for r in rows:
-        t = r["type"]
-        parts = [("n" if t == "node" else "w" if t == "way" else "r") + str(r["id"])]
-        if r.get("version") is not None:
-            parts.append(f"v{r['version']}")
-        if r.get("visible") is not None:
-            parts.append("dV" if r["visible"] else "dD")
-        if r.get("changeset") is not None:
-            parts.append(f"c{r['changeset']}")
-        if r.get("timestamp") is not None:
-            parts.append(f"t{r['timestamp']}")
-        if r.get("uid") is not None:
-            parts.append(f"i{r['uid']}")
-        if r.get("user") is not None:
-            parts.append("u" + escape_opl(r["user"]))
-        tag_str = ",".join(
-            escape_opl(kv["key"]) + "=" + escape_opl(kv["value"])
-            for kv in (r.get("tags") or []))
-        parts.append("T" + tag_str)
-        if t == "node":
-            parts.append("x" + (_fmt_f64(r["lon"]) if r.get("lon") is not None else ""))
-            parts.append("y" + (_fmt_f64(r["lat"]) if r.get("lat") is not None else ""))
-        elif t == "way":
-            parts.append("N" + ",".join(f"n{n}" for n in (r.get("nodes") or [])))
-        else:
-            parts.append("M" + ",".join(
-                f"{m['type'][0]}{m['ref']}@{escape_opl(m['role'] or '')}"
-                for m in (r.get("members") or [])))
-        out.append(" ".join(parts))
-    return out
+    ``writers/opl.rs:62-168``).
+
+    Vectorized on Arrow kernels: every field renders as one
+    ``cast``/``if_else``/``binary_join_element_wise`` column and the
+    nested tag/node/member strings come from list-layout rebuilds +
+    ``binary_join`` — per-string Python only for %hex% escaping of
+    strings that need it and the shortest-round-trip float repr of
+    node coordinates."""
+    import pyarrow.compute as pc
+
+    n = table.num_rows
+    if n == 0:
+        return []
+    tb = table.combine_chunks()
+
+    def chunk(name):
+        c = tb[name]
+        return c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+
+    bjew = pc.binary_join_element_wise
+
+    typ = chunk("type").to_numpy(zero_copy_only=False)
+    tchar = np.where(typ == "node", "n",
+                     np.where(typ == "way", "w", "r")).astype(object)
+    head = bjew(pa.array(tchar, pa.string()),
+                pc.cast(chunk("id"), pa.string()), "")
+
+    def opt(col, prefix, to_str=None):
+        sval = to_str(col) if to_str else pc.cast(col, pa.string())
+        return pc.fill_null(bjew(pa.scalar(" " + prefix), sval, ""), "")
+
+    f_v = opt(chunk("version"), "v")
+    vis = chunk("visible")
+    f_d = pc.fill_null(pc.if_else(vis, " dV", " dD"), "")
+    f_c = opt(chunk("changeset"), "c")
+    f_t = opt(chunk("timestamp"), "t")
+    f_i = opt(chunk("uid"), "i")
+    f_u = opt(chunk("user"), "u", to_str=_escape_col)
+
+    tags = chunk("tags")
+    tflat = tags.flatten()
+    kv = bjew(_escape_col(tflat.field("key")),
+              _escape_col(tflat.field("value")), "=")
+    f_T = bjew(pa.scalar(" T"), pc.fill_null(_list_join(tags, kv, ","), ""),
+               "")
+
+    # geometry tail by type: node " x.. y..", way " N..", relation " M.."
+    lon_s = pa.array([repr(float(v)) if v is not None else ""
+                      for v in chunk("lon").to_pylist()], pa.string())
+    lat_s = pa.array([repr(float(v)) if v is not None else ""
+                      for v in chunk("lat").to_pylist()], pa.string())
+    node_tail = bjew(pa.scalar(" x"), lon_s, pa.scalar(" y"), lat_s, "")
+
+    nodes = chunk("nodes")
+    nref = bjew(pa.scalar("n"),
+                pc.cast(nodes.flatten(), pa.string()), "")
+    way_tail = bjew(pa.scalar(" N"),
+                    pc.fill_null(_list_join(nodes, nref, ","), ""), "")
+
+    members = chunk("members")
+    mflat = members.flatten()
+    mtyp = mflat.field("type").to_numpy(zero_copy_only=False)
+    mchar = pa.array(np.where(mtyp == "node", "n",
+                              np.where(mtyp == "way", "w", "r")).astype(object),
+                     pa.string())
+    ment = bjew(mchar, pc.cast(mflat.field("ref"), pa.string()),
+                pa.scalar("@"),
+                _escape_col(pc.fill_null(mflat.field("role"), "")), "")
+    rel_tail = bjew(pa.scalar(" M"),
+                    pc.fill_null(_list_join(members, ment, ","), ""), "")
+
+    is_node = pa.array(typ == "node")
+    is_way = pa.array(typ == "way")
+    tail = pc.if_else(is_node, node_tail,
+                      pc.if_else(is_way, way_tail, rel_tail))
+
+    full = bjew(head, f_v, f_d, f_c, f_t, f_i, f_u, f_T, tail, "")
+    return full.to_pylist()
 
 
 def read_opl(path: str):
