@@ -18,9 +18,11 @@ from __future__ import annotations
 
 import json
 
+import numpy as np
 import pyarrow as pa
 
 from ..schemas import OSM_ELEMENT_SCHEMA
+from .opl import _list_join
 
 _VALID_TYPES = {"node", "way", "relation"}
 
@@ -93,44 +95,122 @@ def _fmt_num(v) -> str:
     return str(v)
 
 
+def _json_quote_col(col: pa.Array) -> pa.Array:
+    """Vectorized JSON string quoting: plain-ASCII strings without
+    quote/backslash take the C concat fast path; the rest go through
+    ``json.dumps`` (which also \\uXXXX-escapes non-ASCII, matching the
+    row writer byte-for-byte)."""
+    import pyarrow.compute as pc
+
+    quoted = pc.binary_join_element_wise(
+        pa.scalar('"'), col, pa.scalar('"'), "")
+    safe = pc.fill_null(
+        pc.match_substring_regex(col, r"^[ !#-\[\]-~]*$"), True)
+    sv = safe.to_numpy(zero_copy_only=False)
+    if sv.all():
+        return quoted
+    vals = quoted.to_numpy(zero_copy_only=False).copy()
+    raw = col.to_numpy(zero_copy_only=False)
+    for i in np.flatnonzero(~sv):
+        if raw[i] is not None:
+            vals[i] = json.dumps(raw[i])
+    return pa.array(vals, pa.string())
+
+
+def _float_repr_col(col) -> pa.Array:
+    """repr() formatting (shortest round-trip), with the row writer's
+    ``str(None) == "None"`` behavior preserved for null coordinates."""
+    return pa.array([repr(v) if isinstance(v, float) else str(v)
+                     for v in col.to_pylist()], pa.string())
+
+
 def serialize_json_elements(table: pa.Table) -> str:
-    """One block → comma-joined element objects (no brackets)."""
-    out = []
-    for r in table.to_pylist():
-        t = r["type"]
-        parts = [f'"type":{json.dumps(t)}']
-        if t == "node":
-            parts.append(f'"lat":{_fmt_num(r["lat"])}')
-            parts.append(f'"lon":{_fmt_num(r["lon"])}')
-        elif t == "way":
-            parts.append('"nodes":[' + ",".join(str(n) for n in (r["nodes"] or [])) + "]")
-        else:
-            ms = []
-            for m in (r["members"] or []):
-                mp = [f'"ref":{m["ref"]}']
-                if m.get("type") is not None:
-                    mp.append(f'"type":{json.dumps(m["type"])}')
-                mp.append(f'"role":{json.dumps(m.get("role") or "")}')
-                ms.append("{" + ",".join(mp) + "}")
-            parts.append('"members":[' + ",".join(ms) + "]")
-        parts.append(f'"id":{r["id"]}')
-        if r.get("changeset") is not None:
-            parts.append(f'"changeset":{r["changeset"]}')
-        if r.get("timestamp") is not None:
-            parts.append(f'"timestamp":{json.dumps(r["timestamp"])}')
-        if r.get("uid") is not None:
-            parts.append(f'"uid":{r["uid"]}')
-        if r.get("user") is not None:
-            parts.append(f'"user":{json.dumps(r["user"])}')
-        if r.get("visible") is False:  # only when false (json.rs:165-168)
-            parts.append('"visible":false')
-        tags = r.get("tags") or []
-        if tags:  # omitted when empty (json.rs:171)
-            body = ",".join(f'{json.dumps(kv["key"])}:{json.dumps(kv["value"])}'
-                            for kv in tags)
-            parts.append('"tags":{' + body + "}")
-        out.append("{" + ",".join(parts) + "}")
-    return ",".join(out)
+    """One block → comma-joined element objects (no brackets).
+
+    Vectorized on Arrow kernels (field order / omission semantics of
+    ``writers/json.rs``): every scalar field is one cast +
+    ``binary_join_element_wise`` column with a leading-comma prefix
+    folded in when present; nodes/members/tags strings come from
+    list-layout rebuilds + ``binary_join``.  Per-string Python only
+    for non-plain-ASCII JSON escapes and float repr."""
+    import pyarrow.compute as pc
+
+    n = table.num_rows
+    if n == 0:
+        return ""
+    tb = table.combine_chunks()
+
+    def chunk(name):
+        c = tb[name]
+        return c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+
+    bjew = pc.binary_join_element_wise
+    typ_col = chunk("type")
+    typ = typ_col.to_numpy(zero_copy_only=False)
+    head = bjew(pa.scalar('"type":'), _json_quote_col(typ_col), "")
+
+    # geometry by type (always present, before id — writers/json.rs)
+    node_geo = bjew(pa.scalar(',"lat":'), _float_repr_col(chunk("lat")),
+                    pa.scalar(',"lon":'), _float_repr_col(chunk("lon")), "")
+
+    nodes = chunk("nodes")
+    way_geo = bjew(pa.scalar(',"nodes":['),
+                   pc.fill_null(_list_join(
+                       nodes, pc.cast(nodes.flatten(), pa.string()), ","), ""),
+                   pa.scalar("]"), "")
+
+    members = chunk("members")
+    mflat = members.flatten()
+    mtype = mflat.field("type")
+    # "type" is omitted per member when null
+    mtype_part = pc.fill_null(
+        bjew(pa.scalar(',"type":'), _json_quote_col(mtype), ""), "")
+    ment = bjew(pa.scalar('{"ref":'),
+                pc.cast(mflat.field("ref"), pa.string()),
+                mtype_part,
+                pa.scalar(',"role":'),
+                _json_quote_col(pc.fill_null(mflat.field("role"), "")),
+                pa.scalar("}"), "")
+    rel_geo = bjew(pa.scalar(',"members":['),
+                   pc.fill_null(_list_join(members, ment, ","), ""),
+                   pa.scalar("]"), "")
+
+    is_node = pa.array(typ == "node")
+    is_way = pa.array(typ == "way")
+    geo = pc.if_else(is_node, node_geo, pc.if_else(is_way, way_geo, rel_geo))
+
+    f_id = bjew(pa.scalar(',"id":'), pc.cast(chunk("id"), pa.string()), "")
+
+    def opt(name, label, to_str=None):
+        col = chunk(name)
+        sval = to_str(col) if to_str else pc.cast(col, pa.string())
+        return pc.fill_null(
+            bjew(pa.scalar(f',"{label}":'), sval, ""), "")
+
+    f_ch = opt("changeset", "changeset")
+    f_ts = opt("timestamp", "timestamp", to_str=_json_quote_col)
+    f_uid = opt("uid", "uid")
+    f_user = opt("user", "user", to_str=_json_quote_col)
+    vis = chunk("visible")
+    f_vis = pc.if_else(
+        pc.and_kleene(pc.is_valid(vis), pc.equal(vis, False)),
+        pa.scalar(',"visible":false'), pa.scalar(""))
+
+    tags = chunk("tags")
+    tflat = tags.flatten()
+    kvs = bjew(_json_quote_col(tflat.field("key")), pa.scalar(":"),
+               _json_quote_col(tflat.field("value")), "")
+    tag_body = pc.fill_null(_list_join(tags, kvs, ","), "")
+    has_tags = pc.greater(
+        pc.fill_null(pc.list_value_length(tags), 0), 0)
+    f_tags = pc.if_else(
+        has_tags,
+        bjew(pa.scalar(',"tags":{'), tag_body, pa.scalar("}"), ""),
+        pa.scalar(""))
+
+    full = bjew(pa.scalar("{"), head, geo, f_id, f_ch, f_ts, f_uid,
+                f_user, f_vis, f_tags, pa.scalar("}"), "")
+    return ",".join(full.to_pylist())
 
 
 def create_header(metadata: dict, overpass: bool) -> str:
