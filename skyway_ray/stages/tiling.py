@@ -39,6 +39,18 @@ _DRIVER_KEY_LIMIT = 1 << 16  # 4**z tile bound above which the merge
 #                              must stay distributed (z >= 8)
 
 
+def resolve_merge(z: int, merge: str = "auto") -> str:
+    """Merge-route policy (exposed for tests/auditing): ``auto`` →
+    ``tree`` when the 4^z distinct-tile bound exceeds 2^16 (z ≥ 8) or
+    the cluster has more than one node — i.e. the benchmarked z=12 has
+    NO driver block loop — else the single-node ``driver`` streaming
+    reduce."""
+    if merge != "auto":
+        return merge
+    return ("tree" if (4 ** z) >= _DRIVER_KEY_LIMIT or _multi_node()
+            else "driver")
+
+
 def _multi_node() -> bool:
     import ray
 
@@ -83,9 +95,7 @@ def tile_stats(ds, z: int = 12, lat_col: str = "lat", lon_col: str = "lon",
         batch_format="pyarrow",
     )
     keys = ["tile_z", "tile_x", "tile_y"]
-    if merge == "auto":
-        merge = ("tree" if (4 ** z) > _DRIVER_KEY_LIMIT or _multi_node()
-                 else "driver")
+    merge = resolve_merge(z, merge)
     if merge == "tree":
         # Pipeline break on purpose: with the Repartition in the same
         # plan, the streaming executor reserves the all-to-all a

@@ -320,3 +320,33 @@ class TestBloomDedup:
             ray.data.from_arrow(tab).repartition(2),
             "text", "doc_id").to_pandas()
         assert sorted(out["doc_id"]) == [0, 1, 3, 5]
+
+
+class TestTileMergeRouting:
+    def test_resolve_merge_policy(self):
+        from skyway_ray.stages.tiling import resolve_merge
+
+        # benchmarked z=12: 4^12 >> 2^16 -> distributed tree, no driver loop
+        assert resolve_merge(12) == "tree"
+        assert resolve_merge(8) == "tree"
+        # small key spaces on a single node: driver streaming reduce
+        assert resolve_merge(6) == "driver"
+        # explicit override wins
+        assert resolve_merge(12, "driver") == "driver"
+        assert resolve_merge(3, "tree") == "tree"
+
+    def test_tree_and_driver_agree(self, ray_session):
+        import ray.data
+
+        from skyway_ray.stages.tiling import tile_stats
+
+        rng = np.random.default_rng(2)
+        tab = pa.table({"lat": rng.uniform(-60, 60, 20000),
+                        "lon": rng.uniform(-170, 170, 20000)})
+        ds = ray.data.from_arrow(tab).repartition(4)
+        a = tile_stats(ds, z=9, merge="tree").to_pandas() \
+            .sort_values(["tile_x", "tile_y"]).reset_index(drop=True)
+        ds2 = ray.data.from_arrow(tab).repartition(4)
+        b = tile_stats(ds2, z=9, merge="driver").to_pandas() \
+            .sort_values(["tile_x", "tile_y"]).reset_index(drop=True)
+        assert a[sorted(a.columns)].equals(b[sorted(b.columns)])
