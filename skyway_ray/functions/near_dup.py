@@ -435,7 +435,11 @@ def lsh_dedup_pipeline(ds, id_col: str, band_fn, sketch_fn, pair_ok,
             "sh": pa.array(blobs, pa.binary()),
         })
 
-    cand_sh = ds.map_batches(sketch_rows, batch_format="pyarrow")
+    # materialized: BOTH co-partition joins union against it, and a
+    # lazy cand_sh would re-run the full data pass per consumer; its
+    # size is bounded by the candidate set, not the corpus
+    cand_sh = ds.map_batches(sketch_rows,
+                             batch_format="pyarrow").materialize()
 
     def edges_keyed(key_col):
         def f(b: pa.Table) -> pa.Table:
