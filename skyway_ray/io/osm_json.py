@@ -79,14 +79,21 @@ def parse_osm_json(text: str) -> tuple[pa.Table, dict]:
 
 
 def read_osm_json(path: str):
-    """Driver-side doc parse → distributed Dataset (document formats are
-    single-file; parallelism starts at the first map stage)."""
+    """Single-doc parse in a REMOTE task (document formats are one
+    file; parallelism starts at the first map stage).  The parsed
+    table never lands on the driver — ``from_arrow_refs`` wraps the
+    task's object-store output directly; only the (small) metadata is
+    fetched."""
+    import ray
     import ray.data
 
-    with open(path, encoding="utf-8") as f:
-        table, metadata = parse_osm_json(f.read())
-    ds = ray.data.from_arrow(table)
-    return ds, metadata
+    @ray.remote(num_returns=2)
+    def parse(p):
+        with open(p, encoding="utf-8") as f:
+            return parse_osm_json(f.read())
+
+    tref, mref = parse.remote(path)
+    return ray.data.from_arrow_refs([tref]), ray.get(mref)
 
 
 def _fmt_num(v) -> str:

@@ -68,11 +68,19 @@ def parse_osm_xml(text: str) -> tuple[pa.Table, dict]:
 
 
 def read_osm_xml(path: str):
+    """Single-doc parse in a REMOTE task; the parsed table stays in
+    the object store (``from_arrow_refs``) — only metadata is fetched
+    to the driver."""
+    import ray
     import ray.data
 
-    with open(path, encoding="utf-8") as f:
-        table, metadata = parse_osm_xml(f.read())
-    return ray.data.from_arrow(table), metadata
+    @ray.remote(num_returns=2)
+    def parse(p):
+        with open(p, encoding="utf-8") as f:
+            return parse_osm_xml(f.read())
+
+    tref, mref = parse.remote(path)
+    return ray.data.from_arrow_refs([tref]), ray.get(mref)
 
 
 def _serialize_one(r: dict) -> str:
