@@ -124,3 +124,61 @@ class TestCel:
         assert isinstance(f2, CelFilter)
         with pytest.raises(ValueError):
             create_filter("@@@ not a filter @@@")
+
+
+class TestCelArithmeticFuzz:
+    """Random arithmetic/comparison expression trees vs a Python
+    oracle implementing CEL semantics (truncated int division, C-style
+    modulo, error on div-by-zero) — guards operator precedence and the
+    vectorized fast paths."""
+
+    def _gen(self, rng, depth):
+        if depth == 0 or rng.random() < 0.3:
+            if rng.random() < 0.5:
+                return "id", lambda c: c["id"]
+            v = int(rng.integers(-20, 21))
+            if v >= 0:
+                return str(v), lambda c, v=v: v
+            return f"({v})", lambda c, v=v: v
+        op = rng.choice(["+", "-", "*", "/", "%"])
+        ls, lf = self._gen(rng, depth - 1)
+        rs, rf = self._gen(rng, depth - 1)
+
+        def f(c, op=op, lf=lf, rf=rf):
+            l, r = lf(c), rf(c)
+            if op == "+":
+                return l + r
+            if op == "-":
+                return l - r
+            if op == "*":
+                return l * r
+            if r == 0:
+                raise ZeroDivisionError
+            q = abs(l) // abs(r)
+            if (l < 0) != (r < 0):
+                q = -q
+            return q if op == "/" else l - q * r
+
+        return f"({ls} {op} {rs})", f
+
+    def test_random_trees(self, elements):
+        rng = np.random.default_rng(123)
+        for _ in range(40):
+            ls, lf = self._gen(rng, 3)
+            rs, rf = self._gen(rng, 2)
+            cmp_op = rng.choice(["<", "<=", ">", ">=", "==", "!="])
+            src = f"{ls} {cmp_op} {rs}"
+            import operator
+            cmps = {"<": operator.lt, "<=": operator.le, ">": operator.gt,
+                    ">=": operator.ge, "==": operator.eq, "!=": operator.ne}
+
+            def fn(c, lf=lf, rf=rf, op=cmps[cmp_op]):
+                return op(lf(c), rf(c))
+
+            f = CelFilter(src)
+            with warnings.catch_warnings():
+                warnings.simplefilter("ignore")
+                got = f.apply_table(elements)
+            want_ids = [elements["id"][i].as_py()
+                        for i, k in enumerate(_oracle(elements, fn)) if k]
+            assert got["id"].to_pylist() == want_ids, src
