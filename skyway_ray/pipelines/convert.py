@@ -57,12 +57,16 @@ def convert(input_path: str, output_path: str, input_format: str | None = None,
 
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("input", nargs="?", default="-",
+    p.add_argument("input", nargs="?", default=None,
                    help="input path, or '-'/omitted for stdin "
                         "(requires --from)")
-    p.add_argument("output", nargs="?", default="-",
+    p.add_argument("output", nargs="?", default=None,
                    help="output path, or '-'/omitted for stdout "
                         "(requires --to)")
+    # the reference CLI takes --input/--output as named flags
+    # (src/main.rs:68-74); accept both spellings
+    p.add_argument("--input", dest="input_opt", default=None)
+    p.add_argument("--output", dest="output_opt", default=None)
     p.add_argument("--from", dest="input_format", default=None)
     p.add_argument("--to", dest="output_format", default=None)
     p.add_argument("--filter", dest="filters", action="append", default=[],
@@ -91,7 +95,9 @@ def main(argv=None) -> int:
     import tempfile
 
     tmp_root = None
-    inp, outp = args.input, args.output
+    inp = args.input_opt or args.input or "-"
+    outp = args.output_opt or args.output or "-"
+    args.input, args.output = inp, outp
     try:
         if inp == "-" or outp == "-":
             tmp_root = tempfile.mkdtemp(prefix="skyway_pipe_")

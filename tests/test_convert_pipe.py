@@ -48,3 +48,14 @@ def test_stdout_requires_format(tmp_path):
     r = _run([str(src), "-"], b"")
     assert r.returncode == 2
     assert b"--to" in r.stderr
+
+
+def test_named_input_output_flags(tmp_path):
+    """The reference CLI takes --input/--output as named flags
+    (src/main.rs:68-74) — both spellings work."""
+    src = tmp_path / "in.opl"
+    src.write_text(OPL)
+    out = tmp_path / "out_opl"
+    r = _run(["--input", str(src), "--output", str(out), "--to", "opl"], b"")
+    assert r.returncode == 0, r.stderr.decode()
+    assert b"wrote 3 elements" in r.stdout
