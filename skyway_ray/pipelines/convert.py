@@ -98,6 +98,10 @@ def main(argv=None) -> int:
     inp = args.input_opt or args.input or "-"
     outp = args.output_opt or args.output or "-"
     args.input, args.output = inp, outp
+    if (args.output_format or "").lower() == "overpass":
+        # `--to overpass` is the reference's spelling of the
+        # Overpass-header JSON writer (docs/src/usage.md format table)
+        args.overpass = True
     try:
         if inp == "-" or outp == "-":
             tmp_root = tempfile.mkdtemp(prefix="skyway_pipe_")

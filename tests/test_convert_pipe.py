@@ -59,3 +59,14 @@ def test_named_input_output_flags(tmp_path):
     r = _run(["--input", str(src), "--output", str(out), "--to", "opl"], b"")
     assert r.returncode == 0, r.stderr.decode()
     assert b"wrote 3 elements" in r.stdout
+
+
+def test_to_overpass_shortname(tmp_path):
+    """`--to overpass` (the reference's writer shortname) selects the
+    Overpass JSON header (docs/src/usage.md format table)."""
+    src = tmp_path / "in.opl"
+    src.write_text(OPL)
+    r = _run([str(src), "-", "--to", "overpass"], b"")
+    assert r.returncode == 0, r.stderr.decode()
+    out = r.stdout.decode()
+    assert out.startswith('{"') and '"osm3s"' in out.split("elements")[0]
