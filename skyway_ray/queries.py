@@ -657,6 +657,60 @@ def q_stratified_sample_sql() -> str:
             "ELSE 5 END")
 
 
+def q_box_tile_cover(sf_dir: str):
+    """Vector→raster: rasterize each nation box onto the z=7
+    web-mercator grid — one row per (region, covering tile).  The
+    corner tiles come from the same `tile_xy` math the hash-verified
+    `tiles` query uses, so the integer tile ranges (and therefore the
+    whole cover) mirror the SQL oracle exactly.  The expansion runs
+    inside ``map_batches`` over the (small) nation side — boundary
+    rasterization is a dimension-side op."""
+    Z = 7
+
+    def cover(batch: pa.Table) -> pa.Table:
+        k = batch["n_nationkey"].to_numpy(zero_copy_only=False)
+        name = batch["n_name"].to_numpy(zero_copy_only=False)
+        clat, clon, hh, hw = _box_params(k)
+        x0, _ = tile_xy(clat, clon - hw, Z)
+        x1, _ = tile_xy(clat, clon + hw, Z)
+        _, y0 = tile_xy(clat + hh, clon, Z)   # north edge → smaller y
+        _, y1 = tile_xy(clat - hh, clon, Z)
+        nx = (x1 - x0 + 1)
+        ny = (y1 - y0 + 1)
+        reps = nx * ny
+        region = np.repeat(name, reps)
+        xs_parts, ys_parts = [], []
+        for i in range(len(k)):
+            gx, gy = np.meshgrid(np.arange(x0[i], x1[i] + 1),
+                                 np.arange(y0[i], y1[i] + 1))
+            xs_parts.append(gx.ravel())
+            ys_parts.append(gy.ravel())
+        return pa.table({
+            "region_id": pa.array(region, pa.string()),
+            "tile_x": pa.array(np.concatenate(xs_parts), pa.int64()),
+            "tile_y": pa.array(np.concatenate(ys_parts), pa.int64()),
+        })
+
+    return _read(sf_dir, "nation", ["n_nationkey", "n_name"]).map_batches(
+        cover, batch_format="pyarrow")
+
+
+def q_box_tile_cover_sql() -> str:
+    xw, _ = tile_sql("clat", "(clon - hw)", 7)
+    xe, _ = tile_sql("clat", "(clon + hw)", 7)
+    _, yn = tile_sql("(clat + hh)", "clon", 7)
+    _, ys = tile_sql("(clat - hh)", "clon", 7)
+    return (
+        f"WITH b AS ({_BOX_SQL}), "
+        f"r AS (SELECT region_id, {xw} AS x0, {xe} AS x1, "
+        f"{yn} AS y0, {ys} AS y1 FROM b), "
+        "xr AS (SELECT region_id, unnest(generate_series(x0, x1)) "
+        "AS tile_x, y0, y1 FROM r) "
+        "SELECT region_id, tile_x, "
+        "unnest(generate_series(y0, y1)) AS tile_y FROM xr"
+    )
+
+
 def q_asof_join(sf_dir: str):
     """As-of join: for each event, the user's latest order with
     o_orderdate <= ts (ties → max orderkey); events with no qualifying
@@ -1080,6 +1134,7 @@ QUERIES = {
     "asof_join": q_asof_join,
     "distinct_types": q_distinct_types,
     "tile_polygons": q_tile_polygons,
+    "box_tile_cover": q_box_tile_cover,
     "session_windows": q_session_windows,
     "union_all": q_union_all,
     "hash_sample": q_hash_sample,
@@ -1123,6 +1178,7 @@ ORACLE_SQL = {
     "asof_join": q_asof_join_sql(),
     "distinct_types": q_distinct_types_sql(),
     "tile_polygons": q_tile_polygons_sql(),
+    "box_tile_cover": q_box_tile_cover_sql(),
     "session_windows": q_session_windows_sql(),
     "union_all": q_union_all_sql(),
     "hash_sample": q_hash_sample_sql(),
