@@ -84,22 +84,33 @@ def _cc_small(edges):
     return ray.data.from_arrow(out)
 
 
-def _checksum(edges) -> tuple[int, int]:
-    """(row count, order-independent xor checksum) of an edge Dataset
+def _checksum(edges) -> tuple[int, int, int]:
+    """(row count, xor digest, sum digest) of an edge Dataset
     — one streaming aggregate, no driver materialization."""
 
     def partial(b: pa.Table) -> pa.Table:
         a = b["doc_a"].to_numpy(zero_copy_only=False).astype(np.uint64)
         c = b["doc_b"].to_numpy(zero_copy_only=False).astype(np.uint64)
         h = ((a * _MIX) ^ c) & np.uint64(0x7FFFFFFFFFFFFFFF)
-        return pa.table({"n": [len(b)], "x": [int(np.bitwise_xor.reduce(h))
-                                              if len(b) else 0]})
+        if not len(b):
+            return pa.table({"n": [0], "x": [0], "s": [0]})
+        # two independent order-free digests (xor + wrapping sum) —
+        # a collision would terminate the rounds early, so make it
+        # ~2^-122 instead of ~2^-63
+        return pa.table({
+            "n": [len(b)],
+            "x": [int(np.bitwise_xor.reduce(h))],
+            "s": [int(np.sum(h, dtype=np.uint64)
+                      & np.uint64(0x7FFFFFFFFFFFFFFF))],
+        })
 
     parts = edges.map_batches(partial, batch_format="pyarrow").to_pandas()
     if not len(parts):
-        return (0, 0)
+        return (0, 0, 0)
     return (int(parts["n"].sum()),
-            int(np.bitwise_xor.reduce(parts["x"].to_numpy().astype(np.uint64))))
+            int(np.bitwise_xor.reduce(parts["x"].to_numpy().astype(np.uint64))),
+            int(np.sum(parts["s"].to_numpy().astype(np.uint64),
+                       dtype=np.uint64) & np.uint64(0x7FFFFFFFFFFFFFFF)))
 
 
 def _star_round(g: pd.DataFrame) -> pd.DataFrame:
