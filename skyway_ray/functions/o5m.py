@@ -55,16 +55,28 @@ class StringTable:
 
     def __init__(self, capacity: int = 15_000):
         self.capacity = capacity
-        self.cached: list[bytes] = []
+        # O(1) equivalent of the front-insert list: entries carry the
+        # sequence number of their (latest) insertion; the 1-based
+        # front index of an entry is n_inserts - seq, and anything
+        # deeper than capacity counts as evicted.  (The list form paid
+        # an O(capacity) list.index scan + O(capacity) front-insert
+        # memmove per string — the o5m writer hotspot.)
+        self._seq_of: dict[bytes, int] = {}
+        self._n = 0
 
     def hit_cache(self, data: bytes) -> bytes:
-        try:
-            pos = self.cached.index(data)
-            return convert_number(pos + 1)
-        except ValueError:
-            self.cached.insert(0, data)
-            del self.cached[self.capacity:]
-            return data
+        s = self._seq_of.get(data)
+        if s is not None:
+            dist = self._n - s
+            if dist <= self.capacity:
+                return convert_number(dist)
+        self._seq_of[data] = self._n
+        self._n += 1
+        if len(self._seq_of) > 4 * self.capacity:  # prune dead entries
+            cut = self._n - self.capacity
+            self._seq_of = {k: v for k, v in self._seq_of.items()
+                            if v >= cut}
+        return data
 
 
 _TYPE_RANK = {"node": 0, "way": 1, "relation": 2}

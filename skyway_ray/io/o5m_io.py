@@ -138,18 +138,21 @@ def write_o5m(ds, path: str) -> int:
 
 
 class _RefTable:
-    """Reader-side mirror of the MRU reference table."""
+    """Reader-side mirror of the MRU reference table — append-only
+    list + arithmetic indexing (``ref`` counts back from the newest),
+    instead of an O(capacity) front-insert memmove per entry."""
 
     def __init__(self, capacity: int = 15_000):
         self.entries: list[bytes] = []
         self.capacity = capacity
 
     def add(self, data: bytes) -> None:
-        self.entries.insert(0, data)
-        del self.entries[self.capacity:]
+        self.entries.append(data)
+        if len(self.entries) > 4 * self.capacity:  # prune dead tail
+            self.entries = self.entries[-self.capacity:]
 
     def get(self, ref: int) -> bytes:
-        return self.entries[ref - 1]
+        return self.entries[len(self.entries) - ref]
 
 
 def _read_string_pair(data: bytes, pos: int, rt: _RefTable,
