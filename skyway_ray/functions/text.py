@@ -32,6 +32,21 @@ def token_count(texts: pd.Series) -> np.ndarray:
     return texts.str.count(TOKEN_RE).fillna(0).to_numpy(dtype=np.int64)
 
 
+# GPT-2-style pre-tokenizer, ASCII approximation with NO lookahead so
+# RE2 (DuckDB regexp_extract_all) matches Python's re exactly:
+# contractions | space?-letters | space?-digits | space?-punct-run |
+# whitespace run.  Counts of these pieces approximate BPE token counts
+# (each piece maps to >=1 BPE tokens; for budget estimation the piece
+# count is the standard cheap proxy).
+BPE_RE = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+
+
+def bpe_token_count(texts: pd.Series) -> np.ndarray:
+    """BPE-ish subword token estimate via the pre-tokenizer piece
+    count (DuckDB-mirrorable — see :data:`BPE_RE`)."""
+    return texts.str.count(BPE_RE).fillna(0).to_numpy(dtype=np.int64)
+
+
 def char_count(texts: pd.Series) -> np.ndarray:
     return texts.str.len().fillna(0).to_numpy(dtype=np.int64)
 

@@ -269,6 +269,30 @@ def q_token_count_sql() -> str:
             "'[A-Za-z0-9]+')) as bigint) AS n_tokens FROM documents")
 
 
+def q_bpe_tokens(sf_dir: str):
+    """BPE-ish subword token estimate (GPT-2-style pre-tokenizer piece
+    count, lookahead-free so the RE2 oracle matches Python exactly —
+    functions/text.py BPE_RE)."""
+    from .functions.text import bpe_token_count
+
+    def f(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": batch["doc_id"],
+            "n_bpe_tokens": bpe_token_count(batch["text"]),
+        })
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        f, batch_format="pandas")
+
+
+def q_bpe_tokens_sql() -> str:
+    from .functions.text import BPE_RE
+
+    pat = BPE_RE.replace("'", "''")
+    return ("SELECT doc_id, cast(length(regexp_extract_all(text, "
+            f"'{pat}')) as bigint) AS n_bpe_tokens FROM documents")
+
+
 def q_quality(sf_dir: str):
     """Quality-scoring features (counts + one ratio of ints)."""
     from .functions.text import char_count, punct_count, token_count
@@ -1120,6 +1144,7 @@ QUERIES = {
     "dedup_docs": q_dedup_docs,
     "topk_events": q_topk_events,
     "token_count": q_token_count,
+    "bpe_tokens": q_bpe_tokens,
     "quality": q_quality,
     "knn": q_knn,
     "pip_join_boxes": q_pip_join_boxes,
@@ -1164,6 +1189,7 @@ ORACLE_SQL = {
     "dedup_docs": q_dedup_docs_sql(),
     "topk_events": q_topk_events_sql(),
     "token_count": q_token_count_sql(),
+    "bpe_tokens": q_bpe_tokens_sql(),
     "quality": q_quality_sql(),
     "knn": q_knn_sql(),
     "pip_join_boxes": q_pip_join_boxes_sql(),
