@@ -93,7 +93,8 @@ def run_bench() -> dict:
                      "orders_per_nation", "semi_join_events",
                      "window_counts", "asof_join", "session_windows", "union_all",
                      "sliding_windows", "stratified_sample",
-                     "tile_polygons", "box_tile_cover", "minhash_dedup", "cel_filter",
+                     "tile_polygons", "box_tile_cover", "bpe_tokens",
+                     "minhash_dedup", "embedding_dedup", "cel_filter",
                      "bloom_dedup", "ivf_ann"):
             t0 = time.perf_counter()
             _consume(QUERIES[name](sf_dir))
