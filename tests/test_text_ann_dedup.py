@@ -263,3 +263,28 @@ class TestEmbeddingLshDedup:
         assert all(i in kept for i in range(40) if i != 7) or 7 in kept
         # no unrelated vector lost
         assert len(kept & set(range(40))) == 40
+
+
+def test_minhash_dedup_run_to_run_deterministic(ray_session):
+    """Survivor sets must not depend on scheduling: the bucket
+    co-location runs through a deterministic sort and the verification
+    and CC stages are order-free, so two runs (different partitioning)
+    agree exactly."""
+    import ray.data
+
+    from skyway_ray.functions.near_dup import minhash_lsh_dedup
+
+    rng = np.random.default_rng(17)
+    texts, ids = [], []
+    for i in range(120):
+        texts.append(f"doc{i} " + " ".join(
+            f"w{i % 11}x{j}" for j in range(30)))
+        ids.append(i)
+    tab = pa.table({"doc_id": ids, "text": texts})
+    a = sorted(minhash_lsh_dedup(
+        ray.data.from_arrow(tab).repartition(3),
+        threshold=0.6).to_pandas()["doc_id"])
+    b = sorted(minhash_lsh_dedup(
+        ray.data.from_arrow(tab).repartition(7),
+        threshold=0.6).to_pandas()["doc_id"])
+    assert a == b
