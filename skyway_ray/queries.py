@@ -293,6 +293,45 @@ def q_bpe_tokens_sql() -> str:
             f"'{pat}')) as bigint) AS n_bpe_tokens FROM documents")
 
 
+def q_grouped_topk(sf_dir: str):
+    """Top-5 events by value per event_type (grouped top-k: per-batch
+    per-group pre-reduce, then a tiny per-group finish)."""
+    from .stages.topk import grouped_top_k
+
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+    return grouped_top_k(ds, "event_type", "value", 5,
+                         descending=True, tiebreak_col="event_id")
+
+
+def q_grouped_topk_sql() -> str:
+    return ("SELECT event_id, event_type, value FROM ("
+            "SELECT event_id, event_type, value, row_number() OVER "
+            "(PARTITION BY event_type ORDER BY value DESC, event_id) AS rn "
+            "FROM events) WHERE rn <= 5")
+
+
+def q_grouped_median(sf_dir: str):
+    """Exact discrete median value per event_type — per-group sorted
+    pick (element pass-through, no float arithmetic, so it hash-matches
+    quantile_disc)."""
+
+    def med(g: pd.DataFrame) -> pd.DataFrame:
+        v = np.sort(g["value"].to_numpy())
+        # quantile_disc(0.5): lower of the two middle elements
+        return pd.DataFrame({
+            "event_type": [g["event_type"].iloc[0]],
+            "median_value": [v[(len(v) - 1) // 2]],
+        })
+
+    return _read(sf_dir, "events", ["event_type", "value"]).groupby(
+        "event_type").map_groups(med, batch_format="pandas")
+
+
+def q_grouped_median_sql() -> str:
+    return ("SELECT event_type, quantile_disc(value, 0.5) AS median_value "
+            "FROM events GROUP BY 1")
+
+
 def q_quality(sf_dir: str):
     """Quality-scoring features (counts + one ratio of ints)."""
     from .functions.text import char_count, punct_count, token_count
@@ -1145,6 +1184,8 @@ QUERIES = {
     "topk_events": q_topk_events,
     "token_count": q_token_count,
     "bpe_tokens": q_bpe_tokens,
+    "grouped_topk": q_grouped_topk,
+    "grouped_median": q_grouped_median,
     "quality": q_quality,
     "knn": q_knn,
     "pip_join_boxes": q_pip_join_boxes,
@@ -1190,6 +1231,8 @@ ORACLE_SQL = {
     "topk_events": q_topk_events_sql(),
     "token_count": q_token_count_sql(),
     "bpe_tokens": q_bpe_tokens_sql(),
+    "grouped_topk": q_grouped_topk_sql(),
+    "grouped_median": q_grouped_median_sql(),
     "quality": q_quality_sql(),
     "knn": q_knn_sql(),
     "pip_join_boxes": q_pip_join_boxes_sql(),

@@ -350,3 +350,38 @@ class TestTileMergeRouting:
         b = tile_stats(ds2, z=9, merge="driver").to_pandas() \
             .sort_values(["tile_x", "tile_y"]).reset_index(drop=True)
         assert a[sorted(a.columns)].equals(b[sorted(b.columns)])
+
+
+class TestGroupedTopK:
+    def test_matches_window_oracle(self, ray_session):
+        import ray.data
+
+        from skyway_ray.stages.topk import grouped_top_k
+
+        rng = np.random.default_rng(3)
+        n = 5000
+        tab = pa.table({
+            "g": rng.integers(0, 20, n),
+            "v": rng.integers(0, 10_000, n),   # int values: exact ties
+            "id": np.arange(n, dtype=np.int64)})
+        ds = ray.data.from_arrow(tab).repartition(6)
+        got = grouped_top_k(ds, "g", "v", 3, descending=True,
+                            tiebreak_col="id").to_pandas()
+        df = tab.to_pandas()
+        want = (df.sort_values(["g", "v", "id"],
+                               ascending=[True, False, True])
+                .groupby("g").head(3))
+        key = ["g", "v", "id"]
+        assert (got.sort_values(key).reset_index(drop=True)[key]
+                .equals(want.sort_values(key).reset_index(drop=True)[key]))
+
+    def test_small_groups(self, ray_session):
+        import ray.data
+
+        from skyway_ray.stages.topk import grouped_top_k
+
+        tab = pa.table({"g": [1, 1, 2], "v": [5, 9, 1],
+                        "id": np.arange(3, dtype=np.int64)})
+        got = grouped_top_k(ray.data.from_arrow(tab), "g", "v", 5,
+                            tiebreak_col="id").to_pandas()
+        assert len(got) == 3
