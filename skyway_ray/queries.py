@@ -878,6 +878,48 @@ def q_session_windows_sql() -> str:
     )
 
 
+def q_rolling_counts(sf_dir: str):
+    """Rolling 1-hour range-window count per user (for each event, how
+    many of the user's events fall in (ts-1h, ts] including ts-peers —
+    SQL RANGE semantics).  Same coarse user-bucket grouping as
+    session_windows: each group call handles every user in its bucket
+    with vectorized two-sided searchsorted per user segment."""
+    GAP_US = 3_600_000_000
+    N_BUCKETS = 32
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        u = b["user_id"].to_numpy(zero_copy_only=False)
+        return b.append_column("_bucket", pa.array(u % N_BUCKETS, pa.int64()))
+
+    def roll(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        ts = d["ts"].astype("int64").to_numpy()
+        user = d["user_id"].to_numpy()
+        n = len(d)
+        out = np.empty(n, dtype=np.int64)
+        new = np.ones(n, dtype=bool)
+        new[1:] = user[1:] != user[:-1]
+        starts = np.flatnonzero(new)
+        ends = np.append(starts[1:], n)
+        for s, e in zip(starts, ends):  # per-USER segment, inner ops C
+            seg = ts[s:e]
+            hi = np.searchsorted(seg, seg, side="right")
+            lo = np.searchsorted(seg, seg - GAP_US, side="left")
+            out[s:e] = hi - lo
+        return pd.DataFrame({"event_id": d["event_id"].to_numpy(),
+                             "n_last_hour": out})
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"]).map_batches(
+        add_bucket, batch_format="pyarrow")
+    return ds.groupby("_bucket").map_groups(roll, batch_format="pandas")
+
+
+def q_rolling_counts_sql() -> str:
+    return ("SELECT event_id, cast(count(*) OVER (PARTITION BY user_id "
+            "ORDER BY epoch_us(ts) RANGE BETWEEN 3600000000 PRECEDING "
+            "AND CURRENT ROW) AS bigint) AS n_last_hour FROM events")
+
+
 def q_union_all(sf_dir: str):
     """UNION ALL (set op): high-value events ∪ low-value events —
     partition-recombine without a shuffle."""
@@ -1202,6 +1244,7 @@ QUERIES = {
     "tile_polygons": q_tile_polygons,
     "box_tile_cover": q_box_tile_cover,
     "session_windows": q_session_windows,
+    "rolling_counts": q_rolling_counts,
     "union_all": q_union_all,
     "hash_sample": q_hash_sample,
     "lineitem_stats": q_lineitem_stats,
@@ -1249,6 +1292,7 @@ ORACLE_SQL = {
     "tile_polygons": q_tile_polygons_sql(),
     "box_tile_cover": q_box_tile_cover_sql(),
     "session_windows": q_session_windows_sql(),
+    "rolling_counts": q_rolling_counts_sql(),
     "union_all": q_union_all_sql(),
     "hash_sample": q_hash_sample_sql(),
     "lineitem_stats": q_lineitem_stats_sql(),
