@@ -880,8 +880,8 @@ def q_session_windows_sql() -> str:
 
 def q_rolling_counts(sf_dir: str):
     """Rolling 1-hour range-window count per user (for each event, how
-    many of the user's events fall in (ts-1h, ts] including ts-peers —
-    SQL RANGE semantics).  Same coarse user-bucket grouping as
+    many of the user's events fall in [ts-1h, ts] including ts-peers —
+    SQL RANGE semantics, inclusive lower bound).  Same coarse user-bucket grouping as
     session_windows: each group call handles every user in its bucket
     with vectorized two-sided searchsorted per user segment."""
     GAP_US = 3_600_000_000
