@@ -189,16 +189,27 @@ class CellKnnIndex:
 def build_sharded_knn(ref_ds, coarse_res: int = 4, id_col: str = "image_id",
                       lat_col: str = "lat", lon_col: str = "lon"):
     """Scale path: partition the reference side by COARSE grid cell into
-    object-store shards — no single-node broadcast of the whole table.
+    object-store shards — no single-node broadcast of the whole table,
+    and no driver funnel: every worker publishes ITS OWN cell shards.
 
-    The reference Dataset is sorted by coarse cell (range shuffle), then
-    streamed block-by-block on the driver, slicing per cell; each cell's
-    (lat, lon, id — Hilbert-sorted) arrays are ``ray.put`` individually
-    and only the small {cell: ObjectRef} directory is broadcast.  Probe
-    workers fetch the shards their ring expansion touches (plasma
-    handles locality/eviction) and cache them per process.
+    The reference Dataset is sorted by (coarse cell, Hilbert key) — a
+    range shuffle — then a ``map_batches`` pass over the sorted blocks
+    ``ray.put``s one shard per cell-run *on the worker that holds the
+    block* and emits only tiny ``(cell, ref)`` directory rows (Ray
+    tracks ObjectRefs nested in blocks/args, so the refs stay live).
+    A cell straddling a block boundary simply yields MULTIPLE partial
+    shards — the directory maps ``cell -> [refs]`` and probes
+    concatenate partials, so no boundary stitching pass or cross-worker
+    data movement is needed; each partial stays Hilbert-sorted.  Only
+    the directory rows (one per cell-run, bounded by #cells + #blocks)
+    ever reach the driver.  Probe workers fetch the shards their ring
+    expansion touches (plasma handles locality/eviction) and cache them
+    per process.  Shard objects are owned by the (long-lived) Ray Data
+    worker processes that put them; a production cluster with worker
+    churn would pin them via a detached owner or persist to storage.
 
     Returns (directory_ref, coarse_res)."""
+    import pandas as pd
     import ray
 
     from ..geo.cells import cell_id as _cell_id
@@ -213,40 +224,34 @@ def build_sharded_knn(ref_ds, coarse_res: int = 4, id_col: str = "image_id",
 
     ds = ref_ds.map_batches(add_cell, batch_format="pyarrow").sort(
         ["_cell", "_hk"])
-    directory: dict[int, object] = {}
-    carry: pa.Table | None = None
 
-    def put_cells(table: pa.Table, final: bool):
-        nonlocal carry
-        if carry is not None:
-            table = pa.concat_tables([carry, table])
-            carry = None
-        if table.num_rows == 0:
-            return
-        cells = table["_cell"].to_numpy(zero_copy_only=False)
+    def publish(block: pa.Table) -> pd.DataFrame:
+        cells = block["_cell"].to_numpy(zero_copy_only=False)
+        if not len(cells):
+            return pd.DataFrame({"cell": pd.Series([], dtype=np.int64),
+                                 "ref": pd.Series([], dtype=object)})
         bounds = np.flatnonzero(np.diff(cells)) + 1
         starts = np.concatenate([[0], bounds])
         ends = np.concatenate([bounds, [len(cells)]])
+        refs, out_cells = [], []
         for s, e in zip(starts, ends):
-            chunk = table.slice(s, e - s)
-            if not final and e == len(cells):
-                carry = chunk  # cell may continue in the next block
-                return
-            directory[int(cells[s])] = ray.put({
+            chunk = block.slice(s, e - s)
+            refs.append(ray.put({
                 "lat": chunk[lat_col].to_numpy(zero_copy_only=False),
                 "lon": chunk[lon_col].to_numpy(zero_copy_only=False),
                 "ids": np.asarray(chunk[id_col].to_pylist()),
-            })
+            }))
+            out_cells.append(int(cells[s]))
+        return pd.DataFrame({"cell": np.asarray(out_cells, dtype=np.int64),
+                             "ref": refs})
 
-    for block_ref in ds.to_arrow_refs():
-        put_cells(ray.get(block_ref), final=False)
-    if carry is not None:  # flush the final cell
-        chunk, carry = carry, None
-        directory[int(chunk["_cell"][0].as_py())] = ray.put({
-            "lat": chunk[lat_col].to_numpy(zero_copy_only=False),
-            "lon": chunk[lon_col].to_numpy(zero_copy_only=False),
-            "ids": np.asarray(chunk[id_col].to_pylist()),
-        })
+    # batch_size=None → one publish call per sorted block (fewest
+    # partial shards); the directory table is tiny (ids + refs only)
+    dir_rows = ds.map_batches(publish, batch_format="pyarrow",
+                              batch_size=None).to_pandas()
+    directory: dict[int, list] = {}
+    for c, r in zip(dir_rows["cell"], dir_rows["ref"]):
+        directory.setdefault(int(c), []).append(r)
     return ray.put(directory), coarse_res
 
 
@@ -275,7 +280,13 @@ class ShardedKnnStage:
         if s is None and cell in self.directory:
             import ray
 
-            s = ray.get(self.directory[cell])
+            # a cell may have several partial shards (one per sorted
+            # block it straddled at build time) — concatenate once,
+            # cache the merged arrays per process
+            parts = ray.get(list(self.directory[cell]))
+            s = parts[0] if len(parts) == 1 else {
+                k: np.concatenate([p[k] for p in parts])
+                for k in ("lat", "lon", "ids")}
             self._cache[cell] = s
         return s
 
