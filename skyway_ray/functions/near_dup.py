@@ -234,14 +234,29 @@ _FNV_PRIME = np.uint64(0x100000001B3)
 
 
 def band_rows(signatures: np.ndarray, doc_ids: np.ndarray,
-              bands: int = 16) -> pa.Table:
-    """(n, num_perm) signatures → exploded (band_id, band_hash, doc_id)
-    rows for the LSH groupby.  Band hash = FNV-1a fold over the band's
-    signature columns — vectorized across all docs at once."""
+              bands: int = 16, set_hash: np.ndarray | None = None
+              ) -> pa.Table:
+    """(n, num_perm) signatures → exploded (band_id, band_hash,
+    set_hash, doc_id) rows for the LSH bucket sort.  Band hash = FNV-1a
+    fold over the band's signature columns — vectorized across all docs
+    at once.
+
+    ``set_hash`` (optional, int64) is a SECONDARY within-bucket sort
+    key: an order-free hash of the doc's full shingle set.  Buckets mix
+    docs of different sets (that is what banding is for), and the chain
+    scan only emits edges between bucket-ADJACENT rows — with the
+    default doc_id order two exact-duplicate docs can be separated by a
+    near-dup whose pairwise verification fails, breaking the chain.
+    Sorting each bucket by set_hash first makes identical sets
+    contiguous, so exact duplicates always receive direct chain edges
+    (a prerequisite for the hash-verified ``minhash_exact`` query and a
+    recall improvement for the general case)."""
     n, num_perm = signatures.shape
     rows_per_band = num_perm // bands
     out_band = np.repeat(np.arange(bands, dtype=np.int64), n)
     out_doc = np.tile(np.asarray(doc_ids), bands)
+    out_set = np.tile(np.zeros(n, np.int64) if set_hash is None
+                      else np.asarray(set_hash, dtype=np.int64), bands)
     out_hash = np.empty(bands * n, dtype=np.uint64)
     for b in range(bands):
         acc = np.full(n, _FNV_OFF, dtype=np.uint64)
@@ -252,8 +267,25 @@ def band_rows(signatures: np.ndarray, doc_ids: np.ndarray,
     return pa.table({
         "band_id": out_band,
         "band_hash": out_hash.view(np.int64),
+        "set_hash": out_set,
         "doc_id": out_doc,
     })
+
+
+def set_hash64(flat: np.ndarray, starts: np.ndarray, counts: np.ndarray
+               ) -> np.ndarray:
+    """Order-free 64-bit hash of each doc's shingle set (sum of
+    multiply-mixed shingle hashes over the per-doc segments) — equal
+    sets always hash equal; distinct sets collide with ~2^-64
+    probability.  int64 output (sort-key dtype)."""
+    ndocs = len(counts)
+    out = np.zeros(ndocs, dtype=np.uint64)
+    nz = np.flatnonzero(np.asarray(counts) > 0)
+    if len(nz):
+        mix = (flat.astype(np.int64) * np.int64(-7046029254386353131)
+               + np.int64(0x0123456789ABCDEF)).view(np.uint64)
+        out[nz] = np.add.reduceat(mix, np.asarray(starts)[nz])
+    return out.view(np.int64)
 
 
 def jaccard(a: np.ndarray, b: np.ndarray) -> float:
@@ -497,7 +529,11 @@ def lsh_dedup_pipeline(ds, id_col: str, band_fn, sketch_fn, pair_ok,
     from .bloom import BloomFilter
 
     banded = ds.map_batches(band_fn, batch_format="pyarrow")
-    srt = banded.sort(["band_id", "band_hash", "doc_id"]).materialize()
+    # set_hash before doc_id: identical shingle sets sort contiguous
+    # within each bucket (see band_rows), so exact duplicates always
+    # get direct chain edges even when interleaved with near-dups
+    srt = banded.sort(["band_id", "band_hash", "set_hash",
+                       "doc_id"]).materialize()
 
     def _chain(bid, bh, doc, blk=None):
         """Edges between bucket-adjacent sorted rows — chain edges are
@@ -534,7 +570,8 @@ def lsh_dedup_pipeline(ds, id_col: str, band_fn, sketch_fn, pair_ok,
     # sort), so sorting and chaining this tiny table stitches every
     # bucket that spans a block boundary — and nothing else.
     bdf = (srt.map_batches(block_boundary_rows, batch_format="pyarrow")
-           .to_pandas().sort_values(["band_id", "band_hash", "doc_id"]))
+           .to_pandas().sort_values(["band_id", "band_hash", "set_hash",
+                                     "doc_id"]))
     stitched = _chain(bdf["band_id"].to_numpy(), bdf["band_hash"].to_numpy(),
                       bdf["doc_id"].to_numpy(), blk=bdf["_blk"].to_numpy())
     edges = edges_main
@@ -678,7 +715,8 @@ def minhash_lsh_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
         mh = _hasher_cached(num_perm)
         sigs = mh.signatures_from_flat(flat, starts, counts)
         ids = batch[id_col].to_numpy(zero_copy_only=False)
-        return band_rows(sigs, ids, bands=bands)
+        return band_rows(sigs, ids, bands=bands,
+                         set_hash=set_hash64(flat, starts, counts))
 
     def sketch_fn(batch: pa.Table, keep: np.ndarray) -> list:
         texts = [t for t, k in zip(batch[text_col].to_pylist(), keep) if k]
@@ -730,6 +768,7 @@ def embedding_lsh_dedup(ds, vec_col: str = "embedding",
         if not len(ids):
             return pa.table({"band_id": pa.array([], pa.int64()),
                              "band_hash": pa.array([], pa.int64()),
+                             "set_hash": pa.array([], pa.int64()),
                              "doc_id": pa.array([], pa.int64())})
         nv = _normalize(vecs.astype(np.float64))
         planes = _planes_cached(nv.shape[1], bands, bits, seed)
@@ -741,6 +780,7 @@ def embedding_lsh_dedup(ds, vec_col: str = "embedding",
         return pa.table({
             "band_id": np.repeat(np.arange(bands, dtype=np.int64), n),
             "band_hash": codes.T.reshape(-1),
+            "set_hash": np.zeros(bands * n, np.int64),
             "doc_id": np.tile(ids, bands),
         })
 

@@ -236,6 +236,35 @@ def q_bloom_dedup_sql() -> str:
             "AS w FROM documents) WHERE doc_id = w")
 
 
+def q_minhash_exact(sf_dir: str):
+    """MinHash+LSH near-dedup, hash-verifiable end-to-end: at
+    ``threshold=1.0`` over word-SET shingles the verified clusters are
+    exactly the token-set equivalence classes — ``jaccard >= 1.0`` iff
+    the shingle sets are identical, identical sets give identical
+    signatures hence identical band hashes in every band (recall 1),
+    and the exact verify pass rejects every non-equal candidate.  The
+    FULL distributed pipeline (band explode → sort-chain candidates →
+    Bloom prefilter → two co-partition verify joins → connected
+    components → loser filter) therefore reduces to "keep the min
+    doc_id per distinct token set", which the window-min SQL oracle
+    reproduces by partitioning on the sorted distinct token list."""
+    from .functions.near_dup import minhash_lsh_dedup
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = minhash_lsh_dedup(ds, threshold=1.0, shingle="token")
+    return out.map_batches(lambda b: b.select(["doc_id"]),
+                           batch_format="pyarrow")
+
+
+def q_minhash_exact_sql() -> str:
+    # [a-z0-9]+ over lower(text) == the Python tokenizer's
+    # [A-Za-z0-9]+ over text.lower() for ASCII corpora
+    return ("SELECT doc_id FROM (SELECT doc_id, min(doc_id) OVER ("
+            "PARTITION BY list_sort(list_distinct(regexp_extract_all("
+            "lower(text), '[a-z0-9]+')))) AS w FROM documents) "
+            "WHERE doc_id = w")
+
+
 def q_topk_events(sf_dir: str):
     """Distributed top-100 by value (per-batch partial top-k + tiny
     global sort)."""
@@ -1250,6 +1279,7 @@ QUERIES = {
     "lineitem_stats": q_lineitem_stats,
     "cel_filter": q_cel_filter,
     "bloom_dedup": q_bloom_dedup,
+    "minhash_exact": q_minhash_exact,
     # rows-only (non-SQL-expressible)
     "flagship_tiles": q_flagship_tiles,
     "osmfilter_docs": q_osmfilter_docs,
@@ -1298,4 +1328,5 @@ ORACLE_SQL = {
     "lineitem_stats": q_lineitem_stats_sql(),
     "cel_filter": q_cel_filter_sql(),
     "bloom_dedup": q_bloom_dedup_sql(),
+    "minhash_exact": q_minhash_exact_sql(),
 }
