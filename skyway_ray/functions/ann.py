@@ -173,6 +173,13 @@ def _kmeans_unit(vecs: np.ndarray, k: int, n_iter: int = 5,
     return cent
 
 
+def auto_n_centroids(n: int) -> int:
+    """Default IVF list count: ~sqrt(n) keeps the EXPECTED inverted
+    list at ~sqrt(n) rows (floor 64), so a list fits one worker at any
+    corpus size — 10^12 vectors → 10^6 lists of ~10^6 rows."""
+    return max(64, int(np.ceil(np.sqrt(max(int(n), 1)))))
+
+
 _IVF_CACHE: dict = {}
 
 
@@ -189,9 +196,10 @@ def _ivf_cached(ref):
 
 
 def ivf_topk(ds, query_matrix: np.ndarray, query_ids: np.ndarray,
-             k: int = 10, n_centroids: int = 64, n_probe: int = 4,
+             k: int = 10, n_centroids: int | None = None, n_probe: int = 4,
              n_iter: int = 5, seed: int = 42, sample_limit: int = 8192,
-             vec_col: str = "embedding", id_col: str = "vec_id"):
+             vec_col: str = "embedding", id_col: str = "vec_id",
+             list_slab: int = 4096):
     """Distributed IVF ANN over an embedding Dataset.
 
     Scale shape: centroids train on a bounded driver sample
@@ -203,10 +211,21 @@ def ivf_topk(ds, query_matrix: np.ndarray, query_ids: np.ndarray,
     Partial top-k rows merge with the same tiny
     :func:`merge_topk` as the brute-force baseline.  Recall < 1 by
     construction (queries only see ``n_probe`` lists); exactness is the
-    brute-force path's job."""
+    brute-force path's job.
+
+    Two list-size guards so one inverted list never overwhelms a
+    worker: ``n_centroids`` defaults to ``max(64, ceil(sqrt(n)))`` (n
+    from the Dataset's cheap metadata count), keeping the EXPECTED list
+    near sqrt(n) rows; and the per-list rerank walks the list in
+    ``list_slab``-row slabs (each slab emits its own partial top-k —
+    :func:`merge_topk` already merges across slabs), so peak memory is
+    one slab's (slab, dim) matrix, not ``np.stack`` of the whole
+    list."""
     import pandas as pd
     import ray
 
+    if n_centroids is None:
+        n_centroids = auto_n_centroids(ds.count())
     # bounded, seeded sample for the coarse quantizer
     sample = ds.random_sample(0.5, seed=seed).limit(sample_limit).to_pandas()
     svecs = _normalize(np.stack(sample[vec_col].to_numpy()).astype(np.float64))
@@ -235,9 +254,14 @@ def ivf_topk(ds, query_matrix: np.ndarray, query_ids: np.ndarray,
         qsel = np.flatnonzero((probe_b == c).any(axis=1))
         if not len(qsel) or not len(g):
             return empty
-        vecs = np.stack(g[vec_col].to_numpy()).astype(np.float64)
-        ids = g[id_col].to_numpy()
-        return cosine_topk_batch(vecs, ids, qm_b[qsel], qids_b[qsel], k)
+        parts = []
+        for lo in range(0, len(g), list_slab):
+            sl = g.iloc[lo:lo + list_slab]
+            vecs = np.stack(sl[vec_col].to_numpy()).astype(np.float64)
+            ids = sl[id_col].to_numpy()
+            parts.append(cosine_topk_batch(vecs, ids, qm_b[qsel],
+                                           qids_b[qsel], k))
+        return pa.concat_tables(parts)
 
     partials = (assigned.groupby("centroid_id")
                 .map_groups(probe_list, batch_format="pandas"))

@@ -211,6 +211,42 @@ class TestIvfDistributed:
             recalls.append(len(want & have) / 10)
         assert np.mean(recalls) >= 0.9, recalls
 
+    def test_ivf_slab_parity_and_auto_centroids(self, ray_session):
+        """Slabbed per-list rerank emits partial top-k per slab that
+        merge_topk recombines — a tiny list_slab must give exactly the
+        unslabbed result; auto n_centroids keeps expected list size at
+        ~sqrt(n) so one inverted list always fits a worker."""
+        import ray.data
+
+        from skyway_ray.functions.ann import (_normalize, auto_n_centroids,
+                                              ivf_topk)
+
+        assert auto_n_centroids(10) == 64
+        assert auto_n_centroids(10_000) == 100
+        assert auto_n_centroids(10**12) == 10**6
+
+        rng = np.random.default_rng(11)
+        V = _normalize(rng.standard_normal((300, 16)))
+        tab = pa.table({
+            "vec_id": np.arange(300, dtype=np.int64),
+            "embedding": pa.array([r.astype(np.float32) for r in V],
+                                  pa.list_(pa.float32()))})
+        qm = V[:3]
+        key = ["query_id", "rank"]
+        a = ivf_topk(ray.data.from_arrow(tab).repartition(3), qm,
+                     np.arange(3), k=5, n_centroids=4, n_probe=4,
+                     list_slab=7).to_pandas()
+        b = ivf_topk(ray.data.from_arrow(tab).repartition(3), qm,
+                     np.arange(3), k=5, n_centroids=4,
+                     n_probe=4).to_pandas()
+        assert a.sort_values(key).reset_index(drop=True).equals(
+            b.sort_values(key).reset_index(drop=True))
+        # auto mode end-to-end (n_centroids=None) still returns k rows
+        # per query
+        c = ivf_topk(ray.data.from_arrow(tab).repartition(3), qm,
+                     np.arange(3), k=5, n_probe=40).to_pandas()
+        assert len(c) == 15
+
     def test_ivf_deterministic(self, ray_session):
         import ray.data
 
@@ -263,6 +299,35 @@ class TestEmbeddingLshDedup:
         assert all(i in kept for i in range(40) if i != 7) or 7 in kept
         # no unrelated vector lost
         assert len(kept & set(range(40))) == 40
+
+
+def test_loser_filter_left_anti_path(ray_session):
+    """broadcast_loser_limit=0 forces the distributed left_anti join
+    loser path — survivors must be identical to the broadcast-id-set
+    path on the same input."""
+    import ray.data
+
+    from skyway_ray.functions.near_dup import minhash_lsh_dedup
+
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "runs far away into the deep green forest tonight")
+    texts, ids = [], []
+    for i in range(30):
+        texts.append(f"document{i} " + " ".join(
+            f"w{i}x{j}" for j in range(20)))
+        ids.append(i)
+    for i, extra in enumerate(["", " extra", " bonus"]):
+        texts.append(base + extra)
+        ids.append(100 + i)
+    tab = pa.table({"doc_id": ids, "text": texts})
+    bc = sorted(minhash_lsh_dedup(
+        ray.data.from_arrow(tab).repartition(3),
+        threshold=0.6).to_pandas()["doc_id"])
+    la = sorted(minhash_lsh_dedup(
+        ray.data.from_arrow(tab).repartition(3), threshold=0.6,
+        broadcast_loser_limit=0).to_pandas()["doc_id"])
+    assert bc == la
+    assert 100 in la and 101 not in la and 102 not in la
 
 
 def test_minhash_dedup_run_to_run_deterministic(ray_session):
