@@ -635,6 +635,14 @@ class CelFilter:
             if op in ("==", "!="):
                 # vectorized elementwise richcompare (C loop)
                 eq = np.asarray(lv == rv, dtype=bool)
+                # CEL: a bool never compares equal to a non-bool — a
+                # bool on exactly one side is a type-mismatch error
+                # (mirrors _order_cmp_fast), not Python's True == 1
+                lb = np.fromiter((type(v) is bool for v in lv),
+                                 dtype=bool, count=n)
+                rb = np.fromiter((type(v) is bool for v in rv),
+                                 dtype=bool, count=n)
+                err = err | (lb ^ rb)
                 out[:] = list(eq if op == "==" else ~eq)
                 out[err] = None
             elif self._order_cmp_fast(lv, rv, err, op, out):

@@ -38,7 +38,14 @@ def token_count(texts: pd.Series) -> np.ndarray:
 # whitespace run.  Counts of these pieces approximate BPE token counts
 # (each piece maps to >=1 BPE tokens; for budget estimation the piece
 # count is the standard cheap proxy).
-BPE_RE = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+# Whitespace is the EXPLICIT ASCII class [ \t\n\r\f\v], not \s:
+# Python's \s (and [^...\s]) is Unicode-aware (matches U+00A0 etc.)
+# while RE2's \s is ASCII-only, so \s would make piece counts diverge
+# between engine and oracle on non-ASCII whitespace (' .' is 2
+# pieces under Python \s, 1 under RE2).  Both engines agree on the
+# explicit class.
+BPE_RE = (r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+"
+          r"| ?[^A-Za-z0-9 \t\n\r\f\v]+|[ \t\n\r\f\v]+")
 
 
 def bpe_token_count(texts: pd.Series) -> np.ndarray:

@@ -136,7 +136,7 @@ def _dedupe_edges(edges):
             .select_columns(["doc_a", "doc_b"]))
 
 
-def connected_components(edges, max_rounds: int = 8,
+def connected_components(edges, max_rounds: int = 16,
                          small_graph_limit: int = SMALL_GRAPH_LIMIT):
     """Edge Dataset (doc_a, doc_b) → converged star edges
     (doc_a = component-min center, doc_b = member ≠ center).
@@ -145,6 +145,14 @@ def connected_components(edges, max_rounds: int = 8,
     exactly once — the "loser" set for dedup.  int64 node ids;
     returns a materialized (small) Dataset.  Set
     ``small_graph_limit=0`` to force the distributed rounds.
+
+    Raises ``RuntimeError`` if the Hash-to-Min rounds exhaust
+    ``max_rounds`` without the checksum stabilizing: downstream dedup
+    treats ``doc_b`` as the complete loser set, so silently returning a
+    non-converged edge set would KEEP duplicate cluster members.
+    Convergence needs O(log d) rounds (d = component diameter), so the
+    default 16 covers diameters up to ~2^16 chain hops; rounds are
+    cheap once edges are near-stars.
     """
     edges = _dedupe_edges(edges).materialize()
     prev = _checksum(edges)
@@ -159,6 +167,9 @@ def connected_components(edges, max_rounds: int = 8,
         edges = _dedupe_edges(edges).materialize()
         cur = _checksum(edges)
         if cur == prev:
-            break
+            return edges
         prev = cur
-    return edges
+    raise RuntimeError(
+        f"connected_components did not converge in {max_rounds} rounds "
+        f"({prev[0]} edges at exit) — raise max_rounds; a truncated "
+        "result would silently keep duplicate cluster members")

@@ -76,9 +76,17 @@ def salted_count(ds, key: str, num_salts: int = 16,
         g = g.rename_columns([key, "n_partial"])
         # deterministic per-batch salt (content-derived, not random —
         # results must not depend on scheduling; any value works, it
-        # only routes partials)
-        s = zlib.crc32(g[key].to_numpy(zero_copy_only=False)[:64]
-                       .tobytes()) % num_salts if g.num_rows else 0
+        # only routes partials).  Numeric keys hash their raw bytes;
+        # object/string keys hash the first key's str() encoding —
+        # ndarray.tobytes() on object dtype would serialize PyObject
+        # POINTERS, which vary run to run
+        if g.num_rows:
+            karr = g[key].to_numpy(zero_copy_only=False)
+            raw = (str(karr[0]).encode() if karr.dtype == object
+                   else karr[:64].tobytes())
+            s = zlib.crc32(raw) % num_salts
+        else:
+            s = 0
         return g.append_column(
             "_salt", pa.array(np.full(g.num_rows, s, np.int8), pa.int8()))
 

@@ -110,3 +110,22 @@ def test_minhash_dedup_transitive_chain(ray_session):
     assert 200 in kept
     assert not {201, 202, 203} & kept
     assert all(i in kept for i in range(50))
+
+
+def test_cc_raises_on_non_convergence(ray_session):
+    """Exhausting max_rounds without checksum stability must raise —
+    a silently truncated edge set would keep duplicate cluster members
+    downstream (the loser set would be incomplete)."""
+    import pytest
+    import ray.data
+
+    n = 64  # path graph: diameter 63, far beyond 1 round
+    ds = ray.data.from_arrow(pa.table({
+        "doc_a": np.arange(n - 1, dtype=np.int64),
+        "doc_b": np.arange(1, n, dtype=np.int64)})).repartition(4)
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(ds, max_rounds=1, small_graph_limit=0)
+    # and with enough rounds the same graph converges to one star
+    stars = connected_components(ds, small_graph_limit=0).to_pandas()
+    assert sorted(stars["doc_b"]) == list(range(1, n))
+    assert set(stars["doc_a"]) == {0}

@@ -96,6 +96,12 @@ CASES = [
     # --- string concat
     ('user + "!" == "bob!"', lambda c: (_ for _ in ()).throw(KeyError())
      if c["user"] is None else c["user"] + "!" == "bob!"),
+    # cross-type bool equality is a type-mismatch error (drops the
+    # row), never Python's True == 1
+    ('visible == 1', lambda c: (_ for _ in ()).throw(TypeError())),
+    ('id != true', lambda c: (_ for _ in ()).throw(TypeError())),
+    ('visible != false', lambda c: (_ for _ in ()).throw(KeyError())
+     if c["visible"] is None else c["visible"] is not False),
 ]
 
 

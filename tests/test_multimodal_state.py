@@ -137,3 +137,24 @@ class TestSalt:
         want = pd.Series(keys).value_counts().sort_index()
         assert got["n"].tolist() == want.tolist()
         assert got["cell"].tolist() == want.index.tolist()
+
+    def test_salted_count_string_keys(self, ray_session):
+        """String (object-dtype) keys: the per-batch salt derives from
+        a stable byte representation (str of the first key), not
+        ndarray.tobytes() of PyObject pointers — counts must equal a
+        plain groupby."""
+        import pandas as pd
+        import ray.data
+        from skyway_ray.stages.salt import salted_count
+
+        rng = np.random.default_rng(2)
+        keys = np.array([f"cell_{i}" for i in rng.integers(0, 40, 8000)],
+                        dtype=object)
+        ds = ray.data.from_arrow(
+            pa.table({"cell": pa.array(list(keys), pa.string())})
+        ).repartition(8)
+        got = (salted_count(ds, "cell", num_salts=8).to_pandas()
+               .sort_values("cell").reset_index(drop=True))
+        want = pd.Series(keys).value_counts().sort_index()
+        assert got["n"].tolist() == want.tolist()
+        assert got["cell"].tolist() == want.index.tolist()

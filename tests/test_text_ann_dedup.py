@@ -353,3 +353,22 @@ def test_minhash_dedup_run_to_run_deterministic(ray_session):
         ray.data.from_arrow(tab).repartition(7),
         threshold=0.6).to_pandas()["doc_id"])
     assert a == b
+
+
+def test_bpe_ascii_ws_parity_with_re2():
+    """BPE_RE uses the explicit ASCII whitespace class so Python re and
+    DuckDB's RE2 count identical pieces even around non-ASCII
+    whitespace (Python's \\s matches U+00A0/U+2003; RE2's does not)."""
+    import duckdb
+
+    from skyway_ray.functions.text import BPE_RE, bpe_token_count
+
+    texts = ["a .", "x y z", "tab\there", "it's 2 words!",
+             "multi  space", "  leading", ""]
+    py = list(bpe_token_count(pd.Series(texts)))
+    con = duckdb.connect()
+    pat = BPE_RE.replace("'", "''")
+    sql = [con.sql(
+        "SELECT length(regexp_extract_all(?, '" + pat + "'))",
+        params=[t]).fetchone()[0] for t in texts]
+    assert py == sql
