@@ -106,6 +106,15 @@ class TestJson:
 
 
 class TestXml:
+    def test_vectorized_serializer_byte_parity(self):
+        """The Arrow-kernel block serializer must be byte-identical to
+        the per-row oracle (attribute order, escaping, children)."""
+        from skyway_ray.io.osm_xml import serialize_xml_elements
+
+        t = make_osm_elements(400)
+        want = "".join(_serialize_one(r) for r in t.to_pylist())
+        assert serialize_xml_elements(t) == want
+
     def test_roundtrip(self):
         t = make_osm_elements(400)
         body = "".join(_serialize_one(r) for r in t.to_pylist())
