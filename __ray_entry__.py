@@ -8,9 +8,12 @@ nothing here (or in skyway_ray) calls ``ray.init()``/``ray.shutdown()``.
 * ``queries()`` — one callable per implemented operator/pipeline from
   SURVEY.md §2 (see ``skyway_ray/queries.py``).
 * ``oracle_sql()`` — DuckDB-equivalent SQL for every hash-verifiable
-  query; non-SQL-expressible ops (PIP join on irregular polygons,
-  MinHash dedup, SimHash, langid, fingerprints, flagship pipeline)
-  are omitted and get the driver's rows-only check.
+  query (including ``minhash_exact``, which pins the full distributed
+  MinHash+LSH pipeline at threshold 1.0 against a token-set window-min
+  oracle); genuinely non-SQL-expressible ops (PIP join on irregular
+  polygons, approximate-threshold MinHash dedup, SimHash, langid,
+  fingerprints, flagship pipeline) are omitted and get the driver's
+  rows-only check.
 """
 
 from __future__ import annotations

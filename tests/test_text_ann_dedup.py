@@ -372,3 +372,35 @@ def test_bpe_ascii_ws_parity_with_re2():
         "SELECT length(regexp_extract_all(?, '" + pat + "'))",
         params=[t]).fetchone()[0] for t in texts]
     assert py == sql
+
+
+def test_resolve_block_scan_kernel():
+    """Unit test of the sorted-block sketch->edge resolution scan:
+    edges resolve to the nearest preceding same-k sketch; head edges
+    whose sketch is in a previous block report unresolved; the last
+    sketch index is returned as the boundary carry."""
+    from skyway_ray.functions.near_dup import _resolve_block
+
+    def tb(rows):
+        k, kind, da, db, sh = zip(*rows)
+        return pa.table({
+            "k": pa.array(k, pa.int64()), "kind": pa.array(kind, pa.int64()),
+            "doc_a": pa.array(da, pa.int64()),
+            "doc_b": pa.array(db, pa.int64()),
+            "sh": pa.array(sh, pa.binary())})
+
+    # block starting mid-run (k=1 edges have no sketch here), then a
+    # full run for k=2, then a sketch-only run for k=3 (the carry)
+    t = tb([(1, 1, 10, 1, b""), (1, 1, 11, 1, b""),
+            (2, 0, 0, 0, b"S2"), (2, 1, 12, 2, b""), (2, 1, 13, 2, b""),
+            (3, 0, 0, 0, b"S3")])
+    resolved, unresolved, last_sk = _resolve_block(t)
+    res_e, res_g = resolved
+    assert list(res_e) == [3, 4] and list(res_g) == [2, 2]
+    assert list(unresolved) == [0, 1]
+    assert last_sk == 5  # k=3 sketch is the boundary carry
+
+    # block with no sketch at all: everything unresolved
+    t2 = tb([(7, 1, 1, 7, b""), (7, 1, 2, 7, b"")])
+    resolved2, unresolved2, last2 = _resolve_block(t2)
+    assert resolved2 is None and list(unresolved2) == [0, 1] and last2 == -1
