@@ -99,7 +99,8 @@ def run_bench() -> dict:
                      "sliding_windows", "stratified_sample",
                      "tile_polygons", "box_tile_cover", "bpe_tokens",
                      "minhash_dedup", "embedding_dedup", "cel_filter",
-                     "bloom_dedup", "ivf_ann", "minhash_exact"):
+                     "bloom_dedup", "ivf_ann", "minhash_exact",
+                     "ivf_exact", "langid", "fingerprint"):
             best = float("inf")
             for _ in range(max(1, repeats)):
                 t0 = time.perf_counter()

@@ -546,6 +546,36 @@ def q_ivf_ann(sf_dir: str):
         batch_format="pyarrow")
 
 
+def q_ivf_exact(sf_dir: str):
+    """IVF ANN at FULL probe (``n_probe == n_centroids``): every query
+    scans every inverted list, so each vector is scored exactly once
+    and the result equals brute force — which makes the whole IVF
+    plumbing (sampled k-means centroids, ``groupby(centroid_id)``
+    inverted lists, slabbed per-list rerank, partial-top-k merge)
+    hash-verifiable against the same quantized-cosine SQL oracle as
+    ``ann_cosine``.  ``ivf_ann`` stays the approximate (rows-only)
+    production shape."""
+    import pyarrow.parquet as pq
+
+    from .functions.ann import _normalize, embeddings_to_matrix, ivf_topk
+
+    emb = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                        columns=["vec_id", "embedding"])
+    qmask = emb["vec_id"].to_numpy(zero_copy_only=False) < 5
+    qtab = emb.filter(pa.array(qmask))
+    qm = _normalize(embeddings_to_matrix(qtab["embedding"]).astype(np.float64))
+    qids = qtab["vec_id"].to_numpy(zero_copy_only=False)
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = ivf_topk(ds, qm, qids, k=10, n_centroids=16, n_probe=16)
+    return out.map_batches(
+        lambda b: b.rename_columns(["query_id", "neighbor_id", "ann_rank"]),
+        batch_format="pyarrow")
+
+
+def q_ivf_exact_sql() -> str:
+    return q_ann_cosine_sql()
+
+
 def q_embedding_dedup(sf_dir: str):
     """Embedding-cosine near-dedup (functions/near_dup.py
     embedding_lsh_dedup): hyperplane-LSH banding, exact cosine
@@ -1180,7 +1210,10 @@ def q_simhash(sf_dir: str):
 
 
 def q_langid(sf_dir: str):
-    """Language-ID heuristic over documents."""
+    """Language-ID heuristic over documents (hash-verified: the
+    stopword-hit argmax is integer counting over RE2-compatible
+    tokenization, so a DuckDB ``regexp_extract_all`` + ``list_filter``
+    oracle reproduces it exactly — see :func:`q_langid_sql`)."""
     from .functions.text import guess_lang
 
     def f(batch: pd.DataFrame) -> pd.DataFrame:
@@ -1191,8 +1224,40 @@ def q_langid(sf_dir: str):
         f, batch_format="pandas")
 
 
+def q_langid_sql() -> str:
+    """Mirror of functions/text.py guess_lang: tokenize with the same
+    RE2/re-agreeing class, count stopword hits per language, argmax
+    with ties broken by language-code order, 'und' below 2 hits."""
+    from .functions.text import _LANG_STOPWORDS
+
+    langs = sorted(_LANG_STOPWORDS)  # tie-break order == np.argmax order
+
+    def hits(lg: str) -> str:
+        words = ", ".join(
+            "'" + w.replace("'", "''") + "'"
+            for w in sorted(_LANG_STOPWORDS[lg]))
+        return (f"len(list_filter(ts, t -> t IN ({words}))) AS {lg}")
+
+    best = " WHEN ".join(
+        " AND ".join(f"{lg} >= {other}" for other in langs[i + 1:])
+        + f" THEN '{lg}'"
+        for i, lg in enumerate(langs[:-1]))
+    return (
+        "WITH toks AS (SELECT doc_id, "
+        "regexp_extract_all(lower(text), '[a-zà-ÿ'']+') AS ts "
+        "FROM documents), "
+        f"hits AS (SELECT doc_id, {', '.join(hits(lg) for lg in langs)} "
+        "FROM toks) "
+        "SELECT doc_id, CASE "
+        f"WHEN greatest({', '.join(langs)}) < 2 THEN 'und' "
+        f"WHEN {best} ELSE '{langs[-1]}' END AS lang_guess FROM hits"
+    )
+
+
 def q_fingerprint(sf_dir: str):
-    """Rolling-hash document fingerprints."""
+    """Rolling-hash document fingerprints (hash-verified: the mod-2^64
+    polynomial fold is reproduced in SQL with HUGEINT Horner steps —
+    see :func:`q_fingerprint_sql`)."""
     from .functions.text import fingerprint64
 
     def f(batch: pd.DataFrame) -> pd.DataFrame:
@@ -1201,6 +1266,24 @@ def q_fingerprint(sf_dir: str):
 
     return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
         f, batch_format="pandas")
+
+
+def q_fingerprint_sql() -> str:
+    """Mirror of functions/text.py fingerprint64: UTF-8 bytes via
+    hex-pair parsing of ``encode(text)``, Horner fold in HUGEINT with a
+    mod 2^64 per step (acc < 2^64, K < 2^41, so acc*K + b < 2^105 fits
+    int128), then two's-complement view back to BIGINT."""
+    return (
+        "SELECT doc_id, CAST(CASE WHEN h >= 9223372036854775808::HUGEINT "
+        "THEN h - 18446744073709551616::HUGEINT ELSE h END AS BIGINT) AS fp64 "
+        "FROM (SELECT doc_id, "
+        "CASE WHEN octet_length(encode(text)) = 0 THEN 0::HUGEINT "
+        "ELSE list_reduce(list_transform(range(0, octet_length(encode(text))), "
+        "i -> CAST(CAST(concat('0x', substr(hex(encode(text)), 2*i+1, 2)) "
+        "AS INT) AS HUGEINT) + 1), "
+        "(acc, b) -> (acc * 1099511628211::HUGEINT + b) "
+        "% 18446744073709551616::HUGEINT) END AS h FROM documents)"
+    )
 
 
 def q_image_features(sf_dir: str):
@@ -1280,6 +1363,9 @@ QUERIES = {
     "cel_filter": q_cel_filter,
     "bloom_dedup": q_bloom_dedup,
     "minhash_exact": q_minhash_exact,
+    "ivf_exact": q_ivf_exact,
+    "langid": q_langid,
+    "fingerprint": q_fingerprint,
     # rows-only (non-SQL-expressible)
     "flagship_tiles": q_flagship_tiles,
     "osmfilter_docs": q_osmfilter_docs,
@@ -1288,8 +1374,6 @@ QUERIES = {
     "ivf_ann": q_ivf_ann,
     "embedding_dedup": q_embedding_dedup,
     "simhash": q_simhash,
-    "langid": q_langid,
-    "fingerprint": q_fingerprint,
     "knn_images": q_knn_images,
     "image_features": q_image_features,
 }
@@ -1329,4 +1413,7 @@ ORACLE_SQL = {
     "cel_filter": q_cel_filter_sql(),
     "bloom_dedup": q_bloom_dedup_sql(),
     "minhash_exact": q_minhash_exact_sql(),
+    "ivf_exact": q_ivf_exact_sql(),
+    "langid": q_langid_sql(),
+    "fingerprint": q_fingerprint_sql(),
 }

@@ -404,3 +404,83 @@ def test_resolve_block_scan_kernel():
     t2 = tb([(7, 1, 1, 7, b""), (7, 1, 2, 7, b"")])
     resolved2, unresolved2, last2 = _resolve_block(t2)
     assert resolved2 is None and list(unresolved2) == [0, 1] and last2 == -1
+
+def test_fingerprint_sql_parity_nonascii():
+    """The HUGEINT Horner-fold oracle (queries.q_fingerprint_sql)
+    reproduces fingerprint64 bit-for-bit on multi-byte UTF-8, quotes,
+    and the empty string — the driver corpus is all-ASCII, so pin the
+    hard cases here."""
+    import duckdb
+
+    from skyway_ray.functions.text import fingerprint64
+    from skyway_ray.queries import q_fingerprint_sql
+
+    texts = ["", "a", "héllo wörld", "naïve — em-dash", "日本語テキスト",
+             "it's \"quoted\"", " nbsp ", "x" * 600]
+    df = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    py = list(fingerprint64(df["text"]))
+    con = duckdb.connect()
+    con.register("documents", df)
+    want = con.sql(q_fingerprint_sql()).df().sort_values(
+        "doc_id")["fp64"].tolist()
+    assert py == want
+
+
+def test_langid_sql_parity_multilingual():
+    """The stopword-argmax oracle (queries.q_langid_sql) agrees with
+    guess_lang on multilingual text, accented tokens, ties (broken by
+    language-code order), and the und threshold."""
+    import duckdb
+
+    from skyway_ray.functions.text import guess_lang
+    from skyway_ray.queries import q_langid_sql
+
+    texts = [
+        "the cat and the dog",                    # en
+        "der Hund ist nicht da und die Katze",    # de (+ 'und' is a de word)
+        "le chat est dans la maison et il dort",  # fr
+        "el perro es un animal y la casa",        # es
+        "the der",                                # 1 hit each -> und
+        "the and der die",                        # 2-2 tie -> de (code order)
+        "où ça français déjà",                    # accented, no stopwords -> und
+        "",                                       # empty -> und
+        "LA LE ET EST",                           # uppercase fr
+    ]
+    df = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    py = list(guess_lang(df["text"]))
+    con = duckdb.connect()
+    con.register("documents", df)
+    want = con.sql(q_langid_sql()).df().sort_values(
+        "doc_id")["lang_guess"].tolist()
+    assert py == want
+
+
+def test_ivf_full_probe_equals_brute_force(ray_session):
+    """ivf_topk at n_probe == n_centroids scores every vector exactly
+    once, so (query_id, neighbor_id, rank) equals the brute-force
+    baseline under the shared quantized ranking — the basis of the
+    hash-verified ivf_exact driver row."""
+    import ray.data
+
+    from skyway_ray.functions.ann import (
+        BruteForceTopK, _normalize, ivf_topk, merge_topk)
+
+    rng = np.random.default_rng(5)
+    vecs = rng.standard_normal((300, 16)).astype(np.float32)
+    ids = np.arange(300, dtype=np.int64)
+    tab = pa.table({"vec_id": ids,
+                    "embedding": pa.array(list(vecs), pa.list_(pa.float32()))})
+    qm = _normalize(vecs[:4].astype(np.float64))
+    qids = ids[:4]
+    ds = ray.data.from_arrow(tab).repartition(4)
+    ivf = ivf_topk(ds, qm, qids, k=7, n_centroids=8, n_probe=8).to_pandas()
+    bf_partials = ds.map_batches(
+        BruteForceTopK,
+        fn_constructor_kwargs=dict(query_matrix=qm, query_ids=qids, k=7),
+        batch_format="pyarrow", concurrency=2)
+    bf = merge_topk(bf_partials, 7).to_pandas()
+    key = ["query_id", "rank"]
+    a = ivf.sort_values(key).reset_index(drop=True)
+    b = bf.sort_values(key).reset_index(drop=True)
+    assert a[["query_id", "neighbor_id", "rank"]].equals(
+        b[["query_id", "neighbor_id", "rank"]])
