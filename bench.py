@@ -100,7 +100,9 @@ def run_bench() -> dict:
                      "tile_polygons", "box_tile_cover", "bpe_tokens",
                      "minhash_dedup", "embedding_dedup", "cel_filter",
                      "bloom_dedup", "ivf_ann", "minhash_exact",
-                     "ivf_exact", "langid", "fingerprint"):
+                     "ivf_exact", "langid", "fingerprint",
+                     "range_join", "prefix_sums", "lag_deltas",
+                     "distinct_users", "quantiles"):
             best = float("inf")
             for _ in range(max(1, repeats)):
                 t0 = time.perf_counter()

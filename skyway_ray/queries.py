@@ -1286,6 +1286,143 @@ def q_fingerprint_sql() -> str:
     )
 
 
+def q_range_join(sf_dir: str):
+    """Broadcast interval join: orders priced into OVERLAPPING price
+    bands derived from nation keys (band k covers [8000k, 8000k+20000)
+    — spacing < width, so a price matches up to 3 bands).  The band
+    table is the broadcast small side; per batch the candidate run
+    comes from two searchsorteds (stages/joins.py
+    broadcast_range_join)."""
+    import pyarrow.parquet as pq
+
+    from .stages.joins import broadcast_range_join
+
+    nat = pq.read_table(os.path.join(sf_dir, "nation.parquet"),
+                        columns=["n_nationkey"]).to_pandas()
+    k = nat["n_nationkey"].to_numpy(np.int64)
+    bands = pd.DataFrame({"band_id": k,
+                          "lo": k.astype(np.float64) * 8000.0,
+                          "hi": k.astype(np.float64) * 8000.0 + 20000.0})
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    out = broadcast_range_join(ds, bands, on="o_totalprice")
+    return out.map_batches(
+        lambda b: b.select(["o_orderkey", "band_id"]),
+        batch_format="pyarrow")
+
+
+def q_range_join_sql() -> str:
+    return (
+        "SELECT o.o_orderkey, CAST(n.n_nationkey AS BIGINT) AS band_id "
+        "FROM orders o JOIN nation n "
+        "ON o.o_totalprice >= n.n_nationkey * 8000.0 "
+        "AND o.o_totalprice < n.n_nationkey * 8000.0 + 20000.0"
+    )
+
+
+def q_prefix_sums(sf_dir: str):
+    """Per-user running (prefix) sum of event value in (ts, event_id)
+    order — the windowed-SUM scan (stages/scan.py running_sum over
+    coarse user buckets).  Values quantize to micro-unit int64 FIRST so
+    the running sum is integer (order-of-summation-proof) and the SQL
+    windowed SUM matches bit-for-bit."""
+    from .stages.scan import running_sum
+
+    def quantize(b: pa.Table) -> pa.Table:
+        v = b["value"].to_numpy(zero_copy_only=False)
+        return b.append_column(
+            "v_micro",
+            pa.array(np.floor(v * 1e6 + 0.5).astype(np.int64), pa.int64()))
+
+    ds = _read(sf_dir, "events",
+               ["event_id", "user_id", "ts", "value"]).map_batches(
+        quantize, batch_format="pyarrow")
+    out = running_sum(ds, key="user_id", order=["ts", "event_id"],
+                      val="v_micro", out_col="running_sum",
+                      keep=["event_id"])
+    return out.map_batches(
+        lambda b: b.select(["event_id", "running_sum"]),
+        batch_format="pyarrow")
+
+
+def q_prefix_sums_sql() -> str:
+    return (
+        "WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, "
+        "CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS v FROM events) "
+        "SELECT event_id, CAST(sum(v) OVER (PARTITION BY user_id "
+        "ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) "
+        "AS running_sum FROM e"
+    )
+
+
+def q_lag_deltas(sf_dir: str):
+    """Per-user LAG(ts): each event's previous event timestamp (µs) in
+    (ts, event_id) order, -1 for the user's first event (stages/scan.py
+    keyed_lag)."""
+    from .stages.scan import keyed_lag
+
+    def to_us(b: pa.Table) -> pa.Table:
+        ts_us = b["ts"].cast(pa.int64())
+        return b.append_column("ts_us", ts_us)
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"]).map_batches(
+        to_us, batch_format="pyarrow")
+    out = keyed_lag(ds, key="user_id", order=["ts_us", "event_id"],
+                    val="ts_us", out_col="prev_ts_us", fill=-1,
+                    keep=["event_id"])
+    return out.map_batches(
+        lambda b: b.select(["event_id", "prev_ts_us"]),
+        batch_format="pyarrow")
+
+
+def q_lag_deltas_sql() -> str:
+    return (
+        "WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us "
+        "FROM events) "
+        "SELECT event_id, COALESCE(lag(ts_us) OVER (PARTITION BY user_id "
+        "ORDER BY ts_us, event_id), -1) AS prev_ts_us FROM e"
+    )
+
+
+def q_distinct_users(sf_dir: str):
+    """Exact COUNT(DISTINCT user_id) per event_type — per-batch pair
+    dedup combiner, one hash shuffle on the (type, user) pair, combiner
+    tree for the bounded-cardinality final count
+    (stages/agg_tree.py grouped_count_distinct)."""
+    from .stages.agg_tree import grouped_count_distinct
+
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+    return grouped_count_distinct(ds, "event_type", "user_id",
+                                  out_col="n_users")
+
+
+def q_distinct_users_sql() -> str:
+    return ("SELECT event_type, COUNT(DISTINCT user_id) AS n_users "
+            "FROM events GROUP BY event_type")
+
+
+def q_quantiles(sf_dir: str):
+    """Exact global quantiles of l_extendedprice WITHOUT a global sort:
+    sampled-splitter selection with streaming range refinement
+    (stages/quantiles.py exact_quantiles).  Values are raw elements of
+    the column (rank = floor(q*(n-1)) of the ascending sort), so the
+    hash compare against ORDER-BY-rank SQL is bit-exact."""
+    from .stages.quantiles import exact_quantiles
+
+    ds = _read(sf_dir, "lineitem", ["l_extendedprice"])
+    return exact_quantiles(ds, "l_extendedprice", [0.25, 0.5, 0.9, 0.99])
+
+
+def q_quantiles_sql() -> str:
+    return (
+        "WITH s AS (SELECT l_extendedprice AS v, "
+        "row_number() OVER (ORDER BY l_extendedprice) - 1 AS r, "
+        "count(*) OVER () AS n FROM lineitem) "
+        "SELECT CAST(b.q AS DOUBLE) AS q, s.v AS value FROM s "
+        "JOIN (VALUES (0.25), (0.5), (0.9), (0.99)) b(q) "
+        "ON s.r = CAST(floor(CAST(b.q AS DOUBLE) * (n - 1)) AS BIGINT)"
+    )
+
+
 def q_image_features(sf_dir: str):
     """Multimodal decode → per-image features over the image fixture
     (PNG decode is real; jpeg/webp are the deterministic fake-lossy
@@ -1366,6 +1503,11 @@ QUERIES = {
     "ivf_exact": q_ivf_exact,
     "langid": q_langid,
     "fingerprint": q_fingerprint,
+    "range_join": q_range_join,
+    "prefix_sums": q_prefix_sums,
+    "lag_deltas": q_lag_deltas,
+    "distinct_users": q_distinct_users,
+    "quantiles": q_quantiles,
     # rows-only (non-SQL-expressible)
     "flagship_tiles": q_flagship_tiles,
     "osmfilter_docs": q_osmfilter_docs,
@@ -1416,4 +1558,9 @@ ORACLE_SQL = {
     "ivf_exact": q_ivf_exact_sql(),
     "langid": q_langid_sql(),
     "fingerprint": q_fingerprint_sql(),
+    "range_join": q_range_join_sql(),
+    "prefix_sums": q_prefix_sums_sql(),
+    "lag_deltas": q_lag_deltas_sql(),
+    "distinct_users": q_distinct_users_sql(),
+    "quantiles": q_quantiles_sql(),
 }

@@ -86,6 +86,34 @@ def tree_aggregate_to_table(ds, keys: list[str], aggs: list[tuple[str, str]],
     return combine(pa.concat_tables(allt, promote_options="default"))
 
 
+def grouped_count_distinct(ds, group: str, key: str,
+                           out_col: str = "n_distinct",
+                           mid_blocks: int = 8):
+    """Exact COUNT(DISTINCT key) per group.
+
+    Scale shape: a per-batch Arrow ``group_by`` dedups (group, key)
+    pairs locally (the combiner — cuts shuffle volume by the in-batch
+    duplication factor), ONE hash shuffle over the pair key
+    (``Dataset.groupby([group, key])``) makes pairs globally unique —
+    this is the unbounded-cardinality path, pairs never concentrate on
+    the driver — and the final count-per-group runs on the combiner
+    tree (group cardinality is bounded even when key cardinality
+    isn't).  10^12 (user, type) pairs hash-partition fine; only
+    |groups| rows reach the final block."""
+
+    def local_distinct(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch.select([group, key])
+        return batch.select([group, key]).group_by([group, key]).aggregate([])
+
+    pairs = ds.map_batches(local_distinct, batch_format="pyarrow")
+    uniq = pairs.groupby([group, key]).count()
+    uniq = uniq.map_batches(lambda b: b.select([group, key]),
+                            batch_format="pyarrow")
+    return grouped_count(uniq, [group], out_col=out_col,
+                         mid_blocks=mid_blocks)
+
+
 def grouped_count(ds, keys: list[str], out_col: str = "n",
                   mid_blocks: int = 8):
     """count(*) per key group via the tree (bounded key spaces)."""

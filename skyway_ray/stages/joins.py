@@ -85,6 +85,64 @@ def bloom_semi_join(ds, keys, on: str, bits_per_key: int = 10):
     return ds.map_batches(filt, batch_format="pyarrow")
 
 
+def broadcast_range_join(ds, intervals: pd.DataFrame, on: str,
+                         lo: str = "lo", hi: str = "hi",
+                         how: str = "inner"):
+    """Interval join: match each big-side row's ``on`` value x against
+    every broadcast interval with ``lo <= x < hi``.  Intervals MAY
+    overlap (a row can match several) — the classic price-band /
+    time-range / geofence-latitude join.
+
+    Vectorized bounded-span probe: intervals sort by ``lo`` once on the
+    driver; per batch, the candidate set for x is the contiguous run of
+    intervals with ``lo`` in ``(x - max_span, x]`` (two searchsorteds),
+    expanded with ``np.repeat`` and filtered by ``hi > x``.  Cost is
+    O(rows x overlap-degree), not O(rows x intervals).  The interval
+    table is the SMALL side (broadcast once via ``ray.put``); a
+    large-interval-side variant would bucket both sides by range bins —
+    not needed for dimension-table-sized band lists.
+
+    ``how='left'`` keeps unmatched rows with nulls in interval columns.
+    """
+    import ray
+
+    iv = intervals.sort_values([lo, hi], kind="mergesort").reset_index(drop=True)
+    los = iv[lo].to_numpy()
+    his = iv[hi].to_numpy()
+    max_span = float((his - los).max()) if len(iv) else 0.0
+    ref = ray.put((los, his, iv))
+
+    def join(batch: pd.DataFrame) -> pd.DataFrame:
+        los_b, his_b, iv_b = _cached(ref)
+        x = batch[on].to_numpy()
+        # candidate interval indices per row: los in (x - max_span, x]
+        start = np.searchsorted(los_b, x - max_span, side="left")
+        stop = np.searchsorted(los_b, x, side="right")
+        counts = stop - start
+        row_idx = np.repeat(np.arange(len(x)), counts)
+        # flatten the per-row candidate runs into one index vector
+        if len(row_idx):
+            offs = np.concatenate([[0], np.cumsum(counts)[:-1]])
+            cand = np.arange(len(row_idx)) - offs[row_idx] + start[row_idx]
+            keep = his_b[cand] > x[row_idx]
+            row_idx, cand = row_idx[keep], cand[keep]
+        else:
+            cand = row_idx
+        out = batch.iloc[row_idx].reset_index(drop=True)
+        matched = iv_b.iloc[cand].reset_index(drop=True)
+        out = pd.concat([out, matched], axis=1)
+        if how == "left":
+            miss = np.ones(len(x), dtype=bool)
+            miss[row_idx] = False
+            if miss.any():
+                rest = batch.iloc[np.flatnonzero(miss)].reset_index(drop=True)
+                rest = rest.reindex(columns=out.columns)
+                out = pd.concat([out, rest], ignore_index=True)
+        return out
+
+    return ds.map_batches(join, batch_format="pandas")
+
+
 def asof_join_broadcast(ds, right: pd.DataFrame, key: str, ts: str,
                         right_key: str, right_ts: str, right_cols: list[str],
                         direction: str = "backward"):

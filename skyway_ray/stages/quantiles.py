@@ -1,0 +1,120 @@
+"""Exact distributed quantiles (order statistics) without a global
+sort: sampled-splitter selection with iterative range refinement.
+
+``ORDER BY x LIMIT 1 OFFSET k`` semantics at any scale:
+
+1. One streaming pass bins every value against ~``sample_limit``
+   sorted sampled splitters (per-batch ``searchsorted`` + ``bincount``
+   — tiny (block, bucket, count) partials, summed on the driver:
+   bounded by blocks x splitters, never by rows).
+2. The cumulative bucket histogram locates each target rank's bucket;
+   ranks whose bucket still exceeds ``collect_limit`` refine by
+   re-running step 1 on the (lazy, streaming) range-filtered Dataset
+   with splitters resampled inside the bucket — each round shrinks the
+   candidate range by ~the splitter count.
+3. Terminal buckets (≤ ``collect_limit`` rows) are pulled once and
+   selected exactly with ``np.partition``.
+
+The full dataset is never materialized, sorted, or shuffled; driver
+memory is O(splitters + collect_limit).  Deterministic: seeded sample.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _bucket_counts(ds, col: str, splitters: np.ndarray) -> np.ndarray:
+    """One streaming pass: rows-per-bucket against sorted splitters
+    (bucket i = #splitters <= x, i.e. [S[i-1], S[i]) half-open)."""
+    nb = len(splitters) + 1
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x = batch[col].to_numpy(zero_copy_only=False)
+        c = np.bincount(np.searchsorted(splitters, x, side="right"),
+                        minlength=nb)
+        return pa.table({"bucket": pa.array(np.arange(nb, dtype=np.int64)),
+                         "n": pa.array(c.astype(np.int64))})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    counts = np.zeros(nb, dtype=np.int64)
+    np.add.at(counts, parts["bucket"].to_numpy(), parts["n"].to_numpy())
+    return counts
+
+
+def _range_filter(ds, col: str, lo, hi):
+    """Lazy streaming filter to [lo, hi) (None = unbounded)."""
+
+    def filt(batch: pa.Table) -> pa.Table:
+        m = None
+        if lo is not None:
+            m = pc.greater_equal(batch[col], lo)
+        if hi is not None:
+            m2 = pc.less(batch[col], hi)
+            m = m2 if m is None else pc.and_(m, m2)
+        return batch.filter(m) if m is not None else batch
+
+    return ds.map_batches(filt, batch_format="pyarrow")
+
+
+def _sample_splitters(ds, col: str, sample_limit: int, seed: int) -> np.ndarray:
+    s = ds.random_sample(0.5, seed=seed).limit(sample_limit).to_pandas()
+    return np.unique(s[col].to_numpy())
+
+
+def exact_quantiles(ds, col: str, qs: list[float],
+                    sample_limit: int = 2048, collect_limit: int = 500_000,
+                    max_rounds: int = 6, seed: int = 42) -> pd.DataFrame:
+    """Exact q-quantiles of ``ds[col]`` with DuckDB-mirrorable
+    semantics: for each q, the element at 0-indexed rank
+    ``floor(q * (n - 1))`` of the ascending sort (duplicates counted) —
+    identical to ``row_number() OVER (ORDER BY col) - 1 = rank``.
+    Returns a small DataFrame (q, value), values raw pass-throughs
+    (bit-exact in a hash compare)."""
+    n = ds.count()
+    if n == 0:
+        return pd.DataFrame({"q": pd.Series(qs, dtype=np.float64),
+                             "value": np.full(len(qs), np.nan)})
+    targets = {q: int(np.floor(q * (n - 1))) for q in qs}
+    # state per pending rank: (global_rank_offset_into_range, lo, hi)
+    pending = {q: (r, None, None) for q, r in targets.items()}
+    values: dict[float, float] = {}
+    for _ in range(max_rounds):
+        if not pending:
+            break
+        # group pending ranks by identical range so each range pays one
+        # pass (all qs share the full range in round 1)
+        by_range: dict = {}
+        for q, (r, lo, hi) in pending.items():
+            by_range.setdefault((lo, hi), []).append((q, r))
+        next_pending = {}
+        for (lo, hi), qr in by_range.items():
+            sub = _range_filter(ds, col, lo, hi)
+            splitters = _sample_splitters(sub, col, sample_limit, seed)
+            counts = _bucket_counts(sub, col, splitters)
+            cum = np.concatenate([[0], np.cumsum(counts)])
+            for q, r in qr:
+                b = int(np.searchsorted(cum, r, side="right")) - 1
+                in_rank = r - int(cum[b])
+                b_lo = splitters[b - 1] if b > 0 else lo
+                b_hi = splitters[b] if b < len(splitters) else hi
+                # collect when the bucket is small enough, or when the
+                # round made no progress (no interior splitters — all
+                # sampled values equal; the bucket IS the range)
+                no_progress = (b_lo is lo or b_lo == lo) and \
+                              (b_hi is hi or b_hi == hi)
+                if counts[b] <= collect_limit or no_progress:
+                    vals = _range_filter(ds, col, b_lo, b_hi).to_pandas()
+                    v = np.partition(vals[col].to_numpy(), in_rank)[in_rank]
+                    values[q] = v
+                else:
+                    next_pending[q] = (in_rank, b_lo, b_hi)
+        pending = next_pending
+    for q, (r, lo, hi) in pending.items():  # max_rounds fallback
+        vals = _range_filter(ds, col, lo, hi).to_pandas()
+        values[q] = np.partition(vals[col].to_numpy(), r)[r]
+    return pd.DataFrame({"q": pd.Series(list(qs), dtype=np.float64),
+                         "value": [values[q] for q in qs]})

@@ -1,0 +1,86 @@
+"""Per-key ordered scans (running aggregates, lag/lead deltas) — the
+``SUM(...) OVER (PARTITION BY key ORDER BY ...)`` family.
+
+Scale shape (same as the session/rolling window queries): rows group by
+a COARSE hash bucket of the key, not per key — Ray pays per-group
+overhead once per bucket, and each bucket call handles every key in it
+with one vectorized pandas/numpy pass over the (key, order)-sorted
+frame.  Buckets bound worker memory at ``~n / n_buckets`` rows; keys
+never straddle buckets, so no cross-group carry is needed.  At 100 TB,
+raise ``n_buckets`` so a bucket fits a worker (the bucket count, not
+the key count, is the shuffle fan-in).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def keyed_scan(ds, key: str, order: list[str], fn, n_buckets: int = 32,
+               hash_key=None):
+    """Run ``fn(sorted_group: pd.DataFrame) -> pd.DataFrame`` over each
+    coarse key-bucket, where the group arrives sorted by
+    ``[key] + order`` (mergesort — stable, deterministic).  ``fn`` must
+    be vectorized over all keys in the bucket (boundary masks /
+    ``groupby(key, sort=False)`` transforms, never a per-key loop).
+
+    ``hash_key``: optional callable mapping the key column's numpy
+    array to int64 bucket material (defaults to the values themselves,
+    which must then be integers)."""
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        k = b[key].to_numpy(zero_copy_only=False)
+        mat = hash_key(k) if hash_key is not None else k.astype(np.int64)
+        return b.append_column(
+            "_bucket", pa.array(mat % n_buckets, pa.int64()))
+
+    def run(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.sort_values([key] + order, kind="mergesort")
+        d = d.drop(columns=["_bucket"])
+        return fn(d)
+
+    return (ds.map_batches(add_bucket, batch_format="pyarrow")
+              .groupby("_bucket").map_groups(run, batch_format="pandas"))
+
+
+def running_sum(ds, key: str, order: list[str], val: str,
+                out_col: str = "running_sum", n_buckets: int = 32,
+                keep: list[str] | None = None):
+    """Per-key running (prefix) sum of an INTEGER column in
+    deterministic ``order``.  Integer accumulation keeps the result
+    independent of summation grouping, so a SQL windowed-SUM oracle
+    matches bit-for-bit (float running sums would need a pinned
+    operation order — quantize first; see queries.q_prefix_sums)."""
+    cols = keep if keep is not None else [key] + order
+
+    def scan(d: pd.DataFrame) -> pd.DataFrame:
+        out = d[cols].copy()
+        out[out_col] = d.groupby(key, sort=False)[val].cumsum()
+        return out
+
+    return keyed_scan(ds, key, order, scan, n_buckets=n_buckets)
+
+
+def keyed_lag(ds, key: str, order: list[str], val: str,
+              out_col: str = "lag_val", fill=-1, n_buckets: int = 32,
+              keep: list[str] | None = None):
+    """Per-key LAG(val, 1): previous row's value in deterministic
+    ``order``, ``fill`` for each key's first row (avoids nullable-int
+    schema drift between engine and oracle)."""
+    cols = keep if keep is not None else [key] + order
+
+    def scan(d: pd.DataFrame) -> pd.DataFrame:
+        v = d[val].to_numpy()
+        k = d[key].to_numpy()
+        prev = np.empty_like(v)
+        prev[1:] = v[:-1]
+        first = np.ones(len(d), dtype=bool)
+        first[1:] = k[1:] != k[:-1]
+        prev[first] = fill
+        out = d[cols].copy()
+        out[out_col] = prev
+        return out
+
+    return keyed_scan(ds, key, order, scan, n_buckets=n_buckets)

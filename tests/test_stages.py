@@ -385,3 +385,171 @@ class TestGroupedTopK:
         got = grouped_top_k(ray.data.from_arrow(tab), "g", "v", 5,
                             tiebreak_col="id").to_pandas()
         assert len(got) == 3
+
+
+class TestRangeJoin:
+    def _oracle(self, big, iv, on="x"):
+        import pandas as pd
+
+        rows = []
+        for _, r in big.iterrows():
+            for _, b in iv.iterrows():
+                if b["lo"] <= r[on] < b["hi"]:
+                    rows.append({**r.to_dict(), **b.to_dict()})
+        return pd.DataFrame(rows)
+
+    def test_overlapping_bands_match_oracle(self, ray_session):
+        import pandas as pd
+        import ray.data
+
+        from skyway_ray.stages.joins import broadcast_range_join
+
+        rng = np.random.default_rng(3)
+        big = pd.DataFrame({"rid": np.arange(400, dtype=np.int64),
+                            "x": rng.uniform(0, 100, 400)})
+        # overlapping + disjoint + boundary-exact intervals
+        iv = pd.DataFrame({
+            "band_id": np.arange(8, dtype=np.int64),
+            "lo": np.array([0.0, 5.0, 5.0, 20.0, 20.0, 50.0, 90.0, 150.0]),
+            "hi": np.array([10.0, 15.0, 30.0, 25.0, 60.0, 55.0, 95.0, 160.0]),
+        })
+        big.loc[0, "x"] = 5.0    # == lo of two bands, inside band 0
+        big.loc[1, "x"] = 10.0   # == hi of band 0 (excluded), inside 1,2
+        ds = ray.data.from_pandas(big).repartition(3)
+        got = broadcast_range_join(ds, iv, on="x").to_pandas()
+        want = self._oracle(big, iv)
+        key = ["rid", "band_id"]
+        g = got[key].sort_values(key).reset_index(drop=True)
+        w = want[key].astype(np.int64).sort_values(key).reset_index(drop=True)
+        assert g.equals(w)
+
+    def test_left_join_keeps_unmatched(self, ray_session):
+        import pandas as pd
+        import ray.data
+
+        from skyway_ray.stages.joins import broadcast_range_join
+
+        big = pd.DataFrame({"rid": [0, 1, 2], "x": [1.0, 100.0, 5.0]})
+        iv = pd.DataFrame({"band_id": [7], "lo": [0.0], "hi": [10.0]})
+        got = broadcast_range_join(
+            ray.data.from_pandas(big), iv, on="x", how="left").to_pandas()
+        assert len(got) == 3
+        miss = got[got["rid"] == 1]
+        assert len(miss) == 1 and np.isnan(miss["band_id"].iloc[0])
+
+
+class TestKeyedScan:
+    def _events(self, n=500, seed=9):
+        import pandas as pd
+
+        rng = np.random.default_rng(seed)
+        return pd.DataFrame({
+            "id": np.arange(n, dtype=np.int64),
+            "k": rng.integers(0, 37, n),
+            "t": rng.integers(0, 10_000, n),
+            "v": rng.integers(-50, 50, n),
+        })
+
+    def test_running_sum_matches_pandas(self, ray_session):
+        import ray.data
+
+        from skyway_ray.stages.scan import running_sum
+
+        df = self._events()
+        ds = ray.data.from_pandas(df).repartition(5)
+        got = running_sum(ds, key="k", order=["t", "id"], val="v",
+                          keep=["id"], n_buckets=7).to_pandas()
+        d = df.sort_values(["k", "t", "id"], kind="mergesort")
+        want = d.assign(running_sum=d.groupby("k")["v"].cumsum())
+        m = got.sort_values("id").reset_index(drop=True)
+        w = want[["id", "running_sum"]].sort_values("id").reset_index(drop=True)
+        assert m[["id", "running_sum"]].equals(w)
+
+    def test_keyed_lag_matches_pandas(self, ray_session):
+        import ray.data
+
+        from skyway_ray.stages.scan import keyed_lag
+
+        df = self._events(seed=11)
+        ds = ray.data.from_pandas(df).repartition(4)
+        got = keyed_lag(ds, key="k", order=["t", "id"], val="v",
+                        out_col="prev_v", fill=-999, keep=["id"],
+                        n_buckets=5).to_pandas()
+        d = df.sort_values(["k", "t", "id"], kind="mergesort")
+        want = d.assign(prev_v=d.groupby("k")["v"].shift(1).fillna(-999)
+                        .astype(np.int64))
+        m = got.sort_values("id").reset_index(drop=True)
+        w = want[["id", "prev_v"]].sort_values("id").reset_index(drop=True)
+        assert m[["id", "prev_v"]].equals(w)
+
+
+class TestCountDistinct:
+    def test_matches_pandas_nunique(self, ray_session):
+        import pandas as pd
+        import ray.data
+
+        from skyway_ray.stages.agg_tree import grouped_count_distinct
+
+        rng = np.random.default_rng(2)
+        df = pd.DataFrame({"g": rng.choice(list("abcd"), 3000),
+                           "u": rng.integers(0, 200, 3000)})
+        ds = ray.data.from_pandas(df).repartition(6)
+        got = grouped_count_distinct(ds, "g", "u", out_col="n").to_pandas()
+        want = (df.groupby("g")["u"].nunique().rename("n")
+                .reset_index().rename(columns={"g": "g"}))
+        g = got.sort_values("g").reset_index(drop=True)
+        w = want.sort_values("g").reset_index(drop=True)
+        assert list(g["g"]) == list(w["g"])
+        assert list(g["n"]) == list(w["n"])
+
+
+class TestExactQuantiles:
+    def test_matches_sorted_ranks(self, ray_session):
+        import pandas as pd
+        import ray.data
+
+        from skyway_ray.stages.quantiles import exact_quantiles
+
+        rng = np.random.default_rng(4)
+        x = rng.lognormal(3, 1.5, 20_000)
+        ds = ray.data.from_pandas(pd.DataFrame({"x": x})).repartition(8)
+        qs = [0.0, 0.25, 0.5, 0.9, 0.99, 1.0]
+        got = exact_quantiles(ds, "x", qs)
+        xs = np.sort(x)
+        for q, v in zip(got["q"], got["value"]):
+            assert v == xs[int(np.floor(q * (len(x) - 1)))]
+
+    def test_refinement_rounds_and_duplicates(self, ray_session):
+        """Tiny collect_limit forces multi-round refinement; heavy
+        duplicate mass exercises rank arithmetic across equal runs."""
+        import pandas as pd
+        import ray.data
+
+        from skyway_ray.stages.quantiles import exact_quantiles
+
+        rng = np.random.default_rng(8)
+        x = np.concatenate([
+            np.full(5000, 42.0),
+            rng.integers(0, 50, 4000).astype(np.float64),
+            rng.uniform(40, 45, 1000),
+        ])
+        rng.shuffle(x)
+        ds = ray.data.from_pandas(pd.DataFrame({"x": x})).repartition(7)
+        qs = [0.1, 0.5, 0.6, 0.95]
+        got = exact_quantiles(ds, "x", qs, sample_limit=64,
+                              collect_limit=200)
+        xs = np.sort(x)
+        for q, v in zip(got["q"], got["value"]):
+            assert v == xs[int(np.floor(q * (len(x) - 1)))]
+
+    def test_all_equal_column(self, ray_session):
+        import pandas as pd
+        import ray.data
+
+        from skyway_ray.stages.quantiles import exact_quantiles
+
+        ds = ray.data.from_pandas(
+            pd.DataFrame({"x": np.full(1000, 7.5)})).repartition(3)
+        got = exact_quantiles(ds, "x", [0.5], sample_limit=16,
+                              collect_limit=10)
+        assert list(got["value"]) == [7.5]
