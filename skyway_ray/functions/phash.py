@@ -1,0 +1,105 @@
+"""Perceptual image hashing (aHash / dHash) + Hamming-banded
+near-duplicate detection over an image corpus.
+
+Pure-numpy deterministic kernels (no image library needed beyond the
+repo's own PNG/fake-lossy codecs): grayscale via the integer ITU-R
+601-ish weights, nearest-neighbor downsample (matching
+stages/multimodal.py ImageResize), threshold/gradient bit packing.
+
+Near-dup shape: hashes are computed ONCE in an actor-pool pass
+(bytes never enter a shuffle), then the tiny (id, hash64) table runs
+through the same distributed :func:`near_dup.lsh_dedup_pipeline` as
+MinHash/embedding dedup — banding a 64-bit hash into ``bands``
+equal-width bit slices guarantees (pigeonhole) that any pair within
+Hamming distance < ``bands`` shares at least one exact band value, so
+band buckets + exact Hamming verification catch every such pair that
+lands bucket-adjacent.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def to_gray(img: np.ndarray) -> np.ndarray:
+    """(h, w, 3) uint8 → (h, w) float64 luma (0.299/0.587/0.114)."""
+    f = img.astype(np.float64)
+    return f[..., 0] * 0.299 + f[..., 1] * 0.587 + f[..., 2] * 0.114
+
+
+def _sample_grid(g: np.ndarray, oh: int, ow: int) -> np.ndarray:
+    h, w = g.shape
+    ys = (np.arange(oh) * h // oh).clip(0, h - 1)
+    xs = (np.arange(ow) * w // ow).clip(0, w - 1)
+    return g[np.ix_(ys, xs)]
+
+
+def _pack_bits(bits: np.ndarray) -> np.int64:
+    """Row-major 64 bools → int64 (bit i = flat[i])."""
+    flat = bits.reshape(-1).astype(np.uint64)
+    return int(
+        (flat << np.arange(64, dtype=np.uint64)).sum(dtype=np.uint64)
+        .astype(np.uint64).view(np.int64))
+
+
+def ahash64(img: np.ndarray) -> np.int64:
+    """Average hash: 8x8 grayscale, bit = pixel > mean."""
+    g = _sample_grid(to_gray(img), 8, 8)
+    return _pack_bits(g > g.mean())
+
+
+def dhash64(img: np.ndarray) -> np.int64:
+    """Difference hash: 8x9 grayscale, bit = horizontal gradient sign.
+    More robust than aHash to global brightness shifts."""
+    g = _sample_grid(to_gray(img), 8, 9)
+    return _pack_bits(g[:, 1:] > g[:, :-1])
+
+
+def phash_near_dup(ds, id_col: str = "image_id", hash_col: str = "dhash64",
+                   max_dist: int = 3, bands: int = 4,
+                   num_partitions: int = 8):
+    """Distributed perceptual-hash near-dedup over a precomputed
+    (id, hash64) Dataset: survivors keep each duplicate cluster's
+    min-id representative.
+
+    ``bands`` 16-bit slices of the hash are the LSH bands (with the
+    default ``bands=4 > max_dist=3``, any pair within ``max_dist``
+    shares a band — banding loses no candidate buckets); exact
+    verification is Hamming ≤ ``max_dist`` on the full 64 bits.  Runs
+    on :func:`near_dup.lsh_dedup_pipeline` — same sorted-bucket chain
+    edges, Bloom-prefiltered sketch pass, distributed connected
+    components as the text/embedding dedups."""
+    from .near_dup import hamming64, lsh_dedup_pipeline
+
+    width = 64 // bands
+    mask = np.uint64((1 << width) - 1)
+
+    def band_fn(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = batch[hash_col].to_numpy(zero_copy_only=False).view(np.uint64)
+        n = len(ids)
+        band_id = np.repeat(np.arange(bands, dtype=np.int64), n)
+        band_hash = np.concatenate([
+            ((h >> np.uint64(b * width)) & mask).view(np.int64)
+            for b in range(bands)]) if n else np.empty(0, np.int64)
+        return pa.table({
+            "band_id": pa.array(band_id, pa.int64()),
+            "band_hash": pa.array(band_hash, pa.int64()),
+            # full hash as secondary sort key: identical hashes sort
+            # contiguous in a bucket -> exact dups always chain-adjacent
+            "set_hash": pa.array(np.tile(h.view(np.int64), bands), pa.int64()),
+            "doc_id": pa.array(np.tile(ids, bands), pa.int64()),
+        })
+
+    def sketch_fn(batch: pa.Table, keep: np.ndarray) -> list:
+        h = batch[hash_col].to_numpy(zero_copy_only=False)
+        return [h[i].tobytes() for i in np.flatnonzero(keep)]
+
+    def pair_ok(a: bytes, b: bytes) -> bool:
+        return int(hamming64(np.frombuffer(a, np.int64),
+                             np.frombuffer(b, np.int64))[0]) <= max_dist
+
+    return lsh_dedup_pipeline(ds, id_col=id_col, band_fn=band_fn,
+                              sketch_fn=sketch_fn, pair_ok=pair_ok,
+                              num_partitions=num_partitions)

@@ -1438,6 +1438,43 @@ def q_image_features(sf_dir: str):
                           batch_size=512, concurrency=2)
 
 
+def q_phash_dedup(sf_dir: str):
+    """Perceptual-hash near-dedup over the image fixture: actor-pool
+    decode → aHash/dHash (bytes never shuffle), then the distributed
+    LSH dedup harness over the tiny (id, hash) table with 16-bit
+    Hamming bands (functions/phash.py).  Rows-only (near-dup by
+    construction; planted-duplicate recall is tested)."""
+    import ray.data
+
+    from .fixtures import ensure_images_parquet, scale_for_sf_dir
+    from .functions.phash import phash_near_dup
+    from .stages.multimodal import PerceptualHash
+
+    from .stages.dedup import _key_hash64
+
+    images = ensure_images_parquet(scale_for_sf_dir(sf_dir))
+    ds = ray.data.read_parquet(images, columns=["image_id", "bytes", "fmt"])
+    hashes = ds.map_batches(PerceptualHash, batch_format="pyarrow",
+                            batch_size=512, concurrency=2)
+
+    # string image ids → int64 surrogate (the dedup pipeline sorts /
+    # Blooms / CCs over int64 ids); survivors still carry image_id
+    def add_iid(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "_iid", pa.array(_key_hash64(
+                b["image_id"].combine_chunks()).view(np.int64), pa.int64()))
+
+    # materialize the hash table (24 B/row — tiny at any corpus size):
+    # the dedup harness consumes its input THREE times (band pass,
+    # Bloom-prefiltered sketch pass, loser drop); without this the
+    # whole decode re-runs each time
+    hashed = hashes.map_batches(add_iid, batch_format="pyarrow").materialize()
+    out = phash_near_dup(hashed, id_col="_iid", hash_col="dhash64",
+                         max_dist=3)
+    return out.map_batches(lambda b: b.select(["image_id"]),
+                           batch_format="pyarrow")
+
+
 def q_knn_images(sf_dir: str):
     """kNN over the image fixture: 100 probe images against the full
     set, via the cell index (exact)."""
@@ -1516,6 +1553,7 @@ QUERIES = {
     "ivf_ann": q_ivf_ann,
     "embedding_dedup": q_embedding_dedup,
     "simhash": q_simhash,
+    "phash_dedup": q_phash_dedup,
     "knn_images": q_knn_images,
     "image_features": q_image_features,
 }

@@ -89,6 +89,40 @@ class ImageResize:
         })
 
 
+class PerceptualHash:
+    """Decode → aHash64 + dHash64 perceptual fingerprints
+    (functions/phash.py).  Output (id, ahash64, dhash64) — the tiny
+    hash table then feeds :func:`..functions.phash.phash_near_dup`
+    so image BYTES never enter the dedup shuffle.
+
+    Usage: ``ds.map_batches(PerceptualHash, batch_format="pyarrow",
+    batch_size=256, concurrency=N)``."""
+
+    def __init__(self, bytes_col: str = "bytes", fmt_col: str = "fmt",
+                 id_col: str = "image_id"):
+        self.bytes_col = bytes_col
+        self.fmt_col = fmt_col
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..functions.phash import ahash64, dhash64
+
+        blobs = batch[self.bytes_col].to_pylist()
+        fmts = batch[self.fmt_col].to_pylist()
+        n = len(blobs)
+        ah = np.empty(n, dtype=np.int64)
+        dh = np.empty(n, dtype=np.int64)
+        for i in range(n):
+            img = decode_image(blobs[i], fmts[i])
+            ah[i] = ahash64(img)
+            dh[i] = dhash64(img)
+        return pa.table({
+            self.id_col: batch[self.id_col],
+            "ahash64": pa.array(ah, pa.int64()),
+            "dhash64": pa.array(dh, pa.int64()),
+        })
+
+
 class BinaryStats:
     """Modality-agnostic pass over any binary column: size + crc32 —
     cheap integrity/lineage features that need no codec."""

@@ -484,3 +484,78 @@ def test_ivf_full_probe_equals_brute_force(ray_session):
     b = bf.sort_values(key).reset_index(drop=True)
     assert a[["query_id", "neighbor_id", "rank"]].equals(
         b[["query_id", "neighbor_id", "rank"]])
+
+
+class TestPhashDedup:
+    def _img(self, rng, h=32, w=32):
+        return rng.integers(20, 200, (h, w, 3)).astype(np.uint8)
+
+    def test_kernels_deterministic_and_brightness_invariant(self):
+        from skyway_ray.functions.phash import ahash64, dhash64, to_gray
+
+        rng = np.random.default_rng(6)
+        img = self._img(rng)
+        assert ahash64(img) == ahash64(img.copy())
+        assert dhash64(img) == dhash64(img.copy())
+        # adding a constant to every pixel preserves > comparisons on
+        # both the mean (aHash) and the gradient (dHash)
+        shifted = (img.astype(np.int64) + 30).astype(np.uint8)
+        assert ahash64(shifted) == ahash64(img)
+        assert dhash64(shifted) == dhash64(img)
+        other = self._img(np.random.default_rng(7))
+        from skyway_ray.functions.near_dup import hamming64
+        d = hamming64(np.array([dhash64(img)]), np.array([dhash64(other)]))
+        assert d[0] > 10
+        assert to_gray(img).shape == (32, 32)
+
+    def test_banded_near_dup_clusters(self, ray_session):
+        """Synthetic hashes with known Hamming structure: clusters
+        collapse to min-id survivors, distant singletons survive."""
+        import ray.data
+
+        from skyway_ray.functions.phash import phash_near_dup
+
+        base_a = np.int64(0x123456789ABCDEF0)
+        base_b = np.int64(-0x7edcba0987654322)
+        def flip(h, *bits):
+            u = np.uint64(h)
+            for b in bits:
+                u ^= np.uint64(1) << np.uint64(b)
+            return np.int64(u.astype(np.uint64).view(np.int64))
+        hashes = [
+            (0, base_a), (1, flip(base_a, 5)), (2, flip(base_a, 5, 40)),
+            (10, base_b), (11, flip(base_b, 0, 1)),
+            (20, np.int64(0x5555555555555555)),
+            (21, np.int64(0x0F0F0F0F0F0F0F0F)),
+        ]
+        tab = pa.table({
+            "image_id": pa.array([i for i, _ in hashes], pa.int64()),
+            "dhash64": pa.array([h for _, h in hashes], pa.int64()),
+        })
+        got = phash_near_dup(
+            ray.data.from_arrow(tab).repartition(3), max_dist=3)
+        ids = sorted(got.to_pandas()["image_id"])
+        assert ids == [0, 10, 20, 21]
+
+    def test_identical_images_end_to_end(self, ray_session):
+        import ray.data
+
+        from skyway_ray.functions.image_codec import encode_png
+        from skyway_ray.functions.phash import phash_near_dup
+        from skyway_ray.stages.multimodal import PerceptualHash
+
+        rng = np.random.default_rng(12)
+        a = encode_png(self._img(rng))
+        b = encode_png(self._img(rng))
+        c = encode_png(self._img(rng))
+        tab = pa.table({
+            "image_id": pa.array([0, 1, 2, 3, 4], pa.int64()),
+            "bytes": pa.array([a, a, b, b, c], pa.binary()),
+            "fmt": pa.array(["png"] * 5),
+        })
+        hashes = ray.data.from_arrow(tab).map_batches(
+            PerceptualHash, batch_format="pyarrow", batch_size=2,
+            concurrency=2)
+        got = phash_near_dup(hashes, max_dist=3)
+        ids = sorted(got.to_pandas()["image_id"])
+        assert ids == [0, 2, 4]
