@@ -102,7 +102,8 @@ def run_bench() -> dict:
                      "bloom_dedup", "ivf_ann", "minhash_exact",
                      "ivf_exact", "langid", "fingerprint",
                      "range_join", "prefix_sums", "lag_deltas",
-                     "distinct_users", "quantiles"):
+                     "distinct_users", "quantiles", "user_intersect",
+                     "order_pivot"):
             best = float("inf")
             for _ in range(max(1, repeats)):
                 t0 = time.perf_counter()

@@ -1438,6 +1438,82 @@ def q_image_features(sf_dir: str):
                           batch_size=512, concurrency=2)
 
 
+def _events_of_type(sf_dir: str, etype: str, min_value: float):
+    import pyarrow.compute as pc
+
+    def filt(b: pa.Table, t=etype) -> pa.Table:
+        return b.filter(pc.and_(pc.equal(b["event_type"], t),
+                                pc.greater(b["value"], min_value)))
+
+    return _read(sf_dir, "events",
+                 ["user_id", "event_type", "value"]).map_batches(
+        filt, batch_format="pyarrow")
+
+
+def q_user_intersect(sf_dir: str):
+    """DISTINCT big-ticket (value > 200) purchasers ∩ big-value
+    error-reporters — set INTERSECT via one flagged hash shuffle
+    (stages/setops.py keyed_set_op)."""
+    from .stages.setops import keyed_set_op
+
+    return keyed_set_op(_events_of_type(sf_dir, "purchase", 200.0),
+                        _events_of_type(sf_dir, "error", 200.0),
+                        on="user_id", op="intersect")
+
+
+def q_user_intersect_sql() -> str:
+    return ("SELECT user_id FROM events "
+            "WHERE event_type = 'purchase' AND value > 200.0 "
+            "INTERSECT SELECT user_id FROM events "
+            "WHERE event_type = 'error' AND value > 200.0")
+
+
+def q_user_except(sf_dir: str):
+    """DISTINCT big-ticket purchasers \\ big-value error-reporters —
+    set EXCEPT on the same one-shuffle stage."""
+    from .stages.setops import keyed_set_op
+
+    return keyed_set_op(_events_of_type(sf_dir, "purchase", 200.0),
+                        _events_of_type(sf_dir, "error", 200.0),
+                        on="user_id", op="except")
+
+
+def q_user_except_sql() -> str:
+    return ("SELECT user_id FROM events "
+            "WHERE event_type = 'purchase' AND value > 200.0 "
+            "EXCEPT SELECT user_id FROM events "
+            "WHERE event_type = 'error' AND value > 200.0")
+
+
+_PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+
+
+def q_order_pivot(sf_dir: str):
+    """Wide pivot: per customer-bucket order counts spread into one
+    column per order priority (stages/setops.py pivot_counts on the
+    bounded-key combiner tree — per-batch vectorized partial pivots,
+    no all-to-all)."""
+    from .stages.setops import pivot_counts
+
+    def bucket(b: pa.Table) -> pa.Table:
+        k = b["o_custkey"].to_numpy(zero_copy_only=False)
+        return b.append_column("cust_bucket",
+                               pa.array(k % 100, pa.int64()))
+
+    ds = _read(sf_dir, "orders",
+               ["o_custkey", "o_orderpriority"]).map_batches(
+        bucket, batch_format="pyarrow")
+    return pivot_counts(ds, "cust_bucket", "o_orderpriority", _PRIORITIES)
+
+
+def q_order_pivot_sql() -> str:
+    cols = ", ".join(
+        f"COUNT(*) FILTER (WHERE o_orderpriority = '{p}') AS \"n_{p}\""
+        for p in _PRIORITIES)
+    return (f"SELECT o_custkey % 100 AS cust_bucket, {cols} "
+            "FROM orders GROUP BY cust_bucket")
+
+
 def q_phash_dedup(sf_dir: str):
     """Perceptual-hash near-dedup over the image fixture: actor-pool
     decode → aHash/dHash (bytes never shuffle), then the distributed
@@ -1545,6 +1621,9 @@ QUERIES = {
     "lag_deltas": q_lag_deltas,
     "distinct_users": q_distinct_users,
     "quantiles": q_quantiles,
+    "user_intersect": q_user_intersect,
+    "user_except": q_user_except,
+    "order_pivot": q_order_pivot,
     # rows-only (non-SQL-expressible)
     "flagship_tiles": q_flagship_tiles,
     "osmfilter_docs": q_osmfilter_docs,
@@ -1601,4 +1680,7 @@ ORACLE_SQL = {
     "lag_deltas": q_lag_deltas_sql(),
     "distinct_users": q_distinct_users_sql(),
     "quantiles": q_quantiles_sql(),
+    "user_intersect": q_user_intersect_sql(),
+    "user_except": q_user_except_sql(),
+    "order_pivot": q_order_pivot_sql(),
 }

@@ -14,6 +14,7 @@ from .agg_tree import (grouped_count, grouped_count_distinct,
                        tree_aggregate, tree_aggregate_to_table)
 from .scan import keyed_lag, keyed_scan, running_sum
 from .quantiles import exact_quantiles
+from .setops import keyed_set_op, pivot_counts
 from .multimodal import (BinaryStats, ImageFeatures, ImageResize,
                          PerceptualHash)
 
@@ -26,5 +27,6 @@ __all__ = [
     "broadcast_semi_join", "salted_count", "tree_aggregate",
     "tree_aggregate_to_table", "grouped_count", "grouped_count_distinct",
     "keyed_lag", "keyed_scan", "running_sum", "exact_quantiles",
+    "keyed_set_op", "pivot_counts",
     "BinaryStats", "ImageFeatures", "ImageResize", "PerceptualHash",
 ]

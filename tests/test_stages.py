@@ -553,3 +553,56 @@ class TestExactQuantiles:
         got = exact_quantiles(ds, "x", [0.5], sample_limit=16,
                               collect_limit=10)
         assert list(got["value"]) == [7.5]
+
+
+class TestSetOps:
+    def test_intersect_and_except_match_pandas(self, ray_session):
+        import pandas as pd
+        import ray.data
+
+        from skyway_ray.stages.setops import keyed_set_op
+
+        rng = np.random.default_rng(13)
+        a = pd.DataFrame({"k": rng.integers(0, 60, 300)})
+        b = pd.DataFrame({"k": rng.integers(30, 90, 300)})
+        dsa = ray.data.from_pandas(a).repartition(4)
+        dsb = ray.data.from_pandas(b).repartition(3)
+        sa, sb = set(a["k"]), set(b["k"])
+        inter = sorted(keyed_set_op(dsa, dsb, "k").to_pandas()["k"])
+        assert inter == sorted(sa & sb)
+        exc = sorted(keyed_set_op(dsa, dsb, "k", op="except")
+                     .to_pandas()["k"])
+        assert exc == sorted(sa - sb)
+
+    def test_string_keys_and_empty_side(self, ray_session):
+        import pandas as pd
+        import ray.data
+
+        from skyway_ray.stages.setops import keyed_set_op
+
+        a = pd.DataFrame({"k": ["x", "y", "z", "x"]})
+        b = pd.DataFrame({"k": pd.Series([], dtype=str)})
+        dsa, dsb = ray.data.from_pandas(a), ray.data.from_pandas(b)
+        assert sorted(keyed_set_op(dsa, dsb, "k", op="except")
+                      .to_pandas()["k"]) == ["x", "y", "z"]
+        assert len(keyed_set_op(dsa, dsb, "k").to_pandas()) == 0
+
+
+class TestPivot:
+    def test_pivot_counts_matches_crosstab(self, ray_session):
+        import pandas as pd
+        import ray.data
+
+        from skyway_ray.stages.setops import pivot_counts
+
+        rng = np.random.default_rng(14)
+        vals = ["a", "b", "c"]
+        df = pd.DataFrame({"g": rng.integers(0, 9, 2000),
+                           "c": rng.choice(vals + ["other"], 2000)})
+        ds = ray.data.from_pandas(df).repartition(5)
+        got = (pivot_counts(ds, "g", "c", vals).to_pandas()
+               .sort_values("g").reset_index(drop=True))
+        ct = pd.crosstab(df["g"], df["c"])
+        for v in vals:
+            want = ct[v] if v in ct else 0
+            assert list(got[f"n_{v}"]) == list(want)
