@@ -103,7 +103,7 @@ def run_bench() -> dict:
                      "ivf_exact", "langid", "fingerprint",
                      "range_join", "prefix_sums", "lag_deltas",
                      "distinct_users", "quantiles", "user_intersect",
-                     "order_pivot"):
+                     "order_pivot", "top_tokens"):
             best = float("inf")
             for _ in range(max(1, repeats)):
                 t0 = time.perf_counter()

@@ -1485,6 +1485,39 @@ def q_user_except_sql() -> str:
             "WHERE event_type = 'error' AND value > 200.0")
 
 
+def q_top_tokens(sf_dir: str):
+    """Exact corpus-wide top-20 most frequent tokens (wordcount shape):
+    per-batch vectorized token counting (one np.unique over the batch's
+    flat token list — the combiner: the shuffle ships per-batch
+    DISTINCT tokens, not token instances), hash groupby over the
+    unbounded token key, pre-reduced global top-k."""
+    from .stages.topk import top_k
+
+    def count_batch(b: pd.DataFrame) -> pd.DataFrame:
+        toks = b["text"].str.lower().str.findall(r"[a-z0-9]+")
+        flat = np.concatenate([np.asarray(t, dtype=object)
+                               for t in toks if len(t)] or
+                              [np.array([], dtype=object)])
+        uniq, counts = np.unique(flat, return_counts=True)
+        return pd.DataFrame({"tok": uniq.astype(str),
+                             "n": counts.astype(np.int64)})
+
+    partials = _read(sf_dir, "documents", ["text"]).map_batches(
+        count_batch, batch_format="pandas")
+    totals = partials.groupby("tok").sum("n").map_batches(
+        lambda b: b.rename_columns(["tok", "n"]), batch_format="pyarrow")
+    return top_k(totals, "n", 20, descending=True, tiebreak_col="tok")
+
+
+def q_top_tokens_sql() -> str:
+    return (
+        "WITH toks AS (SELECT unnest(regexp_extract_all(lower(text), "
+        "'[a-z0-9]+')) AS tok FROM documents), "
+        "counts AS (SELECT tok, count(*) AS n FROM toks GROUP BY tok) "
+        "SELECT tok, n FROM counts ORDER BY n DESC, tok LIMIT 20"
+    )
+
+
 _PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
 
 
@@ -1624,6 +1657,7 @@ QUERIES = {
     "user_intersect": q_user_intersect,
     "user_except": q_user_except,
     "order_pivot": q_order_pivot,
+    "top_tokens": q_top_tokens,
     # rows-only (non-SQL-expressible)
     "flagship_tiles": q_flagship_tiles,
     "osmfilter_docs": q_osmfilter_docs,
@@ -1683,4 +1717,5 @@ ORACLE_SQL = {
     "user_intersect": q_user_intersect_sql(),
     "user_except": q_user_except_sql(),
     "order_pivot": q_order_pivot_sql(),
+    "top_tokens": q_top_tokens_sql(),
 }

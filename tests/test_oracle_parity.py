@@ -64,7 +64,7 @@ def test_entry_smoke(ray_session):
     "anti_join_events",
     "window_counts", "asof_join", "distinct_types", "tile_polygons",
     "session_windows", "union_all", "hash_sample", "lineitem_stats",
-    "minhash_exact",
+    "minhash_exact", "top_tokens",
 ])
 def test_sql_parity(name, entries):
     qs, oracles = entries
