@@ -103,7 +103,9 @@ def run_bench() -> dict:
                      "ivf_exact", "langid", "fingerprint",
                      "range_join", "prefix_sums", "lag_deltas",
                      "distinct_users", "quantiles", "user_intersect",
-                     "order_pivot", "top_tokens"):
+                     "order_pivot", "top_tokens", "heavy_hitters",
+                     "tfidf", "order_lineitems", "hll_users",
+                     "profile_lineitem"):
             best = float("inf")
             for _ in range(max(1, repeats)):
                 t0 = time.perf_counter()

@@ -312,3 +312,177 @@ class LshIndex:
         sims = self.vecs[cand] @ q
         order = np.lexsort((self.ids[cand], -sims))[:k]
         return self.ids[cand[order]], sims[order]
+
+
+def _kmeans_l2(x: np.ndarray, k: int, n_iter: int = 8,
+               seed: int = 42) -> np.ndarray:
+    """Seeded Euclidean k-means (fixed Lloyd iterations) — the PQ
+    sub-quantizer trainer (subvectors are NOT unit vectors, so
+    spherical k-means does not apply)."""
+    n = len(x)
+    k = min(k, n)
+    rng = np.random.default_rng(seed)
+    cent = x[rng.choice(n, size=k, replace=False)].copy()
+    for _ in range(n_iter):
+        d2 = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        assign = np.argmin(d2, axis=1)
+        for c in range(k):
+            members = x[assign == c]
+            if len(members):
+                cent[c] = members.mean(axis=0)
+    return cent
+
+
+def pq_train(vecs: np.ndarray, m: int = 8, n_codes: int = 16,
+             n_iter: int = 8, seed: int = 42) -> np.ndarray:
+    """Train product-quantization codebooks on NORMALIZED vectors:
+    split the d dims into ``m`` contiguous subspaces, k-means each.
+    Returns (m, n_codes, d//m) codebooks.  ADC then approximates the
+    inner product: cos(q, x) ≈ Σ_s  q_s · codebook_s[code_s(x)]."""
+    n, d = vecs.shape
+    assert d % m == 0, f"dim {d} not divisible by m={m}"
+    dsub = d // m
+    books = np.empty((m, n_codes, dsub))
+    for s in range(m):
+        sub = vecs[:, s * dsub:(s + 1) * dsub]
+        cb = _kmeans_l2(sub, n_codes, n_iter, seed + s)
+        if len(cb) < n_codes:  # tiny corpus: pad with repeats
+            cb = cb[np.arange(n_codes) % len(cb)]
+        books[s] = cb
+    return books
+
+
+def pq_encode(vecs: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """(n, d) normalized vectors → (n, m) uint8 codes (nearest
+    sub-centroid per subspace) — a 32× compression at d=64/float32."""
+    n = len(vecs)
+    m, n_codes, dsub = books.shape
+    codes = np.empty((n, m), dtype=np.uint8)
+    for s in range(m):
+        sub = vecs[:, s * dsub:(s + 1) * dsub]
+        # argmin ||x - c||² = argmax (x·c - ||c||²/2), one matmul
+        scores = sub @ books[s].T - 0.5 * (books[s] ** 2).sum(axis=1)
+        codes[:, s] = np.argmax(scores, axis=1)
+    return codes
+
+
+def pq_adc_scores(codes: np.ndarray, lut: np.ndarray) -> np.ndarray:
+    """(n, m) codes × (nq, m, n_codes) query lookup tables →
+    (nq, n) approximate similarities (m table gathers, no per-row
+    work)."""
+    nq = lut.shape[0]
+    out = np.zeros((nq, len(codes)))
+    for s in range(codes.shape[1]):
+        out += lut[:, s, codes[:, s]]
+    return out
+
+
+def pq_topk(ds, query_matrix: np.ndarray, query_ids: np.ndarray,
+            k: int = 10, m: int = 8, n_codes: int = 16, rerank: int = 5,
+            n_iter: int = 8, seed: int = 42, sample_limit: int = 8192,
+            vec_col: str = "embedding", id_col: str = "vec_id"):
+    """Distributed PQ (product-quantization) ANN with exact rerank.
+
+    Scale shape: codebooks train on a bounded, seeded driver sample
+    and broadcast once (tiny: m × n_codes × d/m floats); an encode
+    ``map_batches`` maps the corpus to (id, m-byte code) rows — the
+    table the scan reads is ~32× smaller than the raw vectors, the
+    point of PQ at 10^12-vector scale; the ADC scan emits per-batch
+    partial top-(rerank·k) per query (bounded rows); the merged
+    candidate id set (≤ nq·rerank·k) is broadcast back and ONLY those
+    vectors are fetched for the exact rerank — never the corpus.
+    Returns (query_id, neighbor_id, ann_rank) like ivf_topk.
+    Approximate by construction; recall asserted in tests."""
+    import ray
+
+    qm = _normalize(np.asarray(query_matrix, dtype=np.float64))
+    qids = np.asarray(query_ids, dtype=np.int64)
+    sample = ds.random_sample(0.5, seed=seed).limit(sample_limit).to_pandas()
+    svecs = _normalize(np.stack(sample[vec_col].to_numpy()).astype(np.float64))
+    books = pq_train(svecs, m, n_codes, n_iter, seed)
+    dsub = books.shape[2]
+    # (nq, m, n_codes) ADC lookup tables: q_s · codebook_s^T
+    lut = np.einsum("qsd,scd->qsc",
+                    qm.reshape(len(qm), m, dsub), books)
+    ref = ray.put((books, lut, qm, qids))
+
+    pool = rerank * k
+
+    def encode(batch: pa.Table) -> pa.Table:
+        books_b, _, _, _ = _ivf_cached(ref)
+        vecs = _normalize(embeddings_to_matrix(batch[vec_col])
+                          .astype(np.float64))
+        codes = pq_encode(vecs, books_b)
+        # zero-copy fixed-size-binary column straight from the (n, m)
+        # uint8 code matrix — no per-row Python
+        code_arr = pa.Array.from_buffers(
+            pa.binary(books_b.shape[0]), len(codes),
+            [None, pa.py_buffer(np.ascontiguousarray(codes).tobytes())])
+        return pa.table({id_col: batch[id_col], "code": code_arr})
+
+    codes_ds = ds.map_batches(encode, batch_format="pyarrow")
+
+    def adc_scan(batch: pa.Table) -> pa.Table:
+        books_b, lut_b, _, qids_b = _ivf_cached(ref)
+        mm = books_b.shape[0]
+        fsb = batch["code"].combine_chunks()
+        raw = np.frombuffer(fsb.buffers()[1], dtype=np.uint8)
+        raw = raw[fsb.offset * mm:(fsb.offset + len(fsb)) * mm
+                  ].reshape(-1, mm)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        scores = pq_adc_scores(raw, lut_b)
+        take = min(pool, scores.shape[1])
+        top = np.argpartition(-scores, take - 1, axis=1)[:, :take]
+        qcol = np.repeat(qids_b, take)
+        return pa.table({
+            "query_id": pa.array(qcol, pa.int64()),
+            "neighbor_id": pa.array(ids[top].ravel(), pa.int64()),
+            "score": pa.array(np.take_along_axis(scores, top, axis=1)
+                              .ravel(), pa.float64()),
+        })
+
+    partials = codes_ds.map_batches(adc_scan,
+                                    batch_format="pyarrow").to_pandas()
+    # driver-side bounded merge: top-pool per query over batch partials
+    cand: dict[int, np.ndarray] = {}
+    for qid, g in partials.groupby("query_id"):
+        order = np.lexsort((g["neighbor_id"].to_numpy(),
+                            -g["score"].to_numpy()))[:pool]
+        cand[int(qid)] = g["neighbor_id"].to_numpy()[order]
+    all_ids = np.unique(np.concatenate(list(cand.values()))) \
+        if cand else np.empty(0, np.int64)
+    idref = ray.put(np.sort(all_ids))
+
+    def fetch(batch: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        want = _ray.get(idref)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(want, ids)
+        pos = np.clip(pos, 0, max(len(want) - 1, 0))
+        hit = (want[pos] == ids) if len(want) else np.zeros(len(ids), bool)
+        return batch.filter(pa.array(hit))
+
+    fetched = ds.map_batches(fetch, batch_format="pyarrow").to_pandas()
+    fvecs = _normalize(np.stack(fetched[vec_col].to_numpy())
+                       .astype(np.float64))
+    fids = fetched[id_col].to_numpy()
+    order = np.argsort(fids)
+    fvecs, fids = fvecs[order], fids[order]
+
+    rows_q, rows_n, rows_r = [], [], []
+    for qi, qid in enumerate(qids):
+        ids_q = cand.get(int(qid), np.empty(0, np.int64))
+        sel = np.searchsorted(fids, ids_q)
+        sims = fvecs[sel] @ qm[qi]
+        top = np.lexsort((ids_q, -quantize_cos(sims)))[:k]
+        rows_q.append(np.full(len(top), qid, dtype=np.int64))
+        rows_n.append(ids_q[top])
+        rows_r.append(np.arange(1, len(top) + 1))
+    import pandas as pd
+
+    return pd.DataFrame({
+        "query_id": np.concatenate(rows_q) if rows_q else [],
+        "neighbor_id": np.concatenate(rows_n) if rows_n else [],
+        "ann_rank": np.concatenate(rows_r) if rows_r else [],
+    })

@@ -1518,6 +1518,192 @@ def q_top_tokens_sql() -> str:
     )
 
 
+def q_heavy_hitters(sf_dir: str):
+    """Exact word-bigram heavy hitters (freq > 1/800 of all bigrams)
+    over documents.text without shuffling the unbounded bigram key
+    space: per-block mergeable Misra-Gries summaries bound what rides
+    the merge groupby, then the bounded candidate set is broadcast and
+    recounted exactly (see stages/heavy.py).  Integer-only threshold
+    (cnt*800 > N) so the DuckDB oracle is bit-identical."""
+    from .stages.heavy import bigram_items, exact_heavy_hitters
+
+    grams = _read(sf_dir, "documents", ["text"]).map_batches(
+        bigram_items, batch_format="pandas")
+    return exact_heavy_hitters(grams, "item", phi_num=1, phi_den=800)
+
+
+def q_heavy_hitters_sql() -> str:
+    return (
+        "WITH toks AS (SELECT doc_id, unnest(regexp_extract_all(lower(text),"
+        " '[a-z0-9]+')) AS tok, generate_subscripts(regexp_extract_all("
+        "lower(text), '[a-z0-9]+'), 1) AS i FROM documents), "
+        "bg AS (SELECT a.tok || ' ' || b.tok AS item FROM toks a "
+        "JOIN toks b ON a.doc_id = b.doc_id AND b.i = a.i + 1) "
+        "SELECT item, count(*) AS cnt FROM bg GROUP BY item "
+        "HAVING count(*) * 800 > (SELECT count(*) FROM bg)"
+    )
+
+
+def q_order_lineitems(sf_dir: str):
+    """Large×large inner equi-join (orders ⋈ lineitem on order key)
+    through Ray Data's hash-shuffle join — NO broadcast side; both
+    inputs co-partition by key hash, so the plan holds when neither
+    fits a worker (the broadcast joins cover the small-side cases).
+    Revenue is quantized to 1e-4 units (floor(x*1e4+0.5)) so the
+    per-row float product hashes bit-identically vs DuckDB."""
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    line = _read(sf_dir, "lineitem",
+                 ["l_orderkey", "l_linenumber", "l_partkey",
+                  "l_extendedprice", "l_discount"])
+
+    j = orders.join(line, "inner", num_partitions=16,
+                    on=("o_orderkey",), right_on=("l_orderkey",))
+
+    def finish(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        price = b["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = b["l_discount"].to_numpy(zero_copy_only=False)
+        rev = np.floor(price * (1.0 - disc) * 1e4 + 0.5).astype(np.int64)
+        return pa.table({
+            "o_orderkey": b["o_orderkey"],
+            "o_custkey": b["o_custkey"],
+            "l_linenumber": pc.cast(b["l_linenumber"], pa.int64()),
+            "l_partkey": b["l_partkey"],
+            "rev_q4": pa.array(rev),
+        })
+
+    return j.map_batches(finish, batch_format="pyarrow")
+
+
+def q_order_lineitems_sql() -> str:
+    return (
+        "SELECT o_orderkey, o_custkey, CAST(l_linenumber AS BIGINT) AS "
+        "l_linenumber, l_partkey, CAST(floor(l_extendedprice * "
+        "(1.0 - l_discount) * 1e4 + 0.5) AS BIGINT) AS rev_q4 "
+        "FROM orders JOIN lineitem ON o_orderkey = l_orderkey"
+    )
+
+
+def q_tfidf(sf_dir: str):
+    """Top-3 TF-IDF terms per document, two streaming passes:
+    pass 1 builds the document-frequency table (per-batch distinct
+    (doc, token) combiner → one vocab-keyed groupby), which is
+    broadcast once (``ray.put``; vocab-bounded — at open-vocab scale
+    swap the broadcast for a token-keyed shuffle join); pass 2
+    recomputes per-doc term frequencies batch-locally (each document
+    lives in ONE row, so TF needs no shuffle) and takes the per-doc
+    top 3 by quantized score.  idf = ln(n_docs/df) is transcendental,
+    so the score is quantized to microunits (floor(tf·idf·1e6 + 0.5))
+    on BOTH sides, keeping the DuckDB oracle bit-identical."""
+    import ray
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    n_docs = docs.count()
+
+    def _long(b: pd.DataFrame):
+        toks = b["text"].str.lower().str.findall(r"[a-z0-9]+")
+        lens = toks.str.len().to_numpy()
+        if int(lens.sum()) == 0:
+            return None
+        flat = np.concatenate([np.asarray(t, dtype=object)
+                               for t in toks if len(t)])
+        doc = np.repeat(b["doc_id"].to_numpy(), lens)
+        return pd.DataFrame({"doc_id": doc, "tok": flat.astype(str)})
+
+    def df_partial(b: pd.DataFrame) -> pd.DataFrame:
+        long = _long(b)
+        if long is None:
+            return pd.DataFrame({"tok": pd.Series([], dtype=str),
+                                 "nd": pd.Series([], dtype=np.int64)})
+        g = long.drop_duplicates().groupby("tok", sort=False).size()
+        return pd.DataFrame({"tok": g.index.astype(str),
+                             "nd": g.to_numpy().astype(np.int64)})
+
+    df_tbl = (docs.map_batches(df_partial, batch_format="pandas")
+              .groupby("tok").sum("nd").to_pandas())
+    vocab = np.sort(df_tbl["tok"].to_numpy().astype(str))
+    dfv = (df_tbl.set_index("tok").loc[vocab, "sum(nd)"]
+           .to_numpy().astype(np.int64))
+    ref = ray.put((vocab, dfv))
+
+    def score(b: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"doc_id": pd.Series([], dtype=np.int64),
+                              "tok": pd.Series([], dtype=str),
+                              "qscore": pd.Series([], dtype=np.int64)})
+        long = _long(b)
+        if long is None:
+            return empty
+        vocab, dfv = ray.get(ref)
+        idf = np.log(float(n_docs) / dfv)
+        g = (long.groupby(["doc_id", "tok"], sort=False).size()
+             .reset_index(name="tf"))
+        pos = np.searchsorted(vocab, g["tok"].to_numpy().astype(str))
+        q = np.floor(g["tf"].to_numpy() * idf[pos] * 1e6 + 0.5
+                     ).astype(np.int64)
+        order = np.lexsort((g["tok"].to_numpy(), -q,
+                            g["doc_id"].to_numpy()))
+        gs = g.iloc[order].assign(qscore=q[order])
+        keep = gs.groupby("doc_id", sort=False).cumcount() < 3
+        return gs.loc[keep, ["doc_id", "tok", "qscore"]]
+
+    return docs.map_batches(score, batch_format="pandas")
+
+
+def q_tfidf_sql() -> str:
+    return (
+        "WITH toks AS (SELECT doc_id, unnest(regexp_extract_all(lower(text),"
+        " '[a-z0-9]+')) AS tok FROM documents), "
+        "tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks "
+        "GROUP BY doc_id, tok), "
+        "df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM toks "
+        "GROUP BY tok), "
+        "scored AS (SELECT doc_id, tf.tok AS tok, CAST(floor(tf * ln("
+        "CAST((SELECT count(*) FROM documents) AS DOUBLE) / df) * 1e6 + 0.5)"
+        " AS BIGINT) AS qscore FROM tf JOIN df ON tf.tok = df.tok), "
+        "ranked AS (SELECT *, row_number() OVER (PARTITION BY doc_id "
+        "ORDER BY qscore DESC, tok) AS r FROM scored) "
+        "SELECT doc_id, tok, qscore FROM ranked WHERE r <= 3"
+    )
+
+
+def q_hll_users(sf_dir: str) -> pd.DataFrame:
+    """Approximate COUNT(DISTINCT user_id) via a HyperLogLog sketch
+    (stages/hll.py): one streaming pass, per-block 16 KiB register
+    blobs folded by a map_batches tree — no shuffle, no driver funnel.
+    Approximate ⇒ rows-only (the exact path is hash-verified as
+    ``distinct_users``); tests assert the ±0.8%-class error bound."""
+    from .stages.hll import hll_distinct
+
+    est = hll_distinct(_read(sf_dir, "events", ["user_id"]), "user_id")
+    return pd.DataFrame({"distinct_users_est": [int(round(est))]})
+
+
+_PROFILE_COLS = ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+                 "l_returnflag", "l_linestatus"]
+
+
+def q_profile_lineitem(sf_dir: str) -> pd.DataFrame:
+    """Data-quality profile (count / nulls / min / max) of six lineitem
+    columns in ONE streaming pass: per-block wide partial rows folded
+    by a map_batches tree (see stages/profile.py) — the naive oracle
+    runs six aggregate scans where this runs one."""
+    from .stages.profile import profile_columns
+
+    return profile_columns(_read(sf_dir, "lineitem", _PROFILE_COLS),
+                           _PROFILE_COLS)
+
+
+def q_profile_lineitem_sql() -> str:
+    parts = [
+        f"SELECT '{c}' AS \"column\", count(*) AS n, "
+        f"count(*) - count({c}) AS nulls, "
+        f"CAST(min({c}) AS VARCHAR) AS min_s, "
+        f"CAST(max({c}) AS VARCHAR) AS max_s FROM lineitem"
+        for c in _PROFILE_COLS]
+    return " UNION ALL ".join(parts)
+
+
 _PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
 
 
@@ -1658,6 +1844,10 @@ QUERIES = {
     "user_except": q_user_except,
     "order_pivot": q_order_pivot,
     "top_tokens": q_top_tokens,
+    "heavy_hitters": q_heavy_hitters,
+    "tfidf": q_tfidf,
+    "order_lineitems": q_order_lineitems,
+    "profile_lineitem": q_profile_lineitem,
     # rows-only (non-SQL-expressible)
     "flagship_tiles": q_flagship_tiles,
     "osmfilter_docs": q_osmfilter_docs,
@@ -1669,6 +1859,7 @@ QUERIES = {
     "phash_dedup": q_phash_dedup,
     "knn_images": q_knn_images,
     "image_features": q_image_features,
+    "hll_users": q_hll_users,
 }
 
 ORACLE_SQL = {
@@ -1718,4 +1909,8 @@ ORACLE_SQL = {
     "user_except": q_user_except_sql(),
     "order_pivot": q_order_pivot_sql(),
     "top_tokens": q_top_tokens_sql(),
+    "heavy_hitters": q_heavy_hitters_sql(),
+    "tfidf": q_tfidf_sql(),
+    "order_lineitems": q_order_lineitems_sql(),
+    "profile_lineitem": q_profile_lineitem_sql(),
 }

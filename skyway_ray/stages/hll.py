@@ -1,0 +1,96 @@
+"""HyperLogLog approximate COUNT(DISTINCT) — one streaming pass, no
+shuffle, O(2^p) state (Flajolet et al. 2007; the bias/small-range
+handling follows the classic paper, not any proprietary variant).
+
+Scale shape: every block maps to one 2^p-byte register blob (vectorized
+``np.maximum.at`` over polars-hashed keys — a C hash path for both int
+and string columns); blobs merge by elementwise max, which is
+associative/commutative/idempotent, so the result is partition- and
+order-invariant.  A ``map_batches`` tree level folds 64 blobs at a
+time before the driver reduces the short remainder — the driver never
+sees more than #blocks/64 blobs and never any data rows.
+
+The exact operators (``agg_tree.grouped_count_distinct``,
+``Dataset.unique``) stay the correctness path; this is the
+constant-memory estimate for 10^9+-cardinality columns where even the
+pair-dedup shuffle is too expensive.  Standard error ≈ 1.04/√(2^p)
+(~0.8% at the default p=14, 16 KiB of state).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _hash64(col, seed: int = 42) -> np.ndarray:
+    """Vectorized 64-bit avalanche hash of an Arrow column (any
+    hashable dtype) via polars — deterministic for a fixed environment;
+    no cross-engine parity is needed (the estimate is approximate by
+    construction)."""
+    import polars as pl
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    s = pl.from_arrow(col)
+    return s.hash(seed).to_numpy().astype(np.uint64)
+
+
+def _register_blob(h: np.ndarray, p: int) -> np.ndarray:
+    """uint8[2^p] register array for one batch of hashes: index = top
+    ``p`` bits; rank = leading-zero count (+1) of the next 40 bits —
+    a 40-bit window is exact under float64 ``log2`` (values < 2^52),
+    avoiding the rounding hazard of log2 on full 64-bit words."""
+    m = 1 << p
+    reg = np.zeros(m, dtype=np.uint8)
+    if len(h) == 0:
+        return reg
+    idx = (h >> np.uint64(64 - p)).astype(np.int64)
+    w = ((h >> np.uint64(24 - p)) & np.uint64((1 << 40) - 1)).astype(np.int64)
+    rho = np.full(len(h), 41, dtype=np.uint8)
+    nz = w > 0
+    rho[nz] = (40 - np.floor(np.log2(w[nz])).astype(np.int64)).astype(np.uint8)
+    np.maximum.at(reg, idx, rho)
+    return reg
+
+
+def _estimate(reg: np.ndarray) -> float:
+    m = len(reg)
+    alpha = 0.7213 / (1.0 + 1.079 / m)  # m >= 128
+    e = alpha * m * m / np.sum(np.ldexp(1.0, -reg.astype(np.int64)))
+    zeros = int((reg == 0).sum())
+    if e <= 2.5 * m and zeros > 0:  # small-range linear counting
+        e = m * np.log(m / zeros)
+    return float(e)
+
+
+def hll_distinct(ds, col: str, p: int = 14, seed: int = 42) -> float:
+    """Approximate distinct count of ``ds[col]``."""
+    m = 1 << p
+
+    def to_blob(batch: pa.Table) -> pd.DataFrame:
+        reg = _register_blob(_hash64(batch[col], seed), p)
+        return pd.DataFrame({"blob": [reg.tobytes()]})
+
+    def fold(b: pd.DataFrame) -> pd.DataFrame:
+        regs = np.stack([np.frombuffer(x, dtype=np.uint8)
+                         for x in b["blob"]])
+        return pd.DataFrame({"blob": [regs.max(axis=0).tobytes()]})
+
+    blobs = (ds.map_batches(to_blob, batch_format="pyarrow",
+                            zero_copy_batch=True)
+             .map_batches(fold, batch_format="pandas", batch_size=64)
+             .to_pandas())
+    reg = np.zeros(m, dtype=np.uint8)
+    for x in blobs["blob"]:
+        np.maximum(reg, np.frombuffer(x, dtype=np.uint8), out=reg)
+    return _estimate(reg)
+
+
+def hll_merge(blob_a: bytes, blob_b: bytes) -> bytes:
+    """Merge two HLL register blobs (elementwise max) — the sketch is
+    mergeable across shards/days/sources without rescanning."""
+    a = np.frombuffer(blob_a, dtype=np.uint8)
+    b = np.frombuffer(blob_b, dtype=np.uint8)
+    return np.maximum(a, b).tobytes()

@@ -64,7 +64,8 @@ def test_entry_smoke(ray_session):
     "anti_join_events",
     "window_counts", "asof_join", "distinct_types", "tile_polygons",
     "session_windows", "union_all", "hash_sample", "lineitem_stats",
-    "minhash_exact", "top_tokens",
+    "minhash_exact", "top_tokens", "heavy_hitters", "tfidf",
+    "order_lineitems", "profile_lineitem",
 ])
 def test_sql_parity(name, entries):
     qs, oracles = entries
@@ -85,7 +86,7 @@ def test_sql_parity(name, entries):
 @pytest.mark.parametrize("name", [
     "flagship_tiles", "osmfilter_docs", "exact_dedup_images",
     "minhash_dedup", "simhash", "langid", "fingerprint", "knn_images",
-    "image_features",
+    "image_features", "hll_users",
 ])
 def test_rows_only_queries_run(name, entries):
     qs, _ = entries

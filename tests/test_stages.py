@@ -1,6 +1,7 @@
 """Stage tests against pure-Python oracles (FIXTURES.md §4 goldens)."""
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pytest
 
@@ -606,3 +607,153 @@ class TestPivot:
         for v in vals:
             want = ct[v] if v in ct else 0
             assert list(got[f"n_{v}"]) == list(want)
+
+
+class TestHeavyHitters:
+    def _skewed(self, n=200_000, keys=5000, seed=42):
+        rng = np.random.default_rng(seed)
+        p = 1.0 / np.arange(1, keys + 1) ** 1.3
+        p /= p.sum()
+        items = rng.choice(np.array([f"k{i}" for i in range(keys)],
+                                    dtype=object), size=n, p=p)
+        return pd.DataFrame({"item": items.astype(str)})
+
+    def test_exact_under_forced_compression(self, ray_session):
+        import ray.data
+
+        from skyway_ray.stages.heavy import exact_heavy_hitters
+
+        df = self._skewed()
+        # default k=1000 < 5000 distinct per block -> every block compresses
+        ds = ray.data.from_pandas(df).repartition(16)
+        got = (exact_heavy_hitters(ds, "item", 1, 500).to_pandas()
+               .sort_values("item").reset_index(drop=True))
+        vc = df["item"].value_counts()
+        want = (vc[vc * 500 > len(df)].rename_axis("item")
+                .reset_index(name="cnt").sort_values("item")
+                .reset_index(drop=True).astype({"cnt": "int64"}))
+        assert got.equals(want)
+        assert len(got) > 10
+
+    def test_partition_invariant(self, ray_session):
+        import ray.data
+
+        from skyway_ray.stages.heavy import exact_heavy_hitters
+
+        df = self._skewed(n=50_000, keys=2000)
+        outs = []
+        for parts in (2, 9):
+            ds = ray.data.from_pandas(df).repartition(parts)
+            outs.append(exact_heavy_hitters(ds, "item", 1, 300)
+                        .to_pandas().sort_values("item")
+                        .reset_index(drop=True))
+        assert outs[0].equals(outs[1])
+
+    def test_tiny_k_raises_instead_of_lying(self, ray_session):
+        import ray.data
+
+        from skyway_ray.stages.heavy import exact_heavy_hitters
+
+        ds = ray.data.from_pandas(self._skewed(n=20_000)).repartition(8)
+        with pytest.raises(ValueError, match="too small"):
+            exact_heavy_hitters(ds, "item", 1, 500, k=5).to_pandas()
+
+    def test_no_heavy_hitters_on_flat_input(self, ray_session):
+        import ray.data
+
+        from skyway_ray.stages.heavy import exact_heavy_hitters
+
+        flat = pd.DataFrame(
+            {"item": np.char.add("u", np.arange(50_000).astype(str))})
+        ds = ray.data.from_pandas(flat).repartition(4)
+        out = exact_heavy_hitters(ds, "item", 1, 10, k=30_000).to_pandas()
+        assert len(out) == 0
+
+    def test_bigram_kernel(self):
+        from skyway_ray.stages.heavy import bigram_items
+
+        b = bigram_items(pd.DataFrame(
+            {"text": ["Hello big world", "one", "", "a b"]}))
+        assert list(b["item"]) == ["hello big", "big world", "a b"]
+        empty = bigram_items(pd.DataFrame({"text": ["", "x"]}))
+        assert len(empty) == 0
+
+
+class TestHll:
+    def test_error_bound_and_small_range(self, ray_session):
+        import ray.data
+
+        from skyway_ray.stages.hll import hll_distinct
+
+        for true_n in (150, 10_000, 200_000):
+            vals = np.char.add("user", np.arange(true_n).astype(str))
+            reps = np.repeat(vals, 2) if true_n <= 10_000 else vals
+            ds = ray.data.from_pandas(pd.DataFrame({"u": reps})).repartition(8)
+            est = hll_distinct(ds, "u")
+            # rse ~= 1.04/sqrt(2^14) = 0.8%; allow 3 sigma
+            assert abs(est - true_n) / true_n < 0.025, (true_n, est)
+
+    def test_partition_invariant(self, ray_session):
+        import ray.data
+
+        from skyway_ray.stages.hll import hll_distinct
+
+        vals = np.char.add("x", np.arange(50_000).astype(str))
+        ests = [hll_distinct(
+            ray.data.from_pandas(pd.DataFrame({"u": vals})).repartition(n),
+            "u") for n in (2, 13)]
+        assert ests[0] == ests[1]
+
+    def test_mergeable(self):
+        import pyarrow as pa
+
+        from skyway_ray.stages.hll import (_hash64, _register_blob,
+                                           hll_merge)
+
+        a = _register_blob(_hash64(pa.array([f"a{i}" for i in range(1000)])), 14)
+        b = _register_blob(_hash64(pa.array([f"b{i}" for i in range(1000)])), 14)
+        ab = _register_blob(_hash64(pa.array(
+            [f"a{i}" for i in range(1000)] + [f"b{i}" for i in range(1000)])), 14)
+        assert hll_merge(a.tobytes(), b.tobytes()) == ab.tobytes()
+
+    def test_int_column(self, ray_session):
+        import ray.data
+
+        from skyway_ray.stages.hll import hll_distinct
+
+        ds = ray.data.from_pandas(pd.DataFrame(
+            {"u": np.arange(30_000, dtype=np.int64)})).repartition(4)
+        est = hll_distinct(ds, "u")
+        assert abs(est - 30_000) / 30_000 < 0.025
+
+
+class TestProfile:
+    def test_matches_pandas_with_nulls(self, ray_session):
+        import ray.data
+
+        from skyway_ray.stages.profile import profile_columns
+
+        rng = np.random.default_rng(7)
+        df = pd.DataFrame({
+            "a": pd.array(rng.integers(-50, 50, 5000), dtype="Int64"),
+            "s": rng.choice(["x", "apple", "zebra", "m"], 5000),
+        })
+        df.loc[::7, "a"] = pd.NA  # nullable ints, dtype stays Int64
+        ds = ray.data.from_pandas(df).repartition(6)
+        got = profile_columns(ds, ["a", "s"]).set_index("column")
+        assert got.loc["a", "n"] == 5000
+        assert got.loc["a", "nulls"] == len(df.loc[::7])
+        assert got.loc["a", "min_s"] == str(int(df["a"].min()))
+        assert got.loc["a", "max_s"] == str(int(df["a"].max()))
+        assert got.loc["s", "nulls"] == 0
+        assert got.loc["s", "min_s"] == "apple"
+        assert got.loc["s", "max_s"] == "zebra"
+
+    def test_single_block(self, ray_session):
+        import ray.data
+
+        from skyway_ray.stages.profile import profile_columns
+
+        ds = ray.data.from_pandas(pd.DataFrame({"v": [3, 1, 2]}))
+        got = profile_columns(ds, ["v"])
+        assert got.iloc[0].tolist() == ["v", 3, 0, "1", "3"]
