@@ -105,7 +105,8 @@ def run_bench() -> dict:
                      "distinct_users", "quantiles", "user_intersect",
                      "order_pivot", "top_tokens", "heavy_hitters",
                      "tfidf", "order_lineitems", "hll_users",
-                     "profile_lineitem"):
+                     "profile_lineitem", "pq_ann", "hll_users_by_type",
+                     "skew_join"):
             best = float("inf")
             for _ in range(max(1, repeats)):
                 t0 = time.perf_counter()

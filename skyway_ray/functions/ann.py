@@ -180,6 +180,32 @@ def auto_n_centroids(n: int) -> int:
     return max(64, int(np.ceil(np.sqrt(max(int(n), 1)))))
 
 
+def hash_sample(ds, id_col: str, limit: int, n: int | None = None,
+                seed: int = 42):
+    """Layout-independent bounded training sample: keep rows whose
+    id-hash falls under ``limit/n`` of the hash space — the selected
+    SET depends only on row content, never on block layout (unlike
+    ``random_sample``, whose per-block RNG makes sampled codebooks —
+    and thus ANN results — partition-dependent).  Expected ~``limit``
+    rows; all of them are collected (bounded)."""
+    import polars as pl
+
+    if n is None:
+        n = ds.count()
+    if n <= limit:
+        return ds.to_pandas()
+    thresh = np.uint64(int(min(1.0, limit / n) * float(2**64 - 1)))
+
+    def pick(batch: pa.Table) -> pa.Table:
+        h = (pl.from_arrow(batch[id_col].combine_chunks()
+                           if isinstance(batch[id_col], pa.ChunkedArray)
+                           else batch[id_col])
+             .hash(seed).to_numpy().astype(np.uint64))
+        return batch.filter(pa.array(h <= thresh))
+
+    return ds.map_batches(pick, batch_format="pyarrow").to_pandas()
+
+
 _IVF_CACHE: dict = {}
 
 
@@ -224,10 +250,11 @@ def ivf_topk(ds, query_matrix: np.ndarray, query_ids: np.ndarray,
     import pandas as pd
     import ray
 
+    n_rows = ds.count()
     if n_centroids is None:
-        n_centroids = auto_n_centroids(ds.count())
-    # bounded, seeded sample for the coarse quantizer
-    sample = ds.random_sample(0.5, seed=seed).limit(sample_limit).to_pandas()
+        n_centroids = auto_n_centroids(n_rows)
+    # bounded, layout-independent sample for the coarse quantizer
+    sample = hash_sample(ds, id_col, sample_limit, n=n_rows, seed=seed)
     svecs = _normalize(np.stack(sample[vec_col].to_numpy()).astype(np.float64))
     cent = _kmeans_unit(svecs, n_centroids, n_iter, seed)
     qm = _normalize(np.asarray(query_matrix, dtype=np.float64))
@@ -397,7 +424,7 @@ def pq_topk(ds, query_matrix: np.ndarray, query_ids: np.ndarray,
 
     qm = _normalize(np.asarray(query_matrix, dtype=np.float64))
     qids = np.asarray(query_ids, dtype=np.int64)
-    sample = ds.random_sample(0.5, seed=seed).limit(sample_limit).to_pandas()
+    sample = hash_sample(ds, id_col, sample_limit, seed=seed)
     svecs = _normalize(np.stack(sample[vec_col].to_numpy()).astype(np.float64))
     books = pq_train(svecs, m, n_codes, n_iter, seed)
     dsub = books.shape[2]

@@ -1679,6 +1679,76 @@ def q_hll_users(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame({"distinct_users_est": [int(round(est))]})
 
 
+def q_skew_join(sf_dir: str):
+    """Skew-resistant inner join (events ⋈ customer on user key):
+    Misra-Gries hot-key detection routes heavy keys through a bounded
+    broadcast merge while cold keys take the hash-shuffle join — one
+    viral key can no longer serialize a partition
+    (stages/joins.py::skew_hybrid_join; output is bit-identical to the
+    plain join, which is what the oracle checks).  At phi=1/200 on
+    events most users clear the threshold, so BOTH paths carry rows in
+    the driver run."""
+    from .stages.joins import skew_hybrid_join
+
+    events = _read(sf_dir, "events", ["user_id", "event_type"])
+    cust = _read(sf_dir, "customer",
+                 ["c_custkey", "c_nationkey", "c_mktsegment"])
+    j = skew_hybrid_join(events, cust, "user_id", "c_custkey",
+                         phi_num=1, phi_den=200)
+
+    def finish(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return b.set_column(b.schema.get_field_index("c_nationkey"),
+                            "c_nationkey",
+                            pc.cast(b["c_nationkey"], pa.int64()))
+
+    return j.map_batches(finish, batch_format="pyarrow")
+
+
+def q_skew_join_sql() -> str:
+    return (
+        "SELECT user_id, event_type, CAST(c_nationkey AS BIGINT) AS "
+        "c_nationkey, c_mktsegment FROM events "
+        "JOIN customer ON user_id = c_custkey"
+    )
+
+
+def q_hll_users_by_type(sf_dir: str) -> pd.DataFrame:
+    """Approximate COUNT(DISTINCT user_id) per event_type via grouped
+    HLL sketches: the groupby shuffle carries groups×blocks 4 KiB
+    blobs, never (group, user) pairs (stages/hll.py hll_distinct_by).
+    Approximate ⇒ rows-only; the exact pair-shuffle path is the
+    hash-verified ``distinct_users``."""
+    from .stages.hll import hll_distinct_by
+
+    return hll_distinct_by(
+        _read(sf_dir, "events", ["event_type", "user_id"]),
+        "event_type", "user_id").sort_values("event_type")
+
+
+def q_pq_ann(sf_dir: str) -> pd.DataFrame:
+    """Product-quantization ANN (functions/ann.py pq_topk): codebooks
+    train on a layout-independent hash sample and broadcast once; the
+    corpus encodes to 8-byte codes (zero-copy fixed-size binary — the
+    scan table is ~32x smaller than the raw vectors); the ADC scan
+    emits bounded per-batch partial pools; only the merged candidate
+    ids are fetched for the exact rerank.  Approximate ⇒ rows-only
+    (recall vs brute force asserted in tests)."""
+    import pyarrow.parquet as pq
+
+    from .functions.ann import _normalize, embeddings_to_matrix, pq_topk
+
+    emb = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                        columns=["vec_id", "embedding"])
+    qmask = emb["vec_id"].to_numpy(zero_copy_only=False) < 5
+    qtab = emb.filter(pa.array(qmask))
+    qm = _normalize(embeddings_to_matrix(qtab["embedding"]).astype(np.float64))
+    qids = qtab["vec_id"].to_numpy(zero_copy_only=False)
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return pq_topk(ds, qm, qids, k=10, m=8, n_codes=16, rerank=8)
+
+
 _PROFILE_COLS = ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
                  "l_returnflag", "l_linestatus"]
 
@@ -1848,6 +1918,7 @@ QUERIES = {
     "tfidf": q_tfidf,
     "order_lineitems": q_order_lineitems,
     "profile_lineitem": q_profile_lineitem,
+    "skew_join": q_skew_join,
     # rows-only (non-SQL-expressible)
     "flagship_tiles": q_flagship_tiles,
     "osmfilter_docs": q_osmfilter_docs,
@@ -1860,6 +1931,8 @@ QUERIES = {
     "knn_images": q_knn_images,
     "image_features": q_image_features,
     "hll_users": q_hll_users,
+    "pq_ann": q_pq_ann,
+    "hll_users_by_type": q_hll_users_by_type,
 }
 
 ORACLE_SQL = {
@@ -1913,4 +1986,5 @@ ORACLE_SQL = {
     "tfidf": q_tfidf_sql(),
     "order_lineitems": q_order_lineitems_sql(),
     "profile_lineitem": q_profile_lineitem_sql(),
+    "skew_join": q_skew_join_sql(),
 }

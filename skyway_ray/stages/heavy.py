@@ -7,11 +7,11 @@ in two streaming passes, never moving the full distinct-key set:
    Summaries", PODS'12): each block maps to a bounded summary of at
    most ``k`` counter rows (``pyarrow.compute.value_counts`` then the
    MG compression — subtract the (k+1)-th largest count, keep positive
-   counters) plus one bookkeeping row carrying the block's item count
-   and the subtracted value ``cstar`` (the per-item undercount that
-   block's compression can introduce).  Only summaries ride the
-   (small) ``groupby`` merge — at most ``k`` rows per input block
-   versus every item instance for a naive wordcount shuffle.
+   counters) plus two null-keyed bookkeeping rows carrying the block's
+   item count and the subtracted value ``cstar`` (the per-item
+   undercount that block's compression can introduce).  Only summaries
+   ride the (small) ``groupby`` merge — at most ``k`` rows per input
+   block versus every item instance for a naive wordcount shuffle.
 2. **Exact recount**: every item whose merged lower-bound count plus
    the global undercount bound ``E = Σ cstar_j`` clears the threshold
    is a candidate (true_count ≤ merged_count + E, so this is a
@@ -22,10 +22,12 @@ in two streaming passes, never moving the full distinct-key set:
    now-bounded key set; the final filter is integer math
    (``cnt·phi_den > N·phi_num``) — no float threshold.
 
-Driver memory is O(candidates) = O(1/phi); the full dataset is never
-sorted, shuffled by raw key, or materialized.  Deterministic: counts
-are exact, the MG guarantee is worst-case, and ties survive to the
-recount where the exact filter decides.
+Works for string and integer item columns (integer keys compare in
+C-typed numpy throughout — the path :func:`joins.skew_hybrid_join`
+uses for hot-key detection).  Driver memory is O(candidates) = O(1/phi);
+the full dataset is never sorted, shuffled by raw key, or materialized.
+Deterministic: counts are exact, the MG guarantee is worst-case, and
+ties survive to the recount where the exact filter decides.
 """
 
 from __future__ import annotations
@@ -34,9 +36,6 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
-
-_BOOK = ""  # bookkeeping rows use the empty item; real "" items are
-# carried under kind=0 and never collide (kind keys the row's meaning)
 
 
 def _mg_compress(items: np.ndarray, counts: np.ndarray, k: int):
@@ -63,25 +62,35 @@ def _summarize(col: str, k: int):
         counts = vc.field("counts").to_numpy(zero_copy_only=False)
         n_batch = int(counts.sum())
         items, counts, cstar = _mg_compress(items, counts, k)
-        out_items = np.concatenate([items, [_BOOK, _BOOK]])
+        item_arr = pa.array(items, batch[col].type)
+        out_items = pa.concat_arrays(
+            [item_arr, pa.nulls(2, batch[col].type)])
         out_cnt = np.concatenate([counts, [n_batch, cstar]]).astype(np.int64)
         kind = np.concatenate([np.zeros(len(items)), [1, 2]]).astype(np.int8)
-        return pa.table({"item": pa.array(out_items, pa.string()),
+        return pa.table({"item": out_items,
                          "cnt": pa.array(out_cnt),
                          "kind": pa.array(kind)})
 
     return summarize
 
 
+def _cmp_array(values: np.ndarray) -> np.ndarray:
+    """Numpy array with C-typed comparisons for sort/searchsorted:
+    integers stay int64, everything else casts to fixed-width str."""
+    if np.issubdtype(np.asarray(values).dtype, np.integer):
+        return np.asarray(values, dtype=np.int64)
+    return np.asarray(values).astype(str)
+
+
 def exact_heavy_hitters(ds, col: str, phi_num: int = 1, phi_den: int = 500,
                         k: int | None = None):
-    """Items of ``ds[col]`` (string) with frequency strictly above
-    ``phi_num/phi_den`` of the total, with EXACT counts.
+    """Items of ``ds[col]`` (string or integer) with frequency strictly
+    above ``phi_num/phi_den`` of the total, with EXACT counts.
 
     Returns a Dataset with columns (item, cnt).  ``k`` is the per-block
     summary size; the default guarantees the candidate superset
-    property (D < phi·N/2).  Raises if a custom ``k`` is too small for
-    the guarantee on this input (D ≥ phi·N)."""
+    property (E < phi·N/2).  Raises if a custom ``k`` is too small for
+    the guarantee on this input (E ≥ phi·N)."""
     import ray
 
     if k is None:
@@ -89,6 +98,12 @@ def exact_heavy_hitters(ds, col: str, phi_num: int = 1, phi_den: int = 500,
 
     summaries = ds.map_batches(_summarize(col, k), batch_format="pyarrow",
                                zero_copy_batch=True).materialize()
+    item_type = summaries.schema().base_schema.field("item").type
+
+    def _empty():
+        return ray.data.from_arrow(pa.table(
+            {"item": pa.nulls(0, item_type),
+             "cnt": pa.array([], pa.int64())}))
 
     book = summaries.filter(expr="kind > 0").to_pandas()  # 2 rows/block
     n_total = int(book.loc[book["kind"] == 1, "cnt"].sum())
@@ -96,9 +111,7 @@ def exact_heavy_hitters(ds, col: str, phi_num: int = 1, phi_den: int = 500,
     # ≤ E = sum_j cstar_j overall; E ≤ sum_j n_j/(k+1) = N/(k+1)
     err = int(book.loc[book["kind"] == 2, "cnt"].sum())
     if n_total == 0:
-        return ray.data.from_arrow(pa.table(
-            {"item": pa.array([], pa.string()),
-             "cnt": pa.array([], pa.int64())}))
+        return _empty()
     if err * phi_den >= n_total * phi_num:
         raise ValueError(
             f"summary size k={k} too small: undercount bound {err} >= "
@@ -117,13 +130,9 @@ def exact_heavy_hitters(ds, col: str, phi_num: int = 1, phi_den: int = 500,
         return b.filter(pa.array(keep)).select(["item"])
 
     cand_df = merged.map_batches(cand, batch_format="pyarrow").to_pandas()
-    cand_items = (np.asarray(cand_df["item"], dtype=object)
-                  if "item" in cand_df.columns else np.empty(0, dtype=object))
-    if len(cand_items) == 0:
-        return ray.data.from_arrow(pa.table(
-            {"item": pa.array([], pa.string()),
-             "cnt": pa.array([], pa.int64())}))
-    cand_sorted = np.sort(cand_items.astype(str))
+    if "item" not in cand_df.columns or not len(cand_df):
+        return _empty()
+    cand_sorted = np.sort(_cmp_array(cand_df["item"].to_numpy()))
     cand_ref = ray.put(cand_sorted)
 
     def recount(batch: pa.Table) -> pa.Table:
@@ -131,11 +140,11 @@ def exact_heavy_hitters(ds, col: str, phi_num: int = 1, phi_den: int = 500,
         vc = pc.value_counts(batch[col])
         items = vc.field("values").to_numpy(zero_copy_only=False)
         counts = vc.field("counts").to_numpy(zero_copy_only=False)
-        s = items.astype(str)
+        s = _cmp_array(items)
         pos = np.searchsorted(cands, s)
         pos_c = np.clip(pos, 0, len(cands) - 1)
         hit = cands[pos_c] == s
-        return pa.table({"item": pa.array(items[hit], pa.string()),
+        return pa.table({"item": pa.array(items[hit], batch[col].type),
                          "cnt": pa.array(counts[hit].astype(np.int64))})
 
     totals = (ds.map_batches(recount, batch_format="pyarrow",

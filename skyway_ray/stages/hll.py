@@ -94,3 +94,48 @@ def hll_merge(blob_a: bytes, blob_b: bytes) -> bytes:
     a = np.frombuffer(blob_a, dtype=np.uint8)
     b = np.frombuffer(blob_b, dtype=np.uint8)
     return np.maximum(a, b).tobytes()
+
+
+def hll_distinct_by(ds, group_col: str, col: str, p: int = 12,
+                    seed: int = 42) -> pd.DataFrame:
+    """Approximate distinct count of ``col`` PER GROUP — one pass plus
+    one sketch-sized shuffle: each batch emits one (group, 2^p-byte
+    blob) partial per group present (vectorized register fill via
+    ``np.maximum.at`` on a groups×m matrix), and the ``groupby`` merge
+    folds blobs by elementwise max.  What rides the shuffle is bounded
+    by groups×blocks sketches, never by rows — the approximate
+    complement to the exact ``agg_tree.grouped_count_distinct`` (whose
+    shuffle carries every distinct (group, key) pair).  Defaults to
+    p=12 (4 KiB/sketch, ~1.6% rse): grouped sketches multiply by the
+    group count, so spend bytes deliberately."""
+    m = 1 << p
+
+    def to_blobs(batch: pa.Table) -> pd.DataFrame:
+        import pandas as pd_
+
+        g = batch[group_col].to_numpy(zero_copy_only=False)
+        h = _hash64(batch[col], seed)
+        codes, uniq = pd_.factorize(pd_.Series(g), sort=False)
+        idx = (h >> np.uint64(64 - p)).astype(np.int64)
+        w = ((h >> np.uint64(24 - p)) &
+             np.uint64((1 << 40) - 1)).astype(np.int64)
+        rho = np.full(len(h), 41, dtype=np.uint8)
+        nz = w > 0
+        rho[nz] = (40 - np.floor(np.log2(w[nz]))
+                   .astype(np.int64)).astype(np.uint8)
+        regs = np.zeros((len(uniq), m), dtype=np.uint8)
+        np.maximum.at(regs, (codes, idx), rho)
+        return pd_.DataFrame({group_col: uniq,
+                              "blob": [r.tobytes() for r in regs]})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        regs = np.stack([np.frombuffer(x, dtype=np.uint8)
+                         for x in g["blob"]])
+        est = _estimate(regs.max(axis=0))
+        return pd.DataFrame({group_col: [g[group_col].iloc[0]],
+                             "n_distinct_est": [int(round(est))]})
+
+    return (ds.map_batches(to_blobs, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby(group_col).map_groups(fold, batch_format="pandas")
+            .to_pandas())

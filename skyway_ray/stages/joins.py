@@ -166,3 +166,112 @@ def asof_join_broadcast(ds, right: pd.DataFrame, key: str, ts: str,
         return out[list(batch.columns) + right_cols]
 
     return ds.map_batches(join, batch_format="pandas")
+
+
+def skew_hybrid_join(fact_ds, dim_ds, fact_key: str, dim_key: str,
+                     phi_num: int = 1, phi_den: int = 200,
+                     num_partitions: int = 16, hot_limit: int = 100_000):
+    """Skew-resistant large×large inner equi-join.
+
+    A plain hash-shuffle join sends every row of a hot key to ONE
+    partition — at web scale a single skewed key (one viral image id,
+    one empty-string token) serializes the whole join.  This hybrid
+    routes around it exactly:
+
+    1. Hot keys of the FACT side are detected with the bounded
+       Misra-Gries pass (:func:`stages.heavy.exact_heavy_hitters` —
+       two streaming scans, ≤ 2·phi_den/phi_num candidates, no raw-key
+       shuffle).
+    2. The dim rows matching hot keys are collected once (bounded by
+       |hot| for a key-unique dim side — the usual fact⋈dim shape) and
+       broadcast; hot fact rows join against them inside
+       ``map_batches`` — hot keys never enter a shuffle.
+    3. Cold rows of both sides go through the ordinary hash-shuffle
+       ``Dataset.join``, now skew-free by construction.
+    4. The two result streams union (same column layout).
+
+    Output equals the plain inner join bit-for-bit (both paths are
+    exact; a key routes to exactly one path).  ``hot_limit`` guards the
+    broadcast: if the dim rows for hot keys exceed it, raise instead of
+    silently materializing an unbounded side."""
+    import ray
+
+    from .heavy import _cmp_array, exact_heavy_hitters
+
+    hot = exact_heavy_hitters(fact_ds, fact_key, phi_num=phi_num,
+                              phi_den=phi_den).to_pandas()
+    if not len(hot):  # no skew detected — plain hash-shuffle join
+        return fact_ds.join(dim_ds, "inner", num_partitions,
+                            on=(fact_key,), right_on=(dim_key,))
+    hot_keys = np.sort(_cmp_array(hot["item"].to_numpy()))
+    hot_ref = ray.put(hot_keys)
+    # Ray's hash-shuffle join cannot take a FULLY empty input (its
+    # aggregators learn the schema from received blocks), so detect the
+    # all-hot degenerate cases up front from counts we already have
+    n_cold_fact = fact_ds.count() - int(hot["cnt"].sum())
+
+    def _split(key_col):
+        def mask(batch: pa.Table, keep_hot: bool) -> pa.Table:
+            keys = _cmp_array(batch[key_col].to_numpy(zero_copy_only=False))
+            hk = ray.get(hot_ref)
+            if not len(hk):
+                hit = np.zeros(len(keys), dtype=bool)
+            else:
+                pos = np.clip(np.searchsorted(hk, keys), 0, len(hk) - 1)
+                hit = hk[pos] == keys
+            return batch.filter(pa.array(hit if keep_hot else ~hit))
+
+        return mask
+
+    fact_mask, dim_mask = _split(fact_key), _split(dim_key)
+
+    # hot path: bounded dim rows broadcast once, fact-side merge
+    dim_hot = dim_ds.map_batches(
+        lambda b: dim_mask(b, True), batch_format="pyarrow").to_pandas()
+    if len(dim_hot) > hot_limit:
+        raise ValueError(
+            f"dim rows for hot keys ({len(dim_hot)}) exceed hot_limit="
+            f"{hot_limit}; dim side is not key-bounded — raise the limit "
+            "or pre-aggregate the dim side")
+    if not len(dim_hot):  # hot keys have no dim partners: hot path
+        # contributes nothing — the plain join over full inputs is
+        # identical (hot fact rows just fail to match)
+        return fact_ds.join(dim_ds, "inner", num_partitions,
+                            on=(fact_key,), right_on=(dim_key,))
+    dim_hot_ref = ray.put(dim_hot)
+    dim_fields = {f.name: f.type for f in
+                  pa.Table.from_pandas(dim_hot, preserve_index=False)
+                  .schema}
+
+    def hot_merge(b: pa.Table) -> pa.Table:
+        right = _cached(dim_hot_ref)
+        out = b.to_pandas().merge(right, left_on=fact_key,
+                                  right_on=dim_key, how="inner")
+        # match Dataset.join's layout: left columns then right columns
+        # with the right key dropped (it duplicates the left key)
+        if dim_key != fact_key:
+            out = out.drop(columns=[dim_key])
+        # cast to the cold path's exact Arrow schema so union sees ONE
+        # schema (pandas round-trips would otherwise drift string types)
+        target = pa.schema(
+            list(b.schema) + [pa.field(n, t) for n, t in dim_fields.items()
+                              if n != dim_key])
+        return pa.Table.from_pandas(out, preserve_index=False).cast(target)
+
+    hot_joined = fact_ds.map_batches(
+        lambda b: fact_mask(b, True), batch_format="pyarrow").map_batches(
+        hot_merge, batch_format="pyarrow")
+
+    # cold fact empty (every row hot) or cold dim empty (every dim key
+    # hot ⇒ cold fact rows have no partners): the cold join contributes
+    # nothing — and would crash on a schemaless empty input
+    if n_cold_fact == 0 or len(dim_hot) >= dim_ds.count():
+        return hot_joined
+
+    cold_joined = fact_ds.map_batches(
+        lambda b: fact_mask(b, False), batch_format="pyarrow").join(
+        dim_ds.map_batches(lambda b: dim_mask(b, False),
+                           batch_format="pyarrow"),
+        "inner", num_partitions, on=(fact_key,), right_on=(dim_key,))
+
+    return hot_joined.union(cold_joined)

@@ -757,3 +757,111 @@ class TestProfile:
         ds = ray.data.from_pandas(pd.DataFrame({"v": [3, 1, 2]}))
         got = profile_columns(ds, ["v"])
         assert got.iloc[0].tolist() == ["v", 3, 0, "1", "3"]
+
+
+class TestHllGrouped:
+    def test_grouped_error_bound(self, ray_session):
+        import ray.data
+
+        from skyway_ray.stages.hll import hll_distinct_by
+
+        rng = np.random.default_rng(0)
+        df = pd.DataFrame({"g": rng.choice(["a", "b", "c"], 300_000),
+                           "u": rng.integers(0, 50_000, 300_000)})
+        exact = df.groupby("g")["u"].nunique()
+        ds = ray.data.from_pandas(df).repartition(8)
+        got = hll_distinct_by(ds, "g", "u").set_index("g")["n_distinct_est"]
+        for k in exact.index:
+            # rse ~= 1.04/sqrt(2^12) = 1.6%; allow 3 sigma
+            assert abs(got[k] - exact[k]) / exact[k] < 0.05
+
+    def test_grouped_partition_invariant(self, ray_session):
+        import ray.data
+
+        from skyway_ray.stages.hll import hll_distinct_by
+
+        rng = np.random.default_rng(5)
+        df = pd.DataFrame({"g": rng.choice(["x", "y"], 40_000),
+                           "u": rng.integers(0, 5000, 40_000)})
+        outs = [hll_distinct_by(
+            ray.data.from_pandas(df).repartition(n), "g", "u")
+            .sort_values("g").reset_index(drop=True) for n in (2, 11)]
+        assert outs[0].equals(outs[1])
+
+
+class TestSkewHybridJoin:
+    @staticmethod
+    def _dim(n=500):
+        return pd.DataFrame({"d": np.arange(n, dtype=np.int64),
+                             "name": [f"n{i}" for i in range(n)]})
+
+    @staticmethod
+    def _canon(df):
+        cols = sorted(df.columns)
+        return df[cols].sort_values(cols).reset_index(drop=True)
+
+    def test_skewed_matches_plain_merge(self, ray_session):
+        import ray.data
+
+        from skyway_ray.stages.joins import skew_hybrid_join
+
+        rng = np.random.default_rng(3)
+        keys = rng.integers(0, 500, 60_000)
+        keys[:18_000] = 7  # one viral key = 30% of rows
+        rng.shuffle(keys)
+        fact = pd.DataFrame({"k": keys.astype(np.int64),
+                             "v": np.arange(60_000, dtype=np.int64)})
+        dim = self._dim()
+        out = skew_hybrid_join(
+            ray.data.from_pandas(fact).repartition(8),
+            ray.data.from_pandas(dim).repartition(4),
+            "k", "d", phi_num=1, phi_den=10).to_pandas()
+        want = fact.merge(dim, left_on="k", right_on="d").drop(columns=["d"])
+        assert self._canon(out).equals(self._canon(want))
+
+    def test_no_hot_keys_falls_back_to_plain_join(self, ray_session):
+        import ray.data
+
+        from skyway_ray.stages.joins import skew_hybrid_join
+
+        fact = pd.DataFrame({"k": np.arange(2000, dtype=np.int64) % 500,
+                             "v": np.arange(2000, dtype=np.int64)})
+        dim = self._dim()
+        out = skew_hybrid_join(
+            ray.data.from_pandas(fact).repartition(4),
+            ray.data.from_pandas(dim).repartition(2),
+            "k", "d", phi_num=1, phi_den=100).to_pandas()
+        want = fact.merge(dim, left_on="k", right_on="d").drop(columns=["d"])
+        assert self._canon(out).equals(self._canon(want))
+
+    def test_all_hot_skips_empty_cold_join(self, ray_session):
+        import ray.data
+
+        from skyway_ray.stages.joins import skew_hybrid_join
+
+        # 3 keys, uniform: at phi=1/10 every key is hot -> cold side
+        # fully empty, which Ray's shuffle join cannot take
+        fact = pd.DataFrame({"k": np.arange(900, dtype=np.int64) % 3,
+                             "v": np.arange(900, dtype=np.int64)})
+        dim = self._dim(10)
+        out = skew_hybrid_join(
+            ray.data.from_pandas(fact).repartition(4),
+            ray.data.from_pandas(dim).repartition(2),
+            "k", "d", phi_num=1, phi_den=10).to_pandas()
+        want = fact.merge(dim, left_on="k", right_on="d").drop(columns=["d"])
+        assert self._canon(out).equals(self._canon(want))
+
+    def test_hot_limit_guard(self, ray_session):
+        import ray.data
+
+        from skyway_ray.stages.joins import skew_hybrid_join
+
+        fact = pd.DataFrame({"k": np.zeros(1000, dtype=np.int64)})
+        # dim has MANY rows per key -> broadcast side unbounded
+        dim = pd.DataFrame({"d": np.zeros(500, dtype=np.int64),
+                            "name": [f"n{i}" for i in range(500)]})
+        with pytest.raises(ValueError, match="hot_limit"):
+            skew_hybrid_join(ray.data.from_pandas(fact).repartition(2),
+                             ray.data.from_pandas(dim).repartition(2),
+                             "k", "d", phi_num=1, phi_den=10,
+                             hot_limit=100).to_pandas()

@@ -559,3 +559,78 @@ class TestPhashDedup:
         got = phash_near_dup(hashes, max_dist=3)
         ids = sorted(got.to_pandas()["image_id"])
         assert ids == [0, 2, 4]
+
+
+class TestPqAnn:
+    @staticmethod
+    def _clustered(seed=7, n_centers=20, per=50, dim=32):
+        from skyway_ray.functions.ann import _normalize
+
+        rng = np.random.default_rng(seed)
+        centers = _normalize(rng.standard_normal((n_centers, dim)))
+        vecs, ids = [], []
+        for c in range(n_centers):
+            pts = centers[c] + 0.15 * rng.standard_normal((per, dim))
+            vecs.append(pts)
+            ids.extend(range(c * per, c * per + per))
+        V = _normalize(np.concatenate(vecs))
+        return V, np.asarray(ids, dtype=np.int64)
+
+    @staticmethod
+    def _ds(V, ids, parts):
+        import ray.data
+
+        tab = pa.table({
+            "vec_id": ids,
+            "embedding": pa.array([r.astype(np.float32) for r in V],
+                                  pa.list_(pa.float32()))})
+        return ray.data.from_arrow(tab).repartition(parts)
+
+    def test_pq_recall_clustered(self, ray_session):
+        """PQ ADC scan + exact rerank on a clustered corpus: the
+        candidate pool from 8-byte codes recovers >= 0.9 of the exact
+        top-10."""
+        from skyway_ray.functions.ann import pq_topk
+
+        V, ids = self._clustered()
+        qm = V[::100][:5]
+        qids = np.arange(5, dtype=np.int64)
+        got = pq_topk(self._ds(V, ids, 4), qm, qids, k=10, m=8,
+                      n_codes=16, rerank=5)
+        exact = np.argsort(-(qm @ V.T), axis=1)[:, :10]
+        recalls = []
+        for qi in range(5):
+            want = set(ids[exact[qi]])
+            have = set(got[got["query_id"] == qi]["neighbor_id"])
+            recalls.append(len(want & have) / 10)
+        assert np.mean(recalls) >= 0.9, recalls
+
+    def test_pq_partition_invariant(self, ray_session):
+        from skyway_ray.functions.ann import pq_topk
+
+        V, ids = self._clustered(seed=11, n_centers=8, per=40, dim=16)
+        qm = V[:3]
+        qids = np.arange(3, dtype=np.int64)
+        key = ["query_id", "ann_rank"]
+        outs = [pq_topk(self._ds(V, ids, p), qm, qids, k=5, m=4,
+                        n_codes=8, rerank=6)
+                .sort_values(key).reset_index(drop=True)
+                for p in (2, 7)]
+        assert outs[0].equals(outs[1])
+
+    def test_pq_codes_roundtrip_compression(self):
+        """Codes are m bytes/vector and decode against the codebooks to
+        within sub-quantizer error."""
+        from skyway_ray.functions.ann import (_normalize, pq_encode,
+                                              pq_train)
+
+        rng = np.random.default_rng(5)
+        V = _normalize(rng.standard_normal((500, 32)))
+        books = pq_train(V, m=8, n_codes=16)
+        codes = pq_encode(V, books)
+        assert codes.shape == (500, 8) and codes.dtype == np.uint8
+        recon = np.concatenate(
+            [books[s][codes[:, s]] for s in range(8)], axis=1)
+        err = np.linalg.norm(V - recon, axis=1).mean()
+        raw = np.linalg.norm(V, axis=1).mean()
+        assert err < 0.8 * raw  # 32x smaller, bounded distortion
