@@ -108,11 +108,30 @@ def run_bench() -> dict:
                      "profile_lineitem", "pq_ann", "hll_users_by_type",
                      "skew_join"):
             best = float("inf")
+            attempts = 0
             for _ in range(max(1, repeats)):
-                t0 = time.perf_counter()
-                _consume(QUERIES[name](sf_dir))
-                best = min(best, time.perf_counter() - t0)
-            queries[name] = round(best, 3)
+                while True:
+                    attempts += 1
+                    t0 = time.perf_counter()
+                    try:
+                        _consume(QUERIES[name](sf_dir))
+                    except Exception as e:  # noqa: BLE001
+                        # a transient runtime fault (e.g. a Ray shuffle
+                        # race) must not kill the whole artifact: retry
+                        # once, then record the failure and move on
+                        if attempts <= max(1, repeats) + 1:
+                            print(f"[bench] {name} failed "
+                                  f"(attempt {attempts}): {e!r:.200}",
+                                  file=sys.stderr)
+                            continue
+                        best = None
+                        break
+                    best = min(best or float("inf"),
+                               time.perf_counter() - t0)
+                    break
+                if best is None:
+                    break
+            queries[name] = round(best, 3) if best is not None else None
 
     out = {
         "metric": "flagship_e2e_sec",

@@ -103,31 +103,33 @@ def exact_dedup_bloom(ds, key: str = "phash", order_col: str = "image_id",
 
     The trick is to size everything by the DUPLICATE rate, not the key
     count: (1) the projected (key, order) groupby emits only keys with
-    count > 1 and their winning order value — small; (2) a Bloom
-    filter of those dup keys (built streaming, fixed driver memory)
-    splits the corpus into bloom-clean rows (definitely unique-keyed →
-    kept as-is) and a small flagged subset; (3) the flagged subset
-    exact-confirms against the dup-winner table with a distributed
-    ``left_outer`` hash join — Bloom false positives come back with a
-    null winner and are kept.  No unbounded driver state, no broadcast
-    proportional to distinct keys."""
+    count > 1 — small; (2) a Bloom filter of those dup keys (built
+    streaming, fixed driver memory) splits the corpus into bloom-clean
+    rows (definitely unique-keyed → kept as-is) and a small flagged
+    subset; (3) the flagged subset dedups DIRECTLY — a Bloom filter has
+    no false negatives, so every row of a duplicated key is flagged and
+    min-per-key over the flagged rows is exact (false-positive keys
+    have one row, which min-per-key keeps).  The per-key winner runs
+    vectorized inside coarse hash buckets (one sort + drop_duplicates
+    per bucket, no per-key Python, no Acero join — Ray's hash-shuffle
+    join intermittently drops the schema of mostly-empty small sides).
+    No unbounded driver state, no broadcast proportional to distinct
+    keys."""
     import ray
 
-    from ray.data.aggregate import Count, Min
+    from ray.data.aggregate import Count
 
     from ..functions.bloom import BloomFilter
 
     projected = ds.select_columns([key, order_col])
-    agg = projected.groupby(key).aggregate(
-        Min(order_col, alias_name="_winner"), Count(alias_name="_n"))
-    dup_winners = agg.map_batches(
-        lambda b: b.filter(pa.compute.greater(b["_n"], 1))
-        .select([key, "_winner"]),
+    agg = projected.groupby(key).aggregate(Count(alias_name="_n"))
+    dup_keys = agg.map_batches(
+        lambda b: b.filter(pa.compute.greater(b["_n"], 1)).select([key]),
         batch_format="pyarrow").materialize()
-    if dup_winners.count() == 0:
+    if dup_keys.count() == 0:
         return ds
-    bf = BloomFilter(dup_winners.count(), bits_per_key=bits_per_key)
-    for b in dup_winners.iter_batches(batch_format="pyarrow"):
+    bf = BloomFilter(dup_keys.count(), bits_per_key=bits_per_key)
+    for b in dup_keys.iter_batches(batch_format="pyarrow"):
         bf.add(_key_hash64(b[key]))
     bf_ref = ray.put(bf)
 
@@ -146,20 +148,22 @@ def exact_dedup_bloom(ds, key: str = "phash", order_col: str = "image_id",
 
     clean = ds.map_batches(split(False), batch_format="pyarrow")
     cand = ds.map_batches(split(True), batch_format="pyarrow")
-    j = cand.join(dup_winners, "left_outer", num_partitions,
-                  on=(key,), right_on=(key,), right_suffix="_r")
 
-    def confirm(batch: pa.Table) -> pa.Table:
-        w = batch["_winner"]
-        keep = pa.compute.or_kleene(
-            pa.compute.is_null(w),
-            pa.compute.equal(w, batch[order_col]))
-        out = batch.filter(pa.compute.fill_null(keep, False))
-        drop = [c for c in out.column_names
-                if c in ("_winner",) or c.endswith("_r")]
-        return out.drop_columns(drop)
+    n_buckets = max(1, num_partitions) * 4
 
-    return clean.union(j.map_batches(confirm, batch_format="pyarrow"))
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        b = (_key_hash64(batch[key]) % np.uint64(n_buckets)).astype(np.int64)
+        return batch.append_column("_bucket", pa.array(b, pa.int64()))
+
+    def bucket_first(g: pd.DataFrame) -> pd.DataFrame:
+        out = (g.sort_values([key, order_col], kind="mergesort")
+               .drop_duplicates(key, keep="first"))
+        return out.drop(columns=["_bucket"])
+
+    confirmed = (cand.map_batches(add_bucket, batch_format="pyarrow")
+                 .groupby("_bucket")
+                 .map_groups(bucket_first, batch_format="pandas"))
+    return clean.union(confirmed)
 
 
 def exact_dedup_projected(ds, key: str = "phash", order_col: str = "image_id",
