@@ -159,3 +159,96 @@ def fingerprint64(texts: pd.Series) -> np.ndarray:
         pows = _fp_powers(n)[:n][::-1]
         out[i] = np.sum((data + np.uint64(1)) * pows, dtype=np.uint64)
     return out.view(np.int64)
+
+
+def ngram_strings(texts: pd.Series, doc_ids: np.ndarray, n: int = 5
+                  ) -> pd.DataFrame:
+    """Word n-gram strings per document, vectorized across the batch:
+    tokens are lower-cased ``[a-z0-9]+`` runs joined with single
+    spaces; n-grams never cross documents (validity mask on the
+    flattened token array — no per-doc Python loop).  Returns a long
+    frame (doc_id, g)."""
+    toks = texts.str.lower().str.findall(r"[a-z0-9]+")
+    lens = toks.str.len().to_numpy()
+    total = int(lens.sum())
+    empty = pd.DataFrame({"doc_id": pd.Series([], dtype=np.int64),
+                          "g": pd.Series([], dtype=str)})
+    if total < n:
+        return empty
+    flat = np.concatenate([np.asarray(t, dtype=object)
+                           for t in toks if len(t)])
+    doc_idx = np.repeat(np.asarray(doc_ids)[lens > 0], lens[lens > 0])
+    m = total - n + 1
+    # a gram starting at i stays in-document iff token i+n-1 is in the
+    # same document as token i
+    valid = doc_idx[:m] == doc_idx[n - 1:]
+    if not valid.any():
+        return empty
+    g = pd.Series(flat[:m][valid], dtype=str)
+    for k in range(1, n):
+        g = g.str.cat(pd.Series(flat[k:m + k][valid], dtype=str), sep=" ")
+    return pd.DataFrame({"doc_id": doc_idx[:m][valid].astype(np.int64),
+                         "g": g})
+
+
+def benchmark_overlap_counts(batch: pd.DataFrame, bench_sorted: np.ndarray,
+                             n: int = 5, text_col: str = "text",
+                             id_col: str = "doc_id") -> pd.DataFrame:
+    """Per-document count of DISTINCT word n-grams that appear in the
+    (sorted) benchmark n-gram array — the decontamination primitive.
+    Only documents with ≥ 1 hit are emitted."""
+    grams = ngram_strings(batch[text_col], batch[id_col].to_numpy(), n)
+    if not len(grams) or not len(bench_sorted):
+        return pd.DataFrame({id_col: pd.Series([], dtype=np.int64),
+                             "n_hits": pd.Series([], dtype=np.int64)})
+    gs = grams["g"].to_numpy().astype(str)
+    pos = np.clip(np.searchsorted(bench_sorted, gs), 0,
+                  len(bench_sorted) - 1)
+    hit = bench_sorted[pos] == gs
+    matched = grams.loc[hit].drop_duplicates()
+    out = (matched.groupby("doc_id", sort=False).size()
+           .reset_index(name="n_hits"))
+    out["n_hits"] = out["n_hits"].astype(np.int64)
+    return out.rename(columns={"doc_id": id_col})
+
+
+def learn_bpe_merges(words: np.ndarray, counts: np.ndarray,
+                     n_merges: int = 50) -> list[tuple[str, str]]:
+    """Classic BPE merge learning from a (word, count) frequency table
+    (Sennrich et al. 2016): start from characters, repeatedly merge
+    the most frequent adjacent symbol pair (ties broken
+    lexicographically — fully deterministic).
+
+    This is the DRIVER-side half of distributed BPE training: real
+    tokenizer trainers count words first (the corpus-sized, distributed
+    step — a wordcount shuffle here) and learn merges over the
+    vocabulary-bounded frequency table, which is what this function
+    consumes.  Pairs never cross word boundaries."""
+    from collections import Counter
+
+    vocab = {w: (list(w), int(c)) for w, c in zip(words, counts)}
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pair_counts: Counter = Counter()
+        for syms, c in vocab.values():
+            for a, b in zip(syms, syms[1:]):
+                pair_counts[(a, b)] += c
+        if not pair_counts:
+            break
+        # deterministic: max count, then lexicographically SMALLEST pair
+        top = max(pair_counts.values())
+        pair = min(p for p, c in pair_counts.items() if c == top)
+        merges.append(pair)
+        merged = pair[0] + pair[1]
+        for w, (syms, c) in vocab.items():
+            i, out = 0, []
+            while i < len(syms):
+                if (i + 1 < len(syms) and syms[i] == pair[0]
+                        and syms[i + 1] == pair[1]):
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            vocab[w] = (out, c)
+    return merges

@@ -1714,6 +1714,79 @@ def q_skew_join_sql() -> str:
     )
 
 
+def q_bpe_merges(sf_dir: str) -> pd.DataFrame:
+    """Distributed BPE tokenizer training, the real production shape:
+    the corpus-sized step is a word-frequency count (per-batch
+    ``np.unique`` combiner → one token-key shuffle), and the merge loop
+    runs over the VOCABULARY-bounded (word, count) table
+    (functions/text.py::learn_bpe_merges — deterministic tie-breaks).
+    Returns (rank, left, right) merge rows.  Rows-only: the iterative
+    merge loop has no SQL equivalent; a pure-Python reference BPE
+    asserts equality in tests."""
+    from .functions.text import learn_bpe_merges
+
+    def count_batch(b: pd.DataFrame) -> pd.DataFrame:
+        toks = b["text"].str.lower().str.findall(r"[a-z0-9]+")
+        flat = np.concatenate([np.asarray(t, dtype=object)
+                               for t in toks if len(t)] or
+                              [np.array([], dtype=object)])
+        uniq, counts = np.unique(flat, return_counts=True)
+        return pd.DataFrame({"w": uniq.astype(str),
+                             "n": counts.astype(np.int64)})
+
+    wc = (_read(sf_dir, "documents", ["text"])
+          .map_batches(count_batch, batch_format="pandas")
+          .groupby("w").sum("n").to_pandas())
+    merges = learn_bpe_merges(wc["w"].to_numpy(),
+                              wc["sum(n)"].to_numpy(), n_merges=40)
+    return pd.DataFrame({
+        "rank": np.arange(len(merges), dtype=np.int64),
+        "left": [a for a, _ in merges],
+        "right": [b for _, b in merges],
+    })
+
+
+def q_decontam(sf_dir: str):
+    """Benchmark decontamination: per-document count of distinct word
+    5-grams shared with a benchmark set (here: the 5-grams of docs
+    with doc_id < 10, standing in for an eval set).  The benchmark
+    grams are collected once (bounded by the benchmark size) and
+    broadcast sorted; each batch matches its own grams with one
+    ``searchsorted`` — documents never shuffle, the output is only the
+    contaminated (doc_id, n_hits) rows."""
+    import pyarrow.parquet as pq
+    import ray
+
+    from .functions.text import benchmark_overlap_counts, ngram_strings
+
+    bench_tab = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                              columns=["doc_id", "text"],
+                              filters=[("doc_id", "<", 10)])
+    bench_df = bench_tab.to_pandas()
+    bench = np.unique(ngram_strings(bench_df["text"],
+                                    bench_df["doc_id"].to_numpy(),
+                                    n=5)["g"].to_numpy().astype(str))
+    bench_ref = ray.put(bench)
+
+    def score(b: pd.DataFrame) -> pd.DataFrame:
+        return benchmark_overlap_counts(b, ray.get(bench_ref), n=5)
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        score, batch_format="pandas")
+
+
+def q_decontam_sql() -> str:
+    return (
+        "WITH docs AS (SELECT doc_id, regexp_extract_all(lower(text), "
+        "'[a-z0-9]+') AS arr FROM documents), "
+        "grams AS (SELECT doc_id, array_to_string(arr[i:i+4], ' ') AS g "
+        "FROM docs, UNNEST(range(1, len(arr) - 3)) AS t(i)), "
+        "bench AS (SELECT DISTINCT g FROM grams WHERE doc_id < 10) "
+        "SELECT doc_id, count(DISTINCT g) AS n_hits FROM grams "
+        "WHERE g IN (SELECT g FROM bench) GROUP BY doc_id"
+    )
+
+
 def q_hll_users_by_type(sf_dir: str) -> pd.DataFrame:
     """Approximate COUNT(DISTINCT user_id) per event_type via grouped
     HLL sketches: the groupby shuffle carries groups×blocks 4 KiB
@@ -1919,6 +1992,7 @@ QUERIES = {
     "order_lineitems": q_order_lineitems,
     "profile_lineitem": q_profile_lineitem,
     "skew_join": q_skew_join,
+    "decontam": q_decontam,
     # rows-only (non-SQL-expressible)
     "flagship_tiles": q_flagship_tiles,
     "osmfilter_docs": q_osmfilter_docs,
@@ -1933,6 +2007,7 @@ QUERIES = {
     "hll_users": q_hll_users,
     "pq_ann": q_pq_ann,
     "hll_users_by_type": q_hll_users_by_type,
+    "bpe_merges": q_bpe_merges,
 }
 
 ORACLE_SQL = {
@@ -1987,4 +2062,5 @@ ORACLE_SQL = {
     "order_lineitems": q_order_lineitems_sql(),
     "profile_lineitem": q_profile_lineitem_sql(),
     "skew_join": q_skew_join_sql(),
+    "decontam": q_decontam_sql(),
 }

@@ -65,7 +65,7 @@ def test_entry_smoke(ray_session):
     "window_counts", "asof_join", "distinct_types", "tile_polygons",
     "session_windows", "union_all", "hash_sample", "lineitem_stats",
     "minhash_exact", "top_tokens", "heavy_hitters", "tfidf",
-    "order_lineitems", "profile_lineitem", "skew_join",
+    "order_lineitems", "profile_lineitem", "skew_join", "decontam",
 ])
 def test_sql_parity(name, entries):
     qs, oracles = entries
@@ -87,6 +87,7 @@ def test_sql_parity(name, entries):
     "flagship_tiles", "osmfilter_docs", "exact_dedup_images",
     "minhash_dedup", "simhash", "langid", "fingerprint", "knn_images",
     "image_features", "hll_users", "pq_ann", "hll_users_by_type",
+    "bpe_merges",
 ])
 def test_rows_only_queries_run(name, entries):
     qs, _ = entries

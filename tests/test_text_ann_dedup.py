@@ -634,3 +634,98 @@ class TestPqAnn:
         err = np.linalg.norm(V - recon, axis=1).mean()
         raw = np.linalg.norm(V, axis=1).mean()
         assert err < 0.8 * raw  # 32x smaller, bounded distortion
+
+
+class TestNgramsDecontam:
+    def test_ngram_strings_mask(self):
+        from skyway_ray.functions.text import ngram_strings
+
+        g = ngram_strings(pd.Series(["a b c d e f", "x y", "p q r s t"]),
+                          np.array([1, 2, 3]), n=5)
+        assert g.to_dict("records") == [
+            {"doc_id": 1, "g": "a b c d e"},
+            {"doc_id": 1, "g": "b c d e f"},
+            {"doc_id": 3, "g": "p q r s t"},
+        ]
+        assert len(ngram_strings(pd.Series(["a b"]), np.array([1]), 5)) == 0
+
+    def test_overlap_counts_matches_python(self):
+        from skyway_ray.functions.text import (benchmark_overlap_counts,
+                                               ngram_strings)
+
+        rng = np.random.default_rng(2)
+        vocab = [f"w{i}" for i in range(30)]
+        texts = [" ".join(rng.choice(vocab, rng.integers(3, 40)))
+                 for _ in range(200)]
+        df = pd.DataFrame({"doc_id": np.arange(200, dtype=np.int64),
+                           "text": texts})
+        bench_grams = np.unique(ngram_strings(
+            df["text"][:5], df["doc_id"].to_numpy()[:5], 3)["g"]
+            .to_numpy().astype(str))
+        got = benchmark_overlap_counts(df, bench_grams, n=3)
+        # python oracle
+        want = {}
+        bset = set(bench_grams)
+        for did, text in zip(df["doc_id"], df["text"]):
+            toks = text.split()
+            grams = {" ".join(toks[i:i + 3])
+                     for i in range(len(toks) - 2)}
+            hits = len(grams & bset)
+            if hits:
+                want[did] = hits
+        assert dict(zip(got["doc_id"], got["n_hits"])) == want
+
+
+class TestBpeMerges:
+    def test_matches_reference_bpe(self, ray_session):
+        """Distributed wordcount + driver merge loop equals a plain
+        single-process reference BPE over the same corpus."""
+        import __ray_entry__
+
+        got = __ray_entry__.queries()["bpe_merges"](
+            "/root/testdata/sf0.001")
+
+        # reference implementation straight off the corpus
+        import re
+        from collections import Counter
+
+        import pyarrow.parquet as pq
+
+        texts = pq.read_table("/root/testdata/sf0.001/documents.parquet",
+                              columns=["text"])["text"].to_pylist()
+        wc = Counter()
+        for t in texts:
+            wc.update(re.findall(r"[a-z0-9]+", t.lower()))
+        vocab = {w: list(w) for w in wc}
+        merges = []
+        for _ in range(40):
+            pc_ = Counter()
+            for w, syms in vocab.items():
+                for a, b in zip(syms, syms[1:]):
+                    pc_[(a, b)] += wc[w]
+            if not pc_:
+                break
+            top = max(pc_.values())
+            pair = min(p for p, c in pc_.items() if c == top)
+            merges.append(pair)
+            m = pair[0] + pair[1]
+            for w, syms in vocab.items():
+                i, out = 0, []
+                while i < len(syms):
+                    if (i + 1 < len(syms) and syms[i] == pair[0]
+                            and syms[i + 1] == pair[1]):
+                        out.append(m)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                vocab[w] = out
+        assert list(zip(got["left"], got["right"])) == merges
+        assert list(got["rank"]) == list(range(len(merges)))
+
+    def test_sennrich_example(self):
+        from skyway_ray.functions.text import learn_bpe_merges
+
+        m = learn_bpe_merges(np.array(["low", "lower", "newest", "widest"]),
+                             np.array([5, 2, 6, 3]), 4)
+        assert m[:2] == [("e", "s"), ("es", "t")]
