@@ -106,7 +106,10 @@ def run_bench() -> dict:
                      "order_pivot", "top_tokens", "heavy_hitters",
                      "tfidf", "order_lineitems", "hll_users",
                      "profile_lineitem", "pq_ann", "hll_users_by_type",
-                     "skew_join", "decontam", "bpe_merges"):
+                     "skew_join", "decontam", "bpe_merges",
+                     "group_stats", "rollup_orders", "group_mode",
+                     "rank_events", "setsim_pairs", "box_join",
+                     "group_concat", "pagerank"):
             best = float("inf")
             attempts = 0
             for _ in range(max(1, repeats)):

@@ -1,0 +1,283 @@
+"""Exact distributed set-similarity self-join (all pairs with word-set
+Jaccard ≥ τ) via prefix filtering — the AllPairs/PPJoin family
+(R. J. Bayardo et al., WWW'07) in the MapReduce shape of Vernica,
+Carey & Li (SIGMOD'10), re-expressed on Ray Data.
+
+Exactness: under ANY global total order on tokens, two sets with
+J ≥ τ must share a token within each one's first
+``|d| - ceil(τ·|d|) + 1`` tokens (the *prefix*), so token-partitioned
+candidate generation over prefixes loses no qualifying pair; exact
+verification then removes false positives.  We use 64-bit token-hash
+order — data-independent, no global frequency pass.  The classic
+rarest-first (document-frequency) order is the scale lever for skewed
+vocabularies: it makes prefix tokens rare, shrinking token groups; it
+costs one extra token-count aggregate + broadcast and plugs in here by
+re-ranking `toks` before the prefix slice.
+
+Distributed shape (no per-group Python, no driver funnel):
+ 1. one ``map_batches`` pass tokenizes (distinct 64-bit word hashes,
+    sorted = prefix order) and emits (token, doc_id, size) rows for
+    prefix tokens only;
+ 2. a distributed sort on (token, doc_id) co-locates each token run; a
+    vectorized per-block scan emits all within-run candidate pairs
+    (with the |b| ≥ τ·|a| length filter); runs straddling block
+    boundaries are finished by ONE rescue task over the per-block
+    first/last-run rows, emitting only cross-block pairs — exactly the
+    complement of the main pass;
+ 3. candidates dedupe with a tiny (pair-count-bounded) groupby;
+ 4. two sort-based co-partition joins (:func:`.near_dup._copart_join`)
+    attach both token-set blobs (Bloom-prefiltered second data pass)
+    and compute exact Jaccard inline — output (doc_a, doc_b,
+    jac_micro) with the division done in one pinned float op so a SQL
+    oracle matches bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from .bloom import BloomFilter
+from .near_dup import _blk_tag, _copart_join, _obj_cached
+
+_WORD_SPLIT = re.compile(r"[^a-z0-9]+")
+
+
+def _word_hashes64(text: str) -> np.ndarray:
+    """Distinct sorted 64-bit hashes of the lowercased [a-z0-9]+ word
+    set — the tokenization a SQL oracle mirrors with
+    ``string_split_regex(lower(text), '[^a-z0-9]+')``."""
+    import zlib
+
+    words = {w for w in _WORD_SPLIT.split(text.lower()) if w}
+    if not words:
+        return np.empty(0, np.int64)
+    out = np.fromiter(
+        (((zlib.crc32(b) << 32) | zlib.crc32(b, 0xA5A5A5A5)) & 0x7FFFFFFFFFFFFFFF
+         for b in (w.encode() for w in words)),
+        dtype=np.int64, count=len(words))
+    return np.sort(out)
+
+
+def _prefix_len(sizes: np.ndarray, tau: float) -> np.ndarray:
+    """|d| - O_min + 1 with O_min = max(1, floor(τ·|d|)): floor (not
+    ceil) absorbs float fuzz in the SAFE direction — a longer prefix
+    only adds candidates, never loses a qualifying pair."""
+    o_min = np.maximum(1, np.floor(tau * sizes).astype(np.int64))
+    return sizes - o_min + 1
+
+
+def _run_pairs(tok: np.ndarray, doc: np.ndarray, size: np.ndarray,
+               blk: np.ndarray | None, tau: float) -> pa.Table:
+    """All (doc_a < doc_b) pairs within equal-token runs of a sorted
+    block, length-filtered (τ·|a| ≤ |b|, sizes sorted with ids).  With
+    ``blk``, keep only cross-block pairs (the boundary-rescue rule)."""
+    outs_a, outs_b = [], []
+    n = len(tok)
+    if n:
+        starts = np.flatnonzero(np.r_[True, tok[1:] != tok[:-1]])
+        ends = np.r_[starts[1:], n]
+        for s, e in zip(starts, ends):
+            m = e - s
+            if m < 2:
+                continue
+            i, j = np.triu_indices(m, k=1)
+            a, b = s + i, s + j
+            # docs sorted within run → doc[a] < doc[b]; sizes aligned
+            sa, sb = size[a], size[b]
+            keep = (np.minimum(sa, sb).astype(np.float64)
+                    >= tau * np.maximum(sa, sb) - 1e-9)
+            if blk is not None:
+                keep &= blk[a] != blk[b]
+            outs_a.append(doc[a][keep])
+            outs_b.append(doc[b][keep])
+    da = np.concatenate(outs_a) if outs_a else np.empty(0, np.int64)
+    db = np.concatenate(outs_b) if outs_b else np.empty(0, np.int64)
+    return pa.table({"doc_a": pa.array(da, pa.int64()),
+                     "doc_b": pa.array(db, pa.int64())})
+
+
+def setsim_join(ds, tau: float, id_col: str = "doc_id",
+                text_col: str = "text"):
+    """Exact τ-threshold word-set Jaccard self-join; returns a Dataset
+    of (doc_a, doc_b, jac_micro) with doc_a < doc_b."""
+    import ray
+    import ray.data
+
+    def prefix_rows(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        toks = [_word_hashes64(t) for t in batch[text_col].to_pylist()]
+        sizes = np.array([len(t) for t in toks], np.int64)
+        plens = _prefix_len(sizes, tau)
+        plens[sizes == 0] = 0
+        flat = (np.concatenate([t[:l] for t, l in zip(toks, plens)])
+                if len(toks) else np.empty(0, np.int64))
+        rep = np.repeat(np.arange(len(toks)), plens)
+        return pa.table({"tok": pa.array(flat, pa.int64()),
+                         "doc_id": pa.array(ids[rep], pa.int64()),
+                         "size": pa.array(sizes[rep], pa.int64())})
+
+    rows = ds.map_batches(prefix_rows, batch_format="pyarrow")
+    srt = rows.sort(["tok", "doc_id"]).materialize()
+
+    def block_pairs(b: pa.Table) -> pa.Table:
+        return _run_pairs(b["tok"].to_numpy(zero_copy_only=False),
+                          b["doc_id"].to_numpy(zero_copy_only=False),
+                          b["size"].to_numpy(zero_copy_only=False),
+                          None, tau)
+
+    def edge_run_rows(b: pa.Table) -> pa.Table:
+        """Rows of each block's FIRST and LAST token run (a straddling
+        run is one of these by construction), block-tagged.  Bounded by
+        the two edge-run lengths per block, not block size."""
+        if b.num_rows == 0:
+            return b.append_column("_blk", pa.array([], pa.int64()))
+        tok = b["tok"].to_numpy(zero_copy_only=False)
+        first = tok == tok[0]
+        last = tok == tok[-1]
+        idx = np.flatnonzero(first | last)
+        t = b.take(pa.array(idx, pa.int64()))
+        return t.append_column("_blk", pa.array(
+            np.full(len(t), _blk_tag(), np.int64), pa.int64()))
+
+    cands_main = srt.map_batches(block_pairs, batch_format="pyarrow")
+    bnd = (srt.map_batches(edge_run_rows, batch_format="pyarrow")
+           .to_pandas().sort_values(["tok", "doc_id"], kind="mergesort"))
+    stitched = _run_pairs(bnd["tok"].to_numpy(), bnd["doc_id"].to_numpy(),
+                          bnd["size"].to_numpy(), bnd["_blk"].to_numpy(),
+                          tau)
+    cands = cands_main
+    if stitched.num_rows:
+        cands = cands.union(ray.data.from_arrow(stitched))
+    cands = (cands.groupby(["doc_a", "doc_b"]).count()
+             .select_columns(["doc_a", "doc_b"])).materialize()
+    n_cands = cands.count()
+    empty = ray.data.from_arrow(pa.table({
+        "doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64()),
+        "jac_micro": pa.array([], pa.int64())}))
+    if n_cands == 0:
+        return empty
+
+    bf = BloomFilter(2 * n_cands)
+    for b in cands.iter_batches(batch_format="pyarrow"):
+        bf.add(b["doc_a"].to_numpy(zero_copy_only=False))
+        bf.add(b["doc_b"].to_numpy(zero_copy_only=False))
+    bf_ref = ray.put(bf)
+
+    def sketch_rows(batch: pa.Table) -> pa.Table:
+        f = _obj_cached(bf_ref)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        keep = f.contains(ids)
+        texts = batch[text_col].to_pylist()
+        blobs = [_word_hashes64(texts[i]).tobytes()
+                 for i in np.flatnonzero(keep)]
+        n = int(keep.sum())
+        return pa.table({
+            "k": pa.array(ids[keep], pa.int64()),
+            "kind": pa.array(np.zeros(n, np.int64)),
+            "doc_a": pa.array(np.zeros(n, np.int64)),
+            "doc_b": pa.array(np.zeros(n, np.int64)),
+            "sh": pa.array(blobs, pa.binary()),
+        })
+
+    cand_sh = ds.map_batches(sketch_rows,
+                             batch_format="pyarrow").materialize()
+
+    def _take(col, idx):
+        return col.take(pa.array(np.asarray(idx, np.int64), pa.int64()))
+
+    def edges_keyed(key_col):
+        def f(b: pa.Table) -> pa.Table:
+            n = len(b)
+            return pa.table({
+                "k": b[key_col],
+                "kind": pa.array(np.ones(n, np.int64)),
+                "doc_a": b["doc_a"],
+                "doc_b": b["doc_b"],
+                "sh": pa.array([b""] * n, pa.binary()),
+            })
+        return f
+
+    def attach_finish(tb: pa.Table, res_e, res_g) -> pa.Table:
+        return pa.table({
+            "doc_a": _take(tb["doc_a"], res_e),
+            "doc_b": _take(tb["doc_b"], res_e),
+            "sh": _take(tb["sh"], res_g),
+        })
+
+    half = _copart_join(
+        cands.map_batches(edges_keyed("doc_b"), batch_format="pyarrow")
+        .union(cand_sh), attach_finish)
+
+    def half_keyed(b: pa.Table) -> pa.Table:
+        n = len(b)
+        return pa.table({
+            "k": b["doc_a"],
+            "kind": pa.array(np.ones(n, np.int64)),
+            "doc_a": b["doc_a"],
+            "doc_b": b["doc_b"],
+            "sh": b["sh"],
+        })
+
+    def verify_finish(tb: pa.Table, res_e, res_g) -> pa.Table:
+        a_blobs = _take(tb["sh"], res_g).to_pylist()
+        b_blobs = _take(tb["sh"], res_e).to_pylist()
+        jac = np.empty(len(res_e), np.float64)
+        for i, (ab, bb) in enumerate(zip(a_blobs, b_blobs)):
+            a = np.frombuffer(ab, np.int64)
+            c = np.frombuffer(bb, np.int64)
+            inter = len(np.intersect1d(a, c, assume_unique=True))
+            union = len(a) + len(c) - inter
+            # pinned float op order (matches the SQL oracle): ONE division
+            jac[i] = float(inter) / float(union) if union else 1.0
+        keep = jac >= tau
+        ke = np.asarray(res_e)[keep]
+        micro = np.floor(jac[keep] * 1e6 + 0.5).astype(np.int64)
+        return pa.table({
+            "doc_a": _take(tb["doc_a"], ke),
+            "doc_b": _take(tb["doc_b"], ke),
+            "sh": pa.array([m.tobytes() for m in micro], pa.binary()),
+        })
+
+    verified = _copart_join(
+        half.map_batches(half_keyed, batch_format="pyarrow")
+        .union(cand_sh), verify_finish)
+
+    def unpack(b: pa.Table) -> pa.Table:
+        micro = np.array([np.frombuffer(x, np.int64)[0]
+                          for x in b["sh"].to_pylist()], np.int64) \
+            if b.num_rows else np.empty(0, np.int64)
+        return pa.table({"doc_a": b["doc_a"], "doc_b": b["doc_b"],
+                         "jac_micro": pa.array(micro, pa.int64())})
+
+    return verified.map_batches(unpack, batch_format="pyarrow")
+
+
+def setsim_sql(table: str, tau: float, id_col: str = "doc_id",
+               text_col: str = "text") -> str:
+    """DuckDB oracle: exact pairwise word-set Jaccard ≥ τ (quadratic —
+    test-scale only), same tokenization and same pinned division."""
+    return f"""
+WITH tok AS (
+  SELECT DISTINCT {id_col} AS doc_id, t AS token FROM (
+    SELECT {id_col}, unnest(string_split_regex(lower({text_col}),
+                                               '[^a-z0-9]+')) AS t
+    FROM {table})
+  WHERE t <> ''
+), sz AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS o
+  FROM tok a JOIN tok b ON a.token = b.token AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+  CAST(floor(CAST(o AS DOUBLE) / CAST(na.n + nb.n - o AS DOUBLE)
+             * 1000000 + 0.5) AS BIGINT) AS jac_micro
+FROM inter
+JOIN sz na ON na.doc_id = doc_a
+JOIN sz nb ON nb.doc_id = doc_b
+WHERE CAST(o AS DOUBLE) / CAST(na.n + nb.n - o AS DOUBLE) >= {tau}
+"""

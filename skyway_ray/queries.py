@@ -1936,6 +1936,337 @@ def q_knn_images(sf_dir: str):
         batch_format="pyarrow", concurrency=2)
 
 
+def q_group_stats(sf_dir: str):
+    """Exact distributed stddev/correlation per l_returnflag via integer
+    moment partials + bounded-key combiner tree (stages/moments.py).
+    x = l_quantity (integral in TPC-H), y = l_partkey % 97; outputs are
+    micro-ints computed in a pinned float-op order (see moments.py)."""
+    from .stages.moments import grouped_moments
+
+    def derive(b: pa.Table) -> pa.Table:
+        q = b["l_quantity"].to_numpy(zero_copy_only=False).astype(np.int64)
+        p = b["l_partkey"].to_numpy(zero_copy_only=False) % 97
+        return pa.table({"l_returnflag": b["l_returnflag"],
+                         "x": pa.array(q), "y": pa.array(p)})
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_quantity", "l_partkey"]).map_batches(
+        derive, batch_format="pyarrow")
+    return grouped_moments(ds, "l_returnflag", "x", "y")
+
+
+def q_group_stats_sql() -> str:
+    from .stages.moments import moments_sql
+
+    return moments_sql("lineitem", "l_returnflag",
+                       "CAST(l_quantity AS BIGINT)", "l_partkey % 97")
+
+
+def q_rollup_orders(sf_dir: str):
+    """GROUP BY ROLLUP(o_orderpriority, o_orderstatus): per-batch Arrow
+    partials → combiner tree to the leaf grid (≤ 15 rows), then the
+    subtotal and grand-total levels re-aggregate the LEAF table inside
+    the same final block — upper rollup levels are derivable from leaf
+    partials, so no second pass over the data.  'ALL' marks rolled-up
+    levels (the tables contain no such value)."""
+    from .stages.agg_tree import tree_aggregate
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table({"o_orderpriority": b["o_orderpriority"],
+                      "o_orderstatus": b["o_orderstatus"],
+                      "n_orders": pa.array(
+                          np.ones(b.num_rows, np.int64)),
+                      "min_key": b["o_orderkey"]})
+        g = t.group_by(["o_orderpriority", "o_orderstatus"]).aggregate(
+            [("n_orders", "sum"), ("min_key", "min")])
+        return g.rename_columns(
+            ["o_orderpriority", "o_orderstatus", "n_orders", "min_key"])
+
+    def rollup(leaf: pa.Table) -> pa.Table:
+        if leaf.num_rows == 0:
+            return leaf
+        d = leaf.to_pandas()
+        lv1 = (d.groupby("o_orderpriority", as_index=False)
+               .agg(n_orders=("n_orders", "sum"), min_key=("min_key", "min")))
+        lv1["o_orderstatus"] = "ALL"
+        lv0 = pd.DataFrame({
+            "o_orderpriority": ["ALL"], "o_orderstatus": ["ALL"],
+            "n_orders": [d["n_orders"].sum()],
+            "min_key": [d["min_key"].min()]})
+        out = pd.concat([d, lv1, lv0], ignore_index=True)[
+            ["o_orderpriority", "o_orderstatus", "n_orders", "min_key"]]
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    ds = _read(sf_dir, "orders",
+               ["o_orderkey", "o_orderpriority", "o_orderstatus"])
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    leaf = tree_aggregate(partials, ["o_orderpriority", "o_orderstatus"],
+                          [("n_orders", "sum"), ("min_key", "min")])
+    return leaf.map_batches(rollup, batch_format="pyarrow")
+
+
+def q_rollup_orders_sql() -> str:
+    return (
+        "WITH leaf AS (SELECT o_orderpriority AS p, o_orderstatus AS s, "
+        "count(*) AS n, min(o_orderkey) AS mk FROM orders GROUP BY 1, 2) "
+        "SELECT COALESCE(p, 'ALL') AS o_orderpriority, "
+        "COALESCE(s, 'ALL') AS o_orderstatus, "
+        "CAST(sum(n) AS BIGINT) AS n_orders, min(mk) AS min_key "
+        "FROM leaf GROUP BY ROLLUP(p, s)"
+    )
+
+
+def q_group_mode(sf_dir: str):
+    """Per-bucket MODE (most frequent event_type, ties broken
+    lexicographically): per-batch count partials → combiner tree over
+    the bounded (bucket × type) grid → vectorized argmax in the final
+    ≤ 500-row block.  The mode of a union is derivable from count
+    partials, so no row-level shuffle occurs."""
+    from .stages.agg_tree import tree_aggregate
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table({
+            "bucket": pa.array(
+                b["user_id"].to_numpy(zero_copy_only=False) % 100),
+            "event_type": b["event_type"],
+            "n": pa.array(np.ones(b.num_rows, np.int64))})
+        g = t.group_by(["bucket", "event_type"]).aggregate([("n", "sum")])
+        return g.rename_columns(["bucket", "event_type", "n"])
+
+    def pick(counts: pa.Table) -> pa.Table:
+        if counts.num_rows == 0:
+            return counts
+        d = counts.to_pandas().sort_values(
+            ["bucket", "n", "event_type"],
+            ascending=[True, False, True], kind="mergesort")
+        top = d.drop_duplicates("bucket", keep="first")
+        top = top.rename(columns={"event_type": "mode_type"})
+        return pa.Table.from_pandas(
+            top[["bucket", "mode_type", "n"]], preserve_index=False)
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    counts = tree_aggregate(partials, ["bucket", "event_type"],
+                            [("n", "sum")])
+    return counts.map_batches(pick, batch_format="pyarrow")
+
+
+def q_group_mode_sql() -> str:
+    return (
+        "WITH c AS (SELECT user_id % 100 AS bucket, event_type, "
+        "count(*) AS n FROM events GROUP BY 1, 2), "
+        "r AS (SELECT bucket, event_type, n, row_number() OVER ("
+        "PARTITION BY bucket ORDER BY n DESC, event_type) AS rn FROM c) "
+        "SELECT bucket, event_type AS mode_type, CAST(n AS BIGINT) AS n "
+        "FROM r WHERE rn = 1"
+    )
+
+
+def q_rank_events(sf_dir: str):
+    """Distributed ROW_NUMBER + NTILE(4) per event_type ordered by
+    (value DESC, event_id) — the keyed_scan coarse-bucket shape
+    (stages/scan.py): types never straddle buckets, each bucket ranks
+    all its types in one vectorized pass."""
+    from .stages.scan import keyed_scan
+
+    def hash_type(k: np.ndarray) -> np.ndarray:
+        import zlib
+
+        uniq, inv = np.unique(k.astype("U"), return_inverse=True)
+        codes = np.array([zlib.crc32(u.encode()) for u in uniq], np.int64)
+        return codes[inv]
+
+    def rank(d: pd.DataFrame) -> pd.DataFrame:
+        g = d.groupby("event_type", sort=False)
+        i = g.cumcount().to_numpy()
+        cnt = g["event_id"].transform("size").to_numpy()
+        size, rem = cnt // 4, cnt % 4
+        cut = rem * (size + 1)
+        in_big = i < cut
+        tile = np.where(
+            in_big, i // np.maximum(size + 1, 1),
+            rem + (i - cut) // np.maximum(size, 1)) + 1
+        out = d[["event_id", "event_type"]].copy()
+        out["rnk"] = i + 1
+        out["tile4"] = tile.astype(np.int64)
+        return out
+
+    def negv(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "neg_value",
+            pa.array(-b["value"].to_numpy(zero_copy_only=False)))
+
+    ds = _read(sf_dir, "events",
+               ["event_id", "event_type", "value"]).map_batches(
+        negv, batch_format="pyarrow")
+    return keyed_scan(ds, key="event_type", order=["neg_value", "event_id"],
+                      fn=rank, n_buckets=8, hash_key=hash_type)
+
+
+def q_rank_events_sql() -> str:
+    return (
+        "SELECT event_id, event_type, "
+        "CAST(row_number() OVER w AS BIGINT) AS rnk, "
+        "CAST(ntile(4) OVER w AS BIGINT) AS tile4 FROM events "
+        "WINDOW w AS (PARTITION BY event_type ORDER BY value DESC, event_id)"
+    )
+
+
+def q_setsim_pairs(sf_dir: str):
+    """Exact set-similarity self-join (word-set Jaccard ≥ 0.6) over
+    documents via prefix filtering (functions/setsim.py — AllPairs/
+    PPJoin family, Vernica et al. SIGMOD'10 distributed shape).  Every
+    qualifying pair is found exactly — LSH appears nowhere — so the
+    quadratic SQL oracle matches bit-for-bit."""
+    from .functions.setsim import setsim_join
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return setsim_join(ds, tau=0.6)
+
+
+def q_setsim_pairs_sql() -> str:
+    from .functions.setsim import setsim_sql
+
+    return setsim_sql("documents", 0.6)
+
+
+def _event_boxes(b: pa.Table) -> pa.Table:
+    k = b["event_id"].to_numpy(zero_copy_only=False)
+    lat, lon = derive_latlon(k)
+    hh = 0.5 + (k % 4).astype(np.float64) * 0.75
+    hw = 0.5 + (k % 5).astype(np.float64) * 0.6
+    return pa.table({"id": pa.array(k), "xmin": pa.array(lon - hw),
+                     "ymin": pa.array(lat - hh), "xmax": pa.array(lon + hw),
+                     "ymax": pa.array(lat + hh)})
+
+
+def _part_boxes(b: pa.Table) -> pa.Table:
+    k = b["p_partkey"].to_numpy(zero_copy_only=False)
+    lat, lon = derive_latlon(k)
+    hh = 1.0 + (k % 3).astype(np.float64) * 0.8
+    hw = 1.0 + (k % 4).astype(np.float64) * 0.7
+    return pa.table({"id": pa.array(k), "xmin": pa.array(lon - hw),
+                     "ymin": pa.array(lat - hh), "xmax": pa.array(lon + hw),
+                     "ymax": pa.array(lat + hh)})
+
+
+def q_box_join(sf_dir: str):
+    """Large×large rectangle-overlap join (events boxes × part boxes)
+    via Partition-Based Spatial-Merge (stages/spatial_join.py): grid
+    co-partition + per-cell vectorized test, duplicate reports killed
+    by the reference-point rule (no post-dedup shuffle)."""
+    from .stages.spatial_join import box_overlap_join
+
+    a = _read(sf_dir, "events", ["event_id"]).map_batches(
+        _event_boxes, batch_format="pyarrow")
+    b = _read(sf_dir, "part", ["p_partkey"]).map_batches(
+        _part_boxes, batch_format="pyarrow")
+    return box_overlap_join(a, b, cell=8.0,
+                            out_a="event_id", out_b="p_partkey")
+
+
+def q_box_join_sql() -> str:
+    elat, elon = latlon_sql("event_id")
+    plat, plon = latlon_sql("p_partkey")
+    return f"""
+WITH a AS (
+  SELECT event_id,
+         {elon} - (0.5 + (event_id % 5) * 0.6) AS xmin,
+         {elon} + (0.5 + (event_id % 5) * 0.6) AS xmax,
+         {elat} - (0.5 + (event_id % 4) * 0.75) AS ymin,
+         {elat} + (0.5 + (event_id % 4) * 0.75) AS ymax
+  FROM events
+), b AS (
+  SELECT p_partkey,
+         {plon} - (1.0 + (p_partkey % 4) * 0.7) AS xmin,
+         {plon} + (1.0 + (p_partkey % 4) * 0.7) AS xmax,
+         {plat} - (1.0 + (p_partkey % 3) * 0.8) AS ymin,
+         {plat} + (1.0 + (p_partkey % 3) * 0.8) AS ymax
+  FROM part
+)
+SELECT a.event_id, b.p_partkey FROM a JOIN b
+ON a.xmin <= b.xmax AND b.xmin <= a.xmax
+AND a.ymin <= b.ymax AND b.ymin <= a.ymax
+"""
+
+
+def q_group_concat(sf_dir: str):
+    """Ordered STRING_AGG per nation (collect-list): bounded-key
+    ``groupby.map_groups`` with an in-group sort — deterministic
+    element order makes the concatenation hash-comparable.  For
+    unbounded keys the scale path is the stages/scan.py coarse-bucket
+    shape (keys never straddle buckets)."""
+
+    def agg(g: pd.DataFrame) -> pd.DataFrame:
+        names = sorted(g["c_name"].tolist())
+        return pd.DataFrame({
+            "c_nationkey": [np.int64(g["c_nationkey"].iloc[0])],
+            "names": [",".join(names)],
+            "n": [np.int64(len(names))]})
+
+    ds = _read(sf_dir, "customer", ["c_custkey", "c_name", "c_nationkey"])
+    return (ds.groupby("c_nationkey")
+            .map_groups(agg, batch_format="pandas"))
+
+
+def q_group_concat_sql() -> str:
+    return (
+        "SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey, "
+        "string_agg(c_name, ',' ORDER BY c_name) AS names, "
+        "CAST(count(*) AS BIGINT) AS n FROM customer GROUP BY c_nationkey"
+    )
+
+
+def q_pagerank(sf_dir: str):
+    """3-iteration PageRank over the (user_id%1000 → event_id%1000)
+    interaction graph in exact micro-unit integer arithmetic
+    (stages/pagerank.py): one data-sized pass builds the weighted edge
+    table; each iteration broadcasts the bounded rank vector and
+    streams the edge table — bit-identical to the unrolled SQL."""
+    import ray.data
+
+    from .stages.agg_tree import tree_aggregate
+    from .stages.pagerank import pagerank_micro
+
+    def edge_partial(b: pa.Table) -> pa.Table:
+        t = pa.table({
+            "src": pa.array(
+                b["user_id"].to_numpy(zero_copy_only=False) % 1000),
+            "dst": pa.array(
+                b["event_id"].to_numpy(zero_copy_only=False) % 1000),
+            "w": pa.array(np.ones(b.num_rows, np.int64))})
+        g = t.group_by(["src", "dst"]).aggregate([("w", "sum")])
+        return g.rename_columns(["src", "dst", "w"])
+
+    ds = _read(sf_dir, "events", ["user_id", "event_id"])
+    edges = tree_aggregate(ds.map_batches(edge_partial,
+                                          batch_format="pyarrow"),
+                           ["src", "dst"], [("w", "sum")])
+    return pagerank_micro(edges, n_ids=1000, iters=3)
+
+
+def q_pagerank_sql() -> str:
+    step = (
+        "SELECT n.node, CAST(150000 + (850000 * COALESCE(s.c, 0)) "
+        "// 1000000 AS BIGINT) AS r FROM n LEFT JOIN ("
+        "SELECT e.dst AS node, sum(({prev}.r * e.w) // ow.outw) AS c "
+        "FROM e JOIN {prev} ON {prev}.node = e.src "
+        "JOIN ow ON ow.src = e.src GROUP BY 1) s ON s.node = n.node"
+    )
+    return (
+        "WITH e AS (SELECT user_id % 1000 AS src, event_id % 1000 AS dst, "
+        "count(*) AS w FROM events GROUP BY 1, 2), "
+        "ow AS (SELECT src, sum(w) AS outw FROM e GROUP BY 1), "
+        "n AS (SELECT DISTINCT node FROM "
+        "(SELECT src AS node FROM e UNION ALL SELECT dst FROM e)), "
+        "r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM n), "
+        f"r1 AS ({step.format(prev='r0')}), "
+        f"r2 AS ({step.format(prev='r1')}), "
+        f"r3 AS ({step.format(prev='r2')}) "
+        "SELECT node, r AS rank_micro FROM r3"
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -1993,6 +2324,14 @@ QUERIES = {
     "profile_lineitem": q_profile_lineitem,
     "skew_join": q_skew_join,
     "decontam": q_decontam,
+    "group_stats": q_group_stats,
+    "rollup_orders": q_rollup_orders,
+    "group_mode": q_group_mode,
+    "rank_events": q_rank_events,
+    "setsim_pairs": q_setsim_pairs,
+    "box_join": q_box_join,
+    "group_concat": q_group_concat,
+    "pagerank": q_pagerank,
     # rows-only (non-SQL-expressible)
     "flagship_tiles": q_flagship_tiles,
     "osmfilter_docs": q_osmfilter_docs,
@@ -2063,4 +2402,12 @@ ORACLE_SQL = {
     "profile_lineitem": q_profile_lineitem_sql(),
     "skew_join": q_skew_join_sql(),
     "decontam": q_decontam_sql(),
+    "group_stats": q_group_stats_sql(),
+    "rollup_orders": q_rollup_orders_sql(),
+    "group_mode": q_group_mode_sql(),
+    "rank_events": q_rank_events_sql(),
+    "setsim_pairs": q_setsim_pairs_sql(),
+    "box_join": q_box_join_sql(),
+    "group_concat": q_group_concat_sql(),
+    "pagerank": q_pagerank_sql(),
 }

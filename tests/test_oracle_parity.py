@@ -66,6 +66,8 @@ def test_entry_smoke(ray_session):
     "session_windows", "union_all", "hash_sample", "lineitem_stats",
     "minhash_exact", "top_tokens", "heavy_hitters", "tfidf",
     "order_lineitems", "profile_lineitem", "skew_join", "decontam",
+    "group_stats", "rollup_orders", "group_mode", "rank_events",
+    "setsim_pairs", "box_join", "group_concat", "pagerank",
 ])
 def test_sql_parity(name, entries):
     qs, oracles = entries

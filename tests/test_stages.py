@@ -865,3 +865,54 @@ class TestSkewHybridJoin:
                              ray.data.from_pandas(dim).repartition(2),
                              "k", "d", phi_num=1, phi_den=10,
                              hot_limit=100).to_pandas()
+
+
+class TestBoxOverlapJoin:
+    """PBSM rectangle join (stages/spatial_join.py)."""
+
+    def _ds(self, rows):
+        import ray.data
+
+        t = pa.table({k: [r[i] for r in rows] for i, k in
+                      enumerate(["id", "xmin", "ymin", "xmax", "ymax"])})
+        return ray.data.from_arrow(t)
+
+    def test_cross_cell_pairs_reported_once(self, ray_session):
+        """Boxes spanning several grid cells join exactly once (the
+        reference-point rule needs no post-dedup shuffle)."""
+        from skyway_ray.stages.spatial_join import box_overlap_join
+
+        # 20-degree-wide boxes over an 8-degree grid: covered cell
+        # ranges overlap in multiple cells
+        a = self._ds([(1, -10.0, -10.0, 10.0, 10.0),
+                      (2, 50.0, 0.0, 70.0, 20.0)])
+        b = self._ds([(10, -5.0, -5.0, 15.0, 15.0),
+                      (20, 100.0, 0.0, 120.0, 20.0)])
+        df = box_overlap_join(a, b).to_pandas()
+        assert sorted(zip(df.id_a, df.id_b)) == [(1, 10)]
+
+    def test_touching_edges_join_inclusive(self, ray_session):
+        from skyway_ray.stages.spatial_join import box_overlap_join
+
+        a = self._ds([(1, 0.0, 0.0, 4.0, 4.0)])
+        b = self._ds([(10, 4.0, 4.0, 8.0, 8.0),   # corner touch
+                      (20, 4.000001, 0.0, 8.0, 4.0)])  # just misses
+        df = box_overlap_join(a, b).to_pandas()
+        assert sorted(zip(df.id_a, df.id_b)) == [(1, 10)]
+
+    def test_matches_bruteforce_random(self, ray_session):
+        from skyway_ray.stages.spatial_join import box_overlap_join
+
+        rng = np.random.default_rng(7)
+        def boxes(n, seed_ids):
+            x = rng.uniform(-170, 160, n); y = rng.uniform(-80, 70, n)
+            w = rng.uniform(0.1, 12, n); h = rng.uniform(0.1, 12, n)
+            return [(seed_ids + i, x[i], y[i], x[i] + w[i], y[i] + h[i])
+                    for i in range(n)]
+        ra, rb = boxes(150, 0), boxes(170, 1000)
+        df = box_overlap_join(self._ds(ra), self._ds(rb)).to_pandas()
+        got = sorted(zip(df.id_a, df.id_b))
+        want = sorted((a[0], b[0]) for a in ra for b in rb
+                      if a[1] <= b[3] and b[1] <= a[3]
+                      and a[2] <= b[4] and b[2] <= a[4])
+        assert got == want

@@ -729,3 +729,35 @@ class TestBpeMerges:
         m = learn_bpe_merges(np.array(["low", "lower", "newest", "widest"]),
                              np.array([5, 2, 6, 3]), 4)
         assert m[:2] == [("e", "s"), ("es", "t")]
+
+
+def test_setsim_join_partition_invariant_and_exact(ray_session):
+    """The prefix-filtered set-similarity join is EXACT: planted
+    word-overlap pairs at known Jaccard appear iff J >= tau, and the
+    pair set is identical across input partitionings (run-boundary
+    rescue covers straddling token runs)."""
+    import ray.data
+
+    from skyway_ray.functions.setsim import setsim_join
+
+    # doc i and doc i+100 share 8 of 10 words -> J = 8/12 = 0.667
+    # doc i and doc i+200 share 5 of 10 words -> J = 5/15 = 0.333
+    texts, ids = [], []
+    for i in range(40):
+        base = [f"w{i}common{j}" for j in range(10)]
+        texts.append(" ".join(base)); ids.append(i)
+        texts.append(" ".join(base[:8] + [f"a{i}x", f"a{i}y"]))
+        ids.append(i + 100)
+        texts.append(" ".join(base[:5] + [f"b{i}{j}" for j in range(5)]))
+        ids.append(i + 200)
+    tab = pa.table({"doc_id": ids, "text": texts})
+
+    def pairs(nparts):
+        df = setsim_join(ray.data.from_arrow(tab).repartition(nparts),
+                         tau=0.5).to_pandas()
+        return sorted(zip(df.doc_a, df.doc_b))
+
+    p3 = pairs(3)
+    assert p3 == pairs(9)
+    assert all((i, i + 100) in p3 for i in range(40))
+    assert not any((i, i + 200) in p3 for i in range(40))
