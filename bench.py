@@ -109,7 +109,8 @@ def run_bench() -> dict:
                      "skew_join", "decontam", "bpe_merges",
                      "group_stats", "rollup_orders", "group_mode",
                      "rank_events", "setsim_pairs", "box_join",
-                     "group_concat", "pagerank"):
+                     "group_concat", "pagerank", "funnel",
+                     "props_extract"):
             best = float("inf")
             attempts = 0
             for _ in range(max(1, repeats)):

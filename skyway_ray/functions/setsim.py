@@ -100,16 +100,67 @@ def _run_pairs(tok: np.ndarray, doc: np.ndarray, size: np.ndarray,
                      "doc_b": pa.array(db, pa.int64())})
 
 
+def _df_ranks(ds, text_col: str):
+    """Global token ordering by (document frequency asc, hash asc) —
+    the classic rarest-first prefix order (Vernica et al. phase 1).
+    Distributed df aggregate (per-batch combine → token-key groupby);
+    the (sorted token hashes, rank) pair is broadcast — vocabulary is
+    assumed broadcastable (10⁷ tokens ≈ 160 MB), the standard
+    assumption of the published MapReduce formulation."""
+
+    def tok_partials(batch: pa.Table) -> pa.Table:
+        toks = [_word_hashes64(t) for t in batch[text_col].to_pylist()]
+        flat = (np.concatenate(toks) if toks else np.empty(0, np.int64))
+        u, c = np.unique(flat, return_counts=True)
+        return pa.table({"tok": pa.array(u, pa.int64()),
+                         "df": pa.array(c.astype(np.int64), pa.int64())})
+
+    df_tab = (ds.map_batches(tok_partials, batch_format="pyarrow")
+              .groupby("tok").sum("df").to_pandas())
+    tok = df_tab["tok"].to_numpy().astype(np.int64)
+    df = df_tab["sum(df)"].to_numpy().astype(np.int64)
+    order = np.lexsort((tok, df))          # (df asc, tok asc)
+    rank_of = np.empty(len(tok), np.int64)
+    rank_of[order] = np.arange(len(tok), dtype=np.int64)
+    srt = np.argsort(tok, kind="stable")
+    return tok[srt], rank_of[srt]          # (sorted tokens, their ranks)
+
+
 def setsim_join(ds, tau: float, id_col: str = "doc_id",
-                text_col: str = "text"):
+                text_col: str = "text", freq_order: bool = False,
+                broadcast_sketch_limit: int = 1_000_000):
     """Exact τ-threshold word-set Jaccard self-join; returns a Dataset
-    of (doc_a, doc_b, jac_micro) with doc_a < doc_b."""
+    of (doc_a, doc_b, jac_micro) with doc_a < doc_b.
+
+    ``freq_order=True`` orders prefixes rarest-token-first (one extra
+    df aggregate + a broadcast token→rank table): prefix tokens become
+    rare, shrinking candidate token groups on skewed vocabularies.
+    The OUTPUT is identical under any order — only candidate counts
+    change (tested).
+
+    Verification: when the Bloom-filtered sketch table has ≤
+    ``broadcast_sketch_limit`` docs it is broadcast once (``ray.put``)
+    and candidates verify in ONE map pass; above the limit the two
+    sort-based co-partition joins run instead (no broadcast
+    proportional to the candidate set).  Both paths are exact and
+    tested equal."""
     import ray
     import ray.data
+
+    rank_ref = None
+    if freq_order:
+        sorted_tok, ranks = _df_ranks(ds, text_col)
+        rank_ref = ray.put((sorted_tok, ranks))
 
     def prefix_rows(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_numpy(zero_copy_only=False)
         toks = [_word_hashes64(t) for t in batch[text_col].to_pylist()]
+        if rank_ref is not None:
+            sorted_tok, ranks = _obj_cached(rank_ref)
+            # re-key each doc's tokens by global rank; sort ascending
+            # so the prefix slice takes the RAREST tokens
+            toks = [np.sort(ranks[np.searchsorted(sorted_tok, t)])
+                    for t in toks]
         sizes = np.array([len(t) for t in toks], np.int64)
         plens = _prefix_len(sizes, tau)
         plens[sizes == 0] = 0
@@ -185,6 +236,35 @@ def setsim_join(ds, tau: float, id_col: str = "doc_id",
 
     cand_sh = ds.map_batches(sketch_rows,
                              batch_format="pyarrow").materialize()
+
+    if cand_sh.count() <= broadcast_sketch_limit:
+        # broadcast-verify fast path: sketch dict ships once per
+        # worker process, candidates verify in one vectorized-loop map
+        sk = cand_sh.to_pandas()
+        blob_ref = ray.put(dict(zip(sk["k"].to_numpy().astype(np.int64),
+                                    sk["sh"].tolist())))
+
+        def bverify(b: pa.Table) -> pa.Table:
+            blobs = _obj_cached(blob_ref)
+            da = b["doc_a"].to_numpy(zero_copy_only=False)
+            db = b["doc_b"].to_numpy(zero_copy_only=False)
+            jac = np.empty(len(da), np.float64)
+            for i in range(len(da)):
+                a = np.frombuffer(blobs[da[i]], np.int64)
+                c = np.frombuffer(blobs[db[i]], np.int64)
+                inter = len(np.intersect1d(a, c, assume_unique=True))
+                union = len(a) + len(c) - inter
+                jac[i] = float(inter) / float(union) if union else 1.0
+            keep = jac >= tau
+            return pa.table({
+                "doc_a": pa.array(da[keep], pa.int64()),
+                "doc_b": pa.array(db[keep], pa.int64()),
+                "jac_micro": pa.array(
+                    np.floor(jac[keep] * 1e6 + 0.5).astype(np.int64),
+                    pa.int64()),
+            })
+
+        return cands.map_batches(bverify, batch_format="pyarrow")
 
     def _take(col, idx):
         return col.take(pa.array(np.asarray(idx, np.int64), pa.int64()))

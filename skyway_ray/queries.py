@@ -2113,21 +2113,21 @@ def q_rank_events_sql() -> str:
 
 
 def q_setsim_pairs(sf_dir: str):
-    """Exact set-similarity self-join (word-set Jaccard ≥ 0.6) over
-    documents via prefix filtering (functions/setsim.py — AllPairs/
-    PPJoin family, Vernica et al. SIGMOD'10 distributed shape).  Every
-    qualifying pair is found exactly — LSH appears nowhere — so the
-    quadratic SQL oracle matches bit-for-bit."""
+    """Exact set-similarity self-join (word-set Jaccard ≥ 0.9) over
+    documents via rarest-first prefix filtering (functions/setsim.py —
+    AllPairs/PPJoin family, Vernica et al. SIGMOD'10 distributed
+    shape).  Every qualifying pair is found exactly — LSH appears
+    nowhere — so the quadratic SQL oracle matches bit-for-bit."""
     from .functions.setsim import setsim_join
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    return setsim_join(ds, tau=0.6)
+    return setsim_join(ds, tau=0.9, freq_order=True)
 
 
 def q_setsim_pairs_sql() -> str:
     from .functions.setsim import setsim_sql
 
-    return setsim_sql("documents", 0.6)
+    return setsim_sql("documents", 0.9)
 
 
 def _event_boxes(b: pa.Table) -> pa.Table:
@@ -2267,6 +2267,111 @@ def q_pagerank_sql() -> str:
     )
 
 
+def q_funnel(sf_dir: str):
+    """Event-sequence funnel (click → purchase within 1 h) per user:
+    the keyed_scan coarse-bucket shape with a vectorized last-click
+    cummax per user — purchases at the same timestamp as a click sort
+    AFTER it, so the scan sees the click (ties resolved like the SQL
+    window's ORDER BY)."""
+    from .stages.scan import keyed_scan
+
+    H = 3_600_000_000  # 1h in epoch-us
+
+    def prep(b: pa.Table) -> pa.Table:
+        et = b["event_type"].to_numpy(zero_copy_only=False)
+        keep = (et == "click") | (et == "purchase")
+        t = b.filter(pa.array(keep))
+        ts = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        is_p = (t["event_type"].to_numpy(zero_copy_only=False)
+                == "purchase").astype(np.int64)
+        return pa.table({"user_id": t["user_id"],
+                         "t": pa.array(ts, pa.int64()),
+                         "is_p": pa.array(is_p, pa.int64()),
+                         "event_id": t["event_id"]})
+
+    def scan(d: pd.DataFrame) -> pd.DataFrame:
+        # positional numpy throughout (group frames arrive with
+        # duplicate index labels — label alignment would misassign)
+        u = d["user_id"].to_numpy()
+        t = d["t"].to_numpy()
+        is_p = d["is_p"].to_numpy()
+        # last click timestamp per position, reset at user boundaries
+        click_t = np.where(is_p == 0, t, np.iinfo(np.int64).min)
+        starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+        seg = np.zeros(len(u), np.int64)
+        seg[starts] = 1
+        gid = np.cumsum(seg)
+        s = pd.Series(np.where(click_t == np.iinfo(np.int64).min,
+                               np.nan, click_t))
+        # cummax leaves NaN at NaN positions — ffill within the group
+        # carries the running max over the purchase rows
+        lc = s.groupby(gid).cummax().groupby(gid).ffill().to_numpy()
+        pmask = is_p == 1
+        conv = (~np.isnan(lc[pmask])) & (t[pmask] - lc[pmask] <= H)
+        pu = u[pmask]
+        out = (pd.DataFrame({"user_id": pu,
+                             "n_purchases": np.ones(len(pu), np.int64),
+                             "n_converted": conv.astype(np.int64)})
+               .groupby("user_id", sort=False, as_index=False).sum())
+        return out[["user_id", "n_purchases", "n_converted"]]
+
+    ds = _read(sf_dir, "events",
+               ["event_id", "user_id", "ts", "event_type"]).map_batches(
+        prep, batch_format="pyarrow")
+    return keyed_scan(ds, key="user_id", order=["t", "is_p", "event_id"],
+                      fn=scan, n_buckets=32)
+
+
+def q_funnel_sql() -> str:
+    return (
+        "WITH e AS (SELECT user_id, epoch_us(ts) AS t, event_type, event_id "
+        "FROM events WHERE event_type IN ('click', 'purchase')), "
+        "s AS (SELECT *, max(CASE WHEN event_type = 'click' THEN t END) "
+        "OVER (PARTITION BY user_id ORDER BY t, "
+        "CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END, event_id "
+        "ROWS UNBOUNDED PRECEDING) AS last_click FROM e) "
+        "SELECT user_id, CAST(count(*) AS BIGINT) AS n_purchases, "
+        "CAST(sum(CASE WHEN last_click IS NOT NULL "
+        "AND t - last_click <= 3600000000 THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS n_converted FROM s WHERE event_type = 'purchase' "
+        "GROUP BY user_id"
+    )
+
+
+def q_props_extract(sf_dir: str):
+    """Semi-structured field extraction: pull the integer ``k`` out of
+    the JSON-ish ``props`` string with an RE2 kernel
+    (pyarrow.compute.extract_regex — same engine class as DuckDB's
+    regexp_extract), then an exact grouped sum/count via per-batch
+    partials + combiner tree."""
+    import pyarrow.compute as pc
+
+    from .stages.agg_tree import tree_aggregate
+
+    def partial(b: pa.Table) -> pa.Table:
+        m = pc.extract_regex(b["props"], r'"k": (?P<k>\d+)')
+        k = pc.struct_field(m, "k").cast(pa.int64())
+        t = pa.table({"event_type": b["event_type"],
+                      "sum_k": k,
+                      "n": pa.array(np.ones(b.num_rows, np.int64))})
+        g = t.group_by(["event_type"]).aggregate(
+            [("sum_k", "sum"), ("n", "sum")])
+        return g.rename_columns(["event_type", "sum_k", "n"])
+
+    ds = _read(sf_dir, "events", ["event_type", "props"])
+    return tree_aggregate(ds.map_batches(partial, batch_format="pyarrow"),
+                          ["event_type"], [("sum_k", "sum"), ("n", "sum")])
+
+
+def q_props_extract_sql() -> str:
+    return (
+        "SELECT event_type, "
+        "CAST(sum(CAST(regexp_extract(props, '\"k\": (\\d+)', 1) "
+        "AS BIGINT)) AS BIGINT) AS sum_k, "
+        "CAST(count(*) AS BIGINT) AS n FROM events GROUP BY event_type"
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -2332,6 +2437,8 @@ QUERIES = {
     "box_join": q_box_join,
     "group_concat": q_group_concat,
     "pagerank": q_pagerank,
+    "funnel": q_funnel,
+    "props_extract": q_props_extract,
     # rows-only (non-SQL-expressible)
     "flagship_tiles": q_flagship_tiles,
     "osmfilter_docs": q_osmfilter_docs,
@@ -2410,4 +2517,6 @@ ORACLE_SQL = {
     "box_join": q_box_join_sql(),
     "group_concat": q_group_concat_sql(),
     "pagerank": q_pagerank_sql(),
+    "funnel": q_funnel_sql(),
+    "props_extract": q_props_extract_sql(),
 }

@@ -752,12 +752,16 @@ def test_setsim_join_partition_invariant_and_exact(ray_session):
         ids.append(i + 200)
     tab = pa.table({"doc_id": ids, "text": texts})
 
-    def pairs(nparts):
+    def pairs(nparts, **kw):
         df = setsim_join(ray.data.from_arrow(tab).repartition(nparts),
-                         tau=0.5).to_pandas()
+                         tau=0.5, **kw).to_pandas()
         return sorted(zip(df.doc_a, df.doc_b))
 
     p3 = pairs(3)
     assert p3 == pairs(9)
     assert all((i, i + 100) in p3 for i in range(40))
     assert not any((i, i + 200) in p3 for i in range(40))
+    # the rarest-first prefix order and the co-partition (non-broadcast)
+    # verify path both produce the identical pair set
+    assert p3 == pairs(5, freq_order=True)
+    assert p3 == pairs(5, broadcast_sketch_limit=0)
