@@ -2372,6 +2372,30 @@ def q_props_extract_sql() -> str:
     )
 
 
+def q_image_pyramid(sf_dir: str):
+    """Multi-resolution thumbnail pyramid over the image fixture
+    (stages/multimodal.py::ImagePyramid — decode once, emit 3 levels
+    per image); returns the per-thumbnail manifest (blobs stay in the
+    object store, never reach the driver)."""
+    import ray.data
+
+    from .fixtures import ensure_images_parquet, scale_for_sf_dir
+    from .stages.multimodal import ImagePyramid
+
+    import ray
+
+    images = ensure_images_parquet(scale_for_sf_dir(sf_dir))
+    ds = ray.data.read_parquet(images, columns=["image_id", "bytes", "fmt"])
+    # actor pool sized well below the session CPU count (never starve
+    # the read stage — CLAUDE.md invariant)
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    pyr = ds.map_batches(ImagePyramid, batch_format="pyarrow",
+                         batch_size=512, concurrency=max(2, cpus // 4))
+    return pyr.map_batches(
+        lambda b: b.select(["image_id", "level", "n_bytes"]),
+        batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -2450,6 +2474,7 @@ QUERIES = {
     "phash_dedup": q_phash_dedup,
     "knn_images": q_knn_images,
     "image_features": q_image_features,
+    "image_pyramid": q_image_pyramid,
     "hll_users": q_hll_users,
     "pq_ann": q_pq_ann,
     "hll_users_by_type": q_hll_users_by_type,

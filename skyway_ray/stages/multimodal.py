@@ -89,6 +89,53 @@ class ImageResize:
         })
 
 
+class ImagePyramid:
+    """Decode ONCE → multi-resolution thumbnail pyramid (one output row
+    per (image, level); levels are successive nearest-neighbor
+    halvings re-encoded as PNG).
+
+    Usage: ``ds.map_batches(ImagePyramid(levels=(32, 16, 8)),
+    batch_format="pyarrow", batch_size=256, concurrency=N)`` — the
+    row-count fan-out is len(levels)×, so batch_size bounds decoded
+    pixels AND encoded thumb bytes in flight.  Downstream tile serving
+    would ``write_parquet`` partitioned by ``level``."""
+
+    def __init__(self, levels: tuple = (32, 16, 8),
+                 bytes_col: str = "bytes", fmt_col: str = "fmt",
+                 id_col: str = "image_id"):
+        self.levels = tuple(levels)
+        self.bytes_col = bytes_col
+        self.fmt_col = fmt_col
+        self.id_col = id_col
+
+    @staticmethod
+    def _downsample(img: np.ndarray, side: int) -> np.ndarray:
+        h, w, _ = img.shape
+        ys = (np.arange(side) * h // side).clip(0, h - 1)
+        xs = (np.arange(side) * w // side).clip(0, w - 1)
+        return img[np.ix_(ys, xs)]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        blobs = batch[self.bytes_col].to_pylist()
+        fmts = batch[self.fmt_col].to_pylist()
+        ids = batch[self.id_col].to_pylist()
+        out_id, out_lv, out_thumb, out_n = [], [], [], []
+        for bid, blob, fmt in zip(ids, blobs, fmts):
+            img = decode_image(blob, fmt)
+            for side in self.levels:
+                t = encode_png(self._downsample(img, side))
+                out_id.append(bid)
+                out_lv.append(side)
+                out_thumb.append(t)
+                out_n.append(len(t))
+        return pa.table({
+            self.id_col: pa.array(out_id),
+            "level": pa.array(out_lv, pa.int32()),
+            "thumb": pa.array(out_thumb, pa.binary()),
+            "n_bytes": pa.array(out_n, pa.int64()),
+        })
+
+
 class PerceptualHash:
     """Decode → aHash64 + dHash64 perceptual fingerprints
     (functions/phash.py).  Output (id, ahash64, dhash64) — the tiny

@@ -158,3 +158,39 @@ class TestSalt:
         want = pd.Series(keys).value_counts().sort_index()
         assert got["n"].tolist() == want.tolist()
         assert got["cell"].tolist() == want.index.tolist()
+
+
+class TestImagePyramid:
+    def test_levels_decode_and_manifest(self, ray_session):
+        """Each image yields one PNG per pyramid level; thumbs decode
+        to the requested side and the run is deterministic."""
+        import ray.data
+
+        from skyway_ray.functions.image_codec import decode_png, encode_png
+        from skyway_ray.stages.multimodal import ImagePyramid
+
+        rng = np.random.default_rng(3)
+        imgs = [rng.integers(0, 255, (40, 56, 3), dtype=np.uint8)
+                for _ in range(6)]
+        tab = pa.table({
+            "image_id": list(range(6)),
+            "bytes": pa.array([encode_png(i) for i in imgs], pa.binary()),
+            "fmt": ["png"] * 6,
+        })
+        out = (ray.data.from_arrow(tab).repartition(2)
+               .map_batches(ImagePyramid(levels=(16, 8)),
+                            batch_format="pyarrow", batch_size=4)
+               .to_pandas())
+        assert len(out) == 12
+        assert sorted(out["level"].unique()) == [8, 16]
+        for _, r in out.iterrows():
+            img = decode_png(r["thumb"])
+            assert img.shape == (r["level"], r["level"], 3)
+        # determinism: same inputs -> same thumb bytes
+        out2 = (ray.data.from_arrow(tab).repartition(3)
+                .map_batches(ImagePyramid(levels=(16, 8)),
+                             batch_format="pyarrow", batch_size=4)
+                .to_pandas())
+        a = out.sort_values(["image_id", "level"]).reset_index(drop=True)
+        b = out2.sort_values(["image_id", "level"]).reset_index(drop=True)
+        assert (a["thumb"] == b["thumb"]).all()
