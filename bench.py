@@ -110,7 +110,8 @@ def run_bench() -> dict:
                      "group_stats", "rollup_orders", "group_mode",
                      "rank_events", "setsim_pairs", "box_join",
                      "group_concat", "pagerank", "funnel",
-                     "props_extract"):
+                     "props_extract", "percentile_cont",
+                     "throttle_dedup"):
             best = float("inf")
             attempts = 0
             for _ in range(max(1, repeats)):

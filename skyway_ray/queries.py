@@ -2396,6 +2396,73 @@ def q_image_pyramid(sf_dir: str):
         batch_format="pyarrow")
 
 
+def q_percentile_cont(sf_dir: str):
+    """Interpolated PERCENTILE_CONT without a global sort
+    (stages/quantiles.py::percentile_cont): bracketing order statistics
+    via sampled-splitter selection, pinned-float interpolation."""
+    from .stages.quantiles import percentile_cont
+
+    ds = _read(sf_dir, "lineitem", ["l_extendedprice"])
+    return percentile_cont(ds, "l_extendedprice", [0.25, 0.5, 0.9, 0.99])
+
+
+def q_percentile_cont_sql() -> str:
+    return (
+        "WITH s AS (SELECT l_extendedprice AS v, "
+        "row_number() OVER (ORDER BY l_extendedprice) - 1 AS r, "
+        "count(*) OVER () AS n FROM lineitem), "
+        "t AS (SELECT CAST(b.q AS DOUBLE) AS q, "
+        "CAST(b.q AS DOUBLE) * (sn.n - 1) AS h, sn.n FROM "
+        "(VALUES (0.25), (0.5), (0.9), (0.99)) b(q) "
+        "CROSS JOIN (SELECT DISTINCT n FROM s) sn(n)) "
+        "SELECT t.q, lo.v + (t.h - floor(t.h)) * (hi.v - lo.v) AS value "
+        "FROM t JOIN s lo ON lo.r = CAST(floor(t.h) AS BIGINT) "
+        "JOIN s hi ON hi.r = CAST(least(floor(t.h) + 1, t.n - 1) AS BIGINT)"
+    )
+
+
+def q_throttle_dedup(sf_dir: str):
+    """Windowed first-per-key dedup (event throttling: keep each
+    user's FIRST event per hour).  The shuffle ships only
+    (key, t, event_id, user_id, hour) projections; survivors resolve
+    with one vectorized first-of-run mask per coarse bucket
+    (stages/scan.py keyed_scan — keys never straddle buckets)."""
+    from .stages.scan import keyed_scan
+
+    def prep(b: pa.Table) -> pa.Table:
+        t = b["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        u = b["user_id"].to_numpy(zero_copy_only=False)
+        hour = t // 3_600_000_000
+        # user_id * 2^20 + hour is collision-free while epoch-hours
+        # < 2^20 (until year 2089)
+        return pa.table({"k": pa.array(u * (1 << 20) + hour, pa.int64()),
+                         "t": pa.array(t, pa.int64()),
+                         "event_id": b["event_id"],
+                         "user_id": b["user_id"],
+                         "hour": pa.array(hour, pa.int64())})
+
+    def first(d: pd.DataFrame) -> pd.DataFrame:
+        k = d["k"].to_numpy()
+        mask = np.r_[True, k[1:] != k[:-1]]
+        return d.loc[mask, ["event_id", "user_id", "hour"]]
+
+    ds = _read(sf_dir, "events",
+               ["event_id", "user_id", "ts"]).map_batches(
+        prep, batch_format="pyarrow")
+    return keyed_scan(ds, key="k", order=["t", "event_id"], fn=first,
+                      n_buckets=32)
+
+
+def q_throttle_dedup_sql() -> str:
+    return (
+        "WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS t, "
+        "epoch_us(ts) // 3600000000 AS hour FROM events) "
+        "SELECT event_id, user_id, hour FROM e "
+        "QUALIFY row_number() OVER (PARTITION BY user_id, hour "
+        "ORDER BY t, event_id) = 1"
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -2463,6 +2530,8 @@ QUERIES = {
     "pagerank": q_pagerank,
     "funnel": q_funnel,
     "props_extract": q_props_extract,
+    "percentile_cont": q_percentile_cont,
+    "throttle_dedup": q_throttle_dedup,
     # rows-only (non-SQL-expressible)
     "flagship_tiles": q_flagship_tiles,
     "osmfilter_docs": q_osmfilter_docs,
@@ -2544,4 +2613,6 @@ ORACLE_SQL = {
     "pagerank": q_pagerank_sql(),
     "funnel": q_funnel_sql(),
     "props_extract": q_props_extract_sql(),
+    "percentile_cont": q_percentile_cont_sql(),
+    "throttle_dedup": q_throttle_dedup_sql(),
 }

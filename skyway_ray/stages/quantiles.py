@@ -79,24 +79,38 @@ def exact_quantiles(ds, col: str, qs: list[float],
         return pd.DataFrame({"q": pd.Series(qs, dtype=np.float64),
                              "value": np.full(len(qs), np.nan)})
     targets = {q: int(np.floor(q * (n - 1))) for q in qs}
-    # state per pending rank: (global_rank_offset_into_range, lo, hi)
-    pending = {q: (r, None, None) for q, r in targets.items()}
-    values: dict[float, float] = {}
+    values = select_ranks(ds, col, sorted(set(targets.values())),
+                          sample_limit=sample_limit,
+                          collect_limit=collect_limit,
+                          max_rounds=max_rounds, seed=seed)
+    return pd.DataFrame({"q": pd.Series(list(qs), dtype=np.float64),
+                         "value": [values[targets[q]] for q in qs]})
+
+
+def select_ranks(ds, col: str, ranks: list[int],
+                 sample_limit: int = 2048, collect_limit: int = 500_000,
+                 max_rounds: int = 6, seed: int = 42) -> dict:
+    """Exact order statistics: value at each 0-indexed ascending rank
+    (``ORDER BY col LIMIT 1 OFFSET r``), one refinement harness for all
+    requested ranks (see module docstring).  Returns {rank: value}."""
+    # state per pending rank: (rank_offset_into_range, lo, hi)
+    pending = {r: (r, None, None) for r in ranks}
+    values: dict = {}
     for _ in range(max_rounds):
         if not pending:
             break
         # group pending ranks by identical range so each range pays one
-        # pass (all qs share the full range in round 1)
+        # pass (all ranks share the full range in round 1)
         by_range: dict = {}
-        for q, (r, lo, hi) in pending.items():
-            by_range.setdefault((lo, hi), []).append((q, r))
+        for key, (r, lo, hi) in pending.items():
+            by_range.setdefault((lo, hi), []).append((key, r))
         next_pending = {}
-        for (lo, hi), qr in by_range.items():
+        for (lo, hi), kr in by_range.items():
             sub = _range_filter(ds, col, lo, hi)
             splitters = _sample_splitters(sub, col, sample_limit, seed)
             counts = _bucket_counts(sub, col, splitters)
             cum = np.concatenate([[0], np.cumsum(counts)])
-            for q, r in qr:
+            for key, r in kr:
                 b = int(np.searchsorted(cum, r, side="right")) - 1
                 in_rank = r - int(cum[b])
                 b_lo = splitters[b - 1] if b > 0 else lo
@@ -109,12 +123,38 @@ def exact_quantiles(ds, col: str, qs: list[float],
                 if counts[b] <= collect_limit or no_progress:
                     vals = _range_filter(ds, col, b_lo, b_hi).to_pandas()
                     v = np.partition(vals[col].to_numpy(), in_rank)[in_rank]
-                    values[q] = v
+                    values[key] = v
                 else:
-                    next_pending[q] = (in_rank, b_lo, b_hi)
+                    next_pending[key] = (in_rank, b_lo, b_hi)
         pending = next_pending
-    for q, (r, lo, hi) in pending.items():  # max_rounds fallback
+    for key, (r, lo, hi) in pending.items():  # max_rounds fallback
         vals = _range_filter(ds, col, lo, hi).to_pandas()
-        values[q] = np.partition(vals[col].to_numpy(), r)[r]
+        values[key] = np.partition(vals[col].to_numpy(), r)[r]
+    return values
+
+
+def percentile_cont(ds, col: str, qs: list[float],
+                    **kw) -> pd.DataFrame:
+    """Interpolated (PERCENTILE_CONT) quantiles without a global sort:
+    the two bracketing order statistics come from :func:`select_ranks`
+    and interpolate as ``v_lo + (h - floor(h)) * (v_hi - v_lo)`` with
+    ``h = q * (n - 1)`` — each float op pinned so a SQL oracle spelling
+    the identical expression matches bit-for-bit."""
+    n = ds.count()
+    if n == 0:
+        return pd.DataFrame({"q": pd.Series(qs, dtype=np.float64),
+                             "value": np.full(len(qs), np.nan)})
+    need = {}
+    for q in qs:
+        h = q * (n - 1)
+        lo = int(np.floor(h))
+        need[q] = (h, lo, min(lo + 1, n - 1))
+    ranks = sorted({r for _, lo, hi in need.values() for r in (lo, hi)})
+    vals = select_ranks(ds, col, ranks, **kw)
+    out = []
+    for q in qs:
+        h, lo, hi = need[q]
+        v0, v1 = float(vals[lo]), float(vals[hi])
+        out.append(v0 + (h - np.floor(h)) * (v1 - v0))
     return pd.DataFrame({"q": pd.Series(list(qs), dtype=np.float64),
-                         "value": [values[q] for q in qs]})
+                         "value": np.asarray(out, np.float64)})

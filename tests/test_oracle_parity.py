@@ -68,7 +68,7 @@ def test_entry_smoke(ray_session):
     "order_lineitems", "profile_lineitem", "skew_join", "decontam",
     "group_stats", "rollup_orders", "group_mode", "rank_events",
     "setsim_pairs", "box_join", "group_concat", "pagerank",
-    "funnel", "props_extract",
+    "funnel", "props_extract", "percentile_cont", "throttle_dedup",
 ])
 def test_sql_parity(name, entries):
     qs, oracles = entries

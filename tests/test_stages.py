@@ -916,3 +916,21 @@ class TestBoxOverlapJoin:
                       if a[1] <= b[3] and b[1] <= a[3]
                       and a[2] <= b[4] and b[2] <= a[4])
         assert got == want
+
+
+class TestPercentileCont:
+    def test_interpolation_matches_numpy(self, ray_session):
+        """percentile_cont == numpy's 'linear' percentile on raw data
+        (same h = q*(n-1) definition), including the q=0/1 edges."""
+        import ray.data
+
+        from skyway_ray.stages.quantiles import percentile_cont
+
+        rng = np.random.default_rng(11)
+        x = rng.normal(100.0, 17.0, 5003)
+        ds = ray.data.from_arrow(pa.table({"x": x})).repartition(7)
+        qs = [0.0, 0.1, 0.5, 0.9, 1.0]
+        got = percentile_cont(ds, "x", qs, collect_limit=400)
+        want = np.percentile(x, [q * 100 for q in qs],
+                             method="linear")
+        assert np.allclose(got["value"].to_numpy(), want, rtol=0, atol=1e-9)
