@@ -2463,6 +2463,45 @@ def q_throttle_dedup_sql() -> str:
     )
 
 
+def q_radius_join(sf_dir: str):
+    """Point–point radius join (events points × part points within 1.5
+    degrees): the no-dedup PBSM variant — only the probe side fans out
+    to neighbor cells, each build point lives in exactly one cell, so
+    every qualifying pair meets exactly once
+    (stages/spatial_join.py::point_radius_join)."""
+    from .stages.spatial_join import point_radius_join
+
+    def epoints(b: pa.Table) -> pa.Table:
+        k = b["event_id"].to_numpy(zero_copy_only=False)
+        lat, lon = derive_latlon(k)
+        return pa.table({"id": pa.array(k), "x": pa.array(lon),
+                         "y": pa.array(lat)})
+
+    def ppoints(b: pa.Table) -> pa.Table:
+        k = b["p_partkey"].to_numpy(zero_copy_only=False)
+        lat, lon = derive_latlon(k)
+        return pa.table({"id": pa.array(k), "x": pa.array(lon),
+                         "y": pa.array(lat)})
+
+    a = _read(sf_dir, "events", ["event_id"]).map_batches(
+        epoints, batch_format="pyarrow")
+    b = _read(sf_dir, "part", ["p_partkey"]).map_batches(
+        ppoints, batch_format="pyarrow")
+    return point_radius_join(a, b, radius=1.5, cell=8.0,
+                             out_a="event_id", out_b="p_partkey")
+
+
+def q_radius_join_sql() -> str:
+    elat, elon = latlon_sql("event_id")
+    plat, plon = latlon_sql("p_partkey")
+    return (
+        f"WITH a AS (SELECT event_id, {elon} AS x, {elat} AS y FROM events), "
+        f"b AS (SELECT p_partkey, {plon} AS x, {plat} AS y FROM part) "
+        "SELECT a.event_id, b.p_partkey FROM a JOIN b ON "
+        "(a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 2.25"
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -2532,6 +2571,7 @@ QUERIES = {
     "props_extract": q_props_extract,
     "percentile_cont": q_percentile_cont,
     "throttle_dedup": q_throttle_dedup,
+    "radius_join": q_radius_join,
     # rows-only (non-SQL-expressible)
     "flagship_tiles": q_flagship_tiles,
     "osmfilter_docs": q_osmfilter_docs,
@@ -2615,4 +2655,5 @@ ORACLE_SQL = {
     "props_extract": q_props_extract_sql(),
     "percentile_cont": q_percentile_cont_sql(),
     "throttle_dedup": q_throttle_dedup_sql(),
+    "radius_join": q_radius_join_sql(),
 }

@@ -57,6 +57,86 @@ def _cover_rows(batch: pa.Table, side: int, cell: float) -> pa.Table:
     })
 
 
+def point_radius_join(a_ds, b_ds, radius: float, cell: float = 8.0,
+                      out_a: str = "id_a", out_b: str = "id_b",
+                      chunk: int = 2048):
+    """Distributed point–point radius join: all (a, b) pairs with
+    squared planar distance ``(ax-bx)² + (ay-by)² ≤ radius²`` (degree
+    space — callers wanting metres pre-project).  Inputs have schema
+    (id, x, y).
+
+    PBSM variant with NO dedup pass: only side A fans out (each A
+    point covers every grid cell its radius-ball bbox touches); each B
+    point lives in exactly ONE cell, so every qualifying pair meets in
+    exactly one group.  Per-cell test is a chunked vectorized distance
+    matrix.  ``cell`` should be ≥ ``radius`` so A covers ≤ 4 cells
+    typically."""
+
+    def a_rows(batch: pa.Table) -> pa.Table:
+        ids = batch["id"].to_numpy(zero_copy_only=False)
+        x = batch["x"].to_numpy(zero_copy_only=False)
+        y = batch["y"].to_numpy(zero_copy_only=False)
+        cx0 = np.floor((x - radius - _X0) / cell).astype(np.int64)
+        cx1 = np.floor((x + radius - _X0) / cell).astype(np.int64)
+        cy0 = np.floor((y - radius - _Y0) / cell).astype(np.int64)
+        cy1 = np.floor((y + radius - _Y0) / cell).astype(np.int64)
+        nx, ny = cx1 - cx0 + 1, cy1 - cy0 + 1
+        total = nx * ny
+        rep = np.repeat(np.arange(len(ids)), total)
+        offs = np.zeros(len(ids) + 1, np.int64)
+        np.cumsum(total, out=offs[1:])
+        local = np.arange(offs[-1]) - np.repeat(offs[:-1], total)
+        cx = cx0[rep] + local % nx[rep]
+        cy = cy0[rep] + local // nx[rep]
+        return pa.table({
+            "cell": pa.array(cy * (1 << 20) + cx, pa.int64()),
+            "side": pa.array(np.zeros(len(rep), np.int8), pa.int8()),
+            "id": pa.array(ids[rep], pa.int64()),
+            "x": pa.array(x[rep]), "y": pa.array(y[rep]),
+        })
+
+    def b_rows(batch: pa.Table) -> pa.Table:
+        ids = batch["id"].to_numpy(zero_copy_only=False)
+        x = batch["x"].to_numpy(zero_copy_only=False)
+        y = batch["y"].to_numpy(zero_copy_only=False)
+        cx = np.floor((x - _X0) / cell).astype(np.int64)
+        cy = np.floor((y - _Y0) / cell).astype(np.int64)
+        return pa.table({
+            "cell": pa.array(cy * (1 << 20) + cx, pa.int64()),
+            "side": pa.array(np.ones(len(ids), np.int8), pa.int8()),
+            "id": pa.array(ids, pa.int64()),
+            "x": pa.array(x), "y": pa.array(y),
+        })
+
+    r2 = radius * radius
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        a = g[g["side"].to_numpy() == 0]
+        b = g[g["side"].to_numpy() == 1]
+        if not len(a) or not len(b):
+            return pd.DataFrame({out_a: np.empty(0, np.int64),
+                                 out_b: np.empty(0, np.int64)})
+        bx = b["x"].to_numpy(); by = b["y"].to_numpy()
+        bid = b["id"].to_numpy()
+        oa, ob = [], []
+        for s in range(0, len(a), chunk):
+            ax = a["x"].to_numpy()[s:s + chunk, None]
+            ay = a["y"].to_numpy()[s:s + chunk, None]
+            aid = a["id"].to_numpy()[s:s + chunk]
+            dx = ax - bx
+            dy = ay - by
+            hit = dx * dx + dy * dy <= r2
+            ii, jj = np.nonzero(hit)
+            oa.append(aid[ii]); ob.append(bid[jj])
+        return pd.DataFrame({
+            out_a: np.concatenate(oa) if oa else np.empty(0, np.int64),
+            out_b: np.concatenate(ob) if ob else np.empty(0, np.int64)})
+
+    rows = (a_ds.map_batches(a_rows, batch_format="pyarrow")
+            .union(b_ds.map_batches(b_rows, batch_format="pyarrow")))
+    return rows.groupby("cell").map_groups(pairs, batch_format="pandas")
+
+
 def box_overlap_join(a_ds, b_ds, cell: float = 8.0,
                      out_a: str = "id_a", out_b: str = "id_b",
                      chunk: int = 2048):

@@ -934,3 +934,26 @@ class TestPercentileCont:
         want = np.percentile(x, [q * 100 for q in qs],
                              method="linear")
         assert np.allclose(got["value"].to_numpy(), want, rtol=0, atol=1e-9)
+
+
+class TestPointRadiusJoin:
+    def test_matches_bruteforce_random(self, ray_session):
+        import ray.data
+
+        from skyway_ray.stages.spatial_join import point_radius_join
+
+        rng = np.random.default_rng(23)
+        def pts(n, base):
+            x = rng.uniform(-170, 160, n); y = rng.uniform(-80, 70, n)
+            return [(base + i, x[i], y[i]) for i in range(n)]
+        A, B = pts(300, 0), pts(250, 10_000)
+        def ds(rows):
+            return ray.data.from_arrow(pa.table(
+                {k: [r[i] for r in rows]
+                 for i, k in enumerate(["id", "x", "y"])})).repartition(3)
+        # radius larger than a cell: fan-out spans >= 2 cells each way
+        df = point_radius_join(ds(A), ds(B), radius=9.0, cell=8.0).to_pandas()
+        got = sorted(zip(df.id_a, df.id_b))
+        want = sorted((a[0], b[0]) for a in A for b in B
+                      if (a[1]-b[1])**2 + (a[2]-b[2])**2 <= 81.0)
+        assert got == want and len(got) > 0
