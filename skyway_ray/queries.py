@@ -2502,6 +2502,52 @@ def q_radius_join_sql() -> str:
     )
 
 
+def q_star_join(sf_dir: str):
+    """Star-schema join (TPC-H Q5/Q9 shape): the lineitem fact stream
+    joins two broadcast dimensions (supplier → nation) in one fused
+    map pass — no shuffle touches the fact table; the aggregate is the
+    bounded-key combiner tree."""
+    from .stages.agg_tree import tree_aggregate
+    from .stages.joins import broadcast_hash_join
+
+    import pyarrow.parquet as pq
+
+    sup = pq.read_table(
+        os.path.join(sf_dir, "supplier.parquet"),
+        columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    nat = pq.read_table(
+        os.path.join(sf_dir, "nation.parquet"),
+        columns=["n_nationkey", "n_name"]).to_pandas()
+    dim = sup.merge(nat, left_on="s_nationkey", right_on="n_nationkey")[
+        ["s_suppkey", "n_name"]]
+
+    ds = _read(sf_dir, "lineitem", ["l_suppkey", "l_quantity"])
+    joined = broadcast_hash_join(ds, dim, on="l_suppkey",
+                                 small_on="s_suppkey")
+
+    def partial(b: pd.DataFrame) -> pa.Table:
+        q = b["l_quantity"].to_numpy().astype(np.int64)
+        t = pa.table({"n_name": pa.array(b["n_name"].to_numpy(), pa.string()),
+                      "sum_qty": pa.array(q, pa.int64()),
+                      "n_items": pa.array(np.ones(len(b), np.int64))})
+        g = t.group_by(["n_name"]).aggregate(
+            [("sum_qty", "sum"), ("n_items", "sum")])
+        return g.rename_columns(["n_name", "sum_qty", "n_items"])
+
+    partials = joined.map_batches(partial, batch_format="pandas")
+    return tree_aggregate(partials, ["n_name"],
+                          [("sum_qty", "sum"), ("n_items", "sum")])
+
+
+def q_star_join_sql() -> str:
+    return (
+        "SELECT n_name, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) "
+        "AS sum_qty, CAST(count(*) AS BIGINT) AS n_items "
+        "FROM lineitem JOIN supplier ON l_suppkey = s_suppkey "
+        "JOIN nation ON s_nationkey = n_nationkey GROUP BY n_name"
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -2572,6 +2618,7 @@ QUERIES = {
     "percentile_cont": q_percentile_cont,
     "throttle_dedup": q_throttle_dedup,
     "radius_join": q_radius_join,
+    "star_join": q_star_join,
     # rows-only (non-SQL-expressible)
     "flagship_tiles": q_flagship_tiles,
     "osmfilter_docs": q_osmfilter_docs,
@@ -2656,4 +2703,5 @@ ORACLE_SQL = {
     "percentile_cont": q_percentile_cont_sql(),
     "throttle_dedup": q_throttle_dedup_sql(),
     "radius_join": q_radius_join_sql(),
+    "star_join": q_star_join_sql(),
 }

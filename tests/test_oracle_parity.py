@@ -69,7 +69,7 @@ def test_entry_smoke(ray_session):
     "group_stats", "rollup_orders", "group_mode", "rank_events",
     "setsim_pairs", "box_join", "group_concat", "pagerank",
     "funnel", "props_extract", "percentile_cont", "throttle_dedup",
-    "radius_join",
+    "radius_join", "star_join",
 ])
 def test_sql_parity(name, entries):
     qs, oracles = entries
