@@ -24,7 +24,8 @@ Distributed shape (no per-group Python, no driver funnel):
     boundaries are finished by ONE rescue task over the per-block
     first/last-run rows, emitting only cross-block pairs — exactly the
     complement of the main pass;
- 3. candidates dedupe with a tiny (pair-count-bounded) groupby;
+ 3. candidates dedupe via a sort-based distributed DISTINCT
+    (:func:`distinct_pairs` — no per-group Python);
  4. two sort-based co-partition joins (:func:`.near_dup._copart_join`)
     attach both token-set blobs (Bloom-prefiltered second data pass)
     and compute exact Jaccard inline — output (doc_a, doc_b,
@@ -43,22 +44,34 @@ import pyarrow as pa
 from .bloom import BloomFilter
 from .near_dup import _blk_tag, _copart_join, _obj_cached
 
-_WORD_SPLIT = re.compile(r"[^a-z0-9]+")
+_WORD_RE = re.compile(r"[a-z0-9]+")
 
 
-def _word_hashes64(text: str) -> np.ndarray:
+def _word_hashes64(text: str, ngram_words: int = 1) -> np.ndarray:
     """Distinct sorted 64-bit hashes of the lowercased [a-z0-9]+ word
-    set — the tokenization a SQL oracle mirrors with
-    ``string_split_regex(lower(text), '[^a-z0-9]+')``."""
+    set (``ngram_words=1``) or its word-shingle set (n consecutive
+    words joined by one space) — a SQL oracle mirrors the former with
+    ``regexp_extract_all(lower(text), '[a-z0-9]+')`` and the latter
+    with the decontam-style ``array_to_string(arr[i:i+n-1], ' ')``
+    slice.  Shingles are the classic set-similarity tokenization: on
+    small-vocabulary corpora single words make every document look
+    like every other (the candidate count degenerates toward all
+    pairs), while shingles scale the effective vocabulary by the
+    context length."""
     import zlib
 
-    words = {w for w in _WORD_SPLIT.split(text.lower()) if w}
-    if not words:
+    words = _WORD_RE.findall(text.lower())
+    if ngram_words <= 1:
+        toks = set(words)
+    else:
+        toks = {" ".join(words[i:i + ngram_words])
+                for i in range(len(words) - ngram_words + 1)}
+    if not toks:
         return np.empty(0, np.int64)
     out = np.fromiter(
         (((zlib.crc32(b) << 32) | zlib.crc32(b, 0xA5A5A5A5)) & 0x7FFFFFFFFFFFFFFF
-         for b in (w.encode() for w in words)),
-        dtype=np.int64, count=len(words))
+         for b in (w.encode() for w in toks)),
+        dtype=np.int64, count=len(toks))
     return np.sort(out)
 
 
@@ -68,6 +81,37 @@ def _prefix_len(sizes: np.ndarray, tau: float) -> np.ndarray:
     only adds candidates, never loses a qualifying pair."""
     o_min = np.maximum(1, np.floor(tau * sizes).astype(np.int64))
     return sizes - o_min + 1
+
+
+def _batch_jaccard(a_blobs, b_blobs) -> np.ndarray:
+    """Exact Jaccard for a batch of (token-set blob, token-set blob)
+    pairs in one sort-based vectorized pass: (pair, token) rows from
+    both sides are lexsorted and adjacent duplicates counted per pair
+    (tokens are unique within a doc, so a duplicate means membership
+    in both).  Replaces ~20 µs-per-pair Python ``intersect1d`` with
+    C-speed sorting — the per-pair Python that remains is one
+    ``frombuffer`` view per blob.  The division is the same single
+    pinned float op the SQL oracle spells."""
+    n = len(a_blobs)
+    if n == 0:
+        return np.empty(0, np.float64)
+    avs = [np.frombuffer(x, np.int64) for x in a_blobs]
+    bvs = [np.frombuffer(x, np.int64) for x in b_blobs]
+    na = np.array([len(v) for v in avs], np.int64)
+    nb = np.array([len(v) for v in bvs], np.int64)
+    toks = np.concatenate([v for ab in zip(avs, bvs) for v in ab]) \
+        if int((na + nb).sum()) else np.empty(0, np.int64)
+    pair = np.repeat(np.arange(n), na + nb)
+    order = np.lexsort((toks, pair))
+    t, p = toks[order], pair[order]
+    dup = (t[1:] == t[:-1]) & (p[1:] == p[:-1])
+    inter = np.bincount(p[1:][dup], minlength=n).astype(np.int64)
+    union = na + nb - inter
+    with np.errstate(divide="ignore", invalid="ignore"):
+        jac = np.where(union > 0,
+                       inter.astype(np.float64) / union.astype(np.float64),
+                       1.0)
+    return jac
 
 
 def _run_pairs(tok: np.ndarray, doc: np.ndarray, size: np.ndarray,
@@ -100,7 +144,74 @@ def _run_pairs(tok: np.ndarray, doc: np.ndarray, size: np.ndarray,
                      "doc_b": pa.array(db, pa.int64())})
 
 
-def _df_ranks(ds, text_col: str):
+def distinct_pairs(cands):
+    """Distributed DISTINCT over (doc_a, doc_b) pair rows WITHOUT a
+    Ray ``groupby`` (whose sort-based Aggregate pays per-group Python —
+    ruinous at millions of mostly-singleton pair groups).  One
+    distributed sort on the packed pair key; each block emits its
+    strictly-interior values exactly once (equal values are contiguous
+    after the sort, so a value strictly between a block's first and
+    last values lives wholly inside that block) and routes first/last
+    values to a bounded boundary table (2 rows per block); ONE rescue
+    task re-adds each distinct boundary value once.  Requires doc ids
+    < 2^31 (packed int64 key).
+
+    Returns a Dataset of distinct (doc_a, doc_b) rows."""
+    import ray
+    import ray.data
+
+    def pack(b: pa.Table) -> pa.Table:
+        da = b["doc_a"].to_numpy(zero_copy_only=False)
+        db = b["doc_b"].to_numpy(zero_copy_only=False)
+        return pa.table({"pk": pa.array((da << np.int64(31)) | db,
+                                        pa.int64())})
+
+    srt = cands.map_batches(pack, batch_format="pyarrow").sort("pk") \
+        .materialize()
+
+    def interior(b: pa.Table) -> pa.Table:
+        pk = b["pk"].to_numpy(zero_copy_only=False)
+        if len(pk) == 0:
+            return pa.table({"pk": pa.array([], pa.int64()),
+                             "_bnd": pa.array([], pa.int8())})
+        u = np.unique(pk)
+        inner = u[(u != pk[0]) & (u != pk[-1])]
+        bnd = np.array([pk[0], pk[-1]], np.int64)
+        return pa.table({
+            "pk": pa.array(np.concatenate([inner, bnd]), pa.int64()),
+            "_bnd": pa.array(np.r_[np.zeros(len(inner), np.int8),
+                                   np.ones(2, np.int8)], pa.int8())})
+
+    marked = srt.map_batches(interior, batch_format="pyarrow",
+                             batch_size=None).materialize()
+    main = marked.filter(expr="_bnd == 0")
+    bnd_refs = [r for bundle in (marked.filter(expr="_bnd == 1")
+                                 .iter_internal_ref_bundles())
+                for r in bundle.block_refs]
+
+    @ray.remote
+    def rescue(refs):
+        tabs = [t for t in (ray.get(r) for r in refs) if t.num_rows]
+        if not tabs:
+            return pa.table({"pk": pa.array([], pa.int64()),
+                             "_bnd": pa.array([], pa.int8())})
+        vals = np.unique(np.concatenate(
+            [t["pk"].to_numpy(zero_copy_only=False) for t in tabs]))
+        return pa.table({"pk": pa.array(vals, pa.int64()),
+                         "_bnd": pa.array(np.ones(len(vals), np.int8),
+                                          pa.int8())})
+
+    def unpack(b: pa.Table) -> pa.Table:
+        pk = b["pk"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_a": pa.array(pk >> np.int64(31), pa.int64()),
+            "doc_b": pa.array(pk & np.int64((1 << 31) - 1), pa.int64())})
+
+    return (main.union(ray.data.from_arrow_refs([rescue.remote(bnd_refs)]))
+            .map_batches(unpack, batch_format="pyarrow"))
+
+
+def _df_ranks(ds, text_col: str, ngram_words: int = 1):
     """Global token ordering by (document frequency asc, hash asc) —
     the classic rarest-first prefix order (Vernica et al. phase 1).
     Distributed df aggregate (per-batch combine → token-key groupby);
@@ -109,7 +220,8 @@ def _df_ranks(ds, text_col: str):
     assumption of the published MapReduce formulation."""
 
     def tok_partials(batch: pa.Table) -> pa.Table:
-        toks = [_word_hashes64(t) for t in batch[text_col].to_pylist()]
+        toks = [_word_hashes64(t, ngram_words)
+                for t in batch[text_col].to_pylist()]
         flat = (np.concatenate(toks) if toks else np.empty(0, np.int64))
         u, c = np.unique(flat, return_counts=True)
         return pa.table({"tok": pa.array(u, pa.int64()),
@@ -128,7 +240,8 @@ def _df_ranks(ds, text_col: str):
 
 def setsim_join(ds, tau: float, id_col: str = "doc_id",
                 text_col: str = "text", freq_order: bool = False,
-                broadcast_sketch_limit: int = 1_000_000):
+                broadcast_sketch_limit: int = 1_000_000,
+                ngram_words: int = 1):
     """Exact τ-threshold word-set Jaccard self-join; returns a Dataset
     of (doc_a, doc_b, jac_micro) with doc_a < doc_b.
 
@@ -149,12 +262,13 @@ def setsim_join(ds, tau: float, id_col: str = "doc_id",
 
     rank_ref = None
     if freq_order:
-        sorted_tok, ranks = _df_ranks(ds, text_col)
+        sorted_tok, ranks = _df_ranks(ds, text_col, ngram_words)
         rank_ref = ray.put((sorted_tok, ranks))
 
     def prefix_rows(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_numpy(zero_copy_only=False)
-        toks = [_word_hashes64(t) for t in batch[text_col].to_pylist()]
+        toks = [_word_hashes64(t, ngram_words)
+                for t in batch[text_col].to_pylist()]
         if rank_ref is not None:
             sorted_tok, ranks = _obj_cached(rank_ref)
             # re-key each doc's tokens by global rank; sort ascending
@@ -203,8 +317,7 @@ def setsim_join(ds, tau: float, id_col: str = "doc_id",
     cands = cands_main
     if stitched.num_rows:
         cands = cands.union(ray.data.from_arrow(stitched))
-    cands = (cands.groupby(["doc_a", "doc_b"]).count()
-             .select_columns(["doc_a", "doc_b"])).materialize()
+    cands = distinct_pairs(cands).materialize()
     n_cands = cands.count()
     empty = ray.data.from_arrow(pa.table({
         "doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64()),
@@ -223,7 +336,7 @@ def setsim_join(ds, tau: float, id_col: str = "doc_id",
         ids = batch[id_col].to_numpy(zero_copy_only=False)
         keep = f.contains(ids)
         texts = batch[text_col].to_pylist()
-        blobs = [_word_hashes64(texts[i]).tobytes()
+        blobs = [_word_hashes64(texts[i], ngram_words).tobytes()
                  for i in np.flatnonzero(keep)]
         n = int(keep.sum())
         return pa.table({
@@ -248,13 +361,8 @@ def setsim_join(ds, tau: float, id_col: str = "doc_id",
             blobs = _obj_cached(blob_ref)
             da = b["doc_a"].to_numpy(zero_copy_only=False)
             db = b["doc_b"].to_numpy(zero_copy_only=False)
-            jac = np.empty(len(da), np.float64)
-            for i in range(len(da)):
-                a = np.frombuffer(blobs[da[i]], np.int64)
-                c = np.frombuffer(blobs[db[i]], np.int64)
-                inter = len(np.intersect1d(a, c, assume_unique=True))
-                union = len(a) + len(c) - inter
-                jac[i] = float(inter) / float(union) if union else 1.0
+            jac = _batch_jaccard([blobs[i] for i in da],
+                                 [blobs[i] for i in db])
             keep = jac >= tau
             return pa.table({
                 "doc_a": pa.array(da[keep], pa.int64()),
@@ -305,14 +413,7 @@ def setsim_join(ds, tau: float, id_col: str = "doc_id",
     def verify_finish(tb: pa.Table, res_e, res_g) -> pa.Table:
         a_blobs = _take(tb["sh"], res_g).to_pylist()
         b_blobs = _take(tb["sh"], res_e).to_pylist()
-        jac = np.empty(len(res_e), np.float64)
-        for i, (ab, bb) in enumerate(zip(a_blobs, b_blobs)):
-            a = np.frombuffer(ab, np.int64)
-            c = np.frombuffer(bb, np.int64)
-            inter = len(np.intersect1d(a, c, assume_unique=True))
-            union = len(a) + len(c) - inter
-            # pinned float op order (matches the SQL oracle): ONE division
-            jac[i] = float(inter) / float(union) if union else 1.0
+        jac = _batch_jaccard(a_blobs, b_blobs)
         keep = jac >= tau
         ke = np.asarray(res_e)[keep]
         micro = np.floor(jac[keep] * 1e6 + 0.5).astype(np.int64)
@@ -337,16 +438,28 @@ def setsim_join(ds, tau: float, id_col: str = "doc_id",
 
 
 def setsim_sql(table: str, tau: float, id_col: str = "doc_id",
-               text_col: str = "text") -> str:
-    """DuckDB oracle: exact pairwise word-set Jaccard ≥ τ (quadratic —
-    test-scale only), same tokenization and same pinned division."""
-    return f"""
-WITH tok AS (
+               text_col: str = "text", ngram_words: int = 1) -> str:
+    """DuckDB oracle: exact pairwise word-set (or word-shingle-set)
+    Jaccard ≥ τ (quadratic — test-scale only), same tokenization and
+    same pinned division."""
+    if ngram_words <= 1:
+        tok_cte = f"""
   SELECT DISTINCT {id_col} AS doc_id, t AS token FROM (
     SELECT {id_col}, unnest(string_split_regex(lower({text_col}),
                                                '[^a-z0-9]+')) AS t
     FROM {table})
-  WHERE t <> ''
+  WHERE t <> ''"""
+    else:
+        n = ngram_words
+        tok_cte = f"""
+  SELECT DISTINCT {id_col} AS doc_id,
+         array_to_string(arr[i:i+{n - 1}], ' ') AS token
+  FROM (SELECT {id_col}, regexp_extract_all(lower({text_col}),
+                                            '[a-z0-9]+') AS arr
+        FROM {table}),
+       UNNEST(range(1, len(arr) - {n - 2})) t(i)"""
+    return f"""
+WITH tok AS ({tok_cte}
 ), sz AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY 1),
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS o

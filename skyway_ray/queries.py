@@ -2016,6 +2016,61 @@ def q_rollup_orders_sql() -> str:
     )
 
 
+def q_cube_orders(sf_dir: str):
+    """GROUP BY CUBE(o_orderpriority, o_orderstatus): all four
+    grouping-set levels re-derived from the bounded leaf grid of
+    q_rollup_orders — still one pass over the data."""
+    from .stages.agg_tree import tree_aggregate
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table({"o_orderpriority": b["o_orderpriority"],
+                      "o_orderstatus": b["o_orderstatus"],
+                      "n_orders": pa.array(np.ones(b.num_rows, np.int64)),
+                      "min_key": b["o_orderkey"]})
+        g = t.group_by(["o_orderpriority", "o_orderstatus"]).aggregate(
+            [("n_orders", "sum"), ("min_key", "min")])
+        return g.rename_columns(
+            ["o_orderpriority", "o_orderstatus", "n_orders", "min_key"])
+
+    def cube(leaf: pa.Table) -> pa.Table:
+        if leaf.num_rows == 0:
+            return leaf
+        d = leaf.to_pandas()
+        outs = [d]
+        for keep_col, all_col in (("o_orderpriority", "o_orderstatus"),
+                                  ("o_orderstatus", "o_orderpriority")):
+            lv = (d.groupby(keep_col, as_index=False)
+                  .agg(n_orders=("n_orders", "sum"),
+                       min_key=("min_key", "min")))
+            lv[all_col] = "ALL"
+            outs.append(lv)
+        outs.append(pd.DataFrame({
+            "o_orderpriority": ["ALL"], "o_orderstatus": ["ALL"],
+            "n_orders": [d["n_orders"].sum()],
+            "min_key": [d["min_key"].min()]}))
+        out = pd.concat(outs, ignore_index=True)[
+            ["o_orderpriority", "o_orderstatus", "n_orders", "min_key"]]
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    ds = _read(sf_dir, "orders",
+               ["o_orderkey", "o_orderpriority", "o_orderstatus"])
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    leaf = tree_aggregate(partials, ["o_orderpriority", "o_orderstatus"],
+                          [("n_orders", "sum"), ("min_key", "min")])
+    return leaf.map_batches(cube, batch_format="pyarrow")
+
+
+def q_cube_orders_sql() -> str:
+    return (
+        "WITH leaf AS (SELECT o_orderpriority AS p, o_orderstatus AS s, "
+        "count(*) AS n, min(o_orderkey) AS mk FROM orders GROUP BY 1, 2) "
+        "SELECT COALESCE(p, 'ALL') AS o_orderpriority, "
+        "COALESCE(s, 'ALL') AS o_orderstatus, "
+        "CAST(sum(n) AS BIGINT) AS n_orders, min(mk) AS min_key "
+        "FROM leaf GROUP BY CUBE(p, s)"
+    )
+
+
 def q_group_mode(sf_dir: str):
     """Per-bucket MODE (most frequent event_type, ties broken
     lexicographically): per-batch count partials → combiner tree over
@@ -2113,21 +2168,25 @@ def q_rank_events_sql() -> str:
 
 
 def q_setsim_pairs(sf_dir: str):
-    """Exact set-similarity self-join (word-set Jaccard ≥ 0.9) over
-    documents via rarest-first prefix filtering (functions/setsim.py —
-    AllPairs/PPJoin family, Vernica et al. SIGMOD'10 distributed
-    shape).  Every qualifying pair is found exactly — LSH appears
-    nowhere — so the quadratic SQL oracle matches bit-for-bit."""
+    """Exact set-similarity self-join (word-3-shingle Jaccard ≥ 0.9)
+    over documents via rarest-first prefix filtering
+    (functions/setsim.py — AllPairs/PPJoin family, Vernica et al.
+    SIGMOD'10 distributed shape).  Every qualifying pair is found
+    exactly — LSH appears nowhere — so the quadratic SQL oracle
+    matches bit-for-bit.  Shingles (not single words) because the
+    fixture corpus has a ~31-word vocabulary: word-level similarity
+    is degenerate there (most pairs qualify), while shingle similarity
+    isolates the planted near-duplicates."""
     from .functions.setsim import setsim_join
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    return setsim_join(ds, tau=0.9, freq_order=True)
+    return setsim_join(ds, tau=0.9, freq_order=True, ngram_words=3)
 
 
 def q_setsim_pairs_sql() -> str:
     from .functions.setsim import setsim_sql
 
-    return setsim_sql("documents", 0.9)
+    return setsim_sql("documents", 0.9, ngram_words=3)
 
 
 def _event_boxes(b: pa.Table) -> pa.Table:
@@ -2548,6 +2607,56 @@ def q_star_join_sql() -> str:
     )
 
 
+def q_prep_pipeline(sf_dir: str):
+    """End-to-end training-data prep (the composition story): language
+    ID + quality filter → unbounded-key Bloom dedup on content
+    fingerprints → benchmark decontamination (broadcast 5-gram set) →
+    BPE-ish token counting, all streaming map stages — documents never
+    shuffle except the dup-rate-bounded dedup projection.  Returns the
+    surviving-doc manifest (doc_id, lang, n_tokens, n_bpe)."""
+    import pyarrow.parquet as pq
+    import ray
+
+    from .functions.text import (benchmark_overlap_counts,
+                                 bpe_token_count, fingerprint64,
+                                 guess_lang, ngram_strings,
+                                 quality_features)
+    from .stages.dedup import exact_dedup_bloom
+
+    bench_tab = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                              columns=["doc_id", "text"],
+                              filters=[("doc_id", "<", 10)])
+    bench_df = bench_tab.to_pandas()
+    bench = np.unique(ngram_strings(bench_df["text"],
+                                    bench_df["doc_id"].to_numpy(),
+                                    n=5)["g"].to_numpy().astype(str))
+    bench_ref = ray.put(bench)
+
+    def filter_stage(b: pd.DataFrame) -> pd.DataFrame:
+        qf = quality_features(b["text"])
+        lang = guess_lang(b["text"])
+        keep = ((lang != "und")
+                & (qf["n_chars"].to_numpy() >= 50)
+                & (qf["punct_ratio"].to_numpy() <= 0.2))
+        out = b.loc[keep, ["doc_id", "text"]].copy()
+        out["lang"] = lang[keep]
+        out["n_tokens"] = qf["n_tokens"].to_numpy()[keep]
+        out["fp"] = fingerprint64(out["text"])
+        return out
+
+    def decontam_tokenize(b: pd.DataFrame) -> pd.DataFrame:
+        hits = benchmark_overlap_counts(b, ray.get(bench_ref), n=5)
+        keep = ~b["doc_id"].isin(set(hits["doc_id"].tolist()))
+        out = b.loc[keep, ["doc_id", "lang", "n_tokens"]].copy()
+        out["n_bpe"] = bpe_token_count(b.loc[keep, "text"])
+        return out
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        filter_stage, batch_format="pandas")
+    ds = exact_dedup_bloom(ds, key="fp", order_col="doc_id")
+    return ds.map_batches(decontam_tokenize, batch_format="pandas")
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -2619,6 +2728,7 @@ QUERIES = {
     "throttle_dedup": q_throttle_dedup,
     "radius_join": q_radius_join,
     "star_join": q_star_join,
+    "cube_orders": q_cube_orders,
     # rows-only (non-SQL-expressible)
     "flagship_tiles": q_flagship_tiles,
     "osmfilter_docs": q_osmfilter_docs,
@@ -2631,6 +2741,7 @@ QUERIES = {
     "knn_images": q_knn_images,
     "image_features": q_image_features,
     "image_pyramid": q_image_pyramid,
+    "prep_pipeline": q_prep_pipeline,
     "hll_users": q_hll_users,
     "pq_ann": q_pq_ann,
     "hll_users_by_type": q_hll_users_by_type,
@@ -2704,4 +2815,5 @@ ORACLE_SQL = {
     "throttle_dedup": q_throttle_dedup_sql(),
     "radius_join": q_radius_join_sql(),
     "star_join": q_star_join_sql(),
+    "cube_orders": q_cube_orders_sql(),
 }

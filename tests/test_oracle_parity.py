@@ -69,7 +69,7 @@ def test_entry_smoke(ray_session):
     "group_stats", "rollup_orders", "group_mode", "rank_events",
     "setsim_pairs", "box_join", "group_concat", "pagerank",
     "funnel", "props_extract", "percentile_cont", "throttle_dedup",
-    "radius_join", "star_join",
+    "radius_join", "star_join", "cube_orders",
 ])
 def test_sql_parity(name, entries):
     qs, oracles = entries
@@ -91,7 +91,7 @@ def test_sql_parity(name, entries):
     "flagship_tiles", "osmfilter_docs", "exact_dedup_images",
     "minhash_dedup", "simhash", "langid", "fingerprint", "knn_images",
     "image_features", "hll_users", "pq_ann", "hll_users_by_type",
-    "bpe_merges", "image_pyramid",
+    "bpe_merges", "image_pyramid", "prep_pipeline",
 ])
 def test_rows_only_queries_run(name, entries):
     qs, _ = entries
