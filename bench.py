@@ -111,7 +111,8 @@ def run_bench() -> dict:
                      "rank_events", "setsim_pairs", "box_join",
                      "group_concat", "pagerank", "funnel",
                      "props_extract", "percentile_cont",
-                     "throttle_dedup", "radius_join", "star_join"):
+                     "throttle_dedup", "radius_join", "star_join",
+                     "cube_orders", "travel_dist", "embedding_stats"):
             best = float("inf")
             attempts = 0
             for _ in range(max(1, repeats)):

@@ -2657,6 +2657,102 @@ def q_prep_pipeline(sf_dir: str):
     return ds.map_batches(decontam_tokenize, batch_format="pandas")
 
 
+def q_travel_dist(sf_dir: str):
+    """Distance traveled per user over their event-point trajectory
+    (ordered by ts, event_id): per-step planar distances are computed
+    row-locally, micro-int-floored BEFORE summation, then integer-
+    summed — order-independent, so the distributed result matches the
+    SQL LAG window oracle bit-for-bit (float sums would not)."""
+    from .stages.scan import keyed_scan
+
+    def prep(b: pa.Table) -> pa.Table:
+        lat, lon = derive_latlon(b["event_id"].to_numpy(
+            zero_copy_only=False))
+        return pa.table({"user_id": b["user_id"],
+                         "t": b["ts"].cast(pa.int64()),
+                         "event_id": b["event_id"],
+                         "x": pa.array(lon), "y": pa.array(lat)})
+
+    def dist(d: pd.DataFrame) -> pd.DataFrame:
+        u = d["user_id"].to_numpy()
+        x = d["x"].to_numpy()
+        y = d["y"].to_numpy()
+        dx = np.empty(len(d)); dy = np.empty(len(d))
+        dx[0] = dy[0] = 0.0
+        dx[1:] = x[1:] - x[:-1]
+        dy[1:] = y[1:] - y[:-1]
+        first = np.r_[True, u[1:] != u[:-1]]
+        dx[first] = dy[first] = 0.0
+        step = np.floor(np.sqrt(dx * dx + dy * dy) * 1e6 + 0.5
+                        ).astype(np.int64)
+        out = pd.DataFrame({"user_id": u, "step": step})
+        return (out.groupby("user_id", sort=False, as_index=False)
+                .agg(total_micro=("step", "sum"),
+                     n_steps=("step", "size")))
+
+    ds = _read(sf_dir, "events",
+               ["event_id", "user_id", "ts"]).map_batches(
+        prep, batch_format="pyarrow")
+    return keyed_scan(ds, key="user_id", order=["t", "event_id"],
+                      fn=dist, n_buckets=32)
+
+
+def q_travel_dist_sql() -> str:
+    lat, lon = latlon_sql("event_id")
+    return (
+        f"WITH p AS (SELECT user_id, epoch_us(ts) AS t, event_id, "
+        f"{lon} AS x, {lat} AS y FROM events), "
+        "s AS (SELECT user_id, x - lag(x) OVER w AS dx, "
+        "y - lag(y) OVER w AS dy FROM p "
+        "WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)) "
+        "SELECT user_id, CAST(sum(CASE WHEN dx IS NULL THEN 0 ELSE "
+        "CAST(floor(sqrt(dx * dx + dy * dy) * 1000000 + 0.5) AS BIGINT) "
+        "END) AS BIGINT) AS total_micro, "
+        "CAST(count(*) AS BIGINT) AS n_steps FROM s GROUP BY user_id"
+    )
+
+
+def q_embedding_stats(sf_dir: str):
+    """Per-label stats over the list<float> embedding column: row-local
+    squared-norm quantized to micro-ints (order-free integer sums —
+    a float Σx² would be summation-order-dependent), aggregated on the
+    bounded-label combiner tree."""
+    from .stages.agg_tree import tree_aggregate
+
+    def partial(b: pa.Table) -> pa.Table:
+        emb = b["embedding"]
+        flat = emb.combine_chunks().flatten().to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        offs = np.asarray(emb.combine_chunks().offsets)
+        offs = offs - offs[0]  # flatten() trims to the referenced range
+        sq = np.floor(flat * flat * 1e6 + 0.5).astype(np.int64)
+        csum = np.concatenate([[0], np.cumsum(sq)])
+        norm2 = csum[offs[1:]] - csum[offs[:-1]]
+        t = pa.table({"label": b["label"].cast(pa.int64()),
+                      "norm2_micro": pa.array(norm2, pa.int64()),
+                      "n": pa.array(np.ones(len(norm2), np.int64))})
+        g = t.group_by(["label"]).aggregate(
+            [("norm2_micro", "sum"), ("n", "sum")])
+        return g.rename_columns(["label", "norm2_micro", "n"])
+
+    ds = _read(sf_dir, "embeddings", ["embedding", "label"])
+    return tree_aggregate(ds.map_batches(partial, batch_format="pyarrow"),
+                          ["label"],
+                          [("norm2_micro", "sum"), ("n", "sum")])
+
+
+def q_embedding_stats_sql() -> str:
+    return (
+        "SELECT CAST(label AS BIGINT) AS label, "
+        "CAST(sum(m) AS BIGINT) AS norm2_micro, "
+        "CAST(count(*) AS BIGINT) AS n FROM ("
+        "SELECT label, (SELECT sum(CAST(floor(CAST(e AS DOUBLE) * "
+        "CAST(e AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) "
+        "FROM unnest(embedding) AS u(e)) AS m FROM embeddings) "
+        "GROUP BY label"
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -2729,6 +2825,8 @@ QUERIES = {
     "radius_join": q_radius_join,
     "star_join": q_star_join,
     "cube_orders": q_cube_orders,
+    "travel_dist": q_travel_dist,
+    "embedding_stats": q_embedding_stats,
     # rows-only (non-SQL-expressible)
     "flagship_tiles": q_flagship_tiles,
     "osmfilter_docs": q_osmfilter_docs,
@@ -2816,4 +2914,6 @@ ORACLE_SQL = {
     "radius_join": q_radius_join_sql(),
     "star_join": q_star_join_sql(),
     "cube_orders": q_cube_orders_sql(),
+    "travel_dist": q_travel_dist_sql(),
+    "embedding_stats": q_embedding_stats_sql(),
 }

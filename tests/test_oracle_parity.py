@@ -69,7 +69,8 @@ def test_entry_smoke(ray_session):
     "group_stats", "rollup_orders", "group_mode", "rank_events",
     "setsim_pairs", "box_join", "group_concat", "pagerank",
     "funnel", "props_extract", "percentile_cont", "throttle_dedup",
-    "radius_join", "star_join", "cube_orders",
+    "radius_join", "star_join", "cube_orders", "travel_dist",
+    "embedding_stats",
 ])
 def test_sql_parity(name, entries):
     qs, oracles = entries
