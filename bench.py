@@ -112,7 +112,8 @@ def run_bench() -> dict:
                      "group_concat", "pagerank", "funnel",
                      "props_extract", "percentile_cont",
                      "throttle_dedup", "radius_join", "star_join",
-                     "cube_orders", "travel_dist", "embedding_stats"):
+                     "cube_orders", "travel_dist", "embedding_stats",
+                     "tile_pyramid"):
             best = float("inf")
             attempts = 0
             for _ in range(max(1, repeats)):

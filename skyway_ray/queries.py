@@ -2753,6 +2753,62 @@ def q_embedding_stats_sql() -> str:
     )
 
 
+def q_tile_pyramid(sf_dir: str):
+    """Tile-count pyramid (z12 → z10 → z8): ONE data pass aggregates
+    the z12 leaf, coarser zooms re-derive from the leaf table by
+    bit-shifting tile coords (web-mercator tiles nest exactly —
+    ``x@z-2 == x@z >> 2`` is bit-exact because the tile formula scales
+    one float by a power of two).  The SQL oracle computes each level
+    directly from the points; equality is the nesting proof."""
+    from .stages.agg_tree import tree_aggregate
+
+    def leaf(b: pa.Table) -> pa.Table:
+        lat, lon = derive_latlon(b["event_id"].to_numpy(
+            zero_copy_only=False))
+        x, y = tile_xy(lat, lon, 12)
+        t = pa.table({"tile_x": pa.array(x), "tile_y": pa.array(y),
+                      "n": pa.array(np.ones(len(x), np.int64))})
+        g = t.group_by(["tile_x", "tile_y"]).aggregate([("n", "sum")])
+        return g.rename_columns(["tile_x", "tile_y", "n"])
+
+    def pyramid(leaf_tab: pa.Table) -> pa.Table:
+        if leaf_tab.num_rows == 0:
+            return pa.table({"tile_z": pa.array([], pa.int64()),
+                             "tile_x": pa.array([], pa.int64()),
+                             "tile_y": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        d = leaf_tab.to_pandas()
+        outs = []
+        for z in (12, 10, 8):
+            shift = 12 - z
+            lv = d.copy()
+            lv["tile_x"] = lv["tile_x"].to_numpy() >> shift
+            lv["tile_y"] = lv["tile_y"].to_numpy() >> shift
+            lv = (lv.groupby(["tile_x", "tile_y"], as_index=False)
+                  .agg(n=("n", "sum")))
+            lv.insert(0, "tile_z", np.int64(z))
+            outs.append(lv)
+        return pa.Table.from_pandas(pd.concat(outs, ignore_index=True),
+                                    preserve_index=False)
+
+    ds = _read(sf_dir, "events", ["event_id"])
+    leaf_ds = tree_aggregate(ds.map_batches(leaf, batch_format="pyarrow"),
+                             ["tile_x", "tile_y"], [("n", "sum")])
+    return leaf_ds.map_batches(pyramid, batch_format="pyarrow")
+
+
+def q_tile_pyramid_sql() -> str:
+    lat, lon = latlon_sql("event_id")
+    parts = []
+    for z in (12, 10, 8):
+        x, y = tile_sql(lat, lon, z)
+        parts.append(
+            f"SELECT CAST({z} AS BIGINT) AS tile_z, {x} AS tile_x, "
+            f"{y} AS tile_y, CAST(count(*) AS BIGINT) AS n "
+            f"FROM events GROUP BY 2, 3")
+    return " UNION ALL ".join(parts)
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -2827,6 +2883,7 @@ QUERIES = {
     "cube_orders": q_cube_orders,
     "travel_dist": q_travel_dist,
     "embedding_stats": q_embedding_stats,
+    "tile_pyramid": q_tile_pyramid,
     # rows-only (non-SQL-expressible)
     "flagship_tiles": q_flagship_tiles,
     "osmfilter_docs": q_osmfilter_docs,
@@ -2916,4 +2973,5 @@ ORACLE_SQL = {
     "cube_orders": q_cube_orders_sql(),
     "travel_dist": q_travel_dist_sql(),
     "embedding_stats": q_embedding_stats_sql(),
+    "tile_pyramid": q_tile_pyramid_sql(),
 }

@@ -957,3 +957,65 @@ class TestPointRadiusJoin:
         want = sorted((a[0], b[0]) for a in A for b in B
                       if (a[1]-b[1])**2 + (a[2]-b[2])**2 <= 81.0)
         assert got == want and len(got) > 0
+
+
+class TestSpatialJoinEdges:
+    def test_empty_sides(self, ray_session):
+        import ray.data
+
+        from skyway_ray.stages.spatial_join import (box_overlap_join,
+                                                    point_radius_join)
+
+        empty_box = ray.data.from_arrow(pa.table(
+            {"id": pa.array([], pa.int64()),
+             "xmin": pa.array([], pa.float64()),
+             "ymin": pa.array([], pa.float64()),
+             "xmax": pa.array([], pa.float64()),
+             "ymax": pa.array([], pa.float64())}))
+        one_box = ray.data.from_arrow(pa.table(
+            {"id": [1], "xmin": [0.0], "ymin": [0.0],
+             "xmax": [1.0], "ymax": [1.0]}))
+        assert len(box_overlap_join(one_box, empty_box).to_pandas()) == 0
+        assert len(box_overlap_join(empty_box, one_box).to_pandas()) == 0
+
+        empty_pt = ray.data.from_arrow(pa.table(
+            {"id": pa.array([], pa.int64()),
+             "x": pa.array([], pa.float64()),
+             "y": pa.array([], pa.float64())}))
+        one_pt = ray.data.from_arrow(pa.table(
+            {"id": [1], "x": [0.0], "y": [0.0]}))
+        assert len(point_radius_join(one_pt, empty_pt, 1.0).to_pandas()) == 0
+        assert len(point_radius_join(empty_pt, one_pt, 1.0).to_pandas()) == 0
+
+    def test_antimeridian_adjacent_extremes(self, ray_session):
+        """Boxes at the domain edges (x near ±180, y near ±90) join
+        correctly — negative grid cells encode consistently."""
+        import ray.data
+
+        from skyway_ray.stages.spatial_join import box_overlap_join
+
+        a = ray.data.from_arrow(pa.table(
+            {"id": [1, 2], "xmin": [-183.0, 175.0], "ymin": [-89.0, 85.0],
+             "xmax": [-175.0, 183.0], "ymax": [-85.0, 89.0]}))
+        b = ray.data.from_arrow(pa.table(
+            {"id": [10, 20], "xmin": [-180.0, 179.0], "ymin": [-88.0, 86.0],
+             "xmax": [-176.0, 184.0], "ymax": [-86.0, 88.0]}))
+        df = box_overlap_join(a, b).to_pandas()
+        assert sorted(zip(df.id_a, df.id_b)) == [(1, 10), (2, 20)]
+
+
+class TestMomentsEdges:
+    def test_constant_column_zero_variance(self, ray_session):
+        """dx = 0 -> corr defined as 0, stddev 0 (no div-by-zero)."""
+        import ray.data
+
+        from skyway_ray.stages.moments import grouped_moments
+
+        t = pa.table({"g": ["a"] * 50, "x": [7] * 50,
+                      "y": list(range(50))})
+        out = grouped_moments(
+            ray.data.from_arrow(t).repartition(4), "g", "x", "y"
+        ).to_pandas()
+        assert out["corr_micro"].tolist() == [0]
+        assert out["sdx_micro"].tolist() == [0]
+        assert out["n"].tolist() == [50]

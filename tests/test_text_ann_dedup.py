@@ -765,3 +765,24 @@ def test_setsim_join_partition_invariant_and_exact(ray_session):
     # verify path both produce the identical pair set
     assert p3 == pairs(5, freq_order=True)
     assert p3 == pairs(5, broadcast_sketch_limit=0)
+
+
+def test_distinct_pairs_exact_under_hostile_partitioning(ray_session):
+    """The sort-based pair DISTINCT emits every distinct pair exactly
+    once even when a value's run spans several blocks (whole blocks of
+    one repeated pair) or a block holds a single value."""
+    import ray.data
+
+    from skyway_ray.functions.setsim import distinct_pairs
+
+    rng = np.random.default_rng(5)
+    # heavy duplication: few distinct pairs, many copies
+    da = rng.integers(0, 12, 5000).astype(np.int64)
+    db = rng.integers(0, 12, 5000).astype(np.int64) + 100
+    tab = pa.table({"doc_a": da, "doc_b": db})
+    want = sorted(set(zip(da, db)))
+    for nparts in (1, 3, 17):
+        df = distinct_pairs(
+            ray.data.from_arrow(tab).repartition(nparts)).to_pandas()
+        got = sorted(zip(df.doc_a, df.doc_b))
+        assert got == want, nparts
