@@ -2809,6 +2809,57 @@ def q_tile_pyramid_sql() -> str:
     return " UNION ALL ".join(parts)
 
 
+def q_kmeans(sf_dir: str):
+    """2-iteration k-means (k=4) over the embeddings in exact
+    micro-int arithmetic (stages/kmeans.py): centroids broadcast, one
+    streaming partial-sum pass per iteration, pinned-double centroid
+    division — bit-identical to the unrolled SQL oracle."""
+    from .stages.kmeans import kmeans_micro
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return kmeans_micro(ds, k=4, iters=2)
+
+
+def q_kmeans_sql() -> str:
+    def assign(cents: str, name: str) -> str:
+        return (
+            f"{name} AS (SELECT vec_id, cl FROM ("
+            f"SELECT v.vec_id, c.cl, row_number() OVER ("
+            f"PARTITION BY v.vec_id ORDER BY "
+            f"sum((v.x - c.c) * (v.x - c.c)), c.cl) AS rn "
+            f"FROM v JOIN {cents} c ON c.dim = v.dim "
+            f"GROUP BY v.vec_id, c.cl) WHERE rn = 1)"
+        )
+
+    def update(assign_name: str, prev: str, name: str) -> str:
+        return (
+            f"{name} AS (SELECT p.cl, p.dim, COALESCE(u.nc, p.c) AS c "
+            f"FROM {prev} p LEFT JOIN ("
+            f"SELECT a.cl, v.dim, CAST(floor(CAST(sum(v.x) AS DOUBLE) "
+            f"/ CAST(count(*) AS DOUBLE)) AS BIGINT) AS nc "
+            f"FROM {assign_name} a JOIN v ON v.vec_id = a.vec_id "
+            f"GROUP BY a.cl, v.dim) u "
+            f"ON u.cl = p.cl AND u.dim = p.dim)"
+        )
+
+    return (
+        "WITH v AS (SELECT vec_id, i - 1 AS dim, "
+        "CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000 + 0.5) "
+        "AS BIGINT) AS x FROM embeddings, "
+        "UNNEST(range(1, len(embedding) + 1)) t(i)), "
+        "c0 AS (SELECT vec_id AS cl, dim, x AS c FROM v WHERE vec_id < 4), "
+        f"{assign('c0', 'a1')}, "
+        f"{update('a1', 'c0', 'c1')}, "
+        f"{assign('c1', 'a2')}, "
+        f"{update('a2', 'c1', 'c2')} "
+        "SELECT cs.cl AS cluster, COALESCE(n.n, 0) AS n, cs.csum "
+        "AS centroid_sum FROM "
+        "(SELECT cl, CAST(sum(c) AS BIGINT) AS csum FROM c2 GROUP BY cl) cs "
+        "LEFT JOIN (SELECT cl, CAST(count(*) AS BIGINT) AS n FROM a2 "
+        "GROUP BY cl) n ON n.cl = cs.cl"
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -2884,6 +2935,7 @@ QUERIES = {
     "travel_dist": q_travel_dist,
     "embedding_stats": q_embedding_stats,
     "tile_pyramid": q_tile_pyramid,
+    "kmeans": q_kmeans,
     # rows-only (non-SQL-expressible)
     "flagship_tiles": q_flagship_tiles,
     "osmfilter_docs": q_osmfilter_docs,
@@ -2974,4 +3026,5 @@ ORACLE_SQL = {
     "travel_dist": q_travel_dist_sql(),
     "embedding_stats": q_embedding_stats_sql(),
     "tile_pyramid": q_tile_pyramid_sql(),
+    "kmeans": q_kmeans_sql(),
 }

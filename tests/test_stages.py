@@ -1019,3 +1019,40 @@ class TestMomentsEdges:
         assert out["corr_micro"].tolist() == [0]
         assert out["sdx_micro"].tolist() == [0]
         assert out["n"].tolist() == [50]
+
+
+class TestKmeansMicro:
+    def test_planted_clusters_partition_invariant(self, ray_session):
+        """Well-separated planted clusters are recovered exactly and
+        the result is identical across input partitionings (integer
+        arithmetic end to end)."""
+        import ray.data
+
+        from skyway_ray.stages.kmeans import kmeans_micro
+
+        rng = np.random.default_rng(9)
+        centers = np.eye(4, 8) * 10.0
+        vecs, ids = [], []
+        # ids 0..3 are one point of each cluster (the deterministic init)
+        for j in range(4):
+            vecs.append(centers[j] + 0.05 * rng.standard_normal(8))
+            ids.append(j)
+        for i in range(4, 200):
+            j = i % 4
+            vecs.append(centers[j] + 0.05 * rng.standard_normal(8))
+            ids.append(i)
+        tab = pa.table({
+            "vec_id": np.asarray(ids, np.int64),
+            "embedding": pa.array([list(map(float, v)) for v in vecs],
+                                  pa.list_(pa.float32()))})
+
+        def run(nparts):
+            out = kmeans_micro(
+                ray.data.from_arrow(tab).repartition(nparts),
+                k=4, iters=2).to_pandas().sort_values("cluster")
+            return out
+
+        a, b = run(2), run(7)
+        assert a["n"].tolist() == [50, 50, 50, 50]
+        assert a["n"].tolist() == b["n"].tolist()
+        assert a["centroid_sum"].tolist() == b["centroid_sum"].tolist()
