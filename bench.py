@@ -113,7 +113,8 @@ def run_bench() -> dict:
                      "props_extract", "percentile_cont",
                      "throttle_dedup", "radius_join", "star_join",
                      "cube_orders", "travel_dist", "embedding_stats",
-                     "tile_pyramid", "kmeans"):
+                     "tile_pyramid", "kmeans", "upsert_merge",
+                     "nb_features"):
             best = float("inf")
             attempts = 0
             for _ in range(max(1, repeats)):

@@ -2860,6 +2860,86 @@ def q_kmeans_sql() -> str:
     )
 
 
+def q_upsert_merge(sf_dir: str):
+    """Changelog (CDC) merge: base = even events, updates = odd events
+    keyed by ``user_id % 500``; latest wins by (ts, event_id).  The
+    keyed_scan bucket shape with a vectorized LAST-of-run mask — the
+    symmetric twin of throttle_dedup's first-of-run."""
+    from .stages.scan import keyed_scan
+
+    def prep(b: pa.Table) -> pa.Table:
+        u = b["user_id"].to_numpy(zero_copy_only=False)
+        return pa.table({"k": pa.array(u % 500, pa.int64()),
+                         "t": b["ts"].cast(pa.int64()),
+                         "event_id": b["event_id"],
+                         "value": b["value"]})
+
+    def last(d: pd.DataFrame) -> pd.DataFrame:
+        k = d["k"].to_numpy()
+        mask = np.r_[k[1:] != k[:-1], True]
+        out = d.loc[mask, ["k", "event_id", "value"]].copy()
+        return out.rename(columns={"k": "merge_key",
+                                   "event_id": "latest_event"})
+
+    ds = _read(sf_dir, "events",
+               ["event_id", "user_id", "ts", "value"]).map_batches(
+        prep, batch_format="pyarrow")
+    return keyed_scan(ds, key="k", order=["t", "event_id"], fn=last,
+                      n_buckets=32)
+
+
+def q_upsert_merge_sql() -> str:
+    return (
+        "WITH e AS (SELECT user_id % 500 AS merge_key, epoch_us(ts) AS t, "
+        "event_id, value FROM events) "
+        "SELECT merge_key, event_id AS latest_event, value FROM e "
+        "QUALIFY row_number() OVER (PARTITION BY merge_key "
+        "ORDER BY t DESC, event_id DESC) = 1"
+    )
+
+
+def q_nb_features(sf_dir: str):
+    """Naive-Bayes-style model training over documents: per-language
+    word counts (the likelihood table) reduced to each language's
+    top-5 tokens by (count DESC, token ASC).  Per-batch wordcount
+    combine → one (lang, token) shuffle → per-group pre-reduced top-k
+    (the stages/topk.py grouped shape)."""
+    import re as _re
+
+    def partial(b: pd.DataFrame) -> pa.Table:
+        langs, toks = [], []
+        for lang, text in zip(b["lang"], b["text"]):
+            ws = _re.findall(r"[a-z0-9]+", text.lower())
+            langs.extend([lang] * len(ws))
+            toks.extend(ws)
+        t = pa.table({"lang": pa.array(langs, pa.string()),
+                      "token": pa.array(toks, pa.string()),
+                      "n": pa.array(np.ones(len(toks), np.int64))})
+        g = t.group_by(["lang", "token"]).aggregate([("n", "sum")])
+        return g.rename_columns(["lang", "token", "n"])
+
+    def top5(g: pd.DataFrame) -> pd.DataFrame:
+        d = (g.groupby(["lang", "token"], as_index=False)["n"].sum()
+             .sort_values(["n", "token"], ascending=[False, True],
+                          kind="mergesort").head(5))
+        return d
+
+    ds = _read(sf_dir, "documents", ["lang", "text"]).map_batches(
+        partial, batch_format="pandas")
+    return ds.groupby("lang").map_groups(top5, batch_format="pandas")
+
+
+def q_nb_features_sql() -> str:
+    return (
+        "WITH w AS (SELECT lang, unnest(regexp_extract_all(lower(text), "
+        "'[a-z0-9]+')) AS token FROM documents), "
+        "c AS (SELECT lang, token, count(*) AS n FROM w GROUP BY 1, 2), "
+        "r AS (SELECT lang, token, CAST(n AS BIGINT) AS n, row_number() "
+        "OVER (PARTITION BY lang ORDER BY n DESC, token) AS rn FROM c) "
+        "SELECT lang, token, n FROM r WHERE rn <= 5"
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -2936,6 +3016,8 @@ QUERIES = {
     "embedding_stats": q_embedding_stats,
     "tile_pyramid": q_tile_pyramid,
     "kmeans": q_kmeans,
+    "upsert_merge": q_upsert_merge,
+    "nb_features": q_nb_features,
     # rows-only (non-SQL-expressible)
     "flagship_tiles": q_flagship_tiles,
     "osmfilter_docs": q_osmfilter_docs,
@@ -3027,4 +3109,6 @@ ORACLE_SQL = {
     "embedding_stats": q_embedding_stats_sql(),
     "tile_pyramid": q_tile_pyramid_sql(),
     "kmeans": q_kmeans_sql(),
+    "upsert_merge": q_upsert_merge_sql(),
+    "nb_features": q_nb_features_sql(),
 }

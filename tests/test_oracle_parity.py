@@ -70,7 +70,8 @@ def test_entry_smoke(ray_session):
     "setsim_pairs", "box_join", "group_concat", "pagerank",
     "funnel", "props_extract", "percentile_cont", "throttle_dedup",
     "radius_join", "star_join", "cube_orders", "travel_dist",
-    "embedding_stats", "tile_pyramid", "kmeans",
+    "embedding_stats", "tile_pyramid", "kmeans", "upsert_merge",
+    "nb_features",
 ])
 def test_sql_parity(name, entries):
     qs, oracles = entries
