@@ -252,3 +252,19 @@ def learn_bpe_merges(words: np.ndarray, counts: np.ndarray,
                     i += 1
             vocab[w] = (out, c)
     return merges
+
+
+def compression_ratio(texts: pd.Series, level: int = 6) -> np.ndarray:
+    """Per-document zlib compression ratio (compressed/raw bytes) as a
+    redundancy/entropy proxy — the classic cheap quality signal for
+    training-data filtering (highly repetitive boilerplate compresses
+    far below ~0.4; high-entropy noise sits near 1.0).  Deterministic
+    for a fixed level; 1.0 for empty docs.  Not SQL-expressible —
+    rows-only in the driver check."""
+    import zlib
+
+    out = np.empty(len(texts), np.float64)
+    for i, t in enumerate(pd.Series(texts).fillna("")):
+        raw = t.encode()
+        out[i] = len(zlib.compress(raw, level)) / len(raw) if raw else 1.0
+    return out

@@ -2940,6 +2940,24 @@ def q_nb_features_sql() -> str:
     )
 
 
+def q_compress_ratio(sf_dir: str):
+    """Per-document zlib compression ratio (redundancy/entropy proxy
+    for quality filtering) — vector stage over the documents stream;
+    zlib output is deterministic at a fixed level but not
+    SQL-expressible, so this is a rows-only entry (determinism is
+    unit-tested instead)."""
+    from .functions.text import compression_ratio
+
+    def score(b: pd.DataFrame) -> pd.DataFrame:
+        r = compression_ratio(b["text"])
+        return pd.DataFrame({
+            "doc_id": b["doc_id"].to_numpy(),
+            "ratio_micro": np.floor(r * 1e6 + 0.5).astype(np.int64)})
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        score, batch_format="pandas")
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -3031,6 +3049,7 @@ QUERIES = {
     "image_features": q_image_features,
     "image_pyramid": q_image_pyramid,
     "prep_pipeline": q_prep_pipeline,
+    "compress_ratio": q_compress_ratio,
     "hll_users": q_hll_users,
     "pq_ann": q_pq_ann,
     "hll_users_by_type": q_hll_users_by_type,

@@ -786,3 +786,19 @@ def test_distinct_pairs_exact_under_hostile_partitioning(ray_session):
             ray.data.from_arrow(tab).repartition(nparts)).to_pandas()
         got = sorted(zip(df.doc_a, df.doc_b))
         assert got == want, nparts
+
+
+def test_compression_ratio_signal():
+    """Repetitive text compresses far below high-entropy text; the
+    ratio is deterministic and 1.0 for empty docs."""
+    import numpy.random as npr
+
+    from skyway_ray.functions.text import compression_ratio
+
+    rng = np.random.default_rng(2)
+    noise = "".join(chr(rng.integers(33, 126)) for _ in range(2000))
+    s = pd.Series(["spam " * 400, noise, ""])
+    r = compression_ratio(s)
+    assert r[0] < 0.05 < 0.5 < r[1] <= 1.1
+    assert r[2] == 1.0
+    assert (compression_ratio(s) == r).all()
