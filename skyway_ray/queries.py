@@ -2958,6 +2958,44 @@ def q_compress_ratio(sf_dir: str):
         score, batch_format="pandas")
 
 
+def q_mad(sf_dir: str):
+    """Median absolute deviation of l_extendedprice — two composed
+    exact order-statistic passes (stages/quantiles.py::select_ranks):
+    the median from pass one parameterizes a derived |x - m| column
+    for pass two; neither pass sorts or materializes the data.  The
+    absolute-difference derivation is one exact float subtraction, so
+    the SQL oracle matches bit-for-bit."""
+    from .stages.quantiles import select_ranks
+
+    ds = _read(sf_dir, "lineitem", ["l_extendedprice"])
+    n = ds.count()
+    r = (n - 1) // 2
+    med = select_ranks(ds, "l_extendedprice", [r])[r]
+
+    def deviate(b: pa.Table, m=med) -> pa.Table:
+        x = b["l_extendedprice"].to_numpy(zero_copy_only=False)
+        return pa.table({"dev": pa.array(np.abs(x - m))})
+
+    dev = ds.map_batches(deviate, batch_format="pyarrow")
+    mad = select_ranks(dev, "dev", [r])[r]
+    return pd.DataFrame({"median": [float(med)], "mad": [float(mad)]})
+
+
+def q_mad_sql() -> str:
+    return (
+        "WITH s AS (SELECT l_extendedprice AS v, row_number() OVER ("
+        "ORDER BY l_extendedprice) - 1 AS r, count(*) OVER () AS n "
+        "FROM lineitem), "
+        "m AS (SELECT v FROM s WHERE r = (n - 1) // 2), "
+        "d AS (SELECT abs(l_extendedprice - (SELECT v FROM m)) AS dv "
+        "FROM lineitem), "
+        "t AS (SELECT dv, row_number() OVER (ORDER BY dv) - 1 AS r, "
+        "count(*) OVER () AS n FROM d) "
+        "SELECT (SELECT v FROM m) AS median, dv AS mad FROM t "
+        "WHERE r = (n - 1) // 2"
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -3036,6 +3074,7 @@ QUERIES = {
     "kmeans": q_kmeans,
     "upsert_merge": q_upsert_merge,
     "nb_features": q_nb_features,
+    "mad": q_mad,
     # rows-only (non-SQL-expressible)
     "flagship_tiles": q_flagship_tiles,
     "osmfilter_docs": q_osmfilter_docs,
@@ -3130,4 +3169,5 @@ ORACLE_SQL = {
     "kmeans": q_kmeans_sql(),
     "upsert_merge": q_upsert_merge_sql(),
     "nb_features": q_nb_features_sql(),
+    "mad": q_mad_sql(),
 }
