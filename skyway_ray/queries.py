@@ -2996,6 +2996,54 @@ def q_mad_sql() -> str:
     )
 
 
+def q_sliding_distinct(sf_dir: str):
+    """Sliding-window COUNT(DISTINCT user): 1 h windows every 15 min —
+    the window explode (np.repeat inside map_batches, with a LOCAL
+    (window, user) pair dedup so the shuffle carries distinct pairs,
+    not 4× rows) composed with the unbounded-pair-key distinct
+    machinery (stages/agg_tree.py::grouped_count_distinct shape)."""
+    from .stages.agg_tree import grouped_count
+
+    STEP_US = 900_000_000
+    NSUB = 4
+
+    def expand_pairs(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        u = batch["user_id"].to_numpy(zero_copy_only=False)
+        slot = ts // STEP_US
+        wins = (np.repeat(slot, NSUB)
+                - np.tile(np.arange(NSUB, dtype=np.int64), len(slot)))
+        t = pa.table({"win_slot": pa.array(wins, pa.int64()),
+                      "user_id": pa.array(np.repeat(u, NSUB), pa.int64())})
+        return t.group_by(["win_slot", "user_id"]).aggregate([])
+
+    pairs = _read(sf_dir, "events", ["ts", "user_id"]).map_batches(
+        expand_pairs, batch_format="pyarrow")
+    uniq = (pairs.groupby(["win_slot", "user_id"]).count()
+            .map_batches(lambda b: b.select(["win_slot", "user_id"]),
+                         batch_format="pyarrow"))
+    out = grouped_count(uniq, ["win_slot"], out_col="n_users")
+
+    def finish(b: pa.Table) -> pa.Table:
+        slots = b["win_slot"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "win_start_us": pa.array(slots * 900_000_000, pa.int64()),
+            "n_users": b["n_users"]})
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+def q_sliding_distinct_sql() -> str:
+    return (
+        "WITH e AS (SELECT epoch_us(ts) AS t, user_id FROM events), "
+        "j AS (SELECT unnest(range(4)) AS j), "
+        "w AS (SELECT ((t // 900000000) - j) * 900000000 AS win_start_us, "
+        "user_id FROM e CROSS JOIN j) "
+        "SELECT win_start_us, CAST(count(DISTINCT user_id) AS BIGINT) "
+        "AS n_users FROM w GROUP BY 1"
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -3075,6 +3123,7 @@ QUERIES = {
     "upsert_merge": q_upsert_merge,
     "nb_features": q_nb_features,
     "mad": q_mad,
+    "sliding_distinct": q_sliding_distinct,
     # rows-only (non-SQL-expressible)
     "flagship_tiles": q_flagship_tiles,
     "osmfilter_docs": q_osmfilter_docs,
@@ -3170,4 +3219,5 @@ ORACLE_SQL = {
     "upsert_merge": q_upsert_merge_sql(),
     "nb_features": q_nb_features_sql(),
     "mad": q_mad_sql(),
+    "sliding_distinct": q_sliding_distinct_sql(),
 }
