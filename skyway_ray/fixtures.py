@@ -280,6 +280,38 @@ def ensure_boundaries_parquet(n_regions: int = 50) -> str:
     return _atomic_write(make_boundaries(n_regions), dest)
 
 
+def make_audio(n: int, sr: int = 16_000, dur_s: float = 0.25):
+    """Deterministic PCM-WAV clips (seeded sine + noise mixes; varying
+    frequency/amplitude/channels) — seed 42, no wall clock."""
+    import pyarrow as pa
+
+    from .functions.audio_codec import encode_wav
+
+    rng = np.random.default_rng(42)
+    ids, blobs = [], []
+    t = np.arange(int(sr * dur_s)) / sr
+    for i in range(n):
+        freq = 110.0 * (1 + (i % 17))
+        amp = 0.1 + 0.8 * ((i % 7) / 7.0)
+        ch = 1 + (i % 2)
+        wave = amp * np.sin(2 * np.pi * freq * t) \
+            + 0.02 * rng.standard_normal(len(t))
+        s = np.clip(wave * 32767, -32768, 32767).astype(np.int16)
+        s = np.stack([s] * ch, axis=1)
+        ids.append(i)
+        blobs.append(encode_wav(s, sr))
+    return pa.table({"audio_id": pa.array(ids, pa.int64()),
+                     "bytes": pa.array(blobs, pa.binary()),
+                     "fmt": pa.array(["wav"] * n, pa.string())})
+
+
+def ensure_audio_parquet(n: int = 200) -> str:
+    dest = os.path.join(FIXTURE_DIR, f"audio_{n}.parquet")
+    if os.path.exists(dest):
+        return dest
+    return _atomic_write(make_audio(n), dest)
+
+
 def ensure_osm_elements_parquet(scale: str = "correctness") -> str:
     n = SCALES[scale]
     dest = os.path.join(FIXTURE_DIR, f"osm_elements_{scale}.parquet")

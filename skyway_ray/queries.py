@@ -3044,6 +3044,26 @@ def q_sliding_distinct_sql() -> str:
     )
 
 
+def q_audio_features(sf_dir: str):
+    """Audio decode → duration/RMS/peak/channels over the deterministic
+    PCM-WAV fixture (stages/multimodal.py::AudioFeatures — the REAL
+    pure-struct WAV codec; compressed formats are documented stubs).
+    Actor pool, blobs never reach the driver; rows-only (no SQL can
+    decode WAV) — decode correctness is unit-tested against the
+    generating parameters instead."""
+    import ray
+    import ray.data
+
+    from .fixtures import ensure_audio_parquet
+    from .stages.multimodal import AudioFeatures
+
+    path = ensure_audio_parquet(200)
+    ds = ray.data.read_parquet(path, columns=["audio_id", "bytes"])
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    return ds.map_batches(AudioFeatures, batch_format="pyarrow",
+                          batch_size=64, concurrency=max(2, cpus // 8))
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -3138,6 +3158,7 @@ QUERIES = {
     "image_pyramid": q_image_pyramid,
     "prep_pipeline": q_prep_pipeline,
     "compress_ratio": q_compress_ratio,
+    "audio_features": q_audio_features,
     "hll_users": q_hll_users,
     "pq_ann": q_pq_ann,
     "hll_users_by_type": q_hll_users_by_type,

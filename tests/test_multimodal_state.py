@@ -194,3 +194,20 @@ class TestImagePyramid:
         a = out.sort_values(["image_id", "level"]).reset_index(drop=True)
         b = out2.sort_values(["image_id", "level"]).reset_index(drop=True)
         assert (a["thumb"] == b["thumb"]).all()
+
+
+class TestAudioFixtureQuery:
+    def test_features_match_generating_params(self, ray_session):
+        """The audio_features query decodes the deterministic WAV
+        fixture; durations and channel counts equal the generator's
+        parameters, and amplitude ordering follows the planted amps."""
+        from skyway_ray.queries import QUERIES
+
+        out = QUERIES["audio_features"]("/root/testdata/sf0.001")
+        df = out.to_pandas().sort_values("audio_id").reset_index(drop=True)
+        assert len(df) == 200
+        assert np.allclose(df["duration_sec"], 0.25)
+        assert (df["channels"].to_numpy() == 1 + (np.arange(200) % 2)).all()
+        # peak tracks the planted amplitude ladder (i % 7)
+        amp = 0.1 + 0.8 * ((np.arange(200) % 7) / 7.0)
+        assert (np.corrcoef(df["peak"], amp)[0, 1]) > 0.99

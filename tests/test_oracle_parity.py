@@ -94,6 +94,7 @@ def test_sql_parity(name, entries):
     "minhash_dedup", "simhash", "langid", "fingerprint", "knn_images",
     "image_features", "hll_users", "pq_ann", "hll_users_by_type",
     "bpe_merges", "image_pyramid", "prep_pipeline", "compress_ratio",
+    "audio_features",
 ])
 def test_rows_only_queries_run(name, entries):
     qs, _ = entries
