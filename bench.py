@@ -114,7 +114,8 @@ def run_bench() -> dict:
                      "throttle_dedup", "radius_join", "star_join",
                      "cube_orders", "travel_dist", "embedding_stats",
                      "tile_pyramid", "kmeans", "upsert_merge",
-                     "nb_features", "mad", "sliding_distinct"):
+                     "nb_features", "mad", "sliding_distinct",
+                     "equidepth_hist"):
             best = float("inf")
             attempts = 0
             for _ in range(max(1, repeats)):

@@ -3064,6 +3064,50 @@ def q_audio_features(sf_dir: str):
                           batch_size=64, concurrency=max(2, cpus // 8))
 
 
+def q_equidepth_hist(sf_dir: str):
+    """10-bucket equi-depth histogram of l_extendedprice: the 9
+    interior edges are EXACT order statistics (select_ranks — no
+    sort), bucket membership is a half-open searchsorted against the
+    broadcast edges, counts aggregate on the combiner tree.  Duplicate
+    values never split across buckets (unlike NTILE), so the SQL
+    oracle counts with the same half-open interval rule."""
+    from .stages.agg_tree import tree_aggregate
+    from .stages.quantiles import select_ranks
+
+    ds = _read(sf_dir, "lineitem", ["l_extendedprice"])
+    n = ds.count()
+    ranks = [int(np.floor(q * (n - 1))) for q in
+             (0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9)]
+    vals = select_ranks(ds, "l_extendedprice", sorted(set(ranks)))
+    edges = np.array([vals[r] for r in sorted(set(ranks))], np.float64)
+
+    def bucketize(b: pa.Table, e=edges) -> pa.Table:
+        x = b["l_extendedprice"].to_numpy(zero_copy_only=False)
+        bk = np.searchsorted(e, x, side="right")
+        t = pa.table({"bucket": pa.array(bk.astype(np.int64)),
+                      "n": pa.array(np.ones(len(x), np.int64))})
+        g = t.group_by(["bucket"]).aggregate([("n", "sum")])
+        return g.rename_columns(["bucket", "n"])
+
+    return tree_aggregate(ds.map_batches(bucketize, batch_format="pyarrow"),
+                          ["bucket"], [("n", "sum")])
+
+
+def q_equidepth_hist_sql() -> str:
+    return (
+        "WITH s AS (SELECT l_extendedprice AS v, row_number() OVER ("
+        "ORDER BY l_extendedprice) - 1 AS r, count(*) OVER () AS n "
+        "FROM lineitem), "
+        "e AS (SELECT CAST(b.q AS DOUBLE) AS q, s.v FROM s JOIN "
+        "(VALUES (0.1), (0.2), (0.3), (0.4), (0.5), (0.6), (0.7), "
+        "(0.8), (0.9)) b(q) "
+        "ON s.r = CAST(floor(CAST(b.q AS DOUBLE) * (n - 1)) AS BIGINT)) "
+        "SELECT CAST((SELECT count(*) FROM e WHERE e.v <= l.l_extendedprice)"
+        " AS BIGINT) AS bucket, CAST(count(*) AS BIGINT) AS n "
+        "FROM lineitem l GROUP BY 1"
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -3144,6 +3188,7 @@ QUERIES = {
     "nb_features": q_nb_features,
     "mad": q_mad,
     "sliding_distinct": q_sliding_distinct,
+    "equidepth_hist": q_equidepth_hist,
     # rows-only (non-SQL-expressible)
     "flagship_tiles": q_flagship_tiles,
     "osmfilter_docs": q_osmfilter_docs,
@@ -3241,4 +3286,5 @@ ORACLE_SQL = {
     "nb_features": q_nb_features_sql(),
     "mad": q_mad_sql(),
     "sliding_distinct": q_sliding_distinct_sql(),
+    "equidepth_hist": q_equidepth_hist_sql(),
 }

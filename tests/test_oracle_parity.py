@@ -71,7 +71,7 @@ def test_entry_smoke(ray_session):
     "funnel", "props_extract", "percentile_cont", "throttle_dedup",
     "radius_join", "star_join", "cube_orders", "travel_dist",
     "embedding_stats", "tile_pyramid", "kmeans", "upsert_merge",
-    "nb_features", "mad", "sliding_distinct",
+    "nb_features", "mad", "sliding_distinct", "equidepth_hist",
 ])
 def test_sql_parity(name, entries):
     qs, oracles = entries
