@@ -3108,6 +3108,50 @@ def q_equidepth_hist_sql() -> str:
     )
 
 
+def q_scd_intervals(sf_dir: str):
+    """Slowly-changing-dimension (type 2) interval build: each user's
+    events become validity intervals [ts, next_ts) with the sentinel
+    MAX for the open current row — the LEAD window as a vectorized
+    next-of-run shift inside coarse key buckets (keys never straddle
+    buckets, so no cross-partition carry)."""
+    from .stages.scan import keyed_scan
+
+    SENTINEL = np.int64(2**62)
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table({"user_id": b["user_id"],
+                         "t": b["ts"].cast(pa.int64()),
+                         "event_id": b["event_id"]})
+
+    def intervals(d: pd.DataFrame) -> pd.DataFrame:
+        u = d["user_id"].to_numpy()
+        t = d["t"].to_numpy()
+        nxt = np.empty_like(t)
+        nxt[:-1] = t[1:]
+        nxt[-1] = SENTINEL
+        last = np.r_[u[1:] != u[:-1], True]
+        nxt[last] = SENTINEL
+        out = d[["user_id", "event_id"]].copy()
+        out["valid_from"] = t
+        out["valid_to"] = nxt
+        return out
+
+    ds = _read(sf_dir, "events",
+               ["event_id", "user_id", "ts"]).map_batches(
+        prep, batch_format="pyarrow")
+    return keyed_scan(ds, key="user_id", order=["t", "event_id"],
+                      fn=intervals, n_buckets=32)
+
+
+def q_scd_intervals_sql() -> str:
+    return (
+        "SELECT user_id, event_id, epoch_us(ts) AS valid_from, "
+        "COALESCE(lead(epoch_us(ts)) OVER (PARTITION BY user_id "
+        "ORDER BY epoch_us(ts), event_id), 4611686018427387904) "
+        "AS valid_to FROM events"
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -3189,6 +3233,7 @@ QUERIES = {
     "mad": q_mad,
     "sliding_distinct": q_sliding_distinct,
     "equidepth_hist": q_equidepth_hist,
+    "scd_intervals": q_scd_intervals,
     # rows-only (non-SQL-expressible)
     "flagship_tiles": q_flagship_tiles,
     "osmfilter_docs": q_osmfilter_docs,
@@ -3287,4 +3332,5 @@ ORACLE_SQL = {
     "mad": q_mad_sql(),
     "sliding_distinct": q_sliding_distinct_sql(),
     "equidepth_hist": q_equidepth_hist_sql(),
+    "scd_intervals": q_scd_intervals_sql(),
 }

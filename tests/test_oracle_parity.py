@@ -72,6 +72,7 @@ def test_entry_smoke(ray_session):
     "radius_join", "star_join", "cube_orders", "travel_dist",
     "embedding_stats", "tile_pyramid", "kmeans", "upsert_merge",
     "nb_features", "mad", "sliding_distinct", "equidepth_hist",
+    "scd_intervals",
 ])
 def test_sql_parity(name, entries):
     qs, oracles = entries
