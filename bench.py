@@ -115,7 +115,8 @@ def run_bench() -> dict:
                      "cube_orders", "travel_dist", "embedding_stats",
                      "tile_pyramid", "kmeans", "upsert_merge",
                      "nb_features", "mad", "sliding_distinct",
-                     "equidepth_hist", "scd_intervals"):
+                     "equidepth_hist", "scd_intervals",
+                     "ratio_to_report"):
             best = float("inf")
             attempts = 0
             for _ in range(max(1, repeats)):

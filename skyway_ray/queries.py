@@ -3152,6 +3152,62 @@ def q_scd_intervals_sql() -> str:
     )
 
 
+def q_ratio_to_report(sf_dir: str):
+    """Ratio-to-report window (each event's share of its type's total):
+    totals are exact integer sums of micro-quantized values (one tiny
+    combiner-tree pass, broadcast back), shares one pinned double
+    division per row — no row shuffle at all, and no float-sum
+    order-dependence."""
+    import ray
+
+    from .stages.agg_tree import tree_aggregate
+
+    def quantize(b: pa.Table) -> pa.Table:
+        v = b["value"].to_numpy(zero_copy_only=False)
+        t = pa.table({"event_type": b["event_type"],
+                      "event_id": b["event_id"],
+                      "v_micro": pa.array(
+                          np.floor(v * 1e6 + 0.5).astype(np.int64))})
+        return t
+
+    ds = _read(sf_dir, "events",
+               ["event_id", "event_type", "value"]).map_batches(
+        quantize, batch_format="pyarrow").materialize()
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = (b.select(["event_type", "v_micro"])
+             .group_by(["event_type"]).aggregate([("v_micro", "sum")]))
+        return g.rename_columns(["event_type", "total"])
+
+    totals = tree_aggregate(ds.map_batches(partial, batch_format="pyarrow"),
+                            ["event_type"], [("total", "sum")]).to_pandas()
+    ref = ray.put(dict(zip(totals["event_type"], totals["total"])))
+
+    def share(b: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        tot = _ray.get(ref)
+        et = b["event_type"].to_pylist()
+        v = b["v_micro"].to_numpy(zero_copy_only=False)
+        t = np.array([tot[e] for e in et], np.int64)
+        s = np.floor(v.astype(np.float64) / t.astype(np.float64)
+                     * 1e6 + 0.5).astype(np.int64)
+        return pa.table({"event_id": b["event_id"],
+                         "share_micro": pa.array(s, pa.int64())})
+
+    return ds.map_batches(share, batch_format="pyarrow")
+
+
+def q_ratio_to_report_sql() -> str:
+    return (
+        "WITH e AS (SELECT event_id, event_type, "
+        "CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS v FROM events) "
+        "SELECT event_id, CAST(floor(CAST(v AS DOUBLE) / "
+        "CAST(sum(v) OVER (PARTITION BY event_type) AS DOUBLE) "
+        "* 1000000 + 0.5) AS BIGINT) AS share_micro FROM e"
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -3234,6 +3290,7 @@ QUERIES = {
     "sliding_distinct": q_sliding_distinct,
     "equidepth_hist": q_equidepth_hist,
     "scd_intervals": q_scd_intervals,
+    "ratio_to_report": q_ratio_to_report,
     # rows-only (non-SQL-expressible)
     "flagship_tiles": q_flagship_tiles,
     "osmfilter_docs": q_osmfilter_docs,
@@ -3333,4 +3390,5 @@ ORACLE_SQL = {
     "sliding_distinct": q_sliding_distinct_sql(),
     "equidepth_hist": q_equidepth_hist_sql(),
     "scd_intervals": q_scd_intervals_sql(),
+    "ratio_to_report": q_ratio_to_report_sql(),
 }

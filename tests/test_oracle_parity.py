@@ -72,7 +72,7 @@ def test_entry_smoke(ray_session):
     "radius_join", "star_join", "cube_orders", "travel_dist",
     "embedding_stats", "tile_pyramid", "kmeans", "upsert_merge",
     "nb_features", "mad", "sliding_distinct", "equidepth_hist",
-    "scd_intervals",
+    "scd_intervals", "ratio_to_report",
 ])
 def test_sql_parity(name, entries):
     qs, oracles = entries
