@@ -6,20 +6,45 @@ a COARSE hash bucket of the key, not per key — Ray pays per-group
 overhead once per bucket, and each bucket call handles every key in it
 with one vectorized pandas/numpy pass over the (key, order)-sorted
 frame.  Buckets bound worker memory at ``~n / n_buckets`` rows; keys
-never straddle buckets, so no cross-group carry is needed.  At 100 TB,
-raise ``n_buckets`` so a bucket fits a worker (the bucket count, not
-the key count, is the shuffle fan-in).
+never straddle buckets, so no cross-group carry is needed.
+
+Bucket count AUTO-SCALES with the input: by default
+``n_buckets = max(32, ceil(n_rows / rows_per_bucket))`` so a bucket
+always targets a fixed row budget (``ROWS_PER_BUCKET``) regardless of
+data scale — the 100 TB posture without a per-call tuning knob.
+Callers that already know the row count pass ``n_rows`` (a parquet
+metadata read — free) so no counting pass runs; otherwise
+``ds.count()`` supplies it (metadata-only for pure reads, one
+execution otherwise).
 """
 
 from __future__ import annotations
+
+import math
 
 import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+# Target rows per bucket group: one bucket must fit a worker's heap as
+# a single pandas frame with room for fn's temporaries.  2M rows of a
+# handful of int64/float64 columns is ~100-200 MB peak — comfortable on
+# a 4 GB-heap worker, and small enough that 32 CPUs stay busy once the
+# input exceeds ~64M rows.
+ROWS_PER_BUCKET = 2_000_000
 
-def keyed_scan(ds, key: str, order: list[str], fn, n_buckets: int = 32,
-               hash_key=None):
+
+def auto_n_buckets(n_rows: int, rows_per_bucket: int = ROWS_PER_BUCKET,
+                   floor: int = 32) -> int:
+    """Bucket count targeting ``rows_per_bucket`` rows per group, never
+    below ``floor`` (keeps small inputs parallel)."""
+    return max(floor, math.ceil(max(0, n_rows) / max(1, rows_per_bucket)))
+
+
+def keyed_scan(ds, key: str, order: list[str], fn,
+               n_buckets: int | None = None, hash_key=None,
+               n_rows: int | None = None,
+               rows_per_bucket: int = ROWS_PER_BUCKET):
     """Run ``fn(sorted_group: pd.DataFrame) -> pd.DataFrame`` over each
     coarse key-bucket, where the group arrives sorted by
     ``[key] + order`` (mergesort — stable, deterministic).  ``fn`` must
@@ -29,6 +54,9 @@ def keyed_scan(ds, key: str, order: list[str], fn, n_buckets: int = 32,
     ``hash_key``: optional callable mapping the key column's numpy
     array to int64 bucket material (defaults to the values themselves,
     which must then be integers)."""
+    if n_buckets is None:
+        n_buckets = auto_n_buckets(
+            n_rows if n_rows is not None else ds.count(), rows_per_bucket)
 
     def add_bucket(b: pa.Table) -> pa.Table:
         k = b[key].to_numpy(zero_copy_only=False)
@@ -46,8 +74,9 @@ def keyed_scan(ds, key: str, order: list[str], fn, n_buckets: int = 32,
 
 
 def running_sum(ds, key: str, order: list[str], val: str,
-                out_col: str = "running_sum", n_buckets: int = 32,
-                keep: list[str] | None = None):
+                out_col: str = "running_sum", n_buckets: int | None = None,
+                keep: list[str] | None = None, n_rows: int | None = None,
+                rows_per_bucket: int = ROWS_PER_BUCKET):
     """Per-key running (prefix) sum of an INTEGER column in
     deterministic ``order``.  Integer accumulation keeps the result
     independent of summation grouping, so a SQL windowed-SUM oracle
@@ -60,12 +89,14 @@ def running_sum(ds, key: str, order: list[str], val: str,
         out[out_col] = d.groupby(key, sort=False)[val].cumsum()
         return out
 
-    return keyed_scan(ds, key, order, scan, n_buckets=n_buckets)
+    return keyed_scan(ds, key, order, scan, n_buckets=n_buckets,
+                      n_rows=n_rows, rows_per_bucket=rows_per_bucket)
 
 
 def keyed_lag(ds, key: str, order: list[str], val: str,
-              out_col: str = "lag_val", fill=-1, n_buckets: int = 32,
-              keep: list[str] | None = None):
+              out_col: str = "lag_val", fill=-1, n_buckets: int | None = None,
+              keep: list[str] | None = None, n_rows: int | None = None,
+              rows_per_bucket: int = ROWS_PER_BUCKET):
     """Per-key LAG(val, 1): previous row's value in deterministic
     ``order``, ``fill`` for each key's first row (avoids nullable-int
     schema drift between engine and oracle)."""
@@ -83,4 +114,5 @@ def keyed_lag(ds, key: str, order: list[str], val: str,
         out[out_col] = prev
         return out
 
-    return keyed_scan(ds, key, order, scan, n_buckets=n_buckets)
+    return keyed_scan(ds, key, order, scan, n_buckets=n_buckets,
+                      n_rows=n_rows, rows_per_bucket=rows_per_bucket)

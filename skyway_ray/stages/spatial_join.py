@@ -13,11 +13,18 @@ cells of both boxes — exact, no post-dedup pass).
 
 Scale notes: grid granularity trades fan-out (boxes × cells-covered
 rows) against per-cell work — pick ``cell`` a small multiple of the
-typical box size; skewed cells (urban hot spots) split by salting the
-cell id with a hash of one side's id and replicating the other side
-across the salt range, same as stages/salt.py does for group keys.
-Overlap is CLOSED-interval (touching edges join) to match the natural
-SQL predicate ``a.xmin <= b.xmax AND b.xmin <= a.xmax AND …``.
+typical box size.  Skewed cells (urban hot spots) are guarded by a
+fragment-replicate split: a cheap per-(cell, side) counting pass over
+the cover rows finds cells where either side exceeds
+``hot_threshold`` rows; inside a hot cell, side A splits into
+``k_a = ceil(n_a/T)`` id-hash fragments and side B into ``k_b``, each
+A fragment replicating across B's axis and vice versa, so every
+qualifying pair still meets in EXACTLY one (cell, salt) group and no
+group assembles more than ~2T rows.  The reference-point dedup rule is
+salt-oblivious (it compares the raw cell id), so results are
+bit-identical with the guard on or off.  Overlap is CLOSED-interval
+(touching edges join) to match the natural SQL predicate
+``a.xmin <= b.xmax AND b.xmin <= a.xmax AND …``.
 """
 
 from __future__ import annotations
@@ -27,6 +34,100 @@ import pandas as pd
 import pyarrow as pa
 
 _X0, _Y0 = -180.0, -90.0  # grid origin (lon/lat layout)
+
+# fragment-replicate salting bounds: composite group key is
+# cell * _SALT_MAX + salt, so k_a * k_b per cell is capped at _SALT_MAX
+# (also keeps cell*_SALT_MAX inside int64 down to ~0.001-degree grids)
+_SALT_MAX = 4096
+HOT_CELL_ROWS = 250_000  # default per-side per-cell row budget
+
+
+def _cell_side_counts(rows) -> pd.DataFrame:
+    """Per-(cell, side) row counts of the cover-row dataset: per-block
+    Arrow partials merged driver-side (bounded by grid cardinality ×
+    2, never by data size)."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = (b.select(["cell", "side"]).group_by(["cell", "side"])
+             .aggregate([([], "count_all")]))
+        return t.rename_columns(["cell", "side", "n"])
+
+    parts = rows.map_batches(partial, batch_format="pyarrow").to_pandas()
+    return parts.groupby(["cell", "side"], as_index=False)["n"].sum()
+
+
+def _hot_plan(counts: pd.DataFrame, threshold: int):
+    """(sorted hot cell ids, k_a, k_b) for cells where either side
+    exceeds ``threshold`` rows; None when nothing is hot."""
+    piv = (counts.pivot_table(index="cell", columns="side", values="n",
+                              aggfunc="sum", fill_value=0))
+    n_a = piv[0].to_numpy(np.int64) if 0 in piv.columns else \
+        np.zeros(len(piv), np.int64)
+    n_b = piv[1].to_numpy(np.int64) if 1 in piv.columns else \
+        np.zeros(len(piv), np.int64)
+    ka = np.maximum(1, -(-n_a // threshold))
+    kb = np.maximum(1, -(-n_b // threshold))
+    hot = (ka > 1) | (kb > 1)
+    if not hot.any():
+        return None
+    cells = piv.index.to_numpy(np.int64)[hot]
+    ka, kb = ka[hot], kb[hot]
+    # cap the per-cell salt grid; shrink the larger factor first
+    over = ka * kb > _SALT_MAX
+    ka[over] = np.minimum(ka[over], np.maximum(1, _SALT_MAX // kb[over]))
+    kb[over] = np.minimum(kb[over], np.maximum(1, _SALT_MAX // ka[over]))
+    order = np.argsort(cells)
+    return cells[order], ka[order], kb[order]
+
+
+def _salt_map(hot_cells: np.ndarray, hot_ka: np.ndarray,
+              hot_kb: np.ndarray):
+    """Vectorized cover-row salting: fixed fragment index on a row's
+    own axis (id hash), replication across the other side's axis.
+    Non-hot rows pass through once with salt 0."""
+
+    def f(tbl: pa.Table) -> pa.Table:
+        cell = tbl["cell"].to_numpy(zero_copy_only=False)
+        side = tbl["side"].to_numpy(zero_copy_only=False)
+        n = len(cell)
+        idx = np.searchsorted(hot_cells, cell)
+        idxc = np.minimum(idx, len(hot_cells) - 1)
+        is_hot = hot_cells[idxc] == cell
+        ka = np.ones(n, np.int64)
+        kb = np.ones(n, np.int64)
+        ka[is_hot] = hot_ka[idxc[is_hot]]
+        kb[is_hot] = hot_kb[idxc[is_hot]]
+        h = (tbl["id"].to_numpy(zero_copy_only=False)
+             .astype(np.int64).view(np.uint64)
+             * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)
+        a_side = side == 0
+        own = np.where(a_side, h % ka.view(np.uint64),
+                       h % kb.view(np.uint64)).astype(np.int64)
+        rep = np.where(a_side, kb, ka)  # replicate across the OTHER axis
+        r = np.repeat(np.arange(n), rep)
+        offs = np.zeros(n + 1, np.int64)
+        np.cumsum(rep, out=offs[1:])
+        other = np.arange(offs[-1]) - np.repeat(offs[:-1], rep)
+        salt = np.where(a_side[r], own[r] * kb[r] + other,
+                        other * kb[r] + own[r])
+        out = tbl.take(pa.array(r, pa.int64()))
+        return out.append_column(
+            "_g", pa.array(cell[r] * _SALT_MAX + salt, pa.int64()))
+
+    return f
+
+
+def _grouped_pairs(rows, pairs, hot_threshold: int | None):
+    """Group cover rows by cell — salted by the hot-cell plan when the
+    counting pass finds a cell over ``hot_threshold`` rows on either
+    side (one extra cheap pass over the cover maps)."""
+    plan = None
+    if hot_threshold:
+        plan = _hot_plan(_cell_side_counts(rows), hot_threshold)
+    if plan is None:
+        return rows.groupby("cell").map_groups(pairs, batch_format="pandas")
+    return (rows.map_batches(_salt_map(*plan), batch_format="pyarrow")
+            .groupby("_g").map_groups(pairs, batch_format="pandas"))
 
 
 def _cover_rows(batch: pa.Table, side: int, cell: float) -> pa.Table:
@@ -59,7 +160,8 @@ def _cover_rows(batch: pa.Table, side: int, cell: float) -> pa.Table:
 
 def point_radius_join(a_ds, b_ds, radius: float, cell: float = 8.0,
                       out_a: str = "id_a", out_b: str = "id_b",
-                      chunk: int = 2048):
+                      chunk: int = 2048,
+                      hot_threshold: int | None = HOT_CELL_ROWS):
     """Distributed point–point radius join: all (a, b) pairs with
     squared planar distance ``(ax-bx)² + (ay-by)² ≤ radius²`` (degree
     space — callers wanting metres pre-project).  Inputs have schema
@@ -134,12 +236,13 @@ def point_radius_join(a_ds, b_ds, radius: float, cell: float = 8.0,
 
     rows = (a_ds.map_batches(a_rows, batch_format="pyarrow")
             .union(b_ds.map_batches(b_rows, batch_format="pyarrow")))
-    return rows.groupby("cell").map_groups(pairs, batch_format="pandas")
+    return _grouped_pairs(rows, pairs, hot_threshold)
 
 
 def box_overlap_join(a_ds, b_ds, cell: float = 8.0,
                      out_a: str = "id_a", out_b: str = "id_b",
-                     chunk: int = 2048):
+                     chunk: int = 2048,
+                     hot_threshold: int | None = HOT_CELL_ROWS):
     """Inclusive rectangle-overlap join of two box Datasets with schema
     (id, xmin, ymin, xmax, ymax) → Dataset of (out_a, out_b)."""
 
@@ -178,4 +281,4 @@ def box_overlap_join(a_ds, b_ds, cell: float = 8.0,
                              batch_format="pyarrow")
             .union(b_ds.map_batches(lambda t: _cover_rows(t, 1, cell),
                                     batch_format="pyarrow")))
-    return rows.groupby("cell").map_groups(pairs, batch_format="pandas")
+    return _grouped_pairs(rows, pairs, hot_threshold)

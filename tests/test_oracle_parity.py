@@ -63,7 +63,8 @@ def test_entry_smoke(ray_session):
     "ann_cosine", "cell_stats", "orders_per_nation", "semi_join_events",
     "anti_join_events",
     "window_counts", "asof_join", "distinct_types", "tile_polygons",
-    "session_windows", "union_all", "hash_sample", "lineitem_stats",
+    "session_windows", "rolling_counts", "prefix_sums", "lag_deltas",
+    "union_all", "hash_sample", "lineitem_stats",
     "minhash_exact", "top_tokens", "heavy_hitters", "tfidf",
     "order_lineitems", "profile_lineitem", "skew_join", "decontam",
     "group_stats", "rollup_orders", "group_mode", "rank_events",

@@ -483,6 +483,33 @@ class TestKeyedScan:
         w = want[["id", "prev_v"]].sort_values("id").reset_index(drop=True)
         assert m[["id", "prev_v"]].equals(w)
 
+    def test_auto_n_buckets_scales_with_rows(self):
+        from skyway_ray.stages.scan import ROWS_PER_BUCKET, auto_n_buckets
+
+        assert auto_n_buckets(0) == 32
+        assert auto_n_buckets(ROWS_PER_BUCKET * 32) == 32
+        # 1000x the data -> 1000x the buckets (fixed per-bucket budget)
+        assert auto_n_buckets(ROWS_PER_BUCKET * 32 * 1000) == 32_000
+        assert auto_n_buckets(10_000, rows_per_bucket=100) == 100
+
+    def test_keyed_scan_auto_buckets_tiny_budget(self, ray_session):
+        """A deliberately tiny per-bucket budget multiplies the bucket
+        count (auto-scaling path) and the scan result is unchanged."""
+        import ray.data
+
+        from skyway_ray.stages.scan import running_sum
+
+        df = self._events(n=2000, seed=13)
+        ds = ray.data.from_pandas(df).repartition(5)
+        got = running_sum(ds, key="k", order=["t", "id"], val="v",
+                          keep=["id"], n_buckets=None, n_rows=len(df),
+                          rows_per_bucket=10).to_pandas()
+        d = df.sort_values(["k", "t", "id"], kind="mergesort")
+        want = d.assign(running_sum=d.groupby("k")["v"].cumsum())
+        m = got.sort_values("id").reset_index(drop=True)
+        w = want[["id", "running_sum"]].sort_values("id").reset_index(drop=True)
+        assert m[["id", "running_sum"]].equals(w)
+
 
 class TestCountDistinct:
     def test_matches_pandas_nunique(self, ray_session):
@@ -1002,6 +1029,102 @@ class TestSpatialJoinEdges:
              "xmax": [-176.0, 184.0], "ymax": [-86.0, 88.0]}))
         df = box_overlap_join(a, b).to_pandas()
         assert sorted(zip(df.id_a, df.id_b)) == [(1, 10), (2, 20)]
+
+
+class TestHotCellGuard:
+    """Fragment-replicate hot-cell split (spatial_join._hot_plan /
+    _salt_map): results bit-identical with the guard on or off, and no
+    salted group assembles more than ~threshold rows per side."""
+
+    def test_radius_join_parity_with_planted_hot_cell(self, ray_session):
+        import ray.data
+
+        from skyway_ray.stages.spatial_join import point_radius_join
+
+        rng = np.random.default_rng(31)
+        # 1,200 points of each side crammed into ONE 8-degree cell
+        # (around (4, 4)), plus scattered background
+        def pts(n_hot, n_bg, base):
+            x = np.concatenate([rng.uniform(0.5, 7.5, n_hot),
+                                rng.uniform(-170, 160, n_bg)])
+            y = np.concatenate([rng.uniform(0.5, 7.5, n_hot),
+                                rng.uniform(-80, 70, n_bg)])
+            return pa.table({"id": np.arange(base, base + n_hot + n_bg),
+                             "x": x, "y": y})
+        A, B = pts(1200, 100, 0), pts(1200, 100, 10_000)
+
+        def run(thr):
+            ds_a = ray.data.from_arrow(A).repartition(3)
+            ds_b = ray.data.from_arrow(B).repartition(3)
+            df = point_radius_join(ds_a, ds_b, radius=0.5, cell=8.0,
+                                   hot_threshold=thr).to_pandas()
+            return sorted(zip(df.id_a, df.id_b))
+
+        guarded, unguarded = run(200), run(None)
+        assert guarded == unguarded and len(guarded) > 1000
+
+    def test_box_join_parity_with_planted_hot_cell(self, ray_session):
+        import ray.data
+
+        from skyway_ray.stages.spatial_join import box_overlap_join
+
+        rng = np.random.default_rng(37)
+        def boxes(n_hot, base):
+            # small boxes inside one cell; some straddle the cell edge
+            # so the reference-point rule is exercised under salting
+            x = rng.uniform(0.5, 7.8, n_hot)
+            y = rng.uniform(0.5, 7.8, n_hot)
+            w = rng.uniform(0.05, 0.6, n_hot)
+            return pa.table({"id": np.arange(base, base + n_hot),
+                             "xmin": x, "ymin": y,
+                             "xmax": x + w, "ymax": y + w})
+        A, B = boxes(900, 0), boxes(900, 10_000)
+
+        def run(thr):
+            ds_a = ray.data.from_arrow(A).repartition(3)
+            ds_b = ray.data.from_arrow(B).repartition(3)
+            df = box_overlap_join(ds_a, ds_b,
+                                  hot_threshold=thr).to_pandas()
+            return sorted(zip(df.id_a, df.id_b))
+
+        guarded, unguarded = run(150), run(None)
+        assert guarded == unguarded and len(guarded) > 100
+
+    def test_salted_group_sizes_bounded(self):
+        """Direct check of the salting internals: a 3000/2000-row hot
+        cell at threshold 500 splits so no (_g, side) slice exceeds the
+        threshold plus hash-unevenness slack, and every (a, b) pair
+        meets in exactly one group."""
+        from skyway_ray.stages.spatial_join import (_SALT_MAX, _hot_plan,
+                                                    _salt_map)
+
+        thr = 500
+        counts = pd.DataFrame({"cell": [5, 5, 9], "side": [0, 1, 0],
+                               "n": [3000, 2000, 100]})
+        plan = _hot_plan(counts, thr)
+        assert plan is not None
+        tbl = pa.table({
+            "cell": np.concatenate([np.full(3000, 5), np.full(2000, 5),
+                                    np.full(100, 9)]).astype(np.int64),
+            "side": np.concatenate([np.zeros(3000), np.ones(2000),
+                                    np.zeros(100)]).astype(np.int8),
+            "id": np.arange(5100, dtype=np.int64)})
+        out = _salt_map(*plan)(tbl).to_pandas()
+        sizes = out.groupby(["_g", "side"]).size()
+        assert sizes.max() <= 2 * thr
+        # hot cell fanned out into >1 salted group
+        hot_groups = out.loc[out["cell"] == 5, "_g"].nunique()
+        assert hot_groups > 1
+        # cold cell untouched: exactly one group, salt 0
+        assert (out.loc[out["cell"] == 9, "_g"] == 9 * _SALT_MAX).all()
+        # every (a, b) pair in the hot cell meets in EXACTLY one group
+        hot = out[out["cell"] == 5]
+        a_g = hot[hot["side"] == 0].groupby("id")["_g"].agg(set)
+        b_g = hot[hot["side"] == 1].groupby("id")["_g"].agg(set)
+        rng = np.random.default_rng(3)
+        for ai in rng.choice(a_g.index, 40, replace=False):
+            for bi in rng.choice(b_g.index, 25, replace=False):
+                assert len(a_g[ai] & b_g[bi]) == 1
 
 
 class TestMomentsEdges:
