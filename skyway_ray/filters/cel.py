@@ -568,7 +568,12 @@ class CelFilter:
                 # flag now, comparisons will propagate
                 err = np.array([v is None for v in vals], dtype=bool)
                 return vals, err
-            raise CelParseError(f"unknown identifier {node.name!r}")
+            # Unknown identifier is an EXECUTION error in cel-interpreter
+            # (compile succeeds), and the reference skips the element
+            # with a warning (src/filter/cel/mod.rs:49-53) — so every
+            # row errs (drops, warned once per batch by
+            # evaluate_context) rather than aborting the pipeline.
+            return np.full(n, None, dtype=object), np.ones(n, dtype=bool)
         if isinstance(node, _Index):
             base, berr = self._eval(node.base, ctx, n)
             key, kerr = self._eval(node.key, ctx, n)

@@ -386,4 +386,6 @@ def write_opl(ds, out_dir: str) -> int:
         return pa.table({"rows": [len(lines)]})
 
     manifest = ds.map_batches(write_block, batch_format="pyarrow").to_pandas()
-    return int(manifest["rows"].sum())
+    # a fully-filtered dataset yields ZERO blocks -> a column-less
+    # manifest frame (seen via a CEL filter whose every row errs)
+    return int(manifest["rows"].sum()) if "rows" in manifest.columns else 0

@@ -123,6 +123,26 @@ class TestCel:
             got = f.apply_table(elements)
         assert got.num_rows == 0
 
+    def test_unknown_identifier_drops_all_rows(self, elements):
+        """cel-interpreter compiles unknown identifiers fine; they err
+        at EXECUTION, and the reference skips the element with a
+        warning (src/filter/cel/mod.rs:49-53) — so the filter yields
+        zero rows instead of aborting the pipeline."""
+        f = CelFilter("garbage")
+        with pytest.warns(UserWarning):
+            got = f.apply_table(elements)
+        assert got.num_rows == 0
+        # ...and inside a disjunction CEL's commutative short-circuit
+        # absorbs it: error || true == true, false || error == error
+        # (row drops) — nodes survive, everything else drops
+        f2 = CelFilter('no_such_field == 1 || type == "node"')
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            got2 = f2.apply_table(elements)
+        want = [elements["id"][i].as_py() for i in range(elements.num_rows)
+                if elements["type"][i].as_py() == "node"]
+        assert got2["id"].to_pylist() == want
+
     def test_dispatch_osmfilter_first(self):
         f = create_filter("OSMFilter v0.2.0\n\nCOMMIT\n")
         assert isinstance(f, CompiledFilter)
