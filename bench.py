@@ -235,28 +235,44 @@ def run_scaling() -> dict:
     lo, hi = int(os.environ.get("GRAFT_SCALE_LO", "2")), \
         int(os.environ.get("GRAFT_SCALE_HI", "8"))
     # Steal-aware acceptance (BASELINE.md "Steal-aware protocol"): a
-    # pair only counts when BOTH sides ran on a quiet-enough host —
-    # steal below GRAFT_STEAL_MAX core-sec/sec AND single-thread
-    # calibration within GRAFT_CALIB_MAX seconds.  Noise only ever
-    # LOWERS the ratio (each side is already best-of-3 within a run),
-    # so among accepted pairs the max is the least-biased estimate.
-    # If no pair passes after `repeats` tries, the best rejected pair
-    # is reported with accepted=false so readers can tell environment
-    # from engine.
+    # pair only counts when the host is quiet.  Two gates:
+    # (a) an IDLE pre-window probe before each pair must show steal
+    #     below GRAFT_STEAL_MAX core-sec/sec (the judge's bad phase
+    #     read ~0.56 with the guest idle) — steal measured DURING a
+    #     run is recorded but not gated, because this host charges
+    #     ~1 steal-core against our own load even when otherwise quiet;
+    # (b) each side's single-thread calibration (run at the end of its
+    #     measurement window) within GRAFT_CALIB_MAX seconds — the
+    #     strongest degraded-phase discriminator (the bad phase ran
+    #     single-thread work ~4x slower; nominal is ~0.23-0.28 s).
+    # Noise only ever LOWERS the ratio (each side is already best-of-3
+    # within a run), so among accepted pairs the max is the
+    # least-biased estimate.  If no pair passes after `repeats` tries,
+    # the best rejected pair is reported with accepted=false so readers
+    # can tell environment noise from engine regression.
     steal_max = float(os.environ.get("GRAFT_STEAL_MAX", "0.25"))
     calib_max = float(os.environ.get("GRAFT_CALIB_MAX", "0.45"))
+    # run-window gate: steal as % of ALL CPU jiffies during the side's
+    # measurement window.  Our own load on a quiet host induces ~3%
+    # (measured); a degraded phase reads 20%+.
+    run_steal_pct_max = float(os.environ.get("GRAFT_RUN_STEAL_PCT_MAX", "8"))
     repeats = int(os.environ.get("GRAFT_SCALE_REPEATS", "3"))
     best, best_rejected = None, None
     for _ in range(repeats):
+        pre = HostProbe()
+        time.sleep(3)
+        idle = pre.stop()
         r_lo = one(lo)
         r_hi = one(hi)
         tp_lo = r_lo["images_per_sec"]
         tp_hi = r_hi["images_per_sec"]
         eff = (tp_hi / tp_lo) / (hi / lo)
         hosts = [r_lo.get("host") or {}, r_hi.get("host") or {}]
-        quiet = all(h.get("steal_cores", 9e9) <= steal_max
-                    and h.get("calib_sec", 9e9) <= calib_max
-                    for h in hosts)
+        quiet = (idle["steal_cores"] <= steal_max
+                 and all(h.get("calib_sec", 9e9) <= calib_max
+                         and h.get("steal_pct_of_cpu", 9e9)
+                         <= run_steal_pct_max
+                         for h in hosts))
         rec = {
             "metric": "scaling_efficiency",
             "value": round(eff, 3),
@@ -270,7 +286,9 @@ def run_scaling() -> dict:
             "sf": r_hi["sf"],
             "pairs_run": repeats,
             "accepted": quiet,
-            "steal_gate": {"steal_max": steal_max, "calib_max": calib_max},
+            "steal_gate": {"steal_max": steal_max, "calib_max": calib_max,
+                           "run_steal_pct_max": run_steal_pct_max},
+            "host_idle_prewindow": idle,
             "host_lo": hosts[0],
             "host_hi": hosts[1],
         }

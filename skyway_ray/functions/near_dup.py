@@ -412,24 +412,59 @@ def _resolve_block(tb: pa.Table):
     return (e_idx[ok], gov[ok]), e_idx[~ok], int(sk[-1])
 
 
-def _copart_join(rows, finish):
+# rows-per-bucket budget for hash-partitioned sketch scans: sketch
+# blobs run ~0.1-4 KiB/row, so 250k rows keeps a bucket's assembled
+# Arrow table under ~1 GiB worst-case
+_SKETCH_ROWS_PER_BUCKET = 250_000
+
+
+def _copart_join(rows, finish, shuffle: str = "sort",
+                 n_rows: int | None = None):
     """Distributed sketch⋈edge co-partition join WITHOUT per-group
-    Python: a global sort on (k, kind, doc_a, doc_b) co-locates each
-    kind-0 sketch row directly above the kind-1 edge rows that share
-    its ``k``; a vectorized per-block scan (:func:`_resolve_block`)
-    resolves every edge whose sketch landed in the same block, and the
-    few rows whose k-run straddles a block boundary — ≤ max-degree
-    unresolved edges plus one carry sketch per block, so bounded by
-    #blocks × (2·bands + 1), never by data size — are re-sorted and
-    re-scanned once in a single remote task.  This replaces the former
-    ``groupby(k).map_groups`` pair, whose ~200µs-per-group Python
-    invocation dominated at web-scale candidate counts.
+    Python.  ``shuffle="sort"``: a global sort on (k, kind, doc_a,
+    doc_b) co-locates each kind-0 sketch row directly above the kind-1
+    edge rows that share its ``k``; a vectorized per-block scan
+    (:func:`_resolve_block`) resolves every edge whose sketch landed in
+    the same block, and the few rows whose k-run straddles a block
+    boundary — ≤ max-degree unresolved edges plus one carry sketch per
+    block, so bounded by #blocks × (2·bands + 1), never by data size —
+    are re-sorted and re-scanned once in a single remote task.  This
+    replaces the former ``groupby(k).map_groups`` pair, whose
+    ~200µs-per-group Python invocation dominated at web-scale candidate
+    counts.
+
+    ``shuffle="hash"``: coarse hash-bucket co-partition
+    (:func:`..stages.scan.hash_bucket_scan` on ``k``) — every k-run is
+    wholly inside one bucket, so the scan runs once per bucket with NO
+    boundary rescue and no post-sort materialization (one exchange
+    instead of sort's sample + range-exchange).  Identical output
+    (parity-tested).
 
     ``finish(tb, res_e, res_g) -> pa.Table`` maps resolved (edge row,
     governing sketch row) index pairs to output rows with schema
     (doc_a, doc_b, sh); returns the Dataset of finish outputs."""
     import ray
     import ray.data
+
+    if shuffle == "hash":
+        from ..stages.scan import hash_bucket_scan
+
+        def scan_bucket(tb: pa.Table) -> pa.Table:
+            idx = np.lexsort((
+                tb["doc_b"].to_numpy(zero_copy_only=False),
+                tb["doc_a"].to_numpy(zero_copy_only=False),
+                tb["kind"].to_numpy(zero_copy_only=False),
+                tb["k"].to_numpy(zero_copy_only=False)))
+            tb = tb.take(pa.array(idx, pa.int64()))
+            resolved, _, _ = _resolve_block(tb)
+            if resolved is None:
+                return pa.table({"doc_a": pa.array([], pa.int64()),
+                                 "doc_b": pa.array([], pa.int64()),
+                                 "sh": pa.array([], pa.binary())})
+            return finish(tb, *resolved)
+
+        return hash_bucket_scan(rows, ["k"], scan_bucket, n_rows=n_rows,
+                                rows_per_bucket=_SKETCH_ROWS_PER_BUCKET)
 
     srt = rows.sort(["k", "kind", "doc_a", "doc_b"])
 
@@ -495,7 +530,8 @@ def _copart_join(rows, finish):
 
 def lsh_dedup_pipeline(ds, id_col: str, band_fn, sketch_fn, pair_ok,
                        num_partitions: int = 8,
-                       broadcast_loser_limit: int = _BROADCAST_LOSER_LIMIT):
+                       broadcast_loser_limit: int = _BROADCAST_LOSER_LIMIT,
+                       shuffle: str = "sort"):
     """Generic distributed LSH near-dedup: returns the Dataset of
     surviving rows (duplicate clusters keep their min-id
     representative).
@@ -529,11 +565,6 @@ def lsh_dedup_pipeline(ds, id_col: str, band_fn, sketch_fn, pair_ok,
     from .bloom import BloomFilter
 
     banded = ds.map_batches(band_fn, batch_format="pyarrow")
-    # set_hash before doc_id: identical shingle sets sort contiguous
-    # within each bucket (see band_rows), so exact duplicates always
-    # get direct chain edges even when interleaved with near-dups
-    srt = banded.sort(["band_id", "band_hash", "set_hash",
-                       "doc_id"]).materialize()
 
     def _chain(bid, bh, doc, blk=None):
         """Edges between bucket-adjacent sorted rows — chain edges are
@@ -558,25 +589,54 @@ def lsh_dedup_pipeline(ds, id_col: str, band_fn, sketch_fn, pair_ok,
                       b["band_hash"].to_numpy(zero_copy_only=False),
                       b["doc_id"].to_numpy(zero_copy_only=False))
 
-    def block_boundary_rows(b: pa.Table) -> pa.Table:
-        idx = [0, len(b) - 1] if len(b) > 1 else [0] if len(b) else []
-        t = b.take(idx)
-        return t.append_column("_blk", pa.array(
-            np.full(len(t), _blk_tag(), np.int64), pa.int64()))
+    if shuffle == "hash":
+        # hash-bucket co-partition: a bucket (band_id, band_hash) can
+        # never straddle a group boundary, so the chain scan needs no
+        # boundary stitch — one exchange instead of the global sort's
+        # sample + range exchange + stitch pass.
+        from ..stages.scan import hash_bucket_scan
 
-    edges_main = srt.map_batches(block_chain_edges, batch_format="pyarrow")
-    # 2 rows per block; a same-bucket pair among them from two DIFFERENT
-    # blocks is globally adjacent (blocks are contiguous ranges of the
-    # sort), so sorting and chaining this tiny table stitches every
-    # bucket that spans a block boundary — and nothing else.
-    bdf = (srt.map_batches(block_boundary_rows, batch_format="pyarrow")
-           .to_pandas().sort_values(["band_id", "band_hash", "set_hash",
-                                     "doc_id"]))
-    stitched = _chain(bdf["band_id"].to_numpy(), bdf["band_hash"].to_numpy(),
-                      bdf["doc_id"].to_numpy(), blk=bdf["_blk"].to_numpy())
-    edges = edges_main
-    if stitched.num_rows:
-        edges = edges.union(ray.data.from_arrow(stitched))
+        banded = banded.materialize()
+
+        def chain_bucket(tb: pa.Table) -> pa.Table:
+            # set_hash before doc_id: identical shingle sets sort
+            # contiguous within each bucket (see band_rows)
+            idx = np.lexsort((
+                tb["doc_id"].to_numpy(zero_copy_only=False),
+                tb["set_hash"].to_numpy(zero_copy_only=False),
+                tb["band_hash"].to_numpy(zero_copy_only=False),
+                tb["band_id"].to_numpy(zero_copy_only=False)))
+            return block_chain_edges(tb.take(pa.array(idx, pa.int64())))
+
+        edges = hash_bucket_scan(banded, ["band_id", "band_hash"],
+                                 chain_bucket, n_rows=banded.count())
+    else:
+        # set_hash before doc_id: identical shingle sets sort contiguous
+        # within each bucket (see band_rows), so exact duplicates always
+        # get direct chain edges even when interleaved with near-dups
+        srt = banded.sort(["band_id", "band_hash", "set_hash",
+                           "doc_id"]).materialize()
+
+        def block_boundary_rows(b: pa.Table) -> pa.Table:
+            idx = [0, len(b) - 1] if len(b) > 1 else [0] if len(b) else []
+            t = b.take(idx)
+            return t.append_column("_blk", pa.array(
+                np.full(len(t), _blk_tag(), np.int64), pa.int64()))
+
+        edges = srt.map_batches(block_chain_edges, batch_format="pyarrow")
+        # 2 rows per block; a same-bucket pair among them from two
+        # DIFFERENT blocks is globally adjacent (blocks are contiguous
+        # ranges of the sort), so sorting and chaining this tiny table
+        # stitches every bucket that spans a block boundary — and
+        # nothing else.
+        bdf = (srt.map_batches(block_boundary_rows, batch_format="pyarrow")
+               .to_pandas().sort_values(["band_id", "band_hash", "set_hash",
+                                         "doc_id"]))
+        stitched = _chain(bdf["band_id"].to_numpy(),
+                          bdf["band_hash"].to_numpy(),
+                          bdf["doc_id"].to_numpy(), blk=bdf["_blk"].to_numpy())
+        if stitched.num_rows:
+            edges = edges.union(ray.data.from_arrow(stitched))
     edges = (edges.groupby(["doc_a", "doc_b"]).count()
              .select_columns(["doc_a", "doc_b"])).materialize()
     n_edges = edges.count()
@@ -639,9 +699,14 @@ def lsh_dedup_pipeline(ds, id_col: str, band_fn, sketch_fn, pair_ok,
             "sh": _take(tb["sh"], res_g),
         })
 
+    # upper bound on both joins' row counts (edge rows + sketch rows;
+    # join #2's 'half' input is <= n_edges) — sizes the hash-bucket
+    # count without forcing an extra execution
+    n_join_rows = n_edges + cand_sh.count()
     half = _copart_join(
         edges.map_batches(edges_keyed("doc_b"), batch_format="pyarrow")
-        .union(cand_sh), attach_finish)
+        .union(cand_sh), attach_finish, shuffle=shuffle,
+        n_rows=n_join_rows)
 
     # co-partition join #2 keyed on doc_a: the scan pairs each edge's
     # attached sh_b with doc_a's sketch and runs the exact pairwise
@@ -672,7 +737,8 @@ def lsh_dedup_pipeline(ds, id_col: str, band_fn, sketch_fn, pair_ok,
 
     verified = _copart_join(
         half.map_batches(half_keyed, batch_format="pyarrow")
-        .union(cand_sh), verify_finish).map_batches(
+        .union(cand_sh), verify_finish, shuffle=shuffle,
+        n_rows=n_join_rows).map_batches(
         lambda b: b.select(["doc_a", "doc_b"]), batch_format="pyarrow")
 
     stars = connected_components(verified)
@@ -701,7 +767,8 @@ def minhash_lsh_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
                       num_perm: int = 128, bands: int = 16,
                       threshold: float = 0.7, shingle: str = "ngram",
                       ngram_n: int = 3, num_partitions: int = 8,
-                      broadcast_loser_limit: int = _BROADCAST_LOSER_LIMIT):
+                      broadcast_loser_limit: int = _BROADCAST_LOSER_LIMIT,
+                      shuffle: str = "sort"):
     """MinHash+LSH near-dedup over a text column (the
     :func:`lsh_dedup_pipeline` shape with MinHash banding and exact
     hashed-shingle Jaccard verification).
@@ -730,7 +797,8 @@ def minhash_lsh_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
 
     return lsh_dedup_pipeline(ds, id_col, band_fn, sketch_fn, pair_ok,
                               num_partitions=num_partitions,
-                              broadcast_loser_limit=broadcast_loser_limit)
+                              broadcast_loser_limit=broadcast_loser_limit,
+                              shuffle=shuffle)
 
 
 _PLANES_CACHE: dict = {}
@@ -749,7 +817,8 @@ def embedding_lsh_dedup(ds, vec_col: str = "embedding",
                         id_col: str = "vec_id", threshold: float = 0.95,
                         bands: int = 8, bits: int = 10, seed: int = 42,
                         num_partitions: int = 8,
-                        broadcast_loser_limit: int = _BROADCAST_LOSER_LIMIT):
+                        broadcast_loser_limit: int = _BROADCAST_LOSER_LIMIT,
+                        shuffle: str = "sort"):
     """Embedding-cosine near-dedup: random-hyperplane (SimHash-style)
     LSH banding over unit vectors, exact cosine verification within
     candidates, distributed via :func:`lsh_dedup_pipeline` — the
@@ -798,7 +867,8 @@ def embedding_lsh_dedup(ds, vec_col: str = "embedding",
 
     return lsh_dedup_pipeline(ds, id_col, band_fn, sketch_fn, pair_ok,
                               num_partitions=num_partitions,
-                              broadcast_loser_limit=broadcast_loser_limit)
+                              broadcast_loser_limit=broadcast_loser_limit,
+                              shuffle=shuffle)
 
 
 _HASHER_CACHE: dict = {}

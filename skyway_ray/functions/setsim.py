@@ -144,17 +144,20 @@ def _run_pairs(tok: np.ndarray, doc: np.ndarray, size: np.ndarray,
                      "doc_b": pa.array(db, pa.int64())})
 
 
-def distinct_pairs(cands):
+def distinct_pairs(cands, shuffle: str = "sort"):
     """Distributed DISTINCT over (doc_a, doc_b) pair rows WITHOUT a
     Ray ``groupby`` (whose sort-based Aggregate pays per-group Python —
-    ruinous at millions of mostly-singleton pair groups).  One
-    distributed sort on the packed pair key; each block emits its
-    strictly-interior values exactly once (equal values are contiguous
-    after the sort, so a value strictly between a block's first and
-    last values lives wholly inside that block) and routes first/last
-    values to a bounded boundary table (2 rows per block); ONE rescue
-    task re-adds each distinct boundary value once.  Requires doc ids
-    < 2^31 (packed int64 key).
+    ruinous at millions of mostly-singleton pair groups).
+    ``shuffle="sort"``: one distributed sort on the packed pair key;
+    each block emits its strictly-interior values exactly once (equal
+    values are contiguous after the sort, so a value strictly between a
+    block's first and last values lives wholly inside that block) and
+    routes first/last values to a bounded boundary table (2 rows per
+    block); ONE rescue task re-adds each distinct boundary value once.
+    ``shuffle="hash"``: coarse hash-bucket co-partition — equal pair
+    keys land in one bucket, so a per-bucket ``np.unique`` IS the
+    distinct, no boundary handling.  Requires doc ids < 2^31 (packed
+    int64 key).
 
     Returns a Dataset of distinct (doc_a, doc_b) rows."""
     import ray
@@ -165,6 +168,26 @@ def distinct_pairs(cands):
         db = b["doc_b"].to_numpy(zero_copy_only=False)
         return pa.table({"pk": pa.array((da << np.int64(31)) | db,
                                         pa.int64())})
+
+    def unpack(b: pa.Table) -> pa.Table:
+        pk = b["pk"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_a": pa.array(pk >> np.int64(31), pa.int64()),
+            "doc_b": pa.array(pk & np.int64((1 << 31) - 1), pa.int64())})
+
+    if shuffle == "hash":
+        from ..stages.scan import hash_bucket_scan
+
+        packed = cands.map_batches(pack,
+                                   batch_format="pyarrow").materialize()
+
+        def uniq(tb: pa.Table) -> pa.Table:
+            return pa.table({"pk": pa.array(np.unique(
+                tb["pk"].to_numpy(zero_copy_only=False)), pa.int64())})
+
+        return hash_bucket_scan(packed, ["pk"], uniq,
+                                n_rows=packed.count()).map_batches(
+            unpack, batch_format="pyarrow")
 
     srt = cands.map_batches(pack, batch_format="pyarrow").sort("pk") \
         .materialize()
@@ -201,12 +224,6 @@ def distinct_pairs(cands):
                          "_bnd": pa.array(np.ones(len(vals), np.int8),
                                           pa.int8())})
 
-    def unpack(b: pa.Table) -> pa.Table:
-        pk = b["pk"].to_numpy(zero_copy_only=False)
-        return pa.table({
-            "doc_a": pa.array(pk >> np.int64(31), pa.int64()),
-            "doc_b": pa.array(pk & np.int64((1 << 31) - 1), pa.int64())})
-
     return (main.union(ray.data.from_arrow_refs([rescue.remote(bnd_refs)]))
             .map_batches(unpack, batch_format="pyarrow"))
 
@@ -241,7 +258,7 @@ def _df_ranks(ds, text_col: str, ngram_words: int = 1):
 def setsim_join(ds, tau: float, id_col: str = "doc_id",
                 text_col: str = "text", freq_order: bool = False,
                 broadcast_sketch_limit: int = 1_000_000,
-                ngram_words: int = 1):
+                ngram_words: int = 1, shuffle: str = "sort"):
     """Exact τ-threshold word-set Jaccard self-join; returns a Dataset
     of (doc_a, doc_b, jac_micro) with doc_a < doc_b.
 
@@ -286,7 +303,6 @@ def setsim_join(ds, tau: float, id_col: str = "doc_id",
                          "size": pa.array(sizes[rep], pa.int64())})
 
     rows = ds.map_batches(prefix_rows, batch_format="pyarrow")
-    srt = rows.sort(["tok", "doc_id"]).materialize()
 
     def block_pairs(b: pa.Table) -> pa.Table:
         return _run_pairs(b["tok"].to_numpy(zero_copy_only=False),
@@ -294,30 +310,47 @@ def setsim_join(ds, tau: float, id_col: str = "doc_id",
                           b["size"].to_numpy(zero_copy_only=False),
                           None, tau)
 
-    def edge_run_rows(b: pa.Table) -> pa.Table:
-        """Rows of each block's FIRST and LAST token run (a straddling
-        run is one of these by construction), block-tagged.  Bounded by
-        the two edge-run lengths per block, not block size."""
-        if b.num_rows == 0:
-            return b.append_column("_blk", pa.array([], pa.int64()))
-        tok = b["tok"].to_numpy(zero_copy_only=False)
-        first = tok == tok[0]
-        last = tok == tok[-1]
-        idx = np.flatnonzero(first | last)
-        t = b.take(pa.array(idx, pa.int64()))
-        return t.append_column("_blk", pa.array(
-            np.full(len(t), _blk_tag(), np.int64), pa.int64()))
+    if shuffle == "hash":
+        # hash-bucket co-partition: a token run can never straddle a
+        # bucket, so candidate generation needs no edge-run rescue
+        from ..stages.scan import hash_bucket_scan
 
-    cands_main = srt.map_batches(block_pairs, batch_format="pyarrow")
-    bnd = (srt.map_batches(edge_run_rows, batch_format="pyarrow")
-           .to_pandas().sort_values(["tok", "doc_id"], kind="mergesort"))
-    stitched = _run_pairs(bnd["tok"].to_numpy(), bnd["doc_id"].to_numpy(),
-                          bnd["size"].to_numpy(), bnd["_blk"].to_numpy(),
-                          tau)
-    cands = cands_main
-    if stitched.num_rows:
-        cands = cands.union(ray.data.from_arrow(stitched))
-    cands = distinct_pairs(cands).materialize()
+        rows = rows.materialize()
+
+        def bucket_pairs(tb: pa.Table) -> pa.Table:
+            idx = np.lexsort((tb["doc_id"].to_numpy(zero_copy_only=False),
+                              tb["tok"].to_numpy(zero_copy_only=False)))
+            return block_pairs(tb.take(pa.array(idx, pa.int64())))
+
+        cands = hash_bucket_scan(rows, ["tok"], bucket_pairs,
+                                 n_rows=rows.count())
+    else:
+        srt = rows.sort(["tok", "doc_id"]).materialize()
+
+        def edge_run_rows(b: pa.Table) -> pa.Table:
+            """Rows of each block's FIRST and LAST token run (a
+            straddling run is one of these by construction),
+            block-tagged.  Bounded by the two edge-run lengths per
+            block, not block size."""
+            if b.num_rows == 0:
+                return b.append_column("_blk", pa.array([], pa.int64()))
+            tok = b["tok"].to_numpy(zero_copy_only=False)
+            first = tok == tok[0]
+            last = tok == tok[-1]
+            idx = np.flatnonzero(first | last)
+            t = b.take(pa.array(idx, pa.int64()))
+            return t.append_column("_blk", pa.array(
+                np.full(len(t), _blk_tag(), np.int64), pa.int64()))
+
+        cands = srt.map_batches(block_pairs, batch_format="pyarrow")
+        bnd = (srt.map_batches(edge_run_rows, batch_format="pyarrow")
+               .to_pandas().sort_values(["tok", "doc_id"], kind="mergesort"))
+        stitched = _run_pairs(bnd["tok"].to_numpy(), bnd["doc_id"].to_numpy(),
+                              bnd["size"].to_numpy(), bnd["_blk"].to_numpy(),
+                              tau)
+        if stitched.num_rows:
+            cands = cands.union(ray.data.from_arrow(stitched))
+    cands = distinct_pairs(cands, shuffle=shuffle).materialize()
     n_cands = cands.count()
     empty = ray.data.from_arrow(pa.table({
         "doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64()),
@@ -396,9 +429,11 @@ def setsim_join(ds, tau: float, id_col: str = "doc_id",
             "sh": _take(tb["sh"], res_g),
         })
 
+    n_join_rows = n_cands + cand_sh.count()
     half = _copart_join(
         cands.map_batches(edges_keyed("doc_b"), batch_format="pyarrow")
-        .union(cand_sh), attach_finish)
+        .union(cand_sh), attach_finish, shuffle=shuffle,
+        n_rows=n_join_rows)
 
     def half_keyed(b: pa.Table) -> pa.Table:
         n = len(b)
@@ -425,7 +460,8 @@ def setsim_join(ds, tau: float, id_col: str = "doc_id",
 
     verified = _copart_join(
         half.map_batches(half_keyed, batch_format="pyarrow")
-        .union(cand_sh), verify_finish)
+        .union(cand_sh), verify_finish, shuffle=shuffle,
+        n_rows=n_join_rows)
 
     def unpack(b: pa.Table) -> pa.Table:
         micro = np.array([np.frombuffer(x, np.int64)[0]

@@ -73,6 +73,47 @@ def keyed_scan(ds, key: str, order: list[str], fn,
               .groupby("_bucket").map_groups(run, batch_format="pandas"))
 
 
+def hash_bucket_scan(ds, keys: list[str], fn, n_buckets: int | None = None,
+                     n_rows: int | None = None,
+                     rows_per_bucket: int | None = None):
+    """Arrow-format coarse HASH-bucket co-partition: every distinct
+    ``keys`` tuple lands wholly in ONE bucket group (mixed multiply-
+    xor hash of the int64 key columns), and ``fn(tbl: pa.Table) ->
+    pa.Table`` receives each bucket's full table (unsorted — fn sorts
+    if it needs adjacency).
+
+    This is the shuffle-halving replacement for the global-sort +
+    boundary-stitch shape used by the LSH/setsim candidate scans: with
+    hash partitioning a key run can never straddle group boundaries,
+    so the stitch/rescue machinery (and its extra materializations)
+    disappears.  Bucket count auto-scales like :func:`keyed_scan`
+    (``n_rows`` hint avoids a counting pass; pass the count of a
+    materialized upstream).  ``rows_per_bucket=None`` reads the module
+    ``ROWS_PER_BUCKET`` at call time (testable budget override)."""
+    if rows_per_bucket is None:
+        rows_per_bucket = ROWS_PER_BUCKET
+    if n_buckets is None:
+        n_buckets = auto_n_buckets(
+            n_rows if n_rows is not None else ds.count(), rows_per_bucket)
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        h = np.zeros(len(b), np.uint64)
+        for k in keys:
+            v = (b[k].to_numpy(zero_copy_only=False)
+                 .astype(np.int64).view(np.uint64))
+            h = (h ^ v) * np.uint64(0x9E3779B97F4A7C15)
+            h ^= h >> np.uint64(29)
+        return b.append_column(
+            "_hb", pa.array((h % np.uint64(n_buckets)).astype(np.int64),
+                            pa.int64()))
+
+    def run(t: pa.Table) -> pa.Table:
+        return fn(t.drop_columns(["_hb"]))
+
+    return (ds.map_batches(add_bucket, batch_format="pyarrow")
+              .groupby("_hb").map_groups(run, batch_format="pyarrow"))
+
+
 def running_sum(ds, key: str, order: list[str], val: str,
                 out_col: str = "running_sum", n_buckets: int | None = None,
                 keep: list[str] | None = None, n_rows: int | None = None,

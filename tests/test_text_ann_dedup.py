@@ -802,3 +802,108 @@ def test_compression_ratio_signal():
     assert r[0] < 0.05 < 0.5 < r[1] <= 1.1
     assert r[2] == 1.0
     assert (compression_ratio(s) == r).all()
+
+
+class TestHashShufflePaths:
+    """shuffle="hash" (coarse hash-bucket co-partition, no boundary
+    stitch/rescue) must equal shuffle="sort" result-for-result."""
+
+    def _corpus(self, n=220, seed=5):
+        rng = np.random.default_rng(seed)
+        vocab = [f"tok{i}" for i in range(400)]
+        texts, ids = [], []
+        for i in range(n):
+            texts.append(" ".join(rng.choice(vocab, 25)))
+            ids.append(i)
+        # planted exact dups + near-dups (suffix noise)
+        for j in range(30):
+            texts.append(texts[j])
+            ids.append(1000 + j)
+        for j in range(20):
+            texts.append(texts[j] + " zz" + str(j))
+            ids.append(2000 + j)
+        return ids, texts
+
+    def test_minhash_dedup_parity(self, ray_session):
+        import ray.data
+
+        from skyway_ray.functions.near_dup import minhash_lsh_dedup
+
+        ids, texts = self._corpus()
+        tab = pa.table({"doc_id": pa.array(ids, pa.int64()),
+                        "text": texts})
+
+        def run(shuffle):
+            ds = ray.data.from_arrow(tab).repartition(7)
+            out = minhash_lsh_dedup(ds, threshold=0.7,
+                                    shuffle=shuffle).to_pandas()
+            return sorted(out["doc_id"])
+
+        srt, hsh = run("sort"), run("hash")
+        assert srt == hsh
+        assert len(srt) < len(ids)  # some dups actually removed
+
+    def test_minhash_dedup_parity_tiny_buckets(self, ray_session):
+        """Force many hash buckets (rows_per_bucket=1-ish via a
+        monkeypatched budget) — parity must hold under any bucket
+        count."""
+        import ray.data
+
+        import skyway_ray.functions.near_dup as nd
+        from skyway_ray.stages import scan as scan_mod
+
+        ids, texts = self._corpus(n=80, seed=9)
+        tab = pa.table({"doc_id": pa.array(ids, pa.int64()),
+                        "text": texts})
+
+        def run(shuffle):
+            ds = ray.data.from_arrow(tab).repartition(5)
+            return sorted(nd.minhash_lsh_dedup(
+                ds, threshold=0.7, shuffle=shuffle).to_pandas()["doc_id"])
+
+        want = run("sort")
+        orig = scan_mod.ROWS_PER_BUCKET
+        try:
+            scan_mod.ROWS_PER_BUCKET = 37
+            got = run("hash")
+        finally:
+            scan_mod.ROWS_PER_BUCKET = orig
+        assert got == want
+
+    def test_setsim_parity_broadcast_and_copart(self, ray_session):
+        import ray.data
+
+        from skyway_ray.functions.setsim import setsim_join
+
+        ids, texts = self._corpus(n=150, seed=11)
+        tab = pa.table({"doc_id": pa.array(ids, pa.int64()),
+                        "text": texts})
+
+        def run(shuffle, limit):
+            ds = ray.data.from_arrow(tab).repartition(6)
+            out = setsim_join(ds, tau=0.8, ngram_words=3,
+                              broadcast_sketch_limit=limit,
+                              shuffle=shuffle).to_pandas()
+            return sorted(zip(out.doc_a, out.doc_b, out.jac_micro))
+
+        want = run("sort", 1_000_000)
+        assert want  # planted pairs exist
+        assert run("hash", 1_000_000) == want          # broadcast verify
+        assert run("hash", 0) == want                   # copart verify
+        assert run("sort", 0) == want                   # sanity
+
+    def test_distinct_pairs_hash_parity(self, ray_session):
+        import ray.data
+
+        from skyway_ray.functions.setsim import distinct_pairs
+
+        rng = np.random.default_rng(3)
+        da = rng.integers(0, 50, 4000).astype(np.int64)
+        db = rng.integers(0, 50, 4000).astype(np.int64) + 100
+        tab = pa.table({"doc_a": da, "doc_b": db})
+        want = sorted(set(zip(da, db)))
+        for nparts in (1, 6):
+            df = distinct_pairs(
+                ray.data.from_arrow(tab).repartition(nparts),
+                shuffle="hash").to_pandas()
+            assert sorted(zip(df.doc_a, df.doc_b)) == want, nparts
