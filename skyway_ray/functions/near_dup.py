@@ -418,7 +418,7 @@ def _resolve_block(tb: pa.Table):
 _SKETCH_ROWS_PER_BUCKET = 250_000
 
 
-def _copart_join(rows, finish, shuffle: str = "sort",
+def _copart_join(rows, finish, shuffle: str = "hash",
                  n_rows: int | None = None):
     """Distributed sketch⋈edge co-partition join WITHOUT per-group
     Python.  ``shuffle="sort"``: a global sort on (k, kind, doc_a,
@@ -438,7 +438,9 @@ def _copart_join(rows, finish, shuffle: str = "sort",
     wholly inside one bucket, so the scan runs once per bucket with NO
     boundary rescue and no post-sort materialization (one exchange
     instead of sort's sample + range-exchange).  Identical output
-    (parity-tested).
+    (parity-tested); DEFAULT — measured 0.65× the sort path's wall
+    time end-to-end on the 50k-doc minhash pipeline at 32 CPUs,
+    steal-gated (scripts/profile_shuffle.py, round 4).
 
     ``finish(tb, res_e, res_g) -> pa.Table`` maps resolved (edge row,
     governing sketch row) index pairs to output rows with schema
@@ -531,7 +533,7 @@ def _copart_join(rows, finish, shuffle: str = "sort",
 def lsh_dedup_pipeline(ds, id_col: str, band_fn, sketch_fn, pair_ok,
                        num_partitions: int = 8,
                        broadcast_loser_limit: int = _BROADCAST_LOSER_LIMIT,
-                       shuffle: str = "sort"):
+                       shuffle: str = "hash"):
     """Generic distributed LSH near-dedup: returns the Dataset of
     surviving rows (duplicate clusters keep their min-id
     representative).
@@ -768,7 +770,7 @@ def minhash_lsh_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
                       threshold: float = 0.7, shingle: str = "ngram",
                       ngram_n: int = 3, num_partitions: int = 8,
                       broadcast_loser_limit: int = _BROADCAST_LOSER_LIMIT,
-                      shuffle: str = "sort"):
+                      shuffle: str = "hash"):
     """MinHash+LSH near-dedup over a text column (the
     :func:`lsh_dedup_pipeline` shape with MinHash banding and exact
     hashed-shingle Jaccard verification).
@@ -818,7 +820,7 @@ def embedding_lsh_dedup(ds, vec_col: str = "embedding",
                         bands: int = 8, bits: int = 10, seed: int = 42,
                         num_partitions: int = 8,
                         broadcast_loser_limit: int = _BROADCAST_LOSER_LIMIT,
-                        shuffle: str = "sort"):
+                        shuffle: str = "hash"):
     """Embedding-cosine near-dedup: random-hyperplane (SimHash-style)
     LSH banding over unit vectors, exact cosine verification within
     candidates, distributed via :func:`lsh_dedup_pipeline` — the

@@ -144,7 +144,7 @@ def _run_pairs(tok: np.ndarray, doc: np.ndarray, size: np.ndarray,
                      "doc_b": pa.array(db, pa.int64())})
 
 
-def distinct_pairs(cands, shuffle: str = "sort"):
+def distinct_pairs(cands, shuffle: str = "hash"):
     """Distributed DISTINCT over (doc_a, doc_b) pair rows WITHOUT a
     Ray ``groupby`` (whose sort-based Aggregate pays per-group Python —
     ruinous at millions of mostly-singleton pair groups).
@@ -258,7 +258,7 @@ def _df_ranks(ds, text_col: str, ngram_words: int = 1):
 def setsim_join(ds, tau: float, id_col: str = "doc_id",
                 text_col: str = "text", freq_order: bool = False,
                 broadcast_sketch_limit: int = 1_000_000,
-                ngram_words: int = 1, shuffle: str = "sort"):
+                ngram_words: int = 1, shuffle: str = "hash"):
     """Exact τ-threshold word-set Jaccard self-join; returns a Dataset
     of (doc_a, doc_b, jac_micro) with doc_a < doc_b.
 
