@@ -171,7 +171,8 @@ def run_bench() -> dict:
                      "tile_pyramid", "kmeans", "upsert_merge",
                      "nb_features", "mad", "sliding_distinct",
                      "equidepth_hist", "scd_intervals",
-                     "ratio_to_report"):
+                     "ratio_to_report", "full_outer", "user_window",
+                     "dense_rank", "corr_flags"):
             best = float("inf")
             attempts = 0
             for _ in range(max(1, repeats)):

@@ -3246,6 +3246,262 @@ def q_ratio_to_report_sql() -> str:
     )
 
 
+def q_full_outer(sf_dir: str):
+    """FULL OUTER equi-join through Ray Data's hash-shuffle join (NO
+    broadcast side): BUILDING-segment customers ⋈ per-customer count
+    of 'F'-status orders.  Both null sides are real — customers with
+    no F orders and F orders from other segments' customers — and are
+    filled with -1 (COALESCE on both sides keeps schemas
+    nullable-free).  The pre-join count aggregates per customer key
+    via the coarse hash-bucket scan (stages/scan.py), the
+    unbounded-key path: batch-local Arrow group_by combiner, then one
+    keyed exchange."""
+    import pyarrow.compute as pc
+
+    from .stages.scan import hash_bucket_scan
+
+    cust = _read(sf_dir, "customer",
+                 ["c_custkey", "c_acctbal", "c_mktsegment"])
+
+    def filt_cust(b: pa.Table) -> pa.Table:
+        m = pc.equal(b["c_mktsegment"], "BUILDING")
+        t = b.filter(m)
+        bal = t["c_acctbal"].to_numpy(zero_copy_only=False)
+        q2 = np.floor(bal * 100.0 + 0.5).astype(np.int64)
+        return pa.table({"c_custkey": t["c_custkey"],
+                         "acctbal_q2": pa.array(q2, pa.int64())})
+
+    left = cust.map_batches(filt_cust, batch_format="pyarrow")
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderstatus"])
+
+    def partial_counts(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.equal(b["o_orderstatus"], "F"))
+        g = t.select(["o_custkey"]).group_by(["o_custkey"]).aggregate(
+            [("o_custkey", "count")])
+        return g.rename_columns(["o_custkey", "n_f_orders"])
+
+    def bucket_sum(t: pa.Table) -> pa.Table:
+        g = t.group_by(["o_custkey"]).aggregate([("n_f_orders", "sum")])
+        return g.rename_columns(["o_custkey", "n_f_orders"])
+
+    right = hash_bucket_scan(
+        orders.map_batches(partial_counts, batch_format="pyarrow"),
+        ["o_custkey"], bucket_sum, n_rows=_nrows(sf_dir, "orders"))
+
+    j = left.join(right, "full_outer", num_partitions=16,
+                  on=("c_custkey",), right_on=("o_custkey",))
+
+    def finish(b: pa.Table) -> pa.Table:
+        # Ray's full_outer join already coalesces the two key columns
+        # into the left key name (right-only rows carry their key there)
+        return pa.table({
+            "custkey": pc.cast(b["c_custkey"], pa.int64()),
+            "acctbal_q2": pc.cast(
+                pc.coalesce(b["acctbal_q2"], pa.scalar(-1)), pa.int64()),
+            "n_f_orders": pc.cast(
+                pc.coalesce(b["n_f_orders"], pa.scalar(-1)), pa.int64()),
+        })
+
+    return j.map_batches(finish, batch_format="pyarrow")
+
+
+def q_full_outer_sql() -> str:
+    return (
+        "WITH c AS (SELECT c_custkey, CAST(floor(c_acctbal * 100.0 + 0.5) "
+        "AS BIGINT) AS acctbal_q2 FROM customer "
+        "WHERE c_mktsegment = 'BUILDING'), "
+        "o AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_f_orders "
+        "FROM orders WHERE o_orderstatus = 'F' GROUP BY o_custkey) "
+        "SELECT COALESCE(c.c_custkey, o.o_custkey) AS custkey, "
+        "COALESCE(c.acctbal_q2, -1) AS acctbal_q2, "
+        "COALESCE(o.n_f_orders, -1) AS n_f_orders "
+        "FROM c FULL OUTER JOIN o ON c.c_custkey = o.o_custkey"
+    )
+
+
+def q_user_window(sf_dir: str):
+    """LEAD / FIRST_VALUE / running MAX per user in (ts, event_id)
+    order — one coarse-bucket keyed scan (stages/scan.py), all three
+    windows from a single vectorized pass over the sorted bucket (the
+    running max is over the micro-quantized int value, so the oracle's
+    windowed MAX matches bit-for-bit)."""
+    from .stages.scan import keyed_scan
+
+    def prep(b: pa.Table) -> pa.Table:
+        v = b["value"].to_numpy(zero_copy_only=False)
+        vq2 = np.floor(v * 100.0 + 0.5).astype(np.int64)
+        return pa.table({
+            "event_id": b["event_id"], "user_id": b["user_id"],
+            "ts_us": b["ts"].cast(pa.int64()),
+            "vq2": pa.array(vq2, pa.int64())})
+
+    def scan(d: pd.DataFrame) -> pd.DataFrame:
+        k = d["user_id"].to_numpy()
+        ts = d["ts_us"].to_numpy()
+        first_mask = np.ones(len(d), dtype=bool)
+        first_mask[1:] = k[1:] != k[:-1]
+        # LEAD(ts): next row's ts, -1 on each user's last row
+        lead = np.empty_like(ts)
+        lead[:-1] = ts[1:]
+        last_mask = np.ones(len(d), dtype=bool)
+        last_mask[:-1] = first_mask[1:]
+        lead[last_mask] = -1
+        # FIRST_VALUE(ts): broadcast each segment's first ts
+        seg_start = np.flatnonzero(first_mask)
+        sizes = np.diff(np.append(seg_start, len(d)))
+        first_ts = np.repeat(ts[seg_start], sizes)
+        # running MAX(vq2) within the segment (pandas cummax — C loop,
+        # no per-key Python; max has no subtract-the-base reset trick)
+        cummax = d.groupby("user_id", sort=False)["vq2"].cummax().to_numpy()
+        return pd.DataFrame({
+            "event_id": d["event_id"].to_numpy(),
+            "lead_ts_us": lead,
+            "first_ts_us": first_ts,
+            "cummax_vq2": cummax})
+
+    ds = _read(sf_dir, "events",
+               ["event_id", "user_id", "ts", "value"]).map_batches(
+        prep, batch_format="pyarrow")
+    return keyed_scan(ds, key="user_id", order=["ts_us", "event_id"],
+                      fn=scan, n_rows=_nrows(sf_dir, "events"))
+
+
+def q_user_window_sql() -> str:
+    return (
+        "WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, "
+        "CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS vq2 FROM events) "
+        "SELECT event_id, COALESCE(lead(ts_us) OVER w, -1) AS lead_ts_us, "
+        "first_value(ts_us) OVER w AS first_ts_us, "
+        "max(vq2) OVER (PARTITION BY user_id ORDER BY ts_us, event_id "
+        "ROWS UNBOUNDED PRECEDING) AS cummax_vq2 "
+        "FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)"
+    )
+
+
+def q_dense_rank(sf_dir: str):
+    """DENSE_RANK per event_type over floor(value) DESC (the integer
+    floor guarantees real tie groups).  Coarse-bucket keyed scan;
+    within each sorted bucket the rank is one cumsum over
+    value-change flags with per-type base subtraction — no per-key
+    loop."""
+    from .stages.scan import keyed_scan
+
+    def hash_type(k: np.ndarray) -> np.ndarray:
+        import zlib
+
+        uniq, inv = np.unique(k.astype("U"), return_inverse=True)
+        codes = np.array([zlib.crc32(u.encode()) for u in uniq], np.int64)
+        return codes[inv]
+
+    def prep(b: pa.Table) -> pa.Table:
+        v = b["value"].to_numpy(zero_copy_only=False)
+        nvq = -np.floor(v).astype(np.int64)
+        return pa.table({"event_id": b["event_id"],
+                         "event_type": b["event_type"],
+                         "neg_vq": pa.array(nvq, pa.int64())})
+
+    def scan(d: pd.DataFrame) -> pd.DataFrame:
+        t = d["event_type"].to_numpy()
+        v = d["neg_vq"].to_numpy()
+        new_type = np.ones(len(d), dtype=bool)
+        new_type[1:] = t[1:] != t[:-1]
+        new_val = new_type.copy()
+        new_val[1:] |= v[1:] != v[:-1]
+        s = np.cumsum(new_val)
+        starts = np.flatnonzero(new_type)
+        sizes = np.diff(np.append(starts, len(d)))
+        base = np.repeat(s[starts], sizes)
+        return pd.DataFrame({"event_id": d["event_id"].to_numpy(),
+                             "drank": (s - base + 1).astype(np.int64)})
+
+    ds = _read(sf_dir, "events",
+               ["event_id", "event_type", "value"]).map_batches(
+        prep, batch_format="pyarrow")
+    return keyed_scan(ds, key="event_type", order=["neg_vq"], fn=scan,
+                      n_buckets=8, hash_key=hash_type)
+
+
+def q_dense_rank_sql() -> str:
+    return (
+        "SELECT event_id, CAST(dense_rank() OVER (PARTITION BY event_type "
+        "ORDER BY CAST(floor(value) AS BIGINT) DESC) AS BIGINT) AS drank "
+        "FROM events"
+    )
+
+
+def q_corr_flags(sf_dir: str):
+    """Pearson correlation of (quantity, price) per returnflag in
+    EXACT integer arithmetic end-to-end: per-batch int64 partial sums
+    (n, Σx, Σy, Σxy, Σx², Σy² over unit-quantized values — Σy² stays
+    < 2^63 up to ~10^8 rows at these magnitudes; beyond that, split y
+    into hi/lo limbs), a combiner tree over the 3-flag key space, and
+    the final n·Σxy − ΣxΣy / √(..)·√(..) in PYTHON ints (arbitrary
+    precision — the n·Σ products overflow int64 by design) with one
+    pinned float expression at the end, mirrored exactly by the
+    oracle's HUGEINT sums + DOUBLE casts."""
+    import math
+
+    import ray
+
+    from .stages.agg_tree import tree_aggregate
+
+    def partial(b: pa.Table) -> pa.Table:
+        x = np.floor(b["l_quantity"].to_numpy(zero_copy_only=False)
+                     + 0.5).astype(np.int64)
+        y = np.floor(b["l_extendedprice"].to_numpy(zero_copy_only=False)
+                     + 0.5).astype(np.int64)
+        t = pa.table({"flag": b["l_returnflag"],
+                      "n": pa.array(np.ones(len(x), np.int64)),
+                      "sx": pa.array(x), "sy": pa.array(y),
+                      "sxy": pa.array(x * y), "sxx": pa.array(x * x),
+                      "syy": pa.array(y * y)})
+        g = t.group_by(["flag"]).aggregate(
+            [(c, "sum") for c in ("n", "sx", "sy", "sxy", "sxx", "syy")])
+        return g.rename_columns(["flag", "n", "sx", "sy", "sxy",
+                                 "sxx", "syy"])
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_quantity", "l_extendedprice"])
+    sums = tree_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"), ["flag"],
+        [(c, "sum") for c in ("n", "sx", "sy", "sxy", "sxx", "syy")])
+    df = sums.to_pandas()  # ≤ |distinct flags| rows
+
+    flags, ns, corr = [], [], []
+    for _, r in df.sort_values("flag").iterrows():
+        n, sx, sy = int(r["n"]), int(r["sx"]), int(r["sy"])
+        sxy, sxx, syy = int(r["sxy"]), int(r["sxx"]), int(r["syy"])
+        num = n * sxy - sx * sy          # exact python ints
+        dx = n * sxx - sx * sx
+        dy = n * syy - sy * sy
+        c = math.floor(1e6 * (float(num)
+                              / (math.sqrt(float(dx))
+                                 * math.sqrt(float(dy)))) + 0.5)
+        flags.append(r["flag"])
+        ns.append(n)
+        corr.append(c)
+    return pd.DataFrame({"flag": flags,
+                         "n": np.array(ns, np.int64),
+                         "corr_micro": np.array(corr, np.int64)})
+
+
+def q_corr_flags_sql() -> str:
+    return (
+        "WITH l AS (SELECT l_returnflag AS flag, "
+        "CAST(floor(l_quantity + 0.5) AS BIGINT) AS x, "
+        "CAST(floor(l_extendedprice + 0.5) AS BIGINT) AS y FROM lineitem), "
+        "s AS (SELECT flag, count(*) AS n, sum(x) AS sx, sum(y) AS sy, "
+        "sum(x*y) AS sxy, sum(x*x) AS sxx, sum(y*y) AS syy "
+        "FROM l GROUP BY flag) "
+        "SELECT flag, CAST(n AS BIGINT) AS n, "
+        "CAST(floor(1e6 * (CAST(n*sxy - sx*sy AS DOUBLE) / "
+        "(sqrt(CAST(n*sxx - sx*sx AS DOUBLE)) * "
+        "sqrt(CAST(n*syy - sy*sy AS DOUBLE)))) + 0.5) AS BIGINT) "
+        "AS corr_micro FROM s"
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -3257,6 +3513,11 @@ def q_ratio_to_report_sql() -> str:
 # the long-driver-proven block (geotag/cells/tiles/...) rides at the
 # end, followed by the rows-only (non-SQL-expressible) entries.
 QUERIES = {
+    # -- NEW this round (round 4) --
+    "full_outer": q_full_outer,
+    "user_window": q_user_window,
+    "dense_rank": q_dense_rank,
+    "corr_flags": q_corr_flags,
     # -- driver-unproven hash-verified entries (judge-swept only in r3) --
     "skew_join": q_skew_join,
     "decontam": q_decontam,
@@ -3363,6 +3624,10 @@ QUERIES = {
 # Same key order as QUERIES (the driver zips the two by queries()'s
 # first-50 prefix).
 ORACLE_SQL = {
+    "full_outer": q_full_outer_sql(),
+    "user_window": q_user_window_sql(),
+    "dense_rank": q_dense_rank_sql(),
+    "corr_flags": q_corr_flags_sql(),
     "skew_join": q_skew_join_sql(),
     "decontam": q_decontam_sql(),
     "group_stats": q_group_stats_sql(),

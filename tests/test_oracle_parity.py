@@ -74,6 +74,7 @@ def test_entry_smoke(ray_session):
     "embedding_stats", "tile_pyramid", "kmeans", "upsert_merge",
     "nb_features", "mad", "sliding_distinct", "equidepth_hist",
     "scd_intervals", "ratio_to_report",
+    "full_outer", "user_window", "dense_rank", "corr_flags",
 ])
 def test_sql_parity(name, entries):
     qs, oracles = entries
