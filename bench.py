@@ -172,7 +172,9 @@ def run_bench() -> dict:
                      "nb_features", "mad", "sliding_distinct",
                      "equidepth_hist", "scd_intervals",
                      "ratio_to_report", "full_outer", "user_window",
-                     "dense_rank", "corr_flags"):
+                     "dense_rank", "corr_flags", "pct_rank", "retention",
+                     "doc_stats", "type_entropy", "gap_fill", "triangles",
+                     "char_jaccard"):
             best = float("inf")
             attempts = 0
             for _ in range(max(1, repeats)):

@@ -3502,6 +3502,499 @@ def q_corr_flags_sql() -> str:
     )
 
 
+def q_pct_rank(sf_dir: str):
+    """PERCENT_RANK + CUME_DIST per event_type over floor(value):
+    coarse-bucket keyed scan; within a sorted bucket both statistics
+    are run-boundary arithmetic (first/last index of each tie run
+    inside its type segment) — no per-key loop.  The two divisions are
+    single pinned double ops of small ints, identical on the SQL side,
+    so the doubles hash-match."""
+    from .stages.scan import keyed_scan
+
+    def hash_type(k: np.ndarray) -> np.ndarray:
+        import zlib
+
+        uniq, inv = np.unique(k.astype("U"), return_inverse=True)
+        codes = np.array([zlib.crc32(u.encode()) for u in uniq], np.int64)
+        return codes[inv]
+
+    def prep(b: pa.Table) -> pa.Table:
+        v = b["value"].to_numpy(zero_copy_only=False)
+        return pa.table({"event_id": b["event_id"],
+                         "event_type": b["event_type"],
+                         "vq": pa.array(np.floor(v).astype(np.int64),
+                                        pa.int64())})
+
+    def scan(d: pd.DataFrame) -> pd.DataFrame:
+        t = d["event_type"].to_numpy()
+        v = d["vq"].to_numpy()
+        m = len(d)
+        new_type = np.ones(m, dtype=bool)
+        new_type[1:] = t[1:] != t[:-1]
+        new_val = new_type.copy()
+        new_val[1:] |= v[1:] != v[:-1]
+        seg_starts = np.flatnonzero(new_type)
+        seg_sizes = np.diff(np.append(seg_starts, m))
+        run_starts = np.flatnonzero(new_val)
+        run_sizes = np.diff(np.append(run_starts, m))
+        run_ends = np.append(run_starts[1:], m) - 1
+        seg_start = np.repeat(seg_starts, seg_sizes)
+        n = np.repeat(seg_sizes, seg_sizes).astype(np.float64)
+        rank = (np.repeat(run_starts, run_sizes) - seg_start + 1
+                ).astype(np.float64)
+        cume = (np.repeat(run_ends, run_sizes) - seg_start + 1
+                ).astype(np.float64)
+        pct = np.where(n > 1.0, (rank - 1.0) / (n - 1.0), 0.0)
+        return pd.DataFrame({"event_id": d["event_id"].to_numpy(),
+                             "pct_rank": pct,
+                             "cume": cume / n})
+
+    ds = _read(sf_dir, "events",
+               ["event_id", "event_type", "value"]).map_batches(
+        prep, batch_format="pyarrow")
+    return keyed_scan(ds, key="event_type", order=["vq"], fn=scan,
+                      n_buckets=8, hash_key=hash_type)
+
+
+def q_pct_rank_sql() -> str:
+    return (
+        "SELECT event_id, "
+        "percent_rank() OVER w AS pct_rank, cume_dist() OVER w AS cume "
+        "FROM events WINDOW w AS (PARTITION BY event_type "
+        "ORDER BY CAST(floor(value) AS BIGINT))"
+    )
+
+
+def q_retention(sf_dir: str):
+    """Cohort retention: cohort = each user's first active week, then
+    distinct-user counts per (cohort_week, active_week).  ONE hash
+    co-partition shuffle on user_id does all the per-user work (first
+    week + distinct weeks) vectorized inside each bucket; the
+    (cohort, week) key space is bounded (weeks²), so the final count
+    rides the combiner tree — no second all-to-all."""
+    from .stages.agg_tree import tree_aggregate
+    from .stages.scan import hash_bucket_scan
+
+    WEEK_US = 7 * 86400 * 1_000_000
+
+    def prep(b: pa.Table) -> pa.Table:
+        ts = b["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({"user_id": b["user_id"],
+                         "wk": pa.array(ts // WEEK_US, pa.int64())})
+
+    def per_user(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        w = t["wk"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((w, u))
+        u, w = u[order], w[order]
+        keep = np.ones(len(u), dtype=bool)
+        keep[1:] = (u[1:] != u[:-1]) | (w[1:] != w[:-1])
+        u, w = u[keep], w[keep]                      # distinct (user, wk)
+        new_u = np.ones(len(u), dtype=bool)
+        new_u[1:] = u[1:] != u[:-1]
+        sizes = np.diff(np.append(np.flatnonzero(new_u), len(u)))
+        cohort = np.repeat(w[new_u], sizes)          # per-user min week
+        t2 = pa.table({"cohort": pa.array(cohort, pa.int64()),
+                       "wk": pa.array(w, pa.int64()),
+                       "n_users": pa.array(np.ones(len(u), np.int64))})
+        g = t2.group_by(["cohort", "wk"]).aggregate([("n_users", "sum")])
+        return g.rename_columns(["cohort", "wk", "n_users"])
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"]).map_batches(
+        prep, batch_format="pyarrow")
+    pairs = hash_bucket_scan(ds, ["user_id"], per_user,
+                             n_rows=_nrows(sf_dir, "events"))
+    return tree_aggregate(pairs, ["cohort", "wk"], [("n_users", "sum")])
+
+
+def q_retention_sql() -> str:
+    return (
+        "WITH w AS (SELECT user_id, epoch_us(ts) // 604800000000 AS wk "
+        "FROM events), "
+        "c AS (SELECT user_id, min(wk) AS cohort FROM w GROUP BY user_id), "
+        "a AS (SELECT DISTINCT w.user_id, c.cohort, w.wk "
+        "FROM w JOIN c USING (user_id)) "
+        "SELECT cohort, wk, CAST(count(*) AS BIGINT) AS n_users "
+        "FROM a GROUP BY cohort, wk"
+    )
+
+
+def q_doc_stats(sf_dir: str):
+    """Gopher-style repetition quality signals per document: word
+    count, distinct-word count, duplicate-word fraction and
+    top-word fraction — the cheap repetition filters a training-data
+    pipeline runs before dedup.  Pure per-row map (no shuffle); the
+    fractions are single pinned double divisions of exact ints."""
+    import re
+
+    word_re = re.compile(r"[a-z0-9]+")
+
+    def stats(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        out_id, n_w, n_d, max_c = [], [], [], []
+        for i, txt in enumerate(b["text"].to_pylist()):
+            words = word_re.findall(txt.lower())
+            if not words:
+                continue                    # SQL's unnest emits no row
+            _, counts = np.unique(np.array(words, dtype="U"),
+                                  return_counts=True)
+            out_id.append(ids[i])
+            n_w.append(len(words))
+            n_d.append(len(counts))
+            max_c.append(int(counts.max()))
+        n_w_arr = np.array(n_w, np.int64)
+        n_d_arr = np.array(n_d, np.int64)
+        max_arr = np.array(max_c, np.int64)
+        denom = n_w_arr.astype(np.float64)
+        return pa.table({
+            "doc_id": pa.array(np.array(out_id, np.int64), pa.int64()),
+            "n_words": pa.array(n_w_arr, pa.int64()),
+            "n_distinct": pa.array(n_d_arr, pa.int64()),
+            "dup_word_frac": pa.array(
+                (n_w_arr - n_d_arr).astype(np.float64) / denom, pa.float64()),
+            "top_word_frac": pa.array(
+                max_arr.astype(np.float64) / denom, pa.float64())})
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        stats, batch_format="pyarrow")
+
+
+def q_doc_stats_sql() -> str:
+    return (
+        "WITH w AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), "
+        "'[a-z0-9]+')) AS w FROM documents), "
+        "cnt AS (SELECT doc_id, w, count(*) AS c FROM w GROUP BY doc_id, w), "
+        "agg AS (SELECT doc_id, sum(c) AS n_words, count(*) AS n_distinct, "
+        "max(c) AS max_c FROM cnt GROUP BY doc_id) "
+        "SELECT doc_id, CAST(n_words AS BIGINT) AS n_words, "
+        "CAST(n_distinct AS BIGINT) AS n_distinct, "
+        "CAST(n_words - n_distinct AS DOUBLE) / CAST(n_words AS DOUBLE) "
+        "AS dup_word_frac, "
+        "CAST(max_c AS DOUBLE) / CAST(n_words AS DOUBLE) AS top_word_frac "
+        "FROM agg"
+    )
+
+
+def q_type_entropy(sf_dir: str):
+    """Shannon entropy of each event_type's user-activity distribution
+    in nano-units: each (type, user) cell contributes the integer
+    floor(-(p·ln p)·1e9 + 0.5) and the per-type entropy is the exact
+    integer SUM of those terms — summation-order-proof (the house
+    rule for transcendental outputs).  ln goes through math.log (libm:
+    bit-identical to DuckDB's ln; numpy's SIMD log drifts 1 ulp on
+    ~3 % of inputs — measured).  Shape: one pair-key hash shuffle
+    makes (type, user) counts exact (user cardinality unbounded);
+    per-type totals and the final term sum ride the combiner tree
+    (type cardinality bounded)."""
+    import math
+
+    import ray
+
+    from .stages.agg_tree import tree_aggregate, tree_aggregate_to_table
+    from .stages.scan import hash_bucket_scan
+
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+
+    def local_counts(b: pa.Table) -> pa.Table:
+        g = b.group_by(["event_type", "user_id"]).aggregate(
+            [("user_id", "count")])
+        return g.rename_columns(["event_type", "user_id", "c"])
+
+    def bucket_counts(t: pa.Table) -> pa.Table:
+        g = t.group_by(["event_type", "user_id"]).aggregate([("c", "sum")])
+        return g.rename_columns(["event_type", "user_id", "c"])
+
+    partial = ds.map_batches(local_counts, batch_format="pyarrow")
+    pairs = hash_bucket_scan(partial, ["user_id"], bucket_counts,
+                             n_rows=_nrows(sf_dir, "events"))
+    totals = tree_aggregate_to_table(pairs, ["event_type"], [("c", "sum")])
+    tot = {t: int(n) for t, n in zip(totals["event_type"].to_pylist(),
+                                     totals["c"].to_pylist())}
+    tot_ref = ray.put(tot)
+
+    def term(b: pa.Table) -> pa.Table:
+        from .functions.near_dup import _obj_cached
+
+        lookup = _obj_cached(tot_ref)
+        types = b["event_type"].to_pylist()
+        c = b["c"].to_numpy(zero_copy_only=False)
+        n = np.array([lookup[t] for t in types], np.int64)
+        p = c.astype(np.float64) / n.astype(np.float64)
+        # math.log, not np.log: libm parity with the oracle's ln
+        terms = np.fromiter(
+            (math.floor(-(pi * math.log(pi)) * 1e9 + 0.5) for pi in p),
+            dtype=np.int64, count=len(p))
+        return pa.table({"event_type": b["event_type"],
+                         "entropy_nano": pa.array(terms, pa.int64())})
+
+    return tree_aggregate(pairs.map_batches(term, batch_format="pyarrow"),
+                          ["event_type"], [("entropy_nano", "sum")])
+
+
+def q_type_entropy_sql() -> str:
+    return (
+        "WITH c AS (SELECT event_type, user_id, count(*) AS c FROM events "
+        "GROUP BY event_type, user_id), "
+        "n AS (SELECT event_type, sum(c) AS n FROM c GROUP BY event_type), "
+        "t AS (SELECT c.event_type, CAST(floor(-((CAST(c.c AS DOUBLE) / "
+        "CAST(n.n AS DOUBLE)) * ln(CAST(c.c AS DOUBLE) / "
+        "CAST(n.n AS DOUBLE))) * 1e9 + 0.5) AS BIGINT) AS term "
+        "FROM c JOIN n USING (event_type)) "
+        "SELECT event_type, CAST(sum(term) AS BIGINT) AS entropy_nano "
+        "FROM t GROUP BY event_type"
+    )
+
+
+def q_gap_fill(sf_dir: str):
+    """Per-user hourly gap-fill with forward fill: each user's sparse
+    (hour, max value) series expands to every hour in [first, last]
+    carrying the latest known value — the time-series resample+ffill
+    primitive.  ONE user-key hash shuffle; inside a bucket the
+    expansion is grouped-arange arithmetic and the fill is one global
+    searchsorted over a (user, hour) composite key — no per-user
+    loop.  Values pass through untouched (max of doubles), so floats
+    hash-match."""
+    from .stages.scan import hash_bucket_scan
+
+    HOUR_US = 3600 * 1_000_000
+
+    def prep(b: pa.Table) -> pa.Table:
+        ts = b["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({"user_id": b["user_id"],
+                         "h": pa.array(ts // HOUR_US, pa.int64()),
+                         "value": b["value"]})
+
+    def fill(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        h = t["h"].to_numpy(zero_copy_only=False)
+        v = t["value"].to_numpy(zero_copy_only=False)
+        if len(u) == 0:
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "h": pa.array([], pa.int64()),
+                             "v": pa.array([], pa.float64())})
+        # per-(user, hour) max(value), sorted by (user, hour)
+        order = np.lexsort((v, h, u))
+        u, h, v = u[order], h[order], v[order]
+        last = np.ones(len(u), dtype=bool)
+        last[:-1] = (u[1:] != u[:-1]) | (h[1:] != h[:-1])
+        u, h, v = u[last], h[last], v[last]          # max = last in v-order
+        # per-user [h0, h1] expansion (grouped arange)
+        new_u = np.ones(len(u), dtype=bool)
+        new_u[1:] = u[1:] != u[:-1]
+        starts = np.flatnonzero(new_u)
+        ends = np.append(starts[1:], len(u)) - 1
+        h0, h1 = h[starts], h[ends]
+        lens = h1 - h0 + 1
+        total = int(lens.sum())
+        off = np.repeat(np.cumsum(lens) - lens, lens)
+        out_h = np.arange(total, dtype=np.int64) - off + np.repeat(h0, lens)
+        out_u = np.repeat(u[starts], lens)
+        # forward fill: latest sparse row ≤ out_h per user, via a
+        # composite (user-ordinal, hour) key monotone within the bucket
+        uidx = np.cumsum(new_u) - 1                   # ordinal per sparse row
+        out_uidx = np.repeat(np.arange(len(starts), dtype=np.int64), lens)
+        SPAN = np.int64(1) << 42                      # hours ≪ 2^42
+        key_sparse = uidx * SPAN + h
+        key_out = out_uidx * SPAN + out_h
+        idx = np.searchsorted(key_sparse, key_out, side="right") - 1
+        return pa.table({"user_id": pa.array(out_u, pa.int64()),
+                         "h": pa.array(out_h, pa.int64()),
+                         "v": pa.array(v[idx], pa.float64())})
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "value"]).map_batches(
+        prep, batch_format="pyarrow")
+    return hash_bucket_scan(ds, ["user_id"], fill,
+                            n_rows=_nrows(sf_dir, "events"))
+
+
+def q_gap_fill_sql() -> str:
+    return (
+        "WITH hv AS (SELECT user_id, epoch_us(ts) // 3600000000 AS h, "
+        "max(value) AS v FROM events GROUP BY user_id, h), "
+        "b AS (SELECT user_id, min(h) AS h0, max(h) AS h1 FROM hv "
+        "GROUP BY user_id), "
+        "s AS (SELECT user_id, unnest(range(h0, h1 + 1)) AS h FROM b) "
+        "SELECT s.user_id, s.h, hv.v FROM s ASOF JOIN hv "
+        "ON s.user_id = hv.user_id AND s.h >= hv.h"
+    )
+
+
+def q_triangles(sf_dir: str):
+    """Distributed triangle counting on the derived 400-node graph
+    (u = user_id%400 — v = event_id%400 edges): the classic
+    compact-forward / MapReduce shape — distinct id-oriented edges
+    (u < v), wedge generation co-partitioned on the anchor node
+    (vectorized grouped pair-expansion, no per-node loop), then a
+    second co-partition of wedges ∪ edges on the closing pair with a
+    sorted-membership probe.  Three hash shuffles total, each
+    ids-only.  At scale, swap id-orientation for degree-orientation
+    (bounds out-degree to O(√m) on skewed graphs) — the oracle then
+    orders by (degree, id) instead; reference-free addition."""
+    import ray.data
+
+    from .stages.agg_tree import tree_aggregate
+    from .stages.scan import hash_bucket_scan
+
+    V = 400
+    n_ev = _nrows(sf_dir, "events")
+
+    def prep(b: pa.Table) -> pa.Table:
+        x = b["user_id"].to_numpy(zero_copy_only=False) % V
+        y = b["event_id"].to_numpy(zero_copy_only=False) % V
+        keep = x != y
+        x, y = x[keep], y[keep]
+        return pa.table({"u": pa.array(np.minimum(x, y), pa.int64()),
+                         "v": pa.array(np.maximum(x, y), pa.int64())})
+
+    def distinct(t: pa.Table) -> pa.Table:
+        return t.group_by(["u", "v"]).aggregate([])
+
+    edges = hash_bucket_scan(
+        _read(sf_dir, "events", ["user_id", "event_id"]).map_batches(
+            prep, batch_format="pyarrow"),
+        ["u", "v"], distinct, n_rows=n_ev).materialize()
+
+    def wedges(t: pa.Table) -> pa.Table:
+        u = t["u"].to_numpy(zero_copy_only=False)
+        v = t["v"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((v, u))
+        u, v = u[order], v[order]
+        new_u = np.ones(len(u), dtype=bool)
+        new_u[1:] = u[1:] != u[:-1]
+        sizes = np.diff(np.append(np.flatnonzero(new_u), len(u)))
+        # local index i within each u-segment pairs with the s-1-i
+        # following neighbours: (b, c) with c after b in sort order
+        loc = np.arange(len(u), dtype=np.int64) - np.repeat(
+            np.cumsum(sizes) - sizes, sizes)
+        rep = np.repeat(sizes, sizes) - 1 - loc
+        b_idx = np.repeat(np.arange(len(u), dtype=np.int64), rep)
+        ar = np.arange(int(rep.sum()), dtype=np.int64) - np.repeat(
+            np.cumsum(rep) - rep, rep)
+        c_idx = b_idx + ar + 1
+        return pa.table({"p": pa.array(v[b_idx], pa.int64()),
+                         "q": pa.array(v[c_idx], pa.int64()),
+                         "a": pa.array(u[b_idx], pa.int64())})
+
+    wedge_ds = hash_bucket_scan(edges, ["u"], wedges, n_rows=edges.count())
+    edge_rows = edges.map_batches(
+        lambda t: pa.table({"p": t["u"], "q": t["v"],
+                            "a": pa.array(np.full(len(t), -1, np.int64()),
+                                          pa.int64())}),
+        batch_format="pyarrow")
+
+    def close(t: pa.Table) -> pa.Table:
+        p = t["p"].to_numpy(zero_copy_only=False)
+        q = t["q"].to_numpy(zero_copy_only=False)
+        a = t["a"].to_numpy(zero_copy_only=False)
+        key = p * np.int64(V + 1) + q
+        is_edge = a < 0
+        ek = np.sort(key[is_edge])
+        wk, wa = key[~is_edge], a[~is_edge]
+        pos = np.searchsorted(ek, wk)
+        hit = (pos < len(ek))
+        hit[hit] = ek[pos[hit]] == wk[hit]
+        t2 = pa.table({"node": pa.array(wa[hit], pa.int64()),
+                       "tri": pa.array(np.ones(int(hit.sum()), np.int64))})
+        g = t2.group_by(["node"]).aggregate([("tri", "sum")])
+        return g.rename_columns(["node", "tri"])
+
+    unioned = wedge_ds.union(edge_rows)
+    partials = hash_bucket_scan(unioned, ["p", "q"], close,
+                                n_rows=n_ev)
+    return tree_aggregate(partials, ["node"], [("tri", "sum")])
+
+
+def q_triangles_sql() -> str:
+    return (
+        "WITH raw AS (SELECT user_id % 400 AS x, event_id % 400 AS y "
+        "FROM events), "
+        "e AS (SELECT DISTINCT least(x, y) AS u, greatest(x, y) AS v "
+        "FROM raw WHERE x <> y) "
+        "SELECT e1.u AS node, CAST(count(*) AS BIGINT) AS tri "
+        "FROM e e1 JOIN e e2 ON e2.u = e1.u AND e2.v > e1.v "
+        "JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v "
+        "GROUP BY e1.u"
+    )
+
+
+def q_char_jaccard(sf_dir: str):
+    """Character-3-gram Jaccard between consecutive documents
+    (doc_id, doc_id+1) — the n-gram-set similarity kernel on a linear
+    pair domain (the τ-threshold SELF-join over word shingles is
+    setsim_pairs; char shingles on this tiny-vocabulary corpus would
+    make the quadratic oracle explode).  Each doc's distinct-trigram
+    hash blob is emitted toward its two neighbour pairs; one pair-key
+    hash shuffle co-locates both sides; the verify is the same
+    vectorized sorted-dup kernel the setsim join uses
+    (functions/setsim._batch_jaccard), micro-quantized like the
+    oracle."""
+    import zlib
+
+    from .functions.setsim import _batch_jaccard
+    from .stages.scan import hash_bucket_scan
+
+    def blobs(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        pair, role, blob = [], [], []
+        for i, txt in enumerate(b["text"].to_pylist()):
+            s = txt.lower()
+            grams = {s[j:j + 3] for j in range(len(s) - 2)}
+            if not grams:
+                continue
+            hs = np.sort(np.fromiter(
+                (((zlib.crc32(g) << 32) | zlib.crc32(g, 0xA5A5A5A5))
+                 & 0x7FFFFFFFFFFFFFFF
+                 for g in (x.encode() for x in grams)),
+                dtype=np.int64, count=len(grams)))
+            raw = hs.tobytes()
+            pair += [int(ids[i]), int(ids[i]) - 1]
+            role += [0, 1]
+            blob += [raw, raw]
+        return pa.table({"pair": pa.array(np.array(pair, np.int64)),
+                         "role": pa.array(np.array(role, np.int64)),
+                         "blob": pa.array(blob, pa.binary())})
+
+    def verify(t: pa.Table) -> pa.Table:
+        pr = t["pair"].to_numpy(zero_copy_only=False)
+        ro = t["role"].to_numpy(zero_copy_only=False)
+        bl = t["blob"].to_pylist()
+        order = np.lexsort((ro, pr))
+        pr, ro = pr[order], ro[order]
+        both = np.flatnonzero((pr[:-1] == pr[1:])
+                              & (ro[:-1] == 0) & (ro[1:] == 1))
+        a_blobs = [bl[order[i]] for i in both]
+        b_blobs = [bl[order[i + 1]] for i in both]
+        jac = _batch_jaccard(a_blobs, b_blobs)
+        return pa.table({
+            "doc_a": pa.array(pr[both], pa.int64()),
+            "doc_b": pa.array(pr[both] + 1, pa.int64()),
+            "jac_micro": pa.array(
+                np.floor(jac * 1e6 + 0.5).astype(np.int64), pa.int64())})
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        blobs, batch_format="pyarrow")
+    return hash_bucket_scan(ds, ["pair"], verify,
+                            n_rows=2 * _nrows(sf_dir, "documents"))
+
+
+def q_char_jaccard_sql() -> str:
+    return (
+        "WITH g AS (SELECT DISTINCT doc_id, "
+        "substr(lower(text), CAST(i AS INT), 3) AS tok "
+        "FROM documents, UNNEST(range(1, length(text) - 1)) t(i)), "
+        "sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id), "
+        "inter AS (SELECT a.doc_id AS doc_a, count(*) AS o FROM g a "
+        "JOIN g b ON b.doc_id = a.doc_id + 1 AND b.tok = a.tok "
+        "GROUP BY a.doc_id) "
+        "SELECT sa.doc_id AS doc_a, sa.doc_id + 1 AS doc_b, "
+        "CAST(floor(CAST(COALESCE(o, 0) AS DOUBLE) / "
+        "CAST(sa.n + sb.n - COALESCE(o, 0) AS DOUBLE) * 1e6 + 0.5) "
+        "AS BIGINT) AS jac_micro "
+        "FROM sz sa JOIN sz sb ON sb.doc_id = sa.doc_id + 1 "
+        "LEFT JOIN inter ON inter.doc_a = sa.doc_id"
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -3514,6 +4007,13 @@ def q_corr_flags_sql() -> str:
 # end, followed by the rows-only (non-SQL-expressible) entries.
 QUERIES = {
     # -- NEW this round (round 4) --
+    "pct_rank": q_pct_rank,
+    "retention": q_retention,
+    "doc_stats": q_doc_stats,
+    "type_entropy": q_type_entropy,
+    "gap_fill": q_gap_fill,
+    "triangles": q_triangles,
+    "char_jaccard": q_char_jaccard,
     "full_outer": q_full_outer,
     "user_window": q_user_window,
     "dense_rank": q_dense_rank,
@@ -3624,6 +4124,13 @@ QUERIES = {
 # Same key order as QUERIES (the driver zips the two by queries()'s
 # first-50 prefix).
 ORACLE_SQL = {
+    "pct_rank": q_pct_rank_sql(),
+    "retention": q_retention_sql(),
+    "doc_stats": q_doc_stats_sql(),
+    "type_entropy": q_type_entropy_sql(),
+    "gap_fill": q_gap_fill_sql(),
+    "triangles": q_triangles_sql(),
+    "char_jaccard": q_char_jaccard_sql(),
     "full_outer": q_full_outer_sql(),
     "user_window": q_user_window_sql(),
     "dense_rank": q_dense_rank_sql(),

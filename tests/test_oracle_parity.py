@@ -75,6 +75,8 @@ def test_entry_smoke(ray_session):
     "nb_features", "mad", "sliding_distinct", "equidepth_hist",
     "scd_intervals", "ratio_to_report",
     "full_outer", "user_window", "dense_rank", "corr_flags",
+    "pct_rank", "retention", "doc_stats", "type_entropy",
+    "gap_fill", "triangles", "char_jaccard",
 ])
 def test_sql_parity(name, entries):
     qs, oracles = entries

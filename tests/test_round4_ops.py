@@ -1,0 +1,115 @@
+"""Adversarial-input parity for the round-4 query block (pct_rank,
+retention, doc_stats, type_entropy, gap_fill, triangles, char_jaccard):
+the same Ray-vs-DuckDB comparison as test_oracle_parity, but over a
+hand-crafted tiny corpus that plants the edge cases the sf tables
+don't hit — single-row window partitions, single-event users, docs
+with no tokenizable words, sub-trigram-length docs, non-contiguous
+doc ids, self-loop and duplicate graph edges, all-tied values."""
+
+import datetime as dt
+import os
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+NAMES = ["pct_rank", "retention", "doc_stats", "type_entropy",
+         "gap_fill", "triangles", "char_jaccard"]
+
+
+@pytest.fixture(scope="module")
+def edge_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("edge_sf")
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    # user 1: one single event (1-row everything: retention cohort of
+    # itself, gap_fill span of one hour)
+    rows.append((0, base, 1, "solo", 5.0))
+    # user 2: events straddling hours and weeks, with floor(value)
+    # ties inside one event_type (pct_rank tie runs) and a same-hour
+    # duplicate (gap_fill per-hour max)
+    for i, (hours, v) in enumerate([(0, 3.2), (0, 3.9), (1, 3.5),
+                                    (50, -2.0), (400, 3.5), (400, 7.0)]):
+        rows.append((10 + i, base + dt.timedelta(hours=hours), 2, "tie", v))
+    # user 3: negative + zero values, its own type with ONE row
+    # (percent_rank of a 1-row partition = 0.0)
+    rows.append((30, base + dt.timedelta(hours=2), 3, "single", 0.0))
+    rows.append((31, base + dt.timedelta(hours=3), 3, "tie", -3.7))
+    # graph edges for triangles: event_id % 400 collides with
+    # user_id % 400 (self-loop, dropped) and duplicate edges
+    rows.append((402, base + dt.timedelta(hours=4), 2, "tie", 1.0))   # 2-2 self-loop
+    rows.append((403, base + dt.timedelta(hours=5), 2, "tie", 1.0))   # 2-3
+    rows.append((803, base + dt.timedelta(hours=6), 2, "tie", 1.0))   # dup 2-3
+    rows.append((403, base + dt.timedelta(hours=7), 1, "tie", 1.0))   # 1-3
+    rows.append((402, base + dt.timedelta(hours=8), 1, "tie", 1.0))   # 1-2 → triangle 1-2-3
+    ev = pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        "user_id": pa.array([r[2] for r in rows], pa.int64()),
+        "event_type": pa.array([r[3] for r in rows], pa.string()),
+        "value": pa.array([r[4] for r in rows], pa.float64()),
+        "props": pa.array(["{}"] * len(rows), pa.string()),
+    })
+    pq.write_table(ev, os.path.join(d, "events.parquet"))
+
+    docs = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy cat"),   # near-dup of 0
+        (2, "a a a a a a"),                                   # 1 distinct word
+        (3, "!!! ??? ..."),      # no [a-z0-9] words → doc_stats drops it
+        (4, "ab"),               # shorter than a trigram → no char grams
+        (7, "zz yy xx ww"),      # id gap: pairs (4,5)/(5,6)/(6,7) absent
+    ]
+    dt_tab = pa.table({
+        "doc_id": pa.array([r[0] for r in docs], pa.int64()),
+        "text": pa.array([r[1] for r in docs], pa.string()),
+        "lang": pa.array(["en"] * len(docs), pa.string()),
+        "source": pa.array(["t"] * len(docs), pa.string()),
+        "n_chars": pa.array([len(r[1]) for r in docs], pa.int64()),
+    })
+    pq.write_table(dt_tab, os.path.join(d, "documents.parquet"))
+    return str(d)
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    return df.sort_values(list(df.columns),
+                          kind="mergesort").reset_index(drop=True)
+
+
+@pytest.mark.parametrize("name", NAMES)
+def test_edge_parity(name, edge_dir, ray_session):
+    from skyway_ray.queries import ORACLE_SQL, QUERIES
+
+    got = QUERIES[name](edge_dir)
+    if not isinstance(got, pd.DataFrame):
+        got = got.to_pandas()
+    con = duckdb.connect()
+    for t in ("events", "documents"):
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{edge_dir}/{t}.parquet')")
+    want = con.sql(ORACLE_SQL[name]).df()
+    g, w = _canon(got), _canon(want)
+    assert list(g.columns) == list(w.columns)
+    assert len(g) == len(w), f"{name}: {len(g)} vs {len(w)} rows"
+    for c in g.columns:
+        a, b = g[c].to_numpy(), w[c].to_numpy()
+        if g[c].dtype.kind == "f" or w[c].dtype.kind == "f":
+            assert np.array_equal(a, b), f"{name}.{c} float mismatch"
+        else:
+            assert (g[c] == w[c]).all(), f"{name}.{c} mismatch"
+
+
+def test_triangle_found(edge_dir, ray_session):
+    """The planted 1-2-3 triangle (and only it) is reported, anchored
+    at its minimum node."""
+    from skyway_ray.queries import QUERIES
+
+    out = QUERIES["triangles"](edge_dir).to_pandas()
+    assert out.values.tolist() == [[1, 1]]
