@@ -3995,6 +3995,104 @@ def q_char_jaccard_sql() -> str:
     )
 
 
+def q_dup_spans(sf_dir: str):
+    """Cross-document duplicated substrings: every 20-char window that
+    appears verbatim in ≥ 2 distinct documents (the detection pass of
+    exact substring dedup à la suffix-array training-data dedup, on a
+    fixed window).  Per-doc window extraction + local distinct, then
+    ONE hash shuffle on a 64-bit window hash; within a bucket the
+    distinct-doc count groups by the actual string, so hash collisions
+    cannot merge different spans.  At 100 TB the span strings would
+    ship as (hash, sample) pairs instead — the 20-byte payload is kept
+    here because the oracle compares strings."""
+    import zlib
+
+    from .stages.scan import hash_bucket_scan
+
+    L = 20
+
+    def grams(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        out_g, out_d = [], []
+        for i, txt in enumerate(b["text"].to_pylist()):
+            if len(txt) < L:
+                continue
+            seen = {txt[j:j + L] for j in range(len(txt) - L + 1)}
+            out_g.extend(seen)
+            out_d.extend([int(ids[i])] * len(seen))
+        h = np.fromiter(
+            (((zlib.crc32(g) << 32) | zlib.crc32(g, 0xA5A5A5A5))
+             & 0x7FFFFFFFFFFFFFFF for g in (x.encode() for x in out_g)),
+            dtype=np.int64, count=len(out_g))
+        return pa.table({"gh": pa.array(h, pa.int64()),
+                         "gram": pa.array(out_g, pa.string()),
+                         "doc_id": pa.array(np.array(out_d, np.int64),
+                                            pa.int64())})
+
+    def per_gram(t: pa.Table) -> pa.Table:
+        g = t.group_by(["gram"]).aggregate(
+            [("doc_id", "count_distinct"), ("doc_id", "min")])
+        g = g.rename_columns(["gram", "n_docs", "min_doc"])
+        import pyarrow.compute as pc
+
+        return g.filter(pc.greater_equal(g["n_docs"], 2))
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        grams, batch_format="pyarrow")
+    out = hash_bucket_scan(ds, ["gh"], per_gram,
+                           n_rows=200 * _nrows(sf_dir, "documents"))
+    return out.map_batches(
+        lambda b: pa.table({"gram": b["gram"],
+                            "n_docs": b["n_docs"].cast(pa.int64()),
+                            "min_doc": b["min_doc"]}),
+        batch_format="pyarrow")
+
+
+def q_dup_spans_sql() -> str:
+    return (
+        "WITH g AS (SELECT DISTINCT doc_id, "
+        "substr(text, CAST(i AS INT), 20) AS gram "
+        "FROM documents, UNNEST(range(1, length(text) - 18)) t(i)) "
+        "SELECT gram, CAST(count(*) AS BIGINT) AS n_docs, "
+        "min(doc_id) AS min_doc FROM g GROUP BY gram "
+        "HAVING count(*) >= 2"
+    )
+
+
+def q_unpivot(sf_dir: str):
+    """UNPIVOT (wide → long reshape): each lineitem row becomes three
+    (metric, val) rows — the inverse of the order_pivot query.  Pure
+    per-batch reshape, no shuffle; doubles pass through untouched."""
+
+    def melt(b: pa.Table) -> pa.Table:
+        parts = []
+        for metric, col in (("quantity", "l_quantity"),
+                            ("discount", "l_discount"),
+                            ("tax", "l_tax")):
+            parts.append(pa.table({
+                "l_orderkey": b["l_orderkey"],
+                "l_linenumber": b["l_linenumber"],
+                "metric": pa.array([metric] * len(b), pa.string()),
+                "val": b[col].cast(pa.float64())}))
+        return pa.concat_tables(parts)
+
+    return _read(sf_dir, "lineitem",
+                 ["l_orderkey", "l_linenumber", "l_quantity",
+                  "l_discount", "l_tax"]).map_batches(
+        melt, batch_format="pyarrow")
+
+
+def q_unpivot_sql() -> str:
+    return (
+        "SELECT l_orderkey, l_linenumber, 'quantity' AS metric, "
+        "l_quantity AS val FROM lineitem "
+        "UNION ALL SELECT l_orderkey, l_linenumber, 'discount', "
+        "l_discount FROM lineitem "
+        "UNION ALL SELECT l_orderkey, l_linenumber, 'tax', "
+        "l_tax FROM lineitem"
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -4014,6 +4112,8 @@ QUERIES = {
     "gap_fill": q_gap_fill,
     "triangles": q_triangles,
     "char_jaccard": q_char_jaccard,
+    "dup_spans": q_dup_spans,
+    "unpivot": q_unpivot,
     "full_outer": q_full_outer,
     "user_window": q_user_window,
     "dense_rank": q_dense_rank,
@@ -4131,6 +4231,8 @@ ORACLE_SQL = {
     "gap_fill": q_gap_fill_sql(),
     "triangles": q_triangles_sql(),
     "char_jaccard": q_char_jaccard_sql(),
+    "dup_spans": q_dup_spans_sql(),
+    "unpivot": q_unpivot_sql(),
     "full_outer": q_full_outer_sql(),
     "user_window": q_user_window_sql(),
     "dense_rank": q_dense_rank_sql(),
