@@ -67,13 +67,16 @@ def _sample_splitters(ds, col: str, sample_limit: int, seed: int) -> np.ndarray:
 
 def exact_quantiles(ds, col: str, qs: list[float],
                     sample_limit: int = 2048, collect_limit: int = 500_000,
-                    max_rounds: int = 6, seed: int = 42) -> pd.DataFrame:
+                    max_rounds: int = 6, seed: int = 42,
+                    materialize_input: bool = True) -> pd.DataFrame:
     """Exact q-quantiles of ``ds[col]`` with DuckDB-mirrorable
     semantics: for each q, the element at 0-indexed rank
     ``floor(q * (n - 1))`` of the ascending sort (duplicates counted) —
     identical to ``row_number() OVER (ORDER BY col) - 1 = rank``.
     Returns a small DataFrame (q, value), values raw pass-throughs
     (bit-exact in a hash compare)."""
+    if materialize_input:
+        ds = _pin_column(ds, col)
     n = ds.count()
     if n == 0:
         return pd.DataFrame({"q": pd.Series(qs, dtype=np.float64),
@@ -82,17 +85,33 @@ def exact_quantiles(ds, col: str, qs: list[float],
     values = select_ranks(ds, col, sorted(set(targets.values())),
                           sample_limit=sample_limit,
                           collect_limit=collect_limit,
-                          max_rounds=max_rounds, seed=seed)
+                          max_rounds=max_rounds, seed=seed,
+                          materialize_input=False)
     return pd.DataFrame({"q": pd.Series(list(qs), dtype=np.float64),
                          "value": [values[targets[q]] for q in qs]})
 
 
+def _pin_column(ds, col: str):
+    """Project to the one needed column and materialize it once: every
+    refinement round re-executes the input (sample pass + count pass +
+    terminal collect), so without pinning, a 5-10-pass selection pays
+    the upstream read/derivation 5-10×.  The pinned dataset is 8
+    bytes/row — at 10^12 rows that is ~8 TB in the object store, which
+    spills to local disk on a real cluster and is still cheaper than
+    re-scanning the source per pass; pass ``materialize_input=False``
+    on storage-constrained clusters to trade memory for re-reads."""
+    return ds.select_columns([col]).materialize()
+
+
 def select_ranks(ds, col: str, ranks: list[int],
                  sample_limit: int = 2048, collect_limit: int = 500_000,
-                 max_rounds: int = 6, seed: int = 42) -> dict:
+                 max_rounds: int = 6, seed: int = 42,
+                 materialize_input: bool = True) -> dict:
     """Exact order statistics: value at each 0-indexed ascending rank
     (``ORDER BY col LIMIT 1 OFFSET r``), one refinement harness for all
     requested ranks (see module docstring).  Returns {rank: value}."""
+    if materialize_input:
+        ds = _pin_column(ds, col)
     # state per pending rank: (rank_offset_into_range, lo, hi)
     pending = {r: (r, None, None) for r in ranks}
     values: dict = {}
@@ -134,12 +153,14 @@ def select_ranks(ds, col: str, ranks: list[int],
 
 
 def percentile_cont(ds, col: str, qs: list[float],
-                    **kw) -> pd.DataFrame:
+                    materialize_input: bool = True, **kw) -> pd.DataFrame:
     """Interpolated (PERCENTILE_CONT) quantiles without a global sort:
     the two bracketing order statistics come from :func:`select_ranks`
     and interpolate as ``v_lo + (h - floor(h)) * (v_hi - v_lo)`` with
     ``h = q * (n - 1)`` — each float op pinned so a SQL oracle spelling
     the identical expression matches bit-for-bit."""
+    if materialize_input:
+        ds = _pin_column(ds, col)
     n = ds.count()
     if n == 0:
         return pd.DataFrame({"q": pd.Series(qs, dtype=np.float64),
@@ -150,7 +171,7 @@ def percentile_cont(ds, col: str, qs: list[float],
         lo = int(np.floor(h))
         need[q] = (h, lo, min(lo + 1, n - 1))
     ranks = sorted({r for _, lo, hi in need.values() for r in (lo, hi)})
-    vals = select_ranks(ds, col, ranks, **kw)
+    vals = select_ranks(ds, col, ranks, materialize_input=False, **kw)
     out = []
     for q in qs:
         h, lo, hi = need[q]
