@@ -1579,18 +1579,22 @@ def q_heavy_hitters_sql() -> str:
 
 def q_order_lineitems(sf_dir: str):
     """Large×large inner equi-join (orders ⋈ lineitem on order key)
-    through Ray Data's hash-shuffle join — NO broadcast side; both
-    inputs co-partition by key hash, so the plan holds when neither
-    fits a worker (the broadcast joins cover the small-side cases).
-    Revenue is quantized to 1e-4 units (floor(x*1e4+0.5)) so the
-    per-row float product hashes bit-identically vs DuckDB."""
+    through ONE coarse hash co-partition exchange + per-bucket Acero
+    hash join (stages/joins.py::copart_hash_join) — NO broadcast side;
+    both inputs co-partition by key hash, so the plan holds when
+    neither fits a worker (the broadcast joins cover the small-side
+    cases).  Revenue is quantized to 1e-4 units (floor(x*1e4+0.5)) so
+    the per-row float product hashes bit-identically vs DuckDB."""
+    from .stages.joins import copart_hash_join
+
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
     line = _read(sf_dir, "lineitem",
                  ["l_orderkey", "l_linenumber", "l_partkey",
                   "l_extendedprice", "l_discount"])
 
-    j = orders.join(line, "inner", num_partitions=16,
-                    on=("o_orderkey",), right_on=("l_orderkey",))
+    j = copart_hash_join(
+        orders, line, "o_orderkey", "l_orderkey",
+        n_rows=_nrows(sf_dir, "orders") + _nrows(sf_dir, "lineitem"))
 
     def finish(b: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -3247,17 +3251,19 @@ def q_ratio_to_report_sql() -> str:
 
 
 def q_full_outer(sf_dir: str):
-    """FULL OUTER equi-join through Ray Data's hash-shuffle join (NO
-    broadcast side): BUILDING-segment customers ⋈ per-customer count
-    of 'F'-status orders.  Both null sides are real — customers with
-    no F orders and F orders from other segments' customers — and are
-    filled with -1 (COALESCE on both sides keeps schemas
-    nullable-free).  The pre-join count aggregates per customer key
-    via the coarse hash-bucket scan (stages/scan.py), the
+    """FULL OUTER equi-join through one hash co-partition exchange +
+    per-bucket Acero full-outer join (stages/joins.py::
+    copart_hash_join; NO broadcast side): BUILDING-segment customers ⋈
+    per-customer count of 'F'-status orders.  Both null sides are real
+    — customers with no F orders and F orders from other segments'
+    customers — and are filled with -1 (COALESCE on both sides keeps
+    schemas nullable-free).  The pre-join count aggregates per
+    customer key via the coarse hash-bucket scan (stages/scan.py), the
     unbounded-key path: batch-local Arrow group_by combiner, then one
     keyed exchange."""
     import pyarrow.compute as pc
 
+    from .stages.joins import copart_hash_join
     from .stages.scan import hash_bucket_scan
 
     cust = _read(sf_dir, "customer",
@@ -3289,12 +3295,17 @@ def q_full_outer(sf_dir: str):
         orders.map_batches(partial_counts, batch_format="pyarrow"),
         ["o_custkey"], bucket_sum, n_rows=_nrows(sf_dir, "orders"))
 
-    j = left.join(right, "full_outer", num_partitions=16,
-                  on=("c_custkey",), right_on=("o_custkey",))
+    j = copart_hash_join(
+        left, right, "c_custkey", "o_custkey", how="full_outer",
+        n_rows=_nrows(sf_dir, "customer"),
+        left_schema=pa.schema([("c_custkey", pa.int64()),
+                               ("acctbal_q2", pa.int64())]),
+        right_schema=pa.schema([("o_custkey", pa.int64()),
+                                ("n_f_orders", pa.int64())]))
 
     def finish(b: pa.Table) -> pa.Table:
-        # Ray's full_outer join already coalesces the two key columns
-        # into the left key name (right-only rows carry their key there)
+        # the full_outer join coalesces the two key columns into the
+        # left key name (right-only rows carry their key there)
         return pa.table({
             "custkey": pc.cast(b["c_custkey"], pa.int64()),
             "acctbal_q2": pc.cast(

@@ -1179,3 +1179,59 @@ class TestKmeansMicro:
         assert a["n"].tolist() == [50, 50, 50, 50]
         assert a["n"].tolist() == b["n"].tolist()
         assert a["centroid_sum"].tolist() == b["centroid_sum"].tolist()
+
+
+class TestCopartHashJoin:
+    @staticmethod
+    def _canon(df):
+        cols = sorted(df.columns)
+        return df[cols].sort_values(cols).reset_index(drop=True)
+
+    def test_inner_matches_pandas_merge(self, ray_session):
+        import ray.data
+
+        from skyway_ray.stages.joins import copart_hash_join
+
+        rng = np.random.default_rng(11)
+        left = pd.DataFrame({"k": rng.integers(0, 300, 5000).astype(np.int64),
+                             "lv": np.arange(5000, dtype=np.int64)})
+        right = pd.DataFrame({"rk": np.arange(0, 600, 2, dtype=np.int64),
+                              "rv": np.arange(300, dtype=np.int64) * 10})
+        out = copart_hash_join(
+            ray.data.from_pandas(left).repartition(5),
+            ray.data.from_pandas(right).repartition(3),
+            "k", "rk").to_pandas()
+        want = left.merge(right, left_on="k", right_on="rk").drop(
+            columns=["rk"])
+        assert list(out.columns) == ["k", "lv", "rv"]  # Dataset.join layout
+        assert self._canon(out).equals(self._canon(want))
+
+    def test_full_outer_keeps_both_null_sides(self, ray_session):
+        import ray.data
+
+        from skyway_ray.stages.joins import copart_hash_join
+
+        left = pd.DataFrame({"k": np.array([1, 2, 3], np.int64),
+                             "lv": np.array([10, 20, 30], np.int64)})
+        right = pd.DataFrame({"rk": np.array([2, 3, 4], np.int64),
+                              "rv": np.array([200, 300, 400], np.int64)})
+        out = copart_hash_join(
+            ray.data.from_pandas(left).repartition(2),
+            ray.data.from_pandas(right).repartition(2),
+            "k", "rk", how="full_outer").to_pandas()
+        # coalesced key: right-only rows surface their key under "k"
+        assert sorted(out["k"].tolist()) == [1, 2, 3, 4]
+        by_k = out.set_index("k")
+        assert pd.isna(by_k.loc[1, "rv"]) and pd.isna(by_k.loc[4, "lv"])
+        assert by_k.loc[2, "rv"] == 200 and by_k.loc[4, "rv"] == 400
+
+    def test_payload_name_clash_raises(self, ray_session):
+        import ray.data
+
+        from skyway_ray.stages.joins import copart_hash_join
+
+        df = pd.DataFrame({"k": np.array([1], np.int64),
+                           "v": np.array([1], np.int64)})
+        with pytest.raises(ValueError, match="overlapping"):
+            copart_hash_join(ray.data.from_pandas(df),
+                             ray.data.from_pandas(df), "k", "k")
