@@ -639,11 +639,18 @@ def lsh_dedup_pipeline(ds, id_col: str, band_fn, sketch_fn, pair_ok,
                           bdf["doc_id"].to_numpy(), blk=bdf["_blk"].to_numpy())
         if stitched.num_rows:
             edges = edges.union(ray.data.from_arrow(stitched))
-    edges = (edges.groupby(["doc_a", "doc_b"]).count()
-             .select_columns(["doc_a", "doc_b"])).materialize()
-    n_edges = edges.count()
-    if n_edges == 0:
+    # distinct candidate edges (cross-band duplicates would multiply
+    # the verify joins' work) through one coarse hash exchange — no
+    # sort-based all-to-all
+    edges = edges.materialize()
+    n_raw_edges = edges.count()
+    if n_raw_edges == 0:
         return ds
+    from ..stages.scan import hash_bucket_scan as _hbs
+    edges = _hbs(edges, ["doc_a", "doc_b"],
+                 lambda t: t.group_by(["doc_a", "doc_b"]).aggregate([]),
+                 n_rows=n_raw_edges).materialize()
+    n_edges = edges.count()
 
     # Bloom of candidate ids: streamed batch-at-a-time — driver holds
     # only the fixed-size bitset, never the pair list.

@@ -1425,7 +1425,8 @@ def q_distinct_users(sf_dir: str):
 
     ds = _read(sf_dir, "events", ["event_type", "user_id"])
     return grouped_count_distinct(ds, "event_type", "user_id",
-                                  out_col="n_users")
+                                  out_col="n_users",
+                                  n_rows=_nrows(sf_dir, "events"))
 
 
 def q_distinct_users_sql() -> str:
@@ -3059,11 +3060,17 @@ def q_sliding_distinct(sf_dir: str):
                       "user_id": pa.array(np.repeat(u, NSUB), pa.int64())})
         return t.group_by(["win_slot", "user_id"]).aggregate([])
 
+    from .stages.scan import hash_bucket_scan
+
     pairs = _read(sf_dir, "events", ["ts", "user_id"]).map_batches(
         expand_pairs, batch_format="pyarrow")
-    uniq = (pairs.groupby(["win_slot", "user_id"]).count()
-            .map_batches(lambda b: b.select(["win_slot", "user_id"]),
-                         batch_format="pyarrow"))
+    # pair-key distinct through ONE coarse hash exchange (a pair lands
+    # wholly in one bucket; within-bucket Arrow group_by) — no global
+    # sort over the unbounded (window, user) key space
+    uniq = hash_bucket_scan(
+        pairs, ["win_slot", "user_id"],
+        lambda t: t.group_by(["win_slot", "user_id"]).aggregate([]),
+        n_rows=NSUB * _nrows(sf_dir, "events"))
     out = grouped_count(uniq, ["win_slot"], out_col="n_users")
 
     def finish(b: pa.Table) -> pa.Table:

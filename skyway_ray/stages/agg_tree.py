@@ -88,7 +88,7 @@ def tree_aggregate_to_table(ds, keys: list[str], aggs: list[tuple[str, str]],
 
 def grouped_count_distinct(ds, group: str, key: str,
                            out_col: str = "n_distinct",
-                           mid_blocks: int = 8):
+                           mid_blocks: int = 8, n_rows: int | None = None):
     """Exact COUNT(DISTINCT key) per group.
 
     Scale shape: a per-batch Arrow ``group_by`` dedups (group, key)
@@ -106,10 +106,16 @@ def grouped_count_distinct(ds, group: str, key: str,
             return batch.select([group, key])
         return batch.select([group, key]).group_by([group, key]).aggregate([])
 
+    from .scan import hash_bucket_scan
+
     pairs = ds.map_batches(local_distinct, batch_format="pyarrow")
-    uniq = pairs.groupby([group, key]).count()
-    uniq = uniq.map_batches(lambda b: b.select([group, key]),
-                            batch_format="pyarrow")
+    # ONE coarse hash exchange on the pair key (a pair lands wholly in
+    # one bucket; within-bucket Arrow group_by finishes the dedup) —
+    # replaces the sort-based Dataset.groupby all-to-all
+    uniq = hash_bucket_scan(
+        pairs, [group, key],
+        lambda t: t.group_by([group, key]).aggregate([]),
+        n_rows=n_rows)
     return grouped_count(uniq, [group], out_col=out_col,
                          mid_blocks=mid_blocks)
 

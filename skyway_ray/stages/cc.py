@@ -12,9 +12,11 @@ Two paths, switched on edge count:
   ICDE 2013 — public algorithm): each round, every node u with
   neighborhood N(u) sends m = min(N(u) ∪ {u}) to all of N(u) ∪ {u};
   the deduped (m, v) pairs are the next edge set.  Components converge
-  to stars centered at their minimum node in O(log d) rounds.  Pure
-  Dataset groupbys — per-round cost is a shuffle of the (small) edge
-  set; convergence is a cheap order-independent checksum aggregate.
+  to stars centered at their minimum node in O(log d) rounds.  Each
+  round is ONE coarse hash co-partition exchange on the node key with
+  a fully vectorized per-bucket emission (no per-node Python) plus a
+  hash-bucket edge dedup; convergence is a cheap order-independent
+  checksum aggregate.
 
 Either way the result is the converged star edge set
 (doc_a = component-min center, doc_b = member ≠ center) and no
@@ -113,15 +115,27 @@ def _checksum(edges) -> tuple[int, int, int]:
                        dtype=np.uint64) & np.uint64(0x7FFFFFFFFFFFFFFF)))
 
 
-def _star_round(g: pd.DataFrame) -> pd.DataFrame:
-    """One node's Hash-to-Min emission: grouped rows are (node, nbr)."""
-    u = int(g["node"].iloc[0])
-    nbrs = g["nbr"].to_numpy()
-    m = int(min(nbrs.min(), u))
-    members = np.unique(np.append(nbrs, u))
-    members = members[members != m]
-    return pd.DataFrame({"doc_a": np.full(len(members), m, dtype=np.int64),
-                         "doc_b": members.astype(np.int64)})
+def _star_bucket(t: pa.Table) -> pa.Table:
+    """Hash-to-Min emissions for every node in one hash bucket,
+    vectorized: sort by (node, nbr), segment arithmetic finds each
+    node's m = min(N(u) ∪ {u}), and (m, v) rows expand with
+    repeat/concatenate — no per-node Python.  Duplicate emissions are
+    fine (the following dedup pass removes them)."""
+    node = t["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+    nbr = t["nbr"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.lexsort((nbr, node))
+    node, nbr = node[order], nbr[order]
+    new = np.ones(len(node), dtype=bool)
+    new[1:] = node[1:] != node[:-1]
+    starts = np.flatnonzero(new)
+    sizes = np.diff(np.append(starts, len(node)))
+    u = node[starts]
+    m = np.minimum(nbr[starts], u)       # nbr sorted asc per segment
+    out_a = np.concatenate([np.repeat(m, sizes), m])
+    out_b = np.concatenate([nbr, u])
+    keep = out_a != out_b
+    return pa.table({"doc_a": pa.array(out_a[keep], pa.int64()),
+                     "doc_b": pa.array(out_b[keep], pa.int64())})
 
 
 def _symmetrize(b: pa.Table) -> pa.Table:
@@ -131,9 +145,16 @@ def _symmetrize(b: pa.Table) -> pa.Table:
                      "nbr": np.concatenate([c, a])})
 
 
-def _dedupe_edges(edges):
-    return (edges.groupby(["doc_a", "doc_b"]).count()
-            .select_columns(["doc_a", "doc_b"]))
+def _dedupe_edges(edges, n_rows: int | None = None):
+    """Distinct (doc_a, doc_b) through ONE coarse hash exchange
+    (a pair lands wholly in one bucket; within-bucket Arrow group_by)
+    — no sort-based all-to-all."""
+    from .scan import hash_bucket_scan
+
+    return hash_bucket_scan(
+        edges, ["doc_a", "doc_b"],
+        lambda t: t.group_by(["doc_a", "doc_b"]).aggregate([]),
+        n_rows=n_rows)
 
 
 def connected_components(edges, max_rounds: int = 16,
@@ -154,17 +175,28 @@ def connected_components(edges, max_rounds: int = 16,
     default 16 covers diameters up to ~2^16 chain hops; rounds are
     cheap once edges are near-stars.
     """
-    edges = _dedupe_edges(edges).materialize()
-    prev = _checksum(edges)
-    if prev[0] == 0:
+    # raw (possibly duplicated) edges first: label propagation and the
+    # Hash-to-Min emissions both tolerate duplicate edges, so the small
+    # path skips the dedup exchange entirely (the duplicate-inclusive
+    # count is a conservative path switch)
+    edges = edges.materialize()
+    n_raw = edges.count()
+    if n_raw == 0:
         return edges
-    if prev[0] <= small_graph_limit:
+    if n_raw <= small_graph_limit:
         return _cc_small(edges)
+    edges = _dedupe_edges(edges, n_rows=n_raw).materialize()
+    prev = _checksum(edges)
+    from .scan import hash_bucket_scan
+
     for _ in range(max_rounds):
         sym = edges.map_batches(_symmetrize, batch_format="pyarrow")
-        edges = (sym.groupby("node")
-                 .map_groups(_star_round, batch_format="pandas"))
-        edges = _dedupe_edges(edges).materialize()
+        # co-partition on node (a node's whole neighborhood in one
+        # bucket), vectorized star emission; emission count ≤ 2·|sym|,
+        # which sizes the following dedup's bucket count (a hint only)
+        emitted = hash_bucket_scan(sym, ["node"], _star_bucket,
+                                   n_rows=2 * prev[0])
+        edges = _dedupe_edges(emitted, n_rows=4 * prev[0] + 1).materialize()
         cur = _checksum(edges)
         if cur == prev:
             return edges

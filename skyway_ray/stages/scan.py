@@ -97,11 +97,21 @@ def hash_bucket_scan(ds, keys: list[str], fn, n_buckets: int | None = None,
             n_rows if n_rows is not None else ds.count(), rows_per_bucket)
 
     def add_bucket(b: pa.Table) -> pa.Table:
+        import zlib
+
         h = np.zeros(len(b), np.uint64)
         for k in keys:
-            v = (b[k].to_numpy(zero_copy_only=False)
-                 .astype(np.int64).view(np.uint64))
-            h = (h ^ v) * np.uint64(0x9E3779B97F4A7C15)
+            v = b[k].to_numpy(zero_copy_only=False)
+            if v.dtype.kind in "iub":
+                mat = v.astype(np.int64).view(np.uint64)
+            else:  # strings: crc32 per batch-distinct value (vectorized
+                # dispatch via unique/inverse — vocabulary-bounded work)
+                uniq, inv = np.unique(v.astype("U"), return_inverse=True)
+                codes = np.fromiter(
+                    (zlib.crc32(u.encode()) for u in uniq),
+                    dtype=np.uint64, count=len(uniq))
+                mat = codes[inv]
+            h = (h ^ mat) * np.uint64(0x9E3779B97F4A7C15)
             h ^= h >> np.uint64(29)
         return b.append_column(
             "_hb", pa.array((h % np.uint64(n_buckets)).astype(np.int64),
