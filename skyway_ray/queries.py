@@ -240,7 +240,8 @@ def q_bloom_dedup(sf_dir: str):
     from .stages.dedup import exact_dedup_bloom
 
     ds = _read(sf_dir, "documents", ["doc_id", "text", "n_chars"])
-    out = exact_dedup_bloom(ds, key="text", order_col="doc_id")
+    out = exact_dedup_bloom(ds, key="text", order_col="doc_id",
+                            n_rows=_nrows(sf_dir, "documents"))
     return out.map_batches(lambda b: b.select(["doc_id", "n_chars"]),
                            batch_format="pyarrow")
 
@@ -1536,10 +1537,17 @@ def q_top_tokens(sf_dir: str):
         return pd.DataFrame({"tok": uniq.astype(str),
                              "n": counts.astype(np.int64)})
 
+    from .stages.scan import hash_bucket_scan
+
     partials = _read(sf_dir, "documents", ["text"]).map_batches(
         count_batch, batch_format="pandas")
-    totals = partials.groupby("tok").sum("n").map_batches(
-        lambda b: b.rename_columns(["tok", "n"]), batch_format="pyarrow")
+    # token totals through ONE coarse hash exchange (open-vocabulary
+    # key space — a token lands wholly in one bucket, Arrow sum inside)
+    totals = hash_bucket_scan(
+        partials, ["tok"],
+        lambda t: t.group_by(["tok"]).aggregate([("n", "sum")])
+        .rename_columns(["tok", "n"]),
+        n_rows=_nrows(sf_dir, "documents"))
     return top_k(totals, "n", 20, descending=True, tiebreak_col="tok")
 
 
@@ -1658,10 +1666,16 @@ def q_tfidf(sf_dir: str):
         return pd.DataFrame({"tok": g.index.astype(str),
                              "nd": g.to_numpy().astype(np.int64)})
 
-    df_tbl = (docs.map_batches(df_partial, batch_format="pandas")
-              .groupby("tok").sum("nd").to_pandas())
+    from .stages.scan import hash_bucket_scan
+
+    df_tbl = hash_bucket_scan(
+        docs.map_batches(df_partial, batch_format="pandas"),
+        ["tok"],
+        lambda t: t.group_by(["tok"]).aggregate([("nd", "sum")])
+        .rename_columns(["tok", "nd"]),
+        n_rows=n_docs).to_pandas()
     vocab = np.sort(df_tbl["tok"].to_numpy().astype(str))
-    dfv = (df_tbl.set_index("tok").loc[vocab, "sum(nd)"]
+    dfv = (df_tbl.set_index("tok").loc[vocab, "nd"]
            .to_numpy().astype(np.int64))
     ref = ray.put((vocab, dfv))
 
@@ -2696,7 +2710,8 @@ def q_prep_pipeline(sf_dir: str):
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
         filter_stage, batch_format="pandas")
-    ds = exact_dedup_bloom(ds, key="fp", order_col="doc_id")
+    ds = exact_dedup_bloom(ds, key="fp", order_col="doc_id",
+                           n_rows=_nrows(sf_dir, "documents"))
     return ds.map_batches(decontam_tokenize, batch_format="pandas")
 
 

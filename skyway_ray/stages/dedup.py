@@ -96,7 +96,8 @@ def _key_hash64(col) -> np.ndarray:
 
 
 def exact_dedup_bloom(ds, key: str = "phash", order_col: str = "image_id",
-                      num_partitions: int = 8, bits_per_key: int = 10):
+                      num_partitions: int = 8, bits_per_key: int = 10,
+                      n_rows: int | None = None):
     """Unbounded-key-space exact dedup — the fallback named by
     ``exact_dedup_projected`` for when the winner set cannot be
     broadcast (winners ≈ distinct keys ≈ corpus size).
@@ -117,15 +118,26 @@ def exact_dedup_bloom(ds, key: str = "phash", order_col: str = "image_id",
     keys."""
     import ray
 
-    from ray.data.aggregate import Count
-
     from ..functions.bloom import BloomFilter
+    from .scan import hash_bucket_scan
 
     projected = ds.select_columns([key, order_col])
-    agg = projected.groupby(key).aggregate(Count(alias_name="_n"))
-    dup_keys = agg.map_batches(
-        lambda b: b.filter(pa.compute.greater(b["_n"], 1)).select([key]),
-        batch_format="pyarrow").materialize()
+
+    # dup-key discovery: batch-local count combiner (shuffle carries
+    # per-batch (key, n) partials, not rows) → ONE coarse hash
+    # exchange → per-bucket sum, keep keys with total > 1
+    def local_counts(b: pa.Table) -> pa.Table:
+        g = b.select([key]).group_by([key]).aggregate([(key, "count")])
+        return g.rename_columns([key, "_n"])
+
+    def bucket_dups(t: pa.Table) -> pa.Table:
+        g = t.group_by([key]).aggregate([("_n", "sum")])
+        g = g.rename_columns([key, "_n"])
+        return g.filter(pa.compute.greater(g["_n"], 1)).select([key])
+
+    dup_keys = hash_bucket_scan(
+        projected.map_batches(local_counts, batch_format="pyarrow"),
+        [key], bucket_dups, n_rows=n_rows).materialize()
     if dup_keys.count() == 0:
         return ds
     bf = BloomFilter(dup_keys.count(), bits_per_key=bits_per_key)

@@ -122,10 +122,16 @@ def exact_heavy_hitters(ds, col: str, phi_num: int = 1, phi_den: int = 500,
     # k rows/block; the candidate FILTER runs distributed, so only
     # ≤ N/(phi*N - E) candidate rows (≤ 2/phi for the default k) are
     # ever collected.
-    merged = summaries.filter(expr="kind == 0").groupby("item").sum("cnt")
+    # merged partials are bounded (≤ k rows per block), so they ride
+    # the combiner tree — no sort-based Aggregate in the plan
+    from .agg_tree import tree_aggregate
+
+    merged = tree_aggregate(
+        summaries.filter(expr="kind == 0").select_columns(["item", "cnt"]),
+        ["item"], [("cnt", "sum")])
 
     def cand(b: pa.Table) -> pa.Table:
-        lower = b["sum(cnt)"].to_numpy(zero_copy_only=False)
+        lower = b["cnt"].to_numpy(zero_copy_only=False)
         keep = (lower + err) * phi_den > n_total * phi_num
         return b.filter(pa.array(keep)).select(["item"])
 
@@ -147,12 +153,13 @@ def exact_heavy_hitters(ds, col: str, phi_num: int = 1, phi_den: int = 500,
         return pa.table({"item": pa.array(items[hit], batch[col].type),
                          "cnt": pa.array(counts[hit].astype(np.int64))})
 
-    totals = (ds.map_batches(recount, batch_format="pyarrow",
-                             zero_copy_batch=True)
-              .groupby("item").sum("cnt"))
+    totals = tree_aggregate(
+        ds.map_batches(recount, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["item"], [("cnt", "sum")])
 
     def final(b: pa.Table) -> pa.Table:
-        cnt = b["sum(cnt)"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cnt = b["cnt"].to_numpy(zero_copy_only=False).astype(np.int64)
         keep = cnt * phi_den > n_total * phi_num
         return pa.table({"item": b["item"].filter(pa.array(keep)),
                          "cnt": pa.array(cnt[keep])})
