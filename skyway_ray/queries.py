@@ -502,7 +502,9 @@ def q_ann_cosine(sf_dir: str):
     import pyarrow.parquet as pq
     import ray
 
-    from .functions.ann import BruteForceTopK, embeddings_to_matrix, merge_topk, _normalize
+    from .functions.ann import (cosine_topk_batch, embeddings_to_matrix,
+                                merge_topk, _normalize)
+    from .functions.near_dup import _obj_cached
 
     emb = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
     qmask = emb["vec_id"].to_numpy(zero_copy_only=False) < 5
@@ -511,9 +513,20 @@ def q_ann_cosine(sf_dir: str):
     qids = qtab["vec_id"].to_numpy(zero_copy_only=False)
     ref = ray.put((qm, qids))
     ds = _read(sf_dir, "embeddings")
-    partials = ds.map_batches(
-        BruteForceTopK, fn_constructor_kwargs=dict(queries_ref=ref, k=10),
-        batch_format="pyarrow", concurrency=2)
+
+    # stateless tasks + per-worker-process cache (setup is one ray.get
+    # of a tiny matrix — an actor pool would cap parallelism instead)
+    def topk_batch(batch: pa.Table) -> pa.Table:
+        qm2, qids2 = _obj_cached(ref)
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        if len(ids) == 0:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "neighbor_id": pa.array([], pa.int64()),
+                             "cos": pa.array([], pa.float64())})
+        vecs = embeddings_to_matrix(batch["embedding"])
+        return cosine_topk_batch(vecs, ids, qm2, qids2, 10)
+
+    partials = ds.map_batches(topk_batch, batch_format="pyarrow")
     out = merge_topk(partials, 10)
     return out.map_batches(
         lambda b: b.rename_columns(["query_id", "neighbor_id", "ann_rank"]),
