@@ -174,7 +174,8 @@ def run_bench() -> dict:
                      "ratio_to_report", "full_outer", "user_window",
                      "dense_rank", "corr_flags", "pct_rank", "retention",
                      "doc_stats", "type_entropy", "gap_fill", "triangles",
-                     "char_jaccard", "dup_spans", "unpivot"):
+                     "char_jaccard", "dup_spans", "unpivot",
+                     "transitions", "degree_hist"):
             best = float("inf")
             attempts = 0
             for _ in range(max(1, repeats)):

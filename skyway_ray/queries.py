@@ -4139,6 +4139,117 @@ def q_unpivot_sql() -> str:
     )
 
 
+def q_transitions(sf_dir: str):
+    """Markov transition counts over each user's event-type sequence
+    (the sequence-mining primitive: session flows, curriculum stats).
+    ONE coarse keyed scan co-partitions users and sorts each bucket by
+    (user, ts, event_id); the transition pairs fall out of two shifted
+    array views (valid where the user doesn't change), and the bounded
+    (prev, next) count rides the combiner tree — no second all-to-all.
+    Exact ints, so the hash compare vs the LAG-window oracle is
+    bit-for-bit."""
+    from .stages.agg_tree import tree_aggregate
+    from .stages.scan import keyed_scan
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table({"user_id": b["user_id"],
+                         "ts_us": b["ts"].cast(pa.int64()),
+                         "event_id": b["event_id"],
+                         "event_type": b["event_type"]})
+
+    def scan(d: pd.DataFrame) -> pd.DataFrame:
+        u = d["user_id"].to_numpy()
+        t = d["event_type"].to_numpy()
+        same = u[1:] == u[:-1]
+        prev, nxt = t[:-1][same], t[1:][same]
+        if not len(prev):
+            return pd.DataFrame({"prev_type": pd.Series([], dtype=str),
+                                 "next_type": pd.Series([], dtype=str),
+                                 "n": pd.Series([], dtype=np.int64)})
+        # factorize the two columns jointly, count numeric pair codes
+        both = np.concatenate([prev, nxt]).astype("U")
+        uniq_t, inv = np.unique(both, return_inverse=True)
+        code = inv[:len(prev)] * np.int64(len(uniq_t)) + inv[len(prev):]
+        ucode, counts = np.unique(code, return_counts=True)
+        return pd.DataFrame({"prev_type": uniq_t[ucode // len(uniq_t)],
+                             "next_type": uniq_t[ucode % len(uniq_t)],
+                             "n": counts.astype(np.int64)})
+
+    ds = _read(sf_dir, "events",
+               ["user_id", "ts", "event_id", "event_type"]).map_batches(
+        prep, batch_format="pyarrow")
+    partials = keyed_scan(ds, key="user_id", order=["ts_us", "event_id"],
+                          fn=scan, n_rows=_nrows(sf_dir, "events"))
+    return tree_aggregate(partials, ["prev_type", "next_type"],
+                          [("n", "sum")])
+
+
+def q_transitions_sql() -> str:
+    return (
+        "WITH s AS (SELECT user_id, event_type, lag(event_type) OVER "
+        "(PARTITION BY user_id ORDER BY ts, event_id) AS prev "
+        "FROM events) "
+        "SELECT prev AS prev_type, event_type AS next_type, "
+        "CAST(count(*) AS BIGINT) AS n FROM s "
+        "WHERE prev IS NOT NULL GROUP BY prev, event_type"
+    )
+
+
+def q_degree_hist(sf_dir: str):
+    """Degree distribution of the derived 400-node graph (the
+    q_triangles edge set): distinct id-oriented edges via one pair-key
+    hash exchange, per-node degrees and the degree histogram both on
+    the combiner tree (node space and degree range are bounded by the
+    400-node domain).  Exact ints throughout."""
+    from .stages.agg_tree import tree_aggregate, tree_aggregate_to_table
+    from .stages.scan import hash_bucket_scan
+
+    V = 400
+
+    def prep(b: pa.Table) -> pa.Table:
+        x = b["user_id"].to_numpy(zero_copy_only=False) % V
+        y = b["event_id"].to_numpy(zero_copy_only=False) % V
+        keep = x != y
+        x, y = x[keep], y[keep]
+        return pa.table({"u": pa.array(np.minimum(x, y), pa.int64()),
+                         "v": pa.array(np.maximum(x, y), pa.int64())})
+
+    edges = hash_bucket_scan(
+        _read(sf_dir, "events", ["user_id", "event_id"]).map_batches(
+            prep, batch_format="pyarrow"),
+        ["u", "v"], lambda t: t.group_by(["u", "v"]).aggregate([]),
+        n_rows=_nrows(sf_dir, "events"))
+
+    def endpoints(t: pa.Table) -> pa.Table:
+        u = t["u"].to_numpy(zero_copy_only=False)
+        v = t["v"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "node": pa.array(np.concatenate([u, v]), pa.int64()),
+            "deg": pa.array(np.ones(2 * len(t), np.int64), pa.int64())})
+
+    deg_tab = tree_aggregate_to_table(
+        edges.map_batches(endpoints, batch_format="pyarrow"),
+        ["node"], [("deg", "sum")])
+    deg = deg_tab["deg"].to_numpy(zero_copy_only=False)
+    uniq, counts = np.unique(deg, return_counts=True)
+    return pd.DataFrame({"deg": uniq.astype(np.int64),
+                         "n_nodes": counts.astype(np.int64)})
+
+
+def q_degree_hist_sql() -> str:
+    return (
+        "WITH raw AS (SELECT user_id % 400 AS x, event_id % 400 AS y "
+        "FROM events), "
+        "e AS (SELECT DISTINCT least(x, y) AS u, greatest(x, y) AS v "
+        "FROM raw WHERE x <> y), "
+        "d AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM "
+        "(SELECT u AS node FROM e UNION ALL SELECT v FROM e) "
+        "GROUP BY node) "
+        "SELECT deg, CAST(count(*) AS BIGINT) AS n_nodes "
+        "FROM d GROUP BY deg"
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -4151,6 +4262,8 @@ def q_unpivot_sql() -> str:
 # end, followed by the rows-only (non-SQL-expressible) entries.
 QUERIES = {
     # -- NEW this round (round 4) --
+    "transitions": q_transitions,
+    "degree_hist": q_degree_hist,
     "pct_rank": q_pct_rank,
     "retention": q_retention,
     "doc_stats": q_doc_stats,
@@ -4270,6 +4383,8 @@ QUERIES = {
 # Same key order as QUERIES (the driver zips the two by queries()'s
 # first-50 prefix).
 ORACLE_SQL = {
+    "transitions": q_transitions_sql(),
+    "degree_hist": q_degree_hist_sql(),
     "pct_rank": q_pct_rank_sql(),
     "retention": q_retention_sql(),
     "doc_stats": q_doc_stats_sql(),
