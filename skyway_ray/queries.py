@@ -4139,6 +4139,68 @@ def q_unpivot_sql() -> str:
     )
 
 
+def q_group_percentiles(sf_dir: str):
+    """Per-group PERCENTILE_CONT (p25/p50/p90 of value per event_type)
+    — the grouped counterpart of the global rank-selection quantiles.
+    One coarse keyed scan sorts each bucket by (type, value); the
+    bracketing order statistics per key segment are start-offset
+    arithmetic and the interpolation is the pinned float expression
+    ``v_lo + (h - floor(h)) * (v_hi - v_lo)`` with ``h = q * (n - 1)``
+    spelled identically in the oracle, so doubles hash-match.  Group
+    count is unbounded (buckets auto-scale); each group's rows
+    co-locate by key hash."""
+    from .stages.scan import keyed_scan
+
+    QS = (0.25, 0.5, 0.9)
+
+    def hash_type(k: np.ndarray) -> np.ndarray:
+        import zlib
+
+        uniq, inv = np.unique(k.astype("U"), return_inverse=True)
+        codes = np.array([zlib.crc32(u.encode()) for u in uniq], np.int64)
+        return codes[inv]
+
+    def scan(d: pd.DataFrame) -> pd.DataFrame:
+        t = d["event_type"].to_numpy()
+        v = d["value"].to_numpy()
+        new = np.ones(len(d), dtype=bool)
+        new[1:] = t[1:] != t[:-1]
+        starts = np.flatnonzero(new)
+        sizes = np.diff(np.append(starts, len(d)))
+        out = []
+        for q in QS:
+            h = q * (sizes - 1).astype(np.float64)
+            lo = np.floor(h).astype(np.int64)
+            hi = np.minimum(lo + 1, sizes - 1)
+            v0, v1 = v[starts + lo], v[starts + hi]
+            out.append(pd.DataFrame({
+                "event_type": t[starts],
+                "q": np.full(len(starts), q, np.float64),
+                "value": v0 + (h - np.floor(h)) * (v1 - v0)}))
+        return pd.concat(out, ignore_index=True)
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+    return keyed_scan(ds, key="event_type", order=["value"], fn=scan,
+                      hash_key=hash_type, n_rows=_nrows(sf_dir, "events"))
+
+
+def q_group_percentiles_sql() -> str:
+    return (
+        "WITH s AS (SELECT event_type, value AS v, "
+        "row_number() OVER (PARTITION BY event_type ORDER BY value) - 1 "
+        "AS r, count(*) OVER (PARTITION BY event_type) AS n FROM events), "
+        "t AS (SELECT DISTINCT s.event_type, CAST(b.q AS DOUBLE) AS q, "
+        "CAST(b.q AS DOUBLE) * (s.n - 1) AS h, s.n FROM s "
+        "CROSS JOIN (VALUES (0.25), (0.5), (0.9)) b(q)) "
+        "SELECT t.event_type, t.q, "
+        "lo.v + (t.h - floor(t.h)) * (hi.v - lo.v) AS value "
+        "FROM t JOIN s lo ON lo.event_type = t.event_type AND "
+        "lo.r = CAST(floor(t.h) AS BIGINT) "
+        "JOIN s hi ON hi.event_type = t.event_type AND "
+        "hi.r = CAST(least(floor(t.h) + 1, t.n - 1) AS BIGINT)"
+    )
+
+
 def q_transitions(sf_dir: str):
     """Markov transition counts over each user's event-type sequence
     (the sequence-mining primitive: session flows, curriculum stats).
@@ -4262,6 +4324,7 @@ def q_degree_hist_sql() -> str:
 # end, followed by the rows-only (non-SQL-expressible) entries.
 QUERIES = {
     # -- NEW this round (round 4) --
+    "group_percentiles": q_group_percentiles,
     "transitions": q_transitions,
     "degree_hist": q_degree_hist,
     "pct_rank": q_pct_rank,
@@ -4383,6 +4446,7 @@ QUERIES = {
 # Same key order as QUERIES (the driver zips the two by queries()'s
 # first-50 prefix).
 ORACLE_SQL = {
+    "group_percentiles": q_group_percentiles_sql(),
     "transitions": q_transitions_sql(),
     "degree_hist": q_degree_hist_sql(),
     "pct_rank": q_pct_rank_sql(),

@@ -77,7 +77,7 @@ def test_entry_smoke(ray_session):
     "full_outer", "user_window", "dense_rank", "corr_flags",
     "pct_rank", "retention", "doc_stats", "type_entropy",
     "gap_fill", "triangles", "char_jaccard", "dup_spans", "unpivot",
-    "transitions", "degree_hist",
+    "transitions", "degree_hist", "group_percentiles",
 ])
 def test_sql_parity(name, entries):
     qs, oracles = entries
