@@ -633,7 +633,8 @@ def q_cell_stats(sf_dir: str):
 
     cells = pts.map_batches(enc, batch_format="pyarrow")
     out = salted_count(cells, "h3_r7", num_salts=8, hot_threshold=3,
-                       sample_fraction=1.0)
+                       sample_fraction=1.0,
+                       n_rows=_nrows(sf_dir, "events"))
     return out.map_batches(
         lambda b: b.rename_columns(["h3_r7", "n_events"]),
         batch_format="pyarrow")

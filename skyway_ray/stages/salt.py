@@ -57,7 +57,8 @@ def add_salt_column(batch: pa.Table, key: str, hot_keys: set, num_salts: int,
 
 def salted_count(ds, key: str, num_salts: int = 16,
                  hot_threshold: int | None = None,
-                 sample_fraction: float | None = None):
+                 sample_fraction: float | None = None,
+                 n_rows: int | None = None):
     """groupby-count with partial-salting: per-batch combine, then a
     deterministic per-batch salt routes each block's partials across
     ``num_salts`` reducers, and a tiny second aggregate merges the ≤
@@ -67,8 +68,6 @@ def salted_count(ds, key: str, num_salts: int = 16,
     ``hot_threshold`` / ``sample_fraction`` are accepted for
     backward compatibility and ignored (hotness no longer needs
     detecting — partials are salted unconditionally)."""
-    from ray.data.aggregate import Sum
-
     def salt_and_combine(b: pa.Table) -> pa.Table:
         # combine within the batch before the shuffle: the groupby then
         # moves ≤ |keys in batch| partials instead of rows
@@ -90,9 +89,24 @@ def salted_count(ds, key: str, num_salts: int = 16,
         return g.append_column(
             "_salt", pa.array(np.full(g.num_rows, s, np.int8), pa.int8()))
 
-    phase1 = (ds.map_batches(salt_and_combine, batch_format="pyarrow")
-              .groupby([key, "_salt"])
-              .aggregate(Sum("n_partial", alias_name="n_salted")))
+    # both merge phases ride the coarse hash-bucket exchange (inputs
+    # are pre-combined partials — ≤ #blocks rows per key — so a bucket
+    # group is bounded; the sort-based Aggregate's fixed overhead is
+    # gone).  The n_rows hints only size bucket counts.
+    from .scan import hash_bucket_scan
+
+    def merge1(t: pa.Table) -> pa.Table:
+        g = t.group_by([key, "_salt"]).aggregate([("n_partial", "sum")])
+        return g.rename_columns([key, "_salt", "n_salted"])
+
+    phase1 = hash_bucket_scan(
+        ds.map_batches(salt_and_combine, batch_format="pyarrow"),
+        [key, "_salt"], merge1, n_rows=n_rows)
     phase1 = phase1.map_batches(
         lambda b: b.drop_columns(["_salt"]), batch_format="pyarrow")
-    return phase1.groupby(key).aggregate(Sum("n_salted", alias_name="n"))
+
+    def merge2(t: pa.Table) -> pa.Table:
+        g = t.group_by([key]).aggregate([("n_salted", "sum")])
+        return g.rename_columns([key, "n"])
+
+    return hash_bucket_scan(phase1, [key], merge2, n_rows=n_rows)
