@@ -152,8 +152,8 @@ def q_tiles_sql() -> str:
 
 def q_tile_stats(sf_dir: str):
     """Per-tile counts at z=7 — pre-aggregated inside map_batches, then
-    a small groupby-sum shuffle (the flagship reduction shape)."""
-    from ray.data.aggregate import Sum
+    the Arrow combiner tree over the bounded tile space (the flagship
+    reduction shape)."""
 
     def partial(batch: pa.Table) -> pa.Table:
         lat, lon = derive_latlon(batch["event_id"].to_numpy(zero_copy_only=False))
@@ -162,10 +162,15 @@ def q_tile_stats(sf_dir: str):
         g = t.group_by(["tile_x", "tile_y"]).aggregate([("tile_x", "count")])
         return g.rename_columns(["tile_x", "tile_y", "partial_n"])
 
+    from .stages.agg_tree import tree_aggregate
+
     partials = _read(sf_dir, "events", ["event_id"]).map_batches(
         partial, batch_format="pyarrow")
-    return partials.groupby(["tile_x", "tile_y"]).aggregate(
-        Sum("partial_n", alias_name="n_events"))
+    out = tree_aggregate(partials, ["tile_x", "tile_y"],
+                         [("partial_n", "sum")])
+    return out.map_batches(
+        lambda b: b.rename_columns(["tile_x", "tile_y", "n_events"]),
+        batch_format="pyarrow")
 
 
 def q_tile_stats_sql() -> str:
