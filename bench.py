@@ -175,7 +175,8 @@ def run_bench() -> dict:
                      "dense_rank", "corr_flags", "pct_rank", "retention",
                      "doc_stats", "type_entropy", "gap_fill", "triangles",
                      "char_jaccard", "dup_spans", "unpivot",
-                     "transitions", "degree_hist", "group_percentiles"):
+                     "transitions", "degree_hist", "group_percentiles",
+                     "minmax_norm", "winsorize"):
             best = float("inf")
             attempts = 0
             for _ in range(max(1, repeats)):

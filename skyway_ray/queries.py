@@ -4145,6 +4145,100 @@ def q_unpivot_sql() -> str:
     )
 
 
+def q_minmax_norm(sf_dir: str):
+    """Per-group min-max feature normalization ((v - min)/(max - min)
+    per event_type) — the feature-scaling prep op.  Bounded group
+    min/max ride the combiner tree once and broadcast via ``ray.put``;
+    the normalization is a pure per-row map.  The two subtractions and
+    one division are single pinned double ops, spelled identically in
+    the window-function oracle, so doubles hash-match.  (Degenerate
+    min==max groups would diverge inf-vs-inf only in sign corner
+    cases; the fixture's per-type spread rules it out.)"""
+    import ray
+
+    from .functions.near_dup import _obj_cached
+    from .stages.agg_tree import tree_aggregate_to_table
+
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table({"event_type": b["event_type"],
+                         "vmin": b["value"], "vmax": b["value"]})
+
+    stats = tree_aggregate_to_table(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ["event_type"], [("vmin", "min"), ("vmax", "max")])
+    lookup = {t: (mn, mx) for t, mn, mx in
+              zip(stats["event_type"].to_pylist(),
+                  stats["vmin"].to_numpy(zero_copy_only=False),
+                  stats["vmax"].to_numpy(zero_copy_only=False))}
+    ref = ray.put(lookup)
+
+    def norm(b: pa.Table) -> pa.Table:
+        lk = _obj_cached(ref)
+        types = b["event_type"].to_pylist()
+        v = b["value"].to_numpy(zero_copy_only=False)
+        mn = np.array([lk[t][0] for t in types], np.float64)
+        mx = np.array([lk[t][1] for t in types], np.float64)
+        return pa.table({"event_id": b["event_id"],
+                         "norm": pa.array((v - mn) / (mx - mn),
+                                          pa.float64())})
+
+    return ds.map_batches(norm, batch_format="pyarrow")
+
+
+def q_minmax_norm_sql() -> str:
+    return (
+        "SELECT event_id, (value - min(value) OVER w) / "
+        "(max(value) OVER w - min(value) OVER w) AS norm "
+        "FROM events WINDOW w AS (PARTITION BY event_type)"
+    )
+
+
+def q_winsorize(sf_dir: str):
+    """Winsorization (outlier clamp to the exact p1/p99 order
+    statistics) — the numeric-feature cleanup prep op.  The two global
+    clamp bounds come from the sampled-splitter rank selection (NO
+    global sort — stages/quantiles.py); the clamp itself is
+    min/max-element-wise, pure value pass-through (no float
+    arithmetic), so the hash compare vs the ORDER-BY-rank oracle is
+    trivially bit-exact."""
+    import pyarrow.compute as pc
+
+    from .stages.quantiles import select_ranks
+
+    ds = _read(sf_dir, "events", ["event_id", "value"])
+    n = _nrows(sf_dir, "events")
+    r01 = int(np.floor(0.01 * (n - 1)))
+    r99 = int(np.floor(0.99 * (n - 1)))
+    vals = select_ranks(ds, "value", [r01, r99])
+    lo, hi = float(vals[r01]), float(vals[r99])
+
+    def clamp(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": b["event_id"],
+            "vclip": pc.min_element_wise(
+                pc.max_element_wise(b["value"], pa.scalar(lo)),
+                pa.scalar(hi))})
+
+    return ds.map_batches(clamp, batch_format="pyarrow")
+
+
+def q_winsorize_sql() -> str:
+    return (
+        "WITH s AS (SELECT value AS v, "
+        "row_number() OVER (ORDER BY value) - 1 AS r, "
+        "count(*) OVER () AS n FROM events), "
+        "b AS (SELECT CAST(floor(0.01 * (n - 1)) AS BIGINT) AS r01, "
+        "CAST(floor(0.99 * (n - 1)) AS BIGINT) AS r99 "
+        "FROM (SELECT DISTINCT n FROM s)), "
+        "q AS (SELECT (SELECT v FROM s, b WHERE s.r = b.r01) AS lo, "
+        "(SELECT v FROM s, b WHERE s.r = b.r99) AS hi) "
+        "SELECT event_id, least(greatest(value, (SELECT lo FROM q)), "
+        "(SELECT hi FROM q)) AS vclip FROM events"
+    )
+
+
 def q_group_percentiles(sf_dir: str):
     """Per-group PERCENTILE_CONT (p25/p50/p90 of value per event_type)
     — the grouped counterpart of the global rank-selection quantiles.
@@ -4330,6 +4424,8 @@ def q_degree_hist_sql() -> str:
 # end, followed by the rows-only (non-SQL-expressible) entries.
 QUERIES = {
     # -- NEW this round (round 4) --
+    "minmax_norm": q_minmax_norm,
+    "winsorize": q_winsorize,
     "group_percentiles": q_group_percentiles,
     "transitions": q_transitions,
     "degree_hist": q_degree_hist,
@@ -4354,6 +4450,7 @@ QUERIES = {
     "group_mode": q_group_mode,
     "rank_events": q_rank_events,
     "setsim_pairs": q_setsim_pairs,
+    "minhash_exact": q_minhash_exact,
     "box_join": q_box_join,
     "group_concat": q_group_concat,
     "pagerank": q_pagerank,
@@ -4382,7 +4479,6 @@ QUERIES = {
     "prefix_sums": q_prefix_sums,
     "lag_deltas": q_lag_deltas,
     # -- high-value previously-proven entries filling the 50 window --
-    "minhash_exact": q_minhash_exact,
     "ivf_exact": q_ivf_exact,
     "bloom_dedup": q_bloom_dedup,
     "order_lineitems": q_order_lineitems,
@@ -4452,6 +4548,8 @@ QUERIES = {
 # Same key order as QUERIES (the driver zips the two by queries()'s
 # first-50 prefix).
 ORACLE_SQL = {
+    "minmax_norm": q_minmax_norm_sql(),
+    "winsorize": q_winsorize_sql(),
     "group_percentiles": q_group_percentiles_sql(),
     "transitions": q_transitions_sql(),
     "degree_hist": q_degree_hist_sql(),
@@ -4475,6 +4573,7 @@ ORACLE_SQL = {
     "group_mode": q_group_mode_sql(),
     "rank_events": q_rank_events_sql(),
     "setsim_pairs": q_setsim_pairs_sql(),
+    "minhash_exact": q_minhash_exact_sql(),
     "box_join": q_box_join_sql(),
     "group_concat": q_group_concat_sql(),
     "pagerank": q_pagerank_sql(),
@@ -4501,7 +4600,6 @@ ORACLE_SQL = {
     "rolling_counts": q_rolling_counts_sql(),
     "prefix_sums": q_prefix_sums_sql(),
     "lag_deltas": q_lag_deltas_sql(),
-    "minhash_exact": q_minhash_exact_sql(),
     "ivf_exact": q_ivf_exact_sql(),
     "bloom_dedup": q_bloom_dedup_sql(),
     "order_lineitems": q_order_lineitems_sql(),
