@@ -176,7 +176,8 @@ def run_bench() -> dict:
                      "doc_stats", "type_entropy", "gap_fill", "triangles",
                      "char_jaccard", "dup_spans", "unpivot",
                      "transitions", "degree_hist", "group_percentiles",
-                     "minmax_norm", "winsorize"):
+                     "minmax_norm", "winsorize", "cooccur",
+                     "shipping_priority", "outlier_flags"):
             best = float("inf")
             attempts = 0
             for _ in range(max(1, repeats)):

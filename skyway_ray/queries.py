@@ -4145,6 +4145,202 @@ def q_unpivot_sql() -> str:
     )
 
 
+def q_outlier_flags(sf_dir: str):
+    """Robust outlier detection: rows with |v − median| > 3·MAD — the
+    median/MAD pair comes from two composed exact rank-selection
+    passes (no sort, no materialization beyond the pinned single
+    column), then one streaming filter pass.  The subtraction, the
+    3·MAD product and the comparison are single pinned double ops
+    spelled identically in the oracle, so the surviving row set is
+    bit-identical."""
+    import pyarrow.compute as pc
+
+    from .stages.quantiles import select_ranks
+
+    ds = _read(sf_dir, "events", ["event_id", "value"])
+    n = _nrows(sf_dir, "events")
+    r = (n - 1) // 2
+    med = float(select_ranks(ds, "value", [r])[r])
+
+    def deviate(b: pa.Table) -> pa.Table:
+        x = b["value"].to_numpy(zero_copy_only=False)
+        return pa.table({"dev": pa.array(np.abs(x - med))})
+
+    mad = float(select_ranks(
+        ds.map_batches(deviate, batch_format="pyarrow"), "dev", [r])[r])
+    cut = 3.0 * mad
+
+    def flag(b: pa.Table) -> pa.Table:
+        x = b["value"].to_numpy(zero_copy_only=False)
+        keep = np.abs(x - med) > cut
+        return pa.table({"event_id": b["event_id"].filter(pa.array(keep))})
+
+    return ds.map_batches(flag, batch_format="pyarrow")
+
+
+def q_outlier_flags_sql() -> str:
+    return (
+        "WITH s AS (SELECT value AS v, row_number() OVER (ORDER BY value)"
+        " - 1 AS r, count(*) OVER () AS n FROM events), "
+        "m AS (SELECT v FROM s WHERE r = (n - 1) // 2), "
+        "d AS (SELECT abs(value - (SELECT v FROM m)) AS dv FROM events), "
+        "t AS (SELECT dv, row_number() OVER (ORDER BY dv) - 1 AS r, "
+        "count(*) OVER () AS n FROM d), "
+        "mad AS (SELECT dv FROM t WHERE r = (n - 1) // 2) "
+        "SELECT event_id FROM events "
+        "WHERE abs(value - (SELECT v FROM m)) > 3.0 * (SELECT dv FROM mad)"
+    )
+
+
+def q_shipping_priority(sf_dir: str):
+    """TPC-H Q3 shape (shipping priority): BUILDING customers
+    semi-filter orders placed before the cutoff (broadcast key set —
+    swap for ``bloom_semi_join`` when the segment stops fitting a
+    broadcast), the surviving orders copart-join recent lineitems, the
+    unbounded per-order revenue aggregates through one hash exchange,
+    and the top 10 resolves driver-side from per-bucket partial top-ks.
+    Revenue terms are 1e-4-quantized ints, so sums and ordering are
+    exact."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from .stages.joins import broadcast_semi_join, copart_hash_join
+    from .stages.scan import hash_bucket_scan
+
+    CUT = np.datetime64("1998-06-01T00:00:00", "us").astype(np.int64)
+
+    cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
+                         columns=["c_custkey", "c_mktsegment"])
+    keys = cust.filter(pc.equal(cust["c_mktsegment"], "BUILDING"))[
+        "c_custkey"].to_numpy(zero_copy_only=False)
+
+    def filt_orders(b: pa.Table) -> pa.Table:
+        ts = b["o_orderdate"].cast(pa.int64())
+        t = b.filter(pc.less(ts, CUT))
+        return pa.table({"o_orderkey": t["o_orderkey"],
+                         "o_custkey": t["o_custkey"],
+                         "odate_us": t["o_orderdate"].cast(pa.int64()),
+                         "o_orderpriority": t["o_orderpriority"]})
+
+    orders = broadcast_semi_join(
+        _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate",
+                                 "o_orderpriority"]).map_batches(
+            filt_orders, batch_format="pyarrow"),
+        keys, "o_custkey").map_batches(
+        lambda b: b.drop_columns(["o_custkey"]), batch_format="pyarrow")
+
+    def filt_line(b: pa.Table) -> pa.Table:
+        ts = b["l_shipdate"].cast(pa.int64())
+        t = b.filter(pc.greater(ts, CUT))
+        price = t["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = t["l_discount"].to_numpy(zero_copy_only=False)
+        rev = np.floor(price * (1.0 - disc) * 1e4 + 0.5).astype(np.int64)
+        return pa.table({"l_orderkey": t["l_orderkey"],
+                         "rev_q4": pa.array(rev, pa.int64())})
+
+    line = _read(sf_dir, "lineitem",
+                 ["l_orderkey", "l_shipdate", "l_extendedprice",
+                  "l_discount"]).map_batches(filt_line,
+                                             batch_format="pyarrow")
+
+    j = copart_hash_join(
+        orders, line, "o_orderkey", "l_orderkey",
+        n_rows=_nrows(sf_dir, "orders") + _nrows(sf_dir, "lineitem"),
+        left_schema=pa.schema([("o_orderkey", pa.int64()),
+                               ("odate_us", pa.int64()),
+                               ("o_orderpriority", pa.string())]),
+        right_schema=pa.schema([("l_orderkey", pa.int64()),
+                                ("rev_q4", pa.int64())]))
+
+    def agg(t: pa.Table) -> pa.Table:
+        g = t.group_by(["o_orderkey", "odate_us",
+                        "o_orderpriority"]).aggregate([("rev_q4", "sum")])
+        g = g.rename_columns(["o_orderkey", "odate_us",
+                              "o_orderpriority", "rev_q4"])
+        # per-bucket partial top-10 (final merge is driver-side and
+        # bounded by 10 × buckets)
+        idx = np.lexsort((g["o_orderkey"].to_numpy(zero_copy_only=False),
+                          -g["rev_q4"].to_numpy(zero_copy_only=False)))
+        return g.take(pa.array(idx[:10], pa.int64()))
+
+    partials = hash_bucket_scan(
+        j, ["o_orderkey"], agg,
+        n_rows=_nrows(sf_dir, "lineitem")).to_pandas()
+    top = partials.sort_values(["rev_q4", "o_orderkey"],
+                               ascending=[False, True]).head(10)
+    return top.reset_index(drop=True)
+
+
+def q_shipping_priority_sql() -> str:
+    return (
+        "SELECT l_orderkey AS o_orderkey, epoch_us(o_orderdate) AS odate_us, "
+        "o_orderpriority, "
+        "CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 1e4 "
+        "+ 0.5) AS BIGINT)) AS BIGINT) AS rev_q4 "
+        "FROM customer JOIN orders ON c_custkey = o_custkey "
+        "JOIN lineitem ON l_orderkey = o_orderkey "
+        "WHERE c_mktsegment = 'BUILDING' "
+        "AND o_orderdate < TIMESTAMP '1998-06-01' "
+        "AND l_shipdate > TIMESTAMP '1998-06-01' "
+        "GROUP BY 1, 2, 3 ORDER BY rev_q4 DESC, l_orderkey LIMIT 10"
+    )
+
+
+def q_cooccur(sf_dir: str):
+    """Event-type co-occurrence supports (association mining: for each
+    unordered type pair, how many users performed both).  ONE user-key
+    hash exchange; inside a bucket the distinct (user, type) pairs
+    fall out of a lexsort + boundary mask and each user's pair
+    expansion is the grouped-arange arithmetic (no per-user loop);
+    the bounded (type_a, type_b) supports ride the combiner tree.
+    Exact ints — bit-match vs the distinct self-join oracle."""
+    from .stages.agg_tree import tree_aggregate
+    from .stages.scan import hash_bucket_scan
+
+    def pairs(tb: pa.Table) -> pa.Table:
+        u = tb["user_id"].to_numpy(zero_copy_only=False)
+        t = tb["event_type"].to_numpy(zero_copy_only=False).astype("U")
+        order = np.lexsort((t, u))
+        u, t = u[order], t[order]
+        keep = np.ones(len(u), dtype=bool)
+        keep[1:] = (u[1:] != u[:-1]) | (t[1:] != t[:-1])
+        u, t = u[keep], t[keep]                    # distinct (user, type)
+        new_u = np.ones(len(u), dtype=bool)
+        new_u[1:] = u[1:] != u[:-1]
+        sizes = np.diff(np.append(np.flatnonzero(new_u), len(u)))
+        # (i, j) with j after i inside each user segment (types sorted
+        # asc, so type_a < type_b by construction)
+        loc = np.arange(len(u), dtype=np.int64) - np.repeat(
+            np.cumsum(sizes) - sizes, sizes)
+        rep = np.repeat(sizes, sizes) - 1 - loc
+        a_idx = np.repeat(np.arange(len(u), dtype=np.int64), rep)
+        ar = np.arange(int(rep.sum()), dtype=np.int64) - np.repeat(
+            np.cumsum(rep) - rep, rep)
+        b_idx = a_idx + ar + 1
+        t2 = pa.table({"type_a": pa.array(t[a_idx]),
+                       "type_b": pa.array(t[b_idx]),
+                       "n_users": pa.array(
+                           np.ones(len(a_idx), np.int64), pa.int64())})
+        g = t2.group_by(["type_a", "type_b"]).aggregate([("n_users", "sum")])
+        return g.rename_columns(["type_a", "type_b", "n_users"])
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+    partials = hash_bucket_scan(ds, ["user_id"], pairs,
+                                n_rows=_nrows(sf_dir, "events"))
+    return tree_aggregate(partials, ["type_a", "type_b"],
+                          [("n_users", "sum")])
+
+
+def q_cooccur_sql() -> str:
+    return (
+        "WITH d AS (SELECT DISTINCT user_id, event_type FROM events) "
+        "SELECT a.event_type AS type_a, b.event_type AS type_b, "
+        "CAST(count(*) AS BIGINT) AS n_users "
+        "FROM d a JOIN d b ON a.user_id = b.user_id "
+        "AND b.event_type > a.event_type GROUP BY 1, 2"
+    )
+
+
 def q_minmax_norm(sf_dir: str):
     """Per-group min-max feature normalization ((v - min)/(max - min)
     per event_type) — the feature-scaling prep op.  Bounded group
@@ -4424,6 +4620,9 @@ def q_degree_hist_sql() -> str:
 # end, followed by the rows-only (non-SQL-expressible) entries.
 QUERIES = {
     # -- NEW this round (round 4) --
+    "outlier_flags": q_outlier_flags,
+    "shipping_priority": q_shipping_priority,
+    "cooccur": q_cooccur,
     "minmax_norm": q_minmax_norm,
     "winsorize": q_winsorize,
     "group_percentiles": q_group_percentiles,
@@ -4548,6 +4747,9 @@ QUERIES = {
 # Same key order as QUERIES (the driver zips the two by queries()'s
 # first-50 prefix).
 ORACLE_SQL = {
+    "outlier_flags": q_outlier_flags_sql(),
+    "shipping_priority": q_shipping_priority_sql(),
+    "cooccur": q_cooccur_sql(),
     "minmax_norm": q_minmax_norm_sql(),
     "winsorize": q_winsorize_sql(),
     "group_percentiles": q_group_percentiles_sql(),
