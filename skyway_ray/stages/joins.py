@@ -235,7 +235,11 @@ def copart_hash_join(left_ds, right_ds, left_on: str,
                 elif nm == "_side":
                     arrs.append(side_arr)
                 elif nm in own:
-                    arrs.append(b[nm])
+                    # empty blocks surface null-typed columns — pin to
+                    # the unified schema type (Acero rejects null
+                    # payload fields)
+                    arrs.append(b[nm] if tp == b[nm].type
+                                else b[nm].cast(tp))
                 else:
                     arrs.append(pa.nulls(n, tp))
             return pa.table(dict(zip(names, arrs)))
@@ -250,9 +254,21 @@ def copart_hash_join(left_ds, right_ds, left_on: str,
           "right": "right outer", "full_outer": "full outer"}[how]
     out_order = list(ls.names) + rpay  # Dataset.join's column layout
 
+    lt_schema = pa.schema([pa.field("_k", key_t)]
+                          + [pa.field(c, ltypes[c]) for c in lpay])
+    rt_schema = pa.schema([pa.field("_k", key_t)]
+                          + [pa.field(c, rtypes[c]) for c in rpay])
+
     def bucket_join(t: pa.Table) -> pa.Table:
         lt = t.filter(pc.equal(t["_side"], 0)).select(["_k"] + lpay)
         rt = t.filter(pc.equal(t["_side"], 1)).select(["_k"] + rpay)
+        # degenerate empty groups pass through Ray as schemaless pandas
+        # blocks whose columns re-enter Arrow as type null, which Acero
+        # rejects — pin them back (a zero-row cast is always safe)
+        if lt.schema != lt_schema:
+            lt = lt.cast(lt_schema)
+        if rt.schema != rt_schema:
+            rt = rt.cast(rt_schema)
         out = lt.join(rt, keys=["_k"], join_type=jt, use_threads=False)
         out = out.rename_columns(
             [left_on if c == "_k" else c for c in out.column_names])

@@ -1235,3 +1235,56 @@ class TestCopartHashJoin:
         with pytest.raises(ValueError, match="overlapping"):
             copart_hash_join(ray.data.from_pandas(df),
                              ray.data.from_pandas(df), "k", "k")
+
+    def test_empty_right_side_inner(self, ray_session):
+        import ray.data
+
+        from skyway_ray.stages.joins import copart_hash_join
+
+        left = pd.DataFrame({"k": np.array([1, 2], np.int64),
+                             "lv": np.array([1, 2], np.int64)})
+        right = pd.DataFrame({"rk": pd.Series([], dtype=np.int64),
+                              "rv": pd.Series([], dtype=np.int64)})
+        out = copart_hash_join(
+            ray.data.from_pandas(left), ray.data.from_pandas(right),
+            "k", "rk").to_pandas()
+        assert len(out) == 0
+
+    def test_string_payload_survives(self, ray_session):
+        import ray.data
+
+        from skyway_ray.stages.joins import copart_hash_join
+
+        left = pd.DataFrame({"k": np.arange(4, dtype=np.int64),
+                             "name": [f"n{i}" for i in range(4)]})
+        right = pd.DataFrame({"rk": np.arange(0, 4, 2, dtype=np.int64),
+                              "tag": ["a", "b"]})
+        out = copart_hash_join(
+            ray.data.from_pandas(left), ray.data.from_pandas(right),
+            "k", "rk").to_pandas().sort_values("k")
+        assert out["name"].tolist() == ["n0", "n2"]
+        assert out["tag"].tolist() == ["a", "b"]
+
+
+class TestHashBucketScanStringKeys:
+    def test_string_key_copartition(self, ray_session):
+        import ray.data
+
+        from skyway_ray.stages.scan import hash_bucket_scan
+
+        rng = np.random.default_rng(5)
+        words = np.array([f"w{int(i)}" for i in rng.integers(0, 40, 3000)])
+        df = pd.DataFrame({"tok": words,
+                           "n": np.ones(3000, dtype=np.int64)})
+
+        def bucket_sum(t):
+            g = t.group_by(["tok"]).aggregate([("n", "sum")])
+            return g.rename_columns(["tok", "n"])
+
+        out = hash_bucket_scan(
+            ray.data.from_pandas(df).repartition(6), ["tok"], bucket_sum,
+            n_rows=3000).to_pandas()
+        want = df.groupby("tok", as_index=False)["n"].sum()
+        assert len(out) == len(want)  # each token merged exactly once
+        m = out.set_index("tok")["n"]
+        assert all(m[t] == n for t, n in zip(want["tok"], want["n"]))
