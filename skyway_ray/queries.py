@@ -3873,18 +3873,22 @@ def q_gap_fill_sql() -> str:
 
 def q_triangles(sf_dir: str):
     """Distributed triangle counting on the derived 400-node graph
-    (u = user_id%400 — v = event_id%400 edges): the classic
-    compact-forward / MapReduce shape — distinct id-oriented edges
-    (u < v), wedge generation co-partitioned on the anchor node
-    (vectorized grouped pair-expansion, no per-node loop), then a
-    second co-partition of wedges ∪ edges on the closing pair with a
-    sorted-membership probe.  Three hash shuffles total, each
-    ids-only.  At scale, swap id-orientation for degree-orientation
-    (bounds out-degree to O(√m) on skewed graphs) — the oracle then
-    orders by (degree, id) instead; reference-free addition."""
+    (u = user_id%400 — v = event_id%400 edges): the compact-forward /
+    MapReduce shape with DEGREE orientation — every undirected edge
+    points from its lower-(degree, id) endpoint, which bounds wedge
+    fan-out to O(√m) per node on skewed graphs (the id-oriented
+    variant explodes at hub nodes).  Stages: distinct edges via one
+    pair-key exchange; bounded degree table on the combiner tree →
+    tiny rank array broadcast; wedge generation co-partitioned on the
+    anchor (vectorized grouped pair-expansion over rank-sorted
+    out-neighbourhoods, no per-node loop); a final co-partition of
+    wedges ∪ oriented edges on the closing pair with a
+    sorted-membership probe.  Each triangle counts exactly once, at
+    its minimum-rank vertex; the oracle orders by the same
+    (degree, id) rank.  Reference-free addition."""
     import ray.data
 
-    from .stages.agg_tree import tree_aggregate
+    from .stages.agg_tree import tree_aggregate, tree_aggregate_to_table
     from .stages.scan import hash_bucket_scan
 
     V = 400
@@ -3906,30 +3910,60 @@ def q_triangles(sf_dir: str):
             prep, batch_format="pyarrow"),
         ["u", "v"], distinct, n_rows=n_ev).materialize()
 
-    def wedges(t: pa.Table) -> pa.Table:
+    # (degree, id) rank per node: the degree table is bounded by V, so
+    # it rides the combiner tree and the rank array broadcasts as a
+    # tiny dense vector (closure-captured — 400 ints)
+    deg_tab = tree_aggregate_to_table(
+        edges.map_batches(
+            lambda t: pa.table({
+                "node": pa.array(np.concatenate(
+                    [t["u"].to_numpy(zero_copy_only=False),
+                     t["v"].to_numpy(zero_copy_only=False)]), pa.int64()),
+                "deg": pa.array(np.ones(2 * len(t), np.int64), pa.int64())}),
+            batch_format="pyarrow"),
+        ["node"], [("deg", "sum")])
+    deg_full = np.zeros(V, np.int64)
+    deg_full[deg_tab["node"].to_numpy(zero_copy_only=False)] = \
+        deg_tab["deg"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((np.arange(V, dtype=np.int64), deg_full))
+    rank = np.empty(V, np.int64)
+    rank[order] = np.arange(V, dtype=np.int64)
+
+    def orient(t: pa.Table) -> pa.Table:
         u = t["u"].to_numpy(zero_copy_only=False)
         v = t["v"].to_numpy(zero_copy_only=False)
-        order = np.lexsort((v, u))
-        u, v = u[order], v[order]
-        new_u = np.ones(len(u), dtype=bool)
-        new_u[1:] = u[1:] != u[:-1]
-        sizes = np.diff(np.append(np.flatnonzero(new_u), len(u)))
-        # local index i within each u-segment pairs with the s-1-i
-        # following neighbours: (b, c) with c after b in sort order
-        loc = np.arange(len(u), dtype=np.int64) - np.repeat(
+        lo_first = rank[u] < rank[v]
+        return pa.table({
+            "a": pa.array(np.where(lo_first, u, v), pa.int64()),
+            "b": pa.array(np.where(lo_first, v, u), pa.int64())})
+
+    oriented = edges.map_batches(orient, batch_format="pyarrow")
+
+    def wedges(t: pa.Table) -> pa.Table:
+        a = t["a"].to_numpy(zero_copy_only=False)
+        v = t["b"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((rank[v], a))   # out-neighbours rank-sorted
+        a, v = a[order], v[order]
+        new_a = np.ones(len(a), dtype=bool)
+        new_a[1:] = a[1:] != a[:-1]
+        sizes = np.diff(np.append(np.flatnonzero(new_a), len(a)))
+        # local index i within each a-segment pairs with the s-1-i
+        # following out-neighbours: (p, q) with rank(p) < rank(q)
+        loc = np.arange(len(a), dtype=np.int64) - np.repeat(
             np.cumsum(sizes) - sizes, sizes)
         rep = np.repeat(sizes, sizes) - 1 - loc
-        b_idx = np.repeat(np.arange(len(u), dtype=np.int64), rep)
+        b_idx = np.repeat(np.arange(len(a), dtype=np.int64), rep)
         ar = np.arange(int(rep.sum()), dtype=np.int64) - np.repeat(
             np.cumsum(rep) - rep, rep)
         c_idx = b_idx + ar + 1
         return pa.table({"p": pa.array(v[b_idx], pa.int64()),
                          "q": pa.array(v[c_idx], pa.int64()),
-                         "a": pa.array(u[b_idx], pa.int64())})
+                         "a": pa.array(a[b_idx], pa.int64())})
 
-    wedge_ds = hash_bucket_scan(edges, ["u"], wedges, n_rows=edges.count())
-    edge_rows = edges.map_batches(
-        lambda t: pa.table({"p": t["u"], "q": t["v"],
+    wedge_ds = hash_bucket_scan(oriented, ["a"], wedges,
+                                n_rows=edges.count())
+    edge_rows = oriented.map_batches(
+        lambda t: pa.table({"p": t["a"], "q": t["b"],
                             "a": pa.array(np.full(len(t), -1, np.int64()),
                                           pa.int64())}),
         batch_format="pyarrow")
@@ -3961,11 +3995,21 @@ def q_triangles_sql() -> str:
         "WITH raw AS (SELECT user_id % 400 AS x, event_id % 400 AS y "
         "FROM events), "
         "e AS (SELECT DISTINCT least(x, y) AS u, greatest(x, y) AS v "
-        "FROM raw WHERE x <> y) "
-        "SELECT e1.u AS node, CAST(count(*) AS BIGINT) AS tri "
-        "FROM e e1 JOIN e e2 ON e2.u = e1.u AND e2.v > e1.v "
-        "JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v "
-        "GROUP BY e1.u"
+        "FROM raw WHERE x <> y), "
+        "d AS (SELECT node, count(*) AS deg FROM "
+        "(SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e) "
+        "GROUP BY node), "
+        "o AS (SELECT CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg "
+        "AND e.u < e.v) THEN e.u ELSE e.v END AS a, "
+        "CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND e.u < e.v) "
+        "THEN e.v ELSE e.u END AS b "
+        "FROM e JOIN d du ON du.node = e.u JOIN d dv ON dv.node = e.v) "
+        "SELECT o1.a AS node, CAST(count(*) AS BIGINT) AS tri "
+        "FROM o o1 JOIN o o2 ON o2.a = o1.a "
+        "JOIN d d1 ON d1.node = o1.b JOIN d d2 ON d2.node = o2.b "
+        "JOIN o o3 ON o3.a = o1.b AND o3.b = o2.b "
+        "WHERE d1.deg < d2.deg OR (d1.deg = d2.deg AND o1.b < o2.b) "
+        "GROUP BY o1.a"
     )
 
 
