@@ -177,7 +177,7 @@ def run_bench() -> dict:
                      "char_jaccard", "dup_spans", "unpivot",
                      "transitions", "degree_hist", "group_percentiles",
                      "minmax_norm", "winsorize", "cooccur",
-                     "shipping_priority", "outlier_flags"):
+                     "shipping_priority", "outlier_flags", "hamming_topk"):
             best = float("inf")
             attempts = 0
             for _ in range(max(1, repeats)):

@@ -4189,6 +4189,86 @@ def q_unpivot_sql() -> str:
     )
 
 
+def q_hamming_topk(sf_dir: str):
+    """Binary-code similarity search (the phash-style ANN primitive):
+    top-10 nearest 64-bit codes per query by Hamming distance, ties by
+    id.  Codes derive from event ids with the house modular mixing (so
+    the oracle derives bit-identical codes with DuckDB's
+    ``bit_count(xor(...))``); the scan is a vectorized SWAR popcount
+    over xor'd uint64 batches against the broadcast 5-query code
+    vector, each batch keeps its local top-10 per query, and the
+    driver merges the bounded partials — the brute-force baseline
+    whose scale path is Hamming-band LSH (functions/phash.py)."""
+    import ray
+
+    ds = _read(sf_dir, "events", ["event_id"])
+
+    def codes_of(ids: np.ndarray) -> np.ndarray:
+        hi = (ids * 2654435761 + 12345) % 4294967296
+        lo = (ids * 1103515245 + 54321) % 4294967296
+        return (hi % 2147483648) * 4294967296 + lo
+
+    qids = np.arange(5, dtype=np.int64)
+    qcodes = codes_of(qids).astype(np.uint64)
+
+    def popcount64(x: np.ndarray) -> np.ndarray:
+        x = x - ((x >> np.uint64(1)) & np.uint64(0x5555555555555555))
+        x = ((x & np.uint64(0x3333333333333333))
+             + ((x >> np.uint64(2)) & np.uint64(0x3333333333333333)))
+        x = (x + (x >> np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+        return ((x * np.uint64(0x0101010101010101))
+                >> np.uint64(56)).astype(np.int64)
+
+    def partial(b: pa.Table) -> pa.Table:
+        ids = b["event_id"].to_numpy(zero_copy_only=False)
+        if not len(ids):
+            return pa.table({"qid": pa.array([], pa.int64()),
+                             "neighbor_id": pa.array([], pa.int64()),
+                             "dist": pa.array([], pa.int64())})
+        codes = codes_of(ids).astype(np.uint64)
+        out_q, out_n, out_d = [], [], []
+        for qi, qc in zip(qids, qcodes):
+            d = popcount64(codes ^ qc)
+            order = np.lexsort((ids, d))[:10]
+            out_q.append(np.full(len(order), qi, np.int64))
+            out_n.append(ids[order])
+            out_d.append(d[order])
+        return pa.table({"qid": pa.array(np.concatenate(out_q), pa.int64()),
+                         "neighbor_id": pa.array(np.concatenate(out_n),
+                                                 pa.int64()),
+                         "dist": pa.array(np.concatenate(out_d), pa.int64())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    order = np.lexsort((parts["neighbor_id"].to_numpy(),
+                        parts["dist"].to_numpy(),
+                        parts["qid"].to_numpy()))
+    d = parts.iloc[order]
+    qcol = d["qid"].to_numpy()
+    new = np.ones(len(d), dtype=bool)
+    new[1:] = qcol[1:] != qcol[:-1]
+    starts = np.flatnonzero(new)
+    sizes = np.diff(np.append(starts, len(d)))
+    loc = np.arange(len(d), dtype=np.int64) - np.repeat(starts, sizes)
+    keep = loc < 10
+    return pd.DataFrame({"qid": qcol[keep],
+                         "neighbor_id": d["neighbor_id"].to_numpy()[keep],
+                         "rank": (loc[keep] + 1).astype(np.int64)})
+
+
+def q_hamming_topk_sql() -> str:
+    code = ("(((event_id * 2654435761 + 12345) % 4294967296) % 2147483648)"
+            " * 4294967296 + ((event_id * 1103515245 + 54321) % 4294967296)")
+    return (
+        f"WITH c AS (SELECT event_id, {code} AS code FROM events), "
+        "q AS (SELECT event_id AS qid, code AS qcode FROM c "
+        "WHERE event_id < 5) "
+        "SELECT qid, event_id AS neighbor_id, rank FROM ("
+        "SELECT q.qid, c.event_id, row_number() OVER (PARTITION BY q.qid "
+        "ORDER BY bit_count(xor(c.code, q.qcode)), c.event_id) AS rank "
+        "FROM c CROSS JOIN q) t WHERE rank <= 10"
+    )
+
+
 def q_outlier_flags(sf_dir: str):
     """Robust outlier detection: rows with |v − median| > 3·MAD — the
     median/MAD pair comes from two composed exact rank-selection
@@ -4664,6 +4744,7 @@ def q_degree_hist_sql() -> str:
 # end, followed by the rows-only (non-SQL-expressible) entries.
 QUERIES = {
     # -- NEW this round (round 4) --
+    "hamming_topk": q_hamming_topk,
     "outlier_flags": q_outlier_flags,
     "shipping_priority": q_shipping_priority,
     "cooccur": q_cooccur,
@@ -4791,6 +4872,7 @@ QUERIES = {
 # Same key order as QUERIES (the driver zips the two by queries()'s
 # first-50 prefix).
 ORACLE_SQL = {
+    "hamming_topk": q_hamming_topk_sql(),
     "outlier_flags": q_outlier_flags_sql(),
     "shipping_priority": q_shipping_priority_sql(),
     "cooccur": q_cooccur_sql(),

@@ -78,7 +78,7 @@ def test_entry_smoke(ray_session):
     "pct_rank", "retention", "doc_stats", "type_entropy",
     "gap_fill", "triangles", "char_jaccard", "dup_spans", "unpivot",
     "transitions", "degree_hist", "group_percentiles",
-    "minmax_norm", "winsorize", "cooccur", "shipping_priority", "outlier_flags",
+    "minmax_norm", "winsorize", "cooccur", "shipping_priority", "outlier_flags", "hamming_topk",
 ])
 def test_sql_parity(name, entries):
     qs, oracles = entries
