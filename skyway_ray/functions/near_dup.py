@@ -768,8 +768,9 @@ def lsh_dedup_pipeline(ds, id_col: str, band_fn, sketch_fn, pair_ok,
             return batch.filter(pa.array(arr[pos] != ids))
 
         return ds.map_batches(drop_losers, batch_format="pyarrow")
-    return ds.join(losers, "left_anti", num_partitions,
-                   on=(id_col,), right_on=("doc_b",))
+    from ..stages.joins import copart_hash_join
+
+    return copart_hash_join(ds, losers, id_col, "doc_b", how="left_anti")
 
 
 def minhash_lsh_dedup(ds, text_col: str = "text", id_col: str = "doc_id",

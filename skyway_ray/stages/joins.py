@@ -251,8 +251,11 @@ def copart_hash_join(left_ds, right_ds, left_on: str,
         right_ds.map_batches(_tag(1, right_on, rpay),
                              batch_format="pyarrow"))
     jt = {"inner": "inner", "left": "left outer",
-          "right": "right outer", "full_outer": "full outer"}[how]
-    out_order = list(ls.names) + rpay  # Dataset.join's column layout
+          "right": "right outer", "full_outer": "full outer",
+          "left_semi": "left semi", "left_anti": "left anti"}[how]
+    # Dataset.join's column layout; semi/anti emit left columns only
+    out_order = list(ls.names) + ([] if how in ("left_semi", "left_anti")
+                                  else rpay)
 
     lt_schema = pa.schema([pa.field("_k", key_t)]
                           + [pa.field(c, ltypes[c]) for c in lpay])

@@ -1265,6 +1265,23 @@ class TestCopartHashJoin:
         assert out["name"].tolist() == ["n0", "n2"]
         assert out["tag"].tolist() == ["a", "b"]
 
+    def test_left_anti(self, ray_session):
+        import ray.data
+
+        from skyway_ray.stages.joins import copart_hash_join
+
+        left = pd.DataFrame({"k": np.arange(10, dtype=np.int64),
+                             "lv": np.arange(10, dtype=np.int64) * 2})
+        right = pd.DataFrame({"rk": np.array([1, 3, 5, 99], np.int64),
+                              "rv": np.array([0, 0, 0, 0], np.int64)})
+        out = copart_hash_join(
+            ray.data.from_pandas(left).repartition(3),
+            ray.data.from_pandas(right).repartition(2),
+            "k", "rk", how="left_anti").to_pandas().sort_values("k")
+        assert list(out.columns) == ["k", "lv"]  # left columns only
+        assert out["k"].tolist() == [0, 2, 4, 6, 7, 8, 9]
+
+
 
 class TestHashBucketScanStringKeys:
     def test_string_key_copartition(self, ray_session):
