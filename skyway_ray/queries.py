@@ -4732,6 +4732,452 @@ def q_degree_hist_sql() -> str:
     )
 
 
+def q_local_volume(sf_dir: str):
+    """TPC-H Q5 shape (local supplier volume): revenue from 1996
+    ASIA-region orders where the supplier and the ordering customer
+    share a nation.  Both dimension chains (customer→nation and
+    supplier→nation→region) broadcast once; the only exchange is the
+    large×large lineitem⋈orders copart join; the 25-key nation rollup
+    rides the bounded combiner tree.  Revenue terms are 1e-4-quantized
+    ints so the distributed sum is exact."""
+    import pyarrow.parquet as pq
+
+    from .stages.agg_tree import tree_aggregate_to_table
+    from .stages.joins import broadcast_hash_join, copart_hash_join
+
+    Y0 = np.datetime64("1996-01-01T00:00:00", "us").astype(np.int64)
+    Y1 = np.datetime64("1997-01-01T00:00:00", "us").astype(np.int64)
+
+    nation = pq.read_table(os.path.join(sf_dir, "nation.parquet")).to_pandas()
+    region = pq.read_table(os.path.join(sf_dir, "region.parquet")).to_pandas()
+    asia_keys = region.loc[region["r_name"] == "ASIA", "r_regionkey"]
+    nat = nation[nation["n_regionkey"].isin(set(asia_keys))]
+
+    supp = pq.read_table(os.path.join(sf_dir, "supplier.parquet"),
+                         columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    supp = supp[supp["s_nationkey"].isin(set(nat["n_nationkey"]))]
+    cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
+                         columns=["c_custkey", "c_nationkey"]).to_pandas()
+
+    def filt_orders(b: pa.Table) -> pa.Table:
+        ts = b["o_orderdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        t = b.filter(pa.array((ts >= Y0) & (ts < Y1)))
+        return pa.table({"o_orderkey": t["o_orderkey"],
+                         "o_custkey": t["o_custkey"]})
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate"]).map_batches(
+        filt_orders, batch_format="pyarrow")
+    orders = broadcast_hash_join(orders, cust, on="o_custkey",
+                                 small_on="c_custkey").map_batches(
+        lambda d: d[["o_orderkey", "c_nationkey"]], batch_format="pandas")
+
+    def line_rev(b: pa.Table) -> pa.Table:
+        price = b["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = b["l_discount"].to_numpy(zero_copy_only=False)
+        rev = np.floor(price * (1.0 - disc) * 1e4 + 0.5).astype(np.int64)
+        return pa.table({"l_orderkey": b["l_orderkey"],
+                         "l_suppkey": b["l_suppkey"],
+                         "rev_q4": pa.array(rev, pa.int64())})
+
+    line = _read(sf_dir, "lineitem",
+                 ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"]
+                 ).map_batches(line_rev, batch_format="pyarrow")
+    line = broadcast_hash_join(line, supp, on="l_suppkey",
+                               small_on="s_suppkey").map_batches(
+        lambda d: d[["l_orderkey", "s_nationkey", "rev_q4"]],
+        batch_format="pandas")
+
+    j = copart_hash_join(
+        orders, line, "o_orderkey", "l_orderkey",
+        n_rows=_nrows(sf_dir, "orders") + _nrows(sf_dir, "lineitem"),
+        left_schema=pa.schema([("o_orderkey", pa.int64()),
+                               ("c_nationkey", pa.int32())]),
+        right_schema=pa.schema([("l_orderkey", pa.int64()),
+                                ("s_nationkey", pa.int32()),
+                                ("rev_q4", pa.int64())]))
+
+    def local_only(b: pa.Table) -> pa.Table:
+        cn = b["c_nationkey"].to_numpy(zero_copy_only=False)
+        sn = b["s_nationkey"].to_numpy(zero_copy_only=False)
+        t = b.filter(pa.array(cn == sn))
+        return pa.table({"s_nationkey": t["s_nationkey"].cast(pa.int64()),
+                         "rev_q4": t["rev_q4"]})
+
+    per_nation = tree_aggregate_to_table(
+        j.map_batches(local_only, batch_format="pyarrow"),
+        ["s_nationkey"], [("rev_q4", "sum")]).to_pandas()
+    names = nat[["n_nationkey", "n_name"]].copy()
+    names["n_nationkey"] = names["n_nationkey"].astype(np.int64)
+    out = per_nation.merge(names, left_on="s_nationkey",
+                           right_on="n_nationkey")
+    return out[["n_name", "rev_q4"]].reset_index(drop=True)
+
+
+def q_local_volume_sql() -> str:
+    return (
+        "SELECT n_name, CAST(sum(CAST(floor(l_extendedprice * "
+        "(1.0 - l_discount) * 1e4 + 0.5) AS BIGINT)) AS BIGINT) AS rev_q4 "
+        "FROM customer JOIN orders ON c_custkey = o_custkey "
+        "JOIN lineitem ON l_orderkey = o_orderkey "
+        "JOIN supplier ON l_suppkey = s_suppkey "
+        "JOIN nation ON s_nationkey = n_nationkey "
+        "JOIN region ON n_regionkey = r_regionkey "
+        "WHERE r_name = 'ASIA' AND c_nationkey = s_nationkey "
+        "AND o_orderdate >= TIMESTAMP '1996-01-01' "
+        "AND o_orderdate < TIMESTAMP '1997-01-01' "
+        "GROUP BY n_name"
+    )
+
+
+def q_big_orders(sf_dir: str):
+    """TPC-H Q18 shape (large-volume orders): per-order quantity sums
+    through ONE orderkey hash exchange, the rare winners (sum > 250)
+    come back as a broadcast set, and orders + customer attach via
+    broadcast joins — the fact table is never shuffled twice.
+    Quantities are centi-unit ints so the having-filter is exact."""
+    import pyarrow.parquet as pq
+
+    from .stages.joins import broadcast_hash_join
+    from .stages.scan import hash_bucket_scan
+
+    THRESH_C2 = 250 * 100
+
+    def quantize(b: pa.Table) -> pa.Table:
+        q = b["l_quantity"].to_numpy(zero_copy_only=False)
+        return pa.table({"l_orderkey": b["l_orderkey"],
+                         "qty_c2": pa.array(
+                             np.floor(q * 100 + 0.5).astype(np.int64),
+                             pa.int64())})
+
+    def per_order(t: pa.Table) -> pa.Table:
+        g = t.group_by(["l_orderkey"]).aggregate([("qty_c2", "sum")])
+        g = g.rename_columns(["l_orderkey", "qty_c2"])
+        # keys land wholly in one bucket, so these sums are FINAL —
+        # the having-filter applies right here and only winners ship
+        return g.filter(pa.compute.greater(g["qty_c2"], THRESH_C2))
+
+    line = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"]
+                 ).map_batches(quantize, batch_format="pyarrow")
+    winners = hash_bucket_scan(
+        line, ["l_orderkey"], per_order,
+        n_rows=_nrows(sf_dir, "lineitem")).to_pandas()
+
+    cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
+                         columns=["c_custkey", "c_name"]).to_pandas()
+
+    def fmt(b: pa.Table) -> pa.Table:
+        return pa.table({"o_orderkey": b["o_orderkey"],
+                         "o_custkey": b["o_custkey"],
+                         "odate_us": b["o_orderdate"].cast(pa.int64()),
+                         "o_totalprice": b["o_totalprice"]})
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"]
+                   ).map_batches(fmt, batch_format="pyarrow")
+    j = broadcast_hash_join(orders, winners, on="o_orderkey",
+                            small_on="l_orderkey").map_batches(
+        lambda d: d[["o_orderkey", "o_custkey", "odate_us", "o_totalprice",
+                     "qty_c2"]], batch_format="pandas")
+    j = broadcast_hash_join(j, cust, on="o_custkey", small_on="c_custkey")
+    return j.map_batches(
+        lambda d: d[["c_name", "o_custkey", "o_orderkey", "odate_us",
+                     "o_totalprice", "qty_c2"]], batch_format="pandas")
+
+
+def q_big_orders_sql() -> str:
+    return (
+        "SELECT c_name, o_custkey, o_orderkey, "
+        "epoch_us(o_orderdate) AS odate_us, o_totalprice, "
+        "CAST(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS BIGINT) "
+        "AS qty_c2 "
+        "FROM customer JOIN orders ON c_custkey = o_custkey "
+        "JOIN lineitem ON o_orderkey = l_orderkey "
+        "GROUP BY 1, 2, 3, 4, 5 "
+        "HAVING sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) > 25000"
+    )
+
+
+def q_returned_revenue(sf_dir: str):
+    """TPC-H Q10 shape (returned-item revenue): returned lineitems
+    copart-join orders for the customer key, per-customer revenue sums
+    through one custkey hash exchange with per-bucket partial top-20s
+    (bucket-local sums are final, so each bucket ships ≤ 20 rows), the
+    driver merges the bounded partials, and the 20 winners pick up
+    name/balance from the broadcast customer table."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from .stages.joins import copart_hash_join
+    from .stages.scan import hash_bucket_scan
+
+    def filt_line(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.equal(b["l_returnflag"], "R"))
+        price = t["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = t["l_discount"].to_numpy(zero_copy_only=False)
+        rev = np.floor(price * (1.0 - disc) * 1e4 + 0.5).astype(np.int64)
+        return pa.table({"l_orderkey": t["l_orderkey"],
+                         "rev_q4": pa.array(rev, pa.int64())})
+
+    line = _read(sf_dir, "lineitem",
+                 ["l_orderkey", "l_returnflag", "l_extendedprice",
+                  "l_discount"]).map_batches(filt_line,
+                                             batch_format="pyarrow")
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    j = copart_hash_join(
+        orders, line, "o_orderkey", "l_orderkey",
+        n_rows=_nrows(sf_dir, "orders") + _nrows(sf_dir, "lineitem"),
+        left_schema=pa.schema([("o_orderkey", pa.int64()),
+                               ("o_custkey", pa.int64())]),
+        right_schema=pa.schema([("l_orderkey", pa.int64()),
+                                ("rev_q4", pa.int64())]))
+    j = j.map_batches(lambda b: b.select(["o_custkey", "rev_q4"]),
+                      batch_format="pyarrow")
+
+    def agg(t: pa.Table) -> pa.Table:
+        g = t.group_by(["o_custkey"]).aggregate([("rev_q4", "sum")])
+        g = g.rename_columns(["c_custkey", "rev_q4"])
+        idx = np.lexsort((g["c_custkey"].to_numpy(zero_copy_only=False),
+                          -g["rev_q4"].to_numpy(zero_copy_only=False)))
+        return g.take(pa.array(idx[:20], pa.int64()))
+
+    partials = hash_bucket_scan(
+        j, ["o_custkey"], agg,
+        n_rows=_nrows(sf_dir, "lineitem")).to_pandas()
+    top = partials.sort_values(["rev_q4", "c_custkey"],
+                               ascending=[False, True]).head(20)
+    cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
+                         columns=["c_custkey", "c_name", "c_acctbal"]
+                         ).to_pandas()
+    out = top.merge(cust, on="c_custkey")
+    return out[["c_custkey", "c_name", "c_acctbal",
+                "rev_q4"]].reset_index(drop=True)
+
+
+def q_returned_revenue_sql() -> str:
+    return (
+        "WITH r AS (SELECT o_custkey AS c_custkey, "
+        "CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 1e4 "
+        "+ 0.5) AS BIGINT)) AS BIGINT) AS rev_q4 "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+        "WHERE l_returnflag = 'R' GROUP BY 1 "
+        "ORDER BY rev_q4 DESC, c_custkey LIMIT 20) "
+        "SELECT r.c_custkey, c_name, c_acctbal, rev_q4 "
+        "FROM r JOIN customer ON r.c_custkey = customer.c_custkey"
+    )
+
+
+def _skyline_mask(price: np.ndarray, size: np.ndarray) -> np.ndarray:
+    """Boolean keep-mask of the 2-D skyline (price minimized, size
+    maximized) for rows ALREADY sorted by (price asc, size desc).
+    Strict dominance: a dominates b iff a.price <= b.price and
+    a.size >= b.size with at least one strict; equal (price, size)
+    duplicates never dominate each other, so all of them survive.
+    One vectorized pass: a row survives iff it carries its price
+    group's max size AND that max strictly exceeds every smaller
+    price's max."""
+    n = len(price)
+    if n == 0:
+        return np.zeros(0, dtype=bool)
+    new_grp = np.ones(n, dtype=bool)
+    new_grp[1:] = price[1:] != price[:-1]
+    grp = np.cumsum(new_grp) - 1
+    per_max = size[new_grp]  # sorted size-desc within a price group
+    prev_max = np.concatenate(
+        ([np.iinfo(np.int64).min],
+         np.maximum.accumulate(per_max)[:-1]))[grp]
+    return (size == per_max[grp]) & (size > prev_max)
+
+
+def q_pareto_front(sf_dir: str):
+    """Distributed 2-D skyline (Pareto front) over parts: rows not
+    dominated on (p_retailprice minimized, p_size maximized).
+    Skylines compose — skyline(∪ skylines) = skyline(all) — so each
+    block reduces to its local skyline (expected O(log n) rows of n)
+    and the bounded union resolves in one final pass; the input never
+    shuffles."""
+
+    def local(b: pa.Table) -> pa.Table:
+        idx = np.lexsort((-b["p_size"].to_numpy(zero_copy_only=False),
+                          b["p_retailprice"].to_numpy(zero_copy_only=False)))
+        t = b.take(pa.array(idx, pa.int64()))
+        keep = _skyline_mask(
+            t["p_retailprice"].to_numpy(zero_copy_only=False),
+            t["p_size"].to_numpy(zero_copy_only=False).astype(np.int64))
+        return t.filter(pa.array(keep))
+
+    ds = _read(sf_dir, "part", ["p_partkey", "p_retailprice", "p_size"])
+    return (ds.map_batches(local, batch_format="pyarrow")
+              .repartition(1)
+              .map_batches(local, batch_format="pyarrow", batch_size=None))
+
+
+def q_pareto_front_sql() -> str:
+    return (
+        "SELECT p_partkey, p_retailprice, p_size FROM part a "
+        "WHERE NOT EXISTS (SELECT 1 FROM part b "
+        "WHERE b.p_retailprice <= a.p_retailprice "
+        "AND b.p_size >= a.p_size "
+        "AND (b.p_retailprice < a.p_retailprice OR b.p_size > a.p_size))"
+    )
+
+
+def q_regex_extract(sf_dir: str):
+    """First long-word extraction per document via the compiled
+    Arrow RE2 kernel (``pc.extract_regex`` — vectorized, zero-copy
+    from the object store; no Python loop).  Non-matching docs yield
+    '' on both sides, avoiding nullable-string schema drift."""
+    import pyarrow.compute as pc
+
+    def ex(b: pa.Table) -> pa.Table:
+        m = pc.extract_regex(b["text"], r"(?P<w>[a-z]{6,})")
+        w = pc.fill_null(pc.struct_field(m, "w"), "")
+        return pa.table({"doc_id": b["doc_id"], "first_long": w})
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        ex, batch_format="pyarrow")
+
+
+def q_regex_extract_sql() -> str:
+    return ("SELECT doc_id, regexp_extract(text, '[a-z]{6,}') "
+            "AS first_long FROM documents")
+
+
+def _iv_events(sf_dir: str, parity: int):
+    """Derived interval stream: events with ``event_id % 2 == parity``
+    become [ts, ts + dur] where dur is a deterministic 0–1h hash of
+    the id (multiplicative-hash derivation, written identically in the
+    SQL oracle)."""
+
+    def mk(b: pa.Table) -> pa.Table:
+        eid = b["event_id"].to_numpy(zero_copy_only=False)
+        t = b.filter(pa.array(eid % 2 == parity))
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        s = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        dur = ((eid * 2654435761 + 12345) % 4294967296) % 3600 * 1_000_000
+        return pa.table({"event_id": t["event_id"], "user_id": t["user_id"],
+                         "s_us": pa.array(s, pa.int64()),
+                         "e_us": pa.array(s + dur, pa.int64())})
+
+    return _read(sf_dir, "events", ["event_id", "user_id", "ts"]
+                 ).map_batches(mk, batch_format="pyarrow")
+
+
+_IV_SQL = (
+    "SELECT event_id, user_id, epoch_us(ts) AS s_us, epoch_us(ts) + "
+    "(((event_id * 2654435761 + 12345) % 4294967296) % 3600) * 1000000 "
+    "AS e_us FROM events WHERE event_id % 2 = {parity}")
+
+
+def q_interval_overlap(sf_dir: str):
+    """Interval×interval overlap join (stages/joins.py
+    interval_overlap_join): every same-user (even, odd) event pair
+    whose derived [ts, ts+dur] intervals overlap.  One user-key hash
+    exchange; per bucket the odd side sorts once and every even
+    interval finds its candidates with two global searchsorted calls
+    under the 1h duration bound — no per-user Python, no all-pairs."""
+    from .stages.joins import interval_overlap_join
+
+    return interval_overlap_join(
+        _iv_events(sf_dir, 0), _iv_events(sf_dir, 1), key="user_id",
+        left_id="event_id", left_start="s_us", left_end="e_us",
+        right_id="event_id", right_start="s_us", right_end="e_us",
+        max_right_dur=3600 * 1_000_000, out_cols=("a_id", "b_id"),
+        n_rows=_nrows(sf_dir, "events"))
+
+
+def q_interval_overlap_sql() -> str:
+    a = _IV_SQL.format(parity=0)
+    b = _IV_SQL.format(parity=1)
+    return (
+        f"WITH a AS ({a}), b AS ({b}) "
+        "SELECT a.event_id AS a_id, b.event_id AS b_id FROM a JOIN b "
+        "ON a.user_id = b.user_id AND a.s_us <= b.e_us "
+        "AND b.s_us <= a.e_us"
+    )
+
+
+def q_asof_forward(sf_dir: str):
+    """FORWARD as-of join (the mirror of q_asof_join's backward
+    direction): each even event matches the EARLIEST odd event of the
+    same user at-or-after its timestamp (ties → min event_id; no match
+    → -1 sentinels, avoiding nullable drift).  Same coarse user-hash
+    exchange as the interval join; per bucket the odd side sorts once
+    by a (key-rank, ts, id) composite and ONE global searchsorted
+    answers every even row."""
+    from .stages.scan import hash_bucket_scan
+
+    def tag(parity: int):
+        def f(b: pa.Table) -> pa.Table:
+            eid = b["event_id"].to_numpy(zero_copy_only=False)
+            t = b.filter(pa.array(eid % 2 == parity))
+            return pa.table({
+                "event_id": t["event_id"], "user_id": t["user_id"],
+                "t_us": t["ts"].cast(pa.int64()),
+                "_side": pa.array(np.full(len(t), parity, np.int8),
+                                  pa.int8())})
+        return f
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    unioned = (ev.map_batches(tag(0), batch_format="pyarrow")
+               .union(ev.map_batches(tag(1), batch_format="pyarrow")))
+
+    def nxt(t: pa.Table) -> pa.Table:
+        side = t["_side"].to_numpy(zero_copy_only=False)
+        k = t["user_id"].to_numpy(zero_copy_only=False)
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        ts = t["t_us"].to_numpy(zero_copy_only=False)
+        a = side == 0
+        ka, ia, ta = k[a], eid[a], ts[a]
+        if not len(ka):
+            return pa.table({"event_id": pa.array([], pa.int64()),
+                             "next_id": pa.array([], pa.int64()),
+                             "next_ts": pa.array([], pa.int64())})
+        kb, ib, tb = k[~a], eid[~a], ts[~a]
+        nid = np.full(len(ka), -1, np.int64)
+        nts = np.full(len(ka), -1, np.int64)
+        if len(kb):
+            base = int(min(ta.min(), tb.min()))
+            span = int(max(ta.max(), tb.max())) - base + 2
+            uk = np.unique(np.concatenate([ka, kb]))
+            if len(uk) * span >= 2 ** 63:
+                raise ValueError("key-rank × time-span composite "
+                                 "overflows int64")
+            bkey = (np.searchsorted(uk, kb).astype(np.int64) * span
+                    + (tb - base))
+            order = np.lexsort((ib, bkey))  # ties → min event_id first
+            bkey, ib, tb, kb = bkey[order], ib[order], tb[order], kb[order]
+            pos = np.searchsorted(
+                bkey, np.searchsorted(uk, ka).astype(np.int64) * span
+                + (ta - base), side="left")
+            ok = pos < len(bkey)
+            pos_c = np.minimum(pos, len(bkey) - 1)
+            ok &= kb[pos_c] == ka  # next entry must stay in our key band
+            nid[ok] = ib[pos_c[ok]]
+            nts[ok] = tb[pos_c[ok]]
+        return pa.table({"event_id": pa.array(ia, pa.int64()),
+                         "next_id": pa.array(nid, pa.int64()),
+                         "next_ts": pa.array(nts, pa.int64())})
+
+    return hash_bucket_scan(unioned, ["user_id"], nxt,
+                            n_rows=_nrows(sf_dir, "events"))
+
+
+def q_asof_forward_sql() -> str:
+    return (
+        "WITH a AS (SELECT event_id, user_id, epoch_us(ts) AS t FROM events "
+        "WHERE event_id % 2 = 0), "
+        "b AS (SELECT event_id, user_id, epoch_us(ts) AS t FROM events "
+        "WHERE event_id % 2 = 1), "
+        "n AS (SELECT a.event_id, a.user_id, a.t, min(b.t) AS nt FROM a "
+        "LEFT JOIN b ON b.user_id = a.user_id AND b.t >= a.t "
+        "GROUP BY 1, 2, 3) "
+        "SELECT n.event_id, COALESCE(min(b.event_id), -1) AS next_id, "
+        "COALESCE(n.nt, -1) AS next_ts FROM n LEFT JOIN b "
+        "ON b.user_id = n.user_id AND b.t = n.nt GROUP BY 1, 3"
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -4744,6 +5190,13 @@ def q_degree_hist_sql() -> str:
 # end, followed by the rows-only (non-SQL-expressible) entries.
 QUERIES = {
     # -- NEW this round (round 4) --
+    "local_volume": q_local_volume,
+    "big_orders": q_big_orders,
+    "returned_revenue": q_returned_revenue,
+    "pareto_front": q_pareto_front,
+    "regex_extract": q_regex_extract,
+    "interval_overlap": q_interval_overlap,
+    "asof_forward": q_asof_forward,
     "hamming_topk": q_hamming_topk,
     "outlier_flags": q_outlier_flags,
     "shipping_priority": q_shipping_priority,
@@ -4872,6 +5325,13 @@ QUERIES = {
 # Same key order as QUERIES (the driver zips the two by queries()'s
 # first-50 prefix).
 ORACLE_SQL = {
+    "local_volume": q_local_volume_sql(),
+    "big_orders": q_big_orders_sql(),
+    "returned_revenue": q_returned_revenue_sql(),
+    "pareto_front": q_pareto_front_sql(),
+    "regex_extract": q_regex_extract_sql(),
+    "interval_overlap": q_interval_overlap_sql(),
+    "asof_forward": q_asof_forward_sql(),
     "hamming_topk": q_hamming_topk_sql(),
     "outlier_flags": q_outlier_flags_sql(),
     "shipping_priority": q_shipping_priority_sql(),

@@ -388,3 +388,96 @@ def skew_hybrid_join(fact_ds, dim_ds, fact_key: str, dim_key: str,
         left_schema=fact_ds.schema(), right_schema=dim_ds.schema())
 
     return hot_joined.union(cold_joined)
+
+
+def interval_overlap_join(left_ds, right_ds, key: str,
+                          left_id: str, left_start: str, left_end: str,
+                          right_id: str, right_start: str, right_end: str,
+                          max_right_dur: int,
+                          out_cols: tuple[str, str] | None = None,
+                          n_rows: int | None = None,
+                          rows_per_bucket: int | None = None):
+    """Keyed interval×interval overlap join: emit (left_id, right_id)
+    for every same-key pair with ``l.start <= r.end`` and
+    ``r.start <= l.end``.  Start/end columns are int64 on one time
+    axis (e.g. epoch-microseconds).
+
+    Scale shape: ONE coarse hash exchange on ``key`` (both sides
+    union-tagged, the :func:`stages.scan.hash_bucket_scan` pattern), so
+    a key's intervals land wholly in one bucket.  Inside a bucket the
+    right side sorts once by a (dense-key-rank, start) composite and
+    every left interval finds its candidate window with two GLOBAL
+    ``searchsorted`` calls — the bounded-duration sweep: a right
+    interval overlapping [s, e] must start in [s - max_right_dur, e],
+    so candidates are one contiguous slice per left row, expanded with
+    grouped-arange arithmetic and masked exactly (``r.end >= l.start``)
+    — no per-key Python.  ``max_right_dur`` is the caller's bound on
+    right-interval length (enforced; a violation would silently drop
+    pairs).  Composite keys need ``n_keys × time_span`` < 2^63 per
+    bucket — raised as an error otherwise (tighten rows_per_bucket)."""
+    from .scan import hash_bucket_scan
+
+    def tag(side: int, id_c: str, s_c: str, e_c: str):
+        def f(b: pa.Table) -> pa.Table:
+            return pa.table({
+                "_ivk": b[key].cast(pa.int64()),
+                "_ivid": b[id_c].cast(pa.int64()),
+                "_ivs": b[s_c].cast(pa.int64()),
+                "_ive": b[e_c].cast(pa.int64()),
+                "_ivside": pa.array(
+                    np.full(len(b), side, np.int8), pa.int8())})
+        return f
+
+    unioned = (left_ds.map_batches(tag(0, left_id, left_start, left_end),
+                                   batch_format="pyarrow")
+               .union(right_ds.map_batches(
+                   tag(1, right_id, right_start, right_end),
+                   batch_format="pyarrow")))
+
+    lcol, rcol = out_cols if out_cols else (left_id, right_id)
+    if lcol == rcol:
+        raise ValueError("output id columns collide — pass out_cols")
+    empty = pa.table({lcol: pa.array([], pa.int64()),
+                      rcol: pa.array([], pa.int64())})
+
+    def pairs(t: pa.Table) -> pa.Table:
+        side = t["_ivside"].to_numpy(zero_copy_only=False)
+        k = t["_ivk"].to_numpy(zero_copy_only=False)
+        iv_id = t["_ivid"].to_numpy(zero_copy_only=False)
+        s = t["_ivs"].to_numpy(zero_copy_only=False)
+        e = t["_ive"].to_numpy(zero_copy_only=False)
+        a = side == 0
+        ka, ia, sa, ea = k[a], iv_id[a], s[a], e[a]
+        kb, ib, sb, eb = k[~a], iv_id[~a], s[~a], e[~a]
+        if not len(ka) or not len(kb):
+            return empty
+        if int((eb - sb).max()) > max_right_dur:
+            raise ValueError("right interval exceeds max_right_dur")
+        base = int(min(sa.min(), sb.min()))
+        span = int(max(ea.max(), eb.max())) - base + int(max_right_dur) + 2
+        uk = np.unique(np.concatenate([ka, kb]))
+        if len(uk) * span >= 2 ** 63:
+            raise ValueError("key-rank × time-span composite overflows "
+                             "int64 — lower rows_per_bucket")
+        ra = np.searchsorted(uk, ka).astype(np.int64)
+        rb = np.searchsorted(uk, kb).astype(np.int64)
+        bkey = rb * span + (sb - base)
+        order = np.argsort(bkey, kind="stable")
+        bkey, ib, sb, eb = bkey[order], ib[order], sb[order], eb[order]
+        lo = np.searchsorted(
+            bkey, ra * span + np.maximum(sa - base - max_right_dur, 0),
+            side="left")
+        hi = np.searchsorted(bkey, ra * span + (ea - base), side="right")
+        cnt = hi - lo
+        tot = int(cnt.sum())
+        if not tot:
+            return empty
+        a_idx = np.repeat(np.arange(len(sa)), cnt)
+        offs = np.concatenate(([0], np.cumsum(cnt)[:-1]))
+        b_pos = np.arange(tot) - np.repeat(offs, cnt) + np.repeat(lo, cnt)
+        keep = eb[b_pos] >= sa[a_idx]
+        return pa.table({lcol: pa.array(ia[a_idx][keep], pa.int64()),
+                         rcol: pa.array(ib[b_pos][keep], pa.int64())})
+
+    return hash_bucket_scan(unioned, ["_ivk"], pairs, n_rows=n_rows,
+                            rows_per_bucket=rows_per_bucket)

@@ -79,6 +79,8 @@ def test_entry_smoke(ray_session):
     "gap_fill", "triangles", "char_jaccard", "dup_spans", "unpivot",
     "transitions", "degree_hist", "group_percentiles",
     "minmax_norm", "winsorize", "cooccur", "shipping_priority", "outlier_flags", "hamming_topk",
+    "local_volume", "big_orders", "returned_revenue",
+    "pareto_front", "regex_extract", "interval_overlap", "asof_forward",
 ])
 def test_sql_parity(name, entries):
     qs, oracles = entries
