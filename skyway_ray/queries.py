@@ -5178,6 +5178,92 @@ def q_asof_forward_sql() -> str:
     )
 
 
+def q_edit_join(sf_dir: str):
+    """Edit-distance-1 similarity self-join over customer names
+    (functions/edit_join.py — FastSS symmetric-delete candidates from
+    polynomial prefix-hashes, exact vectorized verify).  Hash-verified
+    against DuckDB's levenshtein."""
+    from .functions.edit_join import edit_similarity_join
+
+    ds = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+    return edit_similarity_join(ds, "c_custkey", "c_name",
+                                n_rows=_nrows(sf_dir, "customer"))
+
+
+def q_edit_join_sql() -> str:
+    return (
+        "SELECT a.c_custkey AS a_id, b.c_custkey AS b_id "
+        "FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey "
+        "AND abs(length(a.c_name) - length(b.c_name)) <= 1 "
+        "AND levenshtein(a.c_name, b.c_name) <= 1"
+    )
+
+
+def q_connected_components(sf_dir: str):
+    """Standalone hash-verified connected components (stages/cc.py
+    Hash-to-Min) over a derived forest-with-merges graph on event ids:
+    every non-multiple-of-64 node links to a hashed earlier node in its
+    64-block, and a hashed quarter of block bases link to the previous
+    base — components are bounded chains of blocks, so the DuckDB
+    recursive-CTE walk oracle stays linear.  Output: (node, comp) with
+    comp = min node id in the component, for every edge endpoint."""
+    from .stages.cc import connected_components
+    from .stages.scan import hash_bucket_scan
+
+    def mk_edges(b: pa.Table) -> pa.Table:
+        i = b["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        base = (i // 64) * 64
+        h1 = ((i * 2654435761 + 12345) % 4294967296) % 16
+        m1 = i % 64 != 0
+        u1, v1 = i[m1], np.maximum(base[m1], i[m1] - 1 - h1[m1])
+        h2 = ((i * 1103515245 + 54321) % 4294967296) % 4
+        m2 = (i % 64 == 0) & (i > 0) & (h2 == 0)
+        u2, v2 = i[m2], i[m2] - 64
+        return pa.table({
+            "doc_a": pa.array(np.concatenate([u1, u2]), pa.int64()),
+            "doc_b": pa.array(np.concatenate([v1, v2]), pa.int64())})
+
+    edges = _read(sf_dir, "events", ["event_id"]).map_batches(
+        mk_edges, batch_format="pyarrow")
+    stars = connected_components(edges)
+
+    def member_rows(b: pa.Table) -> pa.Table:
+        a = b["doc_a"].to_numpy(zero_copy_only=False)
+        m = b["doc_b"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "node": pa.array(np.concatenate([m, a]), pa.int64()),
+            "comp": pa.array(np.concatenate([a, a]), pa.int64())})
+
+    # centers repeat once per member — dedupe through one node-key
+    # exchange (star output is already component-sized, tiny)
+    return hash_bucket_scan(
+        stars.map_batches(member_rows, batch_format="pyarrow"), ["node"],
+        lambda t: t.group_by(["node"]).aggregate([("comp", "min")])
+                   .rename_columns(["node", "comp"]),
+        n_rows=2 * _nrows(sf_dir, "events"))
+
+
+def q_connected_components_sql() -> str:
+    return (
+        "WITH RECURSIVE "
+        "ids AS (SELECT event_id AS i FROM events), "
+        "edges AS ("
+        "SELECT i AS u, GREATEST((i // 64) * 64, "
+        "i - 1 - ((i * 2654435761 + 12345) % 4294967296) % 16) AS v "
+        "FROM ids WHERE i % 64 <> 0 "
+        "UNION ALL "
+        "SELECT i AS u, i - 64 AS v FROM ids WHERE i % 64 = 0 AND i > 0 "
+        "AND ((i * 1103515245 + 54321) % 4294967296) % 4 = 0), "
+        "nodes AS (SELECT DISTINCT u AS node FROM edges "
+        "UNION SELECT DISTINCT v FROM edges), "
+        "walk(node, cur) AS ("
+        "SELECT node, node FROM nodes "
+        "UNION ALL "
+        "SELECT w.node, e.v FROM walk w JOIN edges e ON e.u = w.cur) "
+        "SELECT node, min(cur) AS comp FROM walk GROUP BY node"
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -5197,6 +5283,8 @@ QUERIES = {
     "regex_extract": q_regex_extract,
     "interval_overlap": q_interval_overlap,
     "asof_forward": q_asof_forward,
+    "edit_join": q_edit_join,
+    "connected_components": q_connected_components,
     "hamming_topk": q_hamming_topk,
     "outlier_flags": q_outlier_flags,
     "shipping_priority": q_shipping_priority,
@@ -5332,6 +5420,8 @@ ORACLE_SQL = {
     "regex_extract": q_regex_extract_sql(),
     "interval_overlap": q_interval_overlap_sql(),
     "asof_forward": q_asof_forward_sql(),
+    "edit_join": q_edit_join_sql(),
+    "connected_components": q_connected_components_sql(),
     "hamming_topk": q_hamming_topk_sql(),
     "outlier_flags": q_outlier_flags_sql(),
     "shipping_priority": q_shipping_priority_sql(),
