@@ -177,7 +177,11 @@ def run_bench() -> dict:
                      "char_jaccard", "dup_spans", "unpivot",
                      "transitions", "degree_hist", "group_percentiles",
                      "minmax_norm", "winsorize", "cooccur",
-                     "shipping_priority", "outlier_flags", "hamming_topk"):
+                     "shipping_priority", "outlier_flags", "hamming_topk",
+                     "local_volume", "big_orders", "returned_revenue",
+                     "pareto_front", "regex_extract", "interval_overlap",
+                     "asof_forward", "edit_join", "connected_components",
+                     "phrase_match", "min_cost_supp", "rows_frame_sum"):
             best = float("inf")
             attempts = 0
             for _ in range(max(1, repeats)):

@@ -5264,6 +5264,140 @@ def q_connected_components_sql() -> str:
     )
 
 
+_SCAN_PHRASES = ("fast table", "key agg", "sort merge", "window spark",
+                 "data column")
+
+
+def q_phrase_match(sf_dir: str):
+    """Broadcast multi-phrase containment scan (the PII / contamination
+    phrase-list shape): every (doc, phrase) hit for a small phrase
+    list.  The list ships once; each batch runs one compiled Arrow
+    ``match_substring`` kernel per phrase — docs never shuffle, output
+    is hit-sized."""
+    import pyarrow.compute as pc
+
+    def scan(b: pa.Table) -> pa.Table:
+        doc_ids, phrases = [], []
+        for ph in _SCAN_PHRASES:
+            hit = b.filter(pc.match_substring(b["text"], ph))
+            doc_ids.append(hit["doc_id"].to_numpy(zero_copy_only=False))
+            phrases.append(np.full(len(hit), ph, dtype=object))
+        return pa.table({
+            "doc_id": pa.array(np.concatenate(doc_ids), pa.int64()),
+            "phrase": pa.array(np.concatenate(phrases).astype("U"))})
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        scan, batch_format="pyarrow")
+
+
+def q_phrase_match_sql() -> str:
+    vals = ", ".join(f"('{p}')" for p in _SCAN_PHRASES)
+    return (
+        f"SELECT doc_id, phrase FROM documents, "
+        f"(VALUES {vals}) AS p(phrase) WHERE contains(text, phrase)"
+    )
+
+
+def q_min_cost_supp(sf_dir: str):
+    """Argmin join (TPC-H Q2 shape): for each part, the cheapest
+    supplier it has shipped through (min s_acctbal, ties → min
+    suppkey).  The supplier dimension broadcasts once; per-part argmin
+    reduces inside each batch first (distinct part-supplier pairs →
+    batch-local argmin) and finishes through one bounded hash
+    exchange, so the exchange carries ≤ one row per (part, block)."""
+    import pyarrow.parquet as pq
+
+    from .stages.joins import broadcast_hash_join
+    from .stages.scan import hash_bucket_scan
+
+    supp = pq.read_table(os.path.join(sf_dir, "supplier.parquet"),
+                         columns=["s_suppkey", "s_acctbal"]).to_pandas()
+
+    def local_min(d: pd.DataFrame) -> pd.DataFrame:
+        d = d.sort_values(["l_partkey", "s_acctbal", "l_suppkey"],
+                          kind="mergesort")
+        first = ~d["l_partkey"].duplicated().to_numpy()
+        out = d.loc[first, ["l_partkey", "l_suppkey", "s_acctbal"]]
+        return out.rename(columns={"l_suppkey": "s_suppkey"})
+
+    line = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
+    j = broadcast_hash_join(line, supp, on="l_suppkey",
+                            small_on="s_suppkey").map_batches(
+        local_min, batch_format="pandas")
+
+    def final_min(t: pa.Table) -> pa.Table:
+        idx = np.lexsort((
+            t["s_suppkey"].to_numpy(zero_copy_only=False),
+            t["s_acctbal"].to_numpy(zero_copy_only=False),
+            t["l_partkey"].to_numpy(zero_copy_only=False)))
+        s = t.take(pa.array(idx, pa.int64()))
+        pk = s["l_partkey"].to_numpy(zero_copy_only=False)
+        first = np.ones(len(pk), dtype=bool)
+        first[1:] = pk[1:] != pk[:-1]
+        out = s.filter(pa.array(first))
+        return out.rename_columns(["p_partkey", "s_suppkey", "s_acctbal"])
+
+    return hash_bucket_scan(j, ["l_partkey"], final_min,
+                            n_rows=_nrows(sf_dir, "lineitem"))
+
+
+def q_min_cost_supp_sql() -> str:
+    return (
+        "WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem), "
+        "j AS (SELECT l_partkey AS p_partkey, l_suppkey AS s_suppkey, "
+        "s_acctbal, row_number() OVER (PARTITION BY l_partkey "
+        "ORDER BY s_acctbal, l_suppkey) AS rn "
+        "FROM ps JOIN supplier ON l_suppkey = s_suppkey) "
+        "SELECT p_partkey, s_suppkey, s_acctbal FROM j WHERE rn = 1"
+    )
+
+
+def q_rows_frame_sum(sf_dir: str):
+    """ROWS-frame windowed sum (SUM OVER ROWS BETWEEN 2 PRECEDING AND
+    CURRENT ROW per user, ts order): the keyed_scan coarse-bucket
+    shape; inside a bucket one cumsum minus its 3-shifted self, with
+    per-user segment boundaries handled by index arithmetic (no
+    per-user loop).  Values quantized to 1e-6 ints so the windowed sum
+    is exact."""
+    from .stages.scan import keyed_scan
+
+    def quant(b: pa.Table) -> pa.Table:
+        v = b["value"].to_numpy(zero_copy_only=False)
+        return pa.table({"event_id": b["event_id"], "user_id": b["user_id"],
+                         "t_us": b["ts"].cast(pa.int64()),
+                         "v6": pa.array(
+                             np.floor(v * 1e6 + 0.5).astype(np.int64),
+                             pa.int64())})
+
+    def frame(d: pd.DataFrame) -> pd.DataFrame:
+        u = d["user_id"].to_numpy()
+        v = d["v6"].to_numpy()
+        cs = np.cumsum(v)
+        n = len(d)
+        # frame start = max(row_index - 2, segment_start)
+        seg_start = np.arange(n)[
+            np.r_[True, u[1:] != u[:-1]]]  # start index per segment
+        seg_id = np.cumsum(np.r_[True, u[1:] != u[:-1]]) - 1
+        start = np.maximum(np.arange(n) - 2, seg_start[seg_id])
+        before = np.where(start > 0, cs[np.maximum(start - 1, 0)], 0)
+        return pd.DataFrame({"event_id": d["event_id"].to_numpy(),
+                             "frame_sum": cs - before})
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"]
+               ).map_batches(quant, batch_format="pyarrow")
+    return keyed_scan(ds, key="user_id", order=["t_us", "event_id"],
+                      fn=frame, n_rows=_nrows(sf_dir, "events"))
+
+
+def q_rows_frame_sum_sql() -> str:
+    return (
+        "SELECT event_id, sum(CAST(floor(value * 1e6 + 0.5) AS BIGINT)) "
+        "OVER (PARTITION BY user_id ORDER BY ts, event_id "
+        "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS frame_sum "
+        "FROM events"
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -5285,6 +5419,9 @@ QUERIES = {
     "asof_forward": q_asof_forward,
     "edit_join": q_edit_join,
     "connected_components": q_connected_components,
+    "phrase_match": q_phrase_match,
+    "min_cost_supp": q_min_cost_supp,
+    "rows_frame_sum": q_rows_frame_sum,
     "hamming_topk": q_hamming_topk,
     "outlier_flags": q_outlier_flags,
     "shipping_priority": q_shipping_priority,
@@ -5422,6 +5559,9 @@ ORACLE_SQL = {
     "asof_forward": q_asof_forward_sql(),
     "edit_join": q_edit_join_sql(),
     "connected_components": q_connected_components_sql(),
+    "phrase_match": q_phrase_match_sql(),
+    "min_cost_supp": q_min_cost_supp_sql(),
+    "rows_frame_sum": q_rows_frame_sum_sql(),
     "hamming_topk": q_hamming_topk_sql(),
     "outlier_flags": q_outlier_flags_sql(),
     "shipping_priority": q_shipping_priority_sql(),

@@ -81,7 +81,8 @@ def test_entry_smoke(ray_session):
     "minmax_norm", "winsorize", "cooccur", "shipping_priority", "outlier_flags", "hamming_topk",
     "local_volume", "big_orders", "returned_revenue",
     "pareto_front", "regex_extract", "interval_overlap", "asof_forward",
-    "edit_join", "connected_components",
+    "edit_join", "connected_components", "phrase_match", "min_cost_supp",
+    "rows_frame_sum",
 ])
 def test_sql_parity(name, entries):
     qs, oracles = entries
