@@ -181,7 +181,8 @@ def run_bench() -> dict:
                      "local_volume", "big_orders", "returned_revenue",
                      "pareto_front", "regex_extract", "interval_overlap",
                      "asof_forward", "edit_join", "connected_components",
-                     "phrase_match", "min_cost_supp", "rows_frame_sum"):
+                     "phrase_match", "min_cost_supp", "rows_frame_sum",
+                     "unigram_logprob"):
             best = float("inf")
             attempts = 0
             for _ in range(max(1, repeats)):

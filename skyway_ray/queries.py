@@ -5398,6 +5398,82 @@ def q_rows_frame_sum_sql() -> str:
     )
 
 
+def q_unigram_logprob(sf_dir: str):
+    """Unigram language-model scoring (the perplexity-filter shape of
+    LLM data curation): train corpus wordcounts distributed (the
+    top_tokens combiner + one token hash exchange), quantize per-word
+    log-probs to 1e-6 ints (transcendentals go through
+    ``floor(x*1e6+0.5)`` — the house microdegree rule, so the
+    distributed per-doc sums are exact), broadcast the vocabulary
+    table, and score every document in one streaming pass.  The
+    driver-side vocabulary collect is vocabulary-bounded (swap for a
+    token-key hash-exchange join when the vocab stops fitting)."""
+    import ray
+
+    from .stages.scan import hash_bucket_scan
+
+    def count_batch(b: pd.DataFrame) -> pd.DataFrame:
+        toks = b["text"].str.lower().str.findall(r"[a-z0-9]+")
+        flat = np.concatenate([np.asarray(t, dtype=object)
+                               for t in toks if len(t)] or
+                              [np.array([], dtype=object)])
+        uniq, counts = np.unique(flat, return_counts=True)
+        return pd.DataFrame({"tok": uniq.astype(str),
+                             "n": counts.astype(np.int64)})
+
+    partials = _read(sf_dir, "documents", ["text"]).map_batches(
+        count_batch, batch_format="pandas")
+    vocab = hash_bucket_scan(
+        partials, ["tok"],
+        lambda t: t.group_by(["tok"]).aggregate([("n", "sum")])
+        .rename_columns(["tok", "n"]),
+        n_rows=_nrows(sf_dir, "documents")).to_pandas()
+    total = float(vocab["n"].sum())
+    lp6 = np.floor((np.log(vocab["n"].to_numpy().astype(np.float64))
+                    - np.log(total)) * 1e6 + 0.5).astype(np.int64)
+    order = np.argsort(vocab["tok"].to_numpy().astype("U"))
+    vocab_sorted = vocab["tok"].to_numpy().astype("U")[order]
+    lp6_sorted = lp6[order]
+    ref = ray.put((vocab_sorted, lp6_sorted))
+
+    def score(b: pd.DataFrame) -> pd.DataFrame:
+        from .stages.joins import _cached
+
+        vs, lp = _cached(ref)
+        toks = b["text"].str.lower().str.findall(r"[a-z0-9]+")
+        lens = toks.str.len().to_numpy().astype(np.int64)
+        flat = np.concatenate([np.asarray(t, dtype="U")
+                               for t in toks if len(t)] or
+                              [np.array([], dtype="U")])
+        doc_idx = np.repeat(np.arange(len(b)), lens)
+        acc = np.zeros(len(b), np.int64)
+        if len(flat):
+            pos = np.searchsorted(vs, flat)  # trained on this corpus —
+            np.add.at(acc, doc_idx, lp[pos])  # every token is in-vocab
+        keep = lens > 0
+        return pd.DataFrame({
+            "doc_id": b["doc_id"].to_numpy()[keep],
+            "n_words": lens[keep],
+            "lp6_sum": acc[keep]})
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        score, batch_format="pandas")
+
+
+def q_unigram_logprob_sql() -> str:
+    return (
+        "WITH w AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), "
+        "'[a-z0-9]+')) AS tok FROM documents), "
+        "cnt AS (SELECT tok, count(*) AS c FROM w GROUP BY tok), "
+        "tot AS (SELECT CAST(sum(c) AS DOUBLE) AS t FROM cnt), "
+        "lp AS (SELECT tok, CAST(floor((ln(CAST(c AS DOUBLE)) - "
+        "ln((SELECT t FROM tot))) * 1e6 + 0.5) AS BIGINT) AS lp6 FROM cnt) "
+        "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words, "
+        "CAST(sum(lp6) AS BIGINT) AS lp6_sum "
+        "FROM w JOIN lp USING (tok) GROUP BY doc_id"
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -5422,6 +5498,7 @@ QUERIES = {
     "phrase_match": q_phrase_match,
     "min_cost_supp": q_min_cost_supp,
     "rows_frame_sum": q_rows_frame_sum,
+    "unigram_logprob": q_unigram_logprob,
     "hamming_topk": q_hamming_topk,
     "outlier_flags": q_outlier_flags,
     "shipping_priority": q_shipping_priority,
@@ -5562,6 +5639,7 @@ ORACLE_SQL = {
     "phrase_match": q_phrase_match_sql(),
     "min_cost_supp": q_min_cost_supp_sql(),
     "rows_frame_sum": q_rows_frame_sum_sql(),
+    "unigram_logprob": q_unigram_logprob_sql(),
     "hamming_topk": q_hamming_topk_sql(),
     "outlier_flags": q_outlier_flags_sql(),
     "shipping_priority": q_shipping_priority_sql(),
