@@ -5474,6 +5474,49 @@ def q_unigram_logprob_sql() -> str:
     )
 
 
+def q_ks_drift(sf_dir: str):
+    """Two-sample Kolmogorov–Smirnov drift between the click and view
+    value distributions (stages/global_scan.py — range-partitioned
+    distributed CDF scan: bucket totals tree → broadcast exclusive
+    offsets → per-bucket vectorized max; exact integer arithmetic, the
+    global CDF never materializes)."""
+    import pyarrow.compute as pc
+
+    from .stages.global_scan import two_sample_ks
+
+    def prep(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.is_in(b["event_type"],
+                              value_set=pa.array(["click", "view"])))
+        v = t["value"].to_numpy(zero_copy_only=False)
+        isa = pc.equal(t["event_type"], "click").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "v6": pa.array(np.floor(v * 1e6 + 0.5).astype(np.int64),
+                           pa.int64()),
+            "isa": pa.array(isa, pa.int64())})
+
+    ds = _read(sf_dir, "events", ["event_type", "value"]).map_batches(
+        prep, batch_format="pyarrow")
+    return two_sample_ks(ds, "v6", "isa", n_rows=_nrows(sf_dir, "events"))
+
+
+def q_ks_drift_sql() -> str:
+    return (
+        "WITH x AS (SELECT CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS v, "
+        "CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS isa "
+        "FROM events WHERE event_type IN ('click', 'view')), "
+        "t AS (SELECT CAST(sum(isa) AS BIGINT) AS n_a, "
+        "CAST(count(*) - sum(isa) AS BIGINT) AS n_b FROM x), "
+        "g AS (SELECT v, CAST(sum(isa) AS BIGINT) AS ca, "
+        "CAST(count(*) - sum(isa) AS BIGINT) AS cb FROM x GROUP BY v), "
+        "c AS (SELECT sum(ca) OVER (ORDER BY v) AS cca, "
+        "sum(cb) OVER (ORDER BY v) AS ccb FROM g) "
+        "SELECT CAST(max(abs(cca * (SELECT n_b FROM t) - "
+        "ccb * (SELECT n_a FROM t))) AS BIGINT) AS d_scaled, "
+        "(SELECT n_a FROM t) AS n_a, (SELECT n_b FROM t) AS n_b FROM c"
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -5499,6 +5542,7 @@ QUERIES = {
     "min_cost_supp": q_min_cost_supp,
     "rows_frame_sum": q_rows_frame_sum,
     "unigram_logprob": q_unigram_logprob,
+    "ks_drift": q_ks_drift,
     "hamming_topk": q_hamming_topk,
     "outlier_flags": q_outlier_flags,
     "shipping_priority": q_shipping_priority,
@@ -5640,6 +5684,7 @@ ORACLE_SQL = {
     "min_cost_supp": q_min_cost_supp_sql(),
     "rows_frame_sum": q_rows_frame_sum_sql(),
     "unigram_logprob": q_unigram_logprob_sql(),
+    "ks_drift": q_ks_drift_sql(),
     "hamming_topk": q_hamming_topk_sql(),
     "outlier_flags": q_outlier_flags_sql(),
     "shipping_priority": q_shipping_priority_sql(),

@@ -1,0 +1,109 @@
+"""Global-order statistics via range partitioning — the distributed
+prefix-scan pattern: route rows to VALUE-RANGE buckets (sampled
+splitters; equal values never straddle buckets), reduce each bucket's
+totals through the bounded combiner tree, broadcast the exclusive
+prefix offsets, then finish each bucket locally with its offset.  Two
+passes over a materialized projection; no global sort, no driver-side
+data.
+
+Splitter choice affects only bucket BALANCE, never results — every
+statistic here is offset-adjusted exact integer arithmetic (same
+posture as stages/quantiles.py, whose sampling the search reuses)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from .agg_tree import tree_aggregate_to_table
+from .scan import auto_n_buckets
+
+
+def _range_bucket(ds, col: str, splitters: np.ndarray):
+    def add(b: pa.Table) -> pa.Table:
+        v = b[col].to_numpy(zero_copy_only=False)
+        return b.append_column(
+            "_rb", pa.array(np.searchsorted(splitters, v, side="right"),
+                            pa.int64()))
+
+    return ds.map_batches(add, batch_format="pyarrow")
+
+
+def two_sample_ks(ds, val_col: str, is_a_col: str,
+                  n_buckets: int | None = None, n_rows: int | None = None,
+                  seed: int = 42) -> pd.DataFrame:
+    """Exact two-sample Kolmogorov–Smirnov distance in integer
+    arithmetic: returns one row ``(d_scaled, n_a, n_b)`` where
+    ``d_scaled = max over distinct v of |cnt_a(<=v)·n_b −
+    cnt_b(<=v)·n_a|`` (so D = d_scaled / (n_a·n_b); callers at
+    n_a·n_b ≥ 2^63 must pre-aggregate or accept float).
+
+    ``val_col`` int64 (quantize floats first — the house
+    ``floor(x·1e6+0.5)`` rule), ``is_a_col`` ∈ {0,1}.  Plan: one
+    materialized bucket pass, a bounded totals tree, broadcast
+    exclusive offsets, per-bucket vectorized cumsum + max, bounded
+    final max — the global CDF is never assembled anywhere."""
+    import ray
+
+    from .quantiles import _sample_splitters
+
+    if n_rows is None:
+        n_rows = ds.count()
+    if n_buckets is None:
+        n_buckets = auto_n_buckets(n_rows)
+    cand = _sample_splitters(ds, val_col, sample_limit=4096, seed=seed)
+    step = max(1, len(cand) // n_buckets)
+    splitters = cand[step - 1::step]
+
+    bucketed = _range_bucket(ds, val_col, splitters).materialize()
+
+    def partial(b: pa.Table) -> pa.Table:
+        rb = b["_rb"].to_numpy(zero_copy_only=False)
+        a = b[is_a_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"_rb": pa.array(np.unique(rb), pa.int64()),
+                         "ca": pa.array(np.bincount(
+                             rb, weights=a,
+                             minlength=0)[np.unique(rb)].astype(np.int64)),
+                         "cb": pa.array(np.bincount(
+                             rb, weights=1 - a,
+                             minlength=0)[np.unique(rb)].astype(np.int64))})
+
+    totals = tree_aggregate_to_table(
+        bucketed.map_batches(partial, batch_format="pyarrow"),
+        ["_rb"], [("ca", "sum"), ("cb", "sum")]).to_pandas()
+    totals = totals.sort_values("_rb")
+    n_a = int(totals["ca"].sum())
+    n_b = int(totals["cb"].sum())
+    if n_a and n_b and float(n_a) * float(n_b) >= float(2 ** 63):
+        raise ValueError("n_a*n_b overflows int64 — pre-aggregate")
+    off_a = np.zeros(int(len(splitters)) + 1, np.int64)
+    off_b = np.zeros(int(len(splitters)) + 1, np.int64)
+    idx = totals["_rb"].to_numpy()
+    off_a[idx] = totals["ca"].to_numpy()
+    off_b[idx] = totals["cb"].to_numpy()
+    off_a = np.concatenate(([0], np.cumsum(off_a)[:-1]))
+    off_b = np.concatenate(([0], np.cumsum(off_b)[:-1]))
+    ref = ray.put((off_a, off_b, n_a, n_b))
+
+    def local_max(g: pd.DataFrame) -> pd.DataFrame:
+        from .joins import _cached
+
+        oa, ob, na, nb = _cached(ref)
+        rb = int(g["_rb"].iloc[0])
+        v = g[val_col].to_numpy()
+        a = g[is_a_col].to_numpy().astype(np.int64)
+        order = np.argsort(v, kind="stable")
+        v, a = v[order], a[order]
+        last = np.r_[v[1:] != v[:-1], True]
+        ca = oa[rb] + np.cumsum(a)[last]
+        cb = ob[rb] + np.cumsum(1 - a)[last]
+        d = np.abs(ca * nb - cb * na).max()
+        return pd.DataFrame({"d": [np.int64(d)]})
+
+    parts = bucketed.groupby("_rb").map_groups(
+        local_max, batch_format="pandas").to_pandas()
+    d = int(parts["d"].max()) if len(parts) else 0
+    return pd.DataFrame({"d_scaled": pd.Series([d], dtype=np.int64),
+                         "n_a": pd.Series([n_a], dtype=np.int64),
+                         "n_b": pd.Series([n_b], dtype=np.int64)})

@@ -109,3 +109,35 @@ def test_cc_distributed_path_parity(ray_session):
                                 small_graph_limit=0).to_pandas()
     assert stars_to_sets(small) == stars_to_sets(dist)
     assert len(small) == len(dist)
+
+
+def test_ks_partition_invariance(ray_session):
+    """two_sample_ks must be invariant to bucket count / splitter
+    choice (offsets make each bucket's scan exact), including heavy
+    ties and a one-sided degenerate input."""
+    import ray.data
+
+    from skyway_ray.stages.global_scan import two_sample_ks
+
+    rng = np.random.default_rng(7)
+    v = np.concatenate([rng.integers(0, 50, 4000),
+                        rng.integers(25, 80, 3000)]).astype(np.int64)
+    isa = np.concatenate([np.ones(4000, np.int64),
+                          np.zeros(3000, np.int64)])
+    df = pd.DataFrame({"v6": v, "isa": isa})
+    outs = [two_sample_ks(ray.data.from_pandas(df), "v6", "isa",
+                          n_buckets=nb, seed=s)
+            for nb, s in [(1, 42), (7, 42), (64, 1)]]
+    d0 = outs[0]["d_scaled"].iloc[0]
+    assert all(o["d_scaled"].iloc[0] == d0 for o in outs)
+
+    # brute-force truth
+    uv = np.unique(v)
+    ca = np.array([(v[isa == 1] <= x).sum() for x in uv])
+    cb = np.array([(v[isa == 0] <= x).sum() for x in uv])
+    want = np.abs(ca * 3000 - cb * 4000).max()
+    assert d0 == want
+
+    one = pd.DataFrame({"v6": v[:100], "isa": np.ones(100, np.int64)})
+    out = two_sample_ks(ray.data.from_pandas(one), "v6", "isa")
+    assert out["d_scaled"].iloc[0] == 0 and out["n_b"].iloc[0] == 0
