@@ -5517,6 +5517,33 @@ def q_ks_drift_sql() -> str:
     )
 
 
+def q_global_rank(sf_dir: str):
+    """Global ROW_NUMBER over all events by quantized value (ties →
+    event_id) — stages/global_scan.py global_rank: range buckets +
+    offset broadcast, no global sort operator."""
+    from .stages.global_scan import global_rank
+
+    def quant(b: pa.Table) -> pa.Table:
+        v = b["value"].to_numpy(zero_copy_only=False)
+        return pa.table({"event_id": b["event_id"],
+                         "v6": pa.array(
+                             np.floor(v * 1e6 + 0.5).astype(np.int64),
+                             pa.int64())})
+
+    ds = _read(sf_dir, "events", ["event_id", "value"]).map_batches(
+        quant, batch_format="pyarrow")
+    return global_rank(ds, "v6", "event_id",
+                       n_rows=_nrows(sf_dir, "events"))
+
+
+def q_global_rank_sql() -> str:
+    return (
+        "SELECT event_id, row_number() OVER (ORDER BY "
+        "CAST(floor(value * 1e6 + 0.5) AS BIGINT), event_id) "
+        "AS global_rank FROM events"
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -5543,6 +5570,7 @@ QUERIES = {
     "rows_frame_sum": q_rows_frame_sum,
     "unigram_logprob": q_unigram_logprob,
     "ks_drift": q_ks_drift,
+    "global_rank": q_global_rank,
     "hamming_topk": q_hamming_topk,
     "outlier_flags": q_outlier_flags,
     "shipping_priority": q_shipping_priority,
@@ -5685,6 +5713,7 @@ ORACLE_SQL = {
     "rows_frame_sum": q_rows_frame_sum_sql(),
     "unigram_logprob": q_unigram_logprob_sql(),
     "ks_drift": q_ks_drift_sql(),
+    "global_rank": q_global_rank_sql(),
     "hamming_topk": q_hamming_topk_sql(),
     "outlier_flags": q_outlier_flags_sql(),
     "shipping_priority": q_shipping_priority_sql(),

@@ -107,3 +107,54 @@ def two_sample_ks(ds, val_col: str, is_a_col: str,
     return pd.DataFrame({"d_scaled": pd.Series([d], dtype=np.int64),
                          "n_a": pd.Series([n_a], dtype=np.int64),
                          "n_b": pd.Series([n_b], dtype=np.int64)})
+
+
+def global_rank(ds, val_col: str, id_col: str, out_col: str = "global_rank",
+                n_buckets: int | None = None, n_rows: int | None = None,
+                seed: int = 42):
+    """Distributed global ROW_NUMBER: 1-based position of every row in
+    the whole-dataset ascending sort by ``(val_col, id_col)`` — the
+    ORDER-BY-with-no-PARTITION window no per-key exchange can express.
+    Same offset-broadcast plan as :func:`two_sample_ks`: range buckets
+    (equal values never straddle), a bounded per-bucket count tree,
+    exclusive offsets broadcast, then each bucket ranks locally —
+    no global sort operator, no driver-side data."""
+    import ray
+
+    from .quantiles import _sample_splitters
+
+    if n_rows is None:
+        n_rows = ds.count()
+    if n_buckets is None:
+        n_buckets = auto_n_buckets(n_rows)
+    cand = _sample_splitters(ds, val_col, sample_limit=4096, seed=seed)
+    step = max(1, len(cand) // n_buckets)
+    splitters = cand[step - 1::step]
+
+    bucketed = _range_bucket(ds, val_col, splitters).materialize()
+
+    def partial(b: pa.Table) -> pa.Table:
+        rb = b["_rb"].to_numpy(zero_copy_only=False)
+        u, c = np.unique(rb, return_counts=True)
+        return pa.table({"_rb": pa.array(u, pa.int64()),
+                         "cnt": pa.array(c.astype(np.int64), pa.int64())})
+
+    totals = tree_aggregate_to_table(
+        bucketed.map_batches(partial, batch_format="pyarrow"),
+        ["_rb"], [("cnt", "sum")]).to_pandas()
+    off = np.zeros(int(len(splitters)) + 1, np.int64)
+    off[totals["_rb"].to_numpy()] = totals["cnt"].to_numpy()
+    off = np.concatenate(([0], np.cumsum(off)[:-1]))
+    ref = ray.put(off)
+
+    def rank(g: pd.DataFrame) -> pd.DataFrame:
+        from .joins import _cached
+
+        o = _cached(ref)
+        rb = int(g["_rb"].iloc[0])
+        order = np.lexsort((g[id_col].to_numpy(), g[val_col].to_numpy()))
+        out = pd.DataFrame({id_col: g[id_col].to_numpy()[order]})
+        out[out_col] = o[rb] + 1 + np.arange(len(g), dtype=np.int64)
+        return out
+
+    return bucketed.groupby("_rb").map_groups(rank, batch_format="pandas")
