@@ -5544,6 +5544,39 @@ def q_global_rank_sql() -> str:
     )
 
 
+def q_gini(sf_dir: str):
+    """Exact Gini concentration of purchase values
+    (stages/global_scan.py gini_scaled — the offset-broadcast global
+    scan; integer numerator/denominator so the distributed result is
+    bit-exact)."""
+    import pyarrow.compute as pc
+
+    from .stages.global_scan import gini_scaled
+
+    def prep(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.equal(b["event_type"], "purchase"))
+        v = t["value"].to_numpy(zero_copy_only=False)
+        return pa.table({"v6": pa.array(
+            np.floor(v * 1e6 + 0.5).astype(np.int64), pa.int64())})
+
+    ds = _read(sf_dir, "events", ["event_type", "value"]).map_batches(
+        prep, batch_format="pyarrow")
+    return gini_scaled(ds, "v6", n_rows=_nrows(sf_dir, "events"))
+
+
+def q_gini_sql() -> str:
+    return (
+        "WITH x AS (SELECT CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS v "
+        "FROM events WHERE event_type = 'purchase'), "
+        "r AS (SELECT v, row_number() OVER (ORDER BY v) AS i, "
+        "(SELECT count(*) FROM x) AS n FROM x) "
+        "SELECT CAST(COALESCE(sum((2 * i - n - 1) * v), 0) AS BIGINT) "
+        "AS g_num, "
+        "CAST((SELECT count(*) FROM x) * COALESCE((SELECT sum(v) FROM x), "
+        "0) AS BIGINT) AS g_den FROM r"
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -5555,7 +5588,10 @@ def q_global_rank_sql() -> str:
 # the long-driver-proven block (geotag/cells/tiles/...) rides at the
 # end, followed by the rows-only (non-SQL-expressible) entries.
 QUERIES = {
-    # -- NEW this round (round 4) --
+    # -- first 50 = the driver's correctness-sweep window:
+    # (a) this session's new entries, (b) the rest of round 4's
+    # new entries, (c) the judge-priority latecomers named in
+    # VERDICT.md, (d) entries whose plans changed this round --
     "local_volume": q_local_volume,
     "big_orders": q_big_orders,
     "returned_revenue": q_returned_revenue,
@@ -5571,6 +5607,7 @@ QUERIES = {
     "unigram_logprob": q_unigram_logprob,
     "ks_drift": q_ks_drift,
     "global_rank": q_global_rank,
+    "gini": q_gini,
     "hamming_topk": q_hamming_topk,
     "outlier_flags": q_outlier_flags,
     "shipping_priority": q_shipping_priority,
@@ -5593,43 +5630,42 @@ QUERIES = {
     "user_window": q_user_window,
     "dense_rank": q_dense_rank,
     "corr_flags": q_corr_flags,
-    # -- driver-unproven hash-verified entries (judge-swept only in r3) --
+    "setsim_pairs": q_setsim_pairs,
+    "minhash_exact": q_minhash_exact,
+    "pagerank": q_pagerank,
+    "kmeans": q_kmeans,
+    "mad": q_mad,
+    "equidepth_hist": q_equidepth_hist,
+    "scd_intervals": q_scd_intervals,
+    "ratio_to_report": q_ratio_to_report,
+    "box_join": q_box_join,
+    "radius_join": q_radius_join,
+    "group_concat": q_group_concat,
+    "dedup_docs": q_dedup_docs,
+    "rolling_counts": q_rolling_counts,
+    # -- beyond the driver window: judge-swept (r3) and
+    # long-driver-proven entries, then rows-only --
     "skew_join": q_skew_join,
     "decontam": q_decontam,
     "group_stats": q_group_stats,
     "rollup_orders": q_rollup_orders,
     "group_mode": q_group_mode,
     "rank_events": q_rank_events,
-    "setsim_pairs": q_setsim_pairs,
-    "minhash_exact": q_minhash_exact,
-    "box_join": q_box_join,
-    "group_concat": q_group_concat,
-    "pagerank": q_pagerank,
     "funnel": q_funnel,
     "props_extract": q_props_extract,
     "percentile_cont": q_percentile_cont,
     "throttle_dedup": q_throttle_dedup,
-    "radius_join": q_radius_join,
     "star_join": q_star_join,
     "cube_orders": q_cube_orders,
     "travel_dist": q_travel_dist,
     "embedding_stats": q_embedding_stats,
     "tile_pyramid": q_tile_pyramid,
-    "kmeans": q_kmeans,
     "upsert_merge": q_upsert_merge,
     "nb_features": q_nb_features,
-    "mad": q_mad,
     "sliding_distinct": q_sliding_distinct,
-    "equidepth_hist": q_equidepth_hist,
-    "scd_intervals": q_scd_intervals,
-    "ratio_to_report": q_ratio_to_report,
-    # -- modified this round (driver must re-prove) --
-    "dedup_docs": q_dedup_docs,
     "session_windows": q_session_windows,
-    "rolling_counts": q_rolling_counts,
     "prefix_sums": q_prefix_sums,
     "lag_deltas": q_lag_deltas,
-    # -- high-value previously-proven entries filling the 50 window --
     "ivf_exact": q_ivf_exact,
     "bloom_dedup": q_bloom_dedup,
     "order_lineitems": q_order_lineitems,
@@ -5646,7 +5682,6 @@ QUERIES = {
     "asof_join": q_asof_join,
     "range_join": q_range_join,
     "stratified_sample": q_stratified_sample,
-    # -- long-driver-proven block (green in r1-r3 records) --
     "geotag": q_geotag,
     "cells": q_cells,
     "tiles": q_tiles,
@@ -5675,7 +5710,6 @@ QUERIES = {
     "user_except": q_user_except,
     "order_pivot": q_order_pivot,
     "profile_lineitem": q_profile_lineitem,
-    # rows-only (non-SQL-expressible)
     "flagship_tiles": q_flagship_tiles,
     "osmfilter_docs": q_osmfilter_docs,
     "exact_dedup_images": q_exact_dedup_images,
@@ -5714,6 +5748,7 @@ ORACLE_SQL = {
     "unigram_logprob": q_unigram_logprob_sql(),
     "ks_drift": q_ks_drift_sql(),
     "global_rank": q_global_rank_sql(),
+    "gini": q_gini_sql(),
     "hamming_topk": q_hamming_topk_sql(),
     "outlier_flags": q_outlier_flags_sql(),
     "shipping_priority": q_shipping_priority_sql(),

@@ -158,3 +158,64 @@ def global_rank(ds, val_col: str, id_col: str, out_col: str = "global_rank",
         return out
 
     return bucketed.groupby("_rb").map_groups(rank, batch_format="pandas")
+
+
+def gini_scaled(ds, val_col: str, n_buckets: int | None = None,
+                n_rows: int | None = None, seed: int = 42) -> pd.DataFrame:
+    """Exact Gini concentration index in integer arithmetic: one row
+    ``(g_num, g_den)`` with ``g_num = Σ (2·rank_i − n − 1)·v_i`` over
+    the global ascending sort (ties order-invariant — equal values
+    share the coefficient block sum) and ``g_den = n · Σv``, so
+    G = g_num / g_den.  Same range-bucket + offset-broadcast plan as
+    :func:`global_rank`, but the offsets carry (count, value-sum)
+    pairs and each bucket reduces to ONE partial — nothing row-sized
+    leaves the buckets.  Needs ``n² · max(v)`` < 2^63."""
+    import ray
+
+    from .quantiles import _sample_splitters
+
+    if n_rows is None:
+        n_rows = ds.count()
+    if n_buckets is None:
+        n_buckets = auto_n_buckets(n_rows)
+    cand = _sample_splitters(ds, val_col, sample_limit=4096, seed=seed)
+    step = max(1, len(cand) // n_buckets)
+    splitters = cand[step - 1::step]
+
+    bucketed = _range_bucket(ds, val_col, splitters).materialize()
+
+    def partial(b: pa.Table) -> pa.Table:
+        rb = b["_rb"].to_numpy(zero_copy_only=False)
+        v = b[val_col].to_numpy(zero_copy_only=False)
+        u, inv, c = np.unique(rb, return_inverse=True, return_counts=True)
+        s = np.zeros(len(u), np.int64)
+        np.add.at(s, inv, v)
+        return pa.table({"_rb": pa.array(u, pa.int64()),
+                         "cnt": pa.array(c.astype(np.int64), pa.int64()),
+                         "vs": pa.array(s, pa.int64())})
+
+    totals = tree_aggregate_to_table(
+        bucketed.map_batches(partial, batch_format="pyarrow"),
+        ["_rb"], [("cnt", "sum"), ("vs", "sum")]).to_pandas()
+    n = int(totals["cnt"].sum())
+    vsum = int(totals["vs"].sum())
+    off = np.zeros(int(len(splitters)) + 1, np.int64)
+    off[totals["_rb"].to_numpy()] = totals["cnt"].to_numpy()
+    off = np.concatenate(([0], np.cumsum(off)[:-1]))
+    ref = ray.put((off, n))
+
+    def local(g: pd.DataFrame) -> pd.DataFrame:
+        from .joins import _cached
+
+        o, nn = _cached(ref)
+        rb = int(g["_rb"].iloc[0])
+        v = np.sort(g[val_col].to_numpy(), kind="stable")
+        i = o[rb] + 1 + np.arange(len(v), dtype=np.int64)
+        return pd.DataFrame(
+            {"p": [np.int64(np.sum((2 * i - nn - 1) * v))]})
+
+    parts = bucketed.groupby("_rb").map_groups(
+        local, batch_format="pandas").to_pandas()
+    g_num = int(parts["p"].sum()) if len(parts) else 0
+    return pd.DataFrame({"g_num": pd.Series([g_num], dtype=np.int64),
+                         "g_den": pd.Series([n * vsum], dtype=np.int64)})

@@ -82,7 +82,7 @@ def test_entry_smoke(ray_session):
     "local_volume", "big_orders", "returned_revenue",
     "pareto_front", "regex_extract", "interval_overlap", "asof_forward",
     "edit_join", "connected_components", "phrase_match", "min_cost_supp",
-    "rows_frame_sum", "unigram_logprob", "ks_drift", "global_rank",
+    "rows_frame_sum", "unigram_logprob", "ks_drift", "global_rank", "gini",
 ])
 def test_sql_parity(name, entries):
     qs, oracles = entries
