@@ -182,7 +182,8 @@ def run_bench() -> dict:
                      "pareto_front", "regex_extract", "interval_overlap",
                      "asof_forward", "edit_join", "connected_components",
                      "phrase_match", "min_cost_supp", "rows_frame_sum",
-                     "unigram_logprob", "ks_drift", "global_rank", "gini"):
+                     "unigram_logprob", "ks_drift", "global_rank", "gini",
+                     "heading_octants", "stay_points", "shoelace_area"):
             best = float("inf")
             attempts = 0
             for _ in range(max(1, repeats)):

@@ -5577,6 +5577,222 @@ def q_gini_sql() -> str:
     )
 
 
+def q_heading_octants(sf_dir: str):
+    """Movement-heading histogram over per-user trajectories: each
+    consecutive step (ordered by ts, event_id) is classified into one
+    of 8 compass octants by EXACT integer-free comparisons on
+    (dx, dy) — sign tests and |dx| vs |dy|, no atan2, so the
+    distributed result is bit-identical to the SQL CASE cascade
+    (np.select and CASE share first-match semantics and condition
+    order).  Per-user steps come from the coarse-bucket keyed_scan;
+    the bounded 8-key histogram merges on the combiner tree — no
+    all-to-all anywhere."""
+    from .stages.agg_tree import tree_aggregate_to_table
+    from .stages.scan import keyed_scan
+
+    def prep(b: pa.Table) -> pa.Table:
+        lat, lon = derive_latlon(b["event_id"].to_numpy(
+            zero_copy_only=False))
+        return pa.table({"user_id": b["user_id"],
+                         "t": b["ts"].cast(pa.int64()),
+                         "event_id": b["event_id"],
+                         "x": pa.array(lon), "y": pa.array(lat)})
+
+    def fn(d: pd.DataFrame) -> pd.DataFrame:
+        u = d["user_id"].to_numpy()
+        x = d["x"].to_numpy()
+        y = d["y"].to_numpy()
+        dx = np.zeros(len(d))
+        dy = np.zeros(len(d))
+        dx[1:] = x[1:] - x[:-1]
+        dy[1:] = y[1:] - y[:-1]
+        first = np.r_[True, u[1:] != u[:-1]]
+        octant = np.select(
+            [(dx > 0) & (dy >= 0) & (dx >= dy),
+             (dy > 0) & (dx >= 0) & (dy > dx),
+             (dy > 0) & (dx < 0) & (dy >= -dx),
+             (dx < 0) & (dy > 0) & (-dx > dy),
+             (dx < 0) & (dy <= 0) & (-dx >= -dy),
+             (dy < 0) & (dx <= 0) & (-dy > -dx),
+             (dy < 0) & (dx > 0) & (-dy >= dx),
+             (dx > 0) & (dy < 0) & (dx > -dy)],
+            [0, 1, 2, 3, 4, 5, 6, 7], -1)
+        octant[first] = -1
+        keep = octant >= 0
+        uo, c = np.unique(octant[keep], return_counts=True)
+        return pd.DataFrame({"octant": uo.astype(np.int64),
+                             "n": c.astype(np.int64)})
+
+    ds = _read(sf_dir, "events",
+               ["event_id", "user_id", "ts"]).map_batches(
+        prep, batch_format="pyarrow")
+    parts = keyed_scan(ds, key="user_id", order=["t", "event_id"],
+                       fn=fn, n_rows=_nrows(sf_dir, "events"))
+    return tree_aggregate_to_table(parts, ["octant"], [("n", "sum")])
+
+
+def q_heading_octants_sql() -> str:
+    lat, lon = latlon_sql("event_id")
+    return (
+        f"WITH p AS (SELECT user_id, epoch_us(ts) AS t, event_id, "
+        f"{lon} AS x, {lat} AS y FROM events), "
+        "s AS (SELECT x - lag(x) OVER w AS dx, y - lag(y) OVER w AS dy "
+        "FROM p WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)), "
+        "o AS (SELECT CASE "
+        "WHEN dx > 0 AND dy >= 0 AND dx >= dy THEN 0 "
+        "WHEN dy > 0 AND dx >= 0 AND dy > dx THEN 1 "
+        "WHEN dy > 0 AND dx < 0 AND dy >= -dx THEN 2 "
+        "WHEN dx < 0 AND dy > 0 AND -dx > dy THEN 3 "
+        "WHEN dx < 0 AND dy <= 0 AND -dx >= -dy THEN 4 "
+        "WHEN dy < 0 AND dx <= 0 AND -dy > -dx THEN 5 "
+        "WHEN dy < 0 AND dx > 0 AND -dy >= dx THEN 6 "
+        "WHEN dx > 0 AND dy < 0 AND dx > -dy THEN 7 END AS octant "
+        "FROM s WHERE dx IS NOT NULL) "
+        "SELECT CAST(octant AS BIGINT) AS octant, "
+        "CAST(count(*) AS BIGINT) AS n "
+        "FROM o WHERE octant IS NOT NULL GROUP BY octant"
+    )
+
+
+_DWELL_EPS_MICRO = 90_000_000  # step < 90 planar degrees (micro-int)
+_DWELL_MIN_PTS = 3
+
+
+def q_stay_points(sf_dir: str):
+    """Stay-point (dwell) detection per user trajectory: maximal runs
+    of consecutive points whose incoming planar step is below
+    `_DWELL_EPS_MICRO` (micro-int compare — floats never accumulate);
+    a run with ≥ `_DWELL_MIN_PTS` points is a dwell.  Per user:
+    dwell count and longest dwell duration (exact int μs).  The
+    gaps-and-islands machinery is one vectorized cumsum over run
+    boundaries inside each keyed_scan bucket — runs never straddle
+    buckets because keys don't."""
+    from .stages.scan import keyed_scan
+
+    def prep(b: pa.Table) -> pa.Table:
+        lat, lon = derive_latlon(b["event_id"].to_numpy(
+            zero_copy_only=False))
+        return pa.table({"user_id": b["user_id"],
+                         "t": b["ts"].cast(pa.int64()),
+                         "event_id": b["event_id"],
+                         "x": pa.array(lon), "y": pa.array(lat)})
+
+    def fn(d: pd.DataFrame) -> pd.DataFrame:
+        u = d["user_id"].to_numpy()
+        t = d["t"].to_numpy()
+        x = d["x"].to_numpy()
+        y = d["y"].to_numpy()
+        dx = np.zeros(len(d))
+        dy = np.zeros(len(d))
+        dx[1:] = x[1:] - x[:-1]
+        dy[1:] = y[1:] - y[:-1]
+        first = np.r_[True, u[1:] != u[:-1]]
+        step6 = np.floor(np.sqrt(dx * dx + dy * dy) * 1e6 + 0.5
+                         ).astype(np.int64)
+        small = (~first) & (step6 < _DWELL_EPS_MICRO)
+        run_id = np.cumsum(~small)
+        runs = (pd.DataFrame({"user_id": u, "run": run_id, "t": t})
+                .groupby("run", sort=False)
+                .agg(user_id=("user_id", "first"), cnt=("t", "size"),
+                     t0=("t", "min"), t1=("t", "max")))
+        qual = runs["cnt"].to_numpy() >= _DWELL_MIN_PTS
+        dur = np.where(qual, runs["t1"].to_numpy() - runs["t0"].to_numpy(),
+                       np.int64(-1))
+        per = (pd.DataFrame({"user_id": runs["user_id"].to_numpy(),
+                             "q": qual.astype(np.int64), "dur": dur})
+               .groupby("user_id", sort=False, as_index=False)
+               .agg(n_dwells=("q", "sum"), max_dwell_us=("dur", "max")))
+        per["max_dwell_us"] = np.maximum(
+            per["max_dwell_us"].to_numpy(), 0).astype(np.int64)
+        per["n_dwells"] = per["n_dwells"].astype(np.int64)
+        return per
+
+    ds = _read(sf_dir, "events",
+               ["event_id", "user_id", "ts"]).map_batches(
+        prep, batch_format="pyarrow")
+    return keyed_scan(ds, key="user_id", order=["t", "event_id"],
+                      fn=fn, n_rows=_nrows(sf_dir, "events"))
+
+
+def q_stay_points_sql() -> str:
+    lat, lon = latlon_sql("event_id")
+    return (
+        f"WITH p AS (SELECT user_id, epoch_us(ts) AS t, event_id, "
+        f"{lon} AS x, {lat} AS y FROM events), "
+        "d AS (SELECT user_id, t, event_id, "
+        "x - lag(x) OVER w AS dx, y - lag(y) OVER w AS dy "
+        "FROM p WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)), "
+        "s AS (SELECT user_id, t, event_id, "
+        "CASE WHEN dx IS NOT NULL AND "
+        "CAST(floor(sqrt(dx * dx + dy * dy) * 1000000 + 0.5) AS BIGINT) "
+        f"< {_DWELL_EPS_MICRO} THEN 0 ELSE 1 END AS new_run FROM d), "
+        "r AS (SELECT user_id, t, sum(new_run) OVER "
+        "(PARTITION BY user_id ORDER BY t, event_id) AS run_id FROM s), "
+        "g AS (SELECT user_id, run_id, count(*) AS cnt, "
+        "max(t) - min(t) AS dur FROM r GROUP BY user_id, run_id) "
+        "SELECT user_id, "
+        f"CAST(count(*) FILTER (WHERE cnt >= {_DWELL_MIN_PTS}) AS BIGINT) "
+        "AS n_dwells, "
+        f"CAST(COALESCE(max(dur) FILTER (WHERE cnt >= {_DWELL_MIN_PTS}), "
+        "0) AS BIGINT) AS max_dwell_us FROM g GROUP BY user_id"
+    )
+
+
+def q_shoelace_area(sf_dir: str):
+    """Signed polygon area (shoelace, ×2, micro-int) of each user's
+    closed trajectory ring (points ordered by ts, event_id; last point
+    wraps to the first).  Each cross term ``x·y' − x'·y`` is quantized
+    to micro-ints BEFORE summation, so the distributed integer sum is
+    order-free and bit-identical to the SQL lead/first_value oracle.
+    Single-point users contribute a zero ring."""
+    from .stages.scan import keyed_scan
+
+    def prep(b: pa.Table) -> pa.Table:
+        lat, lon = derive_latlon(b["event_id"].to_numpy(
+            zero_copy_only=False))
+        return pa.table({"user_id": b["user_id"],
+                         "t": b["ts"].cast(pa.int64()),
+                         "event_id": b["event_id"],
+                         "x": pa.array(lon), "y": pa.array(lat)})
+
+    def fn(d: pd.DataFrame) -> pd.DataFrame:
+        u = d["user_id"].to_numpy()
+        x = d["x"].to_numpy()
+        y = d["y"].to_numpy()
+        idx = np.arange(len(d), dtype=np.int64)
+        first = np.r_[True, u[1:] != u[:-1]]
+        last = np.r_[first[1:], True]
+        seg_start = idx[first][np.cumsum(first) - 1]
+        nxt = idx + 1
+        nxt[last] = seg_start[last]
+        cross6 = np.floor((x * y[nxt] - x[nxt] * y) * 1e6 + 0.5
+                          ).astype(np.int64)
+        out = pd.DataFrame({"user_id": u, "c": cross6})
+        return (out.groupby("user_id", sort=False, as_index=False)
+                .agg(area2_micro=("c", "sum"), n_pts=("c", "size")))
+
+    ds = _read(sf_dir, "events",
+               ["event_id", "user_id", "ts"]).map_batches(
+        prep, batch_format="pyarrow")
+    return keyed_scan(ds, key="user_id", order=["t", "event_id"],
+                      fn=fn, n_rows=_nrows(sf_dir, "events"))
+
+
+def q_shoelace_area_sql() -> str:
+    lat, lon = latlon_sql("event_id")
+    return (
+        f"WITH p AS (SELECT user_id, epoch_us(ts) AS t, event_id, "
+        f"{lon} AS x, {lat} AS y FROM events), "
+        "s AS (SELECT user_id, x, y, "
+        "COALESCE(lead(x) OVER w, first_value(x) OVER w) AS nx, "
+        "COALESCE(lead(y) OVER w, first_value(y) OVER w) AS ny "
+        "FROM p WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)) "
+        "SELECT user_id, CAST(sum(CAST(floor((x * ny - nx * y) * 1000000 "
+        "+ 0.5) AS BIGINT)) AS BIGINT) AS area2_micro, "
+        "CAST(count(*) AS BIGINT) AS n_pts FROM s GROUP BY user_id"
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -5592,6 +5808,9 @@ QUERIES = {
     # (a) this session's new entries, (b) the rest of round 4's
     # new entries, (c) the judge-priority latecomers named in
     # VERDICT.md, (d) entries whose plans changed this round --
+    "heading_octants": q_heading_octants,
+    "stay_points": q_stay_points,
+    "shoelace_area": q_shoelace_area,
     "local_volume": q_local_volume,
     "big_orders": q_big_orders,
     "returned_revenue": q_returned_revenue,
@@ -5749,6 +5968,9 @@ ORACLE_SQL = {
     "ks_drift": q_ks_drift_sql(),
     "global_rank": q_global_rank_sql(),
     "gini": q_gini_sql(),
+    "heading_octants": q_heading_octants_sql(),
+    "stay_points": q_stay_points_sql(),
+    "shoelace_area": q_shoelace_area_sql(),
     "hamming_topk": q_hamming_topk_sql(),
     "outlier_flags": q_outlier_flags_sql(),
     "shipping_priority": q_shipping_priority_sql(),
