@@ -183,7 +183,8 @@ def run_bench() -> dict:
                      "asof_forward", "edit_join", "connected_components",
                      "phrase_match", "min_cost_supp", "rows_frame_sum",
                      "unigram_logprob", "ks_drift", "global_rank", "gini",
-                     "heading_octants", "stay_points", "shoelace_area"):
+                     "heading_octants", "stay_points", "shoelace_area",
+                     "bm25_topk"):
             best = float("inf")
             attempts = 0
             for _ in range(max(1, repeats)):

@@ -5793,6 +5793,94 @@ def q_shoelace_area_sql() -> str:
     )
 
 
+_BM25_TERMS = ("spark", "window", "hash", "vector")
+_BM25_K = 20
+
+
+def q_bm25_topk(sf_dir: str):
+    """BM25 retrieval scoring (k1=1.2, b=0.75) of every document
+    against a fixed query-term list, global top-20.  Two streaming
+    passes: (1) per-batch partials for document frequency and token
+    totals (docs never shuffle — a doc is one row, so per-batch
+    distinct-doc counts sum exactly); (2) per-doc term scores, each
+    quantized to micro-ints BEFORE the cross-term sum (the house rule
+    for transcendental parity — idf goes through the same ln as the
+    DuckDB oracle, and every float op is written in the identical
+    order on both sides), then the top_k partial-sort combiner.
+    idf/avgdl are 5 scalars — closure-captured, not broadcast."""
+    from .stages.topk import top_k
+
+    def _toks(texts: pd.Series):
+        toks = texts.str.lower().str.findall(r"[a-z0-9]+")
+        lens = toks.str.len().to_numpy().astype(np.int64)
+        flat = np.concatenate([np.asarray(t, dtype="U")
+                               for t in toks if len(t)] or
+                              [np.array([], dtype="U")])
+        return lens, flat, np.repeat(np.arange(len(texts)), lens)
+
+    def stat_batch(b: pd.DataFrame) -> pd.DataFrame:
+        lens, flat, doc_idx = _toks(b["text"])
+        out = {"tot": [np.int64(lens.sum())]}
+        for j, term in enumerate(_BM25_TERMS):
+            out[f"df{j}"] = [np.int64(
+                len(np.unique(doc_idx[flat == term])))]
+        return pd.DataFrame(out)
+
+    stats = _read(sf_dir, "documents", ["text"]).map_batches(
+        stat_batch, batch_format="pandas").to_pandas().sum()
+    n = float(_nrows(sf_dir, "documents"))
+    avgdl = float(stats["tot"]) / n
+    idf = [float(np.log(((n - float(stats[f"df{j}"])) + 0.5)
+                        / (float(stats[f"df{j}"]) + 0.5) + 1.0))
+           for j in range(len(_BM25_TERMS))]
+
+    def score(b: pd.DataFrame) -> pd.DataFrame:
+        lens, flat, doc_idx = _toks(b["text"])
+        dl = lens.astype(np.float64)
+        denom_base = 1.2 * ((1.0 - 0.75) + (0.75 * dl) / avgdl)
+        s6 = np.zeros(len(b), np.int64)
+        hit = np.zeros(len(b), bool)
+        for idf_t, term in zip(idf, _BM25_TERMS):
+            tf = np.bincount(doc_idx[flat == term],
+                             minlength=len(b)).astype(np.float64)
+            has = tf > 0
+            sc = idf_t * (tf * 2.2) / (tf + denom_base)
+            s6 += np.where(has, np.floor(sc * 1e6 + 0.5), 0
+                           ).astype(np.int64)
+            hit |= has
+        return pd.DataFrame({"doc_id": b["doc_id"].to_numpy()[hit],
+                             "score6": s6[hit]})
+
+    scored = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        score, batch_format="pandas")
+    return top_k(scored, "score6", _BM25_K, descending=True,
+                 tiebreak_col="doc_id")
+
+
+def q_bm25_topk_sql() -> str:
+    terms = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+    return (
+        "WITH w AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), "
+        "'[a-z0-9]+')) AS tok FROM documents), "
+        "dlt AS (SELECT doc_id, count(*) AS dl FROM w GROUP BY doc_id), "
+        "st AS (SELECT CAST((SELECT count(*) FROM documents) AS DOUBLE) "
+        "AS n, CAST((SELECT sum(dl) FROM dlt) AS DOUBLE) / "
+        "CAST((SELECT count(*) FROM documents) AS DOUBLE) AS avgdl), "
+        f"df AS (SELECT tok, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df "
+        f"FROM w WHERE tok IN ({terms}) GROUP BY tok), "
+        f"tf AS (SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS tf "
+        f"FROM w WHERE tok IN ({terms}) GROUP BY doc_id, tok), "
+        "sc AS (SELECT tf.doc_id, CAST(floor("
+        "ln((st.n - df.df + 0.5) / (df.df + 0.5) + 1.0) * (tf.tf * 2.2) / "
+        "(tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * CAST(dlt.dl AS DOUBLE) / "
+        "st.avgdl)) * 1e6 + 0.5) AS BIGINT) AS s6 "
+        "FROM tf JOIN df USING (tok) JOIN dlt ON tf.doc_id = dlt.doc_id, "
+        "st) "
+        "SELECT doc_id, CAST(sum(s6) AS BIGINT) AS score6 FROM sc "
+        f"GROUP BY doc_id ORDER BY score6 DESC, doc_id LIMIT {_BM25_K}"
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -5811,6 +5899,7 @@ QUERIES = {
     "heading_octants": q_heading_octants,
     "stay_points": q_stay_points,
     "shoelace_area": q_shoelace_area,
+    "bm25_topk": q_bm25_topk,
     "local_volume": q_local_volume,
     "big_orders": q_big_orders,
     "returned_revenue": q_returned_revenue,
@@ -5971,6 +6060,7 @@ ORACLE_SQL = {
     "heading_octants": q_heading_octants_sql(),
     "stay_points": q_stay_points_sql(),
     "shoelace_area": q_shoelace_area_sql(),
+    "bm25_topk": q_bm25_topk_sql(),
     "hamming_topk": q_hamming_topk_sql(),
     "outlier_flags": q_outlier_flags_sql(),
     "shipping_priority": q_shipping_priority_sql(),

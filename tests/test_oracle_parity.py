@@ -83,7 +83,7 @@ def test_entry_smoke(ray_session):
     "pareto_front", "regex_extract", "interval_overlap", "asof_forward",
     "edit_join", "connected_components", "phrase_match", "min_cost_supp",
     "rows_frame_sum", "unigram_logprob", "ks_drift", "global_rank", "gini",
-    "heading_octants", "stay_points", "shoelace_area",
+    "heading_octants", "stay_points", "shoelace_area", "bm25_topk",
 ])
 def test_sql_parity(name, entries):
     qs, oracles = entries
