@@ -5793,6 +5793,71 @@ def q_shoelace_area_sql() -> str:
     )
 
 
+def q_spatial_clusters(sf_dir: str):
+    """ε-radius spatial clustering (the DBSCAN-core shape): event
+    points within 1.0 planar degree are linked, clusters are the
+    connected components, and each clustered point reports its
+    cluster id (= min event_id in the component).  Composition of two
+    house distributed primitives: the no-dedup PBSM radius self-join
+    (stages/spatial_join.py — points meet only inside shared grid
+    cells, never all-pairs) feeding Hash-to-Min connected components
+    (stages/cc.py).  Only edge endpoints appear (isolated points are
+    DBSCAN noise)."""
+    import pyarrow.compute as pc
+
+    from .stages.cc import connected_components
+    from .stages.scan import hash_bucket_scan
+    from .stages.spatial_join import point_radius_join
+
+    def pts(b: pa.Table) -> pa.Table:
+        k = b["event_id"].to_numpy(zero_copy_only=False)
+        lat, lon = derive_latlon(k)
+        return pa.table({"id": pa.array(k), "x": pa.array(lon),
+                         "y": pa.array(lat)})
+
+    a = _read(sf_dir, "events", ["event_id"]).map_batches(
+        pts, batch_format="pyarrow")
+    b = _read(sf_dir, "events", ["event_id"]).map_batches(
+        pts, batch_format="pyarrow")
+    pairs = point_radius_join(a, b, radius=1.0, cell=8.0,
+                              out_a="doc_a", out_b="doc_b")
+    edges = pairs.map_batches(
+        lambda t: t.filter(pc.invert(pc.equal(t["doc_a"], t["doc_b"]))),
+        batch_format="pyarrow")
+    stars = connected_components(edges)
+
+    def member_rows(t: pa.Table) -> pa.Table:
+        c = t["doc_a"].to_numpy(zero_copy_only=False)
+        m = t["doc_b"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "node": pa.array(np.concatenate([m, c]), pa.int64()),
+            "comp": pa.array(np.concatenate([c, c]), pa.int64())})
+
+    return hash_bucket_scan(
+        stars.map_batches(member_rows, batch_format="pyarrow"), ["node"],
+        lambda t: t.group_by(["node"]).aggregate([("comp", "min")])
+                   .rename_columns(["node", "comp"]),
+        n_rows=_nrows(sf_dir, "events"))
+
+
+def q_spatial_clusters_sql() -> str:
+    lat, lon = latlon_sql("event_id")
+    return (
+        "WITH RECURSIVE "
+        f"p AS (SELECT event_id AS id, {lon} AS x, {lat} AS y "
+        "FROM events), "
+        "e AS (SELECT a.id AS u, b.id AS v FROM p a JOIN p b ON "
+        "a.id <> b.id AND (a.x - b.x) * (a.x - b.x) + "
+        "(a.y - b.y) * (a.y - b.y) <= 1.0), "
+        "nodes AS (SELECT DISTINCT u AS node FROM e), "
+        "walk(node, cur) AS ("
+        "SELECT node, node FROM nodes "
+        "UNION "
+        "SELECT w.node, e.v FROM walk w JOIN e ON e.u = w.cur) "
+        "SELECT node, min(cur) AS comp FROM walk GROUP BY node"
+    )
+
+
 _BM25_TERMS = ("spark", "window", "hash", "vector")
 _BM25_K = 20
 
@@ -5900,6 +5965,7 @@ QUERIES = {
     "stay_points": q_stay_points,
     "shoelace_area": q_shoelace_area,
     "bm25_topk": q_bm25_topk,
+    "spatial_clusters": q_spatial_clusters,
     "local_volume": q_local_volume,
     "big_orders": q_big_orders,
     "returned_revenue": q_returned_revenue,
@@ -6061,6 +6127,7 @@ ORACLE_SQL = {
     "stay_points": q_stay_points_sql(),
     "shoelace_area": q_shoelace_area_sql(),
     "bm25_topk": q_bm25_topk_sql(),
+    "spatial_clusters": q_spatial_clusters_sql(),
     "hamming_topk": q_hamming_topk_sql(),
     "outlier_flags": q_outlier_flags_sql(),
     "shipping_priority": q_shipping_priority_sql(),
