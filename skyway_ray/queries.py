@@ -1492,6 +1492,24 @@ def q_image_features(sf_dir: str):
                           batch_size=512, concurrency=2)
 
 
+def q_image_blur(sf_dir: str):
+    """Blur / sharpness scoring over the image fixture (the
+    blur-filter shape of image curation): actor-pool decode →
+    exact-integer Laplacian variance per image
+    (stages/multimodal.py::ImageBlurScore) — scores are int64
+    num/den pairs, so threshold filters replay identically across
+    partitionings."""
+    import ray.data
+
+    from .fixtures import ensure_images_parquet, scale_for_sf_dir
+    from .stages.multimodal import ImageBlurScore
+
+    images = ensure_images_parquet(scale_for_sf_dir(sf_dir))
+    ds = ray.data.read_parquet(images, columns=["image_id", "bytes", "fmt"])
+    return ds.map_batches(ImageBlurScore, batch_format="pyarrow",
+                          batch_size=512, concurrency=2)
+
+
 def _events_of_type(sf_dir: str, etype: str, min_value: float):
     import pyarrow.compute as pc
 
@@ -6094,6 +6112,7 @@ QUERIES = {
     "phash_dedup": q_phash_dedup,
     "knn_images": q_knn_images,
     "image_features": q_image_features,
+    "image_blur": q_image_blur,
     "image_pyramid": q_image_pyramid,
     "prep_pipeline": q_prep_pipeline,
     "compress_ratio": q_compress_ratio,

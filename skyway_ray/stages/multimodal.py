@@ -170,6 +170,63 @@ class PerceptualHash:
         })
 
 
+def laplacian_sharpness(img: np.ndarray) -> tuple[int, int]:
+    """Exact-integer Laplacian-variance sharpness of one RGB uint8
+    image: integer luma ``(77R + 150G + 29B) >> 8``, 4-neighbour
+    Laplacian ``4c − up − down − left − right`` over interior pixels,
+    then the integer variance numerator ``n·Σl² − (Σl)²`` (den = n²).
+    Blurry images score low (a box blur shrinks ``l`` everywhere);
+    all ops are int64, so the score is platform/partition-exact.
+    Images smaller than 3×3 have no interior → (0, 0)."""
+    r = img[:, :, 0].astype(np.int64)
+    g = img[:, :, 1].astype(np.int64)
+    b = img[:, :, 2].astype(np.int64)
+    y = (77 * r + 150 * g + 29 * b) >> 8
+    if y.shape[0] < 3 or y.shape[1] < 3:
+        return 0, 0
+    c = y[1:-1, 1:-1]
+    lap = (4 * c - y[:-2, 1:-1] - y[2:, 1:-1]
+           - y[1:-1, :-2] - y[1:-1, 2:])
+    n = lap.size
+    s1 = int(lap.sum())
+    s2 = int((lap * lap).sum())
+    return n * s2 - s1 * s1, n
+
+
+class ImageBlurScore:
+    """Decode → exact-integer Laplacian-variance sharpness score (the
+    blur-filter shape of image-data curation: drop images whose score
+    falls below a threshold).  Output (id, lap_var_num, lap_n) with
+    variance = lap_var_num / lap_n² — kept as exact ints so
+    distributed runs are bit-identical and threshold filters are
+    reproducible.
+
+    Usage: ``ds.map_batches(ImageBlurScore, batch_format="pyarrow",
+    batch_size=256, concurrency=N)`` — same small-batch sizing as the
+    other decode stages (pixels live only inside the call)."""
+
+    def __init__(self, bytes_col: str = "bytes", fmt_col: str = "fmt",
+                 id_col: str = "image_id"):
+        self.bytes_col = bytes_col
+        self.fmt_col = fmt_col
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        blobs = batch[self.bytes_col].to_pylist()
+        fmts = batch[self.fmt_col].to_pylist()
+        n = len(blobs)
+        num = np.empty(n, dtype=np.int64)
+        cnt = np.empty(n, dtype=np.int64)
+        for i in range(n):
+            num[i], cnt[i] = laplacian_sharpness(
+                decode_image(blobs[i], fmts[i]))
+        return pa.table({
+            self.id_col: batch[self.id_col],
+            "lap_var_num": pa.array(num, pa.int64()),
+            "lap_n": pa.array(cnt, pa.int64()),
+        })
+
+
 class BinaryStats:
     """Modality-agnostic pass over any binary column: size + crc32 —
     cheap integrity/lineage features that need no codec."""

@@ -33,6 +33,44 @@ class TestMultimodal:
         img = decode_png(out["thumb"].iloc[0])
         assert img.shape == (8, 8, 3)
 
+    def test_blur_score_exact_and_ordering(self):
+        from skyway_ray.functions.image_codec import encode_png
+        from skyway_ray.stages.multimodal import (
+            ImageBlurScore, laplacian_sharpness)
+
+        # hand-computable 3x4 gray image with one lit pixel: the two
+        # interior Laplacians are 4y and -y (y = quantized luma of 10)
+        v = np.array([[0, 0, 0, 0], [0, 10, 0, 0], [0, 0, 0, 0]], np.uint8)
+        img = np.repeat(v[:, :, None], 3, axis=2)
+        num, n = laplacian_sharpness(img)
+        y = (77 * 10 + 150 * 10 + 29 * 10) >> 8
+        assert n == 2
+        assert num == 2 * 17 * y * y - (3 * y) ** 2  # n*s2 - s1^2
+
+        rng = np.random.default_rng(42)
+        sharp = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+        k = np.ones((5, 5)) / 25.0
+        blurred = sharp.astype(np.float64)
+        for c in range(3):
+            from numpy.lib.stride_tricks import sliding_window_view
+
+            w = sliding_window_view(np.pad(sharp[:, :, c], 2, mode="edge"),
+                                    (5, 5))
+            blurred[:, :, c] = (w * k).sum(axis=(2, 3))
+        blurred = blurred.astype(np.uint8)
+        ns, cs = laplacian_sharpness(sharp)
+        nb, cb = laplacian_sharpness(blurred)
+        assert ns / cs**2 > 10 * (nb / cb**2)  # blur collapses the score
+
+        batch = pa.table({
+            "image_id": ["sharp", "blurred"],
+            "bytes": pa.array([encode_png(sharp), encode_png(blurred)],
+                              pa.binary()),
+            "fmt": ["png", "png"]})
+        out = ImageBlurScore()(batch).to_pandas()
+        assert out["lap_var_num"][0] > out["lap_var_num"][1]
+        assert (out["lap_n"] == 30 * 30).all()
+
     def test_binary_stats(self):
         t = make_images(20)
         out = BinaryStats()(t).to_pandas()

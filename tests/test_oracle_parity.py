@@ -105,7 +105,8 @@ def test_sql_parity(name, entries):
 @pytest.mark.parametrize("name", [
     "flagship_tiles", "osmfilter_docs", "exact_dedup_images",
     "minhash_dedup", "simhash", "langid", "fingerprint", "knn_images",
-    "image_features", "hll_users", "pq_ann", "hll_users_by_type",
+    "image_features", "image_blur", "hll_users", "pq_ann",
+    "hll_users_by_type",
     "bpe_merges", "image_pyramid", "prep_pipeline", "compress_ratio",
     "audio_features",
 ])
