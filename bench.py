@@ -184,7 +184,8 @@ def run_bench() -> dict:
                      "phrase_match", "min_cost_supp", "rows_frame_sum",
                      "unigram_logprob", "ks_drift", "global_rank", "gini",
                      "heading_octants", "stay_points", "shoelace_area",
-                     "bm25_topk", "spatial_clusters"):
+                     "bm25_topk", "spatial_clusters", "nearest_center",
+                     "rolling_zscore"):
             best = float("inf")
             attempts = 0
             for _ in range(max(1, repeats)):

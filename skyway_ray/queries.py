@@ -5811,6 +5811,126 @@ def q_shoelace_area_sql() -> str:
     )
 
 
+def q_nearest_center(sf_dir: str):
+    """Broadcast nearest-center assignment (the k-means / IVF assign
+    shape): every event point snaps to its closest nation center by
+    EXACT integer squared distance on microdegree coordinates (no
+    float argmin ties), reduced to per-center (count, Σd²) partials
+    inside each batch and merged on the bounded combiner tree — the
+    25-row center table is closure-captured, points never shuffle."""
+    import pyarrow.parquet as pq
+
+    from .stages.agg_tree import tree_aggregate_to_table
+
+    nat = pq.read_table(os.path.join(sf_dir, "nation.parquet"),
+                        columns=["n_nationkey"]).to_pandas()
+    ck = np.sort(nat["n_nationkey"].to_numpy().astype(np.int64))
+    clat, clon = derive_latlon(ck)
+    cx6 = np.floor(clon * 1e6 + 0.5).astype(np.int64)
+    cy6 = np.floor(clat * 1e6 + 0.5).astype(np.int64)
+
+    def assign(b: pa.Table) -> pa.Table:
+        k = b["event_id"].to_numpy(zero_copy_only=False)
+        lat, lon = derive_latlon(k)
+        x6 = np.floor(lon * 1e6 + 0.5).astype(np.int64)
+        y6 = np.floor(lat * 1e6 + 0.5).astype(np.int64)
+        dx = x6[:, None] - cx6[None, :]
+        dy = y6[:, None] - cy6[None, :]
+        d2 = dx * dx + dy * dy
+        j = np.argmin(d2, axis=1)  # ck sorted asc -> ties take min key
+        t = pa.table({
+            "center": pa.array(ck[j], pa.int64()),
+            "n": pa.array(np.ones(len(k), np.int64)),
+            "sum_d2": pa.array(d2[np.arange(len(k)), j], pa.int64())})
+        return (t.group_by(["center"])
+                 .aggregate([("n", "sum"), ("sum_d2", "sum")])
+                 .rename_columns(["center", "n", "sum_d2"]))
+
+    parts = _read(sf_dir, "events", ["event_id"]).map_batches(
+        assign, batch_format="pyarrow")
+    return tree_aggregate_to_table(
+        parts, ["center"], [("n", "sum"), ("sum_d2", "sum")])
+
+
+def q_nearest_center_sql() -> str:
+    elat, elon = latlon_sql("event_id")
+    nlat, nlon = latlon_sql("CAST(n_nationkey AS BIGINT)")
+    return (
+        f"WITH p AS (SELECT event_id, "
+        f"CAST(floor({elon} * 1000000 + 0.5) AS BIGINT) AS x6, "
+        f"CAST(floor({elat} * 1000000 + 0.5) AS BIGINT) AS y6 "
+        "FROM events), "
+        f"c AS (SELECT n_nationkey AS ck, "
+        f"CAST(floor({nlon} * 1000000 + 0.5) AS BIGINT) AS cx6, "
+        f"CAST(floor({nlat} * 1000000 + 0.5) AS BIGINT) AS cy6 "
+        "FROM nation), "
+        "d AS (SELECT event_id, ck, (x6 - cx6) * (x6 - cx6) + "
+        "(y6 - cy6) * (y6 - cy6) AS d2 FROM p, c), "
+        "a AS (SELECT event_id, ck, d2, row_number() OVER ("
+        "PARTITION BY event_id ORDER BY d2, ck) AS rn FROM d) "
+        "SELECT CAST(ck AS BIGINT) AS center, CAST(count(*) AS BIGINT) "
+        "AS n, CAST(sum(d2) AS BIGINT) AS sum_d2 FROM a WHERE rn = 1 "
+        "GROUP BY ck"
+    )
+
+
+def q_rolling_zscore(sf_dir: str):
+    """Streaming anomaly flags: per user (ordered by ts, event_id), a
+    point is anomalous when its squared z-score against the trailing
+    11-row window (ROWS 10 PRECEDING..CURRENT, incl. itself) exceeds
+    4 and the window holds ≥ 5 rows.  The test
+    ``(v·n − s1)² > 4·(n·s2 − s1²)`` is pure int64 on milli-quantized
+    values — no division, no float variance, so distributed runs are
+    bit-identical.  Rolling sums are one global cumsum per bucket with
+    per-segment window-start clamps (no per-key loop)."""
+    from .stages.scan import keyed_scan
+
+    def prep(b: pa.Table) -> pa.Table:
+        v = b["value"].to_numpy(zero_copy_only=False)
+        return pa.table({"user_id": b["user_id"],
+                         "t": b["ts"].cast(pa.int64()),
+                         "event_id": b["event_id"],
+                         "v": pa.array(np.floor(v * 1e3 + 0.5
+                                                ).astype(np.int64))})
+
+    def fn(d: pd.DataFrame) -> pd.DataFrame:
+        u = d["user_id"].to_numpy()
+        v = d["v"].to_numpy()
+        idx = np.arange(len(d), dtype=np.int64)
+        first = np.r_[True, u[1:] != u[:-1]]
+        seg_start = idx[first][np.cumsum(first) - 1]
+        start = np.maximum(idx - 10, seg_start)
+        c1 = np.concatenate(([0], np.cumsum(v)))
+        c2 = np.concatenate(([0], np.cumsum(v * v)))
+        s1 = c1[idx + 1] - c1[start]
+        s2 = c2[idx + 1] - c2[start]
+        n = idx - start + 1
+        dev = v * n - s1
+        anom = (n >= 5) & (dev * dev > 4 * (n * s2 - s1 * s1))
+        return pd.DataFrame({
+            "event_id": d["event_id"].to_numpy()[anom],
+            "user_id": u[anom]})
+
+    ds = _read(sf_dir, "events",
+               ["event_id", "user_id", "ts", "value"]).map_batches(
+        prep, batch_format="pyarrow")
+    return keyed_scan(ds, key="user_id", order=["t", "event_id"],
+                      fn=fn, n_rows=_nrows(sf_dir, "events"))
+
+
+def q_rolling_zscore_sql() -> str:
+    return (
+        "WITH x AS (SELECT event_id, user_id, epoch_us(ts) AS t, "
+        "CAST(floor(value * 1000 + 0.5) AS BIGINT) AS v FROM events), "
+        "w AS (SELECT event_id, user_id, v, sum(v) OVER win AS s1, "
+        "sum(v * v) OVER win AS s2, count(*) OVER win AS n FROM x "
+        "WINDOW win AS (PARTITION BY user_id ORDER BY t, event_id "
+        "ROWS BETWEEN 10 PRECEDING AND CURRENT ROW)) "
+        "SELECT event_id, user_id FROM w WHERE n >= 5 AND "
+        "(v * n - s1) * (v * n - s1) > 4 * (n * s2 - s1 * s1)"
+    )
+
+
 def q_spatial_clusters(sf_dir: str):
     """ε-radius spatial clustering (the DBSCAN-core shape): event
     points within 1.0 planar degree are linked, clusters are the
@@ -5984,6 +6104,8 @@ QUERIES = {
     "shoelace_area": q_shoelace_area,
     "bm25_topk": q_bm25_topk,
     "spatial_clusters": q_spatial_clusters,
+    "nearest_center": q_nearest_center,
+    "rolling_zscore": q_rolling_zscore,
     "local_volume": q_local_volume,
     "big_orders": q_big_orders,
     "returned_revenue": q_returned_revenue,
@@ -6147,6 +6269,8 @@ ORACLE_SQL = {
     "shoelace_area": q_shoelace_area_sql(),
     "bm25_topk": q_bm25_topk_sql(),
     "spatial_clusters": q_spatial_clusters_sql(),
+    "nearest_center": q_nearest_center_sql(),
+    "rolling_zscore": q_rolling_zscore_sql(),
     "hamming_topk": q_hamming_topk_sql(),
     "outlier_flags": q_outlier_flags_sql(),
     "shipping_priority": q_shipping_priority_sql(),

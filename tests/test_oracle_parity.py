@@ -84,7 +84,7 @@ def test_entry_smoke(ray_session):
     "edit_join", "connected_components", "phrase_match", "min_cost_supp",
     "rows_frame_sum", "unigram_logprob", "ks_drift", "global_rank", "gini",
     "heading_octants", "stay_points", "shoelace_area", "bm25_topk",
-    "spatial_clusters",
+    "spatial_clusters", "nearest_center", "rolling_zscore",
 ])
 def test_sql_parity(name, entries):
     qs, oracles = entries
