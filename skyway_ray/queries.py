@@ -5811,6 +5811,63 @@ def q_shoelace_area_sql() -> str:
     )
 
 
+def q_trend_slopes(sf_dir: str):
+    """Per-user least-squares trend of event value over time, kept as
+    the exact integer pair (slope_num, slope_den) = (n·Σxy − Σx·Σy,
+    n·Σx² − (Σx)²) so the distributed result is bit-identical: x =
+    whole hours since the user's first event (int), y = milli-quantized
+    value.  One keyed_scan pass — the five moment sums are per-segment
+    vectorized reductions; no float ever accumulates."""
+    from .stages.scan import keyed_scan
+
+    def prep(b: pa.Table) -> pa.Table:
+        v = b["value"].to_numpy(zero_copy_only=False)
+        return pa.table({"user_id": b["user_id"],
+                         "t": b["ts"].cast(pa.int64()),
+                         "event_id": b["event_id"],
+                         "y": pa.array(np.floor(v * 1e3 + 0.5
+                                                ).astype(np.int64))})
+
+    def fn(d: pd.DataFrame) -> pd.DataFrame:
+        g = d.groupby("user_id", sort=False)
+        tmin = g["t"].transform("min").to_numpy()
+        x = (d["t"].to_numpy() - tmin) // 3_600_000_000
+        y = d["y"].to_numpy()
+        f = pd.DataFrame({"user_id": d["user_id"].to_numpy(),
+                          "x": x, "y": y, "xy": x * y, "xx": x * x})
+        s = (f.groupby("user_id", sort=False, as_index=False)
+             .agg(n=("x", "size"), sx=("x", "sum"), sy=("y", "sum"),
+                  sxy=("xy", "sum"), sxx=("xx", "sum")))
+        n = s["n"].to_numpy().astype(np.int64)
+        return pd.DataFrame({
+            "user_id": s["user_id"].to_numpy(),
+            "slope_num": n * s["sxy"].to_numpy() -
+            s["sx"].to_numpy() * s["sy"].to_numpy(),
+            "slope_den": n * s["sxx"].to_numpy() -
+            s["sx"].to_numpy() ** 2,
+            "n": n})
+
+    ds = _read(sf_dir, "events",
+               ["event_id", "user_id", "ts", "value"]).map_batches(
+        prep, batch_format="pyarrow")
+    return keyed_scan(ds, key="user_id", order=["t", "event_id"],
+                      fn=fn, n_rows=_nrows(sf_dir, "events"))
+
+
+def q_trend_slopes_sql() -> str:
+    return (
+        "WITH p AS (SELECT user_id, epoch_us(ts) AS t, "
+        "CAST(floor(value * 1000 + 0.5) AS BIGINT) AS y FROM events), "
+        "x AS (SELECT user_id, (t - min(t) OVER (PARTITION BY user_id)) "
+        "// 3600000000 AS x, y FROM p) "
+        "SELECT user_id, CAST(count(*) * sum(x * y) - sum(x) * sum(y) "
+        "AS BIGINT) AS slope_num, "
+        "CAST(count(*) * sum(x * x) - sum(x) * sum(x) AS BIGINT) "
+        "AS slope_den, CAST(count(*) AS BIGINT) AS n "
+        "FROM x GROUP BY user_id"
+    )
+
+
 def q_nearest_center(sf_dir: str):
     """Broadcast nearest-center assignment (the k-means / IVF assign
     shape): every event point snaps to its closest nation center by
@@ -6106,6 +6163,7 @@ QUERIES = {
     "spatial_clusters": q_spatial_clusters,
     "nearest_center": q_nearest_center,
     "rolling_zscore": q_rolling_zscore,
+    "trend_slopes": q_trend_slopes,
     "local_volume": q_local_volume,
     "big_orders": q_big_orders,
     "returned_revenue": q_returned_revenue,
@@ -6271,6 +6329,7 @@ ORACLE_SQL = {
     "spatial_clusters": q_spatial_clusters_sql(),
     "nearest_center": q_nearest_center_sql(),
     "rolling_zscore": q_rolling_zscore_sql(),
+    "trend_slopes": q_trend_slopes_sql(),
     "hamming_topk": q_hamming_topk_sql(),
     "outlier_flags": q_outlier_flags_sql(),
     "shipping_priority": q_shipping_priority_sql(),
