@@ -5811,6 +5811,67 @@ def q_shoelace_area_sql() -> str:
     )
 
 
+_ADAPT_ZMAX = 8
+_ADAPT_CAP = 64
+
+
+def q_adaptive_tiles(sf_dir: str):
+    """Adaptive quadtree tiling: starting from the z=0 web-mercator
+    root, any tile holding more than `_ADAPT_CAP` points splits into
+    its four children, down to z=`_ADAPT_ZMAX` — the
+    density-adaptive variant of the flagship fixed-zoom tiling.  ONE
+    data pass builds per-batch z-max partial counts (pre-aggregated,
+    so the combiner tree ships ≤ |tiles| rows per block over the
+    bounded 4^zmax space); leaf selection is the vectorized
+    ancestor-reachability walk in stages/tiling.py::adaptive_leaves,
+    relying on bit-exact tile nesting (see q_tile_pyramid)."""
+    from .stages.agg_tree import tree_aggregate_to_table
+    from .stages.tiling import adaptive_leaves
+
+    def leaf(b: pa.Table) -> pa.Table:
+        lat, lon = derive_latlon(b["event_id"].to_numpy(
+            zero_copy_only=False))
+        x, y = tile_xy(lat, lon, _ADAPT_ZMAX)
+        t = pa.table({"tile_x": pa.array(x), "tile_y": pa.array(y),
+                      "n": pa.array(np.ones(len(x), np.int64))})
+        return (t.group_by(["tile_x", "tile_y"])
+                 .aggregate([("n", "sum")])
+                 .rename_columns(["tile_x", "tile_y", "n"]))
+
+    parts = _read(sf_dir, "events", ["event_id"]).map_batches(
+        leaf, batch_format="pyarrow")
+    counts = tree_aggregate_to_table(
+        parts, ["tile_x", "tile_y"], [("n", "sum")]).to_pandas()
+    return adaptive_leaves(counts, _ADAPT_ZMAX, _ADAPT_CAP)
+
+
+def q_adaptive_tiles_sql() -> str:
+    lat, lon = latlon_sql("event_id")
+    cap, zmax = _ADAPT_CAP, _ADAPT_ZMAX
+    ctes = [f"p AS (SELECT {lat} AS lat, {lon} AS lon FROM events)"]
+    for z in range(zmax + 1):
+        xe, ye = tile_sql("lat", "lon", z)
+        ctes.append(f"c{z} AS (SELECT {xe} AS x, {ye} AS y, "
+                    "count(*) AS n FROM p GROUP BY 1, 2)")
+    ctes.append("r0 AS (SELECT x, y, n FROM c0)")
+    for z in range(1, zmax + 1):
+        ctes.append(
+            f"r{z} AS (SELECT c.x, c.y, c.n FROM c{z} c "
+            f"JOIN r{z - 1} pa ON pa.x = c.x // 2 AND pa.y = c.y // 2 "
+            f"WHERE pa.n > {cap})")
+    leaves = [f"SELECT {z} AS tile_z, x AS tile_x, y AS tile_y, n "
+              f"FROM r{z} WHERE n <= {cap}" for z in range(zmax)]
+    leaves.append(f"SELECT {zmax} AS tile_z, x AS tile_x, y AS tile_y, "
+                  f"n FROM r{zmax}")
+    return (
+        "WITH " + ", ".join(ctes) + " "
+        "SELECT CAST(tile_z AS BIGINT) AS tile_z, "
+        "CAST(tile_x AS BIGINT) AS tile_x, "
+        "CAST(tile_y AS BIGINT) AS tile_y, CAST(n AS BIGINT) AS n "
+        "FROM (" + " UNION ALL ".join(leaves) + ")"
+    )
+
+
 def q_trend_slopes(sf_dir: str):
     """Per-user least-squares trend of event value over time, kept as
     the exact integer pair (slope_num, slope_den) = (n·Σxy − Σx·Σy,
@@ -6164,6 +6225,7 @@ QUERIES = {
     "nearest_center": q_nearest_center,
     "rolling_zscore": q_rolling_zscore,
     "trend_slopes": q_trend_slopes,
+    "adaptive_tiles": q_adaptive_tiles,
     "local_volume": q_local_volume,
     "big_orders": q_big_orders,
     "returned_revenue": q_returned_revenue,
@@ -6330,6 +6392,7 @@ ORACLE_SQL = {
     "nearest_center": q_nearest_center_sql(),
     "rolling_zscore": q_rolling_zscore_sql(),
     "trend_slopes": q_trend_slopes_sql(),
+    "adaptive_tiles": q_adaptive_tiles_sql(),
     "hamming_topk": q_hamming_topk_sql(),
     "outlier_flags": q_outlier_flags_sql(),
     "shipping_priority": q_shipping_priority_sql(),

@@ -122,3 +122,66 @@ def tile_stats(ds, z: int = 12, lat_col: str = "lat", lon_col: str = "lon",
     out = tree_aggregate_to_table(tiled, keys, [("n", "sum")])
     out = out.rename_columns(keys + ["n_images"])
     return ray.data.from_arrow(out)
+
+
+def adaptive_leaves(leaf_counts, zmax: int, cap: int):
+    """Adaptive quadtree leaf selection from the z=``zmax`` tile-count
+    table: starting at the z=0 root, any tile with more than ``cap``
+    points splits into its four children, down to ``zmax``.  Returns
+    the leaf tiles (tile_z, tile_x, tile_y, n) — tiles actually
+    REACHED by subdivision whose count ≤ cap (or z = zmax).
+
+    Driver-side and vectorized on purpose: the z≤zmax pyramid is
+    bounded by 4**zmax + |leaf tiles| rows (65k + leaves at zmax=8),
+    the same bounded-tile-space justification as ``tile_stats``;
+    ancestor counts come from bit-shifting the leaf table (web-mercator
+    tiles nest bit-exactly — see q_tile_pyramid).  For zmax beyond
+    ~12, swap the rollup for a (z, x, y) hash exchange and the
+    reachability walk for per-level semi-joins.
+    """
+    import pandas as pd
+
+    x8 = leaf_counts["tile_x"].to_numpy().astype(np.int64)
+    y8 = leaf_counts["tile_y"].to_numpy().astype(np.int64)
+    n8 = leaf_counts["n"].to_numpy().astype(np.int64)
+
+    # counts per level, keyed x*2^z + y (x, y < 2^z so the key is
+    # injective); built once from the leaf table by shifting
+    lvl: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+    for z in range(zmax + 1):
+        s = zmax - z
+        key = (x8 >> s) * (np.int64(1) << z) + (y8 >> s)
+        uk, inv = np.unique(key, return_inverse=True)
+        cnt = np.zeros(len(uk), np.int64)
+        np.add.at(cnt, inv, n8)
+        lvl[z] = (uk, cnt)
+
+    out_z, out_x, out_y, out_n = [], [], [], []
+    # reached keys at level z (sorted); root always reached
+    reached = lvl[0][0]
+    for z in range(zmax + 1):
+        uk, cnt = lvl[z]
+        if len(reached) == 0:
+            break
+        pos = np.searchsorted(reached, uk)
+        pos = np.clip(pos, 0, len(reached) - 1)
+        is_reached = reached[pos] == uk
+        leaf = is_reached & ((cnt <= cap) | (z == zmax))
+        out_z.append(np.full(int(leaf.sum()), z, np.int64))
+        out_x.append(uk[leaf] // (np.int64(1) << z))
+        out_y.append(uk[leaf] % (np.int64(1) << z))
+        out_n.append(cnt[leaf])
+        if z < zmax:
+            split = is_reached & (cnt > cap)
+            pk = uk[split]
+            px, py = pk // (np.int64(1) << z), pk % (np.int64(1) << z)
+            # all four children of every split tile
+            cx = np.repeat(px * 2, 4) + np.tile([0, 0, 1, 1], len(pk))
+            cy = np.repeat(py * 2, 4) + np.tile([0, 1, 0, 1], len(pk))
+            reached = np.sort(cx * (np.int64(1) << (z + 1)) + cy)
+
+    return pd.DataFrame({
+        "tile_z": np.concatenate(out_z),
+        "tile_x": np.concatenate(out_x),
+        "tile_y": np.concatenate(out_y),
+        "n": np.concatenate(out_n)})
