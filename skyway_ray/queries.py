@@ -1510,6 +1510,43 @@ def q_image_blur(sf_dir: str):
                           batch_size=512, concurrency=2)
 
 
+def q_image_patches(sf_dir: str):
+    """ViT-style patch extraction over the image fixture: actor-pool
+    decode → non-overlapping 16×16 RGB patch rows with exact-int mean
+    luma (stages/multimodal.py::ImagePatchify).  Returned as the
+    per-image patch-count + luma-sum manifest so the driver check
+    stays blob-free; the patch rows themselves are the stage's real
+    output (write_parquet partitioned by shard downstream)."""
+    import ray.data
+
+    from .fixtures import ensure_images_parquet, scale_for_sf_dir
+    from .stages.multimodal import ImagePatchify
+
+    images = ensure_images_parquet(scale_for_sf_dir(sf_dir))
+    ds = ray.data.read_parquet(images, columns=["image_id", "bytes", "fmt"])
+    patches = ds.map_batches(ImagePatchify, batch_format="pyarrow",
+                             batch_size=128, concurrency=2)
+
+    def manifest(b: pa.Table) -> pa.Table:
+        t = pa.table({"image_id": b["image_id"],
+                      "n_patches": pa.array(
+                          np.ones(b.num_rows, np.int64)),
+                      "luma_sum": b["mean_luma"]})
+        return (t.group_by(["image_id"])
+                 .aggregate([("n_patches", "sum"), ("luma_sum", "sum")])
+                 .rename_columns(["image_id", "n_patches", "luma_sum"]))
+
+    from .stages.scan import hash_bucket_scan
+
+    return hash_bucket_scan(
+        patches.map_batches(manifest, batch_format="pyarrow"),
+        ["image_id"],
+        lambda t: t.group_by(["image_id"]).aggregate(
+            [("n_patches", "sum"), ("luma_sum", "sum")])
+        .rename_columns(["image_id", "n_patches", "luma_sum"]),
+        n_rows=4096)
+
+
 def _events_of_type(sf_dir: str, etype: str, min_value: float):
     import pyarrow.compute as pc
 
@@ -6355,6 +6392,7 @@ QUERIES = {
     "knn_images": q_knn_images,
     "image_features": q_image_features,
     "image_blur": q_image_blur,
+    "image_patches": q_image_patches,
     "image_pyramid": q_image_pyramid,
     "prep_pipeline": q_prep_pipeline,
     "compress_ratio": q_compress_ratio,

@@ -71,6 +71,38 @@ class TestMultimodal:
         assert out["lap_var_num"][0] > out["lap_var_num"][1]
         assert (out["lap_n"] == 30 * 30).all()
 
+    def test_patchify_reassembles_bit_exact(self):
+        from skyway_ray.functions.image_codec import encode_png
+        from skyway_ray.stages.multimodal import ImagePatchify
+
+        rng = np.random.default_rng(7)
+        img = rng.integers(0, 256, (48, 48, 3), dtype=np.uint8)
+        batch = pa.table({"image_id": ["a"],
+                          "bytes": pa.array([encode_png(img)], pa.binary()),
+                          "fmt": ["png"]})
+        out = ImagePatchify(patch=16)(batch).to_pandas()
+        assert len(out) == 9  # (48//16)^2
+        back = np.zeros_like(img)
+        for _, r in out.iterrows():
+            patch = np.frombuffer(r["patch"], np.uint8).reshape(16, 16, 3)
+            back[r["patch_y"] * 16:(r["patch_y"] + 1) * 16,
+                 r["patch_x"] * 16:(r["patch_x"] + 1) * 16] = patch
+        assert (back == img).all()
+        # exact-int mean luma: verify one patch by hand
+        r0 = out[(out["patch_y"] == 1) & (out["patch_x"] == 2)].iloc[0]
+        sub = img[16:32, 32:48].astype(np.int64)
+        luma = (77 * sub[:, :, 0] + 150 * sub[:, :, 1]
+                + 29 * sub[:, :, 2]) >> 8
+        assert r0["mean_luma"] == int(luma.sum()) // 256
+
+        # non-divisible image keeps only full patches
+        img2 = rng.integers(0, 256, (40, 24, 3), dtype=np.uint8)
+        b2 = pa.table({"image_id": ["b"],
+                       "bytes": pa.array([encode_png(img2)], pa.binary()),
+                       "fmt": ["png"]})
+        out2 = ImagePatchify(patch=16)(b2).to_pandas()
+        assert len(out2) == 2  # 40//16=2 rows, 24//16=1 col
+
     def test_binary_stats(self):
         t = make_images(20)
         out = BinaryStats()(t).to_pandas()

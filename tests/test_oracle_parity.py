@@ -106,7 +106,7 @@ def test_sql_parity(name, entries):
 @pytest.mark.parametrize("name", [
     "flagship_tiles", "osmfilter_docs", "exact_dedup_images",
     "minhash_dedup", "simhash", "langid", "fingerprint", "knn_images",
-    "image_features", "image_blur", "hll_users", "pq_ann",
+    "image_features", "image_blur", "image_patches", "hll_users", "pq_ann",
     "hll_users_by_type",
     "bpe_merges", "image_pyramid", "prep_pipeline", "compress_ratio",
     "audio_features",
