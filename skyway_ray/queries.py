@@ -6263,6 +6263,15 @@ QUERIES = {
     "rolling_zscore": q_rolling_zscore,
     "trend_slopes": q_trend_slopes,
     "adaptive_tiles": q_adaptive_tiles,
+    # -- the eight entries VERDICT.md r3 named for the r4 record --
+    "setsim_pairs": q_setsim_pairs,
+    "minhash_exact": q_minhash_exact,
+    "pagerank": q_pagerank,
+    "kmeans": q_kmeans,
+    "mad": q_mad,
+    "equidepth_hist": q_equidepth_hist,
+    "scd_intervals": q_scd_intervals,
+    "ratio_to_report": q_ratio_to_report,
     "local_volume": q_local_volume,
     "big_orders": q_big_orders,
     "returned_revenue": q_returned_revenue,
@@ -6301,14 +6310,6 @@ QUERIES = {
     "user_window": q_user_window,
     "dense_rank": q_dense_rank,
     "corr_flags": q_corr_flags,
-    "setsim_pairs": q_setsim_pairs,
-    "minhash_exact": q_minhash_exact,
-    "pagerank": q_pagerank,
-    "kmeans": q_kmeans,
-    "mad": q_mad,
-    "equidepth_hist": q_equidepth_hist,
-    "scd_intervals": q_scd_intervals,
-    "ratio_to_report": q_ratio_to_report,
     "box_join": q_box_join,
     "radius_join": q_radius_join,
     "group_concat": q_group_concat,
