@@ -34,25 +34,34 @@ SMALL_GRAPH_LIMIT = 5_000_000
 
 
 def _label_propagate(a: np.ndarray, b: np.ndarray) -> pa.Table:
-    """Vectorized union-find: min-label propagation with pointer
-    jumping until fixpoint.  O((E+V) log V) array ops, no Python loop
-    over edges."""
+    """Vectorized Shiloach-Vishkin union-find: alternate min-root
+    hooking over all edges with FULL pointer-jumping compression.
+    After compression every node points at its root, so hooking merges
+    component ROOTS (not one graph hop) — adjacent components pair off
+    every round and the round count is O(log V) regardless of graph
+    diameter (naive one-hop min propagation needed ~2,000 rounds on
+    the world-spanning sf0.1 ε-radius lattice; this takes ~17).
+    Roots only ever decrease, so the final root is the component-min
+    node id."""
     nodes, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
     ia, ib = inv[:len(a)], inv[len(a):]
-    label = np.arange(len(nodes), dtype=np.int64)
+    parent = np.arange(len(nodes), dtype=np.int64)
     while True:
-        before = label
-        la = np.minimum(label[ia], label[ib])
-        nxt = label.copy()
-        np.minimum.at(nxt, ia, la)
-        np.minimum.at(nxt, ib, la)
-        nxt = nxt[nxt]  # pointer jumping halves chain depth
-        if np.array_equal(nxt, before):
+        pu, pv = parent[ia], parent[ib]
+        diff = pu != pv
+        if not diff.any():
             break
-        label = nxt
-    member = np.flatnonzero(label != np.arange(len(nodes)))
+        hi = np.maximum(pu[diff], pv[diff])
+        lo = np.minimum(pu[diff], pv[diff])
+        np.minimum.at(parent, hi, lo)
+        while True:  # full path compression (log-depth)
+            p2 = parent[parent]
+            if np.array_equal(p2, parent):
+                break
+            parent = p2
+    member = np.flatnonzero(parent != np.arange(len(nodes)))
     return pa.table({
-        "doc_a": nodes[label[member]].astype(np.int64),
+        "doc_a": nodes[parent[member]].astype(np.int64),
         "doc_b": nodes[member].astype(np.int64),
     })
 
