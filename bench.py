@@ -185,7 +185,8 @@ def run_bench() -> dict:
                      "unigram_logprob", "ks_drift", "global_rank", "gini",
                      "heading_octants", "stay_points", "shoelace_area",
                      "bm25_topk", "spatial_clusters", "nearest_center",
-                     "rolling_zscore", "trend_slopes", "adaptive_tiles"):
+                     "rolling_zscore", "trend_slopes", "adaptive_tiles",
+                     "power_iteration"):
             best = float("inf")
             attempts = 0
             for _ in range(max(1, repeats)):

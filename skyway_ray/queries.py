@@ -5848,6 +5848,69 @@ def q_shoelace_area_sql() -> str:
     )
 
 
+def q_power_iteration(sf_dir: str):
+    """Distributed PCA power iteration (top principal direction of the
+    embedding table): ONE streaming pass computes the exact-int Gram
+    matrix XᵀX from milli-quantized vectors (per-batch 64×64 int64
+    partials → bounded combiner tree — vectors never shuffle, driver
+    state is d²), then 3 driver-side iterations whose only division is
+    the kmeans-style pinned-double normalization
+    ``floor(double(w)·1000 / double(max|w|))`` — bit-identical to the
+    unrolled SQL oracle.  Milli (not micro) quantization keeps
+    G·v ≲ 3e15 inside both int64 and the 2^53 double-exact range;
+    rescale per magnitude at larger n."""
+    from .stages.agg_tree import tree_aggregate_to_table
+
+    def gram(b: pa.Table) -> pa.Table:
+        arr = b["embedding"].combine_chunks()
+        flat = arr.flatten().to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        offs = np.asarray(arr.offsets)
+        d = int(offs[1] - offs[0]) if len(offs) > 1 else 0
+        x = np.floor(flat * 1e3 + 0.5).astype(np.int64).reshape(-1, d)
+        g = x.T @ x
+        i, j = np.divmod(np.arange(d * d, dtype=np.int64), d)
+        return pa.table({"i": pa.array(i), "j": pa.array(j),
+                         "g": pa.array(g.reshape(-1))})
+
+    parts = _read(sf_dir, "embeddings", ["embedding"]).map_batches(
+        gram, batch_format="pyarrow")
+    gt = tree_aggregate_to_table(parts, ["i", "j"], [("g", "sum")]
+                                 ).to_pandas()
+    d = int(gt["i"].max()) + 1
+    G = np.zeros((d, d), np.int64)
+    G[gt["i"].to_numpy(), gt["j"].to_numpy()] = gt["g"].to_numpy()
+    v = np.full(d, 1000, np.int64)
+    for _ in range(3):
+        w = G @ v
+        s = float(np.max(np.abs(w)))
+        v = np.floor(w.astype(np.float64) * 1000.0 / s).astype(np.int64)
+    return pd.DataFrame({"dim": np.arange(d, dtype=np.int64), "val": v})
+
+
+def q_power_iteration_sql() -> str:
+    ctes = [
+        "v AS (SELECT vec_id, i - 1 AS dim, "
+        "CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000 + 0.5) AS BIGINT) "
+        "AS x FROM embeddings, UNNEST(range(1, len(embedding) + 1)) t(i))",
+        "g AS (SELECT a.dim AS i, b.dim AS j, CAST(sum(a.x * b.x) "
+        "AS BIGINT) AS g FROM v a JOIN v b ON a.vec_id = b.vec_id "
+        "GROUP BY 1, 2)",
+        "v0 AS (SELECT DISTINCT dim, CAST(1000 AS BIGINT) AS val FROM v)",
+    ]
+    for it in range(1, 4):
+        ctes.append(
+            f"w{it} AS (SELECT g.i AS dim, CAST(sum(g.g * v{it - 1}.val) "
+            f"AS BIGINT) AS w FROM g JOIN v{it - 1} ON "
+            f"v{it - 1}.dim = g.j GROUP BY 1)")
+        ctes.append(
+            f"v{it} AS (SELECT dim, CAST(floor(CAST(w AS DOUBLE) * 1000.0 "
+            f"/ (SELECT CAST(max(abs(w)) AS DOUBLE) FROM w{it})) "
+            f"AS BIGINT) AS val FROM w{it})")
+    return ("WITH " + ", ".join(ctes) +
+            " SELECT dim, val FROM v3")
+
+
 _ADAPT_ZMAX = 8
 _ADAPT_CAP = 64
 
@@ -6263,6 +6326,7 @@ QUERIES = {
     "rolling_zscore": q_rolling_zscore,
     "trend_slopes": q_trend_slopes,
     "adaptive_tiles": q_adaptive_tiles,
+    "power_iteration": q_power_iteration,
     # -- the eight entries VERDICT.md r3 named for the r4 record --
     "setsim_pairs": q_setsim_pairs,
     "minhash_exact": q_minhash_exact,
@@ -6432,6 +6496,7 @@ ORACLE_SQL = {
     "rolling_zscore": q_rolling_zscore_sql(),
     "trend_slopes": q_trend_slopes_sql(),
     "adaptive_tiles": q_adaptive_tiles_sql(),
+    "power_iteration": q_power_iteration_sql(),
     "hamming_topk": q_hamming_topk_sql(),
     "outlier_flags": q_outlier_flags_sql(),
     "shipping_priority": q_shipping_priority_sql(),
