@@ -5848,6 +5848,43 @@ def q_shoelace_area_sql() -> str:
     )
 
 
+_GROUP_SAMPLE_K = 50
+
+
+def q_group_sample(sf_dir: str):
+    """Deterministic per-domain cap (the "≤ K documents per source"
+    rebalancing step of LLM corpus curation): within each source keep
+    the K docs with the smallest multiply-shift hash of doc_id — a
+    seedless, replayable uniform sample that needs no RNG state.  The
+    engine shape is grouped_top_k's per-batch pre-reduce (≤ K rows per
+    (source, batch) survive locally), so the shuffle moves ≤ K·blocks
+    rows per source, never the corpus."""
+    from .stages.topk import grouped_top_k
+
+    def prio(b: pa.Table) -> pa.Table:
+        i = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = (i * 2654435761 + 99991) % 4294967296
+        return pa.table({"doc_id": b["doc_id"], "source": b["source"],
+                         "h": pa.array(h, pa.int64())})
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source"]).map_batches(
+        prio, batch_format="pyarrow")
+    out = grouped_top_k(ds, "source", "h", _GROUP_SAMPLE_K,
+                        descending=False, tiebreak_col="doc_id")
+    return out.select_columns(["doc_id", "source"])
+
+
+def q_group_sample_sql() -> str:
+    return (
+        "WITH h AS (SELECT doc_id, source, "
+        "(doc_id * 2654435761 + 99991) % 4294967296 AS h "
+        "FROM documents), "
+        "r AS (SELECT doc_id, source, row_number() OVER ("
+        "PARTITION BY source ORDER BY h, doc_id) AS rn FROM h) "
+        f"SELECT doc_id, source FROM r WHERE rn <= {_GROUP_SAMPLE_K}"
+    )
+
+
 def q_power_iteration(sf_dir: str):
     """Distributed PCA power iteration (top principal direction of the
     embedding table): ONE streaming pass computes the exact-int Gram
@@ -6327,6 +6364,7 @@ QUERIES = {
     "trend_slopes": q_trend_slopes,
     "adaptive_tiles": q_adaptive_tiles,
     "power_iteration": q_power_iteration,
+    "group_sample": q_group_sample,
     # -- the eight entries VERDICT.md r3 named for the r4 record --
     "setsim_pairs": q_setsim_pairs,
     "minhash_exact": q_minhash_exact,
@@ -6497,6 +6535,7 @@ ORACLE_SQL = {
     "trend_slopes": q_trend_slopes_sql(),
     "adaptive_tiles": q_adaptive_tiles_sql(),
     "power_iteration": q_power_iteration_sql(),
+    "group_sample": q_group_sample_sql(),
     "hamming_topk": q_hamming_topk_sql(),
     "outlier_flags": q_outlier_flags_sql(),
     "shipping_priority": q_shipping_priority_sql(),

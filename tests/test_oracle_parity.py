@@ -85,7 +85,7 @@ def test_entry_smoke(ray_session):
     "rows_frame_sum", "unigram_logprob", "ks_drift", "global_rank", "gini",
     "heading_octants", "stay_points", "shoelace_area", "bm25_topk",
     "spatial_clusters", "nearest_center", "rolling_zscore",
-    "trend_slopes", "adaptive_tiles", "power_iteration",
+    "trend_slopes", "adaptive_tiles", "power_iteration", "group_sample",
 ])
 def test_sql_parity(name, entries):
     qs, oracles = entries
