@@ -17,7 +17,16 @@ import pyarrow.parquet as pq
 import pytest
 
 NAMES = ["pct_rank", "retention", "doc_stats", "type_entropy",
-         "gap_fill", "triangles", "char_jaccard"]
+         "gap_fill", "triangles", "char_jaccard",
+         # late-round-4 block (same events/documents-only oracles);
+         # edge cases: single-event users (empty trajectory step /
+         # 1-point shoelace ring / slope_den = 0), duplicate
+         # timestamps (event_id tiebreak), an unsplit quadtree root,
+         # a planted ε-pair for clustering, docs with zero BM25 query
+         # terms
+         "heading_octants", "stay_points", "shoelace_area",
+         "rolling_zscore", "trend_slopes", "adaptive_tiles", "gini",
+         "bm25_topk", "group_sample", "spatial_clusters"]
 
 
 @pytest.fixture(scope="module")
@@ -45,6 +54,21 @@ def edge_dir(tmp_path_factory):
     rows.append((803, base + dt.timedelta(hours=6), 2, "tie", 1.0))   # dup 2-3
     rows.append((403, base + dt.timedelta(hours=7), 1, "tie", 1.0))   # 1-3
     rows.append((402, base + dt.timedelta(hours=8), 1, "tie", 1.0))   # 1-2 → triangle 1-2-3
+    # user 9: every event_id ≡ 9 ≡ user_id (mod 400) → only self-loop
+    # graph edges (dropped; the planted triangle stays unique).
+    # (409, 1448009) derive to points ~0.63° apart → one ε=1.0
+    # cluster pair for spatial_clusters; the three 'purchase' rows
+    # feed gini (incl. a 0.0 value)
+    rows.append((409, base + dt.timedelta(hours=9), 9, "geo", 1.0))
+    rows.append((1448009, base + dt.timedelta(hours=10), 9, "geo", 1.0))
+    rows.append((2009, base + dt.timedelta(hours=11), 9, "purchase", 2.5))
+    rows.append((2409, base + dt.timedelta(hours=12), 9, "purchase", 0.0))
+    rows.append((2809, base + dt.timedelta(hours=13), 9, "purchase", 7.25))
+    # 6th user-9 event: a 50.0 spike so rolling_zscore flags ≥ 1 row
+    # (an ALL-empty Ray result loses its schema to pass-through empty
+    # blocks — real runs at sf≥0.01 are never empty, but the edge
+    # fixture must not be either)
+    rows.append((3209, base + dt.timedelta(hours=14), 9, "geo", 50.0))
     ev = pa.table({
         "event_id": pa.array([r[0] for r in rows], pa.int64()),
         "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
@@ -62,6 +86,7 @@ def edge_dir(tmp_path_factory):
         (3, "!!! ??? ..."),      # no [a-z0-9] words → doc_stats drops it
         (4, "ab"),               # shorter than a trigram → no char grams
         (7, "zz yy xx ww"),      # id gap: pairs (4,5)/(5,6)/(6,7) absent
+        (8, "spark window hash vector spark window"),  # BM25 query hits
     ]
     dt_tab = pa.table({
         "doc_id": pa.array([r[0] for r in docs], pa.int64()),
