@@ -186,7 +186,8 @@ def run_bench() -> dict:
                      "heading_octants", "stay_points", "shoelace_area",
                      "bm25_topk", "spatial_clusters", "nearest_center",
                      "rolling_zscore", "trend_slopes", "adaptive_tiles",
-                     "power_iteration", "group_sample"):
+                     "power_iteration", "group_sample", "mom_revenue",
+                     "label_scatter"):
             best = float("inf")
             attempts = 0
             for _ in range(max(1, repeats)):

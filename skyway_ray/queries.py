@@ -5848,6 +5848,134 @@ def q_shoelace_area_sql() -> str:
     )
 
 
+def q_label_scatter(sf_dir: str):
+    """Per-label cluster tightness over the embedding table (the
+    intra-class scatter used for embedding-quality audits): pass 1
+    streams per-batch (label, dim) integer sums over milli-quantized
+    vectors into the bounded combiner tree, centroids divide ONCE in
+    pinned doubles (the kmeans recipe), pass 2 broadcasts the tiny
+    centroid matrix in the task closure and integer-sums each vector's
+    exact squared distance to its own-label centroid.  Milli (not
+    micro) quantization keeps the sf0.1 scatter sums inside int64."""
+    from .stages.agg_tree import tree_aggregate_to_table
+
+    def _milli(b: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+        arr = b["embedding"].combine_chunks()
+        flat = arr.flatten().to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        offs = np.asarray(arr.offsets)
+        d = int(offs[1] - offs[0]) if len(offs) > 1 else 0
+        x = np.floor(flat * 1e3 + 0.5).astype(np.int64).reshape(-1, d)
+        lab = b["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return lab, x
+
+    def sums(b: pa.Table) -> pa.Table:
+        lab, x = _milli(b)
+        u, inv = np.unique(lab, return_inverse=True)
+        d = x.shape[1]
+        s = np.zeros((len(u), d), np.int64)
+        np.add.at(s, inv, x)
+        cnt = np.bincount(inv, minlength=len(u)).astype(np.int64)
+        return pa.table({
+            "label": pa.array(np.repeat(u, d)),
+            "dim": pa.array(np.tile(np.arange(d, dtype=np.int64),
+                                    len(u))),
+            "sx": pa.array(s.reshape(-1)),
+            "n": pa.array(np.repeat(cnt, d))})
+
+    read = lambda: _read(sf_dir, "embeddings", ["embedding", "label"])
+    st = tree_aggregate_to_table(
+        read().map_batches(sums, batch_format="pyarrow"),
+        ["label", "dim"], [("sx", "sum"), ("n", "sum")]).to_pandas()
+    st = st.sort_values(["label", "dim"], kind="mergesort")
+    labels = st["label"].to_numpy()[::st["dim"].max() + 1]
+    d = int(st["dim"].max()) + 1
+    cent = np.floor(st["sx"].to_numpy().astype(np.float64)
+                    / st["n"].to_numpy().astype(np.float64)
+                    ).astype(np.int64).reshape(len(labels), d)
+
+    def scatter(b: pa.Table) -> pa.Table:
+        lab, x = _milli(b)
+        idx = np.searchsorted(labels, lab)  # labels sorted ascending
+        diff = x - cent[idx]
+        sq = np.sum(diff * diff, axis=1)
+        t = pa.table({"label": pa.array(lab),
+                      "n_vecs": pa.array(np.ones(len(lab), np.int64)),
+                      "ssd": pa.array(sq)})
+        return (t.group_by(["label"])
+                 .aggregate([("n_vecs", "sum"), ("ssd", "sum")])
+                 .rename_columns(["label", "n_vecs", "ssd"]))
+
+    return tree_aggregate_to_table(
+        read().map_batches(scatter, batch_format="pyarrow"),
+        ["label"], [("n_vecs", "sum"), ("ssd", "sum")])
+
+
+def q_label_scatter_sql() -> str:
+    return (
+        "WITH v AS (SELECT vec_id, label, i - 1 AS dim, "
+        "CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000 + 0.5) AS BIGINT) "
+        "AS x FROM embeddings, UNNEST(range(1, len(embedding) + 1)) t(i)), "
+        "c AS (SELECT label, dim, CAST(floor(CAST(sum(x) AS DOUBLE) / "
+        "CAST(count(*) AS DOUBLE)) AS BIGINT) AS c FROM v "
+        "GROUP BY 1, 2), "
+        "d AS (SELECT v.vec_id, v.label, (v.x - c.c) * (v.x - c.c) AS sq "
+        "FROM v JOIN c ON c.label = v.label AND c.dim = v.dim) "
+        "SELECT CAST(label AS BIGINT) AS label, "
+        "CAST(count(*) / (SELECT max(dim) + 1 FROM c) AS BIGINT) "
+        "AS n_vecs, CAST(sum(sq) AS BIGINT) AS ssd FROM d GROUP BY label"
+    )
+
+
+def q_mom_revenue(sf_dir: str):
+    """Month-over-month revenue deltas (the period-over-period
+    reporting shape): one streaming pass pre-aggregates cent-quantized
+    order totals per calendar month inside each batch, the bounded
+    month space merges on the combiner tree, and the lag delta is a
+    vectorized driver-side pass over the (tiny) month series —
+    no shuffle anywhere."""
+    from .stages.agg_tree import tree_aggregate_to_table
+
+    def partial(b: pd.DataFrame) -> pa.Table:
+        ym = (b["o_orderdate"].dt.year * 100
+              + b["o_orderdate"].dt.month).to_numpy().astype(np.int64)
+        cents = np.floor(b["o_totalprice"].to_numpy() * 100 + 0.5
+                         ).astype(np.int64)
+        t = pa.table({"ym": pa.array(ym), "rev_cents": pa.array(cents),
+                      "n_orders": pa.array(np.ones(len(b), np.int64))})
+        return (t.group_by(["ym"])
+                 .aggregate([("rev_cents", "sum"), ("n_orders", "sum")])
+                 .rename_columns(["ym", "rev_cents", "n_orders"]))
+
+    parts = _read(sf_dir, "orders",
+                  ["o_orderdate", "o_totalprice"]).map_batches(
+        partial, batch_format="pandas")
+    m = tree_aggregate_to_table(
+        parts, ["ym"], [("rev_cents", "sum"), ("n_orders", "sum")]
+    ).to_pandas().sort_values("ym", kind="mergesort").reset_index(
+        drop=True)
+    rev = m["rev_cents"].to_numpy().astype(np.int64)
+    delta = np.zeros(len(m), np.int64)
+    delta[1:] = rev[1:] - rev[:-1]
+    m["delta_cents"] = delta
+    m["ym"] = m["ym"].astype(np.int64)
+    m["n_orders"] = m["n_orders"].astype(np.int64)
+    return m
+
+
+def q_mom_revenue_sql() -> str:
+    return (
+        "WITH m AS (SELECT CAST(year(o_orderdate) * 100 + "
+        "month(o_orderdate) AS BIGINT) AS ym, "
+        "CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) "
+        "AS BIGINT) AS rev_cents, CAST(count(*) AS BIGINT) AS n_orders "
+        "FROM orders GROUP BY 1) "
+        "SELECT ym, rev_cents, n_orders, "
+        "CAST(COALESCE(rev_cents - lag(rev_cents) OVER (ORDER BY ym), 0) "
+        "AS BIGINT) AS delta_cents FROM m"
+    )
+
+
 _GROUP_SAMPLE_K = 50
 
 
@@ -6365,6 +6493,8 @@ QUERIES = {
     "adaptive_tiles": q_adaptive_tiles,
     "power_iteration": q_power_iteration,
     "group_sample": q_group_sample,
+    "mom_revenue": q_mom_revenue,
+    "label_scatter": q_label_scatter,
     # -- the eight entries VERDICT.md r3 named for the r4 record --
     "setsim_pairs": q_setsim_pairs,
     "minhash_exact": q_minhash_exact,
@@ -6536,6 +6666,8 @@ ORACLE_SQL = {
     "adaptive_tiles": q_adaptive_tiles_sql(),
     "power_iteration": q_power_iteration_sql(),
     "group_sample": q_group_sample_sql(),
+    "mom_revenue": q_mom_revenue_sql(),
+    "label_scatter": q_label_scatter_sql(),
     "hamming_topk": q_hamming_topk_sql(),
     "outlier_flags": q_outlier_flags_sql(),
     "shipping_priority": q_shipping_priority_sql(),

@@ -86,6 +86,7 @@ def test_entry_smoke(ray_session):
     "heading_octants", "stay_points", "shoelace_area", "bm25_topk",
     "spatial_clusters", "nearest_center", "rolling_zscore",
     "trend_slopes", "adaptive_tiles", "power_iteration", "group_sample",
+    "mom_revenue", "label_scatter",
 ])
 def test_sql_parity(name, entries):
     qs, oracles = entries
