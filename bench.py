@@ -187,7 +187,8 @@ def run_bench() -> dict:
                      "bm25_topk", "spatial_clusters", "nearest_center",
                      "rolling_zscore", "trend_slopes", "adaptive_tiles",
                      "power_iteration", "group_sample", "mom_revenue",
-                     "label_scatter"):
+                     "label_scatter", "od_matrix", "cum_new_users",
+                     "kring_smooth"):
             best = float("inf")
             attempts = 0
             for _ in range(max(1, repeats)):

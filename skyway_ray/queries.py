@@ -5976,6 +5976,171 @@ def q_mom_revenue_sql() -> str:
     )
 
 
+def q_od_matrix(sf_dir: str):
+    """Origin–destination trip matrix (mobility-analytics staple):
+    each user's events split into calendar-day trips via the coarse
+    keyed_scan (ordered by ts, event_id; a user's rows never straddle
+    buckets so day runs are bucket-local), the day's first and last
+    positions map to a 15° grid cell, and the bounded (origin, dest)
+    cell-pair space merges on the combiner tree — per-bucket partials
+    only, no all-to-all exchange anywhere."""
+    from .stages.agg_tree import tree_aggregate_to_table
+    from .stages.scan import keyed_scan
+
+    def prep(b: pa.Table) -> pa.Table:
+        lat, lon = derive_latlon(b["event_id"].to_numpy(
+            zero_copy_only=False))
+        cx = np.floor((lon + 180.0) / 15.0).astype(np.int64)
+        cy = np.floor((lat + 60.0) / 15.0).astype(np.int64)
+        return pa.table({"user_id": b["user_id"],
+                         "t": b["ts"].cast(pa.int64()),
+                         "event_id": b["event_id"],
+                         "cx": pa.array(cx), "cy": pa.array(cy)})
+
+    def fn(d: pd.DataFrame) -> pd.DataFrame:
+        u = d["user_id"].to_numpy()
+        day = d["t"].to_numpy() // 86_400_000_000
+        first = np.r_[True, (u[1:] != u[:-1]) | (day[1:] != day[:-1])]
+        last = np.r_[first[1:], True]
+        cx = d["cx"].to_numpy()
+        cy = d["cy"].to_numpy()
+        g = (pd.DataFrame({"o_cx": cx[first], "o_cy": cy[first],
+                           "d_cx": cx[last], "d_cy": cy[last]})
+             .groupby(["o_cx", "o_cy", "d_cx", "d_cy"], sort=False)
+             .size().reset_index(name="n_trips"))
+        g["n_trips"] = g["n_trips"].astype(np.int64)
+        return g
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id"]
+               ).map_batches(prep, batch_format="pyarrow")
+    parts = keyed_scan(ds, "user_id", ["t", "event_id"], fn)
+    return tree_aggregate_to_table(
+        parts, ["o_cx", "o_cy", "d_cx", "d_cy"], [("n_trips", "sum")])
+
+
+def q_od_matrix_sql() -> str:
+    lat, lon = latlon_sql("event_id")
+    return (
+        f"WITH p AS (SELECT user_id, epoch_us(ts) AS t, event_id, "
+        f"CAST(floor(({lon} + 180.0) / 15.0) AS BIGINT) AS cx, "
+        f"CAST(floor(({lat} + 60.0) / 15.0) AS BIGINT) AS cy "
+        "FROM events), "
+        "s AS (SELECT user_id, t // 86400000000 AS day, cx, cy, "
+        "row_number() OVER (PARTITION BY user_id, t // 86400000000 "
+        "ORDER BY t, event_id) AS rn, "
+        "count(*) OVER (PARTITION BY user_id, t // 86400000000) AS cnt "
+        "FROM p) "
+        "SELECT o.cx AS o_cx, o.cy AS o_cy, d.cx AS d_cx, d.cy AS d_cy, "
+        "CAST(count(*) AS BIGINT) AS n_trips "
+        "FROM s o JOIN s d ON o.user_id = d.user_id AND o.day = d.day "
+        "WHERE o.rn = 1 AND d.rn = d.cnt GROUP BY 1, 2, 3, 4"
+    )
+
+
+def q_cum_new_users(sf_dir: str):
+    """Daily new-user counts with a cumulative total (the
+    growth-accounting shape): per-batch Arrow group_by pre-reduces
+    each user's min event time (the combiner — shuffle volume is
+    distinct users per block, not rows), ONE coarse hash exchange on
+    user_id finishes the global first-seen day, the bounded day space
+    rides the combiner tree, and the cumulative sum is a vectorized
+    pass over the tiny day series on the driver."""
+    from .stages.agg_tree import tree_aggregate_to_table
+    from .stages.scan import hash_bucket_scan
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table({"user_id": b["user_id"],
+                      "t": b["ts"].cast(pa.int64())})
+        return (t.group_by(["user_id"]).aggregate([("t", "min")])
+                 .rename_columns(["user_id", "t"]))
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"]).map_batches(
+        partial, batch_format="pyarrow")
+
+    def per_user_day(t: pa.Table) -> pa.Table:
+        g = (t.group_by(["user_id"]).aggregate([("t", "min")])
+              .rename_columns(["user_id", "t"]))
+        day = g["t"].to_numpy() // 86_400_000_000
+        c = pa.table({"day": pa.array(day),
+                      "n_new": pa.array(np.ones(len(day), np.int64))})
+        return (c.group_by(["day"]).aggregate([("n_new", "sum")])
+                 .rename_columns(["day", "n_new"]))
+
+    days = hash_bucket_scan(ds, ["user_id"], per_user_day)
+    m = tree_aggregate_to_table(days, ["day"], [("n_new", "sum")]
+                                ).to_pandas()
+    m = m.sort_values("day", kind="mergesort").reset_index(drop=True)
+    m["day"] = m["day"].astype(np.int64)
+    m["n_new"] = m["n_new"].astype(np.int64)
+    m["cum_users"] = m["n_new"].to_numpy().cumsum()
+    return m
+
+
+def q_cum_new_users_sql() -> str:
+    return (
+        "WITH f AS (SELECT user_id, min(epoch_us(ts)) // 86400000000 "
+        "AS day FROM events GROUP BY 1), "
+        "d AS (SELECT day, CAST(count(*) AS BIGINT) AS n_new FROM f "
+        "GROUP BY 1) "
+        "SELECT day, n_new, CAST(sum(n_new) OVER (ORDER BY day) "
+        "AS BIGINT) AS cum_users FROM d"
+    )
+
+
+def q_kring_smooth(sf_dir: str):
+    """3×3 neighbor-smoothed density surface over a 1° grid (the
+    heatmap / kernel-smoothing shape): per-batch partial cell counts
+    merge on the combiner tree — grid resolution bounds the key space
+    at 360×120 regardless of data volume — and the k-ring convolution
+    is one vectorized sparse searchsorted pass over the realized cells
+    on the driver.  The event stream itself never shuffles."""
+    from .stages.agg_tree import tree_aggregate_to_table
+
+    def partial(b: pa.Table) -> pa.Table:
+        lat, lon = derive_latlon(b["event_id"].to_numpy(
+            zero_copy_only=False))
+        cx = np.floor(lon + 180.0).astype(np.int64)
+        cy = np.floor(lat + 60.0).astype(np.int64)
+        t = pa.table({"cx": pa.array(cx), "cy": pa.array(cy),
+                      "n": pa.array(np.ones(len(cx), np.int64))})
+        return (t.group_by(["cx", "cy"]).aggregate([("n", "sum")])
+                 .rename_columns(["cx", "cy", "n"]))
+
+    cells = tree_aggregate_to_table(
+        _read(sf_dir, "events", ["event_id"]).map_batches(
+            partial, batch_format="pyarrow"),
+        ["cx", "cy"], [("n", "sum")]).to_pandas()
+    cx = cells["cx"].to_numpy().astype(np.int64)
+    cy = cells["cy"].to_numpy().astype(np.int64)
+    n = cells["n"].to_numpy().astype(np.int64)
+    # cy < 1024 always (grid is 120 tall), so the packed key is unique
+    # and a ±1 cy probe can never alias a neighboring cx column
+    key = cx * 1024 + cy
+    order = np.argsort(key, kind="mergesort")
+    skey, sn = key[order], n[order]
+    smooth = np.zeros(len(cells), np.int64)
+    for dx in (-1, 0, 1):
+        for dy in (-1, 0, 1):
+            q = key + dx * 1024 + dy
+            idx = np.clip(np.searchsorted(skey, q), 0, len(skey) - 1)
+            smooth += np.where(skey[idx] == q, sn[idx], 0)
+    return pd.DataFrame({"cx": cx, "cy": cy, "n": n,
+                         "smooth_n": smooth})
+
+
+def q_kring_smooth_sql() -> str:
+    lat, lon = latlon_sql("event_id")
+    return (
+        f"WITH c AS (SELECT CAST(floor({lon} + 180.0) AS BIGINT) AS cx, "
+        f"CAST(floor({lat} + 60.0) AS BIGINT) AS cy, "
+        "CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2) "
+        "SELECT a.cx, a.cy, a.n, CAST(sum(b.n) AS BIGINT) AS smooth_n "
+        "FROM c a JOIN c b ON b.cx BETWEEN a.cx - 1 AND a.cx + 1 "
+        "AND b.cy BETWEEN a.cy - 1 AND a.cy + 1 "
+        "GROUP BY 1, 2, 3"
+    )
+
+
 _GROUP_SAMPLE_K = 50
 
 
@@ -6482,6 +6647,9 @@ QUERIES = {
     # (a) this session's new entries, (b) the rest of round 4's
     # new entries, (c) the judge-priority latecomers named in
     # VERDICT.md, (d) entries whose plans changed this round --
+    "od_matrix": q_od_matrix,
+    "cum_new_users": q_cum_new_users,
+    "kring_smooth": q_kring_smooth,
     "heading_octants": q_heading_octants,
     "stay_points": q_stay_points,
     "shoelace_area": q_shoelace_area,
@@ -6668,6 +6836,9 @@ ORACLE_SQL = {
     "group_sample": q_group_sample_sql(),
     "mom_revenue": q_mom_revenue_sql(),
     "label_scatter": q_label_scatter_sql(),
+    "od_matrix": q_od_matrix_sql(),
+    "cum_new_users": q_cum_new_users_sql(),
+    "kring_smooth": q_kring_smooth_sql(),
     "hamming_topk": q_hamming_topk_sql(),
     "outlier_flags": q_outlier_flags_sql(),
     "shipping_priority": q_shipping_priority_sql(),

@@ -86,7 +86,8 @@ def test_entry_smoke(ray_session):
     "heading_octants", "stay_points", "shoelace_area", "bm25_topk",
     "spatial_clusters", "nearest_center", "rolling_zscore",
     "trend_slopes", "adaptive_tiles", "power_iteration", "group_sample",
-    "mom_revenue", "label_scatter",
+    "mom_revenue", "label_scatter", "od_matrix", "cum_new_users",
+    "kring_smooth",
 ])
 def test_sql_parity(name, entries):
     qs, oracles = entries
