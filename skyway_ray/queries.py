@@ -6141,6 +6141,166 @@ def q_kring_smooth_sql() -> str:
     )
 
 
+def _border_segments(sf_dir: str):
+    """25 deterministic 'border' line segments derived from nation
+    keys (endpoints via the shared derive_latlon hash, micro-int
+    quantized) — the broadcast small side of the crossing join."""
+    import pyarrow.parquet as pq
+
+    nk = pq.read_table(os.path.join(sf_dir, "nation.parquet"),
+                       columns=["n_nationkey"])["n_nationkey"]\
+        .to_numpy(zero_copy_only=False).astype(np.int64)
+    a_lat, a_lon = derive_latlon(nk * 2 + 1001)
+    b_lat, b_lon = derive_latlon(nk * 2 + 1002)
+    micro = lambda v: np.floor(v * 1e6 + 0.5).astype(np.int64)
+    return (nk, micro(a_lon), micro(a_lat), micro(b_lon), micro(b_lat))
+
+
+def q_border_crossings(sf_dir: str):
+    """Geofence line-crossing counts (border-crossing detection): each
+    consecutive per-user trajectory step is tested for PROPER
+    intersection against 25 broadcast 'border' segments using exact
+    int64 orientation cross-products on microdegree coordinates (|d|
+    < 2^58 — no float anywhere, so the SQL CASE oracle matches
+    bit-for-bit).  Steps come from the coarse keyed_scan; the bounded
+    25-key histogram merges on the combiner tree.  The segment loop is
+    a fixed 25-iteration vectorized pass — O(n) memory per bucket."""
+    from .stages.agg_tree import tree_aggregate_to_table
+    from .stages.scan import keyed_scan
+
+    seg, ax, ay, bx, by = _border_segments(sf_dir)
+
+    def prep(b: pa.Table) -> pa.Table:
+        lat, lon = derive_latlon(b["event_id"].to_numpy(
+            zero_copy_only=False))
+        return pa.table({
+            "user_id": b["user_id"], "t": b["ts"].cast(pa.int64()),
+            "event_id": b["event_id"],
+            "x": pa.array(np.floor(lon * 1e6 + 0.5).astype(np.int64)),
+            "y": pa.array(np.floor(lat * 1e6 + 0.5).astype(np.int64))})
+
+    def fn(d: pd.DataFrame) -> pd.DataFrame:
+        u = d["user_id"].to_numpy()
+        x = d["x"].to_numpy()
+        y = d["y"].to_numpy()
+        step = np.r_[False, u[1:] == u[:-1]]  # row i: step (i-1)->(i)
+        x1, y1 = x[:-1][step[1:]], y[:-1][step[1:]]
+        x2, y2 = x[1:][step[1:]], y[1:][step[1:]]
+        counts = np.zeros(len(seg), np.int64)
+        for i in range(len(seg)):
+            dx, dy = bx[i] - ax[i], by[i] - ay[i]
+            d1 = dx * (y1 - ay[i]) - dy * (x1 - ax[i])
+            d2 = dx * (y2 - ay[i]) - dy * (x2 - ax[i])
+            sx, sy = x2 - x1, y2 - y1
+            d3 = sx * (ay[i] - y1) - sy * (ax[i] - x1)
+            d4 = sx * (by[i] - y1) - sy * (bx[i] - x1)
+            hit = (((d1 > 0) & (d2 < 0)) | ((d1 < 0) & (d2 > 0))) \
+                & (((d3 > 0) & (d4 < 0)) | ((d3 < 0) & (d4 > 0)))
+            counts[i] = int(np.count_nonzero(hit))
+        return pd.DataFrame({"seg": seg, "n_cross": counts})
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id"]
+               ).map_batches(prep, batch_format="pyarrow")
+    parts = keyed_scan(ds, "user_id", ["t", "event_id"], fn)
+    return tree_aggregate_to_table(parts, ["seg"], [("n_cross", "sum")])
+
+
+def q_border_crossings_sql() -> str:
+    lat, lon = latlon_sql("event_id")
+    a_lat, a_lon = latlon_sql("(CAST(n_nationkey AS BIGINT) * 2 + 1001)")
+    b_lat, b_lon = latlon_sql("(CAST(n_nationkey AS BIGINT) * 2 + 1002)")
+    return (
+        f"WITH p AS (SELECT user_id, epoch_us(ts) AS t, event_id, "
+        f"CAST(floor({lon} * 1000000 + 0.5) AS BIGINT) AS x, "
+        f"CAST(floor({lat} * 1000000 + 0.5) AS BIGINT) AS y "
+        "FROM events), "
+        "s AS (SELECT x AS x2, y AS y2, lag(x) OVER w AS x1, "
+        "lag(y) OVER w AS y1 FROM p "
+        "WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)), "
+        f"g AS (SELECT CAST(n_nationkey AS BIGINT) AS seg, "
+        f"CAST(floor({a_lon} * 1000000 + 0.5) AS BIGINT) AS ax, "
+        f"CAST(floor({a_lat} * 1000000 + 0.5) AS BIGINT) AS ay, "
+        f"CAST(floor({b_lon} * 1000000 + 0.5) AS BIGINT) AS bx, "
+        f"CAST(floor({b_lat} * 1000000 + 0.5) AS BIGINT) AS by "
+        "FROM nation), "
+        "d AS (SELECT g.seg, "
+        "(g.bx - g.ax) * (s.y1 - g.ay) - (g.by - g.ay) * (s.x1 - g.ax) "
+        "AS d1, "
+        "(g.bx - g.ax) * (s.y2 - g.ay) - (g.by - g.ay) * (s.x2 - g.ax) "
+        "AS d2, "
+        "(s.x2 - s.x1) * (g.ay - s.y1) - (s.y2 - s.y1) * (g.ax - s.x1) "
+        "AS d3, "
+        "(s.x2 - s.x1) * (g.by - s.y1) - (s.y2 - s.y1) * (g.bx - s.x1) "
+        "AS d4 FROM g CROSS JOIN "
+        "(SELECT * FROM s WHERE x1 IS NOT NULL) s) "
+        "SELECT seg, CAST(sum(CASE WHEN "
+        "((d1 > 0 AND d2 < 0) OR (d1 < 0 AND d2 > 0)) AND "
+        "((d3 > 0 AND d4 < 0) OR (d3 < 0 AND d4 > 0)) "
+        "THEN 1 ELSE 0 END) AS BIGINT) AS n_cross FROM d GROUP BY seg"
+    )
+
+
+_GH32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def q_geohash4(sf_dir: str):
+    """Geohash-4 cell counts (the standard base-32 bit-interleaved
+    spatial key): 10 lat + 10 lon bits interleave lon-first into a
+    20-bit code — counted per batch as INTEGER codes (combiner), with
+    only the realized distinct codes converted to strings on the
+    driver after the tree merge.  The code space is bounded at 2^20
+    regardless of data volume, so the tree holds at any scale; the
+    SQL oracle mirrors the interleave with the same shift/mask
+    arithmetic."""
+    from .stages.agg_tree import tree_aggregate_to_table
+
+    def partial(b: pa.Table) -> pa.Table:
+        lat, lon = derive_latlon(b["event_id"].to_numpy(
+            zero_copy_only=False))
+        latb = np.floor((lat + 90.0) / 180.0 * 1024.0).astype(np.int64)
+        lonb = np.floor((lon + 180.0) / 360.0 * 1024.0).astype(np.int64)
+        code = np.zeros(len(latb), np.int64)
+        for j in range(10):
+            code |= ((lonb >> (9 - j)) & 1) << (19 - 2 * j)
+            code |= ((latb >> (9 - j)) & 1) << (18 - 2 * j)
+        t = pa.table({"code": pa.array(code),
+                      "n": pa.array(np.ones(len(code), np.int64))})
+        return (t.group_by(["code"]).aggregate([("n", "sum")])
+                 .rename_columns(["code", "n"]))
+
+    cells = tree_aggregate_to_table(
+        _read(sf_dir, "events", ["event_id"]).map_batches(
+            partial, batch_format="pyarrow"),
+        ["code"], [("n", "sum")]).to_pandas()
+    code = cells["code"].to_numpy().astype(np.int64)
+    alph = np.array(list(_GH32))
+    gh = alph[(code >> 15) & 31]
+    for sh in (10, 5, 0):
+        gh = np.char.add(gh, alph[(code >> sh) & 31])
+    return pd.DataFrame({"gh4": gh,
+                         "n": cells["n"].to_numpy().astype(np.int64)})
+
+
+def q_geohash4_sql() -> str:
+    lat, lon = latlon_sql("event_id")
+    interleave = " + ".join(
+        f"(((lonb >> {9 - j}) & 1) << {19 - 2 * j}) + "
+        f"(((latb >> {9 - j}) & 1) << {18 - 2 * j})"
+        for j in range(10))
+    chars = " || ".join(
+        f"substr('{_GH32}', CAST(((code >> {sh}) & 31) AS INTEGER) + 1, 1)"
+        for sh in (15, 10, 5, 0))
+    return (
+        f"WITH b AS (SELECT "
+        f"CAST(floor(({lat} + 90.0) / 180.0 * 1024.0) AS BIGINT) AS latb, "
+        f"CAST(floor(({lon} + 180.0) / 360.0 * 1024.0) AS BIGINT) AS lonb "
+        "FROM events), "
+        f"c AS (SELECT ({interleave}) AS code FROM b) "
+        f"SELECT {chars} AS gh4, CAST(count(*) AS BIGINT) AS n "
+        "FROM c GROUP BY 1"
+    )
+
+
 _GROUP_SAMPLE_K = 50
 
 
@@ -6650,6 +6810,8 @@ QUERIES = {
     "od_matrix": q_od_matrix,
     "cum_new_users": q_cum_new_users,
     "kring_smooth": q_kring_smooth,
+    "border_crossings": q_border_crossings,
+    "geohash4": q_geohash4,
     "heading_octants": q_heading_octants,
     "stay_points": q_stay_points,
     "shoelace_area": q_shoelace_area,
@@ -6839,6 +7001,8 @@ ORACLE_SQL = {
     "od_matrix": q_od_matrix_sql(),
     "cum_new_users": q_cum_new_users_sql(),
     "kring_smooth": q_kring_smooth_sql(),
+    "border_crossings": q_border_crossings_sql(),
+    "geohash4": q_geohash4_sql(),
     "hamming_topk": q_hamming_topk_sql(),
     "outlier_flags": q_outlier_flags_sql(),
     "shipping_priority": q_shipping_priority_sql(),
