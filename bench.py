@@ -188,7 +188,8 @@ def run_bench() -> dict:
                      "rolling_zscore", "trend_slopes", "adaptive_tiles",
                      "power_iteration", "group_sample", "mom_revenue",
                      "label_scatter", "od_matrix", "cum_new_users",
-                     "kring_smooth", "border_crossings", "geohash4"):
+                     "kring_smooth", "border_crossings", "geohash4",
+                     "douglas_peucker"):
             best = float("inf")
             attempts = 0
             for _ in range(max(1, repeats)):

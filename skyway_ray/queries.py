@@ -6240,6 +6240,51 @@ def q_border_crossings_sql() -> str:
     )
 
 
+_DP_EPS_MICRO = 10_000_000  # 10° tolerance on the synthetic tracks
+
+
+def q_douglas_peucker(sf_dir: str):
+    """Douglas–Peucker trajectory simplification per user (the
+    track-thinning step of a GPS-trace pipeline): each user's
+    (t, event_id)-ordered polyline is simplified to ε = 10° with
+    exact integer geometry — see functions/simplify.py for the
+    breadth-first vectorized engine (no per-user recursion; every
+    active segment in a bucket advances in one numpy pass per round).
+    Rows-only entry (recursive semantics aren't SQL-expressible);
+    tests/test_geo.py pins the engine to a recursive textbook oracle
+    point-for-point on planted tracks AND on the full sf0.001 table.
+    Output: per-user point/kept counts + a kept-set checksum."""
+    from .functions.simplify import dp_keep_mask
+    from .stages.scan import keyed_scan
+
+    def prep(b: pa.Table) -> pa.Table:
+        lat, lon = derive_latlon(b["event_id"].to_numpy(
+            zero_copy_only=False))
+        return pa.table({
+            "user_id": b["user_id"], "t": b["ts"].cast(pa.int64()),
+            "event_id": b["event_id"],
+            "x": pa.array(np.floor(lon * 1e6 + 0.5).astype(np.int64)),
+            "y": pa.array(np.floor(lat * 1e6 + 0.5).astype(np.int64))})
+
+    def fn(d: pd.DataFrame) -> pd.DataFrame:
+        u = d["user_id"].to_numpy()
+        first = np.r_[True, u[1:] != u[:-1]]
+        keep = dp_keep_mask(d["x"].to_numpy(), d["y"].to_numpy(),
+                            first, _DP_EPS_MICRO)
+        ev = d["event_id"].to_numpy().astype(np.int64)
+        gid = np.cumsum(first) - 1
+        n_pts = np.bincount(gid).astype(np.int64)
+        n_kept = np.bincount(gid, weights=keep).astype(np.int64)
+        csum = np.bincount(gid, weights=np.where(keep, ev, 0)
+                           ).astype(np.int64)
+        return pd.DataFrame({"user_id": u[first], "n_points": n_pts,
+                             "n_kept": n_kept, "kept_checksum": csum})
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id"]
+               ).map_batches(prep, batch_format="pyarrow")
+    return keyed_scan(ds, "user_id", ["t", "event_id"], fn)
+
+
 _GH32 = "0123456789bcdefghjkmnpqrstuvwxyz"
 
 
@@ -6812,6 +6857,7 @@ QUERIES = {
     "kring_smooth": q_kring_smooth,
     "border_crossings": q_border_crossings,
     "geohash4": q_geohash4,
+    "douglas_peucker": q_douglas_peucker,
     "heading_octants": q_heading_octants,
     "stay_points": q_stay_points,
     "shoelace_area": q_shoelace_area,

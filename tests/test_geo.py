@@ -177,3 +177,96 @@ class TestPIP:
         fast = points_in_ring(px, py, rx, ry)
         for i in range(2000):
             assert fast[i] == point_in_ring_slow(px[i], py[i], rx, ry)
+
+
+class TestDouglasPeucker:
+    """Pin the breadth-first vectorized DP engine to the recursive
+    textbook oracle point-for-point (exact big-int split test, first-
+    point tie-break, degenerate zero-length chords)."""
+
+    def _mask(self, tracks, eps):
+        from skyway_ray.functions.simplify import dp_keep_mask
+        xs = np.concatenate([np.asarray(t[0], np.int64) for t in tracks])
+        ys = np.concatenate([np.asarray(t[1], np.int64) for t in tracks])
+        first = np.zeros(len(xs), bool)
+        first[np.cumsum([0] + [len(t[0]) for t in tracks[:-1]])] = True
+        return dp_keep_mask(xs, ys, first, eps)
+
+    def test_matches_reference_planted(self):
+        from skyway_ray.functions.simplify import dp_reference
+        tracks = [
+            # zigzag well above tolerance: everything kept
+            ([0, 10, 20, 30, 40], [0, 50, 0, 50, 0]),
+            # exactly collinear run: interior dropped
+            ([0, 10, 20, 30], [0, 10, 20, 30]),
+            # single point / two points
+            ([5], [5]),
+            ([0, 100], [0, 7]),
+            # duplicate coincident points (zero-length chord fallback)
+            ([0, 0, 0, 0], [0, 0, 0, 0]),
+            ([0, 0, 9, 0], [0, 0, 9, 0]),
+            # tie: two symmetric extremes equidistant from the chord —
+            # the FIRST must win
+            ([0, 10, 20, 30, 40], [0, 8, 0, -8, 0]),
+            # below tolerance: interior dropped
+            ([0, 10, 20], [0, 3, 0]),
+        ]
+        for eps in (0, 4, 8, 1000):
+            got = self._mask(tracks, eps)
+            ofs = 0
+            for xs, ys in tracks:
+                want = dp_reference(list(xs), list(ys), eps)
+                assert list(got[ofs:ofs + len(xs)]) == want, (xs, ys, eps)
+                ofs += len(xs)
+
+    def test_matches_reference_random(self):
+        from skyway_ray.functions.simplify import dp_reference
+        rng = np.random.default_rng(42)
+        tracks = []
+        for n in [2, 3, 5, 17, 64, 257]:
+            tracks.append((rng.integers(-180_000_000, 180_000_000, n),
+                           rng.integers(-60_000_000, 60_000_000, n)))
+            # clustered walk (realistic small steps, many sub-eps wiggles)
+            steps = rng.integers(-2_000_000, 2_000_000, (n, 2))
+            tracks.append((np.cumsum(steps[:, 0]), np.cumsum(steps[:, 1])))
+        eps = 5_000_000
+        got = self._mask(tracks, eps)
+        ofs = 0
+        for xs, ys in tracks:
+            want = dp_reference([int(v) for v in xs],
+                                [int(v) for v in ys], eps)
+            assert list(got[ofs:ofs + len(xs)]) == want
+            ofs += len(xs)
+
+    def test_query_matches_reference_sf(self, ray_session):
+        """q_douglas_peucker on sf0.001 equals the recursive oracle
+        computed per user straight from the parquet."""
+        import pyarrow.parquet as pq
+        from skyway_ray.functions.simplify import dp_reference
+        from skyway_ray.queries import (_DP_EPS_MICRO, derive_latlon,
+                                        q_douglas_peucker)
+
+        sf = "/root/testdata/sf0.001"
+        got = (q_douglas_peucker(sf).to_pandas()
+               .sort_values("user_id").reset_index(drop=True))
+        t = pq.read_table(f"{sf}/events.parquet",
+                          columns=["event_id", "ts", "user_id"]).to_pandas()
+        t["t"] = t["ts"].astype("int64")
+        lat, lon = derive_latlon(t["event_id"].to_numpy())
+        t["x"] = np.floor(lon * 1e6 + 0.5).astype(np.int64)
+        t["y"] = np.floor(lat * 1e6 + 0.5).astype(np.int64)
+        t = t.sort_values(["user_id", "t", "event_id"])
+        rows = []
+        for uid, g in t.groupby("user_id", sort=True):
+            keep = dp_reference([int(v) for v in g["x"]],
+                                [int(v) for v in g["y"]], _DP_EPS_MICRO)
+            ev = g["event_id"].to_numpy().astype(np.int64)
+            rows.append((uid, len(g), int(np.sum(keep)),
+                         int(ev[np.asarray(keep)].sum())))
+        want = __import__("pandas").DataFrame(
+            rows, columns=["user_id", "n_points", "n_kept",
+                           "kept_checksum"])
+        assert len(got) == len(want)
+        for c in want.columns:
+            assert (got[c].to_numpy().astype(np.int64)
+                    == want[c].to_numpy().astype(np.int64)).all(), c

@@ -111,7 +111,7 @@ def test_sql_parity(name, entries):
     "image_features", "image_blur", "image_patches", "hll_users", "pq_ann",
     "hll_users_by_type",
     "bpe_merges", "image_pyramid", "prep_pipeline", "compress_ratio",
-    "audio_features",
+    "audio_features", "douglas_peucker",
 ])
 def test_rows_only_queries_run(name, entries):
     qs, _ = entries
