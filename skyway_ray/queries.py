@@ -6749,6 +6749,179 @@ def q_spatial_clusters_sql() -> str:
     )
 
 
+_DBSCAN_EPS = 1.0
+_DBSCAN_MINPTS = 3  # |N_eps(p)| ≥ 3 counting the point itself
+
+
+def q_dbscan(sf_dir: str):
+    """Full DBSCAN over event points (ε = 1.0°, minPts = 3): every
+    point is classified core (role 2, ≥ minPts−1 ε-neighbors), border
+    (role 1, non-core with a core ε-neighbor — assigned the MIN
+    cluster id among its core neighbors, the deterministic variant)
+    or noise (role 0, comp −1).  Cluster ids are component-min node
+    ids over the core–core edge graph; an isolated core (no core
+    neighbor) forms its own singleton cluster.
+
+    Everything is ids-only after the PBSM radius self-join: degrees
+    and the per-border min ride coarse hash-bucket exchanges, core
+    flags and comps attach through copart hash joins, and the
+    core–core components run on the distributed CC stage — points are
+    never broadcast and nothing all-pairs."""
+    import pyarrow.compute as pc
+
+    from .stages.cc import connected_components
+    from .stages.joins import copart_hash_join
+    from .stages.scan import hash_bucket_scan
+    from .stages.spatial_join import point_radius_join
+
+    def pts(b: pa.Table) -> pa.Table:
+        k = b["event_id"].to_numpy(zero_copy_only=False)
+        lat, lon = derive_latlon(k)
+        return pa.table({"id": pa.array(k), "x": pa.array(lon),
+                         "y": pa.array(lat)})
+
+    a = _read(sf_dir, "events", ["event_id"]).map_batches(
+        pts, batch_format="pyarrow")
+    b = _read(sf_dir, "events", ["event_id"]).map_batches(
+        pts, batch_format="pyarrow")
+    pairs = point_radius_join(a, b, radius=_DBSCAN_EPS, cell=8.0,
+                              out_a="u", out_b="v")
+    edges = pairs.map_batches(
+        lambda t: t.filter(pc.invert(pc.equal(t["u"], t["v"]))),
+        batch_format="pyarrow").materialize()
+    n_edges = edges.count()
+
+    # degree per node (edges carry both directions)
+    deg = hash_bucket_scan(
+        edges, ["u"],
+        lambda t: t.group_by(["u"]).aggregate([("v", "count")])
+                   .rename_columns(["u", "deg"]),
+        n_rows=n_edges)
+    core = deg.map_batches(
+        lambda t: t.filter(pc.greater_equal(
+            t["deg"], _DBSCAN_MINPTS - 1)).select(["u"])
+            .rename_columns(["cid"]),
+        batch_format="pyarrow").materialize()
+
+    # edges whose DEST is core (border candidates + core-core input)
+    e_vc = copart_hash_join(
+        edges, core.map_batches(
+            lambda t: t.rename_columns(["cid_v"]),
+            batch_format="pyarrow"),
+        left_on="v", right_on="cid_v").materialize()
+    cc_edges = copart_hash_join(
+        e_vc, core.map_batches(
+            lambda t: t.rename_columns(["cid_u"]),
+            batch_format="pyarrow"),
+        left_on="u", right_on="cid_u")
+
+    stars = connected_components(cc_edges.map_batches(
+        lambda t: t.select(["u", "v"])
+                   .rename_columns(["doc_a", "doc_b"]),
+        batch_format="pyarrow"))
+
+    def member_rows(t: pa.Table) -> pa.Table:
+        c = t["doc_a"].to_numpy(zero_copy_only=False)
+        m = t["doc_b"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "node": pa.array(np.concatenate([m, c]), pa.int64()),
+            "comp": pa.array(np.concatenate([c, c]), pa.int64())})
+
+    comp_core = hash_bucket_scan(
+        stars.map_batches(member_rows, batch_format="pyarrow"), ["node"],
+        lambda t: t.group_by(["node"]).aggregate([("comp", "min")])
+                   .rename_columns(["node", "comp"]),
+        n_rows=n_edges).materialize()
+
+    # every core's cluster id (isolated cores → their own id)
+    core_comp = copart_hash_join(
+        core, comp_core, left_on="cid", right_on="node", how="left")
+
+    def fill_core(t: pa.Table) -> pa.Table:
+        cid = t["cid"].cast(pa.int64()).combine_chunks()
+        comp = pc.coalesce(t["comp"].cast(pa.int64()), cid)
+        return pa.table({"cid": cid, "ccomp": comp,
+                         "ccore": pa.array(
+                             np.ones(t.num_rows, np.int64))})
+
+    core_comp = core_comp.map_batches(
+        fill_core, batch_format="pyarrow").materialize()
+
+    # border candidates: min cluster id among CORE neighbors, per point
+    bc_in = copart_hash_join(
+        e_vc, core_comp.map_batches(
+            lambda t: t.select(["cid", "ccomp"])
+                       .rename_columns(["vnode", "vcomp"]),
+            batch_format="pyarrow"),
+        left_on="v", right_on="vnode")
+    bc = hash_bucket_scan(
+        bc_in.map_batches(
+            lambda t: t.select(["u", "vcomp"])
+                       .rename_columns(["bid", "bcomp"]),
+            batch_format="pyarrow"),
+        ["bid"],
+        lambda t: t.group_by(["bid"]).aggregate([("bcomp", "min")])
+                   .rename_columns(["bid", "bcomp"]),
+        n_rows=n_edges).materialize()
+
+    ids = _read(sf_dir, "events", ["event_id"]).map_batches(
+        lambda t: t.rename_columns(["id"]), batch_format="pyarrow")
+    j1 = copart_hash_join(ids, core_comp, left_on="id",
+                          right_on="cid", how="left")
+    j2 = copart_hash_join(j1, bc, left_on="id", right_on="bid",
+                          how="left")
+
+    def assemble(t: pa.Table) -> pa.Table:
+        iscore = pc.is_valid(t["ccore"].combine_chunks()).to_numpy(
+            zero_copy_only=False)
+        ccomp = pc.fill_null(t["ccomp"].cast(pa.int64()), -1).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        hasb = pc.is_valid(t["bcomp"].combine_chunks()).to_numpy(
+            zero_copy_only=False)
+        bcomp = pc.fill_null(t["bcomp"].cast(pa.int64()), -1).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        role = np.where(iscore, 2, np.where(hasb, 1, 0)).astype(np.int64)
+        comp = np.where(iscore, ccomp,
+                        np.where(hasb, bcomp, -1)).astype(np.int64)
+        return pa.table({"id": t["id"].cast(pa.int64()),
+                         "role": pa.array(role),
+                         "comp": pa.array(comp)})
+
+    return j2.map_batches(assemble, batch_format="pyarrow")
+
+
+def q_dbscan_sql() -> str:
+    lat, lon = latlon_sql("event_id")
+    return (
+        "WITH RECURSIVE "
+        f"p AS (SELECT event_id AS id, {lon} AS x, {lat} AS y "
+        "FROM events), "
+        "e AS (SELECT a.id AS u, b.id AS v FROM p a JOIN p b ON "
+        "a.id <> b.id AND (a.x - b.x) * (a.x - b.x) + "
+        "(a.y - b.y) * (a.y - b.y) <= "
+        f"{_DBSCAN_EPS * _DBSCAN_EPS}), "
+        "core AS (SELECT u AS id FROM e GROUP BY u "
+        f"HAVING count(*) >= {_DBSCAN_MINPTS - 1}), "
+        "ce AS (SELECT e.u, e.v FROM e "
+        "JOIN core cu ON cu.id = e.u JOIN core cv ON cv.id = e.v), "
+        "walk(node, cur) AS ("
+        "SELECT id, id FROM core "
+        "UNION "
+        "SELECT w.node, ce.v FROM walk w JOIN ce ON ce.u = w.cur), "
+        "comp AS (SELECT node, min(cur) AS comp FROM walk "
+        "GROUP BY node), "
+        "border AS (SELECT e.u AS id, min(c.comp) AS comp FROM e "
+        "JOIN core cv ON cv.id = e.v JOIN comp c ON c.node = e.v "
+        "WHERE e.u NOT IN (SELECT id FROM core) GROUP BY e.u) "
+        "SELECT p.id AS id, "
+        "CAST(CASE WHEN c.node IS NOT NULL THEN 2 "
+        "WHEN b.id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS role, "
+        "CAST(COALESCE(c.comp, b.comp, -1) AS BIGINT) AS comp "
+        "FROM p LEFT JOIN comp c ON c.node = p.id "
+        "LEFT JOIN border b ON b.id = p.id"
+    )
+
+
 _BM25_TERMS = ("spark", "window", "hash", "vector")
 _BM25_K = 20
 
@@ -6858,6 +7031,7 @@ QUERIES = {
     "border_crossings": q_border_crossings,
     "geohash4": q_geohash4,
     "douglas_peucker": q_douglas_peucker,
+    "dbscan": q_dbscan,
     "heading_octants": q_heading_octants,
     "stay_points": q_stay_points,
     "shoelace_area": q_shoelace_area,
@@ -7049,6 +7223,7 @@ ORACLE_SQL = {
     "kring_smooth": q_kring_smooth_sql(),
     "border_crossings": q_border_crossings_sql(),
     "geohash4": q_geohash4_sql(),
+    "dbscan": q_dbscan_sql(),
     "hamming_topk": q_hamming_topk_sql(),
     "outlier_flags": q_outlier_flags_sql(),
     "shipping_priority": q_shipping_priority_sql(),

@@ -74,6 +74,13 @@ def tree_aggregate_to_table(ds, keys: list[str], aggs: list[tuple[str, str]],
     pending: list[pa.Table] = []
     for ref in combined.to_arrow_refs():
         t = ray.get(ref)
+        if not isinstance(t, pa.Table):
+            # Ray passes zero-column EMPTY blocks through map UDFs
+            # unconverted — a pandas-format empty block can surface
+            # here as a DataFrame; it carries no rows by construction
+            if len(t) == 0:
+                continue
+            t = pa.Table.from_pandas(t, preserve_index=False)
         if t.num_rows:
             pending.append(t)
         if len(pending) >= chunk:

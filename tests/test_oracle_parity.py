@@ -87,7 +87,7 @@ def test_entry_smoke(ray_session):
     "spatial_clusters", "nearest_center", "rolling_zscore",
     "trend_slopes", "adaptive_tiles", "power_iteration", "group_sample",
     "mom_revenue", "label_scatter", "od_matrix", "cum_new_users",
-    "kring_smooth", "border_crossings", "geohash4",
+    "kring_smooth", "border_crossings", "geohash4", "dbscan",
 ])
 def test_sql_parity(name, entries):
     qs, oracles = entries

@@ -26,7 +26,16 @@ NAMES = ["pct_rank", "retention", "doc_stats", "type_entropy",
          # terms
          "heading_octants", "stay_points", "shoelace_area",
          "rolling_zscore", "trend_slopes", "adaptive_tiles", "gini",
-         "bm25_topk", "group_sample", "spatial_clusters"]
+         "bm25_topk", "group_sample", "spatial_clusters",
+         # session-G block; edge cases: single-event users (degenerate
+         # first=last OD trips), a midnight-exact timestamp (day //
+         # boundary), a planted DBSCAN core triple + one true border
+         # point + noise (the old ε-pair has deg 1 → noise now),
+         # months with one order and a Dec→Jan year rollover,
+         # a single-vector label (centroid = itself), zero-crossing
+         # border segments
+         "od_matrix", "cum_new_users", "kring_smooth", "geohash4",
+         "dbscan", "border_crossings", "mom_revenue", "label_scatter"]
 
 
 @pytest.fixture(scope="module")
@@ -69,6 +78,16 @@ def edge_dir(tmp_path_factory):
     # blocks — real runs at sf≥0.01 are never empty, but the edge
     # fixture must not be either)
     rows.append((3209, base + dt.timedelta(hours=14), 9, "geo", 50.0))
+    # planted DBSCAN constellation (derived lat/lon geometry):
+    # 5000 / 130574 / 256148 are mutually ≤ 0.25° → each has 2
+    # ε-neighbors → all CORE; 71574 is 0.949° from 5000 but > 1.0°
+    # from the other two → deg 1 → BORDER of the 5000-cluster; the
+    # old (409, 1448009) ε-pair has deg 1 each → NOISE under
+    # minPts=3.  user_id = event_id % 400 keeps the triangle graph
+    # untouched (self-loops drop).
+    for i, eid in enumerate([5000, 130574, 256148, 71574]):
+        rows.append((eid, base + dt.timedelta(hours=15 + i),
+                     eid % 400, "geo", 1.0))
     ev = pa.table({
         "event_id": pa.array([r[0] for r in rows], pa.int64()),
         "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
@@ -96,6 +115,39 @@ def edge_dir(tmp_path_factory):
         "n_chars": pa.array([len(r[1]) for r in docs], pa.int64()),
     })
     pq.write_table(dt_tab, os.path.join(d, "documents.parquet"))
+
+    # nation: 4 keys → 4 derived border segments (border_crossings)
+    pq.write_table(pa.table({
+        "n_nationkey": pa.array([0, 1, 2, 3], pa.int32()),
+        "n_name": pa.array(["A", "B", "C", "D"], pa.string()),
+        "n_regionkey": pa.array([0, 0, 1, 1], pa.int32()),
+    }), os.path.join(d, "nation.parquet"))
+
+    # orders: single-order months, a Dec→Jan year rollover, a
+    # half-cent price (floor(x*100+0.5) edge) — mom_revenue
+    odates = [dt.datetime(2023, 12, 31), dt.datetime(2024, 1, 1),
+              dt.datetime(2024, 1, 31), dt.datetime(2024, 3, 15)]
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([1, 2, 3, 4], pa.int64()),
+        "o_custkey": pa.array([1, 1, 2, 2], pa.int64()),
+        "o_orderstatus": pa.array(["O"] * 4, pa.string()),
+        "o_totalprice": pa.array([100.005, 0.004, 250.0, 99.999],
+                                 pa.float64()),
+        "o_orderdate": pa.array(odates, pa.timestamp("us")),
+        "o_orderpriority": pa.array(["1-URGENT"] * 4, pa.string()),
+    }), os.path.join(d, "orders.parquet"))
+
+    # embeddings: a single-vector label (centroid = itself, ssd 0),
+    # negatives, and milli-quantization boundary values — label_scatter
+    vecs = [[0.0005, -0.0005, 1.25, -3.5],
+            [1.0, 2.0, 3.0, 4.0],
+            [1.5, 2.5, 3.5, 4.5],
+            [-1.0, -2.0, -3.0, -4.0]]
+    pq.write_table(pa.table({
+        "vec_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "embedding": pa.array(vecs, pa.list_(pa.float32())),
+        "label": pa.array([7, 1, 1, 1], pa.int32()),
+    }), os.path.join(d, "embeddings.parquet"))
     return str(d)
 
 
@@ -116,7 +168,7 @@ def test_edge_parity(name, edge_dir, ray_session):
     if not isinstance(got, pd.DataFrame):
         got = got.to_pandas()
     con = duckdb.connect()
-    for t in ("events", "documents"):
+    for t in ("events", "documents", "nation", "orders", "embeddings"):
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM "
                 f"read_parquet('{edge_dir}/{t}.parquet')")
     want = con.sql(ORACLE_SQL[name]).df()
@@ -129,6 +181,22 @@ def test_edge_parity(name, edge_dir, ray_session):
             assert np.array_equal(a, b), f"{name}.{c} float mismatch"
         else:
             assert (g[c] == w[c]).all(), f"{name}.{c} mismatch"
+
+
+def test_dbscan_planted_roles(edge_dir, ray_session):
+    """The planted constellation classifies exactly as designed:
+    5000/130574/256148 CORE in one cluster (comp = min id = 5000),
+    71574 BORDER of that cluster, the old ε-pair (409, 1448009)
+    NOISE under minPts=3."""
+    from skyway_ray.queries import QUERIES
+
+    out = QUERIES["dbscan"](edge_dir).to_pandas().set_index("id")
+    for eid in (5000, 130574, 256148):
+        assert out.loc[eid, "role"] == 2 and out.loc[eid, "comp"] == 5000
+    assert out.loc[71574, "role"] == 1
+    assert out.loc[71574, "comp"] == 5000
+    for eid in (409, 1448009):
+        assert out.loc[eid, "role"] == 0 and out.loc[eid, "comp"] == -1
 
 
 def test_triangle_found(edge_dir, ray_session):
