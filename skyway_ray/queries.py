@@ -6922,6 +6922,84 @@ def q_dbscan_sql() -> str:
     )
 
 
+_CHECKSUM_K = 300  # first K fixture images; covers all 15 (side,fmt)
+# combos 20×.  K is a constant (not scale-derived) so the oracle SQL —
+# which regenerates the pixels from the fixture's closed-form generator
+# (fixtures.py::_gen_pixels) — is identical at every sf.
+
+
+def q_image_checksum(sf_dir: str):
+    """End-to-end hash verification of the IMAGE DECODE PATH: decode
+    the first K fixture images (real from-spec PNG + the deterministic
+    SKWJ/SKWW fake-lossy stubs — functions/image_codec.py) inside
+    ``map_batches`` and emit each image's exact int64 pixel sum.  The
+    DuckDB oracle never sees the bytes: it regenerates every pixel
+    from the fixture's closed-form generator (fixtures.py::_gen_pixels
+    — int64-wraparound noise replayed in HUGEINT) and applies the
+    fake-lossy quantization ``p//4*4+2`` in SQL, so a single flipped
+    byte anywhere in encode → parquet → Arrow → decode mismatches.
+
+    Scale shape: the decode stage is the real per-batch kernel used by
+    image_features/image_pyramid (bytes stay inside the task, only
+    (id, fmt, sum) rows come out); the head-K filter is just what
+    makes a fixed SQL oracle possible.  Valid at smoke/correctness
+    scales (max_side=64); the bench fixture downsizes max_side to 16,
+    where only the timing (never the hash) is used."""
+    import ray.data
+
+    from .fixtures import ensure_images_parquet, scale_for_sf_dir
+    from .functions.image_codec import decode_image
+
+    import pyarrow.dataset as pds
+
+    hi = f"img_{_CHECKSUM_K:012d}"
+    images = ensure_images_parquet(scale_for_sf_dir(sf_dir))
+    # row filter pushed to the parquet read: row groups whose
+    # image_id stats exceed K never ship their bytes
+    ds = ray.data.read_parquet(images, columns=["image_id", "bytes", "fmt"],
+                               filter=pds.field("image_id") < hi)
+
+    def sums(b: pa.Table) -> pa.Table:
+        blobs = b["bytes"].to_pylist()
+        fmts = b["fmt"].to_pylist()
+        out = np.empty(len(blobs), np.int64)
+        for i in range(len(blobs)):  # variable-size payloads: the
+            # per-row loop is the decode itself (module docstring)
+            out[i] = decode_image(blobs[i], fmts[i]).astype(np.int64).sum()
+        return pa.table({"image_id": b["image_id"], "fmt": b["fmt"],
+                         "pixel_sum": pa.array(out)})
+
+    return ds.map_batches(sums, batch_format="pyarrow", batch_size=128)
+
+
+def q_image_checksum_sql() -> str:
+    # pixel formula mirror of fixtures.py::_gen_pixels: the noise
+    # term's int64 wraparound is replayed exactly via HUGEINT mod 2^64
+    # (numpy's arithmetic >>16 then floored %32 equals bits 16..20 of
+    # the unsigned wrap, all-positive here)
+    return (
+        "WITH imgs AS (SELECT CAST(i AS BIGINT) AS i, "
+        "CASE i % 5 WHEN 0 THEN 16 WHEN 1 THEN 24 WHEN 2 THEN 32 "
+        "WHEN 3 THEN 48 ELSE 64 END AS side, "
+        "CASE i % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' "
+        "ELSE 'webp' END AS fmt "
+        f"FROM range({_CHECKSUM_K}) t(i)), "
+        "px AS (SELECT i, fmt, "
+        "((x*3 + y*5 + c*11 + (i*37) % 256 + "
+        "CAST((((CAST(i AS HUGEINT)*2654435761 + (y*side+x)*97 + c*131)"
+        " * 1103515245) % 18446744073709551616) // 65536 % 32 "
+        "AS BIGINT)) % 256) AS raw "
+        "FROM imgs "
+        "JOIN range(64) tx(x) ON tx.x < imgs.side "
+        "JOIN range(64) ty(y) ON ty.y < imgs.side "
+        "CROSS JOIN range(3) tc(c)) "
+        "SELECT 'img_' || lpad(CAST(i AS VARCHAR), 12, '0') AS image_id,"
+        " fmt, CAST(SUM(CASE WHEN fmt = 'png' THEN raw "
+        "ELSE raw // 4 * 4 + 2 END) AS BIGINT) AS pixel_sum "
+        "FROM px GROUP BY 1, 2"
+    )
+
+
 _BM25_TERMS = ("spark", "window", "hash", "vector")
 _BM25_K = 20
 
@@ -7032,6 +7110,7 @@ QUERIES = {
     "geohash4": q_geohash4,
     "douglas_peucker": q_douglas_peucker,
     "dbscan": q_dbscan,
+    "image_checksum": q_image_checksum,
     "heading_octants": q_heading_octants,
     "stay_points": q_stay_points,
     "shoelace_area": q_shoelace_area,
@@ -7224,6 +7303,7 @@ ORACLE_SQL = {
     "border_crossings": q_border_crossings_sql(),
     "geohash4": q_geohash4_sql(),
     "dbscan": q_dbscan_sql(),
+    "image_checksum": q_image_checksum_sql(),
     "hamming_topk": q_hamming_topk_sql(),
     "outlier_flags": q_outlier_flags_sql(),
     "shipping_priority": q_shipping_priority_sql(),
