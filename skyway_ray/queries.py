@@ -7000,6 +7000,71 @@ def q_image_checksum_sql() -> str:
     )
 
 
+_THUMB_SIDE = 8
+
+
+def q_thumb_checksum(sf_dir: str):
+    """Hash verification of the RESIZE + RE-ENCODE path: run the real
+    ``ImageResize`` stage (decode → nearest-neighbor resize to 8×8
+    → PNG re-encode, stages/multimodal.py:63) over the first K fixture
+    images, then decode each emitted thumb and report its exact int64
+    pixel sum.  The oracle replays the nearest-neighbor index map
+    ``src = dst*side//8`` on the closed-form pixel generator in SQL —
+    pinning the resize kernel AND the PNG encoder round-trip (a lossy
+    or shifted thumb mismatches).  Same head-K / scale caveats as
+    image_checksum."""
+    import pyarrow.dataset as pds
+    import ray.data
+
+    from .fixtures import ensure_images_parquet, scale_for_sf_dir
+    from .functions.image_codec import decode_png
+    from .stages.multimodal import ImageResize
+
+    hi = f"img_{_CHECKSUM_K:012d}"
+    images = ensure_images_parquet(scale_for_sf_dir(sf_dir))
+    ds = ray.data.read_parquet(images, columns=["image_id", "bytes", "fmt"],
+                               filter=pds.field("image_id") < hi)
+    thumbs = ds.map_batches(ImageResize(side=_THUMB_SIDE),
+                            batch_format="pyarrow", batch_size=128)
+
+    def sums(b: pa.Table) -> pa.Table:
+        blobs = b["thumb"].to_pylist()
+        out = np.empty(len(blobs), np.int64)
+        for i, blob in enumerate(blobs):
+            out[i] = decode_png(blob).astype(np.int64).sum()
+        return pa.table({"image_id": b["image_id"],
+                         "thumb_sum": pa.array(out)})
+
+    return thumbs.map_batches(sums, batch_format="pyarrow", batch_size=256)
+
+
+def q_thumb_checksum_sql() -> str:
+    s = _THUMB_SIDE
+    return (
+        "WITH imgs AS (SELECT CAST(i AS BIGINT) AS i, "
+        "CASE i % 5 WHEN 0 THEN 16 WHEN 1 THEN 24 WHEN 2 THEN 32 "
+        "WHEN 3 THEN 48 ELSE 64 END AS side, "
+        "CASE i % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' "
+        "ELSE 'webp' END AS fmt "
+        f"FROM range({_CHECKSUM_K}) t(i)), "
+        # nearest-neighbor source coords, then the generator replay
+        "px AS (SELECT i, fmt, "
+        "(dx.d * side) // " + str(s) + " AS x, "
+        "(dy.d * side) // " + str(s) + " AS y, tc.c AS c, side "
+        f"FROM imgs CROSS JOIN range({s}) dx(d) "
+        f"CROSS JOIN range({s}) dy(d) CROSS JOIN range(3) tc(c)), "
+        "v AS (SELECT i, fmt, "
+        "((x*3 + y*5 + c*11 + (i*37) % 256 + "
+        "CAST((((CAST(i AS HUGEINT)*2654435761 + (y*side+x)*97 + c*131)"
+        " * 1103515245) % 18446744073709551616) // 65536 % 32 "
+        "AS BIGINT)) % 256) AS raw FROM px) "
+        "SELECT 'img_' || lpad(CAST(i AS VARCHAR), 12, '0') AS image_id,"
+        " CAST(SUM(CASE WHEN fmt = 'png' THEN raw "
+        "ELSE raw // 4 * 4 + 2 END) AS BIGINT) AS thumb_sum "
+        "FROM v GROUP BY 1"
+    )
+
+
 _BM25_TERMS = ("spark", "window", "hash", "vector")
 _BM25_K = 20
 
@@ -7111,6 +7176,7 @@ QUERIES = {
     "douglas_peucker": q_douglas_peucker,
     "dbscan": q_dbscan,
     "image_checksum": q_image_checksum,
+    "thumb_checksum": q_thumb_checksum,
     "heading_octants": q_heading_octants,
     "stay_points": q_stay_points,
     "shoelace_area": q_shoelace_area,
@@ -7304,6 +7370,7 @@ ORACLE_SQL = {
     "geohash4": q_geohash4_sql(),
     "dbscan": q_dbscan_sql(),
     "image_checksum": q_image_checksum_sql(),
+    "thumb_checksum": q_thumb_checksum_sql(),
     "hamming_topk": q_hamming_topk_sql(),
     "outlier_flags": q_outlier_flags_sql(),
     "shipping_priority": q_shipping_priority_sql(),
