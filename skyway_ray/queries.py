@@ -6922,6 +6922,361 @@ def q_dbscan_sql() -> str:
     )
 
 
+def _intra_run_pairs(run_id: np.ndarray, pair_budget: int = 2_000_000):
+    """All index pairs (i, j), i < j, within equal-value runs of the
+    SORTED ``run_id`` array — fully vectorized (np.repeat/arange offset
+    arithmetic, the OD-matrix style), yielded in chunks of at most
+    ``pair_budget`` pairs so a hot run never materializes quadratically
+    in one allocation.  Callers' per-run quadratic cost is the
+    documented partitioning assumption (per-key cardinality bounded —
+    trajectory/user-sized, not table-sized)."""
+    n = len(run_id)
+    if n == 0:
+        return
+    starts = np.r_[0, np.flatnonzero(run_id[1:] != run_id[:-1]) + 1]
+    lengths = np.diff(np.r_[starts, n])
+    seg_start_of_row = np.repeat(starts, lengths)
+    r = np.arange(n) - seg_start_of_row  # index within run = pairs
+    # contributed by the row as the 'j' (right) element
+    cum = np.r_[0, np.cumsum(r)]
+    total = int(cum[-1])
+    lo = 0
+    while lo < total:
+        hi = min(lo + pair_budget, total)
+        # rows whose pair slots intersect [lo, hi)
+        j0 = int(np.searchsorted(cum, lo, side="right") - 1)
+        j1 = int(np.searchsorted(cum, hi, side="left"))
+        jr = np.arange(j0, j1)
+        cnt = r[j0:j1].copy()
+        if len(cnt):
+            cnt[0] -= lo - cum[j0]
+            cnt[-1] -= cum[j1] - hi
+        jg = np.repeat(jr, cnt)
+        first_slot = np.maximum(cum[j0:j1], lo)
+        a_local = (np.arange(hi - lo)
+                   - np.repeat(first_slot - lo, cnt)
+                   + np.repeat(first_slot - cum[j0:j1], cnt))
+        ig = seg_start_of_row[jg] + a_local
+        yield ig, jg
+        lo = hi
+
+
+def q_max_span(sf_dir: str):
+    """Per-user trajectory diameter: the maximum squared planar
+    distance (degree²) between any two of the user's event points.
+    Users co-partition through keyed_scan (one coarse hash exchange);
+    the per-bucket pass explodes intra-user index pairs with the
+    vectorized chunked generator — no per-key Python loop, and the
+    pair budget bounds peak memory.  Quadratic per user by nature
+    (documented assumption: per-user event counts are bounded); the
+    max of identical per-pair doubles is order-independent, so the
+    result hash-matches the SQL self-join exactly."""
+    from .stages.scan import keyed_scan
+
+    def prep(b: pa.Table) -> pa.Table:
+        lat, lon = derive_latlon(b["event_id"].to_numpy(
+            zero_copy_only=False))
+        return pa.table({"user_id": b["user_id"],
+                         "event_id": b["event_id"],
+                         "x": pa.array(lon), "y": pa.array(lat)})
+
+    def fn(d: pd.DataFrame) -> pd.DataFrame:
+        u = d["user_id"].to_numpy()
+        x = d["x"].to_numpy()
+        y = d["y"].to_numpy()
+        best: dict[int, float] = {}
+        for ig, jg in _intra_run_pairs(u):
+            dx = x[ig] - x[jg]
+            dy = y[ig] - y[jg]
+            d2 = dx * dx + dy * dy
+            t = pd.DataFrame({"u": u[jg], "d2": d2}).groupby(
+                "u", sort=False)["d2"].max()
+            for k, v in t.items():  # ≤ distinct-users-per-chunk items
+                if v > best.get(k, -1.0):
+                    best[k] = v
+        return pd.DataFrame({"user_id": np.fromiter(best, np.int64),
+                             "max_d2": np.fromiter(best.values(),
+                                                   np.float64)})
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id"]).map_batches(
+        prep, batch_format="pyarrow")
+    return keyed_scan(ds, "user_id", ["event_id"], fn,
+                      n_rows=_nrows(sf_dir, "events"))
+
+
+def q_max_span_sql() -> str:
+    lat, lon = latlon_sql("event_id")
+    return (
+        f"WITH p AS (SELECT user_id, event_id, {lon} AS x, {lat} AS y "
+        "FROM events) "
+        "SELECT a.user_id AS user_id, "
+        "max((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)) "
+        "AS max_d2 FROM p a JOIN p b "
+        "ON a.user_id = b.user_id AND a.event_id < b.event_id "
+        "GROUP BY 1"
+    )
+
+
+def q_self_crossings(sf_dir: str):
+    """Per-user trajectory self-intersection counts: consecutive
+    events (ordered by ts, event_id) form segments in exact microdegree
+    ints; every NON-ADJACENT segment pair of the same user is tested
+    for proper crossing with integer cross-product orientation signs
+    (no epsilon, no floats — coordinates ≤ 3.6e8 keep every product
+    under 2^63).  Same keyed_scan co-partition + chunked pair explode
+    as max_span; emits users with ≥ 1 crossing."""
+    from .stages.scan import keyed_scan
+
+    def prep(b: pa.Table) -> pa.Table:
+        lat, lon = derive_latlon(b["event_id"].to_numpy(
+            zero_copy_only=False))
+        return pa.table({
+            "user_id": b["user_id"], "t": b["ts"].cast(pa.int64()),
+            "event_id": b["event_id"],
+            "xm": pa.array(np.floor(lon * 1e6 + 0.5).astype(np.int64)),
+            "ym": pa.array(np.floor(lat * 1e6 + 0.5).astype(np.int64))})
+
+    def fn(d: pd.DataFrame) -> pd.DataFrame:
+        u = d["user_id"].to_numpy()
+        x = d["xm"].to_numpy()
+        y = d["ym"].to_numpy()
+        seg = np.r_[False, u[1:] == u[:-1]]  # row k closes segment
+        # (k-1, k); runs of segment rows inherit the user run id
+        sx1, sy1 = np.roll(x, 1)[seg], np.roll(y, 1)[seg]
+        sx2, sy2, su = x[seg], y[seg], u[seg]
+        out: dict[int, int] = {}
+        for ig, jg in _intra_run_pairs(su):
+            keep = jg - ig >= 2  # non-adjacent (shared-endpoint pairs
+            # are always improper anyway, but skip the work)
+            ig, jg = ig[keep], jg[keep]
+            ax1, ay1, ax2, ay2 = sx1[ig], sy1[ig], sx2[ig], sy2[ig]
+            bx1, by1, bx2, by2 = sx1[jg], sy1[jg], sx2[jg], sy2[jg]
+            d1 = (ax2 - ax1) * (by1 - ay1) - (ay2 - ay1) * (bx1 - ax1)
+            d2 = (ax2 - ax1) * (by2 - ay1) - (ay2 - ay1) * (bx2 - ax1)
+            d3 = (bx2 - bx1) * (ay1 - by1) - (by2 - by1) * (ax1 - bx1)
+            d4 = (bx2 - bx1) * (ay2 - by1) - (by2 - by1) * (ax2 - bx1)
+            cross = (((d1 > 0) & (d2 < 0)) | ((d1 < 0) & (d2 > 0))) \
+                & (((d3 > 0) & (d4 < 0)) | ((d3 < 0) & (d4 > 0)))
+            if cross.any():
+                t = pd.DataFrame({"u": su[jg][cross]}).groupby(
+                    "u", sort=False).size()
+                for k, v in t.items():
+                    out[k] = out.get(k, 0) + int(v)
+        return pd.DataFrame({"user_id": np.fromiter(out, np.int64),
+                             "n_cross": np.fromiter(out.values(),
+                                                    np.int64)})
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id"]
+               ).map_batches(prep, batch_format="pyarrow")
+    return keyed_scan(ds, "user_id", ["t", "event_id"], fn,
+                      n_rows=_nrows(sf_dir, "events"))
+
+
+def q_self_crossings_sql() -> str:
+    lat, lon = latlon_sql("event_id")
+    return (
+        "WITH p AS (SELECT user_id, epoch_us(ts) AS t, event_id, "
+        f"CAST(floor({lon} * 1e6 + 0.5) AS BIGINT) AS xm, "
+        f"CAST(floor({lat} * 1e6 + 0.5) AS BIGINT) AS ym FROM events), "
+        "s AS (SELECT user_id, "
+        "row_number() OVER w AS seq, "
+        "lag(xm) OVER w AS x1, lag(ym) OVER w AS y1, "
+        "xm AS x2, ym AS y2 FROM p "
+        "WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)), "
+        "seg AS (SELECT * FROM s WHERE x1 IS NOT NULL), "
+        "x AS (SELECT a.user_id, "
+        "(a.x2 - a.x1) * (b.y1 - a.y1) - (a.y2 - a.y1) * (b.x1 - a.x1) "
+        "AS d1, "
+        "(a.x2 - a.x1) * (b.y2 - a.y1) - (a.y2 - a.y1) * (b.x2 - a.x1) "
+        "AS d2, "
+        "(b.x2 - b.x1) * (a.y1 - b.y1) - (b.y2 - b.y1) * (a.x1 - b.x1) "
+        "AS d3, "
+        "(b.x2 - b.x1) * (a.y2 - b.y1) - (b.y2 - b.y1) * (a.x2 - b.x1) "
+        "AS d4 "
+        "FROM seg a JOIN seg b ON a.user_id = b.user_id "
+        "AND b.seq >= a.seq + 2) "
+        "SELECT user_id, CAST(count(*) AS BIGINT) AS n_cross FROM x "
+        "WHERE ((d1 > 0 AND d2 < 0) OR (d1 < 0 AND d2 > 0)) "
+        "AND ((d3 > 0 AND d4 < 0) OR (d3 < 0 AND d4 > 0)) "
+        "GROUP BY 1"
+    )
+
+
+def q_haversine_legs(sf_dir: str):
+    """Per-user total great-circle travel distance: consecutive hops
+    (ordered by ts, event_id) through the haversine formula, each hop
+    pinned to millimetre ints via floor(d·1e3 + 0.5) BEFORE the sum so
+    the distributed total is exact-integer (the house transcendental
+    protocol — float sums never cross an aggregate).  keyed_scan
+    co-partitions users; hops and sums are one vectorized pass per
+    bucket."""
+    from .stages.scan import keyed_scan
+
+    def prep(b: pa.Table) -> pa.Table:
+        lat, lon = derive_latlon(b["event_id"].to_numpy(
+            zero_copy_only=False))
+        return pa.table({"user_id": b["user_id"],
+                         "t": b["ts"].cast(pa.int64()),
+                         "event_id": b["event_id"],
+                         "lat": pa.array(lat), "lon": pa.array(lon)})
+
+    C = np.pi / 180.0
+    R2 = 2.0 * 6371000.0
+
+    def fn(d: pd.DataFrame) -> pd.DataFrame:
+        u = d["user_id"].to_numpy()
+        phi = d["lat"].to_numpy() * C
+        lam = d["lon"].to_numpy() * C
+        hop = np.r_[False, u[1:] == u[:-1]]
+        p1, p2 = np.roll(phi, 1)[hop], phi[hop]
+        l1, l2 = np.roll(lam, 1)[hop], lam[hop]
+        sp = np.sin((p2 - p1) / 2.0)
+        sl = np.sin((l2 - l1) / 2.0)
+        h = sp * sp + np.cos(p1) * np.cos(p2) * (sl * sl)
+        dist = R2 * np.arcsin(np.minimum(1.0, np.sqrt(h)))
+        mm = np.floor(dist * 1e3 + 0.5).astype(np.int64)
+        g = pd.DataFrame({"user_id": u[hop], "total_mm": mm}).groupby(
+            "user_id", sort=False, as_index=False)["total_mm"].sum()
+        g["total_mm"] = g["total_mm"].astype(np.int64)
+        return g
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id"]
+               ).map_batches(prep, batch_format="pyarrow")
+    return keyed_scan(ds, "user_id", ["t", "event_id"], fn,
+                      n_rows=_nrows(sf_dir, "events"))
+
+
+def q_haversine_legs_sql() -> str:
+    lat, lon = latlon_sql("event_id")
+    return (
+        "WITH p AS (SELECT user_id, epoch_us(ts) AS t, event_id, "
+        f"{lat} * (pi() / 180.0) AS phi, "
+        f"{lon} * (pi() / 180.0) AS lam FROM events), "
+        "s AS (SELECT user_id, phi, lam, "
+        "lag(phi) OVER w AS p1, lag(lam) OVER w AS l1 FROM p "
+        "WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)), "
+        "h AS (SELECT user_id, "
+        "sin((phi - p1) / 2.0) * sin((phi - p1) / 2.0) "
+        "+ cos(p1) * cos(phi) * "
+        "(sin((lam - l1) / 2.0) * sin((lam - l1) / 2.0)) AS hv "
+        "FROM s WHERE p1 IS NOT NULL) "
+        "SELECT user_id, CAST(sum(CAST(floor("
+        "2.0 * 6371000.0 * asin(least(1.0, sqrt(hv))) * 1e3 + 0.5) "
+        "AS BIGINT)) AS BIGINT) AS total_mm FROM h GROUP BY 1"
+    )
+
+
+_RIPLEY_EPS = 1.0
+
+
+def q_pair_dist_hist(sf_dir: str):
+    """Ripley-K-style pair-distance histogram: every unordered event
+    pair within ε = 1° (PBSM radius self-join — only grid neighbors
+    ever meet, no all-pairs) binned by floor(d²·10/ε²); the ≤ 11-key
+    bin space merges on the combiner tree.  Pair distances recompute
+    from the ids inside the binning map (derive_latlon is pure), so
+    the join output stays ids-only."""
+    import pyarrow.compute as pc
+
+    from .stages.agg_tree import tree_aggregate_to_table
+    from .stages.spatial_join import point_radius_join
+
+    def pts(b: pa.Table) -> pa.Table:
+        k = b["event_id"].to_numpy(zero_copy_only=False)
+        lat, lon = derive_latlon(k)
+        return pa.table({"id": pa.array(k), "x": pa.array(lon),
+                         "y": pa.array(lat)})
+
+    a = _read(sf_dir, "events", ["event_id"]).map_batches(
+        pts, batch_format="pyarrow")
+    b = _read(sf_dir, "events", ["event_id"]).map_batches(
+        pts, batch_format="pyarrow")
+    pairs = point_radius_join(a, b, radius=_RIPLEY_EPS, cell=8.0,
+                              out_a="u", out_b="v")
+
+    def bins(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less(t["u"], t["v"]))
+        u = t["u"].to_numpy(zero_copy_only=False)
+        v = t["v"].to_numpy(zero_copy_only=False)
+        ya, xa = derive_latlon(u)
+        yb, xb = derive_latlon(v)
+        d2 = (xa - xb) * (xa - xb) + (ya - yb) * (ya - yb)
+        bin_ = np.floor(d2 * 10.0 / (_RIPLEY_EPS * _RIPLEY_EPS)
+                        ).astype(np.int64)
+        c = pa.table({"bin": pa.array(bin_),
+                      "n_pairs": pa.array(np.ones(len(bin_), np.int64))})
+        return (c.group_by(["bin"]).aggregate([("n_pairs", "sum")])
+                 .rename_columns(["bin", "n_pairs"]))
+
+    return tree_aggregate_to_table(
+        pairs.map_batches(bins, batch_format="pyarrow"),
+        ["bin"], [("n_pairs", "sum")])
+
+
+def q_pair_dist_hist_sql() -> str:
+    lat, lon = latlon_sql("event_id")
+    e2 = _RIPLEY_EPS * _RIPLEY_EPS
+    return (
+        f"WITH p AS (SELECT event_id AS id, {lon} AS x, {lat} AS y "
+        "FROM events), "
+        "d AS (SELECT (a.x - b.x) * (a.x - b.x) + "
+        "(a.y - b.y) * (a.y - b.y) AS d2 FROM p a JOIN p b "
+        "ON a.id < b.id AND (a.x - b.x) * (a.x - b.x) + "
+        f"(a.y - b.y) * (a.y - b.y) <= {e2}) "
+        f"SELECT CAST(floor(d2 * 10.0 / {e2}) AS BIGINT) AS bin, "
+        "CAST(count(*) AS BIGINT) AS n_pairs FROM d GROUP BY 1"
+    )
+
+
+def q_bbox_extent(sf_dir: str):
+    """Per-user bounding box (ST_Extent shape) in exact microdegree
+    ints plus the box area: per-batch Arrow group_by pre-reduces each
+    block to one row per (block, user) — the combiner — then ONE
+    coarse hash exchange on user_id finishes the global min/max.  The
+    event stream never shuffles."""
+    from .stages.scan import hash_bucket_scan
+
+    def partial(b: pa.Table) -> pa.Table:
+        lat, lon = derive_latlon(b["event_id"].to_numpy(
+            zero_copy_only=False))
+        t = pa.table({
+            "user_id": b["user_id"],
+            "xm": pa.array(np.floor(lon * 1e6 + 0.5).astype(np.int64)),
+            "ym": pa.array(np.floor(lat * 1e6 + 0.5).astype(np.int64))})
+        return (t.group_by(["user_id"]).aggregate(
+            [("xm", "min"), ("xm", "max"), ("ym", "min"), ("ym", "max")])
+            .rename_columns(["user_id", "x_min", "x_max",
+                             "y_min", "y_max"]))
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id"]).map_batches(
+        partial, batch_format="pyarrow")
+
+    def final(t: pa.Table) -> pa.Table:
+        g = (t.group_by(["user_id"]).aggregate(
+            [("x_min", "min"), ("x_max", "max"),
+             ("y_min", "min"), ("y_max", "max")])
+            .rename_columns(["user_id", "x_min", "x_max",
+                             "y_min", "y_max"]))
+        area = ((g["x_max"].to_numpy() - g["x_min"].to_numpy())
+                * (g["y_max"].to_numpy() - g["y_min"].to_numpy()))
+        return g.append_column("area_u2", pa.array(area, pa.int64()))
+
+    return hash_bucket_scan(ds, ["user_id"], final)
+
+
+def q_bbox_extent_sql() -> str:
+    lat, lon = latlon_sql("event_id")
+    return (
+        "WITH p AS (SELECT user_id, "
+        f"CAST(floor({lon} * 1e6 + 0.5) AS BIGINT) AS xm, "
+        f"CAST(floor({lat} * 1e6 + 0.5) AS BIGINT) AS ym FROM events) "
+        "SELECT user_id, min(xm) AS x_min, max(xm) AS x_max, "
+        "min(ym) AS y_min, max(ym) AS y_max, "
+        "(max(xm) - min(xm)) * (max(ym) - min(ym)) AS area_u2 "
+        "FROM p GROUP BY 1"
+    )
+
+
 _CHECKSUM_K = 300  # first K fixture images; covers all 15 (side,fmt)
 # combos 20×.  K is a constant (not scale-derived) so the oracle SQL —
 # which regenerates the pixels from the fixture's closed-form generator
@@ -7177,6 +7532,11 @@ QUERIES = {
     "dbscan": q_dbscan,
     "image_checksum": q_image_checksum,
     "thumb_checksum": q_thumb_checksum,
+    "max_span": q_max_span,
+    "self_crossings": q_self_crossings,
+    "haversine_legs": q_haversine_legs,
+    "pair_dist_hist": q_pair_dist_hist,
+    "bbox_extent": q_bbox_extent,
     "heading_octants": q_heading_octants,
     "stay_points": q_stay_points,
     "shoelace_area": q_shoelace_area,
@@ -7371,6 +7731,11 @@ ORACLE_SQL = {
     "dbscan": q_dbscan_sql(),
     "image_checksum": q_image_checksum_sql(),
     "thumb_checksum": q_thumb_checksum_sql(),
+    "max_span": q_max_span_sql(),
+    "self_crossings": q_self_crossings_sql(),
+    "haversine_legs": q_haversine_legs_sql(),
+    "pair_dist_hist": q_pair_dist_hist_sql(),
+    "bbox_extent": q_bbox_extent_sql(),
     "hamming_topk": q_hamming_topk_sql(),
     "outlier_flags": q_outlier_flags_sql(),
     "shipping_priority": q_shipping_priority_sql(),

@@ -35,7 +35,13 @@ NAMES = ["pct_rank", "retention", "doc_stats", "type_entropy",
          # a single-vector label (centroid = itself), zero-crossing
          # border segments
          "od_matrix", "cum_new_users", "kring_smooth", "geohash4",
-         "dbscan", "border_crossings", "mom_revenue", "label_scatter"]
+         "dbscan", "border_crossings", "mom_revenue", "label_scatter",
+         # session-H block; the edge fixture's single-event users hit
+         # the no-pair / no-hop degenerate paths, the planted DBSCAN
+         # triangle gives pair_dist_hist sub-ε bins and max_span a
+         # multi-chunk-safe tiny run
+         "max_span", "self_crossings", "haversine_legs",
+         "pair_dist_hist", "bbox_extent"]
 
 
 @pytest.fixture(scope="module")
@@ -197,6 +203,27 @@ def test_dbscan_planted_roles(edge_dir, ray_session):
     assert out.loc[71574, "comp"] == 5000
     for eid in (409, 1448009):
         assert out.loc[eid, "role"] == 0 and out.loc[eid, "comp"] == -1
+
+
+def test_intra_run_pairs_chunking():
+    """The chunked pair generator emits exactly the brute-force
+    (i < j) intra-run pair set, for every budget — including budgets
+    that split a single row's pair slots across chunks."""
+    import numpy as np
+
+    from skyway_ray.queries import _intra_run_pairs
+
+    rng = np.random.default_rng(7)
+    for trial in range(20):
+        runs = np.sort(rng.integers(0, 8, rng.integers(0, 40)))
+        want = {(i, j) for i in range(len(runs))
+                for j in range(i + 1, len(runs)) if runs[i] == runs[j]}
+        for budget in (1, 2, 3, 7, 1_000_000):
+            got = set()
+            for ig, jg in _intra_run_pairs(runs, pair_budget=budget):
+                assert len(ig) <= budget
+                got.update(zip(ig.tolist(), jg.tolist()))
+            assert got == want, (trial, budget)
 
 
 def test_triangle_found(edge_dir, ray_session):
