@@ -7420,6 +7420,127 @@ def q_thumb_checksum_sql() -> str:
     )
 
 
+# shared SQL fragment: decoded-luma table (i, x, y, luma) for the
+# first K fixture images — generator replay (see q_image_checksum_sql)
+# → per-channel fake-lossy quantization → integer luma (77R+150G+29B)>>8
+def _luma_table_sql(k: int) -> str:
+    def raw(c: str) -> str:
+        return ("((x*3 + y*5 + " + c + "*11 + (i*37) % 256 + "
+                "CAST((((CAST(i AS HUGEINT)*2654435761 + (y*side+x)*97 "
+                "+ " + c + "*131) * 1103515245) % 18446744073709551616)"
+                " // 65536 % 32 AS BIGINT)) % 256)")
+
+    def chan(c: str) -> str:
+        return (f"(CASE WHEN fmt = 'png' THEN {raw(c)} "
+                f"ELSE {raw(c)} // 4 * 4 + 2 END)")
+
+    return (
+        "imgs AS (SELECT CAST(i AS BIGINT) AS i, "
+        "CASE i % 5 WHEN 0 THEN 16 WHEN 1 THEN 24 WHEN 2 THEN 32 "
+        "WHEN 3 THEN 48 ELSE 64 END AS side, "
+        "CASE i % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' "
+        "ELSE 'webp' END AS fmt "
+        f"FROM range({k}) t(i)), "
+        "lum AS (SELECT i, side, x, y, "
+        f"(77 * {chan('0')} + 150 * {chan('1')} + 29 * {chan('2')}) "
+        "// 256 AS l "
+        "FROM imgs "
+        "JOIN range(64) tx(x) ON tx.x < imgs.side "
+        "JOIN range(64) ty(y) ON ty.y < imgs.side)"
+    )
+
+
+def q_blur_checksum(sf_dir: str):
+    """Hash verification of the BLUR-SCORE path: the real
+    ``ImageBlurScore`` stage (decode → integer luma → 4-neighbour
+    Laplacian → exact-int variance numerator n·Σl²−(Σl)²,
+    stages/multimodal.py:232) over the first K fixture images.  The
+    oracle rebuilds the decoded-luma plane from the pixel generator in
+    SQL and takes the Laplacian via four neighbor equijoins — any
+    drift in decode, luma weights, or interior handling mismatches.
+    Same head-K / scale caveats as image_checksum."""
+    import pyarrow.dataset as pds
+    import ray.data
+
+    from .fixtures import ensure_images_parquet, scale_for_sf_dir
+    from .stages.multimodal import ImageBlurScore
+
+    hi = f"img_{_CHECKSUM_K:012d}"
+    images = ensure_images_parquet(scale_for_sf_dir(sf_dir))
+    ds = ray.data.read_parquet(images, columns=["image_id", "bytes", "fmt"],
+                               filter=pds.field("image_id") < hi)
+    return ds.map_batches(ImageBlurScore, batch_format="pyarrow",
+                          batch_size=128, concurrency=2)
+
+
+def q_blur_checksum_sql() -> str:
+    return (
+        "WITH " + _luma_table_sql(_CHECKSUM_K) + ", "
+        "lap AS (SELECT c.i, "
+        "4 * c.l - u.l - d.l - lf.l - rt.l AS v "
+        "FROM lum c "
+        "JOIN lum u ON u.i = c.i AND u.x = c.x AND u.y = c.y - 1 "
+        "JOIN lum d ON d.i = c.i AND d.x = c.x AND d.y = c.y + 1 "
+        "JOIN lum lf ON lf.i = c.i AND lf.x = c.x - 1 AND lf.y = c.y "
+        "JOIN lum rt ON rt.i = c.i AND rt.x = c.x + 1 AND rt.y = c.y "
+        "WHERE c.x BETWEEN 1 AND c.side - 2 "
+        "AND c.y BETWEEN 1 AND c.side - 2) "
+        "SELECT 'img_' || lpad(CAST(i AS VARCHAR), 12, '0') AS image_id,"
+        " CAST(count(*) * CAST(sum(v * v) AS BIGINT) "
+        "- CAST(sum(v) AS BIGINT) * CAST(sum(v) AS BIGINT) AS BIGINT) "
+        "AS lap_var_num, CAST(count(*) AS BIGINT) AS lap_n "
+        "FROM lap GROUP BY 1"
+    )
+
+
+_PATCH_P = 16
+
+
+def q_patch_checksum(sf_dir: str):
+    """Hash verification of the PATCHIFY path: the real
+    ``ImagePatchify`` stage (decode → non-overlapping 16×16 patch grid
+    → exact-int mean luma per patch, stages/multimodal.py:139) over
+    the first K fixture images, returning the (image, patch_y,
+    patch_x, mean_luma) manifest (the binary patch buffers stay inside
+    the pipeline, as in production).  The oracle groups the replayed
+    luma plane by floor-grid patch coordinates — the floor-crop of
+    non-divisible sides (24 → one 16×16 patch) is pinned too."""
+    import pyarrow.dataset as pds
+    import ray.data
+
+    from .fixtures import ensure_images_parquet, scale_for_sf_dir
+    from .stages.multimodal import ImagePatchify
+
+    hi = f"img_{_CHECKSUM_K:012d}"
+    images = ensure_images_parquet(scale_for_sf_dir(sf_dir))
+    ds = ray.data.read_parquet(images, columns=["image_id", "bytes", "fmt"],
+                               filter=pds.field("image_id") < hi)
+    patches = ds.map_batches(ImagePatchify(patch=_PATCH_P),
+                             batch_format="pyarrow", batch_size=64)
+
+    def manifest(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "image_id": b["image_id"],
+            "patch_y": b["patch_y"].cast(pa.int64()),
+            "patch_x": b["patch_x"].cast(pa.int64()),
+            "mean_luma": b["mean_luma"]})
+
+    return patches.map_batches(manifest, batch_format="pyarrow")
+
+
+def q_patch_checksum_sql() -> str:
+    p = _PATCH_P
+    return (
+        "WITH " + _luma_table_sql(_CHECKSUM_K) + " "
+        "SELECT 'img_' || lpad(CAST(i AS VARCHAR), 12, '0') AS image_id,"
+        f" y // {p} AS patch_y, x // {p} AS patch_x, "
+        f"CAST(sum(l) AS BIGINT) // {p * p} AS mean_luma "
+        f"FROM lum WHERE x < (side // {p}) * {p} "
+        f"AND y < (side // {p}) * {p} "
+        "GROUP BY 1, 2, 3"
+    )
+
+
 _BM25_TERMS = ("spark", "window", "hash", "vector")
 _BM25_K = 20
 
@@ -7532,6 +7653,8 @@ QUERIES = {
     "dbscan": q_dbscan,
     "image_checksum": q_image_checksum,
     "thumb_checksum": q_thumb_checksum,
+    "blur_checksum": q_blur_checksum,
+    "patch_checksum": q_patch_checksum,
     "max_span": q_max_span,
     "self_crossings": q_self_crossings,
     "haversine_legs": q_haversine_legs,
@@ -7731,6 +7854,8 @@ ORACLE_SQL = {
     "dbscan": q_dbscan_sql(),
     "image_checksum": q_image_checksum_sql(),
     "thumb_checksum": q_thumb_checksum_sql(),
+    "blur_checksum": q_blur_checksum_sql(),
+    "patch_checksum": q_patch_checksum_sql(),
     "max_span": q_max_span_sql(),
     "self_crossings": q_self_crossings_sql(),
     "haversine_legs": q_haversine_legs_sql(),
