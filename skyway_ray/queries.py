@@ -7541,6 +7541,209 @@ def q_patch_checksum_sql() -> str:
     )
 
 
+def q_dhash_checksum(sf_dir: str):
+    """Hash verification of the PERCEPTUAL-HASH path: the real
+    ``PerceptualHash`` stage (decode → float luma → 8×9 nearest-
+    neighbor sample → horizontal-gradient dHash bit pack,
+    stages/multimodal.py:198, functions/phash.py:53) over the first K
+    fixture images.  dHash is float-exact across SQL/numpy because it
+    never averages — each sampled luma is one (r·0.299 + g·0.587 +
+    b·0.114) expression evaluated identically on both sides, and bits
+    are strict comparisons of those exact doubles.  (aHash is NOT
+    oracle-pinned: numpy's mean uses pairwise summation whose order
+    SQL cannot replicate; it stays covered by kernel tests.)  The
+    64-bit pack is replayed in HUGEINT and wrapped to signed int64."""
+    import pyarrow.dataset as pds
+    import ray.data
+
+    from .fixtures import ensure_images_parquet, scale_for_sf_dir
+    from .stages.multimodal import PerceptualHash
+
+    hi = f"img_{_CHECKSUM_K:012d}"
+    images = ensure_images_parquet(scale_for_sf_dir(sf_dir))
+    ds = ray.data.read_parquet(images, columns=["image_id", "bytes", "fmt"],
+                               filter=pds.field("image_id") < hi)
+    hashes = ds.map_batches(PerceptualHash, batch_format="pyarrow",
+                            batch_size=128, concurrency=2)
+    return hashes.map_batches(
+        lambda t: t.select(["image_id", "dhash64"]),
+        batch_format="pyarrow")
+
+
+def q_dhash_checksum_sql() -> str:
+    def raw(c: str, xe: str, ye: str) -> str:
+        return (f"(({xe}*3 + {ye}*5 + {c}*11 + (i*37) % 256 + "
+                "CAST((((CAST(i AS HUGEINT)*2654435761 + "
+                f"(({ye})*side+({xe}))*97 + {c}*131) * 1103515245) "
+                "% 18446744073709551616) // 65536 % 32 AS BIGINT)) "
+                "% 256)")
+
+    def chan(c: str, xe: str, ye: str) -> str:
+        r = raw(c, xe, ye)
+        return f"(CASE WHEN fmt = 'png' THEN {r} ELSE {r} // 4 * 4 + 2 END)"
+
+    def luma(xe: str, ye: str) -> str:
+        return (f"({chan('0', xe, ye)} * 0.299 + "
+                f"{chan('1', xe, ye)} * 0.587 + "
+                f"{chan('2', xe, ye)} * 0.114)")
+
+    # sample coords: row sy = gy*side//8; bit column pair uses the 8x9
+    # grid's x(j) = j*side//9 with bit gx comparing j = gx+1 vs gx
+    l2 = luma("((gx + 1) * side) // 9", "(gy * side) // 8")
+    l1 = luma("(gx * side) // 9", "(gy * side) // 8")
+    return (
+        "WITH imgs AS (SELECT CAST(i AS BIGINT) AS i, "
+        "CASE i % 5 WHEN 0 THEN 16 WHEN 1 THEN 24 WHEN 2 THEN 32 "
+        "WHEN 3 THEN 48 ELSE 64 END AS side, "
+        "CASE i % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' "
+        "ELSE 'webp' END AS fmt "
+        f"FROM range({_CHECKSUM_K}) t(i)), "
+        "bits AS (SELECT i, gy, gx, "
+        f"CASE WHEN {l2} > {l1} THEN 1 ELSE 0 END AS b "
+        "FROM imgs CROSS JOIN range(8) ty(gy) CROSS JOIN range(8) "
+        "tx(gx)), "
+        "packed AS (SELECT i, sum(CASE WHEN b = 1 THEN "
+        "CAST(1 AS HUGEINT) << CAST(gy * 8 + gx AS INTEGER) "
+        "ELSE 0 END) AS h FROM bits GROUP BY 1) "
+        "SELECT 'img_' || lpad(CAST(i AS VARCHAR), 12, '0') AS image_id,"
+        " CAST(h - CASE WHEN h >= 9223372036854775808 "
+        "THEN 18446744073709551616 ELSE 0 END AS BIGINT) AS dhash64 "
+        "FROM packed"
+    )
+
+
+_COLOC_EPS = 1.0
+
+
+def q_colocation(sf_dir: str):
+    """Spatial co-location mining: counts of unordered event-TYPE
+    pairs whose instances fall within ε = 1° of each other (the
+    classic co-location pattern-count).  The PBSM radius self-join
+    emits id pairs only; event types attach through two copart hash
+    joins (one coarse exchange each, no broadcast of the big side);
+    the bounded type-pair space merges on the combiner tree."""
+    import pyarrow.compute as pc
+
+    from .stages.agg_tree import tree_aggregate_to_table
+    from .stages.joins import copart_hash_join
+    from .stages.spatial_join import point_radius_join
+
+    def pts(b: pa.Table) -> pa.Table:
+        k = b["event_id"].to_numpy(zero_copy_only=False)
+        lat, lon = derive_latlon(k)
+        return pa.table({"id": pa.array(k), "x": pa.array(lon),
+                         "y": pa.array(lat)})
+
+    a = _read(sf_dir, "events", ["event_id"]).map_batches(
+        pts, batch_format="pyarrow")
+    b = _read(sf_dir, "events", ["event_id"]).map_batches(
+        pts, batch_format="pyarrow")
+    pairs = point_radius_join(a, b, radius=_COLOC_EPS, cell=8.0,
+                              out_a="u", out_b="v").map_batches(
+        lambda t: t.filter(pc.less(t["u"], t["v"])),
+        batch_format="pyarrow").materialize()  # ids only; counted
+    # below so the two joins size buckets without re-running the PBSM
+    n_p = pairs.count()
+
+    types = _read(sf_dir, "events", ["event_id", "event_type"])
+    tu = types.map_batches(
+        lambda t: t.rename_columns(["eu", "tu"]), batch_format="pyarrow")
+    tv = types.map_batches(
+        lambda t: t.rename_columns(["ev", "tv"]), batch_format="pyarrow")
+    j = copart_hash_join(pairs, tu, left_on="u", right_on="eu",
+                         n_rows=n_p).materialize()
+    j = copart_hash_join(j, tv, left_on="v", right_on="ev",
+                         n_rows=n_p)
+
+    _typed_schema = pa.schema([("type_a", pa.string()),
+                               ("type_b", pa.string()),
+                               ("n_pairs", pa.int64())])
+
+    def typed(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:  # Ray passes zero-COLUMN empty blocks
+            # through UDF chains — rebuild the schema explicitly
+            return _typed_schema.empty_table()
+        a_ = t["tu"].to_numpy(zero_copy_only=False).astype("U")
+        b_ = t["tv"].to_numpy(zero_copy_only=False).astype("U")
+        lo = a_ <= b_
+        c = pa.table({
+            "type_a": pa.array(np.where(lo, a_, b_)),
+            "type_b": pa.array(np.where(lo, b_, a_)),
+            "n_pairs": pa.array(np.ones(t.num_rows, np.int64))})
+        return (c.group_by(["type_a", "type_b"])
+                 .aggregate([("n_pairs", "sum")])
+                 .rename_columns(["type_a", "type_b", "n_pairs"]))
+
+    return tree_aggregate_to_table(
+        j.map_batches(typed, batch_format="pyarrow"),
+        ["type_a", "type_b"], [("n_pairs", "sum")])
+
+
+def q_colocation_sql() -> str:
+    lat, lon = latlon_sql("event_id")
+    e2 = _COLOC_EPS * _COLOC_EPS
+    return (
+        f"WITH p AS (SELECT event_id AS id, {lon} AS x, {lat} AS y "
+        "FROM events), "
+        "e AS (SELECT a.id AS u, b.id AS v FROM p a JOIN p b "
+        "ON a.id < b.id AND (a.x - b.x) * (a.x - b.x) + "
+        f"(a.y - b.y) * (a.y - b.y) <= {e2}), "
+        "t AS (SELECT ea.event_type AS tu, eb.event_type AS tv FROM e "
+        "JOIN events ea ON ea.event_id = e.u "
+        "JOIN events eb ON eb.event_id = e.v) "
+        "SELECT least(tu, tv) AS type_a, greatest(tu, tv) AS type_b, "
+        "CAST(count(*) AS BIGINT) AS n_pairs FROM t GROUP BY 1, 2"
+    )
+
+
+def q_repetition_ratio(sf_dir: str):
+    """Per-document repetition scoring (the dedup-adjacent quality
+    signal: boilerplate/spam has a dominant repeated n-gram): most
+    frequent word-3-gram count over total 3-grams, as exact
+    parts-per-million ints (``max·1e6 // n3`` — no floats anywhere).
+    Tokenization is the house ``[A-Za-z0-9]+`` regex (same as
+    token_count); everything is doc-local, so the stage is a pure
+    map_batches — no shuffle at any scale.  Docs with < 3 tokens emit
+    nothing (no 3-grams), matching the SQL join shape."""
+    import re
+
+    pat = re.compile(r"[A-Za-z0-9]+")
+
+    def f(batch: pd.DataFrame) -> pd.DataFrame:
+        from collections import Counter
+
+        ids, ppm = [], []
+        for did, text in zip(batch["doc_id"], batch["text"]):
+            toks = pat.findall(text)
+            n3 = len(toks) - 2
+            if n3 < 1:
+                continue
+            c = Counter(" ".join(toks[k:k + 3]) for k in range(n3))
+            ids.append(did)
+            ppm.append(max(c.values()) * 1_000_000 // n3)
+        return pd.DataFrame({"doc_id": np.array(ids, np.int64),
+                             "rep_ppm": np.array(ppm, np.int64)})
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        f, batch_format="pandas")
+
+
+def q_repetition_ratio_sql() -> str:
+    return (
+        "WITH toks AS (SELECT doc_id, "
+        "unnest(regexp_extract_all(text, '[A-Za-z0-9]+')) AS tok, "
+        "unnest(range(1, length(regexp_extract_all(text, "
+        "'[A-Za-z0-9]+')) + 1)) AS pos FROM documents), "
+        "g AS (SELECT a.doc_id, a.tok || ' ' || b.tok || ' ' || c.tok "
+        "AS g3 FROM toks a "
+        "JOIN toks b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1 "
+        "JOIN toks c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2), "
+        "cnt AS (SELECT doc_id, g3, count(*) AS c FROM g GROUP BY 1, 2) "
+        "SELECT doc_id, CAST(max(c) * 1000000 // sum(c) AS BIGINT) "
+        "AS rep_ppm FROM cnt GROUP BY 1"
+    )
+
+
 _BM25_TERMS = ("spark", "window", "hash", "vector")
 _BM25_K = 20
 
@@ -7655,6 +7858,9 @@ QUERIES = {
     "thumb_checksum": q_thumb_checksum,
     "blur_checksum": q_blur_checksum,
     "patch_checksum": q_patch_checksum,
+    "dhash_checksum": q_dhash_checksum,
+    "colocation": q_colocation,
+    "repetition_ratio": q_repetition_ratio,
     "max_span": q_max_span,
     "self_crossings": q_self_crossings,
     "haversine_legs": q_haversine_legs,
@@ -7856,6 +8062,9 @@ ORACLE_SQL = {
     "thumb_checksum": q_thumb_checksum_sql(),
     "blur_checksum": q_blur_checksum_sql(),
     "patch_checksum": q_patch_checksum_sql(),
+    "dhash_checksum": q_dhash_checksum_sql(),
+    "colocation": q_colocation_sql(),
+    "repetition_ratio": q_repetition_ratio_sql(),
     "max_span": q_max_span_sql(),
     "self_crossings": q_self_crossings_sql(),
     "haversine_legs": q_haversine_legs_sql(),

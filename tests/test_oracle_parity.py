@@ -89,7 +89,8 @@ def test_entry_smoke(ray_session):
     "mom_revenue", "label_scatter", "od_matrix", "cum_new_users",
     "kring_smooth", "border_crossings", "geohash4", "dbscan",
     "image_checksum", "thumb_checksum", "blur_checksum",
-    "patch_checksum", "max_span", "self_crossings",
+    "patch_checksum", "dhash_checksum", "colocation",
+    "repetition_ratio", "max_span", "self_crossings",
     "haversine_legs", "pair_dist_hist", "bbox_extent",
 ])
 def test_sql_parity(name, entries):
