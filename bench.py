@@ -189,7 +189,13 @@ def run_bench() -> dict:
                      "power_iteration", "group_sample", "mom_revenue",
                      "label_scatter", "od_matrix", "cum_new_users",
                      "kring_smooth", "border_crossings", "geohash4",
-                     "douglas_peucker"):
+                     "douglas_peucker", "dbscan", "image_checksum",
+                     "thumb_checksum", "blur_checksum", "patch_checksum",
+                     "dhash_checksum", "colocation", "repetition_ratio",
+                     "max_span", "self_crossings", "haversine_legs",
+                     "pair_dist_hist", "bbox_extent", "grad_energy",
+                     "scatter_orientation", "border_buffer",
+                     "cell_transitions"):
             best = float("inf")
             attempts = 0
             for _ in range(max(1, repeats)):

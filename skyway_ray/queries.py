@@ -7744,6 +7744,261 @@ def q_repetition_ratio_sql() -> str:
     )
 
 
+def q_grad_energy(sf_dir: str):
+    """Hash verification of a TOTAL-VARIATION energy score (the
+    edge-density quality signal of image curation): decode → integer
+    luma → Σ|∂x| + Σ|∂y| over the luma plane, exact int64.  Oracle =
+    luma-plane replay + two neighbor equijoins.  Same head-K / scale
+    caveats as image_checksum."""
+    import pyarrow.dataset as pds
+    import ray.data
+
+    from .fixtures import ensure_images_parquet, scale_for_sf_dir
+    from .functions.image_codec import decode_image
+
+    hi = f"img_{_CHECKSUM_K:012d}"
+    images = ensure_images_parquet(scale_for_sf_dir(sf_dir))
+    ds = ray.data.read_parquet(images, columns=["image_id", "bytes", "fmt"],
+                               filter=pds.field("image_id") < hi)
+
+    def tv(b: pa.Table) -> pa.Table:
+        blobs = b["bytes"].to_pylist()
+        fmts = b["fmt"].to_pylist()
+        out = np.empty(len(blobs), np.int64)
+        for i in range(len(blobs)):
+            img = decode_image(blobs[i], fmts[i]).astype(np.int64)
+            y = (77 * img[:, :, 0] + 150 * img[:, :, 1]
+                 + 29 * img[:, :, 2]) >> 8
+            out[i] = (np.abs(y[:, 1:] - y[:, :-1]).sum()
+                      + np.abs(y[1:, :] - y[:-1, :]).sum())
+        return pa.table({"image_id": b["image_id"],
+                         "tv_energy": pa.array(out)})
+
+    return ds.map_batches(tv, batch_format="pyarrow", batch_size=128)
+
+
+def q_grad_energy_sql() -> str:
+    return (
+        "WITH " + _luma_table_sql(_CHECKSUM_K) + ", "
+        "dx AS (SELECT c.i, abs(r.l - c.l) AS v FROM lum c "
+        "JOIN lum r ON r.i = c.i AND r.y = c.y AND r.x = c.x + 1), "
+        "dy AS (SELECT c.i, abs(d.l - c.l) AS v FROM lum c "
+        "JOIN lum d ON d.i = c.i AND d.x = c.x AND d.y = c.y + 1), "
+        "u AS (SELECT i, v FROM dx UNION ALL SELECT i, v FROM dy) "
+        "SELECT 'img_' || lpad(CAST(i AS VARCHAR), 12, '0') AS image_id,"
+        " CAST(sum(v) AS BIGINT) AS tv_energy FROM u GROUP BY 1"
+    )
+
+
+def q_scatter_orientation(sf_dir: str):
+    """Per-cell point-scatter principal orientation (anisotropy — the
+    directional-trend spatial statistic): for each 15° grid cell, the
+    covariance eigen-direction ``atan2(2·Mxy, Mxx − Myy) → micro-int``
+    from EXACT integer central moments.  Per-batch Arrow group_by
+    pre-reduces each block to per-cell int sums (n, Σx, Σy, Σx², Σy²,
+    Σxy over millidegree offsets from the cell origin — shift-
+    invariant for central moments and keeps n·Σx² < 2^63 up to ~2e5
+    points/cell; beyond that, split cells or carry Welford partials);
+    the bounded 24×8 cell space merges on the combiner tree and one
+    double atan2 per cell runs on the driver.  Events never shuffle."""
+    from .stages.agg_tree import tree_aggregate_to_table
+
+    def partial(b: pa.Table) -> pa.Table:
+        lat, lon = derive_latlon(b["event_id"].to_numpy(
+            zero_copy_only=False))
+        cx = np.floor((lon + 180.0) / 15.0).astype(np.int64)
+        cy = np.floor((lat + 60.0) / 15.0).astype(np.int64)
+        xm = np.floor(lon * 1e3 + 0.5).astype(np.int64) \
+            - (cx * 15000 - 180000)
+        ym = np.floor(lat * 1e3 + 0.5).astype(np.int64) \
+            - (cy * 15000 - 60000)
+        t = pa.table({
+            "cx": pa.array(cx), "cy": pa.array(cy),
+            "n": pa.array(np.ones(len(xm), np.int64)),
+            "sx": pa.array(xm), "sy": pa.array(ym),
+            "sxx": pa.array(xm * xm), "syy": pa.array(ym * ym),
+            "sxy": pa.array(xm * ym)})
+        return (t.group_by(["cx", "cy"]).aggregate(
+            [("n", "sum"), ("sx", "sum"), ("sy", "sum"),
+             ("sxx", "sum"), ("syy", "sum"), ("sxy", "sum")])
+            .rename_columns(["cx", "cy", "n", "sx", "sy",
+                             "sxx", "syy", "sxy"]))
+
+    ds = _read(sf_dir, "events", ["event_id"]).map_batches(
+        partial, batch_format="pyarrow")
+    m = tree_aggregate_to_table(
+        ds, ["cx", "cy"],
+        [("n", "sum"), ("sx", "sum"), ("sy", "sum"),
+         ("sxx", "sum"), ("syy", "sum"), ("sxy", "sum")]).to_pandas()
+    m = m[m["n"] >= 2]
+    n = m["n"].to_numpy()
+    mxy = n * m["sxy"].to_numpy() - m["sx"].to_numpy() * m["sy"].to_numpy()
+    mxx = n * m["sxx"].to_numpy() - m["sx"].to_numpy() ** 2
+    myy = n * m["syy"].to_numpy() - m["sy"].to_numpy() ** 2
+    theta = np.arctan2(2.0 * mxy.astype(np.float64),
+                       (mxx - myy).astype(np.float64))
+    return pd.DataFrame({
+        "cx": m["cx"].to_numpy().astype(np.int64),
+        "cy": m["cy"].to_numpy().astype(np.int64),
+        "n": n.astype(np.int64),
+        "theta_micro": np.floor(theta * 1e6 + 0.5).astype(np.int64)})
+
+
+def q_scatter_orientation_sql() -> str:
+    lat, lon = latlon_sql("event_id")
+    return (
+        "WITH p AS (SELECT "
+        f"CAST(floor(({lon} + 180.0) / 15.0) AS BIGINT) AS cx, "
+        f"CAST(floor(({lat} + 60.0) / 15.0) AS BIGINT) AS cy, "
+        f"CAST(floor({lon} * 1e3 + 0.5) AS BIGINT) AS xm, "
+        f"CAST(floor({lat} * 1e3 + 0.5) AS BIGINT) AS ym "
+        "FROM events), "
+        "c AS (SELECT cx, cy, xm - (cx * 15000 - 180000) AS dx, "
+        "ym - (cy * 15000 - 60000) AS dy FROM p), "
+        "s AS (SELECT cx, cy, CAST(count(*) AS BIGINT) AS n, "
+        "CAST(sum(dx) AS BIGINT) AS sx, CAST(sum(dy) AS BIGINT) AS sy, "
+        "CAST(sum(dx * dx) AS BIGINT) AS sxx, "
+        "CAST(sum(dy * dy) AS BIGINT) AS syy, "
+        "CAST(sum(dx * dy) AS BIGINT) AS sxy "
+        "FROM c GROUP BY 1, 2) "
+        "SELECT cx, cy, n, CAST(floor(atan2("
+        "CAST(2 * (n * sxy - sx * sy) AS DOUBLE), "
+        "CAST((n * sxx - sx * sx) - (n * syy - sy * sy) AS DOUBLE)) "
+        "* 1e6 + 0.5) AS BIGINT) AS theta_micro FROM s WHERE n >= 2"
+    )
+
+
+_BUFFER_D = 0.5
+
+
+def q_border_buffer(sf_dir: str):
+    """Buffer-zone counts: events within 0.5° of each derived border
+    segment (point-to-segment distance — projection parameter clamped
+    to the segment, perpendicular case via cross²/len² in doubles with
+    the identical expression order as the SQL CASE, so the comparison
+    replays bit-for-bit).  The 25 segments are a broadcast constant;
+    the whole query is one vectorized map over event batches (25-
+    iteration fixed loop) plus the bounded combiner tree — the event
+    stream never shuffles."""
+    from .stages.agg_tree import tree_aggregate_to_table
+
+    seg, axm, aym, bxm, bym = _border_segments(sf_dir)
+    # microdegree segment endpoints → degree doubles (exact: ints
+    # < 2^53), matching the SQL's x/1e6 derivation
+    ax, ay = axm / 1e6, aym / 1e6
+    bx, by = bxm / 1e6, bym / 1e6
+    dd = _BUFFER_D * _BUFFER_D
+
+    def partial(b: pa.Table) -> pa.Table:
+        lat, lon = derive_latlon(b["event_id"].to_numpy(
+            zero_copy_only=False))
+        segs, cnts = [], []
+        for i in range(len(seg)):
+            dx, dy = bx[i] - ax[i], by[i] - ay[i]
+            px, py = lon - ax[i], lat - ay[i]
+            len2 = dx * dx + dy * dy
+            tp = px * dx + py * dy
+            qx, qy = lon - bx[i], lat - by[i]
+            cross = px * dy - py * dx
+            d2 = np.where(
+                tp <= 0.0, px * px + py * py,
+                np.where(tp >= len2, qx * qx + qy * qy,
+                         cross * cross / len2))
+            segs.append(seg[i])
+            cnts.append(int(np.count_nonzero(d2 <= dd)))
+        return pa.table({"seg": pa.array(np.array(segs, np.int64)),
+                         "n_in": pa.array(np.array(cnts, np.int64))})
+
+    ds = _read(sf_dir, "events", ["event_id"]).map_batches(
+        partial, batch_format="pyarrow")
+    return tree_aggregate_to_table(ds, ["seg"], [("n_in", "sum")])
+
+
+def q_border_buffer_sql() -> str:
+    lat, lon = latlon_sql("event_id")
+    a_lat, a_lon = latlon_sql("(CAST(n_nationkey AS BIGINT) * 2 + 1001)")
+    b_lat, b_lon = latlon_sql("(CAST(n_nationkey AS BIGINT) * 2 + 1002)")
+    dd = _BUFFER_D * _BUFFER_D
+    return (
+        f"WITH p AS (SELECT {lon} AS x, {lat} AS y FROM events), "
+        "g AS (SELECT CAST(n_nationkey AS BIGINT) AS seg, "
+        f"CAST(floor({a_lon} * 1000000 + 0.5) AS BIGINT) / 1e6 AS ax, "
+        f"CAST(floor({a_lat} * 1000000 + 0.5) AS BIGINT) / 1e6 AS ay, "
+        f"CAST(floor({b_lon} * 1000000 + 0.5) AS BIGINT) / 1e6 AS bx, "
+        f"CAST(floor({b_lat} * 1000000 + 0.5) AS BIGINT) / 1e6 AS by "
+        "FROM nation), "
+        "d AS (SELECT g.seg, CASE "
+        "WHEN (p.x - g.ax) * (g.bx - g.ax) + (p.y - g.ay) * "
+        "(g.by - g.ay) <= 0.0 THEN "
+        "(p.x - g.ax) * (p.x - g.ax) + (p.y - g.ay) * (p.y - g.ay) "
+        "WHEN (p.x - g.ax) * (g.bx - g.ax) + (p.y - g.ay) * "
+        "(g.by - g.ay) >= (g.bx - g.ax) * (g.bx - g.ax) + "
+        "(g.by - g.ay) * (g.by - g.ay) THEN "
+        "(p.x - g.bx) * (p.x - g.bx) + (p.y - g.by) * (p.y - g.by) "
+        "ELSE ((p.x - g.ax) * (g.by - g.ay) - (p.y - g.ay) * "
+        "(g.bx - g.ax)) * ((p.x - g.ax) * (g.by - g.ay) - "
+        "(p.y - g.ay) * (g.bx - g.ax)) / ((g.bx - g.ax) * "
+        "(g.bx - g.ax) + (g.by - g.ay) * (g.by - g.ay)) END AS d2 "
+        "FROM p CROSS JOIN g) "
+        f"SELECT seg, CAST(count(*) FILTER (d2 <= {dd}) AS BIGINT) "
+        "AS n_in FROM d GROUP BY 1"
+    )
+
+
+def q_cell_transitions(sf_dir: str):
+    """Markov cell-transition counts (sequence/mobility mining): each
+    user's consecutive events (ordered by ts, event_id) emit a
+    (from_cell → to_cell) edge on the 15° grid when the cell changes;
+    users co-partition through the coarse keyed_scan and the bounded
+    transition space merges on the combiner tree."""
+    from .stages.agg_tree import tree_aggregate_to_table
+    from .stages.scan import keyed_scan
+
+    def prep(b: pa.Table) -> pa.Table:
+        lat, lon = derive_latlon(b["event_id"].to_numpy(
+            zero_copy_only=False))
+        cx = np.floor((lon + 180.0) / 15.0).astype(np.int64)
+        cy = np.floor((lat + 60.0) / 15.0).astype(np.int64)
+        return pa.table({"user_id": b["user_id"],
+                         "t": b["ts"].cast(pa.int64()),
+                         "event_id": b["event_id"],
+                         "cell": pa.array(cy * 24 + cx)})
+
+    def fn(d: pd.DataFrame) -> pd.DataFrame:
+        u = d["user_id"].to_numpy()
+        c = d["cell"].to_numpy()
+        step = np.r_[False, (u[1:] == u[:-1]) & (c[1:] != c[:-1])]
+        g = (pd.DataFrame({"from_cell": np.roll(c, 1)[step],
+                           "to_cell": c[step]})
+             .groupby(["from_cell", "to_cell"], sort=False)
+             .size().reset_index(name="n"))
+        g["n"] = g["n"].astype(np.int64)
+        return g
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id"]
+               ).map_batches(prep, batch_format="pyarrow")
+    parts = keyed_scan(ds, "user_id", ["t", "event_id"], fn,
+                       n_rows=_nrows(sf_dir, "events"))
+    return tree_aggregate_to_table(
+        parts, ["from_cell", "to_cell"], [("n", "sum")])
+
+
+def q_cell_transitions_sql() -> str:
+    lat, lon = latlon_sql("event_id")
+    return (
+        f"WITH p AS (SELECT user_id, epoch_us(ts) AS t, event_id, "
+        f"CAST(floor(({lat} + 60.0) / 15.0) AS BIGINT) * 24 + "
+        f"CAST(floor(({lon} + 180.0) / 15.0) AS BIGINT) AS cell "
+        "FROM events), "
+        "s AS (SELECT cell AS to_cell, lag(cell) OVER "
+        "(PARTITION BY user_id ORDER BY t, event_id) AS from_cell "
+        "FROM p) "
+        "SELECT from_cell, to_cell, CAST(count(*) AS BIGINT) AS n "
+        "FROM s WHERE from_cell IS NOT NULL AND from_cell <> to_cell "
+        "GROUP BY 1, 2"
+    )
+
+
 _BM25_TERMS = ("spark", "window", "hash", "vector")
 _BM25_K = 20
 
@@ -7861,6 +8116,10 @@ QUERIES = {
     "dhash_checksum": q_dhash_checksum,
     "colocation": q_colocation,
     "repetition_ratio": q_repetition_ratio,
+    "grad_energy": q_grad_energy,
+    "scatter_orientation": q_scatter_orientation,
+    "border_buffer": q_border_buffer,
+    "cell_transitions": q_cell_transitions,
     "max_span": q_max_span,
     "self_crossings": q_self_crossings,
     "haversine_legs": q_haversine_legs,
@@ -8065,6 +8324,10 @@ ORACLE_SQL = {
     "dhash_checksum": q_dhash_checksum_sql(),
     "colocation": q_colocation_sql(),
     "repetition_ratio": q_repetition_ratio_sql(),
+    "grad_energy": q_grad_energy_sql(),
+    "scatter_orientation": q_scatter_orientation_sql(),
+    "border_buffer": q_border_buffer_sql(),
+    "cell_transitions": q_cell_transitions_sql(),
     "max_span": q_max_span_sql(),
     "self_crossings": q_self_crossings_sql(),
     "haversine_legs": q_haversine_legs_sql(),
