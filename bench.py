@@ -195,7 +195,8 @@ def run_bench() -> dict:
                      "max_span", "self_crossings", "haversine_legs",
                      "pair_dist_hist", "bbox_extent", "grad_energy",
                      "scatter_orientation", "border_buffer",
-                     "cell_transitions"):
+                     "cell_transitions", "weighted_centroid",
+                     "histeq_checksum", "kll_quantiles"):
             best = float("inf")
             attempts = 0
             for _ in range(max(1, repeats)):

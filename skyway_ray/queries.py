@@ -7999,6 +7999,173 @@ def q_cell_transitions_sql() -> str:
     )
 
 
+def q_weighted_centroid(sf_dir: str):
+    """Value-weighted centroid per 15° grid cell (the weighted-
+    center-of-mass map shape): weights are exact cents ints
+    (floor(value·100 + 0.5)), positions exact microdegrees, so the
+    distributed Σw·x / Σw accumulates as pure int64 partials through
+    the combiner tree with ONE pinned double division per cell at the
+    end (house float protocol).  Events never shuffle."""
+    from .stages.agg_tree import tree_aggregate_to_table
+
+    def partial(b: pa.Table) -> pa.Table:
+        lat, lon = derive_latlon(b["event_id"].to_numpy(
+            zero_copy_only=False))
+        w = np.floor(b["value"].to_numpy(zero_copy_only=False)
+                     * 100.0 + 0.5).astype(np.int64)
+        cx = np.floor((lon + 180.0) / 15.0).astype(np.int64)
+        cy = np.floor((lat + 60.0) / 15.0).astype(np.int64)
+        xm = np.floor(lon * 1e6 + 0.5).astype(np.int64)
+        ym = np.floor(lat * 1e6 + 0.5).astype(np.int64)
+        t = pa.table({"cx": pa.array(cx), "cy": pa.array(cy),
+                      "sw": pa.array(w), "swx": pa.array(w * xm),
+                      "swy": pa.array(w * ym)})
+        return (t.group_by(["cx", "cy"]).aggregate(
+            [("sw", "sum"), ("swx", "sum"), ("swy", "sum")])
+            .rename_columns(["cx", "cy", "sw", "swx", "swy"]))
+
+    ds = _read(sf_dir, "events", ["event_id", "value"]).map_batches(
+        partial, batch_format="pyarrow")
+    m = tree_aggregate_to_table(
+        ds, ["cx", "cy"],
+        [("sw", "sum"), ("swx", "sum"), ("swy", "sum")]).to_pandas()
+    m = m[m["sw"] > 0]
+    sw = m["sw"].to_numpy().astype(np.float64)
+    wx = np.floor(m["swx"].to_numpy().astype(np.float64) / sw + 0.5)
+    wy = np.floor(m["swy"].to_numpy().astype(np.float64) / sw + 0.5)
+    return pd.DataFrame({
+        "cx": m["cx"].to_numpy().astype(np.int64),
+        "cy": m["cy"].to_numpy().astype(np.int64),
+        "sw": m["sw"].to_numpy().astype(np.int64),
+        "wx_micro": wx.astype(np.int64),
+        "wy_micro": wy.astype(np.int64)})
+
+
+def q_weighted_centroid_sql() -> str:
+    lat, lon = latlon_sql("event_id")
+    return (
+        "WITH p AS (SELECT "
+        f"CAST(floor(({lon} + 180.0) / 15.0) AS BIGINT) AS cx, "
+        f"CAST(floor(({lat} + 60.0) / 15.0) AS BIGINT) AS cy, "
+        "CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS w, "
+        f"CAST(floor({lon} * 1e6 + 0.5) AS BIGINT) AS xm, "
+        f"CAST(floor({lat} * 1e6 + 0.5) AS BIGINT) AS ym FROM events), "
+        "s AS (SELECT cx, cy, CAST(sum(w) AS BIGINT) AS sw, "
+        "CAST(sum(w * xm) AS BIGINT) AS swx, "
+        "CAST(sum(w * ym) AS BIGINT) AS swy FROM p GROUP BY 1, 2) "
+        "SELECT cx, cy, sw, "
+        "CAST(floor(CAST(swx AS DOUBLE) / CAST(sw AS DOUBLE) + 0.5) "
+        "AS BIGINT) AS wx_micro, "
+        "CAST(floor(CAST(swy AS DOUBLE) / CAST(sw AS DOUBLE) + 0.5) "
+        "AS BIGINT) AS wy_micro FROM s WHERE sw > 0"
+    )
+
+
+def q_histeq_checksum(sf_dir: str):
+    """Hash verification of HISTOGRAM EQUALIZATION (the classic
+    contrast-normalization preprocessing kernel): decode → integer
+    luma → per-image CDF → ``eq(v) = (cdf(v) − cdf(min))·255 //
+    (n − cdf(min))`` → Σ of the equalized plane, all exact ints.  The
+    oracle replays the CDF as a window cumsum over the per-value luma
+    counts of the generator plane.  Flat images (n == cdf(min)) pass
+    through as identity — not present in the fixture but pinned in the
+    kernel.  Same head-K / scale caveats as image_checksum."""
+    import pyarrow.dataset as pds
+    import ray.data
+
+    from .fixtures import ensure_images_parquet, scale_for_sf_dir
+    from .functions.image_codec import decode_image
+
+    hi = f"img_{_CHECKSUM_K:012d}"
+    images = ensure_images_parquet(scale_for_sf_dir(sf_dir))
+    ds = ray.data.read_parquet(images, columns=["image_id", "bytes", "fmt"],
+                               filter=pds.field("image_id") < hi)
+
+    def eq(b: pa.Table) -> pa.Table:
+        blobs = b["bytes"].to_pylist()
+        fmts = b["fmt"].to_pylist()
+        out = np.empty(len(blobs), np.int64)
+        for i in range(len(blobs)):
+            img = decode_image(blobs[i], fmts[i]).astype(np.int64)
+            y = (77 * img[:, :, 0] + 150 * img[:, :, 1]
+                 + 29 * img[:, :, 2]) >> 8
+            vals, counts = np.unique(y, return_counts=True)
+            cdf = np.cumsum(counts)
+            n, cmin = int(cdf[-1]), int(counts[0])
+            if n == cmin:
+                out[i] = int(vals[0]) * n  # flat: identity
+            else:
+                eqv = (cdf - cmin) * 255 // (n - cmin)
+                out[i] = int((counts * eqv).sum())
+        return pa.table({"image_id": b["image_id"],
+                         "eq_sum": pa.array(out)})
+
+    return ds.map_batches(eq, batch_format="pyarrow", batch_size=128)
+
+
+def q_histeq_checksum_sql() -> str:
+    return (
+        "WITH " + _luma_table_sql(_CHECKSUM_K) + ", "
+        "h AS (SELECT i, l, CAST(count(*) AS BIGINT) AS c "
+        "FROM lum GROUP BY 1, 2), "
+        "w AS (SELECT i, l, c, "
+        "CAST(sum(c) OVER (PARTITION BY i ORDER BY l) AS BIGINT) "
+        "AS cdf, CAST(sum(c) OVER (PARTITION BY i) AS BIGINT) AS n, "
+        "CAST(first_value(c) OVER (PARTITION BY i ORDER BY l) "
+        "AS BIGINT) AS cmin FROM h) "
+        "SELECT 'img_' || lpad(CAST(i AS VARCHAR), 12, '0') AS image_id,"
+        " CAST(sum(CASE WHEN n = cmin THEN l * c "
+        "ELSE c * ((cdf - cmin) * 255 // (n - cmin)) END) AS BIGINT) "
+        "AS eq_sum FROM w GROUP BY 1"
+    )
+
+
+_SKETCH_QS = (0.25, 0.5, 0.9, 0.99)
+
+
+def q_kll_quantiles(sf_dir: str):
+    """Mergeable deterministic quantile sketch over event values (the
+    KLL/MRL shape: the streaming alternative to the exact
+    distributed-sort quantiles of q_quantiles): each input block
+    reduces to ONE tiny (level, value)-pairs sketch row inside
+    map_batches — the shuffle carries sketches, never data, exactly
+    like the HLL stage — and the bounded per-block sketch set merges
+    in one streaming driver pass (at real scale: a tree of merge
+    tasks; sketches are associative).  Rows-only entry: the estimate
+    is non-SQL by design; tests/test_sketch_quantile.py +
+    test_round4_ops.py pin the deterministic rank-error bound against
+    exact DuckDB quantiles instead."""
+    from .functions.sketch_quantile import QuantileSketch
+
+    def block_sketch(b: pa.Table) -> pa.Table:
+        sk = QuantileSketch().update(
+            b["value"].to_numpy(zero_copy_only=False))
+        lvs, vs = sk.dump()
+        return pa.table({
+            "lv": pa.array([lvs.tolist()], pa.list_(pa.int32())),
+            "val": pa.array([vs.tolist()], pa.list_(pa.float64()))})
+
+    parts = _read(sf_dir, "events", ["value"]).map_batches(
+        block_sketch, batch_format="pyarrow").materialize()
+
+    import ray
+
+    total = QuantileSketch()
+    for ref in parts.to_arrow_refs():
+        t = ray.get(ref)
+        if isinstance(t, pa.Table) and t.num_rows and "lv" in t.column_names:
+            for lv, vs in zip(t["lv"].to_pylist(), t["val"].to_pylist()):
+                total.merge(QuantileSketch.load(
+                    np.array(lv, np.int32), np.array(vs, np.float64)))
+    qs = np.array(_SKETCH_QS)
+    est = total.quantile(qs)
+    return pd.DataFrame({
+        "q": qs, "value_est": est,
+        "n": np.full(len(qs), total.n(), np.int64),
+        "rank_err_bound": np.full(len(qs), total.error_bound(),
+                                  np.int64)})
+
+
 _BM25_TERMS = ("spark", "window", "hash", "vector")
 _BM25_K = 20
 
@@ -8117,6 +8284,9 @@ QUERIES = {
     "colocation": q_colocation,
     "repetition_ratio": q_repetition_ratio,
     "grad_energy": q_grad_energy,
+    "weighted_centroid": q_weighted_centroid,
+    "histeq_checksum": q_histeq_checksum,
+    "kll_quantiles": q_kll_quantiles,
     "scatter_orientation": q_scatter_orientation,
     "border_buffer": q_border_buffer,
     "cell_transitions": q_cell_transitions,
@@ -8325,6 +8495,8 @@ ORACLE_SQL = {
     "colocation": q_colocation_sql(),
     "repetition_ratio": q_repetition_ratio_sql(),
     "grad_energy": q_grad_energy_sql(),
+    "weighted_centroid": q_weighted_centroid_sql(),
+    "histeq_checksum": q_histeq_checksum_sql(),
     "scatter_orientation": q_scatter_orientation_sql(),
     "border_buffer": q_border_buffer_sql(),
     "cell_transitions": q_cell_transitions_sql(),

@@ -90,7 +90,8 @@ def test_entry_smoke(ray_session):
     "kring_smooth", "border_crossings", "geohash4", "dbscan",
     "image_checksum", "thumb_checksum", "blur_checksum",
     "patch_checksum", "dhash_checksum", "colocation",
-    "repetition_ratio", "grad_energy", "scatter_orientation",
+    "repetition_ratio", "grad_energy", "weighted_centroid",
+    "histeq_checksum", "scatter_orientation",
     "border_buffer", "cell_transitions", "max_span", "self_crossings",
     "haversine_legs", "pair_dist_hist", "bbox_extent",
 ])
