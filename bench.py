@@ -196,7 +196,8 @@ def run_bench() -> dict:
                      "pair_dist_hist", "bbox_extent", "grad_energy",
                      "scatter_orientation", "border_buffer",
                      "cell_transitions", "weighted_centroid",
-                     "histeq_checksum", "kll_quantiles"):
+                     "histeq_checksum", "kll_quantiles",
+                     "speed_profile"):
             best = float("inf")
             attempts = 0
             for _ in range(max(1, repeats)):

@@ -8166,6 +8166,83 @@ def q_kll_quantiles(sf_dir: str):
                                   np.int64)})
 
 
+def q_speed_profile(sf_dir: str):
+    """Velocity analytics over trajectories: per-hop speed =
+    haversine-mm · 1e6 // Δt_µs (pure int64 after the house
+    millimetre pinning), bucketed by decimal magnitude (exact digit
+    count — integer threshold comparisons, no log) into a bounded
+    histogram that merges on the combiner tree.  Zero/negative Δt hops
+    (same-timestamp events) are excluded on both sides."""
+    from .stages.agg_tree import tree_aggregate_to_table
+    from .stages.scan import keyed_scan
+
+    def prep(b: pa.Table) -> pa.Table:
+        lat, lon = derive_latlon(b["event_id"].to_numpy(
+            zero_copy_only=False))
+        return pa.table({"user_id": b["user_id"],
+                         "t": b["ts"].cast(pa.int64()),
+                         "event_id": b["event_id"],
+                         "lat": pa.array(lat), "lon": pa.array(lon)})
+
+    C = np.pi / 180.0
+    R2 = 2.0 * 6371000.0
+    POW10 = 10 ** np.arange(1, 19, dtype=np.int64)
+
+    def fn(d: pd.DataFrame) -> pd.DataFrame:
+        u = d["user_id"].to_numpy()
+        t = d["t"].to_numpy()
+        phi = d["lat"].to_numpy() * C
+        lam = d["lon"].to_numpy() * C
+        hop = np.r_[False, u[1:] == u[:-1]]
+        dt = t - np.roll(t, 1)
+        p1, p2 = np.roll(phi, 1)[hop], phi[hop]
+        l1, l2 = np.roll(lam, 1)[hop], lam[hop]
+        dt = dt[hop]
+        sp = np.sin((p2 - p1) / 2.0)
+        sl = np.sin((l2 - l1) / 2.0)
+        h = sp * sp + np.cos(p1) * np.cos(p2) * (sl * sl)
+        mm = np.floor(R2 * np.arcsin(np.minimum(1.0, np.sqrt(h)))
+                      * 1e3 + 0.5).astype(np.int64)
+        ok = dt > 0
+        speed = mm[ok] * 1_000_000 // dt[ok]
+        digits = (np.searchsorted(POW10, speed, side="right") + 1
+                  ).astype(np.int64)
+        g = (pd.DataFrame({"magnitude": digits})
+             .groupby("magnitude", sort=False).size()
+             .reset_index(name="n_hops"))
+        g["n_hops"] = g["n_hops"].astype(np.int64)
+        return g
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id"]
+               ).map_batches(prep, batch_format="pyarrow")
+    parts = keyed_scan(ds, "user_id", ["t", "event_id"], fn,
+                       n_rows=_nrows(sf_dir, "events"))
+    return tree_aggregate_to_table(
+        parts, ["magnitude"], [("n_hops", "sum")])
+
+
+def q_speed_profile_sql() -> str:
+    lat, lon = latlon_sql("event_id")
+    return (
+        "WITH p AS (SELECT user_id, epoch_us(ts) AS t, event_id, "
+        f"{lat} * (pi() / 180.0) AS phi, "
+        f"{lon} * (pi() / 180.0) AS lam FROM events), "
+        "s AS (SELECT user_id, t, phi, lam, lag(t) OVER w AS t0, "
+        "lag(phi) OVER w AS p1, lag(lam) OVER w AS l1 FROM p "
+        "WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)), "
+        "h AS (SELECT t - t0 AS dt, "
+        "CAST(floor(2.0 * 6371000.0 * asin(least(1.0, sqrt("
+        "sin((phi - p1) / 2.0) * sin((phi - p1) / 2.0) "
+        "+ cos(p1) * cos(phi) * (sin((lam - l1) / 2.0) * "
+        "sin((lam - l1) / 2.0))))) * 1e3 + 0.5) AS BIGINT) AS mm "
+        "FROM s WHERE t0 IS NOT NULL), "
+        "v AS (SELECT length(CAST(mm * 1000000 // dt AS VARCHAR)) "
+        "AS magnitude FROM h WHERE dt > 0) "
+        "SELECT CAST(magnitude AS BIGINT) AS magnitude, "
+        "CAST(count(*) AS BIGINT) AS n_hops FROM v GROUP BY 1"
+    )
+
+
 _BM25_TERMS = ("spark", "window", "hash", "vector")
 _BM25_K = 20
 
@@ -8287,6 +8364,7 @@ QUERIES = {
     "weighted_centroid": q_weighted_centroid,
     "histeq_checksum": q_histeq_checksum,
     "kll_quantiles": q_kll_quantiles,
+    "speed_profile": q_speed_profile,
     "scatter_orientation": q_scatter_orientation,
     "border_buffer": q_border_buffer,
     "cell_transitions": q_cell_transitions,
@@ -8497,6 +8575,7 @@ ORACLE_SQL = {
     "grad_energy": q_grad_energy_sql(),
     "weighted_centroid": q_weighted_centroid_sql(),
     "histeq_checksum": q_histeq_checksum_sql(),
+    "speed_profile": q_speed_profile_sql(),
     "scatter_orientation": q_scatter_orientation_sql(),
     "border_buffer": q_border_buffer_sql(),
     "cell_transitions": q_cell_transitions_sql(),

@@ -91,7 +91,7 @@ def test_entry_smoke(ray_session):
     "image_checksum", "thumb_checksum", "blur_checksum",
     "patch_checksum", "dhash_checksum", "colocation",
     "repetition_ratio", "grad_energy", "weighted_centroid",
-    "histeq_checksum", "scatter_orientation",
+    "histeq_checksum", "speed_profile", "scatter_orientation",
     "border_buffer", "cell_transitions", "max_span", "self_crossings",
     "haversine_legs", "pair_dist_hist", "bbox_extent",
 ])
