@@ -197,7 +197,8 @@ def run_bench() -> dict:
                      "scatter_orientation", "border_buffer",
                      "cell_transitions", "weighted_centroid",
                      "histeq_checksum", "kll_quantiles",
-                     "speed_profile"):
+                     "speed_profile", "traj_intersections", "ab_ttest",
+                     "pmi_bigrams"):
             best = float("inf")
             attempts = 0
             for _ in range(max(1, repeats)):

@@ -8331,6 +8331,335 @@ def q_bm25_topk_sql() -> str:
     )
 
 
+def _seg_params(eid: np.ndarray):
+    """Short directed segment per event id: start = the derived point,
+    delta = ±3° per axis from two more multiplicative hashes.  Shared
+    by the intersection join's cover pass and its verify map (the
+    verify re-derives endpoints from ids, so coordinates never ride
+    the shuffle).
+
+    Odd ids (the B side) derive their start from ``eid * 1000003``:
+    both derive_latlon multipliers are LINEAR in the key, so A/B pairs
+    of the SAME derivation have (Δlat, Δlon) determined jointly by Δid
+    — at fixture id ranges NO pair is close on both axes at once (a
+    measured zero at sf0.001/sf0.01) — and the key remap breaks that
+    lattice.  int64 wraparound in ``key * mult`` is exact mod 2^32
+    (2^32 | 2^64), mirrored by HUGEINT in the oracle."""
+    eid = np.asarray(eid, dtype=np.int64)
+    key = np.where(eid % 2 == 1, eid * 1000003, eid)
+    lat, lon = derive_latlon(key)
+    dlat = -3.0 + 6.0 * (((eid * 7919) % 1000).astype(np.float64) / 1000.0)
+    dlon = -3.0 + 6.0 * (((eid * 104729) % 1000).astype(np.float64) / 1000.0)
+    return lat, lon, lat + dlat, lon + dlon
+
+
+def q_traj_intersections(sf_dir: str):
+    """Cross-set line-segment intersection join — the vector-overlay
+    GIS shape (road network × trajectory hops): every event derives a
+    short directed segment (≤ 3° per axis) from its id; even-id
+    segments join odd-id segments on PROPER crossing.  Distributed
+    plan: PBSM grid co-partition over segment bounding boxes
+    (stages/spatial_join.py — cover fan-out, reference-point dedup so
+    a pair is reported by exactly one cell, hot-cell fragment-
+    replicate guard), then a stateless vectorized verify map
+    re-derives endpoints from the ids (only id pairs cross the
+    shuffle) and keeps pairs whose exact int64 microdegree
+    cross-product orientation signs witness a proper crossing — no
+    epsilon, no floats (|products| ≤ ~4e12, far inside int64).  The
+    oracle replays the bbox join plus the same strict orientation
+    predicate."""
+    from .stages.spatial_join import box_overlap_join
+
+    def boxes(parity: int):
+        def f(b: pa.Table) -> pa.Table:
+            eid = b["event_id"].to_numpy(zero_copy_only=False)
+            eid = eid[eid % 2 == parity]
+            y1, x1, y2, x2 = _seg_params(eid)
+            return pa.table({
+                "id": pa.array(eid, pa.int64()),
+                "xmin": pa.array(np.minimum(x1, x2)),
+                "ymin": pa.array(np.minimum(y1, y2)),
+                "xmax": pa.array(np.maximum(x1, x2)),
+                "ymax": pa.array(np.maximum(y1, y2))})
+        return f
+
+    a = _read(sf_dir, "events", ["event_id"]).map_batches(
+        boxes(0), batch_format="pyarrow")
+    b = _read(sf_dir, "events", ["event_id"]).map_batches(
+        boxes(1), batch_format="pyarrow")
+    cand = box_overlap_join(a, b, cell=4.0, out_a="a_id", out_b="b_id")
+
+    def _micro(eid):
+        y1, x1, y2, x2 = _seg_params(eid)
+        def m(v):
+            return np.floor(v * 1e6 + 0.5).astype(np.int64)
+        return m(x1), m(y1), m(x2), m(y2)
+
+    def verify(t: pa.Table) -> pa.Table:
+        aid = t["a_id"].to_numpy(zero_copy_only=False)
+        bid = t["b_id"].to_numpy(zero_copy_only=False)
+        ax1, ay1, ax2, ay2 = _micro(aid)
+        bx1, by1, bx2, by2 = _micro(bid)
+        d1 = (ax2 - ax1) * (by1 - ay1) - (ay2 - ay1) * (bx1 - ax1)
+        d2 = (ax2 - ax1) * (by2 - ay1) - (ay2 - ay1) * (bx2 - ax1)
+        d3 = (bx2 - bx1) * (ay1 - by1) - (by2 - by1) * (ax1 - bx1)
+        d4 = (bx2 - bx1) * (ay2 - by1) - (by2 - by1) * (ax2 - bx1)
+        cross = (((d1 > 0) & (d2 < 0)) | ((d1 < 0) & (d2 > 0))) \
+            & (((d3 > 0) & (d4 < 0)) | ((d3 < 0) & (d4 > 0)))
+        return pa.table({"a_id": pa.array(aid[cross], pa.int64()),
+                         "b_id": pa.array(bid[cross], pa.int64())})
+
+    return cand.map_batches(verify, batch_format="pyarrow")
+
+
+def q_traj_intersections_sql() -> str:
+    # side A (even ids) keys on event_id; side B (odd) on
+    # event_id·1000003 — HUGEINT so the derive-multiplier products
+    # stay exact (the engine's int64 wrap is exact mod 2^32 too)
+    lat, lon = latlon_sql(
+        "CAST(CASE WHEN event_id % 2 = 1 THEN event_id * 1000003 "
+        "ELSE event_id END AS HUGEINT)")
+    return (
+        "WITH e AS (SELECT event_id, "
+        f"CAST({lat} AS DOUBLE) AS lat, CAST({lon} AS DOUBLE) AS lon, "
+        "-3.0 + 6.0 * (((event_id * 7919) % 1000) / 1000.0) AS dlat, "
+        "-3.0 + 6.0 * (((event_id * 104729) % 1000) / 1000.0) AS dlon "
+        "FROM events), "
+        "s AS (SELECT event_id, "
+        "least(lon, lon + dlon) AS xmin, greatest(lon, lon + dlon) AS xmax, "
+        "least(lat, lat + dlat) AS ymin, greatest(lat, lat + dlat) AS ymax, "
+        "CAST(floor(lon * 1e6 + 0.5) AS BIGINT) AS x1, "
+        "CAST(floor(lat * 1e6 + 0.5) AS BIGINT) AS y1, "
+        "CAST(floor((lon + dlon) * 1e6 + 0.5) AS BIGINT) AS x2, "
+        "CAST(floor((lat + dlat) * 1e6 + 0.5) AS BIGINT) AS y2 FROM e), "
+        "c AS (SELECT a.event_id AS a_id, b.event_id AS b_id, "
+        "(a.x2 - a.x1) * (b.y1 - a.y1) - (a.y2 - a.y1) * (b.x1 - a.x1) AS d1, "
+        "(a.x2 - a.x1) * (b.y2 - a.y1) - (a.y2 - a.y1) * (b.x2 - a.x1) AS d2, "
+        "(b.x2 - b.x1) * (a.y1 - b.y1) - (b.y2 - b.y1) * (a.x1 - b.x1) AS d3, "
+        "(b.x2 - b.x1) * (a.y2 - b.y1) - (b.y2 - b.y1) * (a.x2 - b.x1) AS d4 "
+        "FROM s a JOIN s b ON a.event_id % 2 = 0 AND b.event_id % 2 = 1 "
+        "AND a.xmin <= b.xmax AND b.xmin <= a.xmax "
+        "AND a.ymin <= b.ymax AND b.ymin <= a.ymax) "
+        "SELECT a_id, b_id FROM c "
+        "WHERE ((d1 > 0 AND d2 < 0) OR (d1 < 0 AND d2 > 0)) "
+        "AND ((d3 > 0 AND d4 < 0) OR (d3 < 0 AND d4 > 0))"
+    )
+
+
+def q_ab_ttest(sf_dir: str):
+    """Welch two-sample t-statistic per event_type between user
+    cohorts (user_id % 2) — the A/B-experiment readout: per-(type,
+    cohort) moment partials (n, Σcents, Σcents²) are exact int64 and
+    merge on the bounded combiner tree; the t finalize is a fixed
+    sequence of double ops on the driver (divisions and ONE
+    correctly-rounded IEEE sqrt, micro-pinned) replayed verbatim by
+    the oracle.  Σc² fits int64 through bench scale; at 100 TB the
+    cents partials would shard to (hi, lo) limb pairs like the
+    moments stage."""
+    from .stages.agg_tree import tree_aggregate_to_table
+
+    def partial(b: pa.Table) -> pa.Table:
+        c = np.floor(b["value"].to_numpy(zero_copy_only=False)
+                     * 100.0 + 0.5).astype(np.int64)
+        coh = (b["user_id"].to_numpy(zero_copy_only=False) % 2)
+        t = pa.table({"event_type": b["event_type"],
+                      "coh": pa.array(coh, pa.int64()),
+                      "n": pa.array(np.ones(len(c), np.int64)),
+                      "s1": pa.array(c), "s2": pa.array(c * c)})
+        return (t.group_by(["event_type", "coh"]).aggregate(
+            [("n", "sum"), ("s1", "sum"), ("s2", "sum")])
+            .rename_columns(["event_type", "coh", "n", "s1", "s2"]))
+
+    g = tree_aggregate_to_table(
+        _read(sf_dir, "events", ["event_type", "user_id", "value"])
+        .map_batches(partial, batch_format="pyarrow"),
+        ["event_type", "coh"],
+        [("n", "sum"), ("s1", "sum"), ("s2", "sum")]).to_pandas()
+    a = g[g["coh"] == 0].set_index("event_type")
+    b = g[g["coh"] == 1].set_index("event_type")
+    types = sorted(set(a.index) & set(b.index))
+    a, b = a.loc[types], b.loc[types]
+    na = a["n"].to_numpy().astype(np.float64)
+    nb = b["n"].to_numpy().astype(np.float64)
+    s1a = a["s1"].to_numpy().astype(np.float64)
+    s1b = b["s1"].to_numpy().astype(np.float64)
+    s2a = a["s2"].to_numpy().astype(np.float64)
+    s2b = b["s2"].to_numpy().astype(np.float64)
+    keep = (na > 1) & (nb > 1)
+    t = (s1a / na - s1b / nb) / np.sqrt(
+        (s2a - s1a * s1a / na) / (na - 1.0) / na
+        + (s2b - s1b * s1b / nb) / (nb - 1.0) / nb)
+    return pd.DataFrame({
+        "event_type": np.asarray(types, dtype=object)[keep],
+        "na": a["n"].to_numpy().astype(np.int64)[keep],
+        "nb": b["n"].to_numpy().astype(np.int64)[keep],
+        "t_micro": np.floor(t[keep] * 1e6 + 0.5).astype(np.int64)})
+
+
+def q_ab_ttest_sql() -> str:
+    def var(s2, s1, n):
+        return (f"(CAST({s2} AS DOUBLE) - CAST({s1} AS DOUBLE) * "
+                f"CAST({s1} AS DOUBLE) / CAST({n} AS DOUBLE)) / "
+                f"CAST({n} - 1 AS DOUBLE) / CAST({n} AS DOUBLE)")
+
+    return (
+        "WITH p AS (SELECT event_type, user_id % 2 AS coh, "
+        "CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS c FROM events), "
+        "g AS (SELECT event_type, coh, CAST(count(*) AS BIGINT) AS n, "
+        "CAST(sum(c) AS BIGINT) AS s1, CAST(sum(c * c) AS BIGINT) AS s2 "
+        "FROM p GROUP BY 1, 2) "
+        "SELECT a.event_type, a.n AS na, b.n AS nb, "
+        "CAST(floor((CAST(a.s1 AS DOUBLE) / CAST(a.n AS DOUBLE) - "
+        "CAST(b.s1 AS DOUBLE) / CAST(b.n AS DOUBLE)) / sqrt("
+        + var("a.s2", "a.s1", "a.n") + " + "
+        + var("b.s2", "b.s1", "b.n") +
+        ") * 1e6 + 0.5) AS BIGINT) AS t_micro "
+        "FROM g a JOIN g b ON a.event_type = b.event_type "
+        "AND a.coh = 0 AND b.coh = 1 WHERE a.n > 1 AND b.n > 1"
+    )
+
+
+def q_pmi_bigrams(sf_dir: str):
+    """Top-20 adjacent-word bigrams with pointwise mutual information
+    (the collocation-extraction shape): distributed bigram and unigram
+    wordcounts (per-batch np.unique combiners — the shuffles ship
+    per-batch DISTINCT keys), then the unigram totals attach to each
+    bigram via TWO string-keyed co-partition exchanges
+    (hash_bucket_scan + a vectorized in-bucket merge — the open-
+    vocabulary join shape; a broadcast would assume the vocabulary
+    fits a worker).  pmi_nano = floor(ln((N·c_xy)/(c_x·c_y))·1e9+0.5)
+    with one libm ln per surviving bigram (house transcendental
+    protocol; products ≤ ~6e10 stay exact in int64 → DOUBLE)."""
+    from .stages.scan import hash_bucket_scan
+    from .stages.topk import top_k
+
+    n_docs = _nrows(sf_dir, "documents")
+
+    def bigram_counts(b: pd.DataFrame) -> pd.DataFrame:
+        toks = b["text"].str.lower().str.findall(r"[a-z0-9]+")
+        xs, ys = [], []
+        for t in toks:
+            if len(t) > 1:
+                a = np.asarray(t, dtype=object)
+                xs.append(a[:-1])
+                ys.append(a[1:])
+        if not xs:
+            return pd.DataFrame({"x": np.array([], object),
+                                 "y": np.array([], object),
+                                 "cnt": np.array([], np.int64)})
+        pairs = pd.DataFrame({"x": np.concatenate(xs),
+                              "y": np.concatenate(ys)})
+        g = pairs.groupby(["x", "y"], sort=False).size().reset_index()
+        return pd.DataFrame({"x": g["x"].astype(str),
+                             "y": g["y"].astype(str),
+                             "cnt": g[0].to_numpy().astype(np.int64)})
+
+    def unigram_counts(b: pd.DataFrame) -> pd.DataFrame:
+        toks = b["text"].str.lower().str.findall(r"[a-z0-9]+")
+        flat = np.concatenate([np.asarray(t, dtype=object)
+                               for t in toks if len(t)] or
+                              [np.array([], dtype=object)])
+        uniq, counts = np.unique(flat, return_counts=True)
+        return pd.DataFrame({"tok": uniq.astype(str),
+                             "n": counts.astype(np.int64)})
+
+    docs = _read(sf_dir, "documents", ["text"])
+    bg = hash_bucket_scan(
+        docs.map_batches(bigram_counts, batch_format="pandas"),
+        ["x", "y"],
+        lambda t: t.group_by(["x", "y"]).aggregate([("cnt", "sum")])
+        .rename_columns(["x", "y", "cnt"]),
+        n_rows=n_docs).materialize()
+    uni = hash_bucket_scan(
+        docs.map_batches(unigram_counts, batch_format="pandas"),
+        ["tok"],
+        lambda t: t.group_by(["tok"]).aggregate([("n", "sum")])
+        .rename_columns(["tok", "n"]),
+        n_rows=n_docs)
+    n_total = int(bg.sum("cnt"))
+
+    import pyarrow.compute as pc
+
+    def attach(src_col: str, out_col: str):
+        # co-partition (bigram rows ∪ unigram totals) on the token and
+        # join inside the bucket via compiled Acero — an equi-join on
+        # a string key without assuming either side fits a worker
+        def f(t: pa.Table) -> pa.Table:
+            t = t.drop_columns(["_jk"]).combine_chunks()
+            is_uni = pc.is_null(t["x"])
+            lut = t.filter(is_uni).select(["tok", "n"]) \
+                   .rename_columns(["_k", out_col])
+            rows = t.filter(pc.invert(is_uni)).drop_columns(["tok", "n"])
+            j = rows.join(lut, keys=[src_col], right_keys=["_k"],
+                          join_type="inner")
+            return j.set_column(
+                j.column_names.index(out_col), out_col,
+                j[out_col].cast(pa.int64()))
+        return f
+
+    def pad_and_key(extra_cols, key_col):
+        # null-pad to the union schema and tag the co-partition key —
+        # generic so the second pass (bg already carries cx) also fits
+        def f(t: pa.Table) -> pa.Table:
+            for name, typ in extra_cols:
+                t = t.append_column(name, pa.nulls(len(t), typ))
+            t = t.append_column("_jk", t[key_col].cast(pa.string()))
+            return t.select(sorted(t.column_names))
+        return f
+
+    for src, out in (("x", "cx"), ("y", "cy")):
+        bs = bg.schema()
+        bg_cols = list(zip(bs.names, bs.types))
+        bgp = bg.map_batches(
+            pad_and_key([("tok", pa.string()), ("n", pa.int64())], src),
+            batch_format="pyarrow")
+        u = uni.map_batches(pad_and_key(bg_cols, "tok"),
+                            batch_format="pyarrow")
+        bg = hash_bucket_scan(bgp.union(u), ["_jk"],
+                              attach(src, out),
+                              n_rows=n_docs).materialize()
+
+    def finalize(t: pa.Table) -> pa.Table:
+        cnt = t["cnt"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cx = t["cx"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cy = t["cy"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pmi = np.log((n_total * cnt).astype(np.float64)
+                     / (cx * cy).astype(np.float64))
+        item = pc.binary_join_element_wise(
+            t["x"].cast(pa.string()), t["y"].cast(pa.string()), " ")
+        return pa.table({
+            "x": t["x"].cast(pa.string()), "y": t["y"].cast(pa.string()),
+            "cnt": pa.array(cnt), "pmi_nano": pa.array(
+                np.floor(pmi * 1e9 + 0.5).astype(np.int64)),
+            "_item": item})
+
+    scored = bg.map_batches(finalize, batch_format="pyarrow")
+    out = top_k(scored, "cnt", 20, descending=True, tiebreak_col="_item")
+    return out.drop_columns(["_item"])
+
+
+def q_pmi_bigrams_sql() -> str:
+    return (
+        "WITH toks AS (SELECT doc_id, "
+        "unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok, "
+        "generate_subscripts(regexp_extract_all(lower(text), "
+        "'[a-z0-9]+'), 1) AS i FROM documents), "
+        "bg AS (SELECT a.tok AS x, b.tok AS y FROM toks a JOIN toks b "
+        "ON a.doc_id = b.doc_id AND b.i = a.i + 1), "
+        "cb AS (SELECT x, y, CAST(count(*) AS BIGINT) AS cnt "
+        "FROM bg GROUP BY 1, 2), "
+        "cu AS (SELECT tok, CAST(count(*) AS BIGINT) AS n "
+        "FROM toks GROUP BY 1), "
+        "nb AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM bg) "
+        "SELECT cb.x, cb.y, cb.cnt, "
+        "CAST(floor(ln(CAST(nb.nn * cb.cnt AS DOUBLE) / "
+        "CAST(ux.n * uy.n AS DOUBLE)) * 1e9 + 0.5) AS BIGINT) "
+        "AS pmi_nano FROM cb, nb "
+        "JOIN cu ux ON cb.x = ux.tok JOIN cu uy ON cb.y = uy.tok "
+        "ORDER BY cb.cnt DESC, cb.x, cb.y LIMIT 20"
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -8342,6 +8671,9 @@ def q_bm25_topk_sql() -> str:
 # the long-driver-proven block (geotag/cells/tiles/...) rides at the
 # end, followed by the rows-only (non-SQL-expressible) entries.
 QUERIES = {
+    "traj_intersections": q_traj_intersections,
+    "ab_ttest": q_ab_ttest,
+    "pmi_bigrams": q_pmi_bigrams,
     # -- first 50 = the driver's correctness-sweep window:
     # (a) this session's new entries, (b) the rest of round 4's
     # new entries, (c) the judge-priority latecomers named in
@@ -8530,6 +8862,9 @@ QUERIES = {
 # Same key order as QUERIES (the driver zips the two by queries()'s
 # first-50 prefix).
 ORACLE_SQL = {
+    "traj_intersections": q_traj_intersections_sql(),
+    "ab_ttest": q_ab_ttest_sql(),
+    "pmi_bigrams": q_pmi_bigrams_sql(),
     "local_volume": q_local_volume_sql(),
     "big_orders": q_big_orders_sql(),
     "returned_revenue": q_returned_revenue_sql(),

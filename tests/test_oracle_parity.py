@@ -94,6 +94,7 @@ def test_entry_smoke(ray_session):
     "histeq_checksum", "speed_profile", "scatter_orientation",
     "border_buffer", "cell_transitions", "max_span", "self_crossings",
     "haversine_legs", "pair_dist_hist", "bbox_extent",
+    "traj_intersections", "ab_ttest", "pmi_bigrams",
 ])
 def test_sql_parity(name, entries):
     qs, oracles = entries
