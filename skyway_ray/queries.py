@@ -8660,6 +8660,131 @@ def q_pmi_bigrams_sql() -> str:
     )
 
 
+_KCORE_K = 8
+_KCORE_ROUNDS = 6  # oracle replay depth; peel is idempotent past fixpoint
+
+
+def _kcore_node_sql(col: str, v: int) -> str:
+    # quadratic-CDF skew: node = (h²>>32)·V >> 32 with h the Knuth
+    # multiplicative hash — low ids become hubs, giving nested cores
+    return (f"CAST((CAST({col} AS HUGEINT) * 2654435761 % 4294967296) "
+            f"* (CAST({col} AS HUGEINT) * 2654435761 % 4294967296) "
+            f"// 4294967296 * {v} // 4294967296 AS BIGINT)")
+
+
+def q_kcore(sf_dir: str):
+    """k-core decomposition (k=8) of a hub-skewed derived graph — the
+    community-mining peel: nodes come from a quadratic-CDF hash of the
+    event endpoints (V = max(200, n/12) scales with the data; low ids
+    are hubs, so the core is nested and non-empty at every fixture
+    scale), edges dedup on one pair-key hash exchange, then the
+    classic iterative peel: drop every node with degree < k, recount,
+    repeat to fixpoint.  Per-round degrees ride the bounded combiner
+    tree (node space ≤ n/12 here; for unbounded V the degree pass and
+    the removal filter become a hash-bucket exchange + anti-join —
+    same loop, no broadcast); removed nodes broadcast as one boolean
+    mask per round, so each round is a map-only filter over the edge
+    Dataset.  Converges in ≤ 2 rounds at fixture densities; the
+    oracle replays a fixed 6-round peel (idempotent after the
+    fixpoint).  Output = core nodes with their in-core degree, exact
+    ints."""
+    import ray
+
+    from .stages.agg_tree import tree_aggregate_to_table
+    from .stages.scan import hash_bucket_scan
+
+    n = _nrows(sf_dir, "events")
+    V = max(200, n // 12)
+
+    def node(x: np.ndarray) -> np.ndarray:
+        h = (x.astype(np.uint64) * np.uint64(2654435761)) \
+            % np.uint64(1 << 32)
+        return (((h * h) >> np.uint64(32)) * np.uint64(V)
+                >> np.uint64(32)).astype(np.int64)
+
+    def prep(b: pa.Table) -> pa.Table:
+        x = node(b["user_id"].to_numpy(zero_copy_only=False))
+        y = node(b["event_id"].to_numpy(zero_copy_only=False))
+        keep = x != y
+        x, y = x[keep], y[keep]
+        return pa.table({"u": pa.array(np.minimum(x, y), pa.int64()),
+                         "v": pa.array(np.maximum(x, y), pa.int64())})
+
+    edges = hash_bucket_scan(
+        _read(sf_dir, "events", ["user_id", "event_id"]).map_batches(
+            prep, batch_format="pyarrow"),
+        ["u", "v"], lambda t: t.group_by(["u", "v"]).aggregate([]),
+        n_rows=n).materialize()
+
+    def degrees(ds) -> pa.Table:
+        def endpoints(t: pa.Table) -> pa.Table:
+            uv = np.concatenate([t["u"].to_numpy(zero_copy_only=False),
+                                 t["v"].to_numpy(zero_copy_only=False)])
+            return pa.table({"node": pa.array(uv, pa.int64()),
+                             "deg": pa.array(np.ones(len(uv), np.int64))})
+        return tree_aggregate_to_table(
+            ds.map_batches(endpoints, batch_format="pyarrow"),
+            ["node"], [("deg", "sum")])
+
+    for _ in range(_KCORE_ROUNDS + 1):
+        deg = degrees(edges)
+        d = deg["deg"].to_numpy(zero_copy_only=False)
+        nodes = deg["node"].to_numpy(zero_copy_only=False)
+        bad = nodes[d < _KCORE_K]
+        if len(bad) == 0:
+            break
+        mask = np.zeros(V, dtype=bool)
+        mask[bad] = True
+        ref = ray.put(mask)
+
+        def drop(t: pa.Table, *, _ref=ref) -> pa.Table:
+            m = ray.get(_ref)
+            u = t["u"].to_numpy(zero_copy_only=False)
+            v = t["v"].to_numpy(zero_copy_only=False)
+            return t.filter(pa.array(~(m[u] | m[v])))
+
+        edges = edges.map_batches(drop, batch_format="pyarrow") \
+                     .materialize()
+    else:
+        raise RuntimeError("k-core peel did not converge within "
+                           f"{_KCORE_ROUNDS} oracle-replayable rounds")
+
+    keep = d >= _KCORE_K
+    return pd.DataFrame({"node": nodes[keep].astype(np.int64),
+                         "deg": d[keep].astype(np.int64)})
+
+
+def q_kcore_sql() -> str:
+    v = f"greatest(200, (SELECT count(*) FROM events) // 12)"
+    nu = _kcore_node_sql("user_id", "vv.v")
+    ne = _kcore_node_sql("event_id", "vv.v")
+    # every CTE MATERIALIZED: each round references its predecessor
+    # ~5x, and DuckDB's default CTE inlining would expand the chain
+    # exponentially (5^rounds scans of the events parquet)
+    parts = [
+        f"WITH vv AS MATERIALIZED (SELECT {v} AS v), "
+        "raw AS MATERIALIZED (SELECT " + nu + " AS x, " + ne + " AS y "
+        "FROM events, vv), "
+        "e0 AS MATERIALIZED (SELECT DISTINCT least(x, y) AS u, "
+        "greatest(x, y) AS v FROM raw WHERE x <> y)"]
+    for r in range(_KCORE_ROUNDS):
+        parts.append(
+            f", d{r} AS MATERIALIZED (SELECT node, "
+            f"CAST(count(*) AS BIGINT) AS deg "
+            f"FROM (SELECT u AS node FROM e{r} "
+            f"UNION ALL SELECT v FROM e{r}) GROUP BY node)"
+            f", b{r} AS MATERIALIZED "
+            f"(SELECT node FROM d{r} WHERE deg < {_KCORE_K})"
+            f", e{r + 1} AS MATERIALIZED (SELECT u, v FROM e{r} "
+            f"WHERE u NOT IN (SELECT node FROM b{r}) "
+            f"AND v NOT IN (SELECT node FROM b{r}))")
+    parts.append(
+        f" SELECT node, CAST(count(*) AS BIGINT) AS deg "
+        f"FROM (SELECT u AS node FROM e{_KCORE_ROUNDS} "
+        f"UNION ALL SELECT v FROM e{_KCORE_ROUNDS}) GROUP BY node")
+    return "".join(parts)
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -8671,6 +8796,7 @@ def q_pmi_bigrams_sql() -> str:
 # the long-driver-proven block (geotag/cells/tiles/...) rides at the
 # end, followed by the rows-only (non-SQL-expressible) entries.
 QUERIES = {
+    "kcore": q_kcore,
     "traj_intersections": q_traj_intersections,
     "ab_ttest": q_ab_ttest,
     "pmi_bigrams": q_pmi_bigrams,
@@ -8862,6 +8988,7 @@ QUERIES = {
 # Same key order as QUERIES (the driver zips the two by queries()'s
 # first-50 prefix).
 ORACLE_SQL = {
+    "kcore": q_kcore_sql(),
     "traj_intersections": q_traj_intersections_sql(),
     "ab_ttest": q_ab_ttest_sql(),
     "pmi_bigrams": q_pmi_bigrams_sql(),
