@@ -8660,6 +8660,312 @@ def q_pmi_bigrams_sql() -> str:
     )
 
 
+def q_morans_i(sf_dir: str):
+    """Global Moran's I spatial autocorrelation of event density over
+    a 5° grid with queen (8-neighbour) contiguity — THE classic
+    geospatial clustering statistic: one distributed counting pass
+    (per-cell event counts on the bounded combiner tree, ≤ 72×24
+    cells), then the I finalize on the driver over the tiny cell
+    table in EXACT integer arithmetic — deviations are scaled by N
+    (z·N = N·x_i − Σx, an integer), so the numerator
+    Σ_ij w_ij (Nx_i−S)(Nx_j−S) and denominator Σ_i (Nx_i−S)² are
+    exact Python bigints at any event count; the single division
+    I = (N·num)/(W·den) is one double op pinned to nano (HUGEINT →
+    DOUBLE on the oracle side, int → float here — both correctly
+    rounded).  W counts ordered neighbour pairs among OCCUPIED cells
+    (the empirical contiguity matrix)."""
+    from .stages.agg_tree import tree_aggregate_to_table
+
+    def partial(b: pa.Table) -> pa.Table:
+        lat, lon = derive_latlon(b["event_id"].to_numpy(
+            zero_copy_only=False))
+        cx = np.floor((lon + 180.0) / 5.0).astype(np.int64)
+        cy = np.floor((lat + 60.0) / 5.0).astype(np.int64)
+        t = pa.table({"cx": pa.array(cx), "cy": pa.array(cy),
+                      "x": pa.array(np.ones(len(cx), np.int64))})
+        return (t.group_by(["cx", "cy"]).aggregate([("x", "sum")])
+                .rename_columns(["cx", "cy", "x"]))
+
+    m = tree_aggregate_to_table(
+        _read(sf_dir, "events", ["event_id"]).map_batches(
+            partial, batch_format="pyarrow"),
+        ["cx", "cy"], [("x", "sum")]).to_pandas()
+    n_cells = len(m)
+    s_tot = int(m["x"].sum())
+    z = {(int(r.cx), int(r.cy)): n_cells * int(r.x) - s_tot
+         for r in m.itertuples()}
+    num = 0
+    w_pairs = 0
+    for (cx, cy), zi in z.items():
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                if dx == 0 and dy == 0:
+                    continue
+                zj = z.get((cx + dx, cy + dy))
+                if zj is not None:
+                    num += zi * zj
+                    w_pairs += 1
+    den = sum(v * v for v in z.values())
+    if w_pairs == 0 or den == 0:
+        raise RuntimeError("degenerate grid for Moran's I")
+    i_nano = int(np.floor(float(n_cells * num) / float(w_pairs * den)
+                          * 1e9 + 0.5))
+    return pd.DataFrame({"n_cells": [np.int64(n_cells)],
+                         "w_pairs": [np.int64(w_pairs)],
+                         "i_nano": [np.int64(i_nano)]})
+
+
+def q_morans_i_sql() -> str:
+    lat, lon = latlon_sql("event_id")
+    return (
+        "WITH p AS (SELECT "
+        f"CAST(floor(({lon} + 180.0) / 5.0) AS BIGINT) AS cx, "
+        f"CAST(floor(({lat} + 60.0) / 5.0) AS BIGINT) AS cy "
+        "FROM events), "
+        "c AS MATERIALIZED (SELECT cx, cy, "
+        "CAST(count(*) AS BIGINT) AS x FROM p GROUP BY 1, 2), "
+        "s AS MATERIALIZED (SELECT CAST(count(*) AS HUGEINT) AS n, "
+        "CAST(sum(x) AS HUGEINT) AS t FROM c), "
+        "z AS MATERIALIZED (SELECT cx, cy, "
+        "s.n * x - s.t AS zz FROM c, s), "
+        "pr AS (SELECT a.zz AS za, b.zz AS zb FROM z a JOIN z b ON "
+        "abs(a.cx - b.cx) <= 1 AND abs(a.cy - b.cy) <= 1 "
+        "AND NOT (a.cx = b.cx AND a.cy = b.cy)), "
+        "agg AS (SELECT CAST(count(*) AS HUGEINT) AS w, "
+        "CAST(sum(za * zb) AS HUGEINT) AS num FROM pr), "
+        "dn AS (SELECT CAST(sum(zz * zz) AS HUGEINT) AS den FROM z) "
+        "SELECT CAST(s.n AS BIGINT) AS n_cells, "
+        "CAST(agg.w AS BIGINT) AS w_pairs, "
+        "CAST(floor(CAST(s.n * agg.num AS DOUBLE) / "
+        "CAST(agg.w * dn.den AS DOUBLE) * 1e9 + 0.5) AS BIGINT) "
+        "AS i_nano FROM s, agg, dn"
+    )
+
+
+def q_zipf_slope(sf_dir: str):
+    """Zipf's-law fit over the token frequency distribution: the OLS
+    slope of ln(count) on ln(rank) across the top-100 tokens — the
+    corpus-statistics health check for training data.  Distributed
+    wordcount (per-batch np.unique combiners → open-vocabulary hash
+    exchange), top-100 via the pre-reduced distributed top-k
+    (count desc, token asc — deterministic), then both logs pin to
+    nano ints per row and the OLS moments (Σx, Σy, Σxy, Σx², n) are
+    exact Python bigints over the 100-row table; the final slope is
+    one double division pinned to micro."""
+    from .stages.scan import hash_bucket_scan
+    from .stages.topk import top_k
+
+    n_docs = _nrows(sf_dir, "documents")
+
+    def unigram_counts(b: pd.DataFrame) -> pd.DataFrame:
+        toks = b["text"].str.lower().str.findall(r"[a-z0-9]+")
+        flat = np.concatenate([np.asarray(t, dtype=object)
+                               for t in toks if len(t)] or
+                              [np.array([], dtype=object)])
+        uniq, counts = np.unique(flat, return_counts=True)
+        return pd.DataFrame({"tok": uniq.astype(str),
+                             "n": counts.astype(np.int64)})
+
+    counts = hash_bucket_scan(
+        _read(sf_dir, "documents", ["text"]).map_batches(
+            unigram_counts, batch_format="pandas"),
+        ["tok"],
+        lambda t: t.group_by(["tok"]).aggregate([("n", "sum")])
+        .rename_columns(["tok", "n"]),
+        n_rows=n_docs)
+    top = top_k(counts, "n", 100, descending=True,
+                tiebreak_col="tok").to_pandas()
+    k = len(top)
+    r = np.arange(1, k + 1, dtype=np.float64)
+    x = np.floor(np.log(r) * 1e9 + 0.5).astype(np.int64)
+    y = np.floor(np.log(top["n"].to_numpy().astype(np.float64))
+                 * 1e9 + 0.5).astype(np.int64)
+    xs = [int(v) for v in x]
+    ys = [int(v) for v in y]
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(a * b for a, b in zip(xs, ys))
+    sxx = sum(a * a for a in xs)
+    num = k * sxy - sx * sy
+    den = k * sxx - sx * sx
+    slope_micro = int(np.floor(float(num) / float(den) * 1e6 + 0.5))
+    return pd.DataFrame({"n_tokens": [np.int64(k)],
+                         "top_tok": [str(top["tok"].iloc[0])],
+                         "slope_micro": [np.int64(slope_micro)]})
+
+
+def q_zipf_slope_sql() -> str:
+    return (
+        "WITH toks AS (SELECT "
+        "unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok "
+        "FROM documents), "
+        "cu AS (SELECT tok, CAST(count(*) AS BIGINT) AS n "
+        "FROM toks GROUP BY 1), "
+        "top AS MATERIALIZED (SELECT tok, n, "
+        "row_number() OVER (ORDER BY n DESC, tok) AS r "
+        "FROM cu ORDER BY n DESC, tok LIMIT 100), "
+        "pin AS (SELECT tok, r, "
+        "CAST(floor(ln(CAST(r AS DOUBLE)) * 1e9 + 0.5) AS HUGEINT) "
+        "AS x, "
+        "CAST(floor(ln(CAST(n AS DOUBLE)) * 1e9 + 0.5) AS HUGEINT) "
+        "AS y FROM top), "
+        "m AS (SELECT CAST(count(*) AS HUGEINT) AS k, sum(x) AS sx, "
+        "sum(y) AS sy, sum(x * y) AS sxy, sum(x * x) AS sxx, "
+        "min(CASE WHEN r = 1 THEN tok END) AS top_tok FROM pin) "
+        "SELECT CAST(k AS BIGINT) AS n_tokens, top_tok, "
+        "CAST(floor(CAST(k * sxy - sx * sy AS DOUBLE) / "
+        "CAST(k * sxx - sx * sx AS DOUBLE) * 1e6 + 0.5) AS BIGINT) "
+        "AS slope_micro FROM m"
+    )
+
+
+def q_js_divergence(sf_dir: str):
+    """Jensen-Shannon divergence between the token distributions of
+    the two doc_id-parity cohorts — the categorical drift detector
+    (the numeric twin is q_ks_drift): per-(token, cohort) counts on
+    the open-vocabulary hash exchange (both cohorts of a token land
+    in the same bucket, so the bucket pass pivots straight to
+    (tok, c0, c1)); cohort totals are exact int sums; each token's
+    contribution p·ln(p/m) + q·ln(q/m) is a fixed double sequence
+    pinned to a nano int per TOKEN, and the JS total is the exact
+    int sum of those pins (distributed tree), so the result is
+    bit-stable under any partitioning.  js/2 in nats, ∈ [0, ln 2]."""
+    from .stages.agg_tree import tree_aggregate_to_table
+    from .stages.scan import hash_bucket_scan
+
+    n_docs = _nrows(sf_dir, "documents")
+
+    def cohort_counts(b: pd.DataFrame) -> pd.DataFrame:
+        toks = b["text"].str.lower().str.findall(r"[a-z0-9]+")
+        coh = (b["doc_id"].to_numpy() % 2).astype(np.int64)
+        xs, cs = [], []
+        for t, c in zip(toks, coh):
+            if len(t):
+                xs.append(np.asarray(t, dtype=object))
+                cs.append(np.full(len(t), c, np.int64))
+        if not xs:
+            return pd.DataFrame({"tok": np.array([], object),
+                                 "c0": np.array([], np.int64),
+                                 "c1": np.array([], np.int64)})
+        df = pd.DataFrame({"tok": np.concatenate(xs),
+                           "coh": np.concatenate(cs)})
+        g = df.groupby(["tok", "coh"], sort=False).size().reset_index()
+        cnt = g[0].to_numpy().astype(np.int64)
+        c = g["coh"].to_numpy()
+        return pd.DataFrame({"tok": g["tok"].astype(str),
+                             "c0": np.where(c == 0, cnt, 0),
+                             "c1": np.where(c == 1, cnt, 0)})
+
+    counts = hash_bucket_scan(
+        _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+            cohort_counts, batch_format="pandas"),
+        ["tok"],
+        lambda t: t.group_by(["tok"]).aggregate(
+            [("c0", "sum"), ("c1", "sum")])
+        .rename_columns(["tok", "c0", "c1"]),
+        n_rows=n_docs).materialize()
+    n0 = float(int(counts.sum("c0")))
+    n1 = float(int(counts.sum("c1")))
+
+    def term(t: pa.Table) -> pa.Table:
+        c0 = t["c0"].to_numpy(zero_copy_only=False).astype(np.float64)
+        c1 = t["c1"].to_numpy(zero_copy_only=False).astype(np.float64)
+        p = c0 / n0
+        q = c1 / n1
+        m = (p + q) / 2.0
+        with np.errstate(divide="ignore", invalid="ignore"):
+            tp = np.where(p > 0.0, p * np.log(p / m), 0.0)
+            tq = np.where(q > 0.0, q * np.log(q / m), 0.0)
+        pin = np.floor((tp + tq) * 1e9 + 0.5).astype(np.int64)
+        return pa.table({
+            "n_tokens": pa.array(np.ones(len(pin), np.int64)),
+            "js2_nano": pa.array(pin)})
+
+    tot = tree_aggregate_to_table(
+        counts.map_batches(term, batch_format="pyarrow")
+        .map_batches(lambda t: t.append_column(
+            "_g", pa.array(np.zeros(len(t), np.int64))),
+            batch_format="pyarrow"),
+        ["_g"], [("n_tokens", "sum"), ("js2_nano", "sum")]).to_pandas()
+    return pd.DataFrame({
+        "n_tokens": tot["n_tokens"].to_numpy().astype(np.int64),
+        "js2_nano": tot["js2_nano"].to_numpy().astype(np.int64)})
+
+
+def q_js_divergence_sql() -> str:
+    return (
+        "WITH toks AS (SELECT doc_id % 2 AS coh, "
+        "unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok "
+        "FROM documents), "
+        "c AS MATERIALIZED (SELECT tok, "
+        "CAST(sum(CASE WHEN coh = 0 THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS c0, "
+        "CAST(sum(CASE WHEN coh = 1 THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS c1 FROM toks GROUP BY 1), "
+        "n AS (SELECT CAST(sum(c0) AS DOUBLE) AS n0, "
+        "CAST(sum(c1) AS DOUBLE) AS n1 FROM c), "
+        "t AS (SELECT CAST(floor(( "
+        "CASE WHEN c0 > 0 THEN (c0 / n0) * ln((c0 / n0) / "
+        "(((c0 / n0) + (c1 / n1)) / 2.0)) ELSE 0.0 END + "
+        "CASE WHEN c1 > 0 THEN (c1 / n1) * ln((c1 / n1) / "
+        "(((c0 / n0) + (c1 / n1)) / 2.0)) ELSE 0.0 END"
+        ") * 1e9 + 0.5) AS BIGINT) AS pin FROM c, n) "
+        "SELECT CAST(count(*) AS BIGINT) AS n_tokens, "
+        "CAST(sum(pin) AS BIGINT) AS js2_nano FROM t"
+    )
+
+
+def q_target_encode(sf_dir: str):
+    """Smoothed target encoding of event_type against value (the
+    categorical-feature ML-prep transform): per-type (n, Σcents)
+    int partials on the bounded combiner tree, global mean from the
+    same partials, then enc = (s + m·μ)/(n + m) with m = 10 — a fixed
+    double sequence per type, pinned micro.  One data pass; at
+    unbounded key spaces the partials ride the hash-bucket exchange
+    instead (q_group_concat shape)."""
+    from .stages.agg_tree import tree_aggregate_to_table
+
+    M = 10.0
+
+    def partial(b: pa.Table) -> pa.Table:
+        c = np.floor(b["value"].to_numpy(zero_copy_only=False)
+                     * 100.0 + 0.5).astype(np.int64)
+        t = pa.table({"event_type": b["event_type"],
+                      "n": pa.array(np.ones(len(c), np.int64)),
+                      "s": pa.array(c)})
+        return (t.group_by(["event_type"]).aggregate(
+            [("n", "sum"), ("s", "sum")])
+            .rename_columns(["event_type", "n", "s"]))
+
+    g = tree_aggregate_to_table(
+        _read(sf_dir, "events", ["event_type", "value"]).map_batches(
+            partial, batch_format="pyarrow"),
+        ["event_type"], [("n", "sum"), ("s", "sum")]).to_pandas()
+    n = g["n"].to_numpy().astype(np.float64)
+    s = g["s"].to_numpy().astype(np.float64)
+    mu = float(int(g["s"].sum())) / float(int(g["n"].sum()))
+    enc = (s + M * mu) / (n + M)
+    return pd.DataFrame({
+        "event_type": g["event_type"].astype(str),
+        "n": g["n"].to_numpy().astype(np.int64),
+        "enc_micro": np.floor(enc * 1e6 + 0.5).astype(np.int64)})
+
+
+def q_target_encode_sql() -> str:
+    return (
+        "WITH p AS (SELECT event_type, "
+        "CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS c FROM events), "
+        "g AS MATERIALIZED (SELECT event_type, "
+        "CAST(count(*) AS BIGINT) AS n, "
+        "CAST(sum(c) AS BIGINT) AS s FROM p GROUP BY 1), "
+        "t AS (SELECT CAST(sum(s) AS DOUBLE) / CAST(sum(n) AS DOUBLE) "
+        "AS mu FROM g) "
+        "SELECT event_type, n, "
+        "CAST(floor((CAST(s AS DOUBLE) + 10.0 * mu) / "
+        "(CAST(n AS DOUBLE) + 10.0) * 1e6 + 0.5) AS BIGINT) "
+        "AS enc_micro FROM g, t"
+    )
+
+
 _KCORE_K = 8
 _KCORE_ROUNDS = 6  # oracle replay depth; peel is idempotent past fixpoint
 
@@ -8797,6 +9103,10 @@ def q_kcore_sql() -> str:
 # end, followed by the rows-only (non-SQL-expressible) entries.
 QUERIES = {
     "kcore": q_kcore,
+    "morans_i": q_morans_i,
+    "zipf_slope": q_zipf_slope,
+    "js_divergence": q_js_divergence,
+    "target_encode": q_target_encode,
     "traj_intersections": q_traj_intersections,
     "ab_ttest": q_ab_ttest,
     "pmi_bigrams": q_pmi_bigrams,
@@ -8989,6 +9299,10 @@ QUERIES = {
 # first-50 prefix).
 ORACLE_SQL = {
     "kcore": q_kcore_sql(),
+    "morans_i": q_morans_i_sql(),
+    "zipf_slope": q_zipf_slope_sql(),
+    "js_divergence": q_js_divergence_sql(),
+    "target_encode": q_target_encode_sql(),
     "traj_intersections": q_traj_intersections_sql(),
     "ab_ttest": q_ab_ttest_sql(),
     "pmi_bigrams": q_pmi_bigrams_sql(),
