@@ -198,7 +198,9 @@ def run_bench() -> dict:
                      "cell_transitions", "weighted_centroid",
                      "histeq_checksum", "kll_quantiles",
                      "speed_profile", "traj_intersections", "ab_ttest",
-                     "pmi_bigrams"):
+                     "pmi_bigrams", "kcore", "morans_i", "zipf_slope",
+                     "js_divergence", "target_encode", "otsu_checksum",
+                     "hu_moment"):
             best = float("inf")
             attempts = 0
             for _ in range(max(1, repeats)):

@@ -8966,6 +8966,152 @@ def q_target_encode_sql() -> str:
     )
 
 
+def q_otsu_checksum(sf_dir: str):
+    """Hash verification of OTSU THRESHOLDING (the classic histogram
+    segmentation kernel): decode → integer luma → per-image argmax of
+    the between-class variance over the present luma values, computed
+    as the EXACT integer score ((w0·S − n·S0)²·2^20) // (w0·(n−w0))
+    (numerator ≤ ~2e25: Python bigints here, HUGEINT in the oracle;
+    the shared floor-scaled score makes ties identical on both sides,
+    broken by the smaller threshold).  Output = threshold plus the
+    below-threshold pixel count and luma mass.  Same head-K / scale
+    caveats as image_checksum."""
+    import pyarrow.dataset as pds
+    import ray.data
+
+    from .fixtures import ensure_images_parquet, scale_for_sf_dir
+    from .functions.image_codec import decode_image
+
+    hi = f"img_{_CHECKSUM_K:012d}"
+    images = ensure_images_parquet(scale_for_sf_dir(sf_dir))
+    ds = ray.data.read_parquet(images, columns=["image_id", "bytes", "fmt"],
+                               filter=pds.field("image_id") < hi)
+
+    def otsu(b: pa.Table) -> pa.Table:
+        blobs = b["bytes"].to_pylist()
+        fmts = b["fmt"].to_pylist()
+        ts = np.empty(len(blobs), np.int64)
+        lo_n = np.empty(len(blobs), np.int64)
+        lo_sum = np.empty(len(blobs), np.int64)
+        for i in range(len(blobs)):
+            img = decode_image(blobs[i], fmts[i]).astype(np.int64)
+            y = (77 * img[:, :, 0] + 150 * img[:, :, 1]
+                 + 29 * img[:, :, 2]) >> 8
+            vals, counts = np.unique(y, return_counts=True)
+            cdf = np.cumsum(counts)
+            s0c = np.cumsum(vals * counts)
+            n, s = int(cdf[-1]), int(s0c[-1])
+            best = (-1, -1, -1, -1)  # (score, -t) argmax w/ min-t tie
+            for j in range(len(vals) - 1):  # last value has w0 == n
+                w0, sj = int(cdf[j]), int(s0c[j])
+                d = w0 * s - n * sj
+                score = (d * d << 20) // (w0 * (n - w0))
+                if score > best[0]:
+                    best = (score, int(vals[j]), w0, sj)
+            if best[1] < 0:  # flat image: single luma value
+                best = (0, int(vals[0]), n, s)
+            ts[i], lo_n[i], lo_sum[i] = best[1], best[2], best[3]
+        return pa.table({"image_id": b["image_id"],
+                         "otsu_t": pa.array(ts),
+                         "lo_n": pa.array(lo_n),
+                         "lo_sum": pa.array(lo_sum)})
+
+    return ds.map_batches(otsu, batch_format="pyarrow", batch_size=128)
+
+
+def q_otsu_checksum_sql() -> str:
+    return (
+        "WITH " + _luma_table_sql(_CHECKSUM_K) + ", "
+        "h AS (SELECT i, l, CAST(count(*) AS BIGINT) AS c "
+        "FROM lum GROUP BY 1, 2), "
+        "w AS (SELECT i, l, "
+        "CAST(sum(c) OVER (PARTITION BY i ORDER BY l) AS HUGEINT) "
+        "AS w0, "
+        "CAST(sum(l * c) OVER (PARTITION BY i ORDER BY l) AS HUGEINT) "
+        "AS s0, "
+        "CAST(sum(c) OVER (PARTITION BY i) AS HUGEINT) AS n, "
+        "CAST(sum(l * c) OVER (PARTITION BY i) AS HUGEINT) AS s "
+        "FROM h), "
+        "sc AS (SELECT i, l, w0, s0, "
+        "(w0 * s - n * s0) * (w0 * s - n * s0) * 1048576 "
+        "// (w0 * (n - w0)) AS score FROM w WHERE w0 < n), "
+        "r AS (SELECT i, l, w0, s0, row_number() OVER "
+        "(PARTITION BY i ORDER BY score DESC, l) AS rn FROM sc) "
+        "SELECT 'img_' || lpad(CAST(i AS VARCHAR), 12, '0') "
+        "AS image_id, l AS otsu_t, CAST(w0 AS BIGINT) AS lo_n, "
+        "CAST(s0 AS BIGINT) AS lo_sum FROM r WHERE rn = 1"
+    )
+
+
+def q_hu_moment(sf_dir: str):
+    """Hash verification of IMAGE MOMENTS (luma centroid + the first
+    Hu invariant φ1 = (μ20+μ02)/μ00² — the scale-normalized spread
+    feature): raw moments S, Σx·l, Σy·l, Σx²·l, Σy²·l are exact int64
+    plane sums; central-moment numerators S·Mxx − Mx² (= S²·μ20) stay
+    exact ints; the two finalize divisions (centroid micro-pixels,
+    φ1 pico) are fixed double sequences pinned to ints.  Same head-K
+    / scale caveats as image_checksum."""
+    import pyarrow.dataset as pds
+    import ray.data
+
+    from .fixtures import ensure_images_parquet, scale_for_sf_dir
+    from .functions.image_codec import decode_image
+
+    hi = f"img_{_CHECKSUM_K:012d}"
+    images = ensure_images_parquet(scale_for_sf_dir(sf_dir))
+    ds = ray.data.read_parquet(images, columns=["image_id", "bytes", "fmt"],
+                               filter=pds.field("image_id") < hi)
+
+    def moments(b: pa.Table) -> pa.Table:
+        blobs = b["bytes"].to_pylist()
+        fmts = b["fmt"].to_pylist()
+        cxm = np.empty(len(blobs), np.int64)
+        cym = np.empty(len(blobs), np.int64)
+        phi = np.empty(len(blobs), np.int64)
+        for i in range(len(blobs)):
+            img = decode_image(blobs[i], fmts[i]).astype(np.int64)
+            y = (77 * img[:, :, 0] + 150 * img[:, :, 1]
+                 + 29 * img[:, :, 2]) >> 8
+            side = y.shape[0]
+            xs = np.arange(side, dtype=np.int64)[None, :]
+            ys = np.arange(side, dtype=np.int64)[:, None]
+            s = int(y.sum())
+            mx, my = int((xs * y).sum()), int((ys * y).sum())
+            mxx = int((xs * xs * y).sum())
+            myy = int((ys * ys * y).sum())
+            mu_num = (s * mxx - mx * mx) + (s * myy - my * my)
+            cxm[i] = int(np.floor(float(mx) / float(s) * 1e6 + 0.5))
+            cym[i] = int(np.floor(float(my) / float(s) * 1e6 + 0.5))
+            phi[i] = int(np.floor(float(mu_num) / float(s * s * s)
+                                  * 1e12 + 0.5))
+        return pa.table({"image_id": b["image_id"],
+                         "cx_micro": pa.array(cxm),
+                         "cy_micro": pa.array(cym),
+                         "phi1_pico": pa.array(phi)})
+
+    return ds.map_batches(moments, batch_format="pyarrow", batch_size=128)
+
+
+def q_hu_moment_sql() -> str:
+    return (
+        "WITH " + _luma_table_sql(_CHECKSUM_K) + ", "
+        "m AS (SELECT i, CAST(sum(l) AS BIGINT) AS s, "
+        "CAST(sum(x * l) AS BIGINT) AS mx, "
+        "CAST(sum(y * l) AS BIGINT) AS my, "
+        "CAST(sum(x * x * l) AS BIGINT) AS mxx, "
+        "CAST(sum(y * y * l) AS BIGINT) AS myy FROM lum GROUP BY 1) "
+        "SELECT 'img_' || lpad(CAST(i AS VARCHAR), 12, '0') "
+        "AS image_id, "
+        "CAST(floor(CAST(mx AS DOUBLE) / CAST(s AS DOUBLE) * 1e6 "
+        "+ 0.5) AS BIGINT) AS cx_micro, "
+        "CAST(floor(CAST(my AS DOUBLE) / CAST(s AS DOUBLE) * 1e6 "
+        "+ 0.5) AS BIGINT) AS cy_micro, "
+        "CAST(floor(CAST((s * mxx - mx * mx) + (s * myy - my * my) "
+        "AS DOUBLE) / CAST(s * s * s AS DOUBLE) * 1e12 + 0.5) "
+        "AS BIGINT) AS phi1_pico FROM m"
+    )
+
+
 _KCORE_K = 8
 _KCORE_ROUNDS = 6  # oracle replay depth; peel is idempotent past fixpoint
 
@@ -9107,6 +9253,8 @@ QUERIES = {
     "zipf_slope": q_zipf_slope,
     "js_divergence": q_js_divergence,
     "target_encode": q_target_encode,
+    "otsu_checksum": q_otsu_checksum,
+    "hu_moment": q_hu_moment,
     "traj_intersections": q_traj_intersections,
     "ab_ttest": q_ab_ttest,
     "pmi_bigrams": q_pmi_bigrams,
@@ -9303,6 +9451,8 @@ ORACLE_SQL = {
     "zipf_slope": q_zipf_slope_sql(),
     "js_divergence": q_js_divergence_sql(),
     "target_encode": q_target_encode_sql(),
+    "otsu_checksum": q_otsu_checksum_sql(),
+    "hu_moment": q_hu_moment_sql(),
     "traj_intersections": q_traj_intersections_sql(),
     "ab_ttest": q_ab_ttest_sql(),
     "pmi_bigrams": q_pmi_bigrams_sql(),

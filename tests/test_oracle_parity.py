@@ -95,6 +95,8 @@ def test_entry_smoke(ray_session):
     "border_buffer", "cell_transitions", "max_span", "self_crossings",
     "haversine_legs", "pair_dist_hist", "bbox_extent",
     "traj_intersections", "ab_ttest", "pmi_bigrams",
+    "kcore", "morans_i", "zipf_slope", "js_divergence",
+    "target_encode", "otsu_checksum", "hu_moment",
 ])
 def test_sql_parity(name, entries):
     qs, oracles = entries
