@@ -200,7 +200,8 @@ def run_bench() -> dict:
                      "speed_profile", "traj_intersections", "ab_ttest",
                      "pmi_bigrams", "kcore", "morans_i", "zipf_slope",
                      "js_divergence", "target_encode", "otsu_checksum",
-                     "hu_moment"):
+                     "hu_moment", "getis_ord", "glcm_texture",
+                     "sobel_octants"):
             best = float("inf")
             attempts = 0
             for _ in range(max(1, repeats)):

@@ -8742,6 +8742,92 @@ def q_morans_i_sql() -> str:
     )
 
 
+def q_getis_ord(sf_dir: str):
+    """Getis-Ord Gi* hot-spot detection over the same 5° event grid
+    as q_morans_i (the per-cell LOCAL autocorrelation statistic —
+    Moran's I is the global one): one distributed counting pass, then
+    per-cell Gi* on the driver's bounded cell table.  All moment
+    ingredients (n, Σx, Σx², the 9-cell neighbourhood sum Lᵢ and size
+    Wᵢ, self included) are exact ints; the Gi* finalize is a fixed
+    per-cell double sequence (two correctly-rounded sqrts) pinned to
+    nano.  Output = the 15 hottest cells (gi desc, cell asc) — the
+    standard hot-spot readout."""
+    from .stages.agg_tree import tree_aggregate_to_table
+
+    def partial(b: pa.Table) -> pa.Table:
+        lat, lon = derive_latlon(b["event_id"].to_numpy(
+            zero_copy_only=False))
+        cx = np.floor((lon + 180.0) / 5.0).astype(np.int64)
+        cy = np.floor((lat + 60.0) / 5.0).astype(np.int64)
+        t = pa.table({"cx": pa.array(cx), "cy": pa.array(cy),
+                      "x": pa.array(np.ones(len(cx), np.int64))})
+        return (t.group_by(["cx", "cy"]).aggregate([("x", "sum")])
+                .rename_columns(["cx", "cy", "x"]))
+
+    m = tree_aggregate_to_table(
+        _read(sf_dir, "events", ["event_id"]).map_batches(
+            partial, batch_format="pyarrow"),
+        ["cx", "cy"], [("x", "sum")]).to_pandas()
+    cells = {(int(r.cx), int(r.cy)): int(r.x) for r in m.itertuples()}
+    n = len(cells)
+    sx = sum(cells.values())
+    sxx = sum(v * v for v in cells.values())
+    nd, xb = float(n), float(sx) / float(n)
+    s = np.sqrt(float(sxx) / nd - xb * xb)
+    rows = []
+    for (cx, cy), x in cells.items():
+        li, wi = 0, 0
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                xj = cells.get((cx + dx, cy + dy))
+                if xj is not None:
+                    li += xj
+                    wi += 1
+        wd = float(wi)
+        den = s * np.sqrt((nd * wd - wd * wd) / (nd - 1.0))
+        gi = (float(li) - xb * wd) / den
+        rows.append((cx, cy, x, int(np.floor(gi * 1e9 + 0.5))))
+    rows.sort(key=lambda r: (-r[3], r[0], r[1]))
+    rows = rows[:15]
+    return pd.DataFrame({
+        "cx": np.array([r[0] for r in rows], np.int64),
+        "cy": np.array([r[1] for r in rows], np.int64),
+        "x": np.array([r[2] for r in rows], np.int64),
+        "gi_nano": np.array([r[3] for r in rows], np.int64)})
+
+
+def q_getis_ord_sql() -> str:
+    lat, lon = latlon_sql("event_id")
+    return (
+        "WITH p AS (SELECT "
+        f"CAST(floor(({lon} + 180.0) / 5.0) AS BIGINT) AS cx, "
+        f"CAST(floor(({lat} + 60.0) / 5.0) AS BIGINT) AS cy "
+        "FROM events), "
+        "c AS MATERIALIZED (SELECT cx, cy, "
+        "CAST(count(*) AS BIGINT) AS x FROM p GROUP BY 1, 2), "
+        "s AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n, "
+        "CAST(sum(x) AS BIGINT) AS sx, "
+        "CAST(sum(x * x) AS BIGINT) AS sxx FROM c), "
+        "nb AS (SELECT a.cx, a.cy, a.x, "
+        "CAST(sum(b.x) AS BIGINT) AS li, "
+        "CAST(count(*) AS BIGINT) AS wi FROM c a JOIN c b ON "
+        "abs(a.cx - b.cx) <= 1 AND abs(a.cy - b.cy) <= 1 "
+        "GROUP BY 1, 2, 3), "
+        "g AS (SELECT cx, cy, x, CAST(floor("
+        "(CAST(li AS DOUBLE) - (CAST(sx AS DOUBLE) / "
+        "CAST(n AS DOUBLE)) * CAST(wi AS DOUBLE)) / "
+        "(sqrt(CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE) - "
+        "(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) * "
+        "(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))) * "
+        "sqrt((CAST(n AS DOUBLE) * CAST(wi AS DOUBLE) - "
+        "CAST(wi AS DOUBLE) * CAST(wi AS DOUBLE)) / "
+        "(CAST(n AS DOUBLE) - 1.0))) * 1e9 + 0.5) AS BIGINT) "
+        "AS gi_nano FROM nb, s) "
+        "SELECT cx, cy, x, gi_nano FROM g "
+        "ORDER BY gi_nano DESC, cx, cy LIMIT 15"
+    )
+
+
 def q_zipf_slope(sf_dir: str):
     """Zipf's-law fit over the token frequency distribution: the OLS
     slope of ln(count) on ln(rank) across the top-100 tokens — the
@@ -8963,6 +9049,143 @@ def q_target_encode_sql() -> str:
         "CAST(floor((CAST(s AS DOUBLE) + 10.0 * mu) / "
         "(CAST(n AS DOUBLE) + 10.0) * 1e6 + 0.5) AS BIGINT) "
         "AS enc_micro FROM g, t"
+    )
+
+
+def q_glcm_texture(sf_dir: str):
+    """Hash verification of GLCM TEXTURE features (Haralick's
+    gray-level co-occurrence matrix at offset (+1, 0)): per image,
+    contrast = Σ_pairs (l₁−l₂)² straight off the luma plane and
+    energy = Σ_{(l₁,l₂)} c(l₁,l₂)² off the pair histogram — both
+    exact ints (pairs ≤ 64·63, energy ≤ ~1.6e7).  The oracle rebuilds
+    the plane from the pixel generator and takes the horizontal
+    neighbour equijoin.  Same head-K / scale caveats as
+    image_checksum."""
+    import pyarrow.dataset as pds
+    import ray.data
+
+    from .fixtures import ensure_images_parquet, scale_for_sf_dir
+    from .functions.image_codec import decode_image
+
+    hi = f"img_{_CHECKSUM_K:012d}"
+    images = ensure_images_parquet(scale_for_sf_dir(sf_dir))
+    ds = ray.data.read_parquet(images, columns=["image_id", "bytes", "fmt"],
+                               filter=pds.field("image_id") < hi)
+
+    def glcm(b: pa.Table) -> pa.Table:
+        blobs = b["bytes"].to_pylist()
+        fmts = b["fmt"].to_pylist()
+        con = np.empty(len(blobs), np.int64)
+        ene = np.empty(len(blobs), np.int64)
+        for i in range(len(blobs)):
+            img = decode_image(blobs[i], fmts[i]).astype(np.int64)
+            y = (77 * img[:, :, 0] + 150 * img[:, :, 1]
+                 + 29 * img[:, :, 2]) >> 8
+            l1, l2 = y[:, :-1].ravel(), y[:, 1:].ravel()
+            d = l1 - l2
+            con[i] = int((d * d).sum())
+            _, counts = np.unique(l1 * 256 + l2, return_counts=True)
+            ene[i] = int((counts * counts).sum())
+        return pa.table({"image_id": b["image_id"],
+                         "contrast": pa.array(con),
+                         "energy": pa.array(ene)})
+
+    return ds.map_batches(glcm, batch_format="pyarrow", batch_size=128)
+
+
+def q_glcm_texture_sql() -> str:
+    return (
+        "WITH " + _luma_table_sql(_CHECKSUM_K) + ", "
+        "pr AS MATERIALIZED (SELECT a.i, a.l AS l1, b.l AS l2 "
+        "FROM lum a JOIN lum b ON a.i = b.i AND a.y = b.y "
+        "AND b.x = a.x + 1), "
+        "con AS (SELECT i, CAST(sum((l1 - l2) * (l1 - l2)) AS BIGINT) "
+        "AS contrast FROM pr GROUP BY 1), "
+        "h AS (SELECT i, l1, l2, CAST(count(*) AS BIGINT) AS c "
+        "FROM pr GROUP BY 1, 2, 3), "
+        "ene AS (SELECT i, CAST(sum(c * c) AS BIGINT) AS energy "
+        "FROM h GROUP BY 1) "
+        "SELECT 'img_' || lpad(CAST(con.i AS VARCHAR), 12, '0') "
+        "AS image_id, contrast, energy "
+        "FROM con JOIN ene ON con.i = ene.i"
+    )
+
+
+def q_sobel_octants(sf_dir: str):
+    """Hash verification of the SOBEL EDGE-ORIENTATION histogram (the
+    HOG building block): 3×3 integer Sobel gradients over interior
+    luma pixels, orientation binned into 8 octants by PURE INTEGER
+    predicates — bin = quadrant(gx, gy)·2 + [|gy| > |gx|] — so there
+    is no atan2 and no float anywhere; zero-gradient pixels count in
+    a separate ``flat`` column.  The oracle replays the stencil as
+    eight neighbour equijoins over the generator plane.  Same head-K
+    / scale caveats as image_checksum."""
+    import pyarrow.dataset as pds
+    import ray.data
+
+    from .fixtures import ensure_images_parquet, scale_for_sf_dir
+    from .functions.image_codec import decode_image
+
+    hi = f"img_{_CHECKSUM_K:012d}"
+    images = ensure_images_parquet(scale_for_sf_dir(sf_dir))
+    ds = ray.data.read_parquet(images, columns=["image_id", "bytes", "fmt"],
+                               filter=pds.field("image_id") < hi)
+
+    def sobel(b: pa.Table) -> pa.Table:
+        blobs = b["bytes"].to_pylist()
+        fmts = b["fmt"].to_pylist()
+        out = np.zeros((len(blobs), 9), np.int64)
+        for i in range(len(blobs)):
+            img = decode_image(blobs[i], fmts[i]).astype(np.int64)
+            y = (77 * img[:, :, 0] + 150 * img[:, :, 1]
+                 + 29 * img[:, :, 2]) >> 8
+            gx = (y[:-2, 2:] + 2 * y[1:-1, 2:] + y[2:, 2:]
+                  - y[:-2, :-2] - 2 * y[1:-1, :-2] - y[2:, :-2])
+            gy = (y[2:, :-2] + 2 * y[2:, 1:-1] + y[2:, 2:]
+                  - y[:-2, :-2] - 2 * y[:-2, 1:-1] - y[:-2, 2:])
+            flat = (gx == 0) & (gy == 0)
+            quad = np.where(gx >= 0, np.where(gy >= 0, 0, 3),
+                            np.where(gy >= 0, 1, 2))
+            b8 = quad * 2 + (np.abs(gy) > np.abs(gx))
+            cnt = np.bincount(b8[~flat].ravel(), minlength=8)
+            out[i, :8] = cnt
+            out[i, 8] = int(flat.sum())
+        cols = {"image_id": b["image_id"]}
+        for j in range(8):
+            cols[f"b{j}"] = pa.array(out[:, j])
+        cols["flat"] = pa.array(out[:, 8])
+        return pa.table(cols)
+
+    return ds.map_batches(sobel, batch_format="pyarrow", batch_size=128)
+
+
+def q_sobel_octants_sql() -> str:
+    bins = ", ".join(
+        f"CAST(sum(CASE WHEN NOT (gx = 0 AND gy = 0) AND "
+        f"(CASE WHEN gx >= 0 THEN (CASE WHEN gy >= 0 THEN 0 ELSE 3 "
+        f"END) ELSE (CASE WHEN gy >= 0 THEN 1 ELSE 2 END) END) * 2 "
+        f"+ (CASE WHEN abs(gy) > abs(gx) THEN 1 ELSE 0 END) = {j} "
+        f"THEN 1 ELSE 0 END) AS BIGINT) AS b{j}" for j in range(8))
+    return (
+        "WITH " + _luma_table_sql(_CHECKSUM_K) + ", "
+        "g AS MATERIALIZED (SELECT c.i, "
+        "(ne.l + 2 * e.l + se.l - nw.l - 2 * w.l - sw.l) AS gx, "
+        "(sw.l + 2 * s.l + se.l - nw.l - 2 * n.l - ne.l) AS gy "
+        "FROM lum c "
+        "JOIN lum nw ON nw.i = c.i AND nw.x = c.x - 1 AND nw.y = c.y - 1 "
+        "JOIN lum n  ON n.i  = c.i AND n.x  = c.x     AND n.y  = c.y - 1 "
+        "JOIN lum ne ON ne.i = c.i AND ne.x = c.x + 1 AND ne.y = c.y - 1 "
+        "JOIN lum w  ON w.i  = c.i AND w.x  = c.x - 1 AND w.y  = c.y "
+        "JOIN lum e  ON e.i  = c.i AND e.x  = c.x + 1 AND e.y  = c.y "
+        "JOIN lum sw ON sw.i = c.i AND sw.x = c.x - 1 AND sw.y = c.y + 1 "
+        "JOIN lum s  ON s.i  = c.i AND s.x  = c.x     AND s.y  = c.y + 1 "
+        "JOIN lum se ON se.i = c.i AND se.x = c.x + 1 AND se.y = c.y + 1 "
+        "WHERE c.x BETWEEN 1 AND c.side - 2 "
+        "AND c.y BETWEEN 1 AND c.side - 2) "
+        "SELECT 'img_' || lpad(CAST(i AS VARCHAR), 12, '0') "
+        "AS image_id, " + bins + ", "
+        "CAST(sum(CASE WHEN gx = 0 AND gy = 0 THEN 1 ELSE 0 END) "
+        "AS BIGINT) AS flat FROM g GROUP BY 1"
     )
 
 
@@ -9255,6 +9478,9 @@ QUERIES = {
     "target_encode": q_target_encode,
     "otsu_checksum": q_otsu_checksum,
     "hu_moment": q_hu_moment,
+    "getis_ord": q_getis_ord,
+    "glcm_texture": q_glcm_texture,
+    "sobel_octants": q_sobel_octants,
     "traj_intersections": q_traj_intersections,
     "ab_ttest": q_ab_ttest,
     "pmi_bigrams": q_pmi_bigrams,
@@ -9453,6 +9679,9 @@ ORACLE_SQL = {
     "target_encode": q_target_encode_sql(),
     "otsu_checksum": q_otsu_checksum_sql(),
     "hu_moment": q_hu_moment_sql(),
+    "getis_ord": q_getis_ord_sql(),
+    "glcm_texture": q_glcm_texture_sql(),
+    "sobel_octants": q_sobel_octants_sql(),
     "traj_intersections": q_traj_intersections_sql(),
     "ab_ttest": q_ab_ttest_sql(),
     "pmi_bigrams": q_pmi_bigrams_sql(),

@@ -97,6 +97,7 @@ def test_entry_smoke(ray_session):
     "traj_intersections", "ab_ttest", "pmi_bigrams",
     "kcore", "morans_i", "zipf_slope", "js_divergence",
     "target_encode", "otsu_checksum", "hu_moment",
+    "getis_ord", "glcm_texture", "sobel_octants",
 ])
 def test_sql_parity(name, entries):
     qs, oracles = entries
