@@ -8742,6 +8742,94 @@ def q_morans_i_sql() -> str:
     )
 
 
+def q_idw_surface(sf_dir: str):
+    """Inverse-distance-weighted interpolation of event values onto a
+    coarse 48-probe grid (the raster-surface estimation kernel:
+    kriging's cheap cousin): the probe grid broadcasts (it is tiny and
+    fixed), each batch computes its (event × probe) pair terms
+    vectorized — squared distance is an exact int64 in microdegree
+    units, and both the value term v/d² and the weight 1/d² are fixed
+    double sequences pinned to ints PER PAIR, so the distributed sums
+    are exact integer adds in any order; the final estimate is one
+    pinned division of the two sums.  Pairs beyond the 15° radius (or
+    at d²=0) drop out.  At 100 TB nothing changes: probes stay
+    broadcast, partials stay (48 × n_blocks) rows on the combiner
+    tree."""
+    from .stages.agg_tree import tree_aggregate_to_table
+
+    pxs = np.array([-165 + 30 * k for k in range(12)], np.int64) * 1_000_000
+    pys = np.array([-45 + 30 * j for j in range(4)], np.int64) * 1_000_000
+    pxm = np.repeat(pxs, len(pys))
+    pym = np.tile(pys, len(pxs))
+    r2 = (15 * 1_000_000) ** 2
+
+    def partial(b: pa.Table) -> pa.Table:
+        lat, lon = derive_latlon(b["event_id"].to_numpy(
+            zero_copy_only=False))
+        v = np.floor(b["value"].to_numpy(zero_copy_only=False)
+                     * 100.0 + 0.5).astype(np.int64)
+        xm = np.floor(lon * 1e6 + 0.5).astype(np.int64)
+        ym = np.floor(lat * 1e6 + 0.5).astype(np.int64)
+        dx = xm[:, None] - pxm[None, :]
+        dy = ym[:, None] - pym[None, :]
+        d2 = dx * dx + dy * dy
+        ok = (d2 > 0) & (d2 < r2)
+        ev, pr = np.nonzero(ok)
+        d2deg = d2[ev, pr].astype(np.float64) / 1e12
+        vterm = np.floor(v[ev].astype(np.float64) / d2deg
+                         * 1e6 + 0.5).astype(np.int64)
+        wterm = np.floor(1.0 / d2deg * 1e6 + 0.5).astype(np.int64)
+        t = pa.table({"pxm": pa.array(pxm[pr]), "pym": pa.array(pym[pr]),
+                      "n_pts": pa.array(np.ones(len(pr), np.int64)),
+                      "sv": pa.array(vterm), "sw": pa.array(wterm)})
+        return (t.group_by(["pxm", "pym"]).aggregate(
+            [("n_pts", "sum"), ("sv", "sum"), ("sw", "sum")])
+            .rename_columns(["pxm", "pym", "n_pts", "sv", "sw"]))
+
+    g = tree_aggregate_to_table(
+        _read(sf_dir, "events", ["event_id", "value"]).map_batches(
+            partial, batch_format="pyarrow"),
+        ["pxm", "pym"],
+        [("n_pts", "sum"), ("sv", "sum"), ("sw", "sum")]).to_pandas()
+    g = g[g["sw"] > 0]
+    est = np.floor(g["sv"].to_numpy().astype(np.float64)
+                   / g["sw"].to_numpy().astype(np.float64)
+                   * 100.0 + 0.5).astype(np.int64)
+    return pd.DataFrame({
+        "pxm": g["pxm"].to_numpy().astype(np.int64),
+        "pym": g["pym"].to_numpy().astype(np.int64),
+        "n_pts": g["n_pts"].to_numpy().astype(np.int64),
+        "est_cq": est})
+
+
+def q_idw_surface_sql() -> str:
+    lat, lon = latlon_sql("event_id")
+    return (
+        "WITH pr AS (SELECT (-165 + 30 * k) * 1000000 AS pxm, "
+        "(-45 + 30 * j) * 1000000 AS pym "
+        "FROM range(12) t(k), range(4) u(j)), "
+        "e AS (SELECT "
+        f"CAST(floor({lon} * 1e6 + 0.5) AS BIGINT) AS xm, "
+        f"CAST(floor({lat} * 1e6 + 0.5) AS BIGINT) AS ym, "
+        "CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS v FROM events), "
+        "pairs AS (SELECT pxm, pym, v, "
+        "(xm - pxm) * (xm - pxm) + (ym - pym) * (ym - pym) AS d2 "
+        "FROM e, pr), "
+        "t AS (SELECT pxm, pym, "
+        "CAST(floor(CAST(v AS DOUBLE) / (CAST(d2 AS DOUBLE) / 1e12) "
+        "* 1e6 + 0.5) AS BIGINT) AS vterm, "
+        "CAST(floor(1.0 / (CAST(d2 AS DOUBLE) / 1e12) * 1e6 + 0.5) "
+        "AS BIGINT) AS wterm FROM pairs "
+        f"WHERE d2 > 0 AND d2 < {(15 * 1_000_000) ** 2}), "
+        "g AS (SELECT pxm, pym, CAST(count(*) AS BIGINT) AS n_pts, "
+        "CAST(sum(vterm) AS BIGINT) AS sv, "
+        "CAST(sum(wterm) AS BIGINT) AS sw FROM t GROUP BY 1, 2) "
+        "SELECT pxm, pym, n_pts, "
+        "CAST(floor(CAST(sv AS DOUBLE) / CAST(sw AS DOUBLE) * 100.0 "
+        "+ 0.5) AS BIGINT) AS est_cq FROM g WHERE sw > 0"
+    )
+
+
 def q_getis_ord(sf_dir: str):
     """Getis-Ord Gi* hot-spot detection over the same 5° event grid
     as q_morans_i (the per-cell LOCAL autocorrelation statistic —
@@ -9189,6 +9277,128 @@ def q_sobel_octants_sql() -> str:
     )
 
 
+_QT_VAR_T = 220  # split a block when its luma variance exceeds this
+
+
+def q_quadtree_leaves(sf_dir: str):
+    """Hash verification of VARIANCE-SPLIT QUADTREE coding (the
+    adaptive raster tiling that q_adaptive_tiles does for the globe,
+    applied per image): a block splits when its integer variance
+    witness n·Σl² − (Σl)² exceeds T·n² (exact ints; T = 220), down to
+    depth 3; block ids use (coord·2^ℓ)//side so non-power-of-two
+    sides partition cleanly.  A level-ℓ block is a leaf when every
+    ancestor split and it does not (depth-3 blocks are leaves
+    whenever reached).  Output = per-image leaf counts per level.
+    Oracle replays the pyramid as four grouped scans over the
+    generator plane joined down the ancestor chain.  Same head-K /
+    scale caveats as image_checksum."""
+    import pyarrow.dataset as pds
+    import ray.data
+
+    from .fixtures import ensure_images_parquet, scale_for_sf_dir
+    from .functions.image_codec import decode_image
+
+    hi = f"img_{_CHECKSUM_K:012d}"
+    images = ensure_images_parquet(scale_for_sf_dir(sf_dir))
+    ds = ray.data.read_parquet(images, columns=["image_id", "bytes", "fmt"],
+                               filter=pds.field("image_id") < hi)
+
+    def quadtree(b: pa.Table) -> pa.Table:
+        blobs = b["bytes"].to_pylist()
+        fmts = b["fmt"].to_pylist()
+        out = np.zeros((len(blobs), 4), np.int64)
+        for i in range(len(blobs)):
+            img = decode_image(blobs[i], fmts[i]).astype(np.int64)
+            y = (77 * img[:, :, 0] + 150 * img[:, :, 1]
+                 + 29 * img[:, :, 2]) >> 8
+            side = y.shape[0]
+            xs = np.arange(side, dtype=np.int64)
+            split = []
+            for lv in range(4):
+                m = 1 << lv
+                bid = (xs * m) // side
+                bx = bid[None, :].repeat(side, 0)
+                by = bid[:, None].repeat(side, 1)
+                flat = (by * m + bx).ravel()
+                n = np.bincount(flat, minlength=m * m)
+                s = np.bincount(flat, weights=y.ravel().astype(
+                    np.float64), minlength=m * m).astype(np.int64)
+                ss = np.bincount(flat, weights=(y * y).ravel().astype(
+                    np.float64), minlength=m * m).astype(np.int64)
+                split.append((n * ss - s * s)
+                             > _QT_VAR_T * n * n)
+            alive = np.array([True])
+            for lv in range(4):
+                m = 1 << lv
+                if lv > 0:
+                    pm = m // 2
+                    idx = np.arange(m * m)
+                    pby, pbx = (idx // m) // 2, (idx % m) // 2
+                    pidx = pby * pm + pbx
+                    alive = alive[pidx] & split[lv - 1][pidx]
+                if lv < 3:
+                    out[i, lv] = int((alive & ~split[lv]).sum())
+                else:
+                    out[i, lv] = int(alive.sum())
+        return pa.table({"image_id": b["image_id"],
+                         "l0": pa.array(out[:, 0]),
+                         "l1": pa.array(out[:, 1]),
+                         "l2": pa.array(out[:, 2]),
+                         "l3": pa.array(out[:, 3])})
+
+    return ds.map_batches(quadtree, batch_format="pyarrow",
+                          batch_size=128)
+
+
+def q_quadtree_leaves_sql() -> str:
+    t = _QT_VAR_T
+    lvl = []
+    for lv in range(4):
+        m = 1 << lv
+        lvl.append(
+            f"b{lv} AS MATERIALIZED (SELECT i, "
+            f"(x * {m}) // side AS bx, (y * {m}) // side AS by, "
+            f"CAST(count(*) AS BIGINT) AS n, "
+            f"CAST(sum(l) AS BIGINT) AS s, "
+            f"CAST(sum(l * l) AS BIGINT) AS ss "
+            f"FROM lum GROUP BY 1, 2, 3)")
+    sp = [f"(b{lv}.n * b{lv}.ss - b{lv}.s * b{lv}.s > "
+          f"{t} * b{lv}.n * b{lv}.n)" for lv in range(4)]
+    return (
+        "WITH " + _luma_table_sql(_CHECKSUM_K) + ", "
+        + ", ".join(lvl) + ", "
+        "leaves AS ("
+        f"SELECT i, 0 AS lvl FROM b0 WHERE NOT {sp[0]} "
+        "UNION ALL "
+        "SELECT b1.i, 1 FROM b1 JOIN b0 ON b0.i = b1.i "
+        f"WHERE {sp[0]} AND NOT {sp[1]} "
+        "UNION ALL "
+        "SELECT b2.i, 2 FROM b2 "
+        "JOIN b1 ON b1.i = b2.i AND b1.bx = b2.bx // 2 "
+        "AND b1.by = b2.by // 2 "
+        "JOIN b0 ON b0.i = b2.i "
+        f"WHERE {sp[0]} AND {sp[1]} AND NOT {sp[2]} "
+        "UNION ALL "
+        "SELECT b3.i, 3 FROM b3 "
+        "JOIN b2 ON b2.i = b3.i AND b2.bx = b3.bx // 2 "
+        "AND b2.by = b3.by // 2 "
+        "JOIN b1 ON b1.i = b3.i AND b1.bx = b3.bx // 4 "
+        "AND b1.by = b3.by // 4 "
+        "JOIN b0 ON b0.i = b3.i "
+        f"WHERE {sp[0]} AND {sp[1]} AND {sp[2]}) "
+        "SELECT 'img_' || lpad(CAST(i AS VARCHAR), 12, '0') "
+        "AS image_id, "
+        "CAST(sum(CASE WHEN lvl = 0 THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS l0, "
+        "CAST(sum(CASE WHEN lvl = 1 THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS l1, "
+        "CAST(sum(CASE WHEN lvl = 2 THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS l2, "
+        "CAST(sum(CASE WHEN lvl = 3 THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS l3 FROM leaves GROUP BY 1"
+    )
+
+
 def q_otsu_checksum(sf_dir: str):
     """Hash verification of OTSU THRESHOLDING (the classic histogram
     segmentation kernel): decode → integer luma → per-image argmax of
@@ -9479,6 +9689,8 @@ QUERIES = {
     "otsu_checksum": q_otsu_checksum,
     "hu_moment": q_hu_moment,
     "getis_ord": q_getis_ord,
+    "idw_surface": q_idw_surface,
+    "quadtree_leaves": q_quadtree_leaves,
     "glcm_texture": q_glcm_texture,
     "sobel_octants": q_sobel_octants,
     "traj_intersections": q_traj_intersections,
@@ -9680,6 +9892,8 @@ ORACLE_SQL = {
     "otsu_checksum": q_otsu_checksum_sql(),
     "hu_moment": q_hu_moment_sql(),
     "getis_ord": q_getis_ord_sql(),
+    "idw_surface": q_idw_surface_sql(),
+    "quadtree_leaves": q_quadtree_leaves_sql(),
     "glcm_texture": q_glcm_texture_sql(),
     "sobel_octants": q_sobel_octants_sql(),
     "traj_intersections": q_traj_intersections_sql(),
