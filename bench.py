@@ -201,7 +201,8 @@ def run_bench() -> dict:
                      "pmi_bigrams", "kcore", "morans_i", "zipf_slope",
                      "js_divergence", "target_encode", "otsu_checksum",
                      "hu_moment", "getis_ord", "glcm_texture",
-                     "sobel_octants"):
+                     "sobel_octants", "idw_surface", "quadtree_leaves",
+                     "bigram_ppl"):
             best = float("inf")
             attempts = 0
             for _ in range(max(1, repeats)):

@@ -9399,6 +9399,204 @@ def q_quadtree_leaves_sql() -> str:
     )
 
 
+def _copart_lookup(rows, lut, key_col: str, out_col: str, n_rows: int):
+    """Attach ``lut`` (columns ``_lk`` string / ``_lv`` int64) values
+    to ``rows`` on ``rows[key_col]`` (string) as ``out_col`` — one
+    string-keyed hash-bucket co-partition + a compiled Acero join per
+    bucket (the open-vocabulary join shape; neither side is assumed
+    to fit a worker).  Inner join: rows without a lut hit drop."""
+    import pyarrow.compute as pc
+
+    from .stages.scan import hash_bucket_scan
+
+    rs = rows.schema()
+    row_cols = list(zip(rs.names, rs.types))
+
+    def pad_rows(t: pa.Table) -> pa.Table:
+        t = t.append_column("_lk", pa.nulls(len(t), pa.string()))
+        t = t.append_column("_lv", pa.nulls(len(t), pa.int64()))
+        t = t.append_column("_jk", t[key_col])
+        return t.select(sorted(t.column_names))
+
+    def pad_lut(t: pa.Table) -> pa.Table:
+        for name, typ in row_cols:
+            t = t.append_column(name, pa.nulls(len(t), typ))
+        t = t.append_column("_jk", t["_lk"])
+        return t.select(sorted(t.column_names))
+
+    def join(t: pa.Table) -> pa.Table:
+        t = t.drop_columns(["_jk"]).combine_chunks()
+        is_lut = pc.invert(pc.is_null(t["_lk"]))
+        lu = (t.filter(is_lut).select(["_lk", "_lv"])
+              .rename_columns(["_k", out_col]))
+        r = t.filter(pc.invert(is_lut)).drop_columns(["_lk", "_lv"])
+        j = r.join(lu, keys=[key_col], right_keys=["_k"],
+                   join_type="inner")
+        return j.set_column(j.column_names.index(out_col), out_col,
+                            j[out_col].cast(pa.int64()))
+
+    return hash_bucket_scan(
+        rows.map_batches(pad_rows, batch_format="pyarrow").union(
+            lut.map_batches(pad_lut, batch_format="pyarrow")),
+        ["_jk"], join, n_rows=n_rows)
+
+
+def q_bigram_ppl(sf_dir: str):
+    """Per-document corpus-LM log-likelihood (the perplexity quality
+    filter every LLM data pipeline runs): an add-one-smoothed bigram
+    model p(y|x) = (c_xy+1)/(c_x+V) is fit on the WHOLE corpus —
+    distributed bigram and unigram counts, open vocabulary — and
+    scored over the first 200 docs; model parameters attach to the
+    scored rows via TWO string-keyed co-partition lookups
+    (_copart_lookup: neither the counts nor the scored side is
+    assumed broadcastable), each bigram's ln p pins to a nano int,
+    and per-doc sums are exact integer adds on the bounded combiner
+    tree.  Output = (doc_id, n_bigrams, lp_sum_nano); docs with < 2
+    tokens drop (no bigrams)."""
+    import pyarrow.compute as pc
+
+    from .stages.agg_tree import tree_aggregate_to_table
+    from .stages.scan import hash_bucket_scan
+
+    n_docs = _nrows(sf_dir, "documents")
+
+    def bigram_counts(b: pd.DataFrame) -> pd.DataFrame:
+        toks = b["text"].str.lower().str.findall(r"[a-z0-9]+")
+        xs, ys = [], []
+        for t in toks:
+            if len(t) > 1:
+                a = np.asarray(t, dtype=object)
+                xs.append(a[:-1])
+                ys.append(a[1:])
+        if not xs:
+            return pd.DataFrame({"x": np.array([], object),
+                                 "y": np.array([], object),
+                                 "cnt": np.array([], np.int64)})
+        pairs = pd.DataFrame({"x": np.concatenate(xs),
+                              "y": np.concatenate(ys)})
+        g = pairs.groupby(["x", "y"], sort=False).size().reset_index()
+        return pd.DataFrame({"x": g["x"].astype(str),
+                             "y": g["y"].astype(str),
+                             "cnt": g[0].to_numpy().astype(np.int64)})
+
+    def unigram_counts(b: pd.DataFrame) -> pd.DataFrame:
+        toks = b["text"].str.lower().str.findall(r"[a-z0-9]+")
+        flat = np.concatenate([np.asarray(t, dtype=object)
+                               for t in toks if len(t)] or
+                              [np.array([], dtype=object)])
+        uniq, counts = np.unique(flat, return_counts=True)
+        return pd.DataFrame({"tok": uniq.astype(str),
+                             "n": counts.astype(np.int64)})
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    cb = hash_bucket_scan(
+        docs.map_batches(bigram_counts, batch_format="pandas"),
+        ["x", "y"],
+        lambda t: t.group_by(["x", "y"]).aggregate([("cnt", "sum")])
+        .rename_columns(["x", "y", "cnt"]),
+        n_rows=n_docs).materialize()
+    cu = hash_bucket_scan(
+        docs.map_batches(unigram_counts, batch_format="pandas"),
+        ["tok"],
+        lambda t: t.group_by(["tok"]).aggregate([("n", "sum")])
+        .rename_columns(["tok", "n"]),
+        n_rows=n_docs).materialize()
+    vocab_v = cu.count()
+
+    def doc_bigrams(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["doc_id"] < 200]
+        toks = b["text"].str.lower().str.findall(r"[a-z0-9]+")
+        ids, xs, ys = [], [], []
+        for d, t in zip(b["doc_id"].to_numpy(), toks):
+            if len(t) > 1:
+                a = np.asarray(t, dtype=object)
+                xs.append(a[:-1])
+                ys.append(a[1:])
+                ids.append(np.full(len(t) - 1, d, np.int64))
+        if not xs:
+            return pd.DataFrame({"doc_id": np.array([], np.int64),
+                                 "x": np.array([], object),
+                                 "y": np.array([], object),
+                                 "occ": np.array([], np.int64)})
+        df = pd.DataFrame({"doc_id": np.concatenate(ids),
+                           "x": np.concatenate(xs),
+                           "y": np.concatenate(ys)})
+        g = df.groupby(["doc_id", "x", "y"], sort=False).size() \
+              .reset_index()
+        return pd.DataFrame({"doc_id": g["doc_id"].astype(np.int64),
+                             "x": g["x"].astype(str),
+                             "y": g["y"].astype(str),
+                             "occ": g[0].to_numpy().astype(np.int64)})
+
+    def key_bg(t: pa.Table) -> pa.Table:
+        return t.append_column("_bg", pc.binary_join_element_wise(
+            t["x"].cast(pa.string()), t["y"].cast(pa.string()), " "))
+
+    rows = docs.map_batches(doc_bigrams, batch_format="pandas") \
+               .map_batches(key_bg, batch_format="pyarrow")
+    cb_lut = cb.map_batches(
+        lambda t: pa.table({
+            "_lk": pc.binary_join_element_wise(
+                t["x"].cast(pa.string()), t["y"].cast(pa.string()),
+                " "),
+            "_lv": t["cnt"].cast(pa.int64())}),
+        batch_format="pyarrow")
+    rows = _copart_lookup(rows, cb_lut, "_bg", "cxy",
+                          n_rows=n_docs).materialize()
+    cu_lut = cu.map_batches(
+        lambda t: pa.table({"_lk": t["tok"].cast(pa.string()),
+                            "_lv": t["n"].cast(pa.int64())}),
+        batch_format="pyarrow")
+    rows = _copart_lookup(rows.map_batches(
+        lambda t: t.append_column("_xk", t["x"].cast(pa.string())),
+        batch_format="pyarrow"), cu_lut, "_xk", "cx", n_rows=n_docs)
+
+    def score(t: pa.Table) -> pa.Table:
+        occ = t["occ"].to_numpy(zero_copy_only=False)
+        cxy = t["cxy"].to_numpy(zero_copy_only=False)
+        cx = t["cx"].to_numpy(zero_copy_only=False)
+        pin = np.floor(np.log((cxy + 1).astype(np.float64)
+                              / (cx + vocab_v).astype(np.float64))
+                       * 1e9 + 0.5).astype(np.int64)
+        return pa.table({"doc_id": t["doc_id"],
+                         "n_bigrams": pa.array(occ.astype(np.int64)),
+                         "lp_sum_nano": pa.array(occ * pin)})
+
+    out = tree_aggregate_to_table(
+        rows.map_batches(score, batch_format="pyarrow"),
+        ["doc_id"], [("n_bigrams", "sum"), ("lp_sum_nano", "sum")])
+    return out.to_pandas().astype({"doc_id": np.int64,
+                                   "n_bigrams": np.int64,
+                                   "lp_sum_nano": np.int64})
+
+
+def q_bigram_ppl_sql() -> str:
+    return (
+        "WITH toks AS (SELECT doc_id, "
+        "unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok, "
+        "generate_subscripts(regexp_extract_all(lower(text), "
+        "'[a-z0-9]+'), 1) AS i FROM documents), "
+        "bg AS MATERIALIZED (SELECT a.doc_id, a.tok AS x, b.tok AS y "
+        "FROM toks a JOIN toks b "
+        "ON a.doc_id = b.doc_id AND b.i = a.i + 1), "
+        "cb AS (SELECT x, y, CAST(count(*) AS BIGINT) AS cxy "
+        "FROM bg GROUP BY 1, 2), "
+        "cu AS MATERIALIZED (SELECT tok, "
+        "CAST(count(*) AS BIGINT) AS n FROM toks GROUP BY 1), "
+        "vv AS (SELECT CAST(count(*) AS BIGINT) AS v FROM cu), "
+        "d AS (SELECT doc_id, x, y, CAST(count(*) AS BIGINT) AS occ "
+        "FROM bg WHERE doc_id < 200 GROUP BY 1, 2, 3), "
+        "t AS (SELECT doc_id, occ, CAST(floor(ln("
+        "CAST(cb.cxy + 1 AS DOUBLE) / CAST(cu.n + vv.v AS DOUBLE)"
+        ") * 1e9 + 0.5) AS BIGINT) AS pin "
+        "FROM d JOIN cb ON d.x = cb.x AND d.y = cb.y "
+        "JOIN cu ON d.x = cu.tok, vv) "
+        "SELECT doc_id, CAST(sum(occ) AS BIGINT) AS n_bigrams, "
+        "CAST(sum(occ * pin) AS BIGINT) AS lp_sum_nano "
+        "FROM t GROUP BY 1"
+    )
+
+
 def q_otsu_checksum(sf_dir: str):
     """Hash verification of OTSU THRESHOLDING (the classic histogram
     segmentation kernel): decode → integer luma → per-image argmax of
@@ -9691,6 +9889,7 @@ QUERIES = {
     "getis_ord": q_getis_ord,
     "idw_surface": q_idw_surface,
     "quadtree_leaves": q_quadtree_leaves,
+    "bigram_ppl": q_bigram_ppl,
     "glcm_texture": q_glcm_texture,
     "sobel_octants": q_sobel_octants,
     "traj_intersections": q_traj_intersections,
@@ -9894,6 +10093,7 @@ ORACLE_SQL = {
     "getis_ord": q_getis_ord_sql(),
     "idw_surface": q_idw_surface_sql(),
     "quadtree_leaves": q_quadtree_leaves_sql(),
+    "bigram_ppl": q_bigram_ppl_sql(),
     "glcm_texture": q_glcm_texture_sql(),
     "sobel_octants": q_sobel_octants_sql(),
     "traj_intersections": q_traj_intersections_sql(),

@@ -98,6 +98,7 @@ def test_entry_smoke(ray_session):
     "kcore", "morans_i", "zipf_slope", "js_divergence",
     "target_encode", "otsu_checksum", "hu_moment",
     "getis_ord", "glcm_texture", "sobel_octants",
+    "idw_surface", "quadtree_leaves", "bigram_ppl",
 ])
 def test_sql_parity(name, entries):
     qs, oracles = entries
