@@ -8830,6 +8830,141 @@ def q_idw_surface_sql() -> str:
     )
 
 
+def q_ransac_line(sf_dir: str):
+    """RANSAC line fitting over the event point cloud (the robust
+    geometry-estimation loop, run data-parallel): 64 DETERMINISTIC
+    hypothesis lines (endpoints derived from fixed integer keys — the
+    house replacement for random sampling), every (point, hypothesis)
+    inlier test vectorized per batch — the cross product is an exact
+    int64 in microdegrees and the point-to-line distance is one fixed
+    double sequence (divide by a correctly-rounded sqrt) pinned to a
+    micro int before the ≤ ε comparison, so the count is bit-stable —
+    and per-hypothesis inlier counts merge on the bounded combiner
+    tree.  Output = the 5 best hypotheses (inliers desc, k asc).
+    Hypotheses broadcast; at 100 TB the shape is unchanged."""
+    from .stages.agg_tree import tree_aggregate_to_table
+
+    ks = np.arange(64, dtype=np.int64)
+    y1, x1 = derive_latlon(ks * 2 + 1)
+    y2, x2 = derive_latlon(ks * 2 + 2)
+    x1m = np.floor(x1 * 1e6 + 0.5).astype(np.int64)
+    y1m = np.floor(y1 * 1e6 + 0.5).astype(np.int64)
+    x2m = np.floor(x2 * 1e6 + 0.5).astype(np.int64)
+    y2m = np.floor(y2 * 1e6 + 0.5).astype(np.int64)
+    dxm, dym = x2m - x1m, y2m - y1m
+    len2 = (dxm * dxm + dym * dym).astype(np.float64)
+    eps = 2_000_000  # 2 degrees in micro units
+
+    def partial(b: pa.Table) -> pa.Table:
+        lat, lon = derive_latlon(b["event_id"].to_numpy(
+            zero_copy_only=False))
+        xm = np.floor(lon * 1e6 + 0.5).astype(np.int64)
+        ym = np.floor(lat * 1e6 + 0.5).astype(np.int64)
+        cr = (dxm[None, :] * (ym[:, None] - y1m[None, :])
+              - dym[None, :] * (xm[:, None] - x1m[None, :]))
+        dist = np.floor(np.abs(cr).astype(np.float64)
+                        / np.sqrt(len2)[None, :] + 0.5)
+        cnt = (dist <= eps).sum(axis=0).astype(np.int64)
+        return pa.table({"k": pa.array(ks),
+                         "inliers": pa.array(cnt)})
+
+    g = tree_aggregate_to_table(
+        _read(sf_dir, "events", ["event_id"]).map_batches(
+            partial, batch_format="pyarrow"),
+        ["k"], [("inliers", "sum")]).to_pandas()
+    g = g.sort_values(["inliers", "k"],
+                      ascending=[False, True]).head(5)
+    return pd.DataFrame({
+        "k": g["k"].to_numpy().astype(np.int64),
+        "inliers": g["inliers"].to_numpy().astype(np.int64)})
+
+
+def q_ransac_line_sql() -> str:
+    lat, lon = latlon_sql("event_id")
+    l1y, l1x = latlon_sql("(k * 2 + 1)")
+    l2y, l2x = latlon_sql("(k * 2 + 2)")
+    return (
+        "WITH h AS MATERIALIZED (SELECT k, "
+        f"CAST(floor({l1x} * 1e6 + 0.5) AS BIGINT) AS x1m, "
+        f"CAST(floor({l1y} * 1e6 + 0.5) AS BIGINT) AS y1m, "
+        f"CAST(floor({l2x} * 1e6 + 0.5) AS BIGINT) AS x2m, "
+        f"CAST(floor({l2y} * 1e6 + 0.5) AS BIGINT) AS y2m "
+        "FROM range(64) t(k)), "
+        "e AS (SELECT "
+        f"CAST(floor({lon} * 1e6 + 0.5) AS BIGINT) AS xm, "
+        f"CAST(floor({lat} * 1e6 + 0.5) AS BIGINT) AS ym FROM events), "
+        "d AS (SELECT h.k, floor(abs(CAST("
+        "(x2m - x1m) * (ym - y1m) - (y2m - y1m) * (xm - x1m) "
+        "AS DOUBLE)) / sqrt(CAST((x2m - x1m) * (x2m - x1m) "
+        "+ (y2m - y1m) * (y2m - y1m) AS DOUBLE)) + 0.5) AS dist "
+        "FROM e, h) "
+        "SELECT CAST(k AS BIGINT) AS k, "
+        "CAST(sum(CASE WHEN dist <= 2000000 THEN 1 ELSE 0 END) "
+        "AS BIGINT) AS inliers "
+        "FROM d GROUP BY 1 ORDER BY inliers DESC, k LIMIT 5"
+    )
+
+
+def q_mutual_info(sf_dir: str):
+    """Mutual information between event_type and a fixed value band
+    (the feature-relevance screen; the categorical sibling of
+    q_js_divergence): the contingency table rides the bounded
+    combiner tree as exact int counts (≤ |types|·4 cells), each
+    cell's (c/N)·ln(N·c/(r·s)) is a fixed double sequence pinned to a
+    nano int, and MI is the exact int sum of the pins.  Bands are
+    floor(value/25) clamped to [0, 3]."""
+    from .stages.agg_tree import tree_aggregate_to_table
+
+    def partial(b: pa.Table) -> pa.Table:
+        band = np.clip((b["value"].to_numpy(zero_copy_only=False)
+                        // 25.0).astype(np.int64), 0, 3)
+        t = pa.table({"event_type": b["event_type"],
+                      "band": pa.array(band),
+                      "c": pa.array(np.ones(len(band), np.int64))})
+        return (t.group_by(["event_type", "band"]).aggregate(
+            [("c", "sum")]).rename_columns(["event_type", "band", "c"]))
+
+    g = tree_aggregate_to_table(
+        _read(sf_dir, "events", ["event_type", "value"]).map_batches(
+            partial, batch_format="pyarrow"),
+        ["event_type", "band"], [("c", "sum")]).to_pandas()
+    n = int(g["c"].sum())
+    r = g.groupby("event_type")["c"].transform("sum").to_numpy() \
+         .astype(np.int64)
+    s = g.groupby("band")["c"].transform("sum").to_numpy() \
+         .astype(np.int64)
+    c = g["c"].to_numpy().astype(np.int64)
+    term = (c.astype(np.float64) / float(n)) * np.log(
+        float(n) * c.astype(np.float64)
+        / (r * s).astype(np.float64))
+    pins = np.floor(term * 1e9 + 0.5).astype(np.int64)
+    return pd.DataFrame({"n_cells": [np.int64(len(c))],
+                         "mi_nano": [np.int64(int(pins.sum()))]})
+
+
+def q_mutual_info_sql() -> str:
+    return (
+        "WITH p AS (SELECT event_type, "
+        "least(greatest(CAST(floor(value / 25.0) AS BIGINT), 0), 3) "
+        "AS band FROM events), "
+        "g AS MATERIALIZED (SELECT event_type, band, "
+        "CAST(count(*) AS BIGINT) AS c FROM p GROUP BY 1, 2), "
+        "n AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM g), "
+        "r AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS r "
+        "FROM g GROUP BY 1), "
+        "s AS (SELECT band, CAST(sum(c) AS BIGINT) AS s "
+        "FROM g GROUP BY 1), "
+        "t AS (SELECT CAST(floor((CAST(c AS DOUBLE) / "
+        "CAST(n.n AS DOUBLE)) * ln(CAST(n.n AS DOUBLE) * "
+        "CAST(c AS DOUBLE) / CAST(r.r * s.s AS DOUBLE)) * 1e9 + 0.5) "
+        "AS BIGINT) AS pin FROM g "
+        "JOIN r ON g.event_type = r.event_type "
+        "JOIN s ON g.band = s.band, n) "
+        "SELECT CAST(count(*) AS BIGINT) AS n_cells, "
+        "CAST(sum(pin) AS BIGINT) AS mi_nano FROM t"
+    )
+
+
 def q_getis_ord(sf_dir: str):
     """Getis-Ord Gi* hot-spot detection over the same 5° event grid
     as q_morans_i (the per-cell LOCAL autocorrelation statistic —
@@ -9890,6 +10025,8 @@ QUERIES = {
     "idw_surface": q_idw_surface,
     "quadtree_leaves": q_quadtree_leaves,
     "bigram_ppl": q_bigram_ppl,
+    "ransac_line": q_ransac_line,
+    "mutual_info": q_mutual_info,
     "glcm_texture": q_glcm_texture,
     "sobel_octants": q_sobel_octants,
     "traj_intersections": q_traj_intersections,
@@ -10094,6 +10231,8 @@ ORACLE_SQL = {
     "idw_surface": q_idw_surface_sql(),
     "quadtree_leaves": q_quadtree_leaves_sql(),
     "bigram_ppl": q_bigram_ppl_sql(),
+    "ransac_line": q_ransac_line_sql(),
+    "mutual_info": q_mutual_info_sql(),
     "glcm_texture": q_glcm_texture_sql(),
     "sobel_octants": q_sobel_octants_sql(),
     "traj_intersections": q_traj_intersections_sql(),

@@ -99,6 +99,7 @@ def test_entry_smoke(ray_session):
     "target_encode", "otsu_checksum", "hu_moment",
     "getis_ord", "glcm_texture", "sobel_octants",
     "idw_surface", "quadtree_leaves", "bigram_ppl",
+    "ransac_line", "mutual_info",
 ])
 def test_sql_parity(name, entries):
     qs, oracles = entries
