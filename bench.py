@@ -202,7 +202,9 @@ def run_bench() -> dict:
                      "js_divergence", "target_encode", "otsu_checksum",
                      "hu_moment", "getis_ord", "glcm_texture",
                      "sobel_octants", "idw_surface", "quadtree_leaves",
-                     "bigram_ppl", "ransac_line", "mutual_info"):
+                     "bigram_ppl", "ransac_line", "mutual_info",
+                     "autocorr", "cusum_changepoint", "benford",
+                     "density_gradient"):
             best = float("inf")
             attempts = 0
             for _ in range(max(1, repeats)):

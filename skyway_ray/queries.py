@@ -8830,6 +8830,240 @@ def q_idw_surface_sql() -> str:
     )
 
 
+def _hourly_counts_table(sf_dir: str) -> pd.DataFrame:
+    """Per-hour event counts (bounded key space: fixture time range)
+    via one combiner-tree pass — shared by the time-series queries."""
+    from .stages.agg_tree import tree_aggregate_to_table
+
+    def bucket(b: pa.Table) -> pa.Table:
+        ts = b["ts"].to_numpy(zero_copy_only=False)
+        h = ts.astype("datetime64[us]").astype(np.int64) \
+            // 3_600_000_000
+        t = pa.table({"h": pa.array(h, pa.int64()),
+                      "x": pa.array(np.ones(len(h), np.int64))})
+        return (t.group_by(["h"]).aggregate([("x", "sum")])
+                .rename_columns(["h", "x"]))
+
+    return tree_aggregate_to_table(
+        _read(sf_dir, "events", ["ts"]).map_batches(
+            bucket, batch_format="pyarrow"),
+        ["h"], [("x", "sum")]).to_pandas().sort_values("h")
+
+
+def q_autocorr(sf_dir: str):
+    """Lag-1 autocorrelation of the hourly event-count series (the
+    seasonality probe): one distributed counting pass (combiner
+    tree), then r₁ = Σ(N·x_t−S)(N·x_{t+1}−S) / Σ(N·x_t−S)² over the
+    gap-filled hour range on the driver — N-scaled deviations keep
+    every sum an exact Python bigint at any volume; one pinned double
+    division at the end.  Missing hours count 0 (true gap-fill, like
+    q_gap_fill)."""
+    hc = _hourly_counts_table(sf_dir)
+    h = hc["h"].to_numpy()
+    full = np.arange(h.min(), h.max() + 1)
+    x = np.zeros(len(full), np.int64)
+    x[np.searchsorted(full, h)] = hc["x"].to_numpy()
+    n = len(full)
+    s = int(x.sum())
+    z = [n * int(v) - s for v in x]
+    num = sum(a * b for a, b in zip(z[:-1], z[1:]))
+    den = sum(a * a for a in z)
+    r1_nano = int(np.floor(float(num) / float(den) * 1e9 + 0.5))
+    return pd.DataFrame({"n_hours": [np.int64(n)],
+                         "r1_nano": [np.int64(r1_nano)]})
+
+
+def q_autocorr_sql() -> str:
+    return (
+        "WITH c AS (SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) "
+        "AS h, CAST(count(*) AS BIGINT) AS x FROM events GROUP BY 1), "
+        "b AS (SELECT min(h) AS mn, max(h) AS mx FROM c), "
+        "r AS (SELECT unnest(generate_series(mn, mx)) AS h FROM b), "
+        "f AS MATERIALIZED (SELECT r.h, "
+        "COALESCE(c.x, 0) AS x FROM r LEFT JOIN c ON r.h = c.h), "
+        "s AS (SELECT CAST(count(*) AS HUGEINT) AS n, "
+        "CAST(sum(x) AS HUGEINT) AS t FROM f), "
+        "z AS MATERIALIZED (SELECT h, s.n * x - s.t AS z FROM f, s), "
+        "num AS (SELECT CAST(sum(a.z * b.z) AS HUGEINT) AS num "
+        "FROM z a JOIN z b ON b.h = a.h + 1), "
+        "den AS (SELECT CAST(sum(z * z) AS HUGEINT) AS den FROM z) "
+        "SELECT CAST(s.n AS BIGINT) AS n_hours, "
+        "CAST(floor(CAST(num AS DOUBLE) / CAST(den AS DOUBLE) * 1e9 "
+        "+ 0.5) AS BIGINT) AS r1_nano FROM s, num, den"
+    )
+
+
+def q_cusum_changepoint(sf_dir: str):
+    """CUSUM changepoint detection over the hourly count series (the
+    streaming drift alarm): the cumulative deviation n·S_t − t·S_n is
+    an exact bigint per hour (no float drift over arbitrarily long
+    series), and the changepoint is its |·| argmax with the earliest-
+    hour tiebreak.  Counting pass distributed; the bounded hour table
+    finalizes on the driver.  Output = (hour, deviation sign,
+    |deviation|)."""
+    hc = _hourly_counts_table(sf_dir)
+    h = hc["h"].to_numpy()
+    full = np.arange(h.min(), h.max() + 1)
+    x = np.zeros(len(full), np.int64)
+    x[np.searchsorted(full, h)] = hc["x"].to_numpy()
+    n = len(full)
+    s_n = int(x.sum())
+    best = (-1, 0, 0)  # (|dev|, -h, dev)
+    s_t = 0
+    for t in range(n):
+        s_t += int(x[t])
+        dev = n * s_t - (t + 1) * s_n
+        if abs(dev) > best[0]:
+            best = (abs(dev), int(full[t]), dev)
+    return pd.DataFrame({
+        "cp_hour": [np.int64(best[1])],
+        "dev_sign": [np.int64(1 if best[2] > 0 else
+                              (-1 if best[2] < 0 else 0))],
+        "dev_abs": [np.int64(best[0])]})
+
+
+def q_cusum_changepoint_sql() -> str:
+    return (
+        "WITH c AS (SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) "
+        "AS h, CAST(count(*) AS BIGINT) AS x FROM events GROUP BY 1), "
+        "b AS (SELECT min(h) AS mn, max(h) AS mx FROM c), "
+        "r AS (SELECT unnest(generate_series(mn, mx)) AS h FROM b), "
+        "f AS MATERIALIZED (SELECT r.h, COALESCE(c.x, 0) AS x "
+        "FROM r LEFT JOIN c ON r.h = c.h), "
+        "s AS (SELECT CAST(count(*) AS HUGEINT) AS n, "
+        "CAST(sum(x) AS HUGEINT) AS t FROM f), "
+        "w AS (SELECT h, s.n * CAST(sum(x) OVER (ORDER BY h) "
+        "AS HUGEINT) - CAST(row_number() OVER (ORDER BY h) "
+        "AS HUGEINT) * s.t AS dev FROM f, s) "
+        "SELECT h AS cp_hour, "
+        "CAST(CASE WHEN dev > 0 THEN 1 WHEN dev < 0 THEN -1 "
+        "ELSE 0 END AS BIGINT) AS dev_sign, "
+        "CAST(abs(dev) AS BIGINT) AS dev_abs FROM w "
+        "ORDER BY abs(dev) DESC, h LIMIT 1"
+    )
+
+
+def q_benford(sf_dir: str):
+    """Benford first-digit screen over event value cents (the
+    data-quality / fraud heuristic): observed digit counts are one
+    bounded combiner-tree pass; expected counts n·log10(1+1/d) and
+    the χ² = Σ(o−e)²/e statistic are fixed double sequences pinned
+    per digit, summed exactly.  Output = the 9 digit rows plus the
+    pinned per-digit χ² contribution."""
+    from .stages.agg_tree import tree_aggregate_to_table
+
+    def partial(b: pa.Table) -> pa.Table:
+        c = np.floor(b["value"].to_numpy(zero_copy_only=False)
+                     * 100.0 + 0.5).astype(np.int64)
+        c = c[c > 0]
+        while True:  # leading digit via repeated tens reduction
+            big = c >= 10
+            if not big.any():
+                break
+            c = np.where(big, c // 10, c)
+        t = pa.table({"d": pa.array(c, pa.int64()),
+                      "o": pa.array(np.ones(len(c), np.int64))})
+        return (t.group_by(["d"]).aggregate([("o", "sum")])
+                .rename_columns(["d", "o"]))
+
+    g = tree_aggregate_to_table(
+        _read(sf_dir, "events", ["value"]).map_batches(
+            partial, batch_format="pyarrow"),
+        ["d"], [("o", "sum")]).to_pandas().sort_values("d")
+    n = float(int(g["o"].sum()))
+    d = g["d"].to_numpy().astype(np.float64)
+    o = g["o"].to_numpy().astype(np.float64)
+    e = n * (np.log(1.0 + 1.0 / d) / np.log(10.0))
+    chi = (o - e) * (o - e) / e
+    return pd.DataFrame({
+        "d": g["d"].to_numpy().astype(np.int64),
+        "o": g["o"].to_numpy().astype(np.int64),
+        "chi_nano": np.floor(chi * 1e9 + 0.5).astype(np.int64)})
+
+
+def q_benford_sql() -> str:
+    return (
+        "WITH p AS (SELECT CAST(floor(value * 100.0 + 0.5) AS BIGINT) "
+        "AS c FROM events), "
+        "lead AS (SELECT CASE "
+        "WHEN c >= 100000 THEN c // 100000 WHEN c >= 10000 THEN "
+        "c // 10000 WHEN c >= 1000 THEN c // 1000 WHEN c >= 100 THEN "
+        "c // 100 WHEN c >= 10 THEN c // 10 ELSE c END AS d "
+        "FROM p WHERE c > 0), "
+        "g AS MATERIALIZED (SELECT d, CAST(count(*) AS BIGINT) AS o "
+        "FROM lead GROUP BY 1), "
+        "n AS (SELECT CAST(sum(o) AS DOUBLE) AS n FROM g) "
+        "SELECT d, o, CAST(floor("
+        "(CAST(o AS DOUBLE) - n.n * (ln(1.0 + 1.0 / "
+        "CAST(d AS DOUBLE)) / ln(10.0))) * "
+        "(CAST(o AS DOUBLE) - n.n * (ln(1.0 + 1.0 / "
+        "CAST(d AS DOUBLE)) / ln(10.0))) / "
+        "(n.n * (ln(1.0 + 1.0 / CAST(d AS DOUBLE)) / ln(10.0))) "
+        "* 1e9 + 0.5) AS BIGINT) AS chi_nano FROM g, n"
+    )
+
+
+def q_density_gradient(sf_dir: str):
+    """Density gradient field over the 5° event grid (the raster
+    derivative — Sobel's geospatial sibling): per-cell central
+    differences gx = x[c+1] − x[c−1], gy likewise over the gap-filled
+    grid (absent neighbours count 0), magnitude² = gx²+gy² exact
+    int64.  One distributed counting pass; the bounded grid finalizes
+    on the driver.  Output = the 10 steepest cells (mag² desc, cell
+    asc)."""
+    from .stages.agg_tree import tree_aggregate_to_table
+
+    def partial(b: pa.Table) -> pa.Table:
+        lat, lon = derive_latlon(b["event_id"].to_numpy(
+            zero_copy_only=False))
+        cx = np.floor((lon + 180.0) / 5.0).astype(np.int64)
+        cy = np.floor((lat + 60.0) / 5.0).astype(np.int64)
+        t = pa.table({"cx": pa.array(cx), "cy": pa.array(cy),
+                      "x": pa.array(np.ones(len(cx), np.int64))})
+        return (t.group_by(["cx", "cy"]).aggregate([("x", "sum")])
+                .rename_columns(["cx", "cy", "x"]))
+
+    m = tree_aggregate_to_table(
+        _read(sf_dir, "events", ["event_id"]).map_batches(
+            partial, batch_format="pyarrow"),
+        ["cx", "cy"], [("x", "sum")]).to_pandas()
+    cells = {(int(r.cx), int(r.cy)): int(r.x) for r in m.itertuples()}
+    rows = []
+    for (cx, cy), x in cells.items():
+        gx = cells.get((cx + 1, cy), 0) - cells.get((cx - 1, cy), 0)
+        gy = cells.get((cx, cy + 1), 0) - cells.get((cx, cy - 1), 0)
+        rows.append((cx, cy, x, gx * gx + gy * gy))
+    rows.sort(key=lambda r: (-r[3], r[0], r[1]))
+    rows = rows[:10]
+    return pd.DataFrame({
+        "cx": np.array([r[0] for r in rows], np.int64),
+        "cy": np.array([r[1] for r in rows], np.int64),
+        "x": np.array([r[2] for r in rows], np.int64),
+        "mag2": np.array([r[3] for r in rows], np.int64)})
+
+
+def q_density_gradient_sql() -> str:
+    lat, lon = latlon_sql("event_id")
+    return (
+        "WITH p AS (SELECT "
+        f"CAST(floor(({lon} + 180.0) / 5.0) AS BIGINT) AS cx, "
+        f"CAST(floor(({lat} + 60.0) / 5.0) AS BIGINT) AS cy "
+        "FROM events), "
+        "c AS MATERIALIZED (SELECT cx, cy, "
+        "CAST(count(*) AS BIGINT) AS x FROM p GROUP BY 1, 2), "
+        "g AS (SELECT a.cx, a.cy, a.x, "
+        "COALESCE(e.x, 0) - COALESCE(w.x, 0) AS gx, "
+        "COALESCE(nn.x, 0) - COALESCE(ss.x, 0) AS gy "
+        "FROM c a "
+        "LEFT JOIN c e ON e.cx = a.cx + 1 AND e.cy = a.cy "
+        "LEFT JOIN c w ON w.cx = a.cx - 1 AND w.cy = a.cy "
+        "LEFT JOIN c nn ON nn.cx = a.cx AND nn.cy = a.cy + 1 "
+        "LEFT JOIN c ss ON ss.cx = a.cx AND ss.cy = a.cy - 1) "
+        "SELECT cx, cy, x, CAST(gx * gx + gy * gy AS BIGINT) AS mag2 "
+        "FROM g ORDER BY mag2 DESC, cx, cy LIMIT 10"
+    )
+
+
 def q_ransac_line(sf_dir: str):
     """RANSAC line fitting over the event point cloud (the robust
     geometry-estimation loop, run data-parallel): 64 DETERMINISTIC
@@ -10027,6 +10261,10 @@ QUERIES = {
     "bigram_ppl": q_bigram_ppl,
     "ransac_line": q_ransac_line,
     "mutual_info": q_mutual_info,
+    "autocorr": q_autocorr,
+    "cusum_changepoint": q_cusum_changepoint,
+    "benford": q_benford,
+    "density_gradient": q_density_gradient,
     "glcm_texture": q_glcm_texture,
     "sobel_octants": q_sobel_octants,
     "traj_intersections": q_traj_intersections,
@@ -10233,6 +10471,10 @@ ORACLE_SQL = {
     "bigram_ppl": q_bigram_ppl_sql(),
     "ransac_line": q_ransac_line_sql(),
     "mutual_info": q_mutual_info_sql(),
+    "autocorr": q_autocorr_sql(),
+    "cusum_changepoint": q_cusum_changepoint_sql(),
+    "benford": q_benford_sql(),
+    "density_gradient": q_density_gradient_sql(),
     "glcm_texture": q_glcm_texture_sql(),
     "sobel_octants": q_sobel_octants_sql(),
     "traj_intersections": q_traj_intersections_sql(),

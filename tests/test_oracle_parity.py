@@ -100,6 +100,7 @@ def test_entry_smoke(ray_session):
     "getis_ord", "glcm_texture", "sobel_octants",
     "idw_surface", "quadtree_leaves", "bigram_ppl",
     "ransac_line", "mutual_info",
+    "autocorr", "cusum_changepoint", "benford", "density_gradient",
 ])
 def test_sql_parity(name, entries):
     qs, oracles = entries
