@@ -204,7 +204,7 @@ def run_bench() -> dict:
                      "sobel_octants", "idw_surface", "quadtree_leaves",
                      "bigram_ppl", "ransac_line", "mutual_info",
                      "autocorr", "cusum_changepoint", "benford",
-                     "density_gradient"):
+                     "density_gradient", "silhouette", "rfm_segments"):
             best = float("inf")
             attempts = 0
             for _ in range(max(1, repeats)):

@@ -9064,6 +9064,223 @@ def q_density_gradient_sql() -> str:
     )
 
 
+def q_silhouette(sf_dir: str):
+    """Centroid silhouette score per label over the embedding table
+    (the clustering-quality readout): pass 1 accumulates exact-int
+    per-(label, dim) sums of milli-quantized elements on the bounded
+    combiner tree; the 10×64 centroid table broadcasts; pass 2
+    computes every point's squared distance to EVERY centroid as an
+    exact int (each dim's (q/1000 − s/n)² pins to a pico int before
+    the dim sum, so no float accumulation order exists), takes
+    a = d²(own), b = min d²(other), pins (b−a)/max(a,b) to nano per
+    point, and label sums merge exactly.  Output = per-label n and
+    mean silhouette (one final pinned division)."""
+    import ray
+
+    from .stages.agg_tree import tree_aggregate_to_table
+
+    def _quant(b: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+        emb = b["embedding"].combine_chunks()
+        flat = emb.flatten().to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        offs = np.asarray(emb.offsets)
+        offs = offs - offs[0]
+        d = int(offs[1] - offs[0])
+        q = np.floor(flat * 1000.0 + 0.5).astype(np.int64) \
+            .reshape(-1, d)
+        lab = b["label"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return q, lab
+
+    def cent_partial(b: pa.Table) -> pa.Table:
+        q, lab = _quant(b)
+        d = q.shape[1]
+        labs = np.unique(lab)
+        rows_l, rows_d, rows_s, rows_n = [], [], [], []
+        for lv in labs:
+            m = lab == lv
+            rows_l.append(np.full(d, lv, np.int64))
+            rows_d.append(np.arange(d, dtype=np.int64))
+            rows_s.append(q[m].sum(axis=0))
+            rows_n.append(np.full(d, int(m.sum()), np.int64))
+        return pa.table({"label": pa.array(np.concatenate(rows_l)),
+                         "dim": pa.array(np.concatenate(rows_d)),
+                         "s": pa.array(np.concatenate(rows_s)),
+                         "n": pa.array(np.concatenate(rows_n))})
+
+    ds = _read(sf_dir, "embeddings", ["embedding", "label"])
+    cent = tree_aggregate_to_table(
+        ds.map_batches(cent_partial, batch_format="pyarrow"),
+        ["label", "dim"], [("s", "sum"), ("n", "sum")]).to_pandas() \
+        .sort_values(["label", "dim"])
+    labels = cent["label"].unique()
+    labels.sort()
+    d = int(cent["dim"].max()) + 1
+    c = (cent["s"].to_numpy().astype(np.float64)
+         / cent["n"].to_numpy().astype(np.float64)).reshape(
+        len(labels), d)
+    cref = ray.put((labels.astype(np.int64), c))
+
+    def sil_partial(b: pa.Table, *, _ref=cref) -> pa.Table:
+        labs, cm = ray.get(_ref)
+        q, lab = _quant(b)
+        qf = q.astype(np.float64) / 1000.0
+        d2 = np.empty((len(q), len(labs)), np.int64)
+        for j in range(len(labs)):
+            diff = qf - cm[j][None, :]
+            d2[:, j] = np.floor(diff * diff * 1e12
+                                + 0.5).astype(np.int64).sum(axis=1)
+        own_idx = np.searchsorted(labs, lab)
+        a = d2[np.arange(len(q)), own_idx]
+        masked = d2.astype(np.float64)
+        masked[np.arange(len(q)), own_idx] = np.inf
+        bmin = masked.min(axis=1).astype(np.int64)
+        mx = np.maximum(a, bmin)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            pin = np.where(mx == 0, 0, np.floor(
+                (bmin - a).astype(np.float64)
+                / mx.astype(np.float64) * 1e9 + 0.5)).astype(np.int64)
+        t = pa.table({"label": pa.array(lab),
+                      "n": pa.array(np.ones(len(lab), np.int64)),
+                      "sil": pa.array(pin)})
+        return (t.group_by(["label"]).aggregate(
+            [("n", "sum"), ("sil", "sum")])
+            .rename_columns(["label", "n", "sil"]))
+
+    g = tree_aggregate_to_table(
+        ds.map_batches(sil_partial, batch_format="pyarrow"),
+        ["label"], [("n", "sum"), ("sil", "sum")]).to_pandas()
+    mean = np.floor(g["sil"].to_numpy().astype(np.float64)
+                    / g["n"].to_numpy().astype(np.float64)
+                    + 0.5).astype(np.int64)
+    return pd.DataFrame({
+        "label": g["label"].to_numpy().astype(np.int64),
+        "n": g["n"].to_numpy().astype(np.int64),
+        "mean_sil_nano": mean})
+
+
+def q_silhouette_sql() -> str:
+    return (
+        "WITH q AS MATERIALIZED (SELECT vec_id, "
+        "CAST(label AS BIGINT) AS label, "
+        "CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000.0 "
+        "+ 0.5) AS BIGINT) AS q, "
+        "generate_subscripts(embedding, 1) AS dim FROM embeddings), "
+        "cent AS MATERIALIZED (SELECT label, dim, "
+        "CAST(sum(q) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS n "
+        "FROM q GROUP BY 1, 2), "
+        "d0 AS (SELECT q.vec_id, q.label AS own, c.label AS lab, "
+        "(CAST(q.q AS DOUBLE) / 1000.0 - CAST(c.s AS DOUBLE) / "
+        "CAST(c.n AS DOUBLE)) AS df FROM q JOIN cent c "
+        "ON q.dim = c.dim), "
+        "d AS MATERIALIZED (SELECT vec_id, own, lab, "
+        "CAST(sum(CAST(floor(df * df * 1e12 + 0.5) AS BIGINT)) "
+        "AS BIGINT) AS d2 FROM d0 GROUP BY 1, 2, 3), "
+        "ab AS (SELECT vec_id, own, "
+        "max(CASE WHEN lab = own THEN d2 END) AS a, "
+        "min(CASE WHEN lab <> own THEN d2 END) AS b "
+        "FROM d GROUP BY 1, 2), "
+        "s AS (SELECT own AS label, CASE WHEN greatest(a, b) = 0 "
+        "THEN 0 ELSE CAST(floor(CAST(b - a AS DOUBLE) / "
+        "CAST(greatest(a, b) AS DOUBLE) * 1e9 + 0.5) AS BIGINT) END "
+        "AS pin FROM ab) "
+        "SELECT label, CAST(count(*) AS BIGINT) AS n, "
+        "CAST(floor(CAST(sum(pin) AS DOUBLE) / "
+        "CAST(count(*) AS DOUBLE) + 0.5) AS BIGINT) "
+        "AS mean_sil_nano FROM s GROUP BY 1"
+    )
+
+
+def q_rfm_segments(sf_dir: str):
+    """RFM (recency / frequency / monetary) user segmentation — the
+    two-level marketing rollup: level 1 is a per-user aggregate over
+    an UNBOUNDED key space (max ts, count, Σcents — ridden on the
+    coarse hash-bucket exchange, one combined pass), level 2 buckets
+    each user into fixed 3×3×3 bands and counts segments on the
+    bounded combiner tree.  Band edges are fixed constants (hours /
+    counts / cents), so everything is exact ints end to end."""
+    from .stages.agg_tree import tree_aggregate_to_table
+    from .stages.scan import hash_bucket_scan
+
+    def per_user(b: pa.Table) -> pa.Table:
+        ts = b["ts"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        c = np.floor(b["value"].to_numpy(zero_copy_only=False)
+                     * 100.0 + 0.5).astype(np.int64)
+        t = pa.table({"user_id": b["user_id"],
+                      "r": pa.array(ts), "f": pa.array(
+                          np.ones(len(ts), np.int64)),
+                      "m": pa.array(c)})
+        return (t.group_by(["user_id"]).aggregate(
+            [("r", "max"), ("f", "sum"), ("m", "sum")])
+            .rename_columns(["user_id", "r", "f", "m"]))
+
+    users = hash_bucket_scan(
+        _read(sf_dir, "events", ["user_id", "ts", "value"])
+        .map_batches(per_user, batch_format="pyarrow"),
+        ["user_id"],
+        lambda t: (t.group_by(["user_id"]).aggregate(
+            [("r", "max"), ("f", "sum"), ("m", "sum")])
+            .rename_columns(["user_id", "r", "f", "m"])),
+        n_rows=_nrows(sf_dir, "events")).materialize()
+
+    # scale-free band edges: recency relative to the global max ts,
+    # frequency / monetary relative to the per-user average (exact
+    # integer cross-multiplication, no division)
+    u_cnt = users.count()
+    n_tot = int(users.sum("f"))
+    m_tot = int(users.sum("m"))
+    r_max = int(users.max("r"))
+    H6 = 6 * 3_600_000_000
+    H18 = 18 * 3_600_000_000
+
+    def bands(t: pa.Table) -> pa.Table:
+        r = t["r"].to_numpy(zero_copy_only=False)
+        f = t["f"].to_numpy(zero_copy_only=False)
+        m = t["m"].to_numpy(zero_copy_only=False)
+        rb = np.where(r >= r_max - H6, 2,
+                      np.where(r >= r_max - H18, 1, 0))
+        fb = np.where(12 * f * u_cnt >= 13 * n_tot, 2,
+                      np.where(12 * f * u_cnt >= 11 * n_tot, 1, 0))
+        mb = np.where(12 * m * u_cnt >= 13 * m_tot, 2,
+                      np.where(12 * m * u_cnt >= 11 * m_tot, 1, 0))
+        out = pa.table({"rb": pa.array(rb.astype(np.int64)),
+                        "fb": pa.array(fb.astype(np.int64)),
+                        "mb": pa.array(mb.astype(np.int64)),
+                        "n": pa.array(np.ones(len(rb), np.int64))})
+        return (out.group_by(["rb", "fb", "mb"]).aggregate(
+            [("n", "sum")]).rename_columns(["rb", "fb", "mb", "n"]))
+
+    out = tree_aggregate_to_table(
+        users.map_batches(bands, batch_format="pyarrow"),
+        ["rb", "fb", "mb"], [("n", "sum")])
+    return out.to_pandas().astype(np.int64)
+
+
+def q_rfm_segments_sql() -> str:
+    return (
+        "WITH u AS MATERIALIZED (SELECT user_id, "
+        "max(epoch_us(ts)) AS r, CAST(count(*) AS BIGINT) AS f, "
+        "CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) "
+        "AS BIGINT) AS m FROM events GROUP BY 1), "
+        "g AS (SELECT CAST(count(*) AS BIGINT) AS uc, "
+        "CAST(sum(f) AS BIGINT) AS nt, CAST(sum(m) AS BIGINT) AS mt, "
+        "max(r) AS rmax FROM u), "
+        "b AS (SELECT "
+        f"CASE WHEN r >= rmax - {6 * 3_600_000_000} THEN 2 "
+        f"WHEN r >= rmax - {18 * 3_600_000_000} THEN 1 ELSE 0 END "
+        "AS rb, "
+        "CASE WHEN 12 * f * uc >= 13 * nt THEN 2 "
+        "WHEN 12 * f * uc >= 11 * nt THEN 1 ELSE 0 END AS fb, "
+        "CASE WHEN 12 * m * uc >= 13 * mt THEN 2 "
+        "WHEN 12 * m * uc >= 11 * mt THEN 1 ELSE 0 END AS mb "
+        "FROM u, g) "
+        "SELECT CAST(rb AS BIGINT) AS rb, CAST(fb AS BIGINT) AS fb, "
+        "CAST(mb AS BIGINT) AS mb, CAST(count(*) AS BIGINT) AS n "
+        "FROM b GROUP BY 1, 2, 3"
+    )
+
+
 def q_ransac_line(sf_dir: str):
     """RANSAC line fitting over the event point cloud (the robust
     geometry-estimation loop, run data-parallel): 64 DETERMINISTIC
@@ -10265,6 +10482,8 @@ QUERIES = {
     "cusum_changepoint": q_cusum_changepoint,
     "benford": q_benford,
     "density_gradient": q_density_gradient,
+    "silhouette": q_silhouette,
+    "rfm_segments": q_rfm_segments,
     "glcm_texture": q_glcm_texture,
     "sobel_octants": q_sobel_octants,
     "traj_intersections": q_traj_intersections,
@@ -10475,6 +10694,8 @@ ORACLE_SQL = {
     "cusum_changepoint": q_cusum_changepoint_sql(),
     "benford": q_benford_sql(),
     "density_gradient": q_density_gradient_sql(),
+    "silhouette": q_silhouette_sql(),
+    "rfm_segments": q_rfm_segments_sql(),
     "glcm_texture": q_glcm_texture_sql(),
     "sobel_octants": q_sobel_octants_sql(),
     "traj_intersections": q_traj_intersections_sql(),
