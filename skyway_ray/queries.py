@@ -8536,32 +8536,13 @@ def q_pmi_bigrams(sf_dir: str):
     n_docs = _nrows(sf_dir, "documents")
 
     def bigram_counts(b: pd.DataFrame) -> pd.DataFrame:
-        toks = b["text"].str.lower().str.findall(r"[a-z0-9]+")
-        xs, ys = [], []
-        for t in toks:
-            if len(t) > 1:
-                a = np.asarray(t, dtype=object)
-                xs.append(a[:-1])
-                ys.append(a[1:])
-        if not xs:
-            return pd.DataFrame({"x": np.array([], object),
-                                 "y": np.array([], object),
-                                 "cnt": np.array([], np.int64)})
-        pairs = pd.DataFrame({"x": np.concatenate(xs),
-                              "y": np.concatenate(ys)})
-        g = pairs.groupby(["x", "y"], sort=False).size().reset_index()
-        return pd.DataFrame({"x": g["x"].astype(str),
-                             "y": g["y"].astype(str),
-                             "cnt": g[0].to_numpy().astype(np.int64)})
+        flat, offs = _batch_token_runs(b["text"])
+        x, y, cnt = _bigram_pair_counts(flat, offs)
+        return pd.DataFrame({"x": x.astype(str), "y": y.astype(str),
+                             "cnt": cnt})
 
     def unigram_counts(b: pd.DataFrame) -> pd.DataFrame:
-        toks = b["text"].str.lower().str.findall(r"[a-z0-9]+")
-        flat = np.concatenate([np.asarray(t, dtype=object)
-                               for t in toks if len(t)] or
-                              [np.array([], dtype=object)])
-        uniq, counts = np.unique(flat, return_counts=True)
-        return pd.DataFrame({"tok": uniq.astype(str),
-                             "n": counts.astype(np.int64)})
+        return _unigram_count_df(b["text"])
 
     docs = _read(sf_dir, "documents", ["text"])
     bg = hash_bucket_scan(
@@ -8570,12 +8551,14 @@ def q_pmi_bigrams(sf_dir: str):
         lambda t: t.group_by(["x", "y"]).aggregate([("cnt", "sum")])
         .rename_columns(["x", "y", "cnt"]),
         n_rows=n_docs).materialize()
+    # materialized: BOTH attach passes consume it — lazy, the whole
+    # unigram pipeline (tokenize included) would re-execute per pass
     uni = hash_bucket_scan(
         docs.map_batches(unigram_counts, batch_format="pandas"),
         ["tok"],
         lambda t: t.group_by(["tok"]).aggregate([("n", "sum")])
         .rename_columns(["tok", "n"]),
-        n_rows=n_docs)
+        n_rows=n_docs).materialize()
     n_total = int(bg.sum("cnt"))
 
     import pyarrow.compute as pc
@@ -9518,13 +9501,7 @@ def q_zipf_slope(sf_dir: str):
     n_docs = _nrows(sf_dir, "documents")
 
     def unigram_counts(b: pd.DataFrame) -> pd.DataFrame:
-        toks = b["text"].str.lower().str.findall(r"[a-z0-9]+")
-        flat = np.concatenate([np.asarray(t, dtype=object)
-                               for t in toks if len(t)] or
-                              [np.array([], dtype=object)])
-        uniq, counts = np.unique(flat, return_counts=True)
-        return pd.DataFrame({"tok": uniq.astype(str),
-                             "n": counts.astype(np.int64)})
+        return _unigram_count_df(b["text"])
 
     counts = hash_bucket_scan(
         _read(sf_dir, "documents", ["text"]).map_batches(
@@ -9985,6 +9962,51 @@ def q_quadtree_leaves_sql() -> str:
     )
 
 
+def _batch_token_runs(texts: pd.Series):
+    """(flat token array, per-doc offsets) for one batch — the shared
+    tokenize step of the n-gram counting kernels."""
+    toks = texts.str.lower().str.findall(r"[a-z0-9]+")
+    arrs = [np.asarray(t, dtype=object) for t in toks]
+    lens = np.array([len(a) for a in arrs], np.int64)
+    flat = np.concatenate([a for a in arrs if len(a)]
+                          or [np.array([], object)])
+    offs = np.concatenate([[0], np.cumsum(lens)])
+    return flat, offs
+
+
+def _bigram_pair_counts(flat: np.ndarray, offs: np.ndarray):
+    """Adjacent-pair counts without an object-keyed groupby: factorize
+    once, count int pair codes (code_x·V + code_y) with np.unique on
+    int64 — ~10× the throughput of a pandas object-pair groupby on
+    repetitive corpora.  Pairs spanning doc boundaries drop."""
+    if len(flat) < 2:
+        e = np.array([], object)
+        return e, e, np.array([], np.int64)
+    codes, uniq = pd.factorize(flat)
+    v = len(uniq)
+    valid = np.ones(len(flat) - 1, dtype=bool)
+    starts = offs[1:-1]
+    starts = starts[(starts > 0) & (starts < len(flat))]
+    valid[starts - 1] = False  # pair (s-1, s) straddles two docs
+    key = codes[:-1].astype(np.int64) * v + codes[1:]
+    uk, cnt = np.unique(key[valid], return_counts=True)
+    return (uniq[uk // v].astype(object), uniq[uk % v].astype(object),
+            cnt.astype(np.int64))
+
+
+def _unigram_count_df(texts: pd.Series) -> pd.DataFrame:
+    """Per-batch token counts via hash factorize + bincount (O(n)
+    object hashing; np.unique's comparison sort is ~2× slower on
+    repetitive corpora)."""
+    flat, _ = _batch_token_runs(texts)
+    if not len(flat):
+        return pd.DataFrame({"tok": np.array([], object),
+                             "n": np.array([], np.int64)})
+    codes, uniq = pd.factorize(flat)
+    return pd.DataFrame({"tok": uniq.astype(str),
+                         "n": np.bincount(codes).astype(np.int64)})
+
+
 def _copart_lookup(rows, lut, key_col: str, out_col: str, n_rows: int):
     """Attach ``lut`` (columns ``_lk`` string / ``_lv`` int64) values
     to ``rows`` on ``rows[key_col]`` (string) as ``out_col`` — one
@@ -10032,13 +10054,18 @@ def q_bigram_ppl(sf_dir: str):
     filter every LLM data pipeline runs): an add-one-smoothed bigram
     model p(y|x) = (c_xy+1)/(c_x+V) is fit on the WHOLE corpus —
     distributed bigram and unigram counts, open vocabulary — and
-    scored over the first 200 docs; model parameters attach to the
-    scored rows via TWO string-keyed co-partition lookups
-    (_copart_lookup: neither the counts nor the scored side is
-    assumed broadcastable), each bigram's ln p pins to a nano int,
-    and per-doc sums are exact integer adds on the bounded combiner
-    tree.  Output = (doc_id, n_bigrams, lp_sum_nano); docs with < 2
-    tokens drop (no bigrams)."""
+    scored over the first 200 docs.  The scored-doc key set is
+    bounded, so it broadcasts and filters the bigram-count partials
+    BELOW the shuffle (semi-join pushdown: the exchange carries only
+    probe-set keys; with the int-coded pair counting this took the
+    sf0.1 wall time 22 s → ~8 s — the rest is five fixed-cost
+    exchanges);
+    parameters then attach via TWO string-keyed co-partition lookups
+    (_copart_lookup — correct for unbounded probe sets too), each
+    bigram's ln p pins to a nano int, and per-doc sums are exact
+    integer adds on the bounded combiner tree.  Output = (doc_id,
+    n_bigrams, lp_sum_nano); docs with < 2 tokens drop (no
+    bigrams)."""
     import pyarrow.compute as pc
 
     from .stages.agg_tree import tree_aggregate_to_table
@@ -10046,48 +10073,10 @@ def q_bigram_ppl(sf_dir: str):
 
     n_docs = _nrows(sf_dir, "documents")
 
-    def bigram_counts(b: pd.DataFrame) -> pd.DataFrame:
-        toks = b["text"].str.lower().str.findall(r"[a-z0-9]+")
-        xs, ys = [], []
-        for t in toks:
-            if len(t) > 1:
-                a = np.asarray(t, dtype=object)
-                xs.append(a[:-1])
-                ys.append(a[1:])
-        if not xs:
-            return pd.DataFrame({"x": np.array([], object),
-                                 "y": np.array([], object),
-                                 "cnt": np.array([], np.int64)})
-        pairs = pd.DataFrame({"x": np.concatenate(xs),
-                              "y": np.concatenate(ys)})
-        g = pairs.groupby(["x", "y"], sort=False).size().reset_index()
-        return pd.DataFrame({"x": g["x"].astype(str),
-                             "y": g["y"].astype(str),
-                             "cnt": g[0].to_numpy().astype(np.int64)})
-
     def unigram_counts(b: pd.DataFrame) -> pd.DataFrame:
-        toks = b["text"].str.lower().str.findall(r"[a-z0-9]+")
-        flat = np.concatenate([np.asarray(t, dtype=object)
-                               for t in toks if len(t)] or
-                              [np.array([], dtype=object)])
-        uniq, counts = np.unique(flat, return_counts=True)
-        return pd.DataFrame({"tok": uniq.astype(str),
-                             "n": counts.astype(np.int64)})
+        return _unigram_count_df(b["text"])
 
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
-    cb = hash_bucket_scan(
-        docs.map_batches(bigram_counts, batch_format="pandas"),
-        ["x", "y"],
-        lambda t: t.group_by(["x", "y"]).aggregate([("cnt", "sum")])
-        .rename_columns(["x", "y", "cnt"]),
-        n_rows=n_docs).materialize()
-    cu = hash_bucket_scan(
-        docs.map_batches(unigram_counts, batch_format="pandas"),
-        ["tok"],
-        lambda t: t.group_by(["tok"]).aggregate([("n", "sum")])
-        .rename_columns(["tok", "n"]),
-        n_rows=n_docs).materialize()
-    vocab_v = cu.count()
 
     def doc_bigrams(b: pd.DataFrame) -> pd.DataFrame:
         b = b[b["doc_id"] < 200]
@@ -10119,7 +10108,58 @@ def q_bigram_ppl(sf_dir: str):
             t["x"].cast(pa.string()), t["y"].cast(pa.string()), " "))
 
     rows = docs.map_batches(doc_bigrams, batch_format="pandas") \
-               .map_batches(key_bg, batch_format="pyarrow")
+               .map_batches(key_bg, batch_format="pyarrow") \
+               .materialize()
+
+    # semi-join pushdown BELOW the shuffle: only the scored docs'
+    # bigram keys need corpus counts, so the key set (bounded by the
+    # 200-doc readout) broadcasts once and filters every count
+    # partial BEFORE the exchange — the bigram shuffle shrinks from
+    # vocab² to the probe set.  The unigram pass still runs in full
+    # (V = |vocab| needs it), but only probe tokens enter the lookup
+    # exchange.
+    import ray
+
+    keys_tab = rows.select_columns(["_bg"]).to_pandas()
+    bg_keys = frozenset(keys_tab["_bg"].tolist())
+    x_keys = frozenset(k.split(" ", 1)[0] for k in bg_keys)
+    bg_ref = ray.put(bg_keys)
+    x_ref = ray.put(x_keys)
+
+    def probe_bigram_counts(b: pd.DataFrame,
+                            *, _bg=bg_ref) -> pd.DataFrame:
+        # int-coded pair counting first (the batch reduces to ≤ V²
+        # distinct pairs), then the probe filter runs on that tiny
+        # distinct set — both sides of the exchange stay bounded
+        flat, offs = _batch_token_runs(b["text"])
+        x, y, cnt = _bigram_pair_counts(flat, offs)
+        if not len(x):
+            return pd.DataFrame({"x": np.array([], object),
+                                 "y": np.array([], object),
+                                 "cnt": np.array([], np.int64)})
+        key = pd.Series(x) + " " + pd.Series(y)
+        m = key.isin(ray.get(_bg)).to_numpy()
+        return pd.DataFrame({"x": x[m].astype(str),
+                             "y": y[m].astype(str),
+                             "cnt": cnt[m]})
+
+    cb = hash_bucket_scan(
+        docs.map_batches(probe_bigram_counts, batch_format="pandas"),
+        ["x", "y"],
+        lambda t: t.group_by(["x", "y"]).aggregate([("cnt", "sum")])
+        .rename_columns(["x", "y", "cnt"]),
+        n_rows=n_docs)
+    cu = hash_bucket_scan(
+        docs.map_batches(unigram_counts, batch_format="pandas"),
+        ["tok"],
+        lambda t: t.group_by(["tok"]).aggregate([("n", "sum")])
+        .rename_columns(["tok", "n"]),
+        n_rows=n_docs).materialize()
+    vocab_v = cu.count()
+
+    def filt_cu(d: pd.DataFrame, *, _r=x_ref) -> pd.DataFrame:
+        return d[d["tok"].isin(ray.get(_r))]
+
     cb_lut = cb.map_batches(
         lambda t: pa.table({
             "_lk": pc.binary_join_element_wise(
@@ -10129,7 +10169,8 @@ def q_bigram_ppl(sf_dir: str):
         batch_format="pyarrow")
     rows = _copart_lookup(rows, cb_lut, "_bg", "cxy",
                           n_rows=n_docs).materialize()
-    cu_lut = cu.map_batches(
+    cu_lut = cu.map_batches(filt_cu, batch_format="pandas") \
+        .map_batches(
         lambda t: pa.table({"_lk": t["tok"].cast(pa.string()),
                             "_lv": t["n"].cast(pa.int64())}),
         batch_format="pyarrow")
@@ -10233,7 +10274,9 @@ def q_otsu_checksum(sf_dir: str):
                          "lo_n": pa.array(lo_n),
                          "lo_sum": pa.array(lo_sum)})
 
-    return ds.map_batches(otsu, batch_format="pyarrow", batch_size=128)
+    # smaller batches than the vectorized checksums: the per-image
+    # threshold argmax is a (bounded) Python-bigint loop, so spread it
+    return ds.map_batches(otsu, batch_format="pyarrow", batch_size=32)
 
 
 def q_otsu_checksum_sql() -> str:
