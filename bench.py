@@ -204,7 +204,8 @@ def run_bench() -> dict:
                      "sobel_octants", "idw_surface", "quadtree_leaves",
                      "bigram_ppl", "ransac_line", "mutual_info",
                      "autocorr", "cusum_changepoint", "benford",
-                     "density_gradient", "silhouette", "rfm_segments"):
+                     "density_gradient", "silhouette", "rfm_segments",
+                     "sssp"):
             best = float("inf")
             attempts = 0
             for _ in range(max(1, repeats)):

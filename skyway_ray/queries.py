@@ -10384,6 +10384,113 @@ def _kcore_node_sql(col: str, v: int) -> str:
             f"// 4294967296 * {v} // 4294967296 AS BIGINT)")
 
 
+_SSSP_ROUNDS = 14  # oracle replay depth; relaxation idempotent after
+# the fixpoint (measured: 6/7/10 rounds at sf0.001/0.01/0.1)
+
+
+def q_sssp(sf_dir: str):
+    """Single-source shortest paths from node 0 by distributed
+    Bellman-Ford (the routing primitive; joins q_pagerank/_kcore/
+    _connected_components in the graph family): same hub-skewed
+    derived graph as q_kcore, integer edge weights
+    1 + (31u+17v) mod 100, Jacobi rounds — every round relaxes ALL
+    edges against the PREVIOUS round's distances (broadcast int64
+    vector), candidate minima merge per node on the bounded combiner
+    tree, and the driver folds them into the distance vector.  Loops
+    to fixpoint (≤ 14 rounds, asserted); the oracle replays exactly
+    14 chained-CTE rounds (idempotent past convergence).  Exact ints
+    throughout; unreached nodes drop."""
+    import ray
+
+    from .stages.agg_tree import tree_aggregate_to_table
+    from .stages.scan import hash_bucket_scan
+
+    n = _nrows(sf_dir, "events")
+    V = max(200, n // 12)
+
+    def node(x: np.ndarray) -> np.ndarray:
+        h = (x.astype(np.uint64) * np.uint64(2654435761)) \
+            % np.uint64(1 << 32)
+        return (((h * h) >> np.uint64(32)) * np.uint64(V)
+                >> np.uint64(32)).astype(np.int64)
+
+    def prep(b: pa.Table) -> pa.Table:
+        x = node(b["user_id"].to_numpy(zero_copy_only=False))
+        y = node(b["event_id"].to_numpy(zero_copy_only=False))
+        keep = x != y
+        x, y = x[keep], y[keep]
+        return pa.table({"u": pa.array(np.minimum(x, y), pa.int64()),
+                         "v": pa.array(np.maximum(x, y), pa.int64())})
+
+    edges = hash_bucket_scan(
+        _read(sf_dir, "events", ["user_id", "event_id"]).map_batches(
+            prep, batch_format="pyarrow"),
+        ["u", "v"], lambda t: t.group_by(["u", "v"]).aggregate([]),
+        n_rows=n).materialize()
+
+    INF = np.int64(1) << 60
+    dist = np.full(V, INF, np.int64)
+    dist[0] = 0
+    for _ in range(_SSSP_ROUNDS + 1):
+        ref = ray.put(dist)
+
+        def relax(t: pa.Table, *, _ref=ref) -> pa.Table:
+            dv = ray.get(_ref)
+            u = t["u"].to_numpy(zero_copy_only=False)
+            v = t["v"].to_numpy(zero_copy_only=False)
+            w = 1 + (u * 31 + v * 17) % 100
+            nodes = np.concatenate([v[dv[u] < INF], u[dv[v] < INF]])
+            cand = np.concatenate([(dv[u] + w)[dv[u] < INF],
+                                   (dv[v] + w)[dv[v] < INF]])
+            t2 = pa.table({"node": pa.array(nodes),
+                           "d": pa.array(cand)})
+            return (t2.group_by(["node"]).aggregate([("d", "min")])
+                    .rename_columns(["node", "d"]))
+
+        cand = tree_aggregate_to_table(
+            edges.map_batches(relax, batch_format="pyarrow"),
+            ["node"], [("d", "min")]).to_pandas()
+        nd = dist.copy()
+        idx = cand["node"].to_numpy().astype(np.int64)
+        np.minimum.at(nd, idx, cand["d"].to_numpy().astype(np.int64))
+        if (nd == dist).all():
+            break
+        dist = nd
+    else:
+        raise RuntimeError("Bellman-Ford did not converge within "
+                           f"{_SSSP_ROUNDS} oracle-replayable rounds")
+
+    reached = np.flatnonzero(dist < INF)
+    return pd.DataFrame({"node": reached.astype(np.int64),
+                         "dist": dist[reached].astype(np.int64)})
+
+
+def q_sssp_sql() -> str:
+    v = "greatest(200, (SELECT count(*) FROM events) // 12)"
+    nu = _kcore_node_sql("user_id", "vv.v")
+    ne = _kcore_node_sql("event_id", "vv.v")
+    parts = [
+        f"WITH vv AS MATERIALIZED (SELECT {v} AS v), "
+        "raw AS MATERIALIZED (SELECT " + nu + " AS x, " + ne + " AS y "
+        "FROM events, vv), "
+        "e AS MATERIALIZED (SELECT u, v, 1 + (u * 31 + v * 17) % 100 "
+        "AS w FROM (SELECT DISTINCT least(x, y) AS u, "
+        "greatest(x, y) AS v FROM raw WHERE x <> y)), "
+        "d0 AS MATERIALIZED (SELECT CAST(0 AS BIGINT) AS node, "
+        "CAST(0 AS BIGINT) AS dist)"]
+    for r in range(_SSSP_ROUNDS):
+        parts.append(
+            f", d{r + 1} AS MATERIALIZED (SELECT node, "
+            f"CAST(min(dist) AS BIGINT) AS dist FROM ("
+            f"SELECT node, dist FROM d{r} "
+            f"UNION ALL SELECT e.v AS node, d.dist + e.w AS dist "
+            f"FROM e JOIN d{r} d ON d.node = e.u "
+            f"UNION ALL SELECT e.u AS node, d.dist + e.w AS dist "
+            f"FROM e JOIN d{r} d ON d.node = e.v) GROUP BY node)")
+    parts.append(f" SELECT node, dist FROM d{_SSSP_ROUNDS}")
+    return "".join(parts)
+
+
 def q_kcore(sf_dir: str):
     """k-core decomposition (k=8) of a hub-skewed derived graph — the
     community-mining peel: nodes come from a quadratic-CDF hash of the
@@ -10509,6 +10616,7 @@ def q_kcore_sql() -> str:
 # end, followed by the rows-only (non-SQL-expressible) entries.
 QUERIES = {
     "kcore": q_kcore,
+    "sssp": q_sssp,
     "morans_i": q_morans_i,
     "zipf_slope": q_zipf_slope,
     "js_divergence": q_js_divergence,
@@ -10721,6 +10829,7 @@ QUERIES = {
 # first-50 prefix).
 ORACLE_SQL = {
     "kcore": q_kcore_sql(),
+    "sssp": q_sssp_sql(),
     "morans_i": q_morans_i_sql(),
     "zipf_slope": q_zipf_slope_sql(),
     "js_divergence": q_js_divergence_sql(),
