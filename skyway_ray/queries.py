@@ -10491,6 +10491,179 @@ def q_sssp_sql() -> str:
     return "".join(parts)
 
 
+def q_assortativity(sf_dir: str):
+    """Degree assortativity of the q_kcore graph (the Newman mixing
+    coefficient — do hubs attach to hubs?): degrees on the bounded
+    combiner tree, the degree vector broadcasts, and each edge block
+    emits exact-int partial sums over both edge orientations (Σx,
+    Σx², Σxy across 2E endpoint samples; by symmetry the Pearson r
+    needs NO sqrt: r = (n·Sxy − Sx²)/(n·Sxx − Sx²)).  Driver folds
+    block partials in Python bigints; ONE pinned division."""
+    import ray
+
+    from .stages.agg_tree import tree_aggregate_to_table
+    from .stages.scan import hash_bucket_scan
+
+    n = _nrows(sf_dir, "events")
+    V = max(200, n // 12)
+
+    def node(x: np.ndarray) -> np.ndarray:
+        h = (x.astype(np.uint64) * np.uint64(2654435761)) \
+            % np.uint64(1 << 32)
+        return (((h * h) >> np.uint64(32)) * np.uint64(V)
+                >> np.uint64(32)).astype(np.int64)
+
+    def prep(b: pa.Table) -> pa.Table:
+        x = node(b["user_id"].to_numpy(zero_copy_only=False))
+        y = node(b["event_id"].to_numpy(zero_copy_only=False))
+        keep = x != y
+        x, y = x[keep], y[keep]
+        return pa.table({"u": pa.array(np.minimum(x, y), pa.int64()),
+                         "v": pa.array(np.maximum(x, y), pa.int64())})
+
+    edges = hash_bucket_scan(
+        _read(sf_dir, "events", ["user_id", "event_id"]).map_batches(
+            prep, batch_format="pyarrow"),
+        ["u", "v"], lambda t: t.group_by(["u", "v"]).aggregate([]),
+        n_rows=n).materialize()
+
+    def endpoints(t: pa.Table) -> pa.Table:
+        uv = np.concatenate([t["u"].to_numpy(zero_copy_only=False),
+                             t["v"].to_numpy(zero_copy_only=False)])
+        return pa.table({"node": pa.array(uv, pa.int64()),
+                         "deg": pa.array(np.ones(len(uv), np.int64))})
+
+    dt = tree_aggregate_to_table(
+        edges.map_batches(endpoints, batch_format="pyarrow"),
+        ["node"], [("deg", "sum")])
+    deg = np.zeros(V, np.int64)
+    deg[dt["node"].to_numpy(zero_copy_only=False)] = \
+        dt["deg"].to_numpy(zero_copy_only=False)
+    dref = ray.put(deg)
+
+    def moments(t: pa.Table, *, _ref=dref) -> pa.Table:
+        dv = ray.get(_ref)
+        du = dv[t["u"].to_numpy(zero_copy_only=False)]
+        dw = dv[t["v"].to_numpy(zero_copy_only=False)]
+        x = np.concatenate([du, dw])
+        y = np.concatenate([dw, du])
+        return pa.table({
+            "m": pa.array([len(x)], pa.int64()),
+            "sx": pa.array([int(x.sum())], pa.int64()),
+            "sxx": pa.array([int((x * x).sum())], pa.int64()),
+            "sxy": pa.array([int((x * y).sum())], pa.int64())})
+
+    parts = edges.map_batches(
+        moments, batch_format="pyarrow").to_pandas()
+    m = int(parts["m"].sum())
+    sx = int(parts["sx"].sum())
+    sxx = int(parts["sxx"].sum())
+    sxy = int(parts["sxy"].sum())
+    num = m * sxy - sx * sx
+    den = m * sxx - sx * sx
+    r_nano = int(np.floor(float(num) / float(den) * 1e9 + 0.5))
+    return pd.DataFrame({"m": [np.int64(m)],
+                         "r_nano": [np.int64(r_nano)]})
+
+
+def q_assortativity_sql() -> str:
+    v = "greatest(200, (SELECT count(*) FROM events) // 12)"
+    nu = _kcore_node_sql("user_id", "vv.v")
+    ne = _kcore_node_sql("event_id", "vv.v")
+    return (
+        f"WITH vv AS MATERIALIZED (SELECT {v} AS v), "
+        "raw AS MATERIALIZED (SELECT " + nu + " AS x, " + ne + " AS y "
+        "FROM events, vv), "
+        "e AS MATERIALIZED (SELECT DISTINCT least(x, y) AS u, "
+        "greatest(x, y) AS v FROM raw WHERE x <> y), "
+        "d AS MATERIALIZED (SELECT node, "
+        "CAST(count(*) AS BIGINT) AS deg FROM "
+        "(SELECT u AS node FROM e UNION ALL SELECT v FROM e) "
+        "GROUP BY node), "
+        "p AS (SELECT du.deg AS x, dv.deg AS y FROM e "
+        "JOIN d du ON du.node = e.u JOIN d dv ON dv.node = e.v "
+        "UNION ALL "
+        "SELECT dv.deg, du.deg FROM e "
+        "JOIN d du ON du.node = e.u JOIN d dv ON dv.node = e.v), "
+        "s AS (SELECT CAST(count(*) AS HUGEINT) AS m, "
+        "CAST(sum(x) AS HUGEINT) AS sx, "
+        "CAST(sum(x * x) AS HUGEINT) AS sxx, "
+        "CAST(sum(x * y) AS HUGEINT) AS sxy FROM p) "
+        "SELECT CAST(m AS BIGINT) AS m, "
+        "CAST(floor(CAST(m * sxy - sx * sx AS DOUBLE) / "
+        "CAST(m * sxx - sx * sx AS DOUBLE) * 1e9 + 0.5) AS BIGINT) "
+        "AS r_nano FROM s"
+    )
+
+
+def q_emd1d(sf_dir: str):
+    """1-D Wasserstein (earth-mover) distance between the value
+    distributions of the two user-parity cohorts — the integral drift
+    metric (q_ks_drift is the sup metric): per-(cent, cohort) counts
+    on the combiner tree (cents are a bounded grid), then
+    W₁ = Σ_bins |F₀−F₁|·Δ on the driver with cross-multiplied integer
+    CDFs (|n₁·C₀ − n₀·C₁|·Δcents — exact bigints at any volume); the
+    single normalizing division by n₀·n₁·100 pins to nano (unit:
+    value, not cents)."""
+    from .stages.agg_tree import tree_aggregate_to_table
+
+    def partial(b: pa.Table) -> pa.Table:
+        c = np.floor(b["value"].to_numpy(zero_copy_only=False)
+                     * 100.0 + 0.5).astype(np.int64)
+        coh = (b["user_id"].to_numpy(zero_copy_only=False) % 2)
+        t = pa.table({"c": pa.array(c), "coh": pa.array(coh),
+                      "n": pa.array(np.ones(len(c), np.int64))})
+        return (t.group_by(["c", "coh"]).aggregate([("n", "sum")])
+                .rename_columns(["c", "coh", "n"]))
+
+    g = tree_aggregate_to_table(
+        _read(sf_dir, "events", ["user_id", "value"]).map_batches(
+            partial, batch_format="pyarrow"),
+        ["c", "coh"], [("n", "sum")]).to_pandas()
+    cents = np.unique(g["c"].to_numpy())
+    n0g = g[g["coh"] == 0].set_index("c")["n"]
+    n1g = g[g["coh"] == 1].set_index("c")["n"]
+    x0 = n0g.reindex(cents, fill_value=0).to_numpy().astype(object)
+    x1 = n1g.reindex(cents, fill_value=0).to_numpy().astype(object)
+    n0, n1 = int(sum(x0)), int(sum(x1))
+    total = 0
+    c0 = c1 = 0
+    for i in range(len(cents) - 1):
+        c0 += int(x0[i])
+        c1 += int(x1[i])
+        total += abs(n1 * c0 - n0 * c1) * int(cents[i + 1] - cents[i])
+    w1_nano = int(np.floor(float(total) / float(n0 * n1)
+                           / 100.0 * 1e9 + 0.5))
+    return pd.DataFrame({"n0": [np.int64(n0)], "n1": [np.int64(n1)],
+                         "w1_nano": [np.int64(w1_nano)]})
+
+
+def q_emd1d_sql() -> str:
+    return (
+        "WITH p AS (SELECT CAST(floor(value * 100.0 + 0.5) AS BIGINT) "
+        "AS c, user_id % 2 AS coh FROM events), "
+        "g AS MATERIALIZED (SELECT c, "
+        "CAST(sum(CASE WHEN coh = 0 THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS x0, "
+        "CAST(sum(CASE WHEN coh = 1 THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS x1 FROM p GROUP BY 1), "
+        "n AS (SELECT CAST(sum(x0) AS HUGEINT) AS n0, "
+        "CAST(sum(x1) AS HUGEINT) AS n1 FROM g), "
+        "w AS (SELECT c, "
+        "CAST(sum(x0) OVER (ORDER BY c) AS HUGEINT) AS c0, "
+        "CAST(sum(x1) OVER (ORDER BY c) AS HUGEINT) AS c1, "
+        "lead(c) OVER (ORDER BY c) AS nxt FROM g), "
+        "t AS (SELECT CAST(sum(abs(n.n1 * c0 - n.n0 * c1) "
+        "* (nxt - c)) AS HUGEINT) AS total FROM w, n "
+        "WHERE nxt IS NOT NULL) "
+        "SELECT CAST(n.n0 AS BIGINT) AS n0, "
+        "CAST(n.n1 AS BIGINT) AS n1, "
+        "CAST(floor(CAST(total AS DOUBLE) / "
+        "CAST(n.n0 * n.n1 AS DOUBLE) / 100.0 * 1e9 + 0.5) AS BIGINT) "
+        "AS w1_nano FROM t, n"
+    )
+
+
 def q_kcore(sf_dir: str):
     """k-core decomposition (k=8) of a hub-skewed derived graph — the
     community-mining peel: nodes come from a quadratic-CDF hash of the
@@ -10617,6 +10790,8 @@ def q_kcore_sql() -> str:
 QUERIES = {
     "kcore": q_kcore,
     "sssp": q_sssp,
+    "assortativity": q_assortativity,
+    "emd1d": q_emd1d,
     "morans_i": q_morans_i,
     "zipf_slope": q_zipf_slope,
     "js_divergence": q_js_divergence,
@@ -10830,6 +11005,8 @@ QUERIES = {
 ORACLE_SQL = {
     "kcore": q_kcore_sql(),
     "sssp": q_sssp_sql(),
+    "assortativity": q_assortativity_sql(),
+    "emd1d": q_emd1d_sql(),
     "morans_i": q_morans_i_sql(),
     "zipf_slope": q_zipf_slope_sql(),
     "js_divergence": q_js_divergence_sql(),

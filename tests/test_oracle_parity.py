@@ -101,7 +101,7 @@ def test_entry_smoke(ray_session):
     "idw_surface", "quadtree_leaves", "bigram_ppl",
     "ransac_line", "mutual_info",
     "autocorr", "cusum_changepoint", "benford", "density_gradient",
-    "silhouette", "rfm_segments", "sssp",
+    "silhouette", "rfm_segments", "sssp", "assortativity", "emd1d",
 ])
 def test_sql_parity(name, entries):
     qs, oracles = entries
