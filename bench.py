@@ -205,7 +205,7 @@ def run_bench() -> dict:
                      "bigram_ppl", "ransac_line", "mutual_info",
                      "autocorr", "cusum_changepoint", "benford",
                      "density_gradient", "silhouette", "rfm_segments",
-                     "sssp", "assortativity", "emd1d"):
+                     "sssp", "assortativity", "emd1d", "hits"):
             best = float("inf")
             attempts = 0
             for _ in range(max(1, repeats)):

@@ -10491,6 +10491,114 @@ def q_sssp_sql() -> str:
     return "".join(parts)
 
 
+def q_hits(sf_dir: str):
+    """HITS hubs-and-authorities over the DIRECTED derived graph
+    (user-node → event-node; PageRank's bipartite-flavoured sibling):
+    two full hub/authority rounds, each a broadcast-vector matvec
+    over the edge Dataset with exact-int partial sums on the bounded
+    combiner tree, re-quantized after every matvec by the
+    power-iteration house normalization floor(w·1000 / max w) — so
+    scores stay small ints and every round is bit-replayable by the
+    oracle's chained CTEs.  Output = top-10 authorities."""
+    import ray
+
+    from .stages.agg_tree import tree_aggregate_to_table
+    from .stages.scan import hash_bucket_scan
+
+    n = _nrows(sf_dir, "events")
+    V = max(200, n // 12)
+
+    def node(x: np.ndarray) -> np.ndarray:
+        h = (x.astype(np.uint64) * np.uint64(2654435761)) \
+            % np.uint64(1 << 32)
+        return (((h * h) >> np.uint64(32)) * np.uint64(V)
+                >> np.uint64(32)).astype(np.int64)
+
+    def prep(b: pa.Table) -> pa.Table:
+        x = node(b["user_id"].to_numpy(zero_copy_only=False))
+        y = node(b["event_id"].to_numpy(zero_copy_only=False))
+        keep = x != y
+        return pa.table({"u": pa.array(x[keep], pa.int64()),
+                         "v": pa.array(y[keep], pa.int64())})
+
+    edges = hash_bucket_scan(
+        _read(sf_dir, "events", ["user_id", "event_id"]).map_batches(
+            prep, batch_format="pyarrow"),
+        ["u", "v"], lambda t: t.group_by(["u", "v"]).aggregate([]),
+        n_rows=n).materialize()
+
+    def matvec(vec: np.ndarray, src: str, dst: str) -> np.ndarray:
+        ref = ray.put(vec)
+
+        def mv(t: pa.Table, *, _ref=ref) -> pa.Table:
+            w = ray.get(_ref)
+            s = t[src].to_numpy(zero_copy_only=False)
+            d = t[dst].to_numpy(zero_copy_only=False)
+            t2 = pa.table({"node": pa.array(d),
+                           "w": pa.array(w[s])})
+            return (t2.group_by(["node"]).aggregate([("w", "sum")])
+                    .rename_columns(["node", "w"]))
+
+        g = tree_aggregate_to_table(
+            edges.map_batches(mv, batch_format="pyarrow"),
+            ["node"], [("w", "sum")]).to_pandas()
+        out = np.zeros(V, np.int64)
+        w = g["w"].to_numpy().astype(np.int64)
+        s = float(w.max())
+        out[g["node"].to_numpy().astype(np.int64)] = np.floor(
+            w.astype(np.float64) * 1000.0 / s).astype(np.int64)
+        return out
+
+    h = np.full(V, 1000, np.int64)
+    for _ in range(2):
+        a = matvec(h, "u", "v")
+        h = matvec(a, "v", "u")
+    nodes = np.flatnonzero(a > 0)
+    order = np.lexsort((nodes, -a[nodes]))[:10]
+    top = nodes[order]
+    return pd.DataFrame({"node": top.astype(np.int64),
+                         "auth": a[top].astype(np.int64)})
+
+
+def q_hits_sql() -> str:
+    v = "greatest(200, (SELECT count(*) FROM events) // 12)"
+    nu = _kcore_node_sql("user_id", "vv.v")
+    ne = _kcore_node_sql("event_id", "vv.v")
+    ctes = [
+        f"vv AS MATERIALIZED (SELECT {v} AS v)",
+        "raw AS MATERIALIZED (SELECT " + nu + " AS x, " + ne +
+        " AS y FROM events, vv)",
+        "e AS MATERIALIZED (SELECT DISTINCT x AS u, y AS w2 "
+        "FROM raw WHERE x <> y)",
+        "h0 AS MATERIALIZED (SELECT DISTINCT u AS node, "
+        "CAST(1000 AS BIGINT) AS s FROM e)",
+    ]
+    prev_h = "h0"
+    for it in range(1, 3):
+        ctes.append(
+            f"a{it}r AS MATERIALIZED (SELECT e.w2 AS node, "
+            f"CAST(sum(COALESCE(p.s, 0)) AS BIGINT) AS w FROM e "
+            f"LEFT JOIN {prev_h} p ON p.node = e.u GROUP BY 1)")
+        ctes.append(
+            f"a{it} AS MATERIALIZED (SELECT node, "
+            f"CAST(floor(CAST(w AS DOUBLE) * 1000.0 / "
+            f"(SELECT CAST(max(w) AS DOUBLE) FROM a{it}r)) AS BIGINT) "
+            f"AS s FROM a{it}r)")
+        ctes.append(
+            f"h{it}r AS MATERIALIZED (SELECT e.u AS node, "
+            f"CAST(sum(COALESCE(p.s, 0)) AS BIGINT) AS w FROM e "
+            f"LEFT JOIN a{it} p ON p.node = e.w2 GROUP BY 1)")
+        ctes.append(
+            f"h{it} AS MATERIALIZED (SELECT node, "
+            f"CAST(floor(CAST(w AS DOUBLE) * 1000.0 / "
+            f"(SELECT CAST(max(w) AS DOUBLE) FROM h{it}r)) AS BIGINT) "
+            f"AS s FROM h{it}r)")
+        prev_h = f"h{it}"
+    return ("WITH " + ", ".join(ctes) +
+            " SELECT node, s AS auth FROM a2 WHERE s > 0 "
+            "ORDER BY s DESC, node LIMIT 10")
+
+
 def q_assortativity(sf_dir: str):
     """Degree assortativity of the q_kcore graph (the Newman mixing
     coefficient — do hubs attach to hubs?): degrees on the bounded
@@ -10788,6 +10896,7 @@ def q_kcore_sql() -> str:
 # the long-driver-proven block (geotag/cells/tiles/...) rides at the
 # end, followed by the rows-only (non-SQL-expressible) entries.
 QUERIES = {
+    "hits": q_hits,
     "kcore": q_kcore,
     "sssp": q_sssp,
     "assortativity": q_assortativity,
@@ -11003,6 +11112,7 @@ QUERIES = {
 # Same key order as QUERIES (the driver zips the two by queries()'s
 # first-50 prefix).
 ORACLE_SQL = {
+    "hits": q_hits_sql(),
     "kcore": q_kcore_sql(),
     "sssp": q_sssp_sql(),
     "assortativity": q_assortativity_sql(),

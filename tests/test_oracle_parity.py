@@ -102,6 +102,7 @@ def test_entry_smoke(ray_session):
     "ransac_line", "mutual_info",
     "autocorr", "cusum_changepoint", "benford", "density_gradient",
     "silhouette", "rfm_segments", "sssp", "assortativity", "emd1d",
+    "hits",
 ])
 def test_sql_parity(name, entries):
     qs, oracles = entries
