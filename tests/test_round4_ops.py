@@ -41,7 +41,10 @@ NAMES = ["pct_rank", "retention", "doc_stats", "type_entropy",
          # triangle gives pair_dist_hist sub-ε bins and max_span a
          # multi-chunk-safe tiny run
          "max_span", "self_crossings", "haversine_legs",
-         "pair_dist_hist", "bbox_extent"]
+         "pair_dist_hist", "bbox_extent",
+         # session-I: tiny hub graph exercises hits' V=200 floor and
+         # the all-nodes-start-at-1000 vs DISTINCT-u oracle h0 parity
+         "hits"]
 
 
 @pytest.fixture(scope="module")
