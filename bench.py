@@ -144,68 +144,12 @@ def run_bench() -> dict:
 
         # best-of-N per query (first run doubles as its own warm-up):
         # single runs on this virtualized host drift ±40%, which reads
-        # as regression noise against BASELINE.md
+        # as regression noise against BASELINE.md.  Iterate the registry
+        # itself (not a hand-kept list) so every entry is timed and the
+        # compact q_sec array in the summary line aligns 1:1 with
+        # list(QUERIES) order.
         repeats = int(os.environ.get("GRAFT_BENCH_REPEATS", "3"))
-        for name in ("tile_stats", "pip_join_boxes", "dedup_docs",
-                     "topk_events", "token_count", "ann_cosine", "knn",
-                     "exact_dedup_images", "osmfilter_docs", "cell_stats",
-                     "orders_per_nation", "semi_join_events",
-                     "window_counts", "asof_join", "session_windows", "union_all",
-                     "sliding_windows", "stratified_sample",
-                     "tile_polygons", "box_tile_cover", "bpe_tokens",
-                     "minhash_dedup", "embedding_dedup", "cel_filter",
-                     "bloom_dedup", "ivf_ann", "minhash_exact",
-                     "ivf_exact", "langid", "fingerprint",
-                     "range_join", "prefix_sums", "lag_deltas",
-                     "distinct_users", "quantiles", "user_intersect",
-                     "order_pivot", "top_tokens", "heavy_hitters",
-                     "tfidf", "order_lineitems", "hll_users",
-                     "profile_lineitem", "pq_ann", "hll_users_by_type",
-                     "skew_join", "decontam", "bpe_merges",
-                     "group_stats", "rollup_orders", "group_mode",
-                     "rank_events", "setsim_pairs", "box_join",
-                     "group_concat", "pagerank", "funnel",
-                     "props_extract", "percentile_cont",
-                     "throttle_dedup", "radius_join", "star_join",
-                     "cube_orders", "travel_dist", "embedding_stats",
-                     "tile_pyramid", "kmeans", "upsert_merge",
-                     "nb_features", "mad", "sliding_distinct",
-                     "equidepth_hist", "scd_intervals",
-                     "ratio_to_report", "full_outer", "user_window",
-                     "dense_rank", "corr_flags", "pct_rank", "retention",
-                     "doc_stats", "type_entropy", "gap_fill", "triangles",
-                     "char_jaccard", "dup_spans", "unpivot",
-                     "transitions", "degree_hist", "group_percentiles",
-                     "minmax_norm", "winsorize", "cooccur",
-                     "shipping_priority", "outlier_flags", "hamming_topk",
-                     "local_volume", "big_orders", "returned_revenue",
-                     "pareto_front", "regex_extract", "interval_overlap",
-                     "asof_forward", "edit_join", "connected_components",
-                     "phrase_match", "min_cost_supp", "rows_frame_sum",
-                     "unigram_logprob", "ks_drift", "global_rank", "gini",
-                     "heading_octants", "stay_points", "shoelace_area",
-                     "bm25_topk", "spatial_clusters", "nearest_center",
-                     "rolling_zscore", "trend_slopes", "adaptive_tiles",
-                     "power_iteration", "group_sample", "mom_revenue",
-                     "label_scatter", "od_matrix", "cum_new_users",
-                     "kring_smooth", "border_crossings", "geohash4",
-                     "douglas_peucker", "dbscan", "image_checksum",
-                     "thumb_checksum", "blur_checksum", "patch_checksum",
-                     "dhash_checksum", "colocation", "repetition_ratio",
-                     "max_span", "self_crossings", "haversine_legs",
-                     "pair_dist_hist", "bbox_extent", "grad_energy",
-                     "scatter_orientation", "border_buffer",
-                     "cell_transitions", "weighted_centroid",
-                     "histeq_checksum", "kll_quantiles",
-                     "speed_profile", "traj_intersections", "ab_ttest",
-                     "pmi_bigrams", "kcore", "morans_i", "zipf_slope",
-                     "js_divergence", "target_encode", "otsu_checksum",
-                     "hu_moment", "getis_ord", "glcm_texture",
-                     "sobel_octants", "idw_surface", "quadtree_leaves",
-                     "bigram_ppl", "ransac_line", "mutual_info",
-                     "autocorr", "cusum_changepoint", "benford",
-                     "density_gradient", "silhouette", "rfm_segments",
-                     "sssp", "assortativity", "emd1d", "hits"):
+        for name in list(QUERIES):
             best = float("inf")
             attempts = 0
             for _ in range(max(1, repeats)):
@@ -334,8 +278,42 @@ def run_scaling() -> dict:
     return best if best is not None else best_rejected
 
 
+def _emit(out: dict) -> None:
+    """Print the result so the LAST stdout line is a complete JSON
+    object under ~1800 chars.
+
+    The round driver keeps only the final 2000 characters of stdout
+    and parses the last line; the r04 artifact lost 124 of 204
+    per-query timings to that cap (VERDICT r04, Next-round #5).  So:
+
+    1. the full verbose record (name → sec map) is printed first and
+       also written to BENCH_FULL.json next to this script, and
+    2. the final line carries every per-query timing compactly:
+       ``q_cs`` = best-of-N wall CENTISECONDS (ints, null = failed)
+       aligned 1:1 with ``q_names`` order = "flagship" followed by
+       ``list(skyway_ray.queries.QUERIES)`` registry order (the names
+       live in BENCH_FULL.json and in the verbose line above).
+    """
+    queries = out.get("queries") or {}
+    if len(queries) > 1:
+        here = os.path.dirname(os.path.abspath(__file__))
+        with open(os.path.join(here, "BENCH_FULL.json"), "w") as f:
+            json.dump(out, f, indent=1)
+        print(json.dumps(out))
+        compact = {k: v for k, v in out.items() if k != "queries"}
+        compact["n_queries"] = len(queries)
+        compact["q_names"] = "flagship + skyway_ray.queries.QUERIES order"
+        compact["q_cs"] = [None if v is None else int(round(v * 100))
+                           for v in queries.values()]
+        line = json.dumps(compact, separators=(",", ":"))
+        assert len(line) < 1900, len(line)
+        print(line)
+    else:
+        print(json.dumps(out))
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
     else:
-        print(json.dumps(run_bench()))
+        _emit(run_bench())

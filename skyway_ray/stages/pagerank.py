@@ -1,18 +1,22 @@
-"""Distributed PageRank in exact integer (micro-unit) arithmetic.
+"""Distributed PageRank in exact integer (micro-unit) arithmetic —
+co-partitioned vertex state (no broadcast, no driver-held vector).
 
 Iterative graph computation with the 100 TB shape: the ONE data-sized
 pass aggregates the raw event stream into a weighted edge table
 (per-batch Arrow ``group_by`` partials → combiner tree, bounded by the
-node-id space, not the stream); every power iteration then streams over
-the *edge table* with the current rank vector broadcast (``ray.put`` of
-two dense int64 arrays — node count is bounded by construction), emits
-per-batch contribution partials, and tree-aggregates them.  Ranks never
-shuffle; edges never leave the object store after the first pass.
+node-id space, not the stream).  Out-weights attach to the edge table
+bucket-locally in a single src-keyed hash exchange (a src's edges all
+land in one bucket, so ``outw`` is a bucket-local group sum).  Every
+power iteration is then two hash-bucket exchanges over
+:mod:`stages.graph` primitives: edges keyed by src gather the rank
+state bucket-locally and emit pre-combined per-dst contribution sums
+``(r[src] * w) // outw[src]``, and a node-keyed sum-combine applies
+the damping update ``150_000 + (850_000 * s) // 1_000_000`` (α = 0.15
+in micro-units) bucket-locally.  Ranks live as a (node, rank) Dataset
+throughout — nothing O(V) ever reaches the driver or is ``ray.put``;
+per-bucket memory is bounded by the scan budget at any V.
 
-Exactness: all arithmetic is integer — ranks live in micro-units,
-per-edge contributions use floor division ``(r[src] * w) // outw[src]``
-and the damping update is ``150_000 + (850_000 * s) // 1_000_000``
-(α = 0.15 in micro-units).  Every quantity is order-independent
+Exactness: all arithmetic is integer, every quantity order-independent
 (integer sums), so results are bit-identical across partitionings and
 a SQL oracle unrolling the same iterations matches exactly.  Mass lost
 to floor rounding and dangling nodes is NOT redistributed — the oracle
@@ -24,75 +28,74 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from .agg_tree import tree_aggregate
-
-_CACHE: dict = {}
-
-
-def _cached(ref):
-    key = str(ref)
-    if key not in _CACHE:
-        import ray
-
-        _CACHE.clear()
-        _CACHE[key] = ray.get(ref)
-    return _CACHE[key]
+from .graph import combine_state, edge_state_messages
+from .scan import hash_bucket_scan
 
 
 def pagerank_micro(edge_ds, n_ids: int, iters: int = 3):
     """PageRank over a weighted edge Dataset with schema
-    (src, dst, w), node ids in [0, n_ids).  Returns a pyarrow Table
+    (src, dst, w), node ids in [0, n_ids).  Returns a Dataset of
     (node, rank_micro) over the distinct edge-endpoint universe —
-    bounded by ``n_ids``, so driver-side state is fixed-size."""
-    import ray
-
+    distributed state, so ``n_ids`` is only a bucket-sizing hint,
+    not a driver-memory bound."""
     edges = edge_ds.materialize()
+    E = edges.count()
 
-    # bounded reductions: out-weight per src and the node universe
-    ow_tab = tree_aggregate(
-        edges.map_batches(
-            lambda b: pa.table({"src": b["src"], "outw": b["w"]}),
-            batch_format="pyarrow"),
-        ["src"], [("outw", "sum")]).to_pandas()
-    node_tab = tree_aggregate(
-        edges.map_batches(
-            lambda b: pa.table({
-                "node": pa.concat_arrays(
-                    [b["src"].combine_chunks().cast(pa.int64()),
-                     b["dst"].combine_chunks().cast(pa.int64())]),
-                "one": pa.array(np.ones(2 * b.num_rows, np.int64))}),
-            batch_format="pyarrow"),
-        ["node"], [("one", "sum")]).to_pandas()
-    nodes = np.sort(node_tab["node"].to_numpy().astype(np.int64))
+    def attach_outw(t: pa.Table) -> pa.Table:
+        src = t["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+        w = t["w"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(src, kind="stable")
+        inv = np.empty_like(order)
+        inv[order] = np.arange(len(order))
+        ss, ws = src[order], w[order]
+        starts = np.flatnonzero(np.r_[True, ss[1:] != ss[:-1]])
+        sums = np.add.reduceat(ws, starts) if len(ws) else ws
+        gid = np.cumsum(np.r_[0, (ss[1:] != ss[:-1]).astype(np.int64)])
+        outw = sums[gid][inv] if len(ws) else ws
+        return pa.table({
+            "src": pa.array(src, pa.int64()),
+            "dst": t["dst"].combine_chunks().cast(pa.int64()),
+            "w": pa.array(w, pa.int64()),
+            "outw": pa.array(outw, pa.int64())})
 
-    outw = np.zeros(n_ids, np.int64)
-    outw[ow_tab["src"].to_numpy().astype(np.int64)] = \
-        ow_tab["outw"].to_numpy().astype(np.int64)
-    ranks = np.zeros(n_ids, np.int64)
-    ranks[nodes] = 1_000_000
+    edges_ow = hash_bucket_scan(edges, ["src"], attach_outw,
+                                n_rows=E).materialize()
+
+    def endpoints(t: pa.Table) -> pa.Table:
+        uv = np.concatenate([
+            t["src"].to_numpy(zero_copy_only=False).astype(np.int64),
+            t["dst"].to_numpy(zero_copy_only=False).astype(np.int64)])
+        return pa.table({"node": pa.array(uv, pa.int64()),
+                         "val": pa.array(np.zeros(len(uv), np.int64))})
+
+    # universe with val=0: the zero base unioned into every combine so
+    # in-degree-0 nodes keep receiving the damping floor
+    uni = combine_state(
+        edges.map_batches(endpoints, batch_format="pyarrow"),
+        "max", n_rows=n_ids).materialize()
+
+    state = uni.map_batches(
+        lambda t: pa.table({"node": t["node"], "val": pa.array(
+            np.full(len(t), 1_000_000, np.int64), pa.int64())}),
+        batch_format="pyarrow").materialize()
+
+    def emit(ek, pays, lookup):
+        r, _ = lookup(ek, default=0)
+        c = (r * pays["w"]) // np.maximum(pays["outw"], 1)
+        t = pa.table({"node": pa.array(pays["dst"], pa.int64()),
+                      "val": pa.array(c, pa.int64())})
+        return (t.group_by(["node"]).aggregate([("val", "sum")])
+                .rename_columns(["node", "val"]))
+
+    def damp(s: np.ndarray) -> np.ndarray:
+        return 150_000 + (850_000 * s) // 1_000_000
 
     for _ in range(iters):
-        state_ref = ray.put((ranks.copy(), outw))
+        msgs = edge_state_messages(edges_ow, state, "src",
+                                   ["dst", "w", "outw"], emit, n_rows=E)
+        state = combine_state(msgs.union(uni), "sum", n_rows=n_ids,
+                              transform=damp).materialize()
 
-        def contribs(b: pa.Table, ref=state_ref) -> pa.Table:
-            r, ow = _cached(ref)
-            src = b["src"].to_numpy(zero_copy_only=False).astype(np.int64)
-            dst = b["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
-            w = b["w"].to_numpy(zero_copy_only=False).astype(np.int64)
-            c = (r[src] * w) // np.maximum(ow[src], 1)
-            t = pa.table({"dst": pa.array(dst), "c": pa.array(c)})
-            g = t.group_by(["dst"]).aggregate([("c", "sum")])
-            return g.rename_columns(["dst", "c"])
-
-        s_tab = tree_aggregate(
-            edges.map_batches(contribs, batch_format="pyarrow"),
-            ["dst"], [("c", "sum")]).to_pandas()
-        s = np.zeros(n_ids, np.int64)
-        s[s_tab["dst"].to_numpy().astype(np.int64)] = \
-            s_tab["c"].to_numpy().astype(np.int64)
-        new = np.zeros(n_ids, np.int64)
-        new[nodes] = 150_000 + (850_000 * s[nodes]) // 1_000_000
-        ranks = new
-
-    return pa.table({"node": pa.array(nodes, pa.int64()),
-                     "rank_micro": pa.array(ranks[nodes], pa.int64())})
+    return state.map_batches(
+        lambda t: pa.table({"node": t["node"], "rank_micro": t["val"]}),
+        batch_format="pyarrow")
