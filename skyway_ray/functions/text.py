@@ -143,21 +143,46 @@ def _fp_powers(n: int) -> np.ndarray:
     return _FP_POW_CACHE
 
 
-def fingerprint64(texts: pd.Series) -> np.ndarray:
+def fingerprint64(texts) -> np.ndarray:
     """64-bit polynomial rolling document fingerprint over UTF-8 bytes:
-    ``h = Σ (b_i + 1) * K^(n-1-i) mod 2^64``.  One vectorized
-    multiply-accumulate per string (no per-byte Python), deterministic
-    across runs/platforms.  Content hash for exact dedup, shard-stable
-    sampling, and doc-identity lineage."""
-    out = np.empty(len(texts), dtype=np.uint64)
-    for i, t in enumerate(texts.fillna("")):
-        data = np.frombuffer(t.encode("utf-8"), dtype=np.uint8).astype(np.uint64)
-        n = len(data)
-        if n == 0:
-            out[i] = 0
-            continue
-        pows = _fp_powers(n)[:n][::-1]
-        out[i] = np.sum((data + np.uint64(1)) * pows, dtype=np.uint64)
+    ``h = Σ (b_i + 1) * K^(n-1-i) mod 2^64``.  ONE flat-buffer pass
+    over the whole batch (no per-string Python): the strings' UTF-8
+    bytes are read straight from the Arrow large_string buffers
+    (offsets + data), per-byte exponents come from one repeat/arange
+    pass, and per-string sums are a single ``np.add.reduceat`` —
+    deterministic across runs/platforms and bit-identical to the
+    per-string definition.  Accepts a pandas Series or an Arrow
+    (Chunked)Array (zero-copy from a pyarrow batch column).  Content
+    hash for exact dedup, shard-stable sampling, doc-identity
+    lineage."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if isinstance(texts, (pa.Array, pa.ChunkedArray)):
+        arr = pc.fill_null(texts, "").cast(pa.large_string())
+    else:
+        arr = pa.array(texts.fillna(""), type=pa.large_string())
+    arr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+    m = len(arr)
+    out = np.zeros(m, dtype=np.uint64)
+    if m == 0:
+        return out.view(np.int64)
+    offs = np.frombuffer(arr.buffers()[1], np.int64,
+                         count=m + 1, offset=8 * arr.offset)
+    lens = np.diff(offs)
+    total = int(offs[-1] - offs[0])
+    if total == 0:
+        return out.view(np.int64)
+    data = np.frombuffer(arr.buffers()[2], np.uint8,
+                         count=total, offset=int(offs[0]))
+    starts = (offs[:-1] - offs[0]).astype(np.int64)
+    pos = np.arange(total, dtype=np.int64) - np.repeat(starts, lens)
+    exp = np.repeat(lens - 1, lens) - pos
+    pows = _fp_powers(int(lens.max()))
+    with np.errstate(over="ignore"):
+        terms = (data.astype(np.uint64) + np.uint64(1)) * pows[exp]
+    nz = lens > 0
+    out[nz] = np.add.reduceat(terms, starts[nz])
     return out.view(np.int64)
 
 

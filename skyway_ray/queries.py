@@ -209,17 +209,16 @@ def q_dedup_docs(sf_dir: str):
     text payload shouldn't shuffle, ``stages.dedup.exact_dedup_bloom``
     (the ``bloom_dedup`` query) sizes cost by the duplicate rate
     instead."""
-    import zlib
-
+    from .functions.text import fingerprint64
     from .stages.scan import keyed_scan
 
     def add_h(b: pa.Table) -> pa.Table:
-        h = np.fromiter(
-            ((zlib.crc32(t.encode()) << 32)
-             | zlib.crc32(t.encode(), 0xA5A5A5A5)
-             for t in b["text"].to_pylist()),
-            dtype=np.uint64, count=len(b))
-        return b.append_column("_h", pa.array(h.view(np.int64), pa.int64()))
+        # flat-buffer polynomial hash straight off the Arrow string
+        # buffers — no per-row Python; any deterministic text hash
+        # works here (the key only co-locates equal texts; run
+        # detection compares the exact text)
+        h = fingerprint64(b["text"])
+        return b.append_column("_h", pa.array(h, pa.int64()))
 
     def first(d: pd.DataFrame) -> pd.DataFrame:
         mask = ~d.duplicated(subset=["text"]).to_numpy()
@@ -6763,16 +6762,23 @@ def q_dbscan(sf_dir: str):
     ids over the core–core edge graph; an isolated core (no core
     neighbor) forms its own singleton cluster.
 
-    Everything is ids-only after the PBSM radius self-join: degrees
-    and the per-border min ride coarse hash-bucket exchanges, core
-    flags and comps attach through copart hash joins, and the
-    core–core components run on the distributed CC stage — points are
-    never broadcast and nothing all-pairs."""
+    Everything is ids-only after the PBSM radius self-join, and the
+    plan has exactly TWO pipeline breaks: the edge set (reused for
+    sizing and both flag passes) and the flagged edge set.  Degrees
+    never exist as a separate dataset — edges carry both directions,
+    so a bucket keyed on one endpoint holds ALL of that endpoint's
+    edges and its degree is a bucket-LOCAL count; two chained
+    exchanges therefore attach both endpoint core flags.  Core-core
+    edges feed the distributed CC stage, border minima ride one more
+    exchange, and the final role/comp labels attach to the id stream
+    through a single copart left join of the disjoint core ∪ border
+    label union — points are never broadcast and nothing all-pairs."""
     import pyarrow.compute as pc
 
     from .stages.cc import connected_components
+    from .stages.graph import edge_state_messages
     from .stages.joins import copart_hash_join
-    from .stages.scan import hash_bucket_scan
+    from .stages.scan import auto_n_buckets, hash_bucket_scan
     from .stages.spatial_join import point_radius_join
 
     def pts(b: pa.Table) -> pa.Table:
@@ -6791,34 +6797,43 @@ def q_dbscan(sf_dir: str):
         lambda t: t.filter(pc.invert(pc.equal(t["u"], t["v"]))),
         batch_format="pyarrow").materialize()
     n_edges = edges.count()
+    nb = auto_n_buckets(n_edges)
 
-    # degree per node (edges carry both directions)
-    deg = hash_bucket_scan(
-        edges, ["u"],
-        lambda t: t.group_by(["u"]).aggregate([("v", "count")])
-                   .rename_columns(["u", "deg"]),
-        n_rows=n_edges)
-    core = deg.map_batches(
-        lambda t: t.filter(pc.greater_equal(
-            t["deg"], _DBSCAN_MINPTS - 1)).select(["u"])
-            .rename_columns(["cid"]),
-        batch_format="pyarrow").materialize()
+    def _deg_flag(key: str):
+        """Bucket fn keyed on ``key``: per-key row count IS the
+        degree (edges carry both directions), so the core flag needs
+        no degree dataset or extra exchange."""
+        def fn(t: pa.Table) -> pa.Table:
+            k = t[key].to_numpy(zero_copy_only=False)
+            _, inv, cnt = np.unique(k, return_inverse=True,
+                                    return_counts=True)
+            flag = (cnt[inv] >= _DBSCAN_MINPTS - 1).astype(np.int64)
+            return t.append_column(key + "core", pa.array(flag))
+        return fn
 
-    # edges whose DEST is core (border candidates + core-core input)
-    e_vc = copart_hash_join(
-        edges, core.map_batches(
-            lambda t: t.rename_columns(["cid_v"]),
-            batch_format="pyarrow"),
-        left_on="v", right_on="cid_v").materialize()
-    cc_edges = copart_hash_join(
-        e_vc, core.map_batches(
-            lambda t: t.rename_columns(["cid_u"]),
-            batch_format="pyarrow"),
-        left_on="u", right_on="cid_u")
+    def _border_min_labels(t: pa.Table) -> pa.Table:
+        # core/border lid sets are disjoint and every row of a lid
+        # shares its lrole, so (min lcomp, max lrole) folds border
+        # candidates while passing core labels through unchanged
+        return (t.group_by(["lid"])
+                .aggregate([("lcomp", "min"), ("lrole", "max")])
+                .rename_columns(["lid", "lcomp", "lrole"]))
 
-    stars = connected_components(cc_edges.map_batches(
-        lambda t: t.select(["u", "v"])
-                   .rename_columns(["doc_a", "doc_b"]),
+    def flag_v_keep_core(t: pa.Table) -> pa.Table:
+        t2 = _deg_flag("v")(t)
+        return (t2.filter(pc.equal(t2["vcore"], 1))
+                .drop_columns(["vcore"]))
+
+    # two chained exchanges: ucore keyed by u, then vcore keyed by v;
+    # only v-core rows survive (they are all CC input or border input)
+    evc = hash_bucket_scan(
+        hash_bucket_scan(edges, ["u"], _deg_flag("u"), n_buckets=nb),
+        ["v"], flag_v_keep_core, n_buckets=nb).materialize()
+
+    stars = connected_components(evc.map_batches(
+        lambda t: t.filter(pc.equal(t["ucore"], 1))
+                   .select(["u", "v"]).rename_columns(
+                       ["doc_a", "doc_b"]),
         batch_format="pyarrow"))
 
     def member_rows(t: pa.Table) -> pa.Table:
@@ -6828,67 +6843,59 @@ def q_dbscan(sf_dir: str):
             "node": pa.array(np.concatenate([m, c]), pa.int64()),
             "comp": pa.array(np.concatenate([c, c]), pa.int64())})
 
+    # lazy, consumed ONCE: the (core node → cluster id) state for the
+    # single label exchange below; stars is already materialized
+    # inside connected_components
     comp_core = hash_bucket_scan(
         stars.map_batches(member_rows, batch_format="pyarrow"), ["node"],
         lambda t: t.group_by(["node"]).aggregate([("comp", "min")])
                    .rename_columns(["node", "comp"]),
-        n_rows=n_edges).materialize()
+        n_rows=n_edges)
 
-    # every core's cluster id (isolated cores → their own id)
-    core_comp = copart_hash_join(
-        core, comp_core, left_on="cid", right_on="node", how="left")
+    # ONE co-partition exchange of the flagged edges (keyed on the
+    # core endpoint v) with the cluster-id state emits BOTH label
+    # kinds bucket-locally: every distinct v is a core label
+    # (lrole 2, comp = coalesce(state[v], v) — an isolated core is
+    # its own singleton cluster) and every non-core-u row is a border
+    # candidate (lrole 1, the same v cluster); a lid-keyed group then
+    # folds border candidates to their min while core labels pass
+    # through (the sets are disjoint — a border u is never core)
+    def emit_labels(ek, pays, lookup):
+        cv, found = lookup(ek)
+        vcomp = np.where(found, cv, ek)
+        uniq, first = np.unique(ek, return_index=True)
+        border = pays["ucore"] == 0
+        return pa.table({
+            "lid": pa.array(np.concatenate(
+                [uniq, pays["u"][border]]), pa.int64()),
+            "lcomp": pa.array(np.concatenate(
+                [vcomp[first], vcomp[border]]), pa.int64()),
+            "lrole": pa.array(np.concatenate(
+                [np.full(len(uniq), 2, np.int64),
+                 np.ones(int(border.sum()), np.int64)]), pa.int64())})
 
-    def fill_core(t: pa.Table) -> pa.Table:
-        cid = t["cid"].cast(pa.int64()).combine_chunks()
-        comp = pc.coalesce(t["comp"].cast(pa.int64()), cid)
-        return pa.table({"cid": cid, "ccomp": comp,
-                         "ccore": pa.array(
-                             np.ones(t.num_rows, np.int64))})
+    labels = hash_bucket_scan(
+        edge_state_messages(
+            evc, comp_core.map_batches(
+                lambda t: t.rename_columns(["node", "val"]),
+                batch_format="pyarrow"),
+            "v", ["u", "ucore"], emit_labels, n_rows=n_edges),
+        ["lid"], _border_min_labels, n_rows=n_edges)
 
-    core_comp = core_comp.map_batches(
-        fill_core, batch_format="pyarrow").materialize()
-
-    # border candidates: min cluster id among CORE neighbors, per point
-    bc_in = copart_hash_join(
-        e_vc, core_comp.map_batches(
-            lambda t: t.select(["cid", "ccomp"])
-                       .rename_columns(["vnode", "vcomp"]),
-            batch_format="pyarrow"),
-        left_on="v", right_on="vnode")
-    bc = hash_bucket_scan(
-        bc_in.map_batches(
-            lambda t: t.select(["u", "vcomp"])
-                       .rename_columns(["bid", "bcomp"]),
-            batch_format="pyarrow"),
-        ["bid"],
-        lambda t: t.group_by(["bid"]).aggregate([("bcomp", "min")])
-                   .rename_columns(["bid", "bcomp"]),
-        n_rows=n_edges).materialize()
-
+    # one copart left join of the id stream against the labels
     ids = _read(sf_dir, "events", ["event_id"]).map_batches(
         lambda t: t.rename_columns(["id"]), batch_format="pyarrow")
-    j1 = copart_hash_join(ids, core_comp, left_on="id",
-                          right_on="cid", how="left")
-    j2 = copart_hash_join(j1, bc, left_on="id", right_on="bid",
-                          how="left")
+    joined = copart_hash_join(ids, labels, left_on="id",
+                              right_on="lid", how="left")
 
     def assemble(t: pa.Table) -> pa.Table:
-        iscore = pc.is_valid(t["ccore"].combine_chunks()).to_numpy(
-            zero_copy_only=False)
-        ccomp = pc.fill_null(t["ccomp"].cast(pa.int64()), -1).to_numpy(
-            zero_copy_only=False).astype(np.int64)
-        hasb = pc.is_valid(t["bcomp"].combine_chunks()).to_numpy(
-            zero_copy_only=False)
-        bcomp = pc.fill_null(t["bcomp"].cast(pa.int64()), -1).to_numpy(
-            zero_copy_only=False).astype(np.int64)
-        role = np.where(iscore, 2, np.where(hasb, 1, 0)).astype(np.int64)
-        comp = np.where(iscore, ccomp,
-                        np.where(hasb, bcomp, -1)).astype(np.int64)
+        role = pc.fill_null(t["lrole"].cast(pa.int64()), 0)
+        comp = pc.fill_null(t["lcomp"].cast(pa.int64()), -1)
         return pa.table({"id": t["id"].cast(pa.int64()),
-                         "role": pa.array(role),
-                         "comp": pa.array(comp)})
+                         "role": role.combine_chunks(),
+                         "comp": comp.combine_chunks()})
 
-    return j2.map_batches(assemble, batch_format="pyarrow")
+    return joined.map_batches(assemble, batch_format="pyarrow")
 
 
 def q_dbscan_sql() -> str:
@@ -7620,13 +7627,20 @@ def q_colocation(sf_dir: str):
     """Spatial co-location mining: counts of unordered event-TYPE
     pairs whose instances fall within ε = 1° of each other (the
     classic co-location pattern-count).  The PBSM radius self-join
-    emits id pairs only; event types attach through two copart hash
-    joins (one coarse exchange each, no broadcast of the big side);
-    the bounded type-pair space merges on the combiner tree."""
+    emits id pairs only; event types attach as INT codes through two
+    chained vertex-state exchanges (stages/graph: the pair stream
+    keyed by u picks up u's type code bucket-locally and re-keys
+    itself by v, where v's code attaches and the bounded (code,
+    code) partial counts are emitted in-bucket) — half the exchange
+    volume of the former two copart string joins, and only bounded
+    partials leave the second exchange.  Codes are vocabulary-rank
+    ints (the type space is bounded), so canonical min/max on codes
+    equals the string ordering; the bounded type-pair space merges on
+    the combiner tree and decodes at the end."""
     import pyarrow.compute as pc
 
     from .stages.agg_tree import tree_aggregate_to_table
-    from .stages.joins import copart_hash_join
+    from .stages.graph import edge_state_messages
     from .stages.spatial_join import point_radius_join
 
     def pts(b: pa.Table) -> pa.Table:
@@ -7643,41 +7657,56 @@ def q_colocation(sf_dir: str):
                               out_a="u", out_b="v").map_batches(
         lambda t: t.filter(pc.less(t["u"], t["v"])),
         batch_format="pyarrow").materialize()  # ids only; counted
-    # below so the two joins size buckets without re-running the PBSM
+    # below so the exchanges size buckets without re-running the PBSM
     n_p = pairs.count()
+    n = _nrows(sf_dir, "events")
 
-    types = _read(sf_dir, "events", ["event_id", "event_type"])
-    tu = types.map_batches(
-        lambda t: t.rename_columns(["eu", "tu"]), batch_format="pyarrow")
-    tv = types.map_batches(
-        lambda t: t.rename_columns(["ev", "tv"]), batch_format="pyarrow")
-    j = copart_hash_join(pairs, tu, left_on="u", right_on="eu",
-                         n_rows=n_p).materialize()
-    j = copart_hash_join(j, tv, left_on="v", right_on="ev",
-                         n_rows=n_p)
+    # bounded vocabulary (per-block distinct partials, driver-merged),
+    # sorted so code order == string order
+    vt = _read(sf_dir, "events", ["event_type"]).map_batches(
+        lambda t: pa.table({"event_type": pc.unique(
+            t["event_type"].combine_chunks())}),
+        batch_format="pyarrow").to_pandas()
+    vocab = np.sort(vt["event_type"].unique().astype("U"))
 
-    _typed_schema = pa.schema([("type_a", pa.string()),
-                               ("type_b", pa.string()),
-                               ("n_pairs", pa.int64())])
+    def to_codes(t: pa.Table) -> pa.Table:
+        ty = t["event_type"].to_numpy(zero_copy_only=False).astype("U")
+        return pa.table({
+            "node": t["event_id"].combine_chunks().cast(pa.int64()),
+            "val": pa.array(np.searchsorted(vocab, ty), pa.int64())})
 
-    def typed(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0:  # Ray passes zero-COLUMN empty blocks
-            # through UDF chains — rebuild the schema explicitly
-            return _typed_schema.empty_table()
-        a_ = t["tu"].to_numpy(zero_copy_only=False).astype("U")
-        b_ = t["tv"].to_numpy(zero_copy_only=False).astype("U")
-        lo = a_ <= b_
+    tstate = _read(sf_dir, "events",
+                   ["event_id", "event_type"]).map_batches(
+        to_codes, batch_format="pyarrow")
+
+    def attach_u(ek, pays, lookup):
+        tu, _ = lookup(ek, default=0)
+        return pa.table({"v": pa.array(pays["v"], pa.int64()),
+                         "tu": pa.array(tu, pa.int64())})
+
+    def attach_v_count(ek, pays, lookup):
+        tv, _ = lookup(ek, default=0)
+        tu = pays["tu"]
         c = pa.table({
-            "type_a": pa.array(np.where(lo, a_, b_)),
-            "type_b": pa.array(np.where(lo, b_, a_)),
-            "n_pairs": pa.array(np.ones(t.num_rows, np.int64))})
-        return (c.group_by(["type_a", "type_b"])
-                 .aggregate([("n_pairs", "sum")])
-                 .rename_columns(["type_a", "type_b", "n_pairs"]))
+            "ca": pa.array(np.minimum(tu, tv), pa.int64()),
+            "cb": pa.array(np.maximum(tu, tv), pa.int64()),
+            "n_pairs": pa.array(np.ones(len(tu), np.int64))})
+        return (c.group_by(["ca", "cb"])
+                .aggregate([("n_pairs", "sum")])
+                .rename_columns(["ca", "cb", "n_pairs"]))
 
-    return tree_aggregate_to_table(
-        j.map_batches(typed, batch_format="pyarrow"),
-        ["type_a", "type_b"], [("n_pairs", "sum")])
+    part = edge_state_messages(
+        edge_state_messages(pairs, tstate, "u", ["v"], attach_u,
+                            n_rows=n_p + n),
+        tstate, "v", ["tu"], attach_v_count, n_rows=n_p + n)
+    agg = tree_aggregate_to_table(
+        part, ["ca", "cb"], [("n_pairs", "sum")])
+    return pa.table({
+        "type_a": pa.array(
+            vocab[agg["ca"].to_numpy(zero_copy_only=False)]),
+        "type_b": pa.array(
+            vocab[agg["cb"].to_numpy(zero_copy_only=False)]),
+        "n_pairs": agg["n_pairs"]})
 
 
 def q_colocation_sql() -> str:
