@@ -5462,27 +5462,12 @@ def q_unigram_logprob(sf_dir: str):
     distributed per-doc sums are exact), broadcast the vocabulary
     table, and score every document in one streaming pass.  The
     driver-side vocabulary collect is vocabulary-bounded (swap for a
-    token-key hash-exchange join when the vocab stops fitting)."""
+    token-key hash-exchange join when the vocab stops fitting).  The
+    wordcount pass is the session-cached one shared with
+    q_pmi_bigrams / q_bigram_ppl."""
     import ray
 
-    from .stages.scan import hash_bucket_scan
-
-    def count_batch(b: pd.DataFrame) -> pd.DataFrame:
-        toks = b["text"].str.lower().str.findall(r"[a-z0-9]+")
-        flat = np.concatenate([np.asarray(t, dtype=object)
-                               for t in toks if len(t)] or
-                              [np.array([], dtype=object)])
-        uniq, counts = np.unique(flat, return_counts=True)
-        return pd.DataFrame({"tok": uniq.astype(str),
-                             "n": counts.astype(np.int64)})
-
-    partials = _read(sf_dir, "documents", ["text"]).map_batches(
-        count_batch, batch_format="pandas")
-    vocab = hash_bucket_scan(
-        partials, ["tok"],
-        lambda t: t.group_by(["tok"]).aggregate([("n", "sum")])
-        .rename_columns(["tok", "n"]),
-        n_rows=_nrows(sf_dir, "documents")).to_pandas()
+    vocab = _corpus_unigram_counts(sf_dir).to_pandas()
     total = float(vocab["n"].sum())
     lp6 = np.floor((np.log(vocab["n"].to_numpy().astype(np.float64))
                     - np.log(total)) * 1e6 + 0.5).astype(np.int64)
@@ -8564,31 +8549,10 @@ def q_pmi_bigrams(sf_dir: str):
     from .stages.topk import top_k
 
     n_docs = _nrows(sf_dir, "documents")
-
-    def bigram_counts(b: pd.DataFrame) -> pd.DataFrame:
-        flat, offs = _batch_token_runs(b["text"])
-        x, y, cnt = _bigram_pair_counts(flat, offs)
-        return pd.DataFrame({"x": x.astype(str), "y": y.astype(str),
-                             "cnt": cnt})
-
-    def unigram_counts(b: pd.DataFrame) -> pd.DataFrame:
-        return _unigram_count_df(b["text"])
-
-    docs = _read(sf_dir, "documents", ["text"])
-    bg = hash_bucket_scan(
-        docs.map_batches(bigram_counts, batch_format="pandas"),
-        ["x", "y"],
-        lambda t: t.group_by(["x", "y"]).aggregate([("cnt", "sum")])
-        .rename_columns(["x", "y", "cnt"]),
-        n_rows=n_docs).materialize()
-    # materialized: BOTH attach passes consume it — lazy, the whole
-    # unigram pipeline (tokenize included) would re-execute per pass
-    uni = hash_bucket_scan(
-        docs.map_batches(unigram_counts, batch_format="pandas"),
-        ["tok"],
-        lambda t: t.group_by(["tok"]).aggregate([("n", "sum")])
-        .rename_columns(["tok", "n"]),
-        n_rows=n_docs).materialize()
+    # session-cached corpus count passes shared with q_bigram_ppl /
+    # q_unigram_logprob (each is one tokenize + one exchange)
+    bg = _corpus_bigram_counts(sf_dir)
+    uni = _corpus_unigram_counts(sf_dir)
     n_total = int(bg.sum("cnt"))
 
     import pyarrow.compute as pc
@@ -10079,6 +10043,65 @@ def _copart_lookup(rows, lut, key_col: str, out_col: str, n_rows: int):
         ["_jk"], join, n_rows=n_rows)
 
 
+_LM_COUNTS_CACHE: dict[str, object] = {}
+
+
+def _corpus_unigram_counts(sf_dir: str):
+    """Materialized (tok, n) corpus unigram-count Dataset — ONE
+    tokenize pass + one token hash exchange, cached per sf_dir for
+    the session.  q_unigram_logprob, q_pmi_bigrams and q_bigram_ppl
+    all need exactly this pass; the first caller builds it and the
+    rest reuse (fixture dirs are immutable; one sf_dir retained so
+    the object-store footprint stays one vocabulary table)."""
+    key = ("uni", sf_dir)
+    if key in _LM_COUNTS_CACHE:
+        return _LM_COUNTS_CACHE[key]
+    from .stages.scan import hash_bucket_scan
+
+    uni = hash_bucket_scan(
+        _read(sf_dir, "documents", ["text"]).map_batches(
+            lambda b: _unigram_count_df(b["text"]),
+            batch_format="pandas"),
+        ["tok"],
+        lambda t: t.group_by(["tok"]).aggregate([("n", "sum")])
+        .rename_columns(["tok", "n"]),
+        n_rows=_nrows(sf_dir, "documents")).materialize()
+    for k in [k for k in _LM_COUNTS_CACHE if k[0] == "uni"]:
+        del _LM_COUNTS_CACHE[k]
+    _LM_COUNTS_CACHE[key] = uni
+    return uni
+
+
+def _corpus_bigram_counts(sf_dir: str):
+    """Materialized (x, y, cnt) corpus adjacent-bigram-count Dataset —
+    one tokenize + int-coded pair-count pass and one pair hash
+    exchange, cached per sf_dir like :func:`_corpus_unigram_counts`
+    (shared by q_pmi_bigrams and q_bigram_ppl, which previously each
+    ran their own pass)."""
+    key = ("bg", sf_dir)
+    if key in _LM_COUNTS_CACHE:
+        return _LM_COUNTS_CACHE[key]
+    from .stages.scan import hash_bucket_scan
+
+    def bigram_counts(b: pd.DataFrame) -> pd.DataFrame:
+        flat, offs = _batch_token_runs(b["text"])
+        x, y, cnt = _bigram_pair_counts(flat, offs)
+        return pd.DataFrame({"x": x.astype(str), "y": y.astype(str),
+                             "cnt": cnt})
+
+    bg = hash_bucket_scan(
+        _read(sf_dir, "documents", ["text"]).map_batches(
+            bigram_counts, batch_format="pandas"),
+        ["x", "y"],
+        lambda t: t.group_by(["x", "y"]).aggregate([("cnt", "sum")])
+        .rename_columns(["x", "y", "cnt"]),
+        n_rows=_nrows(sf_dir, "documents")).materialize()
+    for k in [k for k in _LM_COUNTS_CACHE if k[0] == "bg"]:
+        del _LM_COUNTS_CACHE[k]
+    _LM_COUNTS_CACHE[key] = bg
+    return bg
+
+
 def q_bigram_ppl(sf_dir: str):
     """Per-document corpus-LM log-likelihood (the perplexity quality
     filter every LLM data pipeline runs): an add-one-smoothed bigram
@@ -10099,13 +10122,8 @@ def q_bigram_ppl(sf_dir: str):
     import pyarrow.compute as pc
 
     from .stages.agg_tree import tree_aggregate_to_table
-    from .stages.scan import hash_bucket_scan
 
     n_docs = _nrows(sf_dir, "documents")
-
-    def unigram_counts(b: pd.DataFrame) -> pd.DataFrame:
-        return _unigram_count_df(b["text"])
-
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
 
     def doc_bigrams(b: pd.DataFrame) -> pd.DataFrame:
@@ -10141,13 +10159,13 @@ def q_bigram_ppl(sf_dir: str):
                .map_batches(key_bg, batch_format="pyarrow") \
                .materialize()
 
-    # semi-join pushdown BELOW the shuffle: only the scored docs'
-    # bigram keys need corpus counts, so the key set (bounded by the
-    # 200-doc readout) broadcasts once and filters every count
-    # partial BEFORE the exchange — the bigram shuffle shrinks from
-    # vocab² to the probe set.  The unigram pass still runs in full
-    # (V = |vocab| needs it), but only probe tokens enter the lookup
-    # exchange.
+    # semi-join pushdown on the CACHED corpus counts: only the scored
+    # docs' bigram keys need corpus counts, so the key set (bounded by
+    # the 200-doc readout) broadcasts once and filters the already-
+    # combined distinct pair table — the lookup exchange carries only
+    # probe-set keys, and no second tokenize pass runs at all (the
+    # count passes are the session-cached ones shared with
+    # q_pmi_bigrams / q_unigram_logprob).
     import ray
 
     keys_tab = rows.select_columns(["_bg"]).to_pandas()
@@ -10156,35 +10174,13 @@ def q_bigram_ppl(sf_dir: str):
     bg_ref = ray.put(bg_keys)
     x_ref = ray.put(x_keys)
 
-    def probe_bigram_counts(b: pd.DataFrame,
-                            *, _bg=bg_ref) -> pd.DataFrame:
-        # int-coded pair counting first (the batch reduces to ≤ V²
-        # distinct pairs), then the probe filter runs on that tiny
-        # distinct set — both sides of the exchange stay bounded
-        flat, offs = _batch_token_runs(b["text"])
-        x, y, cnt = _bigram_pair_counts(flat, offs)
-        if not len(x):
-            return pd.DataFrame({"x": np.array([], object),
-                                 "y": np.array([], object),
-                                 "cnt": np.array([], np.int64)})
-        key = pd.Series(x) + " " + pd.Series(y)
-        m = key.isin(ray.get(_bg)).to_numpy()
-        return pd.DataFrame({"x": x[m].astype(str),
-                             "y": y[m].astype(str),
-                             "cnt": cnt[m]})
+    def probe_filter(b: pd.DataFrame, *, _bg=bg_ref) -> pd.DataFrame:
+        m = (b["x"] + " " + b["y"]).isin(ray.get(_bg)).to_numpy()
+        return b[m]
 
-    cb = hash_bucket_scan(
-        docs.map_batches(probe_bigram_counts, batch_format="pandas"),
-        ["x", "y"],
-        lambda t: t.group_by(["x", "y"]).aggregate([("cnt", "sum")])
-        .rename_columns(["x", "y", "cnt"]),
-        n_rows=n_docs)
-    cu = hash_bucket_scan(
-        docs.map_batches(unigram_counts, batch_format="pandas"),
-        ["tok"],
-        lambda t: t.group_by(["tok"]).aggregate([("n", "sum")])
-        .rename_columns(["tok", "n"]),
-        n_rows=n_docs).materialize()
+    cb = _corpus_bigram_counts(sf_dir).map_batches(
+        probe_filter, batch_format="pandas")
+    cu = _corpus_unigram_counts(sf_dir)
     vocab_v = cu.count()
 
     def filt_cu(d: pd.DataFrame, *, _r=x_ref) -> pd.DataFrame:
