@@ -8429,11 +8429,15 @@ def q_traj_intersections(sf_dir: str):
 
 def q_traj_intersections_sql() -> str:
     # side A (even ids) keys on event_id; side B (odd) on
-    # event_id·1000003 — HUGEINT so the derive-multiplier products
-    # stay exact (the engine's int64 wrap is exact mod 2^32 too)
+    # event_id·1000003 — the CAST to HUGEINT happens BEFORE the
+    # multiply so the product itself is exact at any event_id (a
+    # BIGINT multiply would raise past ~9.2e12 while the engine's
+    # int64 wrap proceeds; the downstream latlon derive only uses
+    # the value mod 2^32, which both sides then agree on)
     lat, lon = latlon_sql(
-        "CAST(CASE WHEN event_id % 2 = 1 THEN event_id * 1000003 "
-        "ELSE event_id END AS HUGEINT)")
+        "CASE WHEN event_id % 2 = 1 THEN "
+        "CAST(event_id AS HUGEINT) * 1000003 "
+        "ELSE CAST(event_id AS HUGEINT) END")
     return (
         "WITH e AS (SELECT event_id, "
         f"CAST({lat} AS DOUBLE) AS lat, CAST({lon} AS DOUBLE) AS lon, "
@@ -8637,6 +8641,30 @@ def q_pmi_bigrams_sql() -> str:
     )
 
 
+def _grid_cell_counts(sf_dir: str) -> pd.DataFrame:
+    """Per-5°-cell event counts (cx, cy, x) on the bounded combiner
+    tree (≤ 72×24 cells) — the ONE copy of the counting pass shared
+    by q_morans_i / q_getis_ord / q_density_gradient (previously
+    triplicated; a grid tweak could silently desynchronize the
+    family)."""
+    from .stages.agg_tree import tree_aggregate_to_table
+
+    def partial(b: pa.Table) -> pa.Table:
+        lat, lon = derive_latlon(b["event_id"].to_numpy(
+            zero_copy_only=False))
+        cx = np.floor((lon + 180.0) / 5.0).astype(np.int64)
+        cy = np.floor((lat + 60.0) / 5.0).astype(np.int64)
+        t = pa.table({"cx": pa.array(cx), "cy": pa.array(cy),
+                      "x": pa.array(np.ones(len(cx), np.int64))})
+        return (t.group_by(["cx", "cy"]).aggregate([("x", "sum")])
+                .rename_columns(["cx", "cy", "x"]))
+
+    return tree_aggregate_to_table(
+        _read(sf_dir, "events", ["event_id"]).map_batches(
+            partial, batch_format="pyarrow"),
+        ["cx", "cy"], [("x", "sum")]).to_pandas()
+
+
 def q_morans_i(sf_dir: str):
     """Global Moran's I spatial autocorrelation of event density over
     a 5° grid with queen (8-neighbour) contiguity — THE classic
@@ -8651,22 +8679,7 @@ def q_morans_i(sf_dir: str):
     DOUBLE on the oracle side, int → float here — both correctly
     rounded).  W counts ordered neighbour pairs among OCCUPIED cells
     (the empirical contiguity matrix)."""
-    from .stages.agg_tree import tree_aggregate_to_table
-
-    def partial(b: pa.Table) -> pa.Table:
-        lat, lon = derive_latlon(b["event_id"].to_numpy(
-            zero_copy_only=False))
-        cx = np.floor((lon + 180.0) / 5.0).astype(np.int64)
-        cy = np.floor((lat + 60.0) / 5.0).astype(np.int64)
-        t = pa.table({"cx": pa.array(cx), "cy": pa.array(cy),
-                      "x": pa.array(np.ones(len(cx), np.int64))})
-        return (t.group_by(["cx", "cy"]).aggregate([("x", "sum")])
-                .rename_columns(["cx", "cy", "x"]))
-
-    m = tree_aggregate_to_table(
-        _read(sf_dir, "events", ["event_id"]).map_batches(
-            partial, batch_format="pyarrow"),
-        ["cx", "cy"], [("x", "sum")]).to_pandas()
+    m = _grid_cell_counts(sf_dir)
     n_cells = len(m)
     s_tot = int(m["x"].sum())
     z = {(int(r.cx), int(r.cy)): n_cells * int(r.x) - s_tot
@@ -8719,6 +8732,12 @@ def q_morans_i_sql() -> str:
     )
 
 
+# IDW inner cutoff: d² ≥ 10^6 micro² (0.001°).  Bounds the pinned
+# 1/d² and v/d² terms within int64 for any point placement — applied
+# identically in the engine and the oracle SQL.
+_IDW_MIN_D2 = 1_000_000
+
+
 def q_idw_surface(sf_dir: str):
     """Inverse-distance-weighted interpolation of event values onto a
     coarse 48-probe grid (the raster-surface estimation kernel:
@@ -8728,14 +8747,21 @@ def q_idw_surface(sf_dir: str):
     units, and both the value term v/d² and the weight 1/d² are fixed
     double sequences pinned to ints PER PAIR, so the distributed sums
     are exact integer adds in any order; the final estimate is one
-    pinned division of the two sums.  Pairs beyond the 15° radius (or
-    at d²=0) drop out.  At 100 TB nothing changes: probes stay
-    broadcast, partials stay (48 × n_blocks) rows on the combiner
-    tree."""
+    pinned division of the two sums.  Pairs beyond the 15° radius
+    drop out, as do pairs INSIDE 0.001° (d² < 10^6 micro²): the inner
+    cutoff bounds 1/d² so both pinned terms fit int64 at any point
+    placement — without it a point within ~3e-5° of a probe would
+    wrap numpy's float→int64 astype while the oracle's CAST raises,
+    failing the two sides differently.  At 100 TB nothing changes:
+    probes stay broadcast, partials stay (48 × n_blocks) rows on the
+    combiner tree."""
     from .stages.agg_tree import tree_aggregate_to_table
 
     pxs = np.array([-165 + 30 * k for k in range(12)], np.int64) * 1_000_000
     pys = np.array([-45 + 30 * j for j in range(4)], np.int64) * 1_000_000
+    # probes are at whole degrees and fixture points never land on
+    # one, so the inner cutoff excludes no fixture pair — it exists
+    # to bound 1/d² (see docstring)
     pxm = np.repeat(pxs, len(pys))
     pym = np.tile(pys, len(pxs))
     r2 = (15 * 1_000_000) ** 2
@@ -8750,7 +8776,7 @@ def q_idw_surface(sf_dir: str):
         dx = xm[:, None] - pxm[None, :]
         dy = ym[:, None] - pym[None, :]
         d2 = dx * dx + dy * dy
-        ok = (d2 > 0) & (d2 < r2)
+        ok = (d2 >= _IDW_MIN_D2) & (d2 < r2)
         ev, pr = np.nonzero(ok)
         d2deg = d2[ev, pr].astype(np.float64) / 1e12
         vterm = np.floor(v[ev].astype(np.float64) / d2deg
@@ -8797,7 +8823,7 @@ def q_idw_surface_sql() -> str:
         "* 1e6 + 0.5) AS BIGINT) AS vterm, "
         "CAST(floor(1.0 / (CAST(d2 AS DOUBLE) / 1e12) * 1e6 + 0.5) "
         "AS BIGINT) AS wterm FROM pairs "
-        f"WHERE d2 > 0 AND d2 < {(15 * 1_000_000) ** 2}), "
+        f"WHERE d2 >= {_IDW_MIN_D2} AND d2 < {(15 * 1_000_000) ** 2}), "
         "g AS (SELECT pxm, pym, CAST(count(*) AS BIGINT) AS n_pts, "
         "CAST(sum(vterm) AS BIGINT) AS sv, "
         "CAST(sum(wterm) AS BIGINT) AS sw FROM t GROUP BY 1, 2) "
@@ -8962,11 +8988,11 @@ def q_benford_sql() -> str:
     return (
         "WITH p AS (SELECT CAST(floor(value * 100.0 + 0.5) AS BIGINT) "
         "AS c FROM events), "
-        "lead AS (SELECT CASE "
-        "WHEN c >= 100000 THEN c // 100000 WHEN c >= 10000 THEN "
-        "c // 10000 WHEN c >= 1000 THEN c // 1000 WHEN c >= 100 THEN "
-        "c // 100 WHEN c >= 10 THEN c // 10 ELSE c END AS d "
-        "FROM p WHERE c > 0), "
+        # magnitude-independent leading digit (the engine reduces any
+        # magnitude with a tens loop; a CASE capped at a fixed power
+        # would silently break digit parity past its bound)
+        "lead AS (SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) "
+        "AS BIGINT) AS d FROM p WHERE c > 0), "
         "g AS MATERIALIZED (SELECT d, CAST(count(*) AS BIGINT) AS o "
         "FROM lead GROUP BY 1), "
         "n AS (SELECT CAST(sum(o) AS DOUBLE) AS n FROM g) "
@@ -8988,22 +9014,7 @@ def q_density_gradient(sf_dir: str):
     int64.  One distributed counting pass; the bounded grid finalizes
     on the driver.  Output = the 10 steepest cells (mag² desc, cell
     asc)."""
-    from .stages.agg_tree import tree_aggregate_to_table
-
-    def partial(b: pa.Table) -> pa.Table:
-        lat, lon = derive_latlon(b["event_id"].to_numpy(
-            zero_copy_only=False))
-        cx = np.floor((lon + 180.0) / 5.0).astype(np.int64)
-        cy = np.floor((lat + 60.0) / 5.0).astype(np.int64)
-        t = pa.table({"cx": pa.array(cx), "cy": pa.array(cy),
-                      "x": pa.array(np.ones(len(cx), np.int64))})
-        return (t.group_by(["cx", "cy"]).aggregate([("x", "sum")])
-                .rename_columns(["cx", "cy", "x"]))
-
-    m = tree_aggregate_to_table(
-        _read(sf_dir, "events", ["event_id"]).map_batches(
-            partial, batch_format="pyarrow"),
-        ["cx", "cy"], [("x", "sum")]).to_pandas()
+    m = _grid_cell_counts(sf_dir)
     cells = {(int(r.cx), int(r.cy)): int(r.x) for r in m.itertuples()}
     rows = []
     for (cx, cy), x in cells.items():
@@ -9403,22 +9414,7 @@ def q_getis_ord(sf_dir: str):
     per-cell double sequence (two correctly-rounded sqrts) pinned to
     nano.  Output = the 15 hottest cells (gi desc, cell asc) — the
     standard hot-spot readout."""
-    from .stages.agg_tree import tree_aggregate_to_table
-
-    def partial(b: pa.Table) -> pa.Table:
-        lat, lon = derive_latlon(b["event_id"].to_numpy(
-            zero_copy_only=False))
-        cx = np.floor((lon + 180.0) / 5.0).astype(np.int64)
-        cy = np.floor((lat + 60.0) / 5.0).astype(np.int64)
-        t = pa.table({"cx": pa.array(cx), "cy": pa.array(cy),
-                      "x": pa.array(np.ones(len(cx), np.int64))})
-        return (t.group_by(["cx", "cy"]).aggregate([("x", "sum")])
-                .rename_columns(["cx", "cy", "x"]))
-
-    m = tree_aggregate_to_table(
-        _read(sf_dir, "events", ["event_id"]).map_batches(
-            partial, batch_format="pyarrow"),
-        ["cx", "cy"], [("x", "sum")]).to_pandas()
+    m = _grid_cell_counts(sf_dir)
     cells = {(int(r.cx), int(r.cy)): int(r.x) for r in m.itertuples()}
     n = len(cells)
     sx = sum(cells.values())
@@ -10325,7 +10321,14 @@ def q_otsu_checksum_sql() -> str:
         "(PARTITION BY i ORDER BY score DESC, l) AS rn FROM sc) "
         "SELECT 'img_' || lpad(CAST(i AS VARCHAR), 12, '0') "
         "AS image_id, l AS otsu_t, CAST(w0 AS BIGINT) AS lo_n, "
-        "CAST(s0 AS BIGINT) AS lo_sum FROM r WHERE rn = 1"
+        "CAST(s0 AS BIGINT) AS lo_sum FROM r WHERE rn = 1 "
+        # flat (single-luma) images have their only row dropped by the
+        # sc filter (w0 = n); mirror the engine's fallback row
+        # (t = the one value, lo_n = n, lo_sum = full mass) so a flat
+        # image cannot split row-count parity
+        "UNION ALL SELECT 'img_' || lpad(CAST(i AS VARCHAR), 12, '0'), "
+        "min(l), CAST(sum(c) AS BIGINT), CAST(sum(l * c) AS BIGINT) "
+        "FROM h GROUP BY i HAVING count(*) = 1"
     )
 
 
