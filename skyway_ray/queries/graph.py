@@ -1,0 +1,780 @@
+"""graph query family (split from the former single-file queries module)."""
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..geo.cells import cell_id, cell_sql
+from ..geo.tiles import tile_sql, tile_xy
+from ._common import (
+    _KCORE_K,
+    _KCORE_ROUNDS,
+    _SSSP_ROUNDS,
+    _kcore_node_sql,
+    _nrows,
+    _read,
+)
+
+
+
+
+def q_pagerank(sf_dir: str):
+    """3-iteration PageRank over the (user_id%1000 → event_id%1000)
+    interaction graph in exact micro-unit integer arithmetic
+    (stages/pagerank.py): one data-sized pass builds the weighted edge
+    table; each iteration is two hash-bucket co-partition exchanges
+    with the rank state as a (node, rank) Dataset — no broadcast, no
+    driver-held vector — bit-identical to the unrolled SQL."""
+    import ray.data
+
+    from ..stages.agg_tree import tree_aggregate
+    from ..stages.pagerank import pagerank_micro
+
+    def edge_partial(b: pa.Table) -> pa.Table:
+        t = pa.table({
+            "src": pa.array(
+                b["user_id"].to_numpy(zero_copy_only=False) % 1000),
+            "dst": pa.array(
+                b["event_id"].to_numpy(zero_copy_only=False) % 1000),
+            "w": pa.array(np.ones(b.num_rows, np.int64))})
+        g = t.group_by(["src", "dst"]).aggregate([("w", "sum")])
+        return g.rename_columns(["src", "dst", "w"])
+
+    ds = _read(sf_dir, "events", ["user_id", "event_id"])
+    edges = tree_aggregate(ds.map_batches(edge_partial,
+                                          batch_format="pyarrow"),
+                           ["src", "dst"], [("w", "sum")])
+    return pagerank_micro(edges, n_ids=1000, iters=3)
+
+
+def q_pagerank_sql() -> str:
+    step = (
+        "SELECT n.node, CAST(150000 + (850000 * COALESCE(s.c, 0)) "
+        "// 1000000 AS BIGINT) AS r FROM n LEFT JOIN ("
+        "SELECT e.dst AS node, sum(({prev}.r * e.w) // ow.outw) AS c "
+        "FROM e JOIN {prev} ON {prev}.node = e.src "
+        "JOIN ow ON ow.src = e.src GROUP BY 1) s ON s.node = n.node"
+    )
+    return (
+        "WITH e AS (SELECT user_id % 1000 AS src, event_id % 1000 AS dst, "
+        "count(*) AS w FROM events GROUP BY 1, 2), "
+        "ow AS (SELECT src, sum(w) AS outw FROM e GROUP BY 1), "
+        "n AS (SELECT DISTINCT node FROM "
+        "(SELECT src AS node FROM e UNION ALL SELECT dst FROM e)), "
+        "r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM n), "
+        f"r1 AS ({step.format(prev='r0')}), "
+        f"r2 AS ({step.format(prev='r1')}), "
+        f"r3 AS ({step.format(prev='r2')}) "
+        "SELECT node, r AS rank_micro FROM r3"
+    )
+
+
+def q_triangles(sf_dir: str):
+    """Distributed triangle counting on the derived 400-node graph
+    (u = user_id%400 — v = event_id%400 edges): the compact-forward /
+    MapReduce shape with DEGREE orientation — every undirected edge
+    points from its lower-(degree, id) endpoint, which bounds wedge
+    fan-out to O(√m) per node on skewed graphs (the id-oriented
+    variant explodes at hub nodes).  Stages: distinct edges via one
+    pair-key exchange; bounded degree table on the combiner tree →
+    tiny rank array broadcast; wedge generation co-partitioned on the
+    anchor (vectorized grouped pair-expansion over rank-sorted
+    out-neighbourhoods, no per-node loop); a final co-partition of
+    wedges ∪ oriented edges on the closing pair with a
+    sorted-membership probe.  Each triangle counts exactly once, at
+    its minimum-rank vertex; the oracle orders by the same
+    (degree, id) rank.  Reference-free addition."""
+    import ray.data
+
+    from ..stages.agg_tree import tree_aggregate, tree_aggregate_to_table
+    from ..stages.scan import hash_bucket_scan
+
+    V = 400
+    n_ev = _nrows(sf_dir, "events")
+
+    def prep(b: pa.Table) -> pa.Table:
+        x = b["user_id"].to_numpy(zero_copy_only=False) % V
+        y = b["event_id"].to_numpy(zero_copy_only=False) % V
+        keep = x != y
+        x, y = x[keep], y[keep]
+        return pa.table({"u": pa.array(np.minimum(x, y), pa.int64()),
+                         "v": pa.array(np.maximum(x, y), pa.int64())})
+
+    def distinct(t: pa.Table) -> pa.Table:
+        return t.group_by(["u", "v"]).aggregate([])
+
+    edges = hash_bucket_scan(
+        _read(sf_dir, "events", ["user_id", "event_id"]).map_batches(
+            prep, batch_format="pyarrow"),
+        ["u", "v"], distinct, n_rows=n_ev).materialize()
+
+    # (degree, id) rank per node: the degree table is bounded by V, so
+    # it rides the combiner tree and the rank array broadcasts as a
+    # tiny dense vector (closure-captured — 400 ints)
+    deg_tab = tree_aggregate_to_table(
+        edges.map_batches(
+            lambda t: pa.table({
+                "node": pa.array(np.concatenate(
+                    [t["u"].to_numpy(zero_copy_only=False),
+                     t["v"].to_numpy(zero_copy_only=False)]), pa.int64()),
+                "deg": pa.array(np.ones(2 * len(t), np.int64), pa.int64())}),
+            batch_format="pyarrow"),
+        ["node"], [("deg", "sum")])
+    deg_full = np.zeros(V, np.int64)
+    deg_full[deg_tab["node"].to_numpy(zero_copy_only=False)] = \
+        deg_tab["deg"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((np.arange(V, dtype=np.int64), deg_full))
+    rank = np.empty(V, np.int64)
+    rank[order] = np.arange(V, dtype=np.int64)
+
+    def orient(t: pa.Table) -> pa.Table:
+        u = t["u"].to_numpy(zero_copy_only=False)
+        v = t["v"].to_numpy(zero_copy_only=False)
+        lo_first = rank[u] < rank[v]
+        return pa.table({
+            "a": pa.array(np.where(lo_first, u, v), pa.int64()),
+            "b": pa.array(np.where(lo_first, v, u), pa.int64())})
+
+    oriented = edges.map_batches(orient, batch_format="pyarrow")
+
+    def wedges(t: pa.Table) -> pa.Table:
+        a = t["a"].to_numpy(zero_copy_only=False)
+        v = t["b"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((rank[v], a))   # out-neighbours rank-sorted
+        a, v = a[order], v[order]
+        new_a = np.ones(len(a), dtype=bool)
+        new_a[1:] = a[1:] != a[:-1]
+        sizes = np.diff(np.append(np.flatnonzero(new_a), len(a)))
+        # local index i within each a-segment pairs with the s-1-i
+        # following out-neighbours: (p, q) with rank(p) < rank(q)
+        loc = np.arange(len(a), dtype=np.int64) - np.repeat(
+            np.cumsum(sizes) - sizes, sizes)
+        rep = np.repeat(sizes, sizes) - 1 - loc
+        b_idx = np.repeat(np.arange(len(a), dtype=np.int64), rep)
+        ar = np.arange(int(rep.sum()), dtype=np.int64) - np.repeat(
+            np.cumsum(rep) - rep, rep)
+        c_idx = b_idx + ar + 1
+        return pa.table({"p": pa.array(v[b_idx], pa.int64()),
+                         "q": pa.array(v[c_idx], pa.int64()),
+                         "a": pa.array(a[b_idx], pa.int64())})
+
+    wedge_ds = hash_bucket_scan(oriented, ["a"], wedges,
+                                n_rows=edges.count())
+    edge_rows = oriented.map_batches(
+        lambda t: pa.table({"p": t["a"], "q": t["b"],
+                            "a": pa.array(np.full(len(t), -1, np.int64()),
+                                          pa.int64())}),
+        batch_format="pyarrow")
+
+    def close(t: pa.Table) -> pa.Table:
+        p = t["p"].to_numpy(zero_copy_only=False)
+        q = t["q"].to_numpy(zero_copy_only=False)
+        a = t["a"].to_numpy(zero_copy_only=False)
+        key = p * np.int64(V + 1) + q
+        is_edge = a < 0
+        ek = np.sort(key[is_edge])
+        wk, wa = key[~is_edge], a[~is_edge]
+        pos = np.searchsorted(ek, wk)
+        hit = (pos < len(ek))
+        hit[hit] = ek[pos[hit]] == wk[hit]
+        t2 = pa.table({"node": pa.array(wa[hit], pa.int64()),
+                       "tri": pa.array(np.ones(int(hit.sum()), np.int64))})
+        g = t2.group_by(["node"]).aggregate([("tri", "sum")])
+        return g.rename_columns(["node", "tri"])
+
+    unioned = wedge_ds.union(edge_rows)
+    partials = hash_bucket_scan(unioned, ["p", "q"], close,
+                                n_rows=n_ev)
+    return tree_aggregate(partials, ["node"], [("tri", "sum")])
+
+
+def q_triangles_sql() -> str:
+    return (
+        "WITH raw AS (SELECT user_id % 400 AS x, event_id % 400 AS y "
+        "FROM events), "
+        "e AS (SELECT DISTINCT least(x, y) AS u, greatest(x, y) AS v "
+        "FROM raw WHERE x <> y), "
+        "d AS (SELECT node, count(*) AS deg FROM "
+        "(SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e) "
+        "GROUP BY node), "
+        "o AS (SELECT CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg "
+        "AND e.u < e.v) THEN e.u ELSE e.v END AS a, "
+        "CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND e.u < e.v) "
+        "THEN e.v ELSE e.u END AS b "
+        "FROM e JOIN d du ON du.node = e.u JOIN d dv ON dv.node = e.v) "
+        "SELECT o1.a AS node, CAST(count(*) AS BIGINT) AS tri "
+        "FROM o o1 JOIN o o2 ON o2.a = o1.a "
+        "JOIN d d1 ON d1.node = o1.b JOIN d d2 ON d2.node = o2.b "
+        "JOIN o o3 ON o3.a = o1.b AND o3.b = o2.b "
+        "WHERE d1.deg < d2.deg OR (d1.deg = d2.deg AND o1.b < o2.b) "
+        "GROUP BY o1.a"
+    )
+
+
+def q_degree_hist(sf_dir: str):
+    """Degree distribution of the derived 400-node graph (the
+    q_triangles edge set): distinct id-oriented edges via one pair-key
+    hash exchange, per-node degrees and the degree histogram both on
+    the combiner tree (node space and degree range are bounded by the
+    400-node domain).  Exact ints throughout."""
+    from ..stages.agg_tree import tree_aggregate, tree_aggregate_to_table
+    from ..stages.scan import hash_bucket_scan
+
+    V = 400
+
+    def prep(b: pa.Table) -> pa.Table:
+        x = b["user_id"].to_numpy(zero_copy_only=False) % V
+        y = b["event_id"].to_numpy(zero_copy_only=False) % V
+        keep = x != y
+        x, y = x[keep], y[keep]
+        return pa.table({"u": pa.array(np.minimum(x, y), pa.int64()),
+                         "v": pa.array(np.maximum(x, y), pa.int64())})
+
+    edges = hash_bucket_scan(
+        _read(sf_dir, "events", ["user_id", "event_id"]).map_batches(
+            prep, batch_format="pyarrow"),
+        ["u", "v"], lambda t: t.group_by(["u", "v"]).aggregate([]),
+        n_rows=_nrows(sf_dir, "events"))
+
+    def endpoints(t: pa.Table) -> pa.Table:
+        u = t["u"].to_numpy(zero_copy_only=False)
+        v = t["v"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "node": pa.array(np.concatenate([u, v]), pa.int64()),
+            "deg": pa.array(np.ones(2 * len(t), np.int64), pa.int64())})
+
+    deg_tab = tree_aggregate_to_table(
+        edges.map_batches(endpoints, batch_format="pyarrow"),
+        ["node"], [("deg", "sum")])
+    deg = deg_tab["deg"].to_numpy(zero_copy_only=False)
+    uniq, counts = np.unique(deg, return_counts=True)
+    return pd.DataFrame({"deg": uniq.astype(np.int64),
+                         "n_nodes": counts.astype(np.int64)})
+
+
+def q_degree_hist_sql() -> str:
+    return (
+        "WITH raw AS (SELECT user_id % 400 AS x, event_id % 400 AS y "
+        "FROM events), "
+        "e AS (SELECT DISTINCT least(x, y) AS u, greatest(x, y) AS v "
+        "FROM raw WHERE x <> y), "
+        "d AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM "
+        "(SELECT u AS node FROM e UNION ALL SELECT v FROM e) "
+        "GROUP BY node) "
+        "SELECT deg, CAST(count(*) AS BIGINT) AS n_nodes "
+        "FROM d GROUP BY deg"
+    )
+
+
+def q_connected_components(sf_dir: str):
+    """Standalone hash-verified connected components (stages/cc.py
+    Hash-to-Min) over a derived forest-with-merges graph on event ids:
+    every non-multiple-of-64 node links to a hashed earlier node in its
+    64-block, and a hashed quarter of block bases link to the previous
+    base — components are bounded chains of blocks, so the DuckDB
+    recursive-CTE walk oracle stays linear.  Output: (node, comp) with
+    comp = min node id in the component, for every edge endpoint."""
+    from ..stages.cc import connected_components
+    from ..stages.scan import hash_bucket_scan
+
+    def mk_edges(b: pa.Table) -> pa.Table:
+        i = b["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        base = (i // 64) * 64
+        h1 = ((i * 2654435761 + 12345) % 4294967296) % 16
+        m1 = i % 64 != 0
+        u1, v1 = i[m1], np.maximum(base[m1], i[m1] - 1 - h1[m1])
+        h2 = ((i * 1103515245 + 54321) % 4294967296) % 4
+        m2 = (i % 64 == 0) & (i > 0) & (h2 == 0)
+        u2, v2 = i[m2], i[m2] - 64
+        return pa.table({
+            "doc_a": pa.array(np.concatenate([u1, u2]), pa.int64()),
+            "doc_b": pa.array(np.concatenate([v1, v2]), pa.int64())})
+
+    edges = _read(sf_dir, "events", ["event_id"]).map_batches(
+        mk_edges, batch_format="pyarrow")
+    stars = connected_components(edges)
+
+    def member_rows(b: pa.Table) -> pa.Table:
+        a = b["doc_a"].to_numpy(zero_copy_only=False)
+        m = b["doc_b"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "node": pa.array(np.concatenate([m, a]), pa.int64()),
+            "comp": pa.array(np.concatenate([a, a]), pa.int64())})
+
+    # centers repeat once per member — dedupe through one node-key
+    # exchange (star output is already component-sized, tiny)
+    return hash_bucket_scan(
+        stars.map_batches(member_rows, batch_format="pyarrow"), ["node"],
+        lambda t: t.group_by(["node"]).aggregate([("comp", "min")])
+                   .rename_columns(["node", "comp"]),
+        n_rows=2 * _nrows(sf_dir, "events"))
+
+
+def q_connected_components_sql() -> str:
+    return (
+        "WITH RECURSIVE "
+        "ids AS (SELECT event_id AS i FROM events), "
+        "edges AS ("
+        "SELECT i AS u, GREATEST((i // 64) * 64, "
+        "i - 1 - ((i * 2654435761 + 12345) % 4294967296) % 16) AS v "
+        "FROM ids WHERE i % 64 <> 0 "
+        "UNION ALL "
+        "SELECT i AS u, i - 64 AS v FROM ids WHERE i % 64 = 0 AND i > 0 "
+        "AND ((i * 1103515245 + 54321) % 4294967296) % 4 = 0), "
+        "nodes AS (SELECT DISTINCT u AS node FROM edges "
+        "UNION SELECT DISTINCT v FROM edges), "
+        "walk(node, cur) AS ("
+        "SELECT node, node FROM nodes "
+        "UNION ALL "
+        "SELECT w.node, e.v FROM walk w JOIN edges e ON e.u = w.cur) "
+        "SELECT node, min(cur) AS comp FROM walk GROUP BY node"
+    )
+
+
+def q_power_iteration(sf_dir: str):
+    """Distributed PCA power iteration (top principal direction of the
+    embedding table): ONE streaming pass computes the exact-int Gram
+    matrix XᵀX from milli-quantized vectors (per-batch 64×64 int64
+    partials → bounded combiner tree — vectors never shuffle, driver
+    state is d²), then 3 driver-side iterations whose only division is
+    the kmeans-style pinned-double normalization
+    ``floor(double(w)·1000 / double(max|w|))`` — bit-identical to the
+    unrolled SQL oracle.  Milli (not micro) quantization keeps
+    G·v ≲ 3e15 inside both int64 and the 2^53 double-exact range;
+    rescale per magnitude at larger n."""
+    from ..stages.agg_tree import tree_aggregate_to_table
+
+    def gram(b: pa.Table) -> pa.Table:
+        arr = b["embedding"].combine_chunks()
+        flat = arr.flatten().to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        offs = np.asarray(arr.offsets)
+        d = int(offs[1] - offs[0]) if len(offs) > 1 else 0
+        x = np.floor(flat * 1e3 + 0.5).astype(np.int64).reshape(-1, d)
+        g = x.T @ x
+        i, j = np.divmod(np.arange(d * d, dtype=np.int64), d)
+        return pa.table({"i": pa.array(i), "j": pa.array(j),
+                         "g": pa.array(g.reshape(-1))})
+
+    parts = _read(sf_dir, "embeddings", ["embedding"]).map_batches(
+        gram, batch_format="pyarrow")
+    gt = tree_aggregate_to_table(parts, ["i", "j"], [("g", "sum")]
+                                 ).to_pandas()
+    d = int(gt["i"].max()) + 1
+    G = np.zeros((d, d), np.int64)
+    G[gt["i"].to_numpy(), gt["j"].to_numpy()] = gt["g"].to_numpy()
+    v = np.full(d, 1000, np.int64)
+    for _ in range(3):
+        w = G @ v
+        s = float(np.max(np.abs(w)))
+        v = np.floor(w.astype(np.float64) * 1000.0 / s).astype(np.int64)
+    return pd.DataFrame({"dim": np.arange(d, dtype=np.int64), "val": v})
+
+
+def q_power_iteration_sql() -> str:
+    ctes = [
+        "v AS (SELECT vec_id, i - 1 AS dim, "
+        "CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000 + 0.5) AS BIGINT) "
+        "AS x FROM embeddings, UNNEST(range(1, len(embedding) + 1)) t(i))",
+        "g AS (SELECT a.dim AS i, b.dim AS j, CAST(sum(a.x * b.x) "
+        "AS BIGINT) AS g FROM v a JOIN v b ON a.vec_id = b.vec_id "
+        "GROUP BY 1, 2)",
+        "v0 AS (SELECT DISTINCT dim, CAST(1000 AS BIGINT) AS val FROM v)",
+    ]
+    for it in range(1, 4):
+        ctes.append(
+            f"w{it} AS (SELECT g.i AS dim, CAST(sum(g.g * v{it - 1}.val) "
+            f"AS BIGINT) AS w FROM g JOIN v{it - 1} ON "
+            f"v{it - 1}.dim = g.j GROUP BY 1)")
+        ctes.append(
+            f"v{it} AS (SELECT dim, CAST(floor(CAST(w AS DOUBLE) * 1000.0 "
+            f"/ (SELECT CAST(max(abs(w)) AS DOUBLE) FROM w{it})) "
+            f"AS BIGINT) AS val FROM w{it})")
+    return ("WITH " + ", ".join(ctes) +
+            " SELECT dim, val FROM v3")
+# the fixpoint (measured: 6/7/10 rounds at sf0.001/0.01/0.1)
+
+
+def q_sssp(sf_dir: str):
+    """Single-source shortest paths from node 0 by distributed
+    Bellman-Ford (the routing primitive; joins q_pagerank/_kcore/
+    _connected_components in the graph family): the shared hub-skewed
+    derived graph (stages/graph.derived_graph_edges), integer edge
+    weights 1 + (31u+17v) mod 100, Jacobi rounds — distances live as a
+    co-partitioned (node, dist) DATASET, never on the driver and never
+    broadcast.  Each round is two hash-bucket exchanges: edges keyed by
+    src gather the state bucket-locally and emit pre-combined (dst,
+    dist+w) candidates, then a node-keyed min-combine folds candidates
+    into the state.  Convergence checks an O(1) (count, sum)
+    fingerprint (dists only decrease, rows only appear, so equality ⟺
+    fixpoint).  Loops to fixpoint (≤ 14 rounds, asserted); the oracle
+    replays exactly 14 chained-CTE rounds (idempotent past
+    convergence).  Exact ints throughout; unreached nodes drop."""
+    from ..stages.graph import (combine_state, derived_graph_edges,
+                               edge_state_messages, state_fingerprint,
+                               state_from_rows)
+
+    edges, V, n = derived_graph_edges(sf_dir, directed=False,
+                                      read=_read, nrows=_nrows)
+
+    def orient(t: pa.Table) -> pa.Table:
+        u = t["u"].to_numpy(zero_copy_only=False)
+        v = t["v"].to_numpy(zero_copy_only=False)
+        w = 1 + (u * 31 + v * 17) % 100
+        return pa.table({
+            "src": pa.array(np.concatenate([u, v]), pa.int64()),
+            "dst": pa.array(np.concatenate([v, u]), pa.int64()),
+            "w": pa.array(np.concatenate([w, w]), pa.int64())})
+
+    directed = edges.map_batches(
+        orient, batch_format="pyarrow").materialize()
+    E2 = 2 * n  # upper bound on directed edge rows (bucket sizing)
+
+    def emit(ek, pays, lookup):
+        d, found = lookup(ek)
+        t = pa.table({
+            "node": pa.array(pays["dst"][found], pa.int64()),
+            "val": pa.array(d[found] + pays["w"][found], pa.int64())})
+        return (t.group_by(["node"]).aggregate([("val", "min")])
+                .rename_columns(["node", "val"]))
+
+    state = state_from_rows([0], [0]).materialize()
+    fp = state_fingerprint(state)[:2]
+    for _ in range(_SSSP_ROUNDS + 1):
+        msgs = edge_state_messages(directed, state, "src",
+                                   ["dst", "w"], emit, n_rows=E2)
+        new = combine_state(msgs.union(state), "min",
+                            n_rows=V).materialize()
+        nfp = state_fingerprint(new)[:2]
+        if nfp == fp:
+            state = new
+            break
+        state, fp = new, nfp
+    else:
+        raise RuntimeError("Bellman-Ford did not converge within "
+                           f"{_SSSP_ROUNDS} oracle-replayable rounds")
+
+    out = state.to_pandas().sort_values("node").reset_index(drop=True)
+    return pd.DataFrame({"node": out["node"].astype(np.int64),
+                         "dist": out["val"].astype(np.int64)})
+
+
+def q_sssp_sql() -> str:
+    v = "greatest(200, (SELECT count(*) FROM events) // 12)"
+    nu = _kcore_node_sql("user_id", "vv.v")
+    ne = _kcore_node_sql("event_id", "vv.v")
+    parts = [
+        f"WITH vv AS MATERIALIZED (SELECT {v} AS v), "
+        "raw AS MATERIALIZED (SELECT " + nu + " AS x, " + ne + " AS y "
+        "FROM events, vv), "
+        "e AS MATERIALIZED (SELECT u, v, 1 + (u * 31 + v * 17) % 100 "
+        "AS w FROM (SELECT DISTINCT least(x, y) AS u, "
+        "greatest(x, y) AS v FROM raw WHERE x <> y)), "
+        "d0 AS MATERIALIZED (SELECT CAST(0 AS BIGINT) AS node, "
+        "CAST(0 AS BIGINT) AS dist)"]
+    for r in range(_SSSP_ROUNDS):
+        parts.append(
+            f", d{r + 1} AS MATERIALIZED (SELECT node, "
+            f"CAST(min(dist) AS BIGINT) AS dist FROM ("
+            f"SELECT node, dist FROM d{r} "
+            f"UNION ALL SELECT e.v AS node, d.dist + e.w AS dist "
+            f"FROM e JOIN d{r} d ON d.node = e.u "
+            f"UNION ALL SELECT e.u AS node, d.dist + e.w AS dist "
+            f"FROM e JOIN d{r} d ON d.node = e.v) GROUP BY node)")
+    parts.append(f" SELECT node, dist FROM d{_SSSP_ROUNDS}")
+    return "".join(parts)
+
+
+def q_hits(sf_dir: str):
+    """HITS hubs-and-authorities over the DIRECTED derived graph
+    (user-node → event-node; PageRank's bipartite-flavoured sibling):
+    two full hub/authority rounds, each matvec a co-partitioned
+    vertex-state exchange (stages/graph): scores live as a (node, s)
+    DATASET, edges keyed by the gather endpoint read the state
+    bucket-locally (missing node ⇒ 0, mirroring the oracle's LEFT
+    JOIN COALESCE) and emit pre-combined per-dst partial sums; a
+    node-keyed sum-combine closes the matvec.  Re-quantized after
+    every matvec by the power-iteration house normalization
+    floor(w·1000 / max w) — max w is the only driver-side value (an
+    O(1)-per-block fold), so scores stay small ints and every round
+    is bit-replayable by the oracle's chained CTEs.  Output = top-10
+    authorities via per-block top-k partials."""
+    from ..stages.graph import (combine_state, derived_graph_edges,
+                               edge_state_messages, state_fingerprint,
+                               topk_state)
+
+    edges, V, n = derived_graph_edges(sf_dir, directed=True,
+                                      read=_read, nrows=_nrows)
+
+    def seed(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "node": b["u"].combine_chunks().cast(pa.int64()),
+            "val": pa.array(np.full(len(b), 1000, np.int64),
+                            pa.int64())})
+
+    h = combine_state(edges.map_batches(seed, batch_format="pyarrow"),
+                      "max", n_rows=V).materialize()
+
+    def matvec(state, src: str, dst: str):
+        def emit(ek, pays, lookup):
+            w, _ = lookup(ek, default=0)
+            t = pa.table({"node": pa.array(pays[dst], pa.int64()),
+                          "val": pa.array(w, pa.int64())})
+            return (t.group_by(["node"]).aggregate([("val", "sum")])
+                    .rename_columns(["node", "val"]))
+
+        msgs = edge_state_messages(edges, state, src, [dst], emit,
+                                   n_rows=n)
+        g = combine_state(msgs, "sum", n_rows=V).materialize()
+        s = float(state_fingerprint(g)[2])
+
+        def quant(b: pa.Table) -> pa.Table:
+            w = b["val"].to_numpy(zero_copy_only=False)
+            return pa.table({"node": b["node"], "val": pa.array(
+                np.floor(w.astype(np.float64) * 1000.0 / s)
+                .astype(np.int64), pa.int64())})
+
+        return g.map_batches(quant, batch_format="pyarrow").materialize()
+
+    for _ in range(2):
+        a = matvec(h, "u", "v")
+        h = matvec(a, "v", "u")
+
+    def best_first(d: pd.DataFrame) -> pd.DataFrame:
+        d = d[d["val"] > 0]
+        return d.sort_values(["val", "node"], ascending=[False, True],
+                             kind="mergesort")
+
+    top = topk_state(a, 10, best_first)
+    return pd.DataFrame({"node": top["node"].astype(np.int64),
+                         "auth": top["val"].astype(np.int64)})
+
+
+def q_hits_sql() -> str:
+    v = "greatest(200, (SELECT count(*) FROM events) // 12)"
+    nu = _kcore_node_sql("user_id", "vv.v")
+    ne = _kcore_node_sql("event_id", "vv.v")
+    ctes = [
+        f"vv AS MATERIALIZED (SELECT {v} AS v)",
+        "raw AS MATERIALIZED (SELECT " + nu + " AS x, " + ne +
+        " AS y FROM events, vv)",
+        "e AS MATERIALIZED (SELECT DISTINCT x AS u, y AS w2 "
+        "FROM raw WHERE x <> y)",
+        "h0 AS MATERIALIZED (SELECT DISTINCT u AS node, "
+        "CAST(1000 AS BIGINT) AS s FROM e)",
+    ]
+    prev_h = "h0"
+    for it in range(1, 3):
+        ctes.append(
+            f"a{it}r AS MATERIALIZED (SELECT e.w2 AS node, "
+            f"CAST(sum(COALESCE(p.s, 0)) AS BIGINT) AS w FROM e "
+            f"LEFT JOIN {prev_h} p ON p.node = e.u GROUP BY 1)")
+        ctes.append(
+            f"a{it} AS MATERIALIZED (SELECT node, "
+            f"CAST(floor(CAST(w AS DOUBLE) * 1000.0 / "
+            f"(SELECT CAST(max(w) AS DOUBLE) FROM a{it}r)) AS BIGINT) "
+            f"AS s FROM a{it}r)")
+        ctes.append(
+            f"h{it}r AS MATERIALIZED (SELECT e.u AS node, "
+            f"CAST(sum(COALESCE(p.s, 0)) AS BIGINT) AS w FROM e "
+            f"LEFT JOIN a{it} p ON p.node = e.w2 GROUP BY 1)")
+        ctes.append(
+            f"h{it} AS MATERIALIZED (SELECT node, "
+            f"CAST(floor(CAST(w AS DOUBLE) * 1000.0 / "
+            f"(SELECT CAST(max(w) AS DOUBLE) FROM h{it}r)) AS BIGINT) "
+            f"AS s FROM h{it}r)")
+        prev_h = f"h{it}"
+    return ("WITH " + ", ".join(ctes) +
+            " SELECT node, s AS auth FROM a2 WHERE s > 0 "
+            "ORDER BY s DESC, node LIMIT 10")
+
+
+def q_assortativity(sf_dir: str):
+    """Degree assortativity of the q_kcore graph (the Newman mixing
+    coefficient — do hubs attach to hubs?): degrees on the bounded
+    combiner tree as a co-partitioned (node, deg) DATASET (never
+    broadcast: each of the two attach passes is a hash-bucket
+    exchange that reads the degree state bucket-locally —
+    stages/graph), and the second attach emits exact-int partial
+    sums over both edge orientations (Σx, Σx², Σxy across 2E
+    endpoint samples; by symmetry the Pearson r needs NO sqrt:
+    r = (n·Sxy − Sx²)/(n·Sxx − Sx²)).  Driver folds the one-row-per-
+    bucket partials in Python bigints; ONE pinned division."""
+    from ..stages.graph import (combine_state, derived_graph_edges,
+                               edge_state_messages)
+
+    edges, V, n = derived_graph_edges(sf_dir, directed=False,
+                                      read=_read, nrows=_nrows)
+
+    def endpoints(t: pa.Table) -> pa.Table:
+        uv = np.concatenate([t["u"].to_numpy(zero_copy_only=False),
+                             t["v"].to_numpy(zero_copy_only=False)])
+        return pa.table({"node": pa.array(uv, pa.int64()),
+                         "val": pa.array(np.ones(len(uv), np.int64))})
+
+    deg = combine_state(
+        edges.map_batches(endpoints, batch_format="pyarrow"),
+        "sum", n_rows=V).materialize()
+
+    def attach_du(ek, pays, lookup):
+        du, _ = lookup(ek)
+        return pa.table({"v": pa.array(pays["v"], pa.int64()),
+                         "du": pa.array(du, pa.int64())})
+
+    with_du = edge_state_messages(edges, deg, "u", ["v"], attach_du,
+                                  n_rows=n)
+
+    def moments(ek, pays, lookup):
+        dw, _ = lookup(ek)
+        du = pays["du"]
+        x = np.concatenate([du, dw])
+        y = np.concatenate([dw, du])
+        return pa.table({
+            "m": pa.array([len(x)], pa.int64()),
+            "sx": pa.array([int(x.sum())], pa.int64()),
+            "sxx": pa.array([int((x * x).sum())], pa.int64()),
+            "sxy": pa.array([int((x * y).sum())], pa.int64())})
+
+    parts = edge_state_messages(with_du, deg, "v", ["du"], moments,
+                                n_rows=n).to_pandas()
+    m = int(parts["m"].sum())
+    sx = int(parts["sx"].sum())
+    sxx = int(parts["sxx"].sum())
+    sxy = int(parts["sxy"].sum())
+    num = m * sxy - sx * sx
+    den = m * sxx - sx * sx
+    r_nano = int(np.floor(float(num) / float(den) * 1e9 + 0.5))
+    return pd.DataFrame({"m": [np.int64(m)],
+                         "r_nano": [np.int64(r_nano)]})
+
+
+def q_assortativity_sql() -> str:
+    v = "greatest(200, (SELECT count(*) FROM events) // 12)"
+    nu = _kcore_node_sql("user_id", "vv.v")
+    ne = _kcore_node_sql("event_id", "vv.v")
+    return (
+        f"WITH vv AS MATERIALIZED (SELECT {v} AS v), "
+        "raw AS MATERIALIZED (SELECT " + nu + " AS x, " + ne + " AS y "
+        "FROM events, vv), "
+        "e AS MATERIALIZED (SELECT DISTINCT least(x, y) AS u, "
+        "greatest(x, y) AS v FROM raw WHERE x <> y), "
+        "d AS MATERIALIZED (SELECT node, "
+        "CAST(count(*) AS BIGINT) AS deg FROM "
+        "(SELECT u AS node FROM e UNION ALL SELECT v FROM e) "
+        "GROUP BY node), "
+        "p AS (SELECT du.deg AS x, dv.deg AS y FROM e "
+        "JOIN d du ON du.node = e.u JOIN d dv ON dv.node = e.v "
+        "UNION ALL "
+        "SELECT dv.deg, du.deg FROM e "
+        "JOIN d du ON du.node = e.u JOIN d dv ON dv.node = e.v), "
+        "s AS (SELECT CAST(count(*) AS HUGEINT) AS m, "
+        "CAST(sum(x) AS HUGEINT) AS sx, "
+        "CAST(sum(x * x) AS HUGEINT) AS sxx, "
+        "CAST(sum(x * y) AS HUGEINT) AS sxy FROM p) "
+        "SELECT CAST(m AS BIGINT) AS m, "
+        "CAST(floor(CAST(m * sxy - sx * sx AS DOUBLE) / "
+        "CAST(m * sxx - sx * sx AS DOUBLE) * 1e9 + 0.5) AS BIGINT) "
+        "AS r_nano FROM s"
+    )
+
+
+def q_kcore(sf_dir: str):
+    """k-core decomposition (k=8) of a hub-skewed derived graph — the
+    community-mining peel: nodes come from a quadratic-CDF hash of the
+    event endpoints (V = max(200, n/12) scales with the data; low ids
+    are hubs, so the core is nested and non-empty at every fixture
+    scale), edges dedup on one pair-key hash exchange, then the
+    classic iterative peel: drop every node with degree < k, recount,
+    repeat to fixpoint.  The promised unbounded-V design is now the
+    implementation (stages/graph): per-round degrees are a
+    co-partitioned (node, deg) DATASET from a hash-bucket exchange,
+    the sub-k nodes stay a Dataset, and the removal filter is two
+    hash-bucket ANTI-JOIN exchanges (edges keyed by u, then by v,
+    each reading the bad-node state bucket-locally) — no V-sized
+    broadcast, no V-sized driver fold; the only driver value per
+    round is the bad-node count.  Converges in ≤ 2 rounds at fixture
+    densities; the oracle replays a fixed 6-round peel (idempotent
+    after the fixpoint).  Output = core nodes with their in-core
+    degree, exact ints."""
+    import pyarrow.compute as pc
+
+    from ..stages.graph import (combine_state, derived_graph_edges,
+                               edge_state_messages)
+
+    edges, V, n = derived_graph_edges(sf_dir, directed=False,
+                                      read=_read, nrows=_nrows)
+
+    def endpoints(t: pa.Table) -> pa.Table:
+        uv = np.concatenate([t["u"].to_numpy(zero_copy_only=False),
+                             t["v"].to_numpy(zero_copy_only=False)])
+        return pa.table({"node": pa.array(uv, pa.int64()),
+                         "val": pa.array(np.ones(len(uv), np.int64))})
+
+    def survive_u(ek, pays, lookup):
+        _, found = lookup(ek)
+        keep = ~found
+        return pa.table({"u": pa.array(ek[keep], pa.int64()),
+                         "v": pa.array(pays["v"][keep], pa.int64())})
+
+    def survive_v(ek, pays, lookup):
+        _, found = lookup(ek)
+        keep = ~found
+        return pa.table({"u": pa.array(pays["u"][keep], pa.int64()),
+                         "v": pa.array(ek[keep], pa.int64())})
+
+    for _ in range(_KCORE_ROUNDS + 1):
+        deg = combine_state(
+            edges.map_batches(endpoints, batch_format="pyarrow"),
+            "sum", n_rows=V).materialize()
+        bad = deg.map_batches(
+            lambda t: t.filter(pc.less(t["val"], _KCORE_K)),
+            batch_format="pyarrow").materialize()
+        if bad.count() == 0:
+            break
+        edges = edge_state_messages(
+            edge_state_messages(edges, bad, "u", ["v"], survive_u,
+                                n_rows=n),
+            bad, "v", ["u"], survive_v, n_rows=n).materialize()
+    else:
+        raise RuntimeError("k-core peel did not converge within "
+                           f"{_KCORE_ROUNDS} oracle-replayable rounds")
+
+    core = deg.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["val"], _KCORE_K)),
+        batch_format="pyarrow").to_pandas().sort_values("node")
+    return pd.DataFrame({"node": core["node"].to_numpy(np.int64),
+                         "deg": core["val"].to_numpy(np.int64)})
+
+
+def q_kcore_sql() -> str:
+    v = f"greatest(200, (SELECT count(*) FROM events) // 12)"
+    nu = _kcore_node_sql("user_id", "vv.v")
+    ne = _kcore_node_sql("event_id", "vv.v")
+    # every CTE MATERIALIZED: each round references its predecessor
+    # ~5x, and DuckDB's default CTE inlining would expand the chain
+    # exponentially (5^rounds scans of the events parquet)
+    parts = [
+        f"WITH vv AS MATERIALIZED (SELECT {v} AS v), "
+        "raw AS MATERIALIZED (SELECT " + nu + " AS x, " + ne + " AS y "
+        "FROM events, vv), "
+        "e0 AS MATERIALIZED (SELECT DISTINCT least(x, y) AS u, "
+        "greatest(x, y) AS v FROM raw WHERE x <> y)"]
+    for r in range(_KCORE_ROUNDS):
+        parts.append(
+            f", d{r} AS MATERIALIZED (SELECT node, "
+            f"CAST(count(*) AS BIGINT) AS deg "
+            f"FROM (SELECT u AS node FROM e{r} "
+            f"UNION ALL SELECT v FROM e{r}) GROUP BY node)"
+            f", b{r} AS MATERIALIZED "
+            f"(SELECT node FROM d{r} WHERE deg < {_KCORE_K})"
+            f", e{r + 1} AS MATERIALIZED (SELECT u, v FROM e{r} "
+            f"WHERE u NOT IN (SELECT node FROM b{r}) "
+            f"AND v NOT IN (SELECT node FROM b{r}))")
+    parts.append(
+        f" SELECT node, CAST(count(*) AS BIGINT) AS deg "
+        f"FROM (SELECT u AS node FROM e{_KCORE_ROUNDS} "
+        f"UNION ALL SELECT v FROM e{_KCORE_ROUNDS}) GROUP BY node")
+    return "".join(parts)

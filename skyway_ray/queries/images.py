@@ -1,0 +1,1000 @@
+"""images query family (split from the former single-file queries module)."""
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..geo.cells import cell_id, cell_sql
+from ..geo.tiles import tile_sql, tile_xy
+from ._common import (
+    _CHECKSUM_K,
+    _PATCH_P,
+    _THUMB_SIDE,
+    _luma_table_sql,
+    _read,
+    derive_latlon,
+    latlon_sql,
+)
+
+
+
+
+def q_exact_dedup_images(sf_dir: str):
+    """Exact dedup by phash over the image fixture (projected shuffle —
+    wide bytes never enter the shuffle)."""
+    import ray.data
+
+    from ..fixtures import ensure_images_parquet, scale_for_sf_dir
+    from ..stages.dedup import exact_dedup_projected
+
+    images = ensure_images_parquet(scale_for_sf_dir(sf_dir))
+    cpus = int(__import__("ray").cluster_resources().get("CPU", 8))
+    ds = ray.data.read_parquet(images, columns=["image_id", "phash"],
+                               override_num_blocks=max(16, cpus))
+    return exact_dedup_projected(ds, "phash", "image_id")
+
+
+def q_image_features(sf_dir: str):
+    """Multimodal decode → per-image features over the image fixture
+    (PNG decode is real; jpeg/webp are the deterministic fake-lossy
+    stubs — functions/image_codec.py). Actor pool, small batches."""
+    import ray.data
+
+    from ..fixtures import ensure_images_parquet, scale_for_sf_dir
+    from ..stages.multimodal import ImageFeatures
+
+    images = ensure_images_parquet(scale_for_sf_dir(sf_dir))
+    ds = ray.data.read_parquet(images, columns=["image_id", "bytes", "fmt"])
+    return ds.map_batches(ImageFeatures, batch_format="pyarrow",
+                          batch_size=512, concurrency=2)
+
+
+def q_image_blur(sf_dir: str):
+    """Blur / sharpness scoring over the image fixture (the
+    blur-filter shape of image curation): actor-pool decode →
+    exact-integer Laplacian variance per image
+    (stages/multimodal.py::ImageBlurScore) — scores are int64
+    num/den pairs, so threshold filters replay identically across
+    partitionings."""
+    import ray.data
+
+    from ..fixtures import ensure_images_parquet, scale_for_sf_dir
+    from ..stages.multimodal import ImageBlurScore
+
+    images = ensure_images_parquet(scale_for_sf_dir(sf_dir))
+    ds = ray.data.read_parquet(images, columns=["image_id", "bytes", "fmt"])
+    return ds.map_batches(ImageBlurScore, batch_format="pyarrow",
+                          batch_size=512, concurrency=2)
+
+
+def q_image_patches(sf_dir: str):
+    """ViT-style patch extraction over the image fixture: actor-pool
+    decode → non-overlapping 16×16 RGB patch rows with exact-int mean
+    luma (stages/multimodal.py::ImagePatchify).  Returned as the
+    per-image patch-count + luma-sum manifest so the driver check
+    stays blob-free; the patch rows themselves are the stage's real
+    output (write_parquet partitioned by shard downstream)."""
+    import ray.data
+
+    from ..fixtures import ensure_images_parquet, scale_for_sf_dir
+    from ..stages.multimodal import ImagePatchify
+
+    images = ensure_images_parquet(scale_for_sf_dir(sf_dir))
+    ds = ray.data.read_parquet(images, columns=["image_id", "bytes", "fmt"])
+    patches = ds.map_batches(ImagePatchify, batch_format="pyarrow",
+                             batch_size=128, concurrency=2)
+
+    def manifest(b: pa.Table) -> pa.Table:
+        t = pa.table({"image_id": b["image_id"],
+                      "n_patches": pa.array(
+                          np.ones(b.num_rows, np.int64)),
+                      "luma_sum": b["mean_luma"]})
+        return (t.group_by(["image_id"])
+                 .aggregate([("n_patches", "sum"), ("luma_sum", "sum")])
+                 .rename_columns(["image_id", "n_patches", "luma_sum"]))
+
+    from ..stages.scan import hash_bucket_scan
+
+    return hash_bucket_scan(
+        patches.map_batches(manifest, batch_format="pyarrow"),
+        ["image_id"],
+        lambda t: t.group_by(["image_id"]).aggregate(
+            [("n_patches", "sum"), ("luma_sum", "sum")])
+        .rename_columns(["image_id", "n_patches", "luma_sum"]),
+        n_rows=4096)
+
+
+def q_phash_dedup(sf_dir: str):
+    """Perceptual-hash near-dedup over the image fixture: actor-pool
+    decode → aHash/dHash (bytes never shuffle), then the distributed
+    LSH dedup harness over the tiny (id, hash) table with 16-bit
+    Hamming bands (functions/phash.py).  Rows-only (near-dup by
+    construction; planted-duplicate recall is tested)."""
+    import ray.data
+
+    from ..fixtures import ensure_images_parquet, scale_for_sf_dir
+    from ..functions.phash import phash_near_dup
+    from ..stages.multimodal import PerceptualHash
+
+    from ..stages.dedup import _key_hash64
+
+    images = ensure_images_parquet(scale_for_sf_dir(sf_dir))
+    ds = ray.data.read_parquet(images, columns=["image_id", "bytes", "fmt"])
+    hashes = ds.map_batches(PerceptualHash, batch_format="pyarrow",
+                            batch_size=512, concurrency=2)
+
+    # string image ids → int64 surrogate (the dedup pipeline sorts /
+    # Blooms / CCs over int64 ids); survivors still carry image_id
+    def add_iid(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "_iid", pa.array(_key_hash64(
+                b["image_id"].combine_chunks()).view(np.int64), pa.int64()))
+
+    # materialize the hash table (24 B/row — tiny at any corpus size):
+    # the dedup harness consumes its input THREE times (band pass,
+    # Bloom-prefiltered sketch pass, loser drop); without this the
+    # whole decode re-runs each time
+    hashed = hashes.map_batches(add_iid, batch_format="pyarrow").materialize()
+    out = phash_near_dup(hashed, id_col="_iid", hash_col="dhash64",
+                         max_dist=3)
+    return out.map_batches(lambda b: b.select(["image_id"]),
+                           batch_format="pyarrow")
+
+
+def q_knn_images(sf_dir: str):
+    """kNN over the image fixture: 100 probe images against the full
+    set, via the cell index (exact)."""
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data
+
+    from ..fixtures import ensure_images_parquet, scale_for_sf_dir
+    from ..geo.geotag import latlon_from_phash
+    from ..stages.knn import KnnStage
+
+    images = ensure_images_parquet(scale_for_sf_dir(sf_dir))
+    tab = pq.read_table(images, columns=["image_id", "phash"])
+    lat, lon = latlon_from_phash(tab["phash"].to_numpy(zero_copy_only=False))
+    ref_table = pa.table({"image_id": tab["image_id"],
+                          "lat": pa.array(lat), "lon": pa.array(lon)})
+    ref = ray.put(ref_table)
+    probes = ray.data.from_arrow(ref_table.slice(0, 100))
+    return probes.map_batches(
+        KnnStage, fn_constructor_kwargs=dict(ref_table_ref=ref, k=5, res=6),
+        batch_format="pyarrow", concurrency=2)
+
+
+def q_image_pyramid(sf_dir: str):
+    """Multi-resolution thumbnail pyramid over the image fixture
+    (stages/multimodal.py::ImagePyramid — decode once, emit 3 levels
+    per image); returns the per-thumbnail manifest (blobs stay in the
+    object store, never reach the driver)."""
+    import ray.data
+
+    from ..fixtures import ensure_images_parquet, scale_for_sf_dir
+    from ..stages.multimodal import ImagePyramid
+
+    import ray
+
+    images = ensure_images_parquet(scale_for_sf_dir(sf_dir))
+    ds = ray.data.read_parquet(images, columns=["image_id", "bytes", "fmt"])
+    # actor pool sized well below the session CPU count (never starve
+    # the read stage — CLAUDE.md invariant)
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    pyr = ds.map_batches(ImagePyramid, batch_format="pyarrow",
+                         batch_size=512, concurrency=max(2, cpus // 4))
+    return pyr.map_batches(
+        lambda b: b.select(["image_id", "level", "n_bytes"]),
+        batch_format="pyarrow")
+
+
+def q_compress_ratio(sf_dir: str):
+    """Per-document zlib compression ratio (redundancy/entropy proxy
+    for quality filtering) — vector stage over the documents stream;
+    zlib output is deterministic at a fixed level but not
+    SQL-expressible, so this is a rows-only entry (determinism is
+    unit-tested instead)."""
+    from ..functions.text import compression_ratio
+
+    def score(b: pd.DataFrame) -> pd.DataFrame:
+        r = compression_ratio(b["text"])
+        return pd.DataFrame({
+            "doc_id": b["doc_id"].to_numpy(),
+            "ratio_micro": np.floor(r * 1e6 + 0.5).astype(np.int64)})
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        score, batch_format="pandas")
+
+
+def q_audio_features(sf_dir: str):
+    """Audio decode → duration/RMS/peak/channels over the deterministic
+    PCM-WAV fixture (stages/multimodal.py::AudioFeatures — the REAL
+    pure-struct WAV codec; compressed formats are documented stubs).
+    Actor pool, blobs never reach the driver; rows-only (no SQL can
+    decode WAV) — decode correctness is unit-tested against the
+    generating parameters instead."""
+    import ray
+    import ray.data
+
+    from ..fixtures import ensure_audio_parquet
+    from ..stages.multimodal import AudioFeatures
+
+    path = ensure_audio_parquet(200)
+    ds = ray.data.read_parquet(path, columns=["audio_id", "bytes"])
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    return ds.map_batches(AudioFeatures, batch_format="pyarrow",
+                          batch_size=64, concurrency=max(2, cpus // 8))
+# combos 20×.  K is a constant (not scale-derived) so the oracle SQL —
+# which regenerates the pixels from the fixture's closed-form generator
+# (fixtures.py::_gen_pixels) — is identical at every sf.
+
+
+def q_image_checksum(sf_dir: str):
+    """End-to-end hash verification of the IMAGE DECODE PATH: decode
+    the first K fixture images (real from-spec PNG + the deterministic
+    SKWJ/SKWW fake-lossy stubs — functions/image_codec.py) inside
+    ``map_batches`` and emit each image's exact int64 pixel sum.  The
+    DuckDB oracle never sees the bytes: it regenerates every pixel
+    from the fixture's closed-form generator (fixtures.py::_gen_pixels
+    — int64-wraparound noise replayed in HUGEINT) and applies the
+    fake-lossy quantization ``p//4*4+2`` in SQL, so a single flipped
+    byte anywhere in encode → parquet → Arrow → decode mismatches.
+
+    Scale shape: the decode stage is the real per-batch kernel used by
+    image_features/image_pyramid (bytes stay inside the task, only
+    (id, fmt, sum) rows come out); the head-K filter is just what
+    makes a fixed SQL oracle possible.  Valid at smoke/correctness
+    scales (max_side=64); the bench fixture downsizes max_side to 16,
+    where only the timing (never the hash) is used."""
+    import ray.data
+
+    from ..fixtures import ensure_images_parquet, scale_for_sf_dir
+    from ..functions.image_codec import decode_image
+
+    import pyarrow.dataset as pds
+
+    hi = f"img_{_CHECKSUM_K:012d}"
+    images = ensure_images_parquet(scale_for_sf_dir(sf_dir))
+    # row filter pushed to the parquet read: row groups whose
+    # image_id stats exceed K never ship their bytes
+    ds = ray.data.read_parquet(images, columns=["image_id", "bytes", "fmt"],
+                               filter=pds.field("image_id") < hi)
+
+    def sums(b: pa.Table) -> pa.Table:
+        blobs = b["bytes"].to_pylist()
+        fmts = b["fmt"].to_pylist()
+        out = np.empty(len(blobs), np.int64)
+        for i in range(len(blobs)):  # variable-size payloads: the
+            # per-row loop is the decode itself (module docstring)
+            out[i] = decode_image(blobs[i], fmts[i]).astype(np.int64).sum()
+        return pa.table({"image_id": b["image_id"], "fmt": b["fmt"],
+                         "pixel_sum": pa.array(out)})
+
+    return ds.map_batches(sums, batch_format="pyarrow", batch_size=128)
+
+
+def q_image_checksum_sql() -> str:
+    # pixel formula mirror of fixtures.py::_gen_pixels: the noise
+    # term's int64 wraparound is replayed exactly via HUGEINT mod 2^64
+    # (numpy's arithmetic >>16 then floored %32 equals bits 16..20 of
+    # the unsigned wrap, all-positive here)
+    return (
+        "WITH imgs AS (SELECT CAST(i AS BIGINT) AS i, "
+        "CASE i % 5 WHEN 0 THEN 16 WHEN 1 THEN 24 WHEN 2 THEN 32 "
+        "WHEN 3 THEN 48 ELSE 64 END AS side, "
+        "CASE i % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' "
+        "ELSE 'webp' END AS fmt "
+        f"FROM range({_CHECKSUM_K}) t(i)), "
+        "px AS (SELECT i, fmt, "
+        "((x*3 + y*5 + c*11 + (i*37) % 256 + "
+        "CAST((((CAST(i AS HUGEINT)*2654435761 + (y*side+x)*97 + c*131)"
+        " * 1103515245) % 18446744073709551616) // 65536 % 32 "
+        "AS BIGINT)) % 256) AS raw "
+        "FROM imgs "
+        "JOIN range(64) tx(x) ON tx.x < imgs.side "
+        "JOIN range(64) ty(y) ON ty.y < imgs.side "
+        "CROSS JOIN range(3) tc(c)) "
+        "SELECT 'img_' || lpad(CAST(i AS VARCHAR), 12, '0') AS image_id,"
+        " fmt, CAST(SUM(CASE WHEN fmt = 'png' THEN raw "
+        "ELSE raw // 4 * 4 + 2 END) AS BIGINT) AS pixel_sum "
+        "FROM px GROUP BY 1, 2"
+    )
+
+
+def q_thumb_checksum(sf_dir: str):
+    """Hash verification of the RESIZE + RE-ENCODE path: run the real
+    ``ImageResize`` stage (decode → nearest-neighbor resize to 8×8
+    → PNG re-encode, stages/multimodal.py:63) over the first K fixture
+    images, then decode each emitted thumb and report its exact int64
+    pixel sum.  The oracle replays the nearest-neighbor index map
+    ``src = dst*side//8`` on the closed-form pixel generator in SQL —
+    pinning the resize kernel AND the PNG encoder round-trip (a lossy
+    or shifted thumb mismatches).  Same head-K / scale caveats as
+    image_checksum."""
+    import pyarrow.dataset as pds
+    import ray.data
+
+    from ..fixtures import ensure_images_parquet, scale_for_sf_dir
+    from ..functions.image_codec import decode_png
+    from ..stages.multimodal import ImageResize
+
+    hi = f"img_{_CHECKSUM_K:012d}"
+    images = ensure_images_parquet(scale_for_sf_dir(sf_dir))
+    ds = ray.data.read_parquet(images, columns=["image_id", "bytes", "fmt"],
+                               filter=pds.field("image_id") < hi)
+    thumbs = ds.map_batches(ImageResize(side=_THUMB_SIDE),
+                            batch_format="pyarrow", batch_size=128)
+
+    def sums(b: pa.Table) -> pa.Table:
+        blobs = b["thumb"].to_pylist()
+        out = np.empty(len(blobs), np.int64)
+        for i, blob in enumerate(blobs):
+            out[i] = decode_png(blob).astype(np.int64).sum()
+        return pa.table({"image_id": b["image_id"],
+                         "thumb_sum": pa.array(out)})
+
+    return thumbs.map_batches(sums, batch_format="pyarrow", batch_size=256)
+
+
+def q_thumb_checksum_sql() -> str:
+    s = _THUMB_SIDE
+    return (
+        "WITH imgs AS (SELECT CAST(i AS BIGINT) AS i, "
+        "CASE i % 5 WHEN 0 THEN 16 WHEN 1 THEN 24 WHEN 2 THEN 32 "
+        "WHEN 3 THEN 48 ELSE 64 END AS side, "
+        "CASE i % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' "
+        "ELSE 'webp' END AS fmt "
+        f"FROM range({_CHECKSUM_K}) t(i)), "
+        # nearest-neighbor source coords, then the generator replay
+        "px AS (SELECT i, fmt, "
+        "(dx.d * side) // " + str(s) + " AS x, "
+        "(dy.d * side) // " + str(s) + " AS y, tc.c AS c, side "
+        f"FROM imgs CROSS JOIN range({s}) dx(d) "
+        f"CROSS JOIN range({s}) dy(d) CROSS JOIN range(3) tc(c)), "
+        "v AS (SELECT i, fmt, "
+        "((x*3 + y*5 + c*11 + (i*37) % 256 + "
+        "CAST((((CAST(i AS HUGEINT)*2654435761 + (y*side+x)*97 + c*131)"
+        " * 1103515245) % 18446744073709551616) // 65536 % 32 "
+        "AS BIGINT)) % 256) AS raw FROM px) "
+        "SELECT 'img_' || lpad(CAST(i AS VARCHAR), 12, '0') AS image_id,"
+        " CAST(SUM(CASE WHEN fmt = 'png' THEN raw "
+        "ELSE raw // 4 * 4 + 2 END) AS BIGINT) AS thumb_sum "
+        "FROM v GROUP BY 1"
+    )
+
+
+def q_blur_checksum(sf_dir: str):
+    """Hash verification of the BLUR-SCORE path: the real
+    ``ImageBlurScore`` stage (decode → integer luma → 4-neighbour
+    Laplacian → exact-int variance numerator n·Σl²−(Σl)²,
+    stages/multimodal.py:232) over the first K fixture images.  The
+    oracle rebuilds the decoded-luma plane from the pixel generator in
+    SQL and takes the Laplacian via four neighbor equijoins — any
+    drift in decode, luma weights, or interior handling mismatches.
+    Same head-K / scale caveats as image_checksum."""
+    import pyarrow.dataset as pds
+    import ray.data
+
+    from ..fixtures import ensure_images_parquet, scale_for_sf_dir
+    from ..stages.multimodal import ImageBlurScore
+
+    hi = f"img_{_CHECKSUM_K:012d}"
+    images = ensure_images_parquet(scale_for_sf_dir(sf_dir))
+    ds = ray.data.read_parquet(images, columns=["image_id", "bytes", "fmt"],
+                               filter=pds.field("image_id") < hi)
+    return ds.map_batches(ImageBlurScore, batch_format="pyarrow",
+                          batch_size=128, concurrency=2)
+
+
+def q_blur_checksum_sql() -> str:
+    return (
+        "WITH " + _luma_table_sql(_CHECKSUM_K) + ", "
+        "lap AS (SELECT c.i, "
+        "4 * c.l - u.l - d.l - lf.l - rt.l AS v "
+        "FROM lum c "
+        "JOIN lum u ON u.i = c.i AND u.x = c.x AND u.y = c.y - 1 "
+        "JOIN lum d ON d.i = c.i AND d.x = c.x AND d.y = c.y + 1 "
+        "JOIN lum lf ON lf.i = c.i AND lf.x = c.x - 1 AND lf.y = c.y "
+        "JOIN lum rt ON rt.i = c.i AND rt.x = c.x + 1 AND rt.y = c.y "
+        "WHERE c.x BETWEEN 1 AND c.side - 2 "
+        "AND c.y BETWEEN 1 AND c.side - 2) "
+        "SELECT 'img_' || lpad(CAST(i AS VARCHAR), 12, '0') AS image_id,"
+        " CAST(count(*) * CAST(sum(v * v) AS BIGINT) "
+        "- CAST(sum(v) AS BIGINT) * CAST(sum(v) AS BIGINT) AS BIGINT) "
+        "AS lap_var_num, CAST(count(*) AS BIGINT) AS lap_n "
+        "FROM lap GROUP BY 1"
+    )
+
+
+def q_patch_checksum(sf_dir: str):
+    """Hash verification of the PATCHIFY path: the real
+    ``ImagePatchify`` stage (decode → non-overlapping 16×16 patch grid
+    → exact-int mean luma per patch, stages/multimodal.py:139) over
+    the first K fixture images, returning the (image, patch_y,
+    patch_x, mean_luma) manifest (the binary patch buffers stay inside
+    the pipeline, as in production).  The oracle groups the replayed
+    luma plane by floor-grid patch coordinates — the floor-crop of
+    non-divisible sides (24 → one 16×16 patch) is pinned too."""
+    import pyarrow.dataset as pds
+    import ray.data
+
+    from ..fixtures import ensure_images_parquet, scale_for_sf_dir
+    from ..stages.multimodal import ImagePatchify
+
+    hi = f"img_{_CHECKSUM_K:012d}"
+    images = ensure_images_parquet(scale_for_sf_dir(sf_dir))
+    ds = ray.data.read_parquet(images, columns=["image_id", "bytes", "fmt"],
+                               filter=pds.field("image_id") < hi)
+    patches = ds.map_batches(ImagePatchify(patch=_PATCH_P),
+                             batch_format="pyarrow", batch_size=64)
+
+    def manifest(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "image_id": b["image_id"],
+            "patch_y": b["patch_y"].cast(pa.int64()),
+            "patch_x": b["patch_x"].cast(pa.int64()),
+            "mean_luma": b["mean_luma"]})
+
+    return patches.map_batches(manifest, batch_format="pyarrow")
+
+
+def q_patch_checksum_sql() -> str:
+    p = _PATCH_P
+    return (
+        "WITH " + _luma_table_sql(_CHECKSUM_K) + " "
+        "SELECT 'img_' || lpad(CAST(i AS VARCHAR), 12, '0') AS image_id,"
+        f" y // {p} AS patch_y, x // {p} AS patch_x, "
+        f"CAST(sum(l) AS BIGINT) // {p * p} AS mean_luma "
+        f"FROM lum WHERE x < (side // {p}) * {p} "
+        f"AND y < (side // {p}) * {p} "
+        "GROUP BY 1, 2, 3"
+    )
+
+
+def q_dhash_checksum(sf_dir: str):
+    """Hash verification of the PERCEPTUAL-HASH path: the real
+    ``PerceptualHash`` stage (decode → float luma → 8×9 nearest-
+    neighbor sample → horizontal-gradient dHash bit pack,
+    stages/multimodal.py:198, functions/phash.py:53) over the first K
+    fixture images.  dHash is float-exact across SQL/numpy because it
+    never averages — each sampled luma is one (r·0.299 + g·0.587 +
+    b·0.114) expression evaluated identically on both sides, and bits
+    are strict comparisons of those exact doubles.  (aHash is NOT
+    oracle-pinned: numpy's mean uses pairwise summation whose order
+    SQL cannot replicate; it stays covered by kernel tests.)  The
+    64-bit pack is replayed in HUGEINT and wrapped to signed int64."""
+    import pyarrow.dataset as pds
+    import ray.data
+
+    from ..fixtures import ensure_images_parquet, scale_for_sf_dir
+    from ..stages.multimodal import PerceptualHash
+
+    hi = f"img_{_CHECKSUM_K:012d}"
+    images = ensure_images_parquet(scale_for_sf_dir(sf_dir))
+    ds = ray.data.read_parquet(images, columns=["image_id", "bytes", "fmt"],
+                               filter=pds.field("image_id") < hi)
+    hashes = ds.map_batches(PerceptualHash, batch_format="pyarrow",
+                            batch_size=128, concurrency=2)
+    return hashes.map_batches(
+        lambda t: t.select(["image_id", "dhash64"]),
+        batch_format="pyarrow")
+
+
+def q_dhash_checksum_sql() -> str:
+    def raw(c: str, xe: str, ye: str) -> str:
+        return (f"(({xe}*3 + {ye}*5 + {c}*11 + (i*37) % 256 + "
+                "CAST((((CAST(i AS HUGEINT)*2654435761 + "
+                f"(({ye})*side+({xe}))*97 + {c}*131) * 1103515245) "
+                "% 18446744073709551616) // 65536 % 32 AS BIGINT)) "
+                "% 256)")
+
+    def chan(c: str, xe: str, ye: str) -> str:
+        r = raw(c, xe, ye)
+        return f"(CASE WHEN fmt = 'png' THEN {r} ELSE {r} // 4 * 4 + 2 END)"
+
+    def luma(xe: str, ye: str) -> str:
+        return (f"({chan('0', xe, ye)} * 0.299 + "
+                f"{chan('1', xe, ye)} * 0.587 + "
+                f"{chan('2', xe, ye)} * 0.114)")
+
+    # sample coords: row sy = gy*side//8; bit column pair uses the 8x9
+    # grid's x(j) = j*side//9 with bit gx comparing j = gx+1 vs gx
+    l2 = luma("((gx + 1) * side) // 9", "(gy * side) // 8")
+    l1 = luma("(gx * side) // 9", "(gy * side) // 8")
+    return (
+        "WITH imgs AS (SELECT CAST(i AS BIGINT) AS i, "
+        "CASE i % 5 WHEN 0 THEN 16 WHEN 1 THEN 24 WHEN 2 THEN 32 "
+        "WHEN 3 THEN 48 ELSE 64 END AS side, "
+        "CASE i % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' "
+        "ELSE 'webp' END AS fmt "
+        f"FROM range({_CHECKSUM_K}) t(i)), "
+        "bits AS (SELECT i, gy, gx, "
+        f"CASE WHEN {l2} > {l1} THEN 1 ELSE 0 END AS b "
+        "FROM imgs CROSS JOIN range(8) ty(gy) CROSS JOIN range(8) "
+        "tx(gx)), "
+        "packed AS (SELECT i, sum(CASE WHEN b = 1 THEN "
+        "CAST(1 AS HUGEINT) << CAST(gy * 8 + gx AS INTEGER) "
+        "ELSE 0 END) AS h FROM bits GROUP BY 1) "
+        "SELECT 'img_' || lpad(CAST(i AS VARCHAR), 12, '0') AS image_id,"
+        " CAST(h - CASE WHEN h >= 9223372036854775808 "
+        "THEN 18446744073709551616 ELSE 0 END AS BIGINT) AS dhash64 "
+        "FROM packed"
+    )
+
+
+def q_grad_energy(sf_dir: str):
+    """Hash verification of a TOTAL-VARIATION energy score (the
+    edge-density quality signal of image curation): decode → integer
+    luma → Σ|∂x| + Σ|∂y| over the luma plane, exact int64.  Oracle =
+    luma-plane replay + two neighbor equijoins.  Same head-K / scale
+    caveats as image_checksum."""
+    import pyarrow.dataset as pds
+    import ray.data
+
+    from ..fixtures import ensure_images_parquet, scale_for_sf_dir
+    from ..functions.image_codec import decode_image
+
+    hi = f"img_{_CHECKSUM_K:012d}"
+    images = ensure_images_parquet(scale_for_sf_dir(sf_dir))
+    ds = ray.data.read_parquet(images, columns=["image_id", "bytes", "fmt"],
+                               filter=pds.field("image_id") < hi)
+
+    def tv(b: pa.Table) -> pa.Table:
+        blobs = b["bytes"].to_pylist()
+        fmts = b["fmt"].to_pylist()
+        out = np.empty(len(blobs), np.int64)
+        for i in range(len(blobs)):
+            img = decode_image(blobs[i], fmts[i]).astype(np.int64)
+            y = (77 * img[:, :, 0] + 150 * img[:, :, 1]
+                 + 29 * img[:, :, 2]) >> 8
+            out[i] = (np.abs(y[:, 1:] - y[:, :-1]).sum()
+                      + np.abs(y[1:, :] - y[:-1, :]).sum())
+        return pa.table({"image_id": b["image_id"],
+                         "tv_energy": pa.array(out)})
+
+    return ds.map_batches(tv, batch_format="pyarrow", batch_size=128)
+
+
+def q_grad_energy_sql() -> str:
+    return (
+        "WITH " + _luma_table_sql(_CHECKSUM_K) + ", "
+        "dx AS (SELECT c.i, abs(r.l - c.l) AS v FROM lum c "
+        "JOIN lum r ON r.i = c.i AND r.y = c.y AND r.x = c.x + 1), "
+        "dy AS (SELECT c.i, abs(d.l - c.l) AS v FROM lum c "
+        "JOIN lum d ON d.i = c.i AND d.x = c.x AND d.y = c.y + 1), "
+        "u AS (SELECT i, v FROM dx UNION ALL SELECT i, v FROM dy) "
+        "SELECT 'img_' || lpad(CAST(i AS VARCHAR), 12, '0') AS image_id,"
+        " CAST(sum(v) AS BIGINT) AS tv_energy FROM u GROUP BY 1"
+    )
+
+
+def q_scatter_orientation(sf_dir: str):
+    """Per-cell point-scatter principal orientation (anisotropy — the
+    directional-trend spatial statistic): for each 15° grid cell, the
+    covariance eigen-direction ``atan2(2·Mxy, Mxx − Myy) → micro-int``
+    from EXACT integer central moments.  Per-batch Arrow group_by
+    pre-reduces each block to per-cell int sums (n, Σx, Σy, Σx², Σy²,
+    Σxy over millidegree offsets from the cell origin — shift-
+    invariant for central moments and keeps n·Σx² < 2^63 up to ~2e5
+    points/cell; beyond that, split cells or carry Welford partials);
+    the bounded 24×8 cell space merges on the combiner tree and one
+    double atan2 per cell runs on the driver.  Events never shuffle."""
+    from ..stages.agg_tree import tree_aggregate_to_table
+
+    def partial(b: pa.Table) -> pa.Table:
+        lat, lon = derive_latlon(b["event_id"].to_numpy(
+            zero_copy_only=False))
+        cx = np.floor((lon + 180.0) / 15.0).astype(np.int64)
+        cy = np.floor((lat + 60.0) / 15.0).astype(np.int64)
+        xm = np.floor(lon * 1e3 + 0.5).astype(np.int64) \
+            - (cx * 15000 - 180000)
+        ym = np.floor(lat * 1e3 + 0.5).astype(np.int64) \
+            - (cy * 15000 - 60000)
+        t = pa.table({
+            "cx": pa.array(cx), "cy": pa.array(cy),
+            "n": pa.array(np.ones(len(xm), np.int64)),
+            "sx": pa.array(xm), "sy": pa.array(ym),
+            "sxx": pa.array(xm * xm), "syy": pa.array(ym * ym),
+            "sxy": pa.array(xm * ym)})
+        return (t.group_by(["cx", "cy"]).aggregate(
+            [("n", "sum"), ("sx", "sum"), ("sy", "sum"),
+             ("sxx", "sum"), ("syy", "sum"), ("sxy", "sum")])
+            .rename_columns(["cx", "cy", "n", "sx", "sy",
+                             "sxx", "syy", "sxy"]))
+
+    ds = _read(sf_dir, "events", ["event_id"]).map_batches(
+        partial, batch_format="pyarrow")
+    m = tree_aggregate_to_table(
+        ds, ["cx", "cy"],
+        [("n", "sum"), ("sx", "sum"), ("sy", "sum"),
+         ("sxx", "sum"), ("syy", "sum"), ("sxy", "sum")]).to_pandas()
+    m = m[m["n"] >= 2]
+    n = m["n"].to_numpy()
+    mxy = n * m["sxy"].to_numpy() - m["sx"].to_numpy() * m["sy"].to_numpy()
+    mxx = n * m["sxx"].to_numpy() - m["sx"].to_numpy() ** 2
+    myy = n * m["syy"].to_numpy() - m["sy"].to_numpy() ** 2
+    theta = np.arctan2(2.0 * mxy.astype(np.float64),
+                       (mxx - myy).astype(np.float64))
+    return pd.DataFrame({
+        "cx": m["cx"].to_numpy().astype(np.int64),
+        "cy": m["cy"].to_numpy().astype(np.int64),
+        "n": n.astype(np.int64),
+        "theta_micro": np.floor(theta * 1e6 + 0.5).astype(np.int64)})
+
+
+def q_scatter_orientation_sql() -> str:
+    lat, lon = latlon_sql("event_id")
+    return (
+        "WITH p AS (SELECT "
+        f"CAST(floor(({lon} + 180.0) / 15.0) AS BIGINT) AS cx, "
+        f"CAST(floor(({lat} + 60.0) / 15.0) AS BIGINT) AS cy, "
+        f"CAST(floor({lon} * 1e3 + 0.5) AS BIGINT) AS xm, "
+        f"CAST(floor({lat} * 1e3 + 0.5) AS BIGINT) AS ym "
+        "FROM events), "
+        "c AS (SELECT cx, cy, xm - (cx * 15000 - 180000) AS dx, "
+        "ym - (cy * 15000 - 60000) AS dy FROM p), "
+        "s AS (SELECT cx, cy, CAST(count(*) AS BIGINT) AS n, "
+        "CAST(sum(dx) AS BIGINT) AS sx, CAST(sum(dy) AS BIGINT) AS sy, "
+        "CAST(sum(dx * dx) AS BIGINT) AS sxx, "
+        "CAST(sum(dy * dy) AS BIGINT) AS syy, "
+        "CAST(sum(dx * dy) AS BIGINT) AS sxy "
+        "FROM c GROUP BY 1, 2) "
+        "SELECT cx, cy, n, CAST(floor(atan2("
+        "CAST(2 * (n * sxy - sx * sy) AS DOUBLE), "
+        "CAST((n * sxx - sx * sx) - (n * syy - sy * sy) AS DOUBLE)) "
+        "* 1e6 + 0.5) AS BIGINT) AS theta_micro FROM s WHERE n >= 2"
+    )
+
+
+def q_histeq_checksum(sf_dir: str):
+    """Hash verification of HISTOGRAM EQUALIZATION (the classic
+    contrast-normalization preprocessing kernel): decode → integer
+    luma → per-image CDF → ``eq(v) = (cdf(v) − cdf(min))·255 //
+    (n − cdf(min))`` → Σ of the equalized plane, all exact ints.  The
+    oracle replays the CDF as a window cumsum over the per-value luma
+    counts of the generator plane.  Flat images (n == cdf(min)) pass
+    through as identity — not present in the fixture but pinned in the
+    kernel.  Same head-K / scale caveats as image_checksum."""
+    import pyarrow.dataset as pds
+    import ray.data
+
+    from ..fixtures import ensure_images_parquet, scale_for_sf_dir
+    from ..functions.image_codec import decode_image
+
+    hi = f"img_{_CHECKSUM_K:012d}"
+    images = ensure_images_parquet(scale_for_sf_dir(sf_dir))
+    ds = ray.data.read_parquet(images, columns=["image_id", "bytes", "fmt"],
+                               filter=pds.field("image_id") < hi)
+
+    def eq(b: pa.Table) -> pa.Table:
+        blobs = b["bytes"].to_pylist()
+        fmts = b["fmt"].to_pylist()
+        out = np.empty(len(blobs), np.int64)
+        for i in range(len(blobs)):
+            img = decode_image(blobs[i], fmts[i]).astype(np.int64)
+            y = (77 * img[:, :, 0] + 150 * img[:, :, 1]
+                 + 29 * img[:, :, 2]) >> 8
+            vals, counts = np.unique(y, return_counts=True)
+            cdf = np.cumsum(counts)
+            n, cmin = int(cdf[-1]), int(counts[0])
+            if n == cmin:
+                out[i] = int(vals[0]) * n  # flat: identity
+            else:
+                eqv = (cdf - cmin) * 255 // (n - cmin)
+                out[i] = int((counts * eqv).sum())
+        return pa.table({"image_id": b["image_id"],
+                         "eq_sum": pa.array(out)})
+
+    return ds.map_batches(eq, batch_format="pyarrow", batch_size=128)
+
+
+def q_histeq_checksum_sql() -> str:
+    return (
+        "WITH " + _luma_table_sql(_CHECKSUM_K) + ", "
+        "h AS (SELECT i, l, CAST(count(*) AS BIGINT) AS c "
+        "FROM lum GROUP BY 1, 2), "
+        "w AS (SELECT i, l, c, "
+        "CAST(sum(c) OVER (PARTITION BY i ORDER BY l) AS BIGINT) "
+        "AS cdf, CAST(sum(c) OVER (PARTITION BY i) AS BIGINT) AS n, "
+        "CAST(first_value(c) OVER (PARTITION BY i ORDER BY l) "
+        "AS BIGINT) AS cmin FROM h) "
+        "SELECT 'img_' || lpad(CAST(i AS VARCHAR), 12, '0') AS image_id,"
+        " CAST(sum(CASE WHEN n = cmin THEN l * c "
+        "ELSE c * ((cdf - cmin) * 255 // (n - cmin)) END) AS BIGINT) "
+        "AS eq_sum FROM w GROUP BY 1"
+    )
+
+
+def q_glcm_texture(sf_dir: str):
+    """Hash verification of GLCM TEXTURE features (Haralick's
+    gray-level co-occurrence matrix at offset (+1, 0)): per image,
+    contrast = Σ_pairs (l₁−l₂)² straight off the luma plane and
+    energy = Σ_{(l₁,l₂)} c(l₁,l₂)² off the pair histogram — both
+    exact ints (pairs ≤ 64·63, energy ≤ ~1.6e7).  The oracle rebuilds
+    the plane from the pixel generator and takes the horizontal
+    neighbour equijoin.  Same head-K / scale caveats as
+    image_checksum."""
+    import pyarrow.dataset as pds
+    import ray.data
+
+    from ..fixtures import ensure_images_parquet, scale_for_sf_dir
+    from ..functions.image_codec import decode_image
+
+    hi = f"img_{_CHECKSUM_K:012d}"
+    images = ensure_images_parquet(scale_for_sf_dir(sf_dir))
+    ds = ray.data.read_parquet(images, columns=["image_id", "bytes", "fmt"],
+                               filter=pds.field("image_id") < hi)
+
+    def glcm(b: pa.Table) -> pa.Table:
+        blobs = b["bytes"].to_pylist()
+        fmts = b["fmt"].to_pylist()
+        con = np.empty(len(blobs), np.int64)
+        ene = np.empty(len(blobs), np.int64)
+        for i in range(len(blobs)):
+            img = decode_image(blobs[i], fmts[i]).astype(np.int64)
+            y = (77 * img[:, :, 0] + 150 * img[:, :, 1]
+                 + 29 * img[:, :, 2]) >> 8
+            l1, l2 = y[:, :-1].ravel(), y[:, 1:].ravel()
+            d = l1 - l2
+            con[i] = int((d * d).sum())
+            _, counts = np.unique(l1 * 256 + l2, return_counts=True)
+            ene[i] = int((counts * counts).sum())
+        return pa.table({"image_id": b["image_id"],
+                         "contrast": pa.array(con),
+                         "energy": pa.array(ene)})
+
+    return ds.map_batches(glcm, batch_format="pyarrow", batch_size=128)
+
+
+def q_glcm_texture_sql() -> str:
+    return (
+        "WITH " + _luma_table_sql(_CHECKSUM_K) + ", "
+        "pr AS MATERIALIZED (SELECT a.i, a.l AS l1, b.l AS l2 "
+        "FROM lum a JOIN lum b ON a.i = b.i AND a.y = b.y "
+        "AND b.x = a.x + 1), "
+        "con AS (SELECT i, CAST(sum((l1 - l2) * (l1 - l2)) AS BIGINT) "
+        "AS contrast FROM pr GROUP BY 1), "
+        "h AS (SELECT i, l1, l2, CAST(count(*) AS BIGINT) AS c "
+        "FROM pr GROUP BY 1, 2, 3), "
+        "ene AS (SELECT i, CAST(sum(c * c) AS BIGINT) AS energy "
+        "FROM h GROUP BY 1) "
+        "SELECT 'img_' || lpad(CAST(con.i AS VARCHAR), 12, '0') "
+        "AS image_id, contrast, energy "
+        "FROM con JOIN ene ON con.i = ene.i"
+    )
+
+
+def q_sobel_octants(sf_dir: str):
+    """Hash verification of the SOBEL EDGE-ORIENTATION histogram (the
+    HOG building block): 3×3 integer Sobel gradients over interior
+    luma pixels, orientation binned into 8 octants by PURE INTEGER
+    predicates — bin = quadrant(gx, gy)·2 + [|gy| > |gx|] — so there
+    is no atan2 and no float anywhere; zero-gradient pixels count in
+    a separate ``flat`` column.  The oracle replays the stencil as
+    eight neighbour equijoins over the generator plane.  Same head-K
+    / scale caveats as image_checksum."""
+    import pyarrow.dataset as pds
+    import ray.data
+
+    from ..fixtures import ensure_images_parquet, scale_for_sf_dir
+    from ..functions.image_codec import decode_image
+
+    hi = f"img_{_CHECKSUM_K:012d}"
+    images = ensure_images_parquet(scale_for_sf_dir(sf_dir))
+    ds = ray.data.read_parquet(images, columns=["image_id", "bytes", "fmt"],
+                               filter=pds.field("image_id") < hi)
+
+    def sobel(b: pa.Table) -> pa.Table:
+        blobs = b["bytes"].to_pylist()
+        fmts = b["fmt"].to_pylist()
+        out = np.zeros((len(blobs), 9), np.int64)
+        for i in range(len(blobs)):
+            img = decode_image(blobs[i], fmts[i]).astype(np.int64)
+            y = (77 * img[:, :, 0] + 150 * img[:, :, 1]
+                 + 29 * img[:, :, 2]) >> 8
+            gx = (y[:-2, 2:] + 2 * y[1:-1, 2:] + y[2:, 2:]
+                  - y[:-2, :-2] - 2 * y[1:-1, :-2] - y[2:, :-2])
+            gy = (y[2:, :-2] + 2 * y[2:, 1:-1] + y[2:, 2:]
+                  - y[:-2, :-2] - 2 * y[:-2, 1:-1] - y[:-2, 2:])
+            flat = (gx == 0) & (gy == 0)
+            quad = np.where(gx >= 0, np.where(gy >= 0, 0, 3),
+                            np.where(gy >= 0, 1, 2))
+            b8 = quad * 2 + (np.abs(gy) > np.abs(gx))
+            cnt = np.bincount(b8[~flat].ravel(), minlength=8)
+            out[i, :8] = cnt
+            out[i, 8] = int(flat.sum())
+        cols = {"image_id": b["image_id"]}
+        for j in range(8):
+            cols[f"b{j}"] = pa.array(out[:, j])
+        cols["flat"] = pa.array(out[:, 8])
+        return pa.table(cols)
+
+    return ds.map_batches(sobel, batch_format="pyarrow", batch_size=128)
+
+
+def q_sobel_octants_sql() -> str:
+    bins = ", ".join(
+        f"CAST(sum(CASE WHEN NOT (gx = 0 AND gy = 0) AND "
+        f"(CASE WHEN gx >= 0 THEN (CASE WHEN gy >= 0 THEN 0 ELSE 3 "
+        f"END) ELSE (CASE WHEN gy >= 0 THEN 1 ELSE 2 END) END) * 2 "
+        f"+ (CASE WHEN abs(gy) > abs(gx) THEN 1 ELSE 0 END) = {j} "
+        f"THEN 1 ELSE 0 END) AS BIGINT) AS b{j}" for j in range(8))
+    return (
+        "WITH " + _luma_table_sql(_CHECKSUM_K) + ", "
+        "g AS MATERIALIZED (SELECT c.i, "
+        "(ne.l + 2 * e.l + se.l - nw.l - 2 * w.l - sw.l) AS gx, "
+        "(sw.l + 2 * s.l + se.l - nw.l - 2 * n.l - ne.l) AS gy "
+        "FROM lum c "
+        "JOIN lum nw ON nw.i = c.i AND nw.x = c.x - 1 AND nw.y = c.y - 1 "
+        "JOIN lum n  ON n.i  = c.i AND n.x  = c.x     AND n.y  = c.y - 1 "
+        "JOIN lum ne ON ne.i = c.i AND ne.x = c.x + 1 AND ne.y = c.y - 1 "
+        "JOIN lum w  ON w.i  = c.i AND w.x  = c.x - 1 AND w.y  = c.y "
+        "JOIN lum e  ON e.i  = c.i AND e.x  = c.x + 1 AND e.y  = c.y "
+        "JOIN lum sw ON sw.i = c.i AND sw.x = c.x - 1 AND sw.y = c.y + 1 "
+        "JOIN lum s  ON s.i  = c.i AND s.x  = c.x     AND s.y  = c.y + 1 "
+        "JOIN lum se ON se.i = c.i AND se.x = c.x + 1 AND se.y = c.y + 1 "
+        "WHERE c.x BETWEEN 1 AND c.side - 2 "
+        "AND c.y BETWEEN 1 AND c.side - 2) "
+        "SELECT 'img_' || lpad(CAST(i AS VARCHAR), 12, '0') "
+        "AS image_id, " + bins + ", "
+        "CAST(sum(CASE WHEN gx = 0 AND gy = 0 THEN 1 ELSE 0 END) "
+        "AS BIGINT) AS flat FROM g GROUP BY 1"
+    )
+
+
+def q_otsu_checksum(sf_dir: str):
+    """Hash verification of OTSU THRESHOLDING (the classic histogram
+    segmentation kernel): decode → integer luma → per-image argmax of
+    the between-class variance over the present luma values, computed
+    as the EXACT integer score ((w0·S − n·S0)²·2^20) // (w0·(n−w0))
+    (numerator ≤ ~2e25: Python bigints here, HUGEINT in the oracle;
+    the shared floor-scaled score makes ties identical on both sides,
+    broken by the smaller threshold).  Output = threshold plus the
+    below-threshold pixel count and luma mass.  Same head-K / scale
+    caveats as image_checksum."""
+    import pyarrow.dataset as pds
+    import ray.data
+
+    from ..fixtures import ensure_images_parquet, scale_for_sf_dir
+    from ..functions.image_codec import decode_image
+
+    hi = f"img_{_CHECKSUM_K:012d}"
+    images = ensure_images_parquet(scale_for_sf_dir(sf_dir))
+    ds = ray.data.read_parquet(images, columns=["image_id", "bytes", "fmt"],
+                               filter=pds.field("image_id") < hi)
+
+    def otsu(b: pa.Table) -> pa.Table:
+        blobs = b["bytes"].to_pylist()
+        fmts = b["fmt"].to_pylist()
+        ts = np.empty(len(blobs), np.int64)
+        lo_n = np.empty(len(blobs), np.int64)
+        lo_sum = np.empty(len(blobs), np.int64)
+        for i in range(len(blobs)):
+            img = decode_image(blobs[i], fmts[i]).astype(np.int64)
+            y = (77 * img[:, :, 0] + 150 * img[:, :, 1]
+                 + 29 * img[:, :, 2]) >> 8
+            vals, counts = np.unique(y, return_counts=True)
+            cdf = np.cumsum(counts)
+            s0c = np.cumsum(vals * counts)
+            n, s = int(cdf[-1]), int(s0c[-1])
+            best = (-1, -1, -1, -1)  # (score, -t) argmax w/ min-t tie
+            for j in range(len(vals) - 1):  # last value has w0 == n
+                w0, sj = int(cdf[j]), int(s0c[j])
+                d = w0 * s - n * sj
+                score = (d * d << 20) // (w0 * (n - w0))
+                if score > best[0]:
+                    best = (score, int(vals[j]), w0, sj)
+            if best[1] < 0:  # flat image: single luma value
+                best = (0, int(vals[0]), n, s)
+            ts[i], lo_n[i], lo_sum[i] = best[1], best[2], best[3]
+        return pa.table({"image_id": b["image_id"],
+                         "otsu_t": pa.array(ts),
+                         "lo_n": pa.array(lo_n),
+                         "lo_sum": pa.array(lo_sum)})
+
+    # smaller batches than the vectorized checksums: the per-image
+    # threshold argmax is a (bounded) Python-bigint loop, so spread it
+    return ds.map_batches(otsu, batch_format="pyarrow", batch_size=32)
+
+
+def q_otsu_checksum_sql() -> str:
+    return (
+        "WITH " + _luma_table_sql(_CHECKSUM_K) + ", "
+        "h AS (SELECT i, l, CAST(count(*) AS BIGINT) AS c "
+        "FROM lum GROUP BY 1, 2), "
+        "w AS (SELECT i, l, "
+        "CAST(sum(c) OVER (PARTITION BY i ORDER BY l) AS HUGEINT) "
+        "AS w0, "
+        "CAST(sum(l * c) OVER (PARTITION BY i ORDER BY l) AS HUGEINT) "
+        "AS s0, "
+        "CAST(sum(c) OVER (PARTITION BY i) AS HUGEINT) AS n, "
+        "CAST(sum(l * c) OVER (PARTITION BY i) AS HUGEINT) AS s "
+        "FROM h), "
+        "sc AS (SELECT i, l, w0, s0, "
+        "(w0 * s - n * s0) * (w0 * s - n * s0) * 1048576 "
+        "// (w0 * (n - w0)) AS score FROM w WHERE w0 < n), "
+        "r AS (SELECT i, l, w0, s0, row_number() OVER "
+        "(PARTITION BY i ORDER BY score DESC, l) AS rn FROM sc) "
+        "SELECT 'img_' || lpad(CAST(i AS VARCHAR), 12, '0') "
+        "AS image_id, l AS otsu_t, CAST(w0 AS BIGINT) AS lo_n, "
+        "CAST(s0 AS BIGINT) AS lo_sum FROM r WHERE rn = 1 "
+        # flat (single-luma) images have their only row dropped by the
+        # sc filter (w0 = n); mirror the engine's fallback row
+        # (t = the one value, lo_n = n, lo_sum = full mass) so a flat
+        # image cannot split row-count parity
+        "UNION ALL SELECT 'img_' || lpad(CAST(i AS VARCHAR), 12, '0'), "
+        "min(l), CAST(sum(c) AS BIGINT), CAST(sum(l * c) AS BIGINT) "
+        "FROM h GROUP BY i HAVING count(*) = 1"
+    )
+
+
+def q_hu_moment(sf_dir: str):
+    """Hash verification of IMAGE MOMENTS (luma centroid + the first
+    Hu invariant φ1 = (μ20+μ02)/μ00² — the scale-normalized spread
+    feature): raw moments S, Σx·l, Σy·l, Σx²·l, Σy²·l are exact int64
+    plane sums; central-moment numerators S·Mxx − Mx² (= S²·μ20) stay
+    exact ints; the two finalize divisions (centroid micro-pixels,
+    φ1 pico) are fixed double sequences pinned to ints.  Same head-K
+    / scale caveats as image_checksum."""
+    import pyarrow.dataset as pds
+    import ray.data
+
+    from ..fixtures import ensure_images_parquet, scale_for_sf_dir
+    from ..functions.image_codec import decode_image
+
+    hi = f"img_{_CHECKSUM_K:012d}"
+    images = ensure_images_parquet(scale_for_sf_dir(sf_dir))
+    ds = ray.data.read_parquet(images, columns=["image_id", "bytes", "fmt"],
+                               filter=pds.field("image_id") < hi)
+
+    def moments(b: pa.Table) -> pa.Table:
+        blobs = b["bytes"].to_pylist()
+        fmts = b["fmt"].to_pylist()
+        cxm = np.empty(len(blobs), np.int64)
+        cym = np.empty(len(blobs), np.int64)
+        phi = np.empty(len(blobs), np.int64)
+        for i in range(len(blobs)):
+            img = decode_image(blobs[i], fmts[i]).astype(np.int64)
+            y = (77 * img[:, :, 0] + 150 * img[:, :, 1]
+                 + 29 * img[:, :, 2]) >> 8
+            side = y.shape[0]
+            xs = np.arange(side, dtype=np.int64)[None, :]
+            ys = np.arange(side, dtype=np.int64)[:, None]
+            s = int(y.sum())
+            mx, my = int((xs * y).sum()), int((ys * y).sum())
+            mxx = int((xs * xs * y).sum())
+            myy = int((ys * ys * y).sum())
+            mu_num = (s * mxx - mx * mx) + (s * myy - my * my)
+            cxm[i] = int(np.floor(float(mx) / float(s) * 1e6 + 0.5))
+            cym[i] = int(np.floor(float(my) / float(s) * 1e6 + 0.5))
+            phi[i] = int(np.floor(float(mu_num) / float(s * s * s)
+                                  * 1e12 + 0.5))
+        return pa.table({"image_id": b["image_id"],
+                         "cx_micro": pa.array(cxm),
+                         "cy_micro": pa.array(cym),
+                         "phi1_pico": pa.array(phi)})
+
+    return ds.map_batches(moments, batch_format="pyarrow", batch_size=128)
+
+
+def q_hu_moment_sql() -> str:
+    return (
+        "WITH " + _luma_table_sql(_CHECKSUM_K) + ", "
+        "m AS (SELECT i, CAST(sum(l) AS BIGINT) AS s, "
+        "CAST(sum(x * l) AS BIGINT) AS mx, "
+        "CAST(sum(y * l) AS BIGINT) AS my, "
+        "CAST(sum(x * x * l) AS BIGINT) AS mxx, "
+        "CAST(sum(y * y * l) AS BIGINT) AS myy FROM lum GROUP BY 1) "
+        "SELECT 'img_' || lpad(CAST(i AS VARCHAR), 12, '0') "
+        "AS image_id, "
+        "CAST(floor(CAST(mx AS DOUBLE) / CAST(s AS DOUBLE) * 1e6 "
+        "+ 0.5) AS BIGINT) AS cx_micro, "
+        "CAST(floor(CAST(my AS DOUBLE) / CAST(s AS DOUBLE) * 1e6 "
+        "+ 0.5) AS BIGINT) AS cy_micro, "
+        "CAST(floor(CAST((s * mxx - mx * mx) + (s * myy - my * my) "
+        "AS DOUBLE) / CAST(s * s * s AS DOUBLE) * 1e12 + 0.5) "
+        "AS BIGINT) AS phi1_pico FROM m"
+    )

@@ -1,0 +1,1261 @@
+"""timeseries query family (split from the former single-file queries module)."""
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..geo.cells import cell_id, cell_sql
+from ..geo.tiles import tile_sql, tile_xy
+from ._common import (_hourly_counts_table, _nrows, _read)
+
+
+
+
+def q_window_counts(sf_dir: str):
+    """Tumbling 1-hour window counts per user (stream-shaped op:
+    event-time bucketing; see ray_guide 'Streaming-shaped')."""
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].to_numpy(zero_copy_only=False)
+        hours = ts.astype("datetime64[us]").astype(np.int64) // 3_600_000_000
+        t = pa.table({"user_id": batch["user_id"],
+                      "window_h": pa.array(hours, pa.int64())})
+        g = t.group_by(["user_id", "window_h"]).aggregate([("user_id", "count")])
+        return g.rename_columns(["user_id", "window_h", "n"])
+
+    from ..stages.agg_tree import tree_aggregate
+
+    partials = _read(sf_dir, "events", ["user_id", "ts"]).map_batches(
+        bucket, batch_format="pyarrow")
+    out = tree_aggregate(partials, ["user_id", "window_h"], [("n", "sum")])
+    return out.map_batches(
+        lambda b: b.rename_columns(["user_id", "window_h", "n_events"]),
+        batch_format="pyarrow")
+
+
+def q_window_counts_sql() -> str:
+    return ("SELECT user_id, cast(floor(epoch(ts) / 3600) as bigint) "
+            "AS window_h, count(*) AS n_events FROM events GROUP BY 1, 2")
+
+
+def q_sliding_windows(sf_dir: str):
+    """Sliding event-time windows: 1-hour windows every 15 minutes —
+    each event lands in 4 windows.  The flat_map-style expansion stays
+    inside ``map_batches`` (one ``np.repeat`` per batch, then a LOCAL
+    Arrow combine), so the shuffle moves per-(window) partials, not
+    4x the event rows."""
+    STEP_US = 900_000_000  # 15 min
+    NSUB = 4               # 1h window / 15m step
+
+    def expand_partial(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].to_numpy(zero_copy_only=False)
+        slot = ts.astype("datetime64[us]").astype(np.int64) // STEP_US
+        wins = (np.repeat(slot, NSUB)
+                - np.tile(np.arange(NSUB, dtype=np.int64), len(slot)))
+        t = pa.table({"win_slot": pa.array(wins, pa.int64())})
+        g = t.group_by(["win_slot"]).aggregate([("win_slot", "count")])
+        return g.rename_columns(["win_slot", "n"])
+
+    from ..stages.agg_tree import tree_aggregate
+
+    partials = _read(sf_dir, "events", ["ts"]).map_batches(
+        expand_partial, batch_format="pyarrow")
+    out = tree_aggregate(partials, ["win_slot"], [("n", "sum")])
+
+    def finish(b: pa.Table) -> pa.Table:
+        slots = b["win_slot"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "win_start_us": pa.array(slots * STEP_US, pa.int64()),
+            "n_events": b["n"],
+        })
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+def q_sliding_windows_sql() -> str:
+    return (
+        "WITH e AS (SELECT epoch_us(ts) AS t FROM events), "
+        "j AS (SELECT unnest(range(4)) AS j), "
+        "w AS (SELECT ((t // 900000000) - j) * 900000000 AS win_start_us "
+        "FROM e CROSS JOIN j) "
+        "SELECT win_start_us, count(*) AS n_events FROM w GROUP BY 1"
+    )
+
+
+def q_asof_join(sf_dir: str):
+    """As-of join: for each event, the user's latest order with
+    o_orderdate <= ts (ties → max orderkey); events with no qualifying
+    order are dropped. pd.merge_asof per batch against the broadcast
+    (sorted) orders side."""
+    import pyarrow.parquet as pq
+
+    from ..stages.joins import asof_join_broadcast
+
+    orders = pq.read_table(os.path.join(sf_dir, "orders.parquet"),
+                           columns=["o_orderkey", "o_custkey", "o_orderdate"]
+                           ).to_pandas()
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    joined = asof_join_broadcast(ev, orders, key="user_id", ts="ts",
+                                 right_key="o_custkey", right_ts="o_orderdate",
+                                 right_cols=["o_orderkey"])
+
+    def finish(batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch.dropna(subset=["o_orderkey"])
+        return pd.DataFrame({
+            "event_id": out["event_id"].astype(np.int64),
+            "o_orderkey": out["o_orderkey"].astype(np.int64),
+        })
+
+    return joined.map_batches(finish, batch_format="pandas")
+
+
+def q_asof_join_sql() -> str:
+    return (
+        "WITH j AS (SELECT e.event_id, o.o_orderkey, row_number() OVER ("
+        "PARTITION BY e.event_id ORDER BY o.o_orderdate DESC, "
+        "o.o_orderkey DESC) AS rn FROM events e JOIN orders o "
+        "ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts) "
+        "SELECT event_id, o_orderkey FROM j WHERE rn = 1"
+    )
+
+
+def q_session_windows(sf_dir: str):
+    """Session windows per user (gap > 1h splits a session) — the
+    stream-shaped op the guide maps to ``groupby(key).map_groups`` over
+    ts-sorted groups. Deterministic: ordering by (ts, event_id), gaps
+    in integer microseconds.
+
+    Scale shape: grouping by a COARSE user-hash bucket rather than per
+    user — Ray pays per-group overhead, so each group call sessionizes
+    every user in its bucket with one vectorized numpy pass (boundary
+    cumsum).  Bucket count auto-scales to a fixed per-bucket row budget
+    (stages/scan.py auto_n_buckets) from the parquet footer row
+    count."""
+    from ..stages.scan import auto_n_buckets
+
+    GAP_US = 3_600_000_000
+    N_BUCKETS = auto_n_buckets(_nrows(sf_dir, "events"))
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        u = b["user_id"].to_numpy(zero_copy_only=False)
+        return b.append_column("_bucket", pa.array(u % N_BUCKETS, pa.int64()))
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        user = d["user_id"].to_numpy()
+        ts_us = d["ts"].astype("int64").to_numpy()
+        n = len(d)
+        new_user = np.ones(n, dtype=bool)
+        new_user[1:] = user[1:] != user[:-1]
+        gap = np.zeros(n, dtype=bool)
+        gap[1:] = (ts_us[1:] - ts_us[:-1]) > GAP_US
+        boundary = new_user | gap
+        # session_id within user = (#boundaries so far) - (#boundaries
+        # at this user's first row)
+        b_cum = np.cumsum(boundary)
+        user_start = np.repeat(b_cum[new_user], np.diff(
+            np.append(np.flatnonzero(new_user), n)))
+        session_id = b_cum - user_start
+        seg_id = b_cum - 1  # 0-based contiguous segment index
+        counts = np.bincount(seg_id - seg_id[0])
+        first_of_seg = np.flatnonzero(boundary)
+        return pd.DataFrame({
+            "user_id": user[first_of_seg],
+            "session_id": session_id[first_of_seg],
+            "n_events": counts.astype(np.int64),
+        })
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"]).map_batches(
+        add_bucket, batch_format="pyarrow")
+    out = ds.groupby("_bucket").map_groups(sessions, batch_format="pandas")
+    return out.map_batches(
+        lambda b: b.select(["user_id", "session_id", "n_events"]),
+        batch_format="pyarrow")
+
+
+def q_session_windows_sql() -> str:
+    return (
+        "WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us "
+        "FROM events), "
+        "flagged AS (SELECT user_id, ts_us, event_id, CASE WHEN ts_us - "
+        "lag(ts_us) "
+        "OVER (PARTITION BY user_id ORDER BY ts_us, event_id) > 3600000000 "
+        "THEN 1 ELSE 0 END AS new_sess FROM e), "
+        "numbered AS (SELECT user_id, cast(sum(new_sess) OVER (PARTITION BY "
+        "user_id ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING) "
+        "AS bigint) AS session_id "
+        "FROM flagged) "
+        "SELECT user_id, session_id, count(*) AS n_events FROM numbered "
+        "GROUP BY 1, 2"
+    )
+
+
+def q_rolling_counts(sf_dir: str):
+    """Rolling 1-hour range-window count per user (for each event, how
+    many of the user's events fall in [ts-1h, ts] including ts-peers —
+    SQL RANGE semantics, inclusive lower bound).  Same coarse user-bucket grouping as
+    session_windows (bucket count auto-scales to a per-bucket row
+    budget); the per-bucket pass is ONE global two-sided searchsorted —
+    each user segment's timestamps shift into a disjoint int64 band
+    (band width > global ts span + window), so window bounds never
+    cross segments and no per-user Python loop runs."""
+    from ..stages.scan import auto_n_buckets
+
+    GAP_US = 3_600_000_000
+    N_BUCKETS = auto_n_buckets(_nrows(sf_dir, "events"))
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        u = b["user_id"].to_numpy(zero_copy_only=False)
+        return b.append_column("_bucket", pa.array(u % N_BUCKETS, pa.int64()))
+
+    def roll(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        ts = d["ts"].astype("int64").to_numpy()
+        user = d["user_id"].to_numpy()
+        n = len(d)
+        if not n:
+            return pd.DataFrame({"event_id": np.empty(0, np.int64),
+                                 "n_last_hour": np.empty(0, np.int64)})
+        out = np.empty(n, dtype=np.int64)
+        new = np.ones(n, dtype=bool)
+        new[1:] = user[1:] != user[:-1]
+        seg = np.cumsum(new) - 1  # 0-based segment index per row
+        base = ts - ts.min()
+        span = np.int64(base.max()) + GAP_US + 1
+        # chunk segments so seg_local * span never overflows int64
+        # (one iteration unless segments x ts-span nears 2^62)
+        segs_per_chunk = max(1, int((1 << 62) // span))
+        n_segs = int(seg[-1]) + 1
+        for c0 in range(0, n_segs, segs_per_chunk):
+            m = (seg >= c0) & (seg < c0 + segs_per_chunk)
+            k = base[m] + (seg[m] - c0) * span
+            hi = np.searchsorted(k, k, side="right")
+            lo = np.searchsorted(k, k - GAP_US, side="left")
+            out[m] = hi - lo
+        return pd.DataFrame({"event_id": d["event_id"].to_numpy(),
+                             "n_last_hour": out})
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"]).map_batches(
+        add_bucket, batch_format="pyarrow")
+    return ds.groupby("_bucket").map_groups(roll, batch_format="pandas")
+
+
+def q_rolling_counts_sql() -> str:
+    return ("SELECT event_id, cast(count(*) OVER (PARTITION BY user_id "
+            "ORDER BY epoch_us(ts) RANGE BETWEEN 3600000000 PRECEDING "
+            "AND CURRENT ROW) AS bigint) AS n_last_hour FROM events")
+
+
+def q_funnel(sf_dir: str):
+    """Event-sequence funnel (click → purchase within 1 h) per user:
+    the keyed_scan coarse-bucket shape with a vectorized last-click
+    cummax per user — purchases at the same timestamp as a click sort
+    AFTER it, so the scan sees the click (ties resolved like the SQL
+    window's ORDER BY)."""
+    from ..stages.scan import keyed_scan
+
+    H = 3_600_000_000  # 1h in epoch-us
+
+    def prep(b: pa.Table) -> pa.Table:
+        et = b["event_type"].to_numpy(zero_copy_only=False)
+        keep = (et == "click") | (et == "purchase")
+        t = b.filter(pa.array(keep))
+        ts = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        is_p = (t["event_type"].to_numpy(zero_copy_only=False)
+                == "purchase").astype(np.int64)
+        return pa.table({"user_id": t["user_id"],
+                         "t": pa.array(ts, pa.int64()),
+                         "is_p": pa.array(is_p, pa.int64()),
+                         "event_id": t["event_id"]})
+
+    def scan(d: pd.DataFrame) -> pd.DataFrame:
+        # positional numpy throughout (group frames arrive with
+        # duplicate index labels — label alignment would misassign)
+        u = d["user_id"].to_numpy()
+        t = d["t"].to_numpy()
+        is_p = d["is_p"].to_numpy()
+        # last click timestamp per position, reset at user boundaries
+        click_t = np.where(is_p == 0, t, np.iinfo(np.int64).min)
+        starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+        seg = np.zeros(len(u), np.int64)
+        seg[starts] = 1
+        gid = np.cumsum(seg)
+        s = pd.Series(np.where(click_t == np.iinfo(np.int64).min,
+                               np.nan, click_t))
+        # cummax leaves NaN at NaN positions — ffill within the group
+        # carries the running max over the purchase rows
+        lc = s.groupby(gid).cummax().groupby(gid).ffill().to_numpy()
+        pmask = is_p == 1
+        conv = (~np.isnan(lc[pmask])) & (t[pmask] - lc[pmask] <= H)
+        pu = u[pmask]
+        out = (pd.DataFrame({"user_id": pu,
+                             "n_purchases": np.ones(len(pu), np.int64),
+                             "n_converted": conv.astype(np.int64)})
+               .groupby("user_id", sort=False, as_index=False).sum())
+        return out[["user_id", "n_purchases", "n_converted"]]
+
+    ds = _read(sf_dir, "events",
+               ["event_id", "user_id", "ts", "event_type"]).map_batches(
+        prep, batch_format="pyarrow")
+    return keyed_scan(ds, key="user_id", order=["t", "is_p", "event_id"],
+                      fn=scan, n_rows=_nrows(sf_dir, "events"))
+
+
+def q_funnel_sql() -> str:
+    return (
+        "WITH e AS (SELECT user_id, epoch_us(ts) AS t, event_type, event_id "
+        "FROM events WHERE event_type IN ('click', 'purchase')), "
+        "s AS (SELECT *, max(CASE WHEN event_type = 'click' THEN t END) "
+        "OVER (PARTITION BY user_id ORDER BY t, "
+        "CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END, event_id "
+        "ROWS UNBOUNDED PRECEDING) AS last_click FROM e) "
+        "SELECT user_id, CAST(count(*) AS BIGINT) AS n_purchases, "
+        "CAST(sum(CASE WHEN last_click IS NOT NULL "
+        "AND t - last_click <= 3600000000 THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS n_converted FROM s WHERE event_type = 'purchase' "
+        "GROUP BY user_id"
+    )
+
+
+def q_throttle_dedup(sf_dir: str):
+    """Windowed first-per-key dedup (event throttling: keep each
+    user's FIRST event per hour).  The shuffle ships only
+    (key, t, event_id, user_id, hour) projections; survivors resolve
+    with one vectorized first-of-run mask per coarse bucket
+    (stages/scan.py keyed_scan — keys never straddle buckets)."""
+    from ..stages.scan import keyed_scan
+
+    def prep(b: pa.Table) -> pa.Table:
+        t = b["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        u = b["user_id"].to_numpy(zero_copy_only=False)
+        hour = t // 3_600_000_000
+        # user_id * 2^20 + hour is collision-free while epoch-hours
+        # < 2^20 (until year 2089)
+        return pa.table({"k": pa.array(u * (1 << 20) + hour, pa.int64()),
+                         "t": pa.array(t, pa.int64()),
+                         "event_id": b["event_id"],
+                         "user_id": b["user_id"],
+                         "hour": pa.array(hour, pa.int64())})
+
+    def first(d: pd.DataFrame) -> pd.DataFrame:
+        k = d["k"].to_numpy()
+        mask = np.r_[True, k[1:] != k[:-1]]
+        return d.loc[mask, ["event_id", "user_id", "hour"]]
+
+    ds = _read(sf_dir, "events",
+               ["event_id", "user_id", "ts"]).map_batches(
+        prep, batch_format="pyarrow")
+    return keyed_scan(ds, key="k", order=["t", "event_id"], fn=first,
+                      n_rows=_nrows(sf_dir, "events"))
+
+
+def q_throttle_dedup_sql() -> str:
+    return (
+        "WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS t, "
+        "epoch_us(ts) // 3600000000 AS hour FROM events) "
+        "SELECT event_id, user_id, hour FROM e "
+        "QUALIFY row_number() OVER (PARTITION BY user_id, hour "
+        "ORDER BY t, event_id) = 1"
+    )
+
+
+def q_sliding_distinct(sf_dir: str):
+    """Sliding-window COUNT(DISTINCT user): 1 h windows every 15 min —
+    the window explode (np.repeat inside map_batches, with a LOCAL
+    (window, user) pair dedup so the shuffle carries distinct pairs,
+    not 4× rows) composed with the unbounded-pair-key distinct
+    machinery (stages/agg_tree.py::grouped_count_distinct shape)."""
+    from ..stages.agg_tree import grouped_count
+
+    STEP_US = 900_000_000
+    NSUB = 4
+
+    def expand_pairs(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        u = batch["user_id"].to_numpy(zero_copy_only=False)
+        slot = ts // STEP_US
+        wins = (np.repeat(slot, NSUB)
+                - np.tile(np.arange(NSUB, dtype=np.int64), len(slot)))
+        t = pa.table({"win_slot": pa.array(wins, pa.int64()),
+                      "user_id": pa.array(np.repeat(u, NSUB), pa.int64())})
+        return t.group_by(["win_slot", "user_id"]).aggregate([])
+
+    from ..stages.scan import hash_bucket_scan
+
+    pairs = _read(sf_dir, "events", ["ts", "user_id"]).map_batches(
+        expand_pairs, batch_format="pyarrow")
+    # pair-key distinct through ONE coarse hash exchange (a pair lands
+    # wholly in one bucket; within-bucket Arrow group_by) — no global
+    # sort over the unbounded (window, user) key space
+    uniq = hash_bucket_scan(
+        pairs, ["win_slot", "user_id"],
+        lambda t: t.group_by(["win_slot", "user_id"]).aggregate([]),
+        n_rows=NSUB * _nrows(sf_dir, "events"))
+    out = grouped_count(uniq, ["win_slot"], out_col="n_users")
+
+    def finish(b: pa.Table) -> pa.Table:
+        slots = b["win_slot"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "win_start_us": pa.array(slots * 900_000_000, pa.int64()),
+            "n_users": b["n_users"]})
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+def q_sliding_distinct_sql() -> str:
+    return (
+        "WITH e AS (SELECT epoch_us(ts) AS t, user_id FROM events), "
+        "j AS (SELECT unnest(range(4)) AS j), "
+        "w AS (SELECT ((t // 900000000) - j) * 900000000 AS win_start_us, "
+        "user_id FROM e CROSS JOIN j) "
+        "SELECT win_start_us, CAST(count(DISTINCT user_id) AS BIGINT) "
+        "AS n_users FROM w GROUP BY 1"
+    )
+
+
+def q_scd_intervals(sf_dir: str):
+    """Slowly-changing-dimension (type 2) interval build: each user's
+    events become validity intervals [ts, next_ts) with the sentinel
+    MAX for the open current row — the LEAD window as a vectorized
+    next-of-run shift inside coarse key buckets (keys never straddle
+    buckets, so no cross-partition carry)."""
+    from ..stages.scan import keyed_scan
+
+    SENTINEL = np.int64(2**62)
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table({"user_id": b["user_id"],
+                         "t": b["ts"].cast(pa.int64()),
+                         "event_id": b["event_id"]})
+
+    def intervals(d: pd.DataFrame) -> pd.DataFrame:
+        u = d["user_id"].to_numpy()
+        t = d["t"].to_numpy()
+        nxt = np.empty_like(t)
+        nxt[:-1] = t[1:]
+        nxt[-1] = SENTINEL
+        last = np.r_[u[1:] != u[:-1], True]
+        nxt[last] = SENTINEL
+        out = d[["user_id", "event_id"]].copy()
+        out["valid_from"] = t
+        out["valid_to"] = nxt
+        return out
+
+    ds = _read(sf_dir, "events",
+               ["event_id", "user_id", "ts"]).map_batches(
+        prep, batch_format="pyarrow")
+    return keyed_scan(ds, key="user_id", order=["t", "event_id"],
+                      fn=intervals, n_rows=_nrows(sf_dir, "events"))
+
+
+def q_scd_intervals_sql() -> str:
+    return (
+        "SELECT user_id, event_id, epoch_us(ts) AS valid_from, "
+        "COALESCE(lead(epoch_us(ts)) OVER (PARTITION BY user_id "
+        "ORDER BY epoch_us(ts), event_id), 4611686018427387904) "
+        "AS valid_to FROM events"
+    )
+
+
+def q_user_window(sf_dir: str):
+    """LEAD / FIRST_VALUE / running MAX per user in (ts, event_id)
+    order — one coarse-bucket keyed scan (stages/scan.py), all three
+    windows from a single vectorized pass over the sorted bucket (the
+    running max is over the micro-quantized int value, so the oracle's
+    windowed MAX matches bit-for-bit)."""
+    from ..stages.scan import keyed_scan
+
+    def prep(b: pa.Table) -> pa.Table:
+        v = b["value"].to_numpy(zero_copy_only=False)
+        vq2 = np.floor(v * 100.0 + 0.5).astype(np.int64)
+        return pa.table({
+            "event_id": b["event_id"], "user_id": b["user_id"],
+            "ts_us": b["ts"].cast(pa.int64()),
+            "vq2": pa.array(vq2, pa.int64())})
+
+    def scan(d: pd.DataFrame) -> pd.DataFrame:
+        k = d["user_id"].to_numpy()
+        ts = d["ts_us"].to_numpy()
+        first_mask = np.ones(len(d), dtype=bool)
+        first_mask[1:] = k[1:] != k[:-1]
+        # LEAD(ts): next row's ts, -1 on each user's last row
+        lead = np.empty_like(ts)
+        lead[:-1] = ts[1:]
+        last_mask = np.ones(len(d), dtype=bool)
+        last_mask[:-1] = first_mask[1:]
+        lead[last_mask] = -1
+        # FIRST_VALUE(ts): broadcast each segment's first ts
+        seg_start = np.flatnonzero(first_mask)
+        sizes = np.diff(np.append(seg_start, len(d)))
+        first_ts = np.repeat(ts[seg_start], sizes)
+        # running MAX(vq2) within the segment (pandas cummax — C loop,
+        # no per-key Python; max has no subtract-the-base reset trick)
+        cummax = d.groupby("user_id", sort=False)["vq2"].cummax().to_numpy()
+        return pd.DataFrame({
+            "event_id": d["event_id"].to_numpy(),
+            "lead_ts_us": lead,
+            "first_ts_us": first_ts,
+            "cummax_vq2": cummax})
+
+    ds = _read(sf_dir, "events",
+               ["event_id", "user_id", "ts", "value"]).map_batches(
+        prep, batch_format="pyarrow")
+    return keyed_scan(ds, key="user_id", order=["ts_us", "event_id"],
+                      fn=scan, n_rows=_nrows(sf_dir, "events"))
+
+
+def q_user_window_sql() -> str:
+    return (
+        "WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, "
+        "CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS vq2 FROM events) "
+        "SELECT event_id, COALESCE(lead(ts_us) OVER w, -1) AS lead_ts_us, "
+        "first_value(ts_us) OVER w AS first_ts_us, "
+        "max(vq2) OVER (PARTITION BY user_id ORDER BY ts_us, event_id "
+        "ROWS UNBOUNDED PRECEDING) AS cummax_vq2 "
+        "FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)"
+    )
+
+
+def q_retention(sf_dir: str):
+    """Cohort retention: cohort = each user's first active week, then
+    distinct-user counts per (cohort_week, active_week).  ONE hash
+    co-partition shuffle on user_id does all the per-user work (first
+    week + distinct weeks) vectorized inside each bucket; the
+    (cohort, week) key space is bounded (weeks²), so the final count
+    rides the combiner tree — no second all-to-all."""
+    from ..stages.agg_tree import tree_aggregate
+    from ..stages.scan import hash_bucket_scan
+
+    WEEK_US = 7 * 86400 * 1_000_000
+
+    def prep(b: pa.Table) -> pa.Table:
+        ts = b["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({"user_id": b["user_id"],
+                         "wk": pa.array(ts // WEEK_US, pa.int64())})
+
+    def per_user(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        w = t["wk"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((w, u))
+        u, w = u[order], w[order]
+        keep = np.ones(len(u), dtype=bool)
+        keep[1:] = (u[1:] != u[:-1]) | (w[1:] != w[:-1])
+        u, w = u[keep], w[keep]                      # distinct (user, wk)
+        new_u = np.ones(len(u), dtype=bool)
+        new_u[1:] = u[1:] != u[:-1]
+        sizes = np.diff(np.append(np.flatnonzero(new_u), len(u)))
+        cohort = np.repeat(w[new_u], sizes)          # per-user min week
+        t2 = pa.table({"cohort": pa.array(cohort, pa.int64()),
+                       "wk": pa.array(w, pa.int64()),
+                       "n_users": pa.array(np.ones(len(u), np.int64))})
+        g = t2.group_by(["cohort", "wk"]).aggregate([("n_users", "sum")])
+        return g.rename_columns(["cohort", "wk", "n_users"])
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"]).map_batches(
+        prep, batch_format="pyarrow")
+    pairs = hash_bucket_scan(ds, ["user_id"], per_user,
+                             n_rows=_nrows(sf_dir, "events"))
+    return tree_aggregate(pairs, ["cohort", "wk"], [("n_users", "sum")])
+
+
+def q_retention_sql() -> str:
+    return (
+        "WITH w AS (SELECT user_id, epoch_us(ts) // 604800000000 AS wk "
+        "FROM events), "
+        "c AS (SELECT user_id, min(wk) AS cohort FROM w GROUP BY user_id), "
+        "a AS (SELECT DISTINCT w.user_id, c.cohort, w.wk "
+        "FROM w JOIN c USING (user_id)) "
+        "SELECT cohort, wk, CAST(count(*) AS BIGINT) AS n_users "
+        "FROM a GROUP BY cohort, wk"
+    )
+
+
+def q_gap_fill(sf_dir: str):
+    """Per-user hourly gap-fill with forward fill: each user's sparse
+    (hour, max value) series expands to every hour in [first, last]
+    carrying the latest known value — the time-series resample+ffill
+    primitive.  ONE user-key hash shuffle; inside a bucket the
+    expansion is grouped-arange arithmetic and the fill is one global
+    searchsorted over a (user, hour) composite key — no per-user
+    loop.  Values pass through untouched (max of doubles), so floats
+    hash-match."""
+    from ..stages.scan import hash_bucket_scan
+
+    HOUR_US = 3600 * 1_000_000
+
+    def prep(b: pa.Table) -> pa.Table:
+        ts = b["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({"user_id": b["user_id"],
+                         "h": pa.array(ts // HOUR_US, pa.int64()),
+                         "value": b["value"]})
+
+    def fill(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        h = t["h"].to_numpy(zero_copy_only=False)
+        v = t["value"].to_numpy(zero_copy_only=False)
+        if len(u) == 0:
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "h": pa.array([], pa.int64()),
+                             "v": pa.array([], pa.float64())})
+        # per-(user, hour) max(value), sorted by (user, hour)
+        order = np.lexsort((v, h, u))
+        u, h, v = u[order], h[order], v[order]
+        last = np.ones(len(u), dtype=bool)
+        last[:-1] = (u[1:] != u[:-1]) | (h[1:] != h[:-1])
+        u, h, v = u[last], h[last], v[last]          # max = last in v-order
+        # per-user [h0, h1] expansion (grouped arange)
+        new_u = np.ones(len(u), dtype=bool)
+        new_u[1:] = u[1:] != u[:-1]
+        starts = np.flatnonzero(new_u)
+        ends = np.append(starts[1:], len(u)) - 1
+        h0, h1 = h[starts], h[ends]
+        lens = h1 - h0 + 1
+        total = int(lens.sum())
+        off = np.repeat(np.cumsum(lens) - lens, lens)
+        out_h = np.arange(total, dtype=np.int64) - off + np.repeat(h0, lens)
+        out_u = np.repeat(u[starts], lens)
+        # forward fill: latest sparse row ≤ out_h per user, via a
+        # composite (user-ordinal, hour) key monotone within the bucket
+        uidx = np.cumsum(new_u) - 1                   # ordinal per sparse row
+        out_uidx = np.repeat(np.arange(len(starts), dtype=np.int64), lens)
+        SPAN = np.int64(1) << 42                      # hours ≪ 2^42
+        key_sparse = uidx * SPAN + h
+        key_out = out_uidx * SPAN + out_h
+        idx = np.searchsorted(key_sparse, key_out, side="right") - 1
+        return pa.table({"user_id": pa.array(out_u, pa.int64()),
+                         "h": pa.array(out_h, pa.int64()),
+                         "v": pa.array(v[idx], pa.float64())})
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "value"]).map_batches(
+        prep, batch_format="pyarrow")
+    return hash_bucket_scan(ds, ["user_id"], fill,
+                            n_rows=_nrows(sf_dir, "events"))
+
+
+def q_gap_fill_sql() -> str:
+    return (
+        "WITH hv AS (SELECT user_id, epoch_us(ts) // 3600000000 AS h, "
+        "max(value) AS v FROM events GROUP BY user_id, h), "
+        "b AS (SELECT user_id, min(h) AS h0, max(h) AS h1 FROM hv "
+        "GROUP BY user_id), "
+        "s AS (SELECT user_id, unnest(range(h0, h1 + 1)) AS h FROM b) "
+        "SELECT s.user_id, s.h, hv.v FROM s ASOF JOIN hv "
+        "ON s.user_id = hv.user_id AND s.h >= hv.h"
+    )
+
+
+def q_transitions(sf_dir: str):
+    """Markov transition counts over each user's event-type sequence
+    (the sequence-mining primitive: session flows, curriculum stats).
+    ONE coarse keyed scan co-partitions users and sorts each bucket by
+    (user, ts, event_id); the transition pairs fall out of two shifted
+    array views (valid where the user doesn't change), and the bounded
+    (prev, next) count rides the combiner tree — no second all-to-all.
+    Exact ints, so the hash compare vs the LAG-window oracle is
+    bit-for-bit."""
+    from ..stages.agg_tree import tree_aggregate
+    from ..stages.scan import keyed_scan
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table({"user_id": b["user_id"],
+                         "ts_us": b["ts"].cast(pa.int64()),
+                         "event_id": b["event_id"],
+                         "event_type": b["event_type"]})
+
+    def scan(d: pd.DataFrame) -> pd.DataFrame:
+        u = d["user_id"].to_numpy()
+        t = d["event_type"].to_numpy()
+        same = u[1:] == u[:-1]
+        prev, nxt = t[:-1][same], t[1:][same]
+        if not len(prev):
+            return pd.DataFrame({"prev_type": pd.Series([], dtype=str),
+                                 "next_type": pd.Series([], dtype=str),
+                                 "n": pd.Series([], dtype=np.int64)})
+        # factorize the two columns jointly, count numeric pair codes
+        both = np.concatenate([prev, nxt]).astype("U")
+        uniq_t, inv = np.unique(both, return_inverse=True)
+        code = inv[:len(prev)] * np.int64(len(uniq_t)) + inv[len(prev):]
+        ucode, counts = np.unique(code, return_counts=True)
+        return pd.DataFrame({"prev_type": uniq_t[ucode // len(uniq_t)],
+                             "next_type": uniq_t[ucode % len(uniq_t)],
+                             "n": counts.astype(np.int64)})
+
+    ds = _read(sf_dir, "events",
+               ["user_id", "ts", "event_id", "event_type"]).map_batches(
+        prep, batch_format="pyarrow")
+    partials = keyed_scan(ds, key="user_id", order=["ts_us", "event_id"],
+                          fn=scan, n_rows=_nrows(sf_dir, "events"))
+    return tree_aggregate(partials, ["prev_type", "next_type"],
+                          [("n", "sum")])
+
+
+def q_transitions_sql() -> str:
+    return (
+        "WITH s AS (SELECT user_id, event_type, lag(event_type) OVER "
+        "(PARTITION BY user_id ORDER BY ts, event_id) AS prev "
+        "FROM events) "
+        "SELECT prev AS prev_type, event_type AS next_type, "
+        "CAST(count(*) AS BIGINT) AS n FROM s "
+        "WHERE prev IS NOT NULL GROUP BY prev, event_type"
+    )
+
+
+def q_asof_forward(sf_dir: str):
+    """FORWARD as-of join (the mirror of q_asof_join's backward
+    direction): each even event matches the EARLIEST odd event of the
+    same user at-or-after its timestamp (ties → min event_id; no match
+    → -1 sentinels, avoiding nullable drift).  Same coarse user-hash
+    exchange as the interval join; per bucket the odd side sorts once
+    by a (key-rank, ts, id) composite and ONE global searchsorted
+    answers every even row."""
+    from ..stages.scan import hash_bucket_scan
+
+    def tag(parity: int):
+        def f(b: pa.Table) -> pa.Table:
+            eid = b["event_id"].to_numpy(zero_copy_only=False)
+            t = b.filter(pa.array(eid % 2 == parity))
+            return pa.table({
+                "event_id": t["event_id"], "user_id": t["user_id"],
+                "t_us": t["ts"].cast(pa.int64()),
+                "_side": pa.array(np.full(len(t), parity, np.int8),
+                                  pa.int8())})
+        return f
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    unioned = (ev.map_batches(tag(0), batch_format="pyarrow")
+               .union(ev.map_batches(tag(1), batch_format="pyarrow")))
+
+    def nxt(t: pa.Table) -> pa.Table:
+        side = t["_side"].to_numpy(zero_copy_only=False)
+        k = t["user_id"].to_numpy(zero_copy_only=False)
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        ts = t["t_us"].to_numpy(zero_copy_only=False)
+        a = side == 0
+        ka, ia, ta = k[a], eid[a], ts[a]
+        if not len(ka):
+            return pa.table({"event_id": pa.array([], pa.int64()),
+                             "next_id": pa.array([], pa.int64()),
+                             "next_ts": pa.array([], pa.int64())})
+        kb, ib, tb = k[~a], eid[~a], ts[~a]
+        nid = np.full(len(ka), -1, np.int64)
+        nts = np.full(len(ka), -1, np.int64)
+        if len(kb):
+            base = int(min(ta.min(), tb.min()))
+            span = int(max(ta.max(), tb.max())) - base + 2
+            uk = np.unique(np.concatenate([ka, kb]))
+            if len(uk) * span >= 2 ** 63:
+                raise ValueError("key-rank × time-span composite "
+                                 "overflows int64")
+            bkey = (np.searchsorted(uk, kb).astype(np.int64) * span
+                    + (tb - base))
+            order = np.lexsort((ib, bkey))  # ties → min event_id first
+            bkey, ib, tb, kb = bkey[order], ib[order], tb[order], kb[order]
+            pos = np.searchsorted(
+                bkey, np.searchsorted(uk, ka).astype(np.int64) * span
+                + (ta - base), side="left")
+            ok = pos < len(bkey)
+            pos_c = np.minimum(pos, len(bkey) - 1)
+            ok &= kb[pos_c] == ka  # next entry must stay in our key band
+            nid[ok] = ib[pos_c[ok]]
+            nts[ok] = tb[pos_c[ok]]
+        return pa.table({"event_id": pa.array(ia, pa.int64()),
+                         "next_id": pa.array(nid, pa.int64()),
+                         "next_ts": pa.array(nts, pa.int64())})
+
+    return hash_bucket_scan(unioned, ["user_id"], nxt,
+                            n_rows=_nrows(sf_dir, "events"))
+
+
+def q_asof_forward_sql() -> str:
+    return (
+        "WITH a AS (SELECT event_id, user_id, epoch_us(ts) AS t FROM events "
+        "WHERE event_id % 2 = 0), "
+        "b AS (SELECT event_id, user_id, epoch_us(ts) AS t FROM events "
+        "WHERE event_id % 2 = 1), "
+        "n AS (SELECT a.event_id, a.user_id, a.t, min(b.t) AS nt FROM a "
+        "LEFT JOIN b ON b.user_id = a.user_id AND b.t >= a.t "
+        "GROUP BY 1, 2, 3) "
+        "SELECT n.event_id, COALESCE(min(b.event_id), -1) AS next_id, "
+        "COALESCE(n.nt, -1) AS next_ts FROM n LEFT JOIN b "
+        "ON b.user_id = n.user_id AND b.t = n.nt GROUP BY 1, 3"
+    )
+
+
+def q_ks_drift(sf_dir: str):
+    """Two-sample Kolmogorov–Smirnov drift between the click and view
+    value distributions (stages/global_scan.py — range-partitioned
+    distributed CDF scan: bucket totals tree → broadcast exclusive
+    offsets → per-bucket vectorized max; exact integer arithmetic, the
+    global CDF never materializes)."""
+    import pyarrow.compute as pc
+
+    from ..stages.global_scan import two_sample_ks
+
+    def prep(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.is_in(b["event_type"],
+                              value_set=pa.array(["click", "view"])))
+        v = t["value"].to_numpy(zero_copy_only=False)
+        isa = pc.equal(t["event_type"], "click").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "v6": pa.array(np.floor(v * 1e6 + 0.5).astype(np.int64),
+                           pa.int64()),
+            "isa": pa.array(isa, pa.int64())})
+
+    ds = _read(sf_dir, "events", ["event_type", "value"]).map_batches(
+        prep, batch_format="pyarrow")
+    return two_sample_ks(ds, "v6", "isa", n_rows=_nrows(sf_dir, "events"))
+
+
+def q_ks_drift_sql() -> str:
+    return (
+        "WITH x AS (SELECT CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS v, "
+        "CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS isa "
+        "FROM events WHERE event_type IN ('click', 'view')), "
+        "t AS (SELECT CAST(sum(isa) AS BIGINT) AS n_a, "
+        "CAST(count(*) - sum(isa) AS BIGINT) AS n_b FROM x), "
+        "g AS (SELECT v, CAST(sum(isa) AS BIGINT) AS ca, "
+        "CAST(count(*) - sum(isa) AS BIGINT) AS cb FROM x GROUP BY v), "
+        "c AS (SELECT sum(ca) OVER (ORDER BY v) AS cca, "
+        "sum(cb) OVER (ORDER BY v) AS ccb FROM g) "
+        "SELECT CAST(max(abs(cca * (SELECT n_b FROM t) - "
+        "ccb * (SELECT n_a FROM t))) AS BIGINT) AS d_scaled, "
+        "(SELECT n_a FROM t) AS n_a, (SELECT n_b FROM t) AS n_b FROM c"
+    )
+
+
+def q_mom_revenue(sf_dir: str):
+    """Month-over-month revenue deltas (the period-over-period
+    reporting shape): one streaming pass pre-aggregates cent-quantized
+    order totals per calendar month inside each batch, the bounded
+    month space merges on the combiner tree, and the lag delta is a
+    vectorized driver-side pass over the (tiny) month series —
+    no shuffle anywhere."""
+    from ..stages.agg_tree import tree_aggregate_to_table
+
+    def partial(b: pd.DataFrame) -> pa.Table:
+        ym = (b["o_orderdate"].dt.year * 100
+              + b["o_orderdate"].dt.month).to_numpy().astype(np.int64)
+        cents = np.floor(b["o_totalprice"].to_numpy() * 100 + 0.5
+                         ).astype(np.int64)
+        t = pa.table({"ym": pa.array(ym), "rev_cents": pa.array(cents),
+                      "n_orders": pa.array(np.ones(len(b), np.int64))})
+        return (t.group_by(["ym"])
+                 .aggregate([("rev_cents", "sum"), ("n_orders", "sum")])
+                 .rename_columns(["ym", "rev_cents", "n_orders"]))
+
+    parts = _read(sf_dir, "orders",
+                  ["o_orderdate", "o_totalprice"]).map_batches(
+        partial, batch_format="pandas")
+    m = tree_aggregate_to_table(
+        parts, ["ym"], [("rev_cents", "sum"), ("n_orders", "sum")]
+    ).to_pandas().sort_values("ym", kind="mergesort").reset_index(
+        drop=True)
+    rev = m["rev_cents"].to_numpy().astype(np.int64)
+    delta = np.zeros(len(m), np.int64)
+    delta[1:] = rev[1:] - rev[:-1]
+    m["delta_cents"] = delta
+    m["ym"] = m["ym"].astype(np.int64)
+    m["n_orders"] = m["n_orders"].astype(np.int64)
+    return m
+
+
+def q_mom_revenue_sql() -> str:
+    return (
+        "WITH m AS (SELECT CAST(year(o_orderdate) * 100 + "
+        "month(o_orderdate) AS BIGINT) AS ym, "
+        "CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) "
+        "AS BIGINT) AS rev_cents, CAST(count(*) AS BIGINT) AS n_orders "
+        "FROM orders GROUP BY 1) "
+        "SELECT ym, rev_cents, n_orders, "
+        "CAST(COALESCE(rev_cents - lag(rev_cents) OVER (ORDER BY ym), 0) "
+        "AS BIGINT) AS delta_cents FROM m"
+    )
+
+
+def q_cum_new_users(sf_dir: str):
+    """Daily new-user counts with a cumulative total (the
+    growth-accounting shape): per-batch Arrow group_by pre-reduces
+    each user's min event time (the combiner — shuffle volume is
+    distinct users per block, not rows), ONE coarse hash exchange on
+    user_id finishes the global first-seen day, the bounded day space
+    rides the combiner tree, and the cumulative sum is a vectorized
+    pass over the tiny day series on the driver."""
+    from ..stages.agg_tree import tree_aggregate_to_table
+    from ..stages.scan import hash_bucket_scan
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table({"user_id": b["user_id"],
+                      "t": b["ts"].cast(pa.int64())})
+        return (t.group_by(["user_id"]).aggregate([("t", "min")])
+                 .rename_columns(["user_id", "t"]))
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"]).map_batches(
+        partial, batch_format="pyarrow")
+
+    def per_user_day(t: pa.Table) -> pa.Table:
+        g = (t.group_by(["user_id"]).aggregate([("t", "min")])
+              .rename_columns(["user_id", "t"]))
+        day = g["t"].to_numpy() // 86_400_000_000
+        c = pa.table({"day": pa.array(day),
+                      "n_new": pa.array(np.ones(len(day), np.int64))})
+        return (c.group_by(["day"]).aggregate([("n_new", "sum")])
+                 .rename_columns(["day", "n_new"]))
+
+    days = hash_bucket_scan(ds, ["user_id"], per_user_day)
+    m = tree_aggregate_to_table(days, ["day"], [("n_new", "sum")]
+                                ).to_pandas()
+    m = m.sort_values("day", kind="mergesort").reset_index(drop=True)
+    m["day"] = m["day"].astype(np.int64)
+    m["n_new"] = m["n_new"].astype(np.int64)
+    m["cum_users"] = m["n_new"].to_numpy().cumsum()
+    return m
+
+
+def q_cum_new_users_sql() -> str:
+    return (
+        "WITH f AS (SELECT user_id, min(epoch_us(ts)) // 86400000000 "
+        "AS day FROM events GROUP BY 1), "
+        "d AS (SELECT day, CAST(count(*) AS BIGINT) AS n_new FROM f "
+        "GROUP BY 1) "
+        "SELECT day, n_new, CAST(sum(n_new) OVER (ORDER BY day) "
+        "AS BIGINT) AS cum_users FROM d"
+    )
+
+
+def q_trend_slopes(sf_dir: str):
+    """Per-user least-squares trend of event value over time, kept as
+    the exact integer pair (slope_num, slope_den) = (n·Σxy − Σx·Σy,
+    n·Σx² − (Σx)²) so the distributed result is bit-identical: x =
+    whole hours since the user's first event (int), y = milli-quantized
+    value.  One keyed_scan pass — the five moment sums are per-segment
+    vectorized reductions; no float ever accumulates."""
+    from ..stages.scan import keyed_scan
+
+    def prep(b: pa.Table) -> pa.Table:
+        v = b["value"].to_numpy(zero_copy_only=False)
+        return pa.table({"user_id": b["user_id"],
+                         "t": b["ts"].cast(pa.int64()),
+                         "event_id": b["event_id"],
+                         "y": pa.array(np.floor(v * 1e3 + 0.5
+                                                ).astype(np.int64))})
+
+    def fn(d: pd.DataFrame) -> pd.DataFrame:
+        g = d.groupby("user_id", sort=False)
+        tmin = g["t"].transform("min").to_numpy()
+        x = (d["t"].to_numpy() - tmin) // 3_600_000_000
+        y = d["y"].to_numpy()
+        f = pd.DataFrame({"user_id": d["user_id"].to_numpy(),
+                          "x": x, "y": y, "xy": x * y, "xx": x * x})
+        s = (f.groupby("user_id", sort=False, as_index=False)
+             .agg(n=("x", "size"), sx=("x", "sum"), sy=("y", "sum"),
+                  sxy=("xy", "sum"), sxx=("xx", "sum")))
+        n = s["n"].to_numpy().astype(np.int64)
+        return pd.DataFrame({
+            "user_id": s["user_id"].to_numpy(),
+            "slope_num": n * s["sxy"].to_numpy() -
+            s["sx"].to_numpy() * s["sy"].to_numpy(),
+            "slope_den": n * s["sxx"].to_numpy() -
+            s["sx"].to_numpy() ** 2,
+            "n": n})
+
+    ds = _read(sf_dir, "events",
+               ["event_id", "user_id", "ts", "value"]).map_batches(
+        prep, batch_format="pyarrow")
+    return keyed_scan(ds, key="user_id", order=["t", "event_id"],
+                      fn=fn, n_rows=_nrows(sf_dir, "events"))
+
+
+def q_trend_slopes_sql() -> str:
+    return (
+        "WITH p AS (SELECT user_id, epoch_us(ts) AS t, "
+        "CAST(floor(value * 1000 + 0.5) AS BIGINT) AS y FROM events), "
+        "x AS (SELECT user_id, (t - min(t) OVER (PARTITION BY user_id)) "
+        "// 3600000000 AS x, y FROM p) "
+        "SELECT user_id, CAST(count(*) * sum(x * y) - sum(x) * sum(y) "
+        "AS BIGINT) AS slope_num, "
+        "CAST(count(*) * sum(x * x) - sum(x) * sum(x) AS BIGINT) "
+        "AS slope_den, CAST(count(*) AS BIGINT) AS n "
+        "FROM x GROUP BY user_id"
+    )
+
+
+def q_rolling_zscore(sf_dir: str):
+    """Streaming anomaly flags: per user (ordered by ts, event_id), a
+    point is anomalous when its squared z-score against the trailing
+    11-row window (ROWS 10 PRECEDING..CURRENT, incl. itself) exceeds
+    4 and the window holds ≥ 5 rows.  The test
+    ``(v·n − s1)² > 4·(n·s2 − s1²)`` is pure int64 on milli-quantized
+    values — no division, no float variance, so distributed runs are
+    bit-identical.  Rolling sums are one global cumsum per bucket with
+    per-segment window-start clamps (no per-key loop)."""
+    from ..stages.scan import keyed_scan
+
+    def prep(b: pa.Table) -> pa.Table:
+        v = b["value"].to_numpy(zero_copy_only=False)
+        return pa.table({"user_id": b["user_id"],
+                         "t": b["ts"].cast(pa.int64()),
+                         "event_id": b["event_id"],
+                         "v": pa.array(np.floor(v * 1e3 + 0.5
+                                                ).astype(np.int64))})
+
+    def fn(d: pd.DataFrame) -> pd.DataFrame:
+        u = d["user_id"].to_numpy()
+        v = d["v"].to_numpy()
+        idx = np.arange(len(d), dtype=np.int64)
+        first = np.r_[True, u[1:] != u[:-1]]
+        seg_start = idx[first][np.cumsum(first) - 1]
+        start = np.maximum(idx - 10, seg_start)
+        c1 = np.concatenate(([0], np.cumsum(v)))
+        c2 = np.concatenate(([0], np.cumsum(v * v)))
+        s1 = c1[idx + 1] - c1[start]
+        s2 = c2[idx + 1] - c2[start]
+        n = idx - start + 1
+        dev = v * n - s1
+        anom = (n >= 5) & (dev * dev > 4 * (n * s2 - s1 * s1))
+        return pd.DataFrame({
+            "event_id": d["event_id"].to_numpy()[anom],
+            "user_id": u[anom]})
+
+    ds = _read(sf_dir, "events",
+               ["event_id", "user_id", "ts", "value"]).map_batches(
+        prep, batch_format="pyarrow")
+    return keyed_scan(ds, key="user_id", order=["t", "event_id"],
+                      fn=fn, n_rows=_nrows(sf_dir, "events"))
+
+
+def q_rolling_zscore_sql() -> str:
+    return (
+        "WITH x AS (SELECT event_id, user_id, epoch_us(ts) AS t, "
+        "CAST(floor(value * 1000 + 0.5) AS BIGINT) AS v FROM events), "
+        "w AS (SELECT event_id, user_id, v, sum(v) OVER win AS s1, "
+        "sum(v * v) OVER win AS s2, count(*) OVER win AS n FROM x "
+        "WINDOW win AS (PARTITION BY user_id ORDER BY t, event_id "
+        "ROWS BETWEEN 10 PRECEDING AND CURRENT ROW)) "
+        "SELECT event_id, user_id FROM w WHERE n >= 5 AND "
+        "(v * n - s1) * (v * n - s1) > 4 * (n * s2 - s1 * s1)"
+    )
+
+
+def q_autocorr(sf_dir: str):
+    """Lag-1 autocorrelation of the hourly event-count series (the
+    seasonality probe): one distributed counting pass (combiner
+    tree), then r₁ = Σ(N·x_t−S)(N·x_{t+1}−S) / Σ(N·x_t−S)² over the
+    gap-filled hour range on the driver — N-scaled deviations keep
+    every sum an exact Python bigint at any volume; one pinned double
+    division at the end.  Missing hours count 0 (true gap-fill, like
+    q_gap_fill)."""
+    hc = _hourly_counts_table(sf_dir)
+    h = hc["h"].to_numpy()
+    full = np.arange(h.min(), h.max() + 1)
+    x = np.zeros(len(full), np.int64)
+    x[np.searchsorted(full, h)] = hc["x"].to_numpy()
+    n = len(full)
+    s = int(x.sum())
+    z = [n * int(v) - s for v in x]
+    num = sum(a * b for a, b in zip(z[:-1], z[1:]))
+    den = sum(a * a for a in z)
+    r1_nano = int(np.floor(float(num) / float(den) * 1e9 + 0.5))
+    return pd.DataFrame({"n_hours": [np.int64(n)],
+                         "r1_nano": [np.int64(r1_nano)]})
+
+
+def q_autocorr_sql() -> str:
+    return (
+        "WITH c AS (SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) "
+        "AS h, CAST(count(*) AS BIGINT) AS x FROM events GROUP BY 1), "
+        "b AS (SELECT min(h) AS mn, max(h) AS mx FROM c), "
+        "r AS (SELECT unnest(generate_series(mn, mx)) AS h FROM b), "
+        "f AS MATERIALIZED (SELECT r.h, "
+        "COALESCE(c.x, 0) AS x FROM r LEFT JOIN c ON r.h = c.h), "
+        "s AS (SELECT CAST(count(*) AS HUGEINT) AS n, "
+        "CAST(sum(x) AS HUGEINT) AS t FROM f), "
+        "z AS MATERIALIZED (SELECT h, s.n * x - s.t AS z FROM f, s), "
+        "num AS (SELECT CAST(sum(a.z * b.z) AS HUGEINT) AS num "
+        "FROM z a JOIN z b ON b.h = a.h + 1), "
+        "den AS (SELECT CAST(sum(z * z) AS HUGEINT) AS den FROM z) "
+        "SELECT CAST(s.n AS BIGINT) AS n_hours, "
+        "CAST(floor(CAST(num AS DOUBLE) / CAST(den AS DOUBLE) * 1e9 "
+        "+ 0.5) AS BIGINT) AS r1_nano FROM s, num, den"
+    )
+
+
+def q_cusum_changepoint(sf_dir: str):
+    """CUSUM changepoint detection over the hourly count series (the
+    streaming drift alarm): the cumulative deviation n·S_t − t·S_n is
+    an exact bigint per hour (no float drift over arbitrarily long
+    series), and the changepoint is its |·| argmax with the earliest-
+    hour tiebreak.  Counting pass distributed; the bounded hour table
+    finalizes on the driver.  Output = (hour, deviation sign,
+    |deviation|)."""
+    hc = _hourly_counts_table(sf_dir)
+    h = hc["h"].to_numpy()
+    full = np.arange(h.min(), h.max() + 1)
+    x = np.zeros(len(full), np.int64)
+    x[np.searchsorted(full, h)] = hc["x"].to_numpy()
+    n = len(full)
+    s_n = int(x.sum())
+    best = (-1, 0, 0)  # (|dev|, -h, dev)
+    s_t = 0
+    for t in range(n):
+        s_t += int(x[t])
+        dev = n * s_t - (t + 1) * s_n
+        if abs(dev) > best[0]:
+            best = (abs(dev), int(full[t]), dev)
+    return pd.DataFrame({
+        "cp_hour": [np.int64(best[1])],
+        "dev_sign": [np.int64(1 if best[2] > 0 else
+                              (-1 if best[2] < 0 else 0))],
+        "dev_abs": [np.int64(best[0])]})
+
+
+def q_cusum_changepoint_sql() -> str:
+    return (
+        "WITH c AS (SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) "
+        "AS h, CAST(count(*) AS BIGINT) AS x FROM events GROUP BY 1), "
+        "b AS (SELECT min(h) AS mn, max(h) AS mx FROM c), "
+        "r AS (SELECT unnest(generate_series(mn, mx)) AS h FROM b), "
+        "f AS MATERIALIZED (SELECT r.h, COALESCE(c.x, 0) AS x "
+        "FROM r LEFT JOIN c ON r.h = c.h), "
+        "s AS (SELECT CAST(count(*) AS HUGEINT) AS n, "
+        "CAST(sum(x) AS HUGEINT) AS t FROM f), "
+        "w AS (SELECT h, s.n * CAST(sum(x) OVER (ORDER BY h) "
+        "AS HUGEINT) - CAST(row_number() OVER (ORDER BY h) "
+        "AS HUGEINT) * s.t AS dev FROM f, s) "
+        "SELECT h AS cp_hour, "
+        "CAST(CASE WHEN dev > 0 THEN 1 WHEN dev < 0 THEN -1 "
+        "ELSE 0 END AS BIGINT) AS dev_sign, "
+        "CAST(abs(dev) AS BIGINT) AS dev_abs FROM w "
+        "ORDER BY abs(dev) DESC, h LIMIT 1"
+    )
+
+
+def q_benford(sf_dir: str):
+    """Benford first-digit screen over event value cents (the
+    data-quality / fraud heuristic): observed digit counts are one
+    bounded combiner-tree pass; expected counts n·log10(1+1/d) and
+    the χ² = Σ(o−e)²/e statistic are fixed double sequences pinned
+    per digit, summed exactly.  Output = the 9 digit rows plus the
+    pinned per-digit χ² contribution."""
+    from ..stages.agg_tree import tree_aggregate_to_table
+
+    def partial(b: pa.Table) -> pa.Table:
+        c = np.floor(b["value"].to_numpy(zero_copy_only=False)
+                     * 100.0 + 0.5).astype(np.int64)
+        c = c[c > 0]
+        while True:  # leading digit via repeated tens reduction
+            big = c >= 10
+            if not big.any():
+                break
+            c = np.where(big, c // 10, c)
+        t = pa.table({"d": pa.array(c, pa.int64()),
+                      "o": pa.array(np.ones(len(c), np.int64))})
+        return (t.group_by(["d"]).aggregate([("o", "sum")])
+                .rename_columns(["d", "o"]))
+
+    g = tree_aggregate_to_table(
+        _read(sf_dir, "events", ["value"]).map_batches(
+            partial, batch_format="pyarrow"),
+        ["d"], [("o", "sum")]).to_pandas().sort_values("d")
+    n = float(int(g["o"].sum()))
+    d = g["d"].to_numpy().astype(np.float64)
+    o = g["o"].to_numpy().astype(np.float64)
+    e = n * (np.log(1.0 + 1.0 / d) / np.log(10.0))
+    chi = (o - e) * (o - e) / e
+    return pd.DataFrame({
+        "d": g["d"].to_numpy().astype(np.int64),
+        "o": g["o"].to_numpy().astype(np.int64),
+        "chi_nano": np.floor(chi * 1e9 + 0.5).astype(np.int64)})
+
+
+def q_benford_sql() -> str:
+    return (
+        "WITH p AS (SELECT CAST(floor(value * 100.0 + 0.5) AS BIGINT) "
+        "AS c FROM events), "
+        # magnitude-independent leading digit (the engine reduces any
+        # magnitude with a tens loop; a CASE capped at a fixed power
+        # would silently break digit parity past its bound)
+        "lead AS (SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) "
+        "AS BIGINT) AS d FROM p WHERE c > 0), "
+        "g AS MATERIALIZED (SELECT d, CAST(count(*) AS BIGINT) AS o "
+        "FROM lead GROUP BY 1), "
+        "n AS (SELECT CAST(sum(o) AS DOUBLE) AS n FROM g) "
+        "SELECT d, o, CAST(floor("
+        "(CAST(o AS DOUBLE) - n.n * (ln(1.0 + 1.0 / "
+        "CAST(d AS DOUBLE)) / ln(10.0))) * "
+        "(CAST(o AS DOUBLE) - n.n * (ln(1.0 + 1.0 / "
+        "CAST(d AS DOUBLE)) / ln(10.0))) / "
+        "(n.n * (ln(1.0 + 1.0 / CAST(d AS DOUBLE)) / ln(10.0))) "
+        "* 1e9 + 0.5) AS BIGINT) AS chi_nano FROM g, n"
+    )
+
+
+def q_emd1d(sf_dir: str):
+    """1-D Wasserstein (earth-mover) distance between the value
+    distributions of the two user-parity cohorts — the integral drift
+    metric (q_ks_drift is the sup metric): per-(cent, cohort) counts
+    on the combiner tree (cents are a bounded grid), then
+    W₁ = Σ_bins |F₀−F₁|·Δ on the driver with cross-multiplied integer
+    CDFs (|n₁·C₀ − n₀·C₁|·Δcents — exact bigints at any volume); the
+    single normalizing division by n₀·n₁·100 pins to nano (unit:
+    value, not cents)."""
+    from ..stages.agg_tree import tree_aggregate_to_table
+
+    def partial(b: pa.Table) -> pa.Table:
+        c = np.floor(b["value"].to_numpy(zero_copy_only=False)
+                     * 100.0 + 0.5).astype(np.int64)
+        coh = (b["user_id"].to_numpy(zero_copy_only=False) % 2)
+        t = pa.table({"c": pa.array(c), "coh": pa.array(coh),
+                      "n": pa.array(np.ones(len(c), np.int64))})
+        return (t.group_by(["c", "coh"]).aggregate([("n", "sum")])
+                .rename_columns(["c", "coh", "n"]))
+
+    g = tree_aggregate_to_table(
+        _read(sf_dir, "events", ["user_id", "value"]).map_batches(
+            partial, batch_format="pyarrow"),
+        ["c", "coh"], [("n", "sum")]).to_pandas()
+    cents = np.unique(g["c"].to_numpy())
+    n0g = g[g["coh"] == 0].set_index("c")["n"]
+    n1g = g[g["coh"] == 1].set_index("c")["n"]
+    x0 = n0g.reindex(cents, fill_value=0).to_numpy().astype(object)
+    x1 = n1g.reindex(cents, fill_value=0).to_numpy().astype(object)
+    n0, n1 = int(sum(x0)), int(sum(x1))
+    total = 0
+    c0 = c1 = 0
+    for i in range(len(cents) - 1):
+        c0 += int(x0[i])
+        c1 += int(x1[i])
+        total += abs(n1 * c0 - n0 * c1) * int(cents[i + 1] - cents[i])
+    w1_nano = int(np.floor(float(total) / float(n0 * n1)
+                           / 100.0 * 1e9 + 0.5))
+    return pd.DataFrame({"n0": [np.int64(n0)], "n1": [np.int64(n1)],
+                         "w1_nano": [np.int64(w1_nano)]})
+
+
+def q_emd1d_sql() -> str:
+    return (
+        "WITH p AS (SELECT CAST(floor(value * 100.0 + 0.5) AS BIGINT) "
+        "AS c, user_id % 2 AS coh FROM events), "
+        "g AS MATERIALIZED (SELECT c, "
+        "CAST(sum(CASE WHEN coh = 0 THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS x0, "
+        "CAST(sum(CASE WHEN coh = 1 THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS x1 FROM p GROUP BY 1), "
+        "n AS (SELECT CAST(sum(x0) AS HUGEINT) AS n0, "
+        "CAST(sum(x1) AS HUGEINT) AS n1 FROM g), "
+        "w AS (SELECT c, "
+        "CAST(sum(x0) OVER (ORDER BY c) AS HUGEINT) AS c0, "
+        "CAST(sum(x1) OVER (ORDER BY c) AS HUGEINT) AS c1, "
+        "lead(c) OVER (ORDER BY c) AS nxt FROM g), "
+        "t AS (SELECT CAST(sum(abs(n.n1 * c0 - n.n0 * c1) "
+        "* (nxt - c)) AS HUGEINT) AS total FROM w, n "
+        "WHERE nxt IS NOT NULL) "
+        "SELECT CAST(n.n0 AS BIGINT) AS n0, "
+        "CAST(n.n1 AS BIGINT) AS n1, "
+        "CAST(floor(CAST(total AS DOUBLE) / "
+        "CAST(n.n0 * n.n1 AS DOUBLE) / 100.0 * 1e9 + 0.5) AS BIGINT) "
+        "AS w1_nano FROM t, n"
+    )

@@ -1,0 +1,936 @@
+"""trajectory query family (split from the former single-file queries module)."""
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..geo.cells import cell_id, cell_sql
+from ..geo.tiles import tile_sql, tile_xy
+from ._common import (
+    _DP_EPS_MICRO,
+    _DWELL_EPS_MICRO,
+    _DWELL_MIN_PTS,
+    _RIPLEY_EPS,
+    _intra_run_pairs,
+    _nrows,
+    _read,
+    _seg_params,
+    derive_latlon,
+    latlon_sql,
+)
+
+
+
+
+def q_travel_dist(sf_dir: str):
+    """Distance traveled per user over their event-point trajectory
+    (ordered by ts, event_id): per-step planar distances are computed
+    row-locally, micro-int-floored BEFORE summation, then integer-
+    summed — order-independent, so the distributed result matches the
+    SQL LAG window oracle bit-for-bit (float sums would not)."""
+    from ..stages.scan import keyed_scan
+
+    def prep(b: pa.Table) -> pa.Table:
+        lat, lon = derive_latlon(b["event_id"].to_numpy(
+            zero_copy_only=False))
+        return pa.table({"user_id": b["user_id"],
+                         "t": b["ts"].cast(pa.int64()),
+                         "event_id": b["event_id"],
+                         "x": pa.array(lon), "y": pa.array(lat)})
+
+    def dist(d: pd.DataFrame) -> pd.DataFrame:
+        u = d["user_id"].to_numpy()
+        x = d["x"].to_numpy()
+        y = d["y"].to_numpy()
+        dx = np.empty(len(d)); dy = np.empty(len(d))
+        dx[0] = dy[0] = 0.0
+        dx[1:] = x[1:] - x[:-1]
+        dy[1:] = y[1:] - y[:-1]
+        first = np.r_[True, u[1:] != u[:-1]]
+        dx[first] = dy[first] = 0.0
+        step = np.floor(np.sqrt(dx * dx + dy * dy) * 1e6 + 0.5
+                        ).astype(np.int64)
+        out = pd.DataFrame({"user_id": u, "step": step})
+        return (out.groupby("user_id", sort=False, as_index=False)
+                .agg(total_micro=("step", "sum"),
+                     n_steps=("step", "size")))
+
+    ds = _read(sf_dir, "events",
+               ["event_id", "user_id", "ts"]).map_batches(
+        prep, batch_format="pyarrow")
+    return keyed_scan(ds, key="user_id", order=["t", "event_id"],
+                      fn=dist, n_rows=_nrows(sf_dir, "events"))
+
+
+def q_travel_dist_sql() -> str:
+    lat, lon = latlon_sql("event_id")
+    return (
+        f"WITH p AS (SELECT user_id, epoch_us(ts) AS t, event_id, "
+        f"{lon} AS x, {lat} AS y FROM events), "
+        "s AS (SELECT user_id, x - lag(x) OVER w AS dx, "
+        "y - lag(y) OVER w AS dy FROM p "
+        "WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)) "
+        "SELECT user_id, CAST(sum(CASE WHEN dx IS NULL THEN 0 ELSE "
+        "CAST(floor(sqrt(dx * dx + dy * dy) * 1000000 + 0.5) AS BIGINT) "
+        "END) AS BIGINT) AS total_micro, "
+        "CAST(count(*) AS BIGINT) AS n_steps FROM s GROUP BY user_id"
+    )
+
+
+def q_heading_octants(sf_dir: str):
+    """Movement-heading histogram over per-user trajectories: each
+    consecutive step (ordered by ts, event_id) is classified into one
+    of 8 compass octants by EXACT integer-free comparisons on
+    (dx, dy) — sign tests and |dx| vs |dy|, no atan2, so the
+    distributed result is bit-identical to the SQL CASE cascade
+    (np.select and CASE share first-match semantics and condition
+    order).  Per-user steps come from the coarse-bucket keyed_scan;
+    the bounded 8-key histogram merges on the combiner tree — no
+    all-to-all anywhere."""
+    from ..stages.agg_tree import tree_aggregate_to_table
+    from ..stages.scan import keyed_scan
+
+    def prep(b: pa.Table) -> pa.Table:
+        lat, lon = derive_latlon(b["event_id"].to_numpy(
+            zero_copy_only=False))
+        return pa.table({"user_id": b["user_id"],
+                         "t": b["ts"].cast(pa.int64()),
+                         "event_id": b["event_id"],
+                         "x": pa.array(lon), "y": pa.array(lat)})
+
+    def fn(d: pd.DataFrame) -> pd.DataFrame:
+        u = d["user_id"].to_numpy()
+        x = d["x"].to_numpy()
+        y = d["y"].to_numpy()
+        dx = np.zeros(len(d))
+        dy = np.zeros(len(d))
+        dx[1:] = x[1:] - x[:-1]
+        dy[1:] = y[1:] - y[:-1]
+        first = np.r_[True, u[1:] != u[:-1]]
+        octant = np.select(
+            [(dx > 0) & (dy >= 0) & (dx >= dy),
+             (dy > 0) & (dx >= 0) & (dy > dx),
+             (dy > 0) & (dx < 0) & (dy >= -dx),
+             (dx < 0) & (dy > 0) & (-dx > dy),
+             (dx < 0) & (dy <= 0) & (-dx >= -dy),
+             (dy < 0) & (dx <= 0) & (-dy > -dx),
+             (dy < 0) & (dx > 0) & (-dy >= dx),
+             (dx > 0) & (dy < 0) & (dx > -dy)],
+            [0, 1, 2, 3, 4, 5, 6, 7], -1)
+        octant[first] = -1
+        keep = octant >= 0
+        uo, c = np.unique(octant[keep], return_counts=True)
+        return pd.DataFrame({"octant": uo.astype(np.int64),
+                             "n": c.astype(np.int64)})
+
+    ds = _read(sf_dir, "events",
+               ["event_id", "user_id", "ts"]).map_batches(
+        prep, batch_format="pyarrow")
+    parts = keyed_scan(ds, key="user_id", order=["t", "event_id"],
+                       fn=fn, n_rows=_nrows(sf_dir, "events"))
+    return tree_aggregate_to_table(parts, ["octant"], [("n", "sum")])
+
+
+def q_heading_octants_sql() -> str:
+    lat, lon = latlon_sql("event_id")
+    return (
+        f"WITH p AS (SELECT user_id, epoch_us(ts) AS t, event_id, "
+        f"{lon} AS x, {lat} AS y FROM events), "
+        "s AS (SELECT x - lag(x) OVER w AS dx, y - lag(y) OVER w AS dy "
+        "FROM p WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)), "
+        "o AS (SELECT CASE "
+        "WHEN dx > 0 AND dy >= 0 AND dx >= dy THEN 0 "
+        "WHEN dy > 0 AND dx >= 0 AND dy > dx THEN 1 "
+        "WHEN dy > 0 AND dx < 0 AND dy >= -dx THEN 2 "
+        "WHEN dx < 0 AND dy > 0 AND -dx > dy THEN 3 "
+        "WHEN dx < 0 AND dy <= 0 AND -dx >= -dy THEN 4 "
+        "WHEN dy < 0 AND dx <= 0 AND -dy > -dx THEN 5 "
+        "WHEN dy < 0 AND dx > 0 AND -dy >= dx THEN 6 "
+        "WHEN dx > 0 AND dy < 0 AND dx > -dy THEN 7 END AS octant "
+        "FROM s WHERE dx IS NOT NULL) "
+        "SELECT CAST(octant AS BIGINT) AS octant, "
+        "CAST(count(*) AS BIGINT) AS n "
+        "FROM o WHERE octant IS NOT NULL GROUP BY octant"
+    )
+
+
+def q_stay_points(sf_dir: str):
+    """Stay-point (dwell) detection per user trajectory: maximal runs
+    of consecutive points whose incoming planar step is below
+    `_DWELL_EPS_MICRO` (micro-int compare — floats never accumulate);
+    a run with ≥ `_DWELL_MIN_PTS` points is a dwell.  Per user:
+    dwell count and longest dwell duration (exact int μs).  The
+    gaps-and-islands machinery is one vectorized cumsum over run
+    boundaries inside each keyed_scan bucket — runs never straddle
+    buckets because keys don't."""
+    from ..stages.scan import keyed_scan
+
+    def prep(b: pa.Table) -> pa.Table:
+        lat, lon = derive_latlon(b["event_id"].to_numpy(
+            zero_copy_only=False))
+        return pa.table({"user_id": b["user_id"],
+                         "t": b["ts"].cast(pa.int64()),
+                         "event_id": b["event_id"],
+                         "x": pa.array(lon), "y": pa.array(lat)})
+
+    def fn(d: pd.DataFrame) -> pd.DataFrame:
+        u = d["user_id"].to_numpy()
+        t = d["t"].to_numpy()
+        x = d["x"].to_numpy()
+        y = d["y"].to_numpy()
+        dx = np.zeros(len(d))
+        dy = np.zeros(len(d))
+        dx[1:] = x[1:] - x[:-1]
+        dy[1:] = y[1:] - y[:-1]
+        first = np.r_[True, u[1:] != u[:-1]]
+        step6 = np.floor(np.sqrt(dx * dx + dy * dy) * 1e6 + 0.5
+                         ).astype(np.int64)
+        small = (~first) & (step6 < _DWELL_EPS_MICRO)
+        run_id = np.cumsum(~small)
+        runs = (pd.DataFrame({"user_id": u, "run": run_id, "t": t})
+                .groupby("run", sort=False)
+                .agg(user_id=("user_id", "first"), cnt=("t", "size"),
+                     t0=("t", "min"), t1=("t", "max")))
+        qual = runs["cnt"].to_numpy() >= _DWELL_MIN_PTS
+        dur = np.where(qual, runs["t1"].to_numpy() - runs["t0"].to_numpy(),
+                       np.int64(-1))
+        per = (pd.DataFrame({"user_id": runs["user_id"].to_numpy(),
+                             "q": qual.astype(np.int64), "dur": dur})
+               .groupby("user_id", sort=False, as_index=False)
+               .agg(n_dwells=("q", "sum"), max_dwell_us=("dur", "max")))
+        per["max_dwell_us"] = np.maximum(
+            per["max_dwell_us"].to_numpy(), 0).astype(np.int64)
+        per["n_dwells"] = per["n_dwells"].astype(np.int64)
+        return per
+
+    ds = _read(sf_dir, "events",
+               ["event_id", "user_id", "ts"]).map_batches(
+        prep, batch_format="pyarrow")
+    return keyed_scan(ds, key="user_id", order=["t", "event_id"],
+                      fn=fn, n_rows=_nrows(sf_dir, "events"))
+
+
+def q_stay_points_sql() -> str:
+    lat, lon = latlon_sql("event_id")
+    return (
+        f"WITH p AS (SELECT user_id, epoch_us(ts) AS t, event_id, "
+        f"{lon} AS x, {lat} AS y FROM events), "
+        "d AS (SELECT user_id, t, event_id, "
+        "x - lag(x) OVER w AS dx, y - lag(y) OVER w AS dy "
+        "FROM p WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)), "
+        "s AS (SELECT user_id, t, event_id, "
+        "CASE WHEN dx IS NOT NULL AND "
+        "CAST(floor(sqrt(dx * dx + dy * dy) * 1000000 + 0.5) AS BIGINT) "
+        f"< {_DWELL_EPS_MICRO} THEN 0 ELSE 1 END AS new_run FROM d), "
+        "r AS (SELECT user_id, t, sum(new_run) OVER "
+        "(PARTITION BY user_id ORDER BY t, event_id) AS run_id FROM s), "
+        "g AS (SELECT user_id, run_id, count(*) AS cnt, "
+        "max(t) - min(t) AS dur FROM r GROUP BY user_id, run_id) "
+        "SELECT user_id, "
+        f"CAST(count(*) FILTER (WHERE cnt >= {_DWELL_MIN_PTS}) AS BIGINT) "
+        "AS n_dwells, "
+        f"CAST(COALESCE(max(dur) FILTER (WHERE cnt >= {_DWELL_MIN_PTS}), "
+        "0) AS BIGINT) AS max_dwell_us FROM g GROUP BY user_id"
+    )
+
+
+def q_shoelace_area(sf_dir: str):
+    """Signed polygon area (shoelace, ×2, micro-int) of each user's
+    closed trajectory ring (points ordered by ts, event_id; last point
+    wraps to the first).  Each cross term ``x·y' − x'·y`` is quantized
+    to micro-ints BEFORE summation, so the distributed integer sum is
+    order-free and bit-identical to the SQL lead/first_value oracle.
+    Single-point users contribute a zero ring."""
+    from ..stages.scan import keyed_scan
+
+    def prep(b: pa.Table) -> pa.Table:
+        lat, lon = derive_latlon(b["event_id"].to_numpy(
+            zero_copy_only=False))
+        return pa.table({"user_id": b["user_id"],
+                         "t": b["ts"].cast(pa.int64()),
+                         "event_id": b["event_id"],
+                         "x": pa.array(lon), "y": pa.array(lat)})
+
+    def fn(d: pd.DataFrame) -> pd.DataFrame:
+        u = d["user_id"].to_numpy()
+        x = d["x"].to_numpy()
+        y = d["y"].to_numpy()
+        idx = np.arange(len(d), dtype=np.int64)
+        first = np.r_[True, u[1:] != u[:-1]]
+        last = np.r_[first[1:], True]
+        seg_start = idx[first][np.cumsum(first) - 1]
+        nxt = idx + 1
+        nxt[last] = seg_start[last]
+        cross6 = np.floor((x * y[nxt] - x[nxt] * y) * 1e6 + 0.5
+                          ).astype(np.int64)
+        out = pd.DataFrame({"user_id": u, "c": cross6})
+        return (out.groupby("user_id", sort=False, as_index=False)
+                .agg(area2_micro=("c", "sum"), n_pts=("c", "size")))
+
+    ds = _read(sf_dir, "events",
+               ["event_id", "user_id", "ts"]).map_batches(
+        prep, batch_format="pyarrow")
+    return keyed_scan(ds, key="user_id", order=["t", "event_id"],
+                      fn=fn, n_rows=_nrows(sf_dir, "events"))
+
+
+def q_shoelace_area_sql() -> str:
+    lat, lon = latlon_sql("event_id")
+    return (
+        f"WITH p AS (SELECT user_id, epoch_us(ts) AS t, event_id, "
+        f"{lon} AS x, {lat} AS y FROM events), "
+        "s AS (SELECT user_id, x, y, "
+        "COALESCE(lead(x) OVER w, first_value(x) OVER w) AS nx, "
+        "COALESCE(lead(y) OVER w, first_value(y) OVER w) AS ny "
+        "FROM p WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)) "
+        "SELECT user_id, CAST(sum(CAST(floor((x * ny - nx * y) * 1000000 "
+        "+ 0.5) AS BIGINT)) AS BIGINT) AS area2_micro, "
+        "CAST(count(*) AS BIGINT) AS n_pts FROM s GROUP BY user_id"
+    )
+
+
+def q_od_matrix(sf_dir: str):
+    """Origin–destination trip matrix (mobility-analytics staple):
+    each user's events split into calendar-day trips via the coarse
+    keyed_scan (ordered by ts, event_id; a user's rows never straddle
+    buckets so day runs are bucket-local), the day's first and last
+    positions map to a 15° grid cell, and the bounded (origin, dest)
+    cell-pair space merges on the combiner tree — per-bucket partials
+    only, no all-to-all exchange anywhere."""
+    from ..stages.agg_tree import tree_aggregate_to_table
+    from ..stages.scan import keyed_scan
+
+    def prep(b: pa.Table) -> pa.Table:
+        lat, lon = derive_latlon(b["event_id"].to_numpy(
+            zero_copy_only=False))
+        cx = np.floor((lon + 180.0) / 15.0).astype(np.int64)
+        cy = np.floor((lat + 60.0) / 15.0).astype(np.int64)
+        return pa.table({"user_id": b["user_id"],
+                         "t": b["ts"].cast(pa.int64()),
+                         "event_id": b["event_id"],
+                         "cx": pa.array(cx), "cy": pa.array(cy)})
+
+    def fn(d: pd.DataFrame) -> pd.DataFrame:
+        u = d["user_id"].to_numpy()
+        day = d["t"].to_numpy() // 86_400_000_000
+        first = np.r_[True, (u[1:] != u[:-1]) | (day[1:] != day[:-1])]
+        last = np.r_[first[1:], True]
+        cx = d["cx"].to_numpy()
+        cy = d["cy"].to_numpy()
+        g = (pd.DataFrame({"o_cx": cx[first], "o_cy": cy[first],
+                           "d_cx": cx[last], "d_cy": cy[last]})
+             .groupby(["o_cx", "o_cy", "d_cx", "d_cy"], sort=False)
+             .size().reset_index(name="n_trips"))
+        g["n_trips"] = g["n_trips"].astype(np.int64)
+        return g
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id"]
+               ).map_batches(prep, batch_format="pyarrow")
+    parts = keyed_scan(ds, "user_id", ["t", "event_id"], fn)
+    return tree_aggregate_to_table(
+        parts, ["o_cx", "o_cy", "d_cx", "d_cy"], [("n_trips", "sum")])
+
+
+def q_od_matrix_sql() -> str:
+    lat, lon = latlon_sql("event_id")
+    return (
+        f"WITH p AS (SELECT user_id, epoch_us(ts) AS t, event_id, "
+        f"CAST(floor(({lon} + 180.0) / 15.0) AS BIGINT) AS cx, "
+        f"CAST(floor(({lat} + 60.0) / 15.0) AS BIGINT) AS cy "
+        "FROM events), "
+        "s AS (SELECT user_id, t // 86400000000 AS day, cx, cy, "
+        "row_number() OVER (PARTITION BY user_id, t // 86400000000 "
+        "ORDER BY t, event_id) AS rn, "
+        "count(*) OVER (PARTITION BY user_id, t // 86400000000) AS cnt "
+        "FROM p) "
+        "SELECT o.cx AS o_cx, o.cy AS o_cy, d.cx AS d_cx, d.cy AS d_cy, "
+        "CAST(count(*) AS BIGINT) AS n_trips "
+        "FROM s o JOIN s d ON o.user_id = d.user_id AND o.day = d.day "
+        "WHERE o.rn = 1 AND d.rn = d.cnt GROUP BY 1, 2, 3, 4"
+    )
+
+
+def q_douglas_peucker(sf_dir: str):
+    """Douglas–Peucker trajectory simplification per user (the
+    track-thinning step of a GPS-trace pipeline): each user's
+    (t, event_id)-ordered polyline is simplified to ε = 10° with
+    exact integer geometry — see functions/simplify.py for the
+    breadth-first vectorized engine (no per-user recursion; every
+    active segment in a bucket advances in one numpy pass per round).
+    Rows-only entry (recursive semantics aren't SQL-expressible);
+    tests/test_geo.py pins the engine to a recursive textbook oracle
+    point-for-point on planted tracks AND on the full sf0.001 table.
+    Output: per-user point/kept counts + a kept-set checksum."""
+    from ..functions.simplify import dp_keep_mask
+    from ..stages.scan import keyed_scan
+
+    def prep(b: pa.Table) -> pa.Table:
+        lat, lon = derive_latlon(b["event_id"].to_numpy(
+            zero_copy_only=False))
+        return pa.table({
+            "user_id": b["user_id"], "t": b["ts"].cast(pa.int64()),
+            "event_id": b["event_id"],
+            "x": pa.array(np.floor(lon * 1e6 + 0.5).astype(np.int64)),
+            "y": pa.array(np.floor(lat * 1e6 + 0.5).astype(np.int64))})
+
+    def fn(d: pd.DataFrame) -> pd.DataFrame:
+        u = d["user_id"].to_numpy()
+        first = np.r_[True, u[1:] != u[:-1]]
+        keep = dp_keep_mask(d["x"].to_numpy(), d["y"].to_numpy(),
+                            first, _DP_EPS_MICRO)
+        ev = d["event_id"].to_numpy().astype(np.int64)
+        gid = np.cumsum(first) - 1
+        n_pts = np.bincount(gid).astype(np.int64)
+        n_kept = np.bincount(gid, weights=keep).astype(np.int64)
+        csum = np.bincount(gid, weights=np.where(keep, ev, 0)
+                           ).astype(np.int64)
+        return pd.DataFrame({"user_id": u[first], "n_points": n_pts,
+                             "n_kept": n_kept, "kept_checksum": csum})
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id"]
+               ).map_batches(prep, batch_format="pyarrow")
+    return keyed_scan(ds, "user_id", ["t", "event_id"], fn)
+
+
+def q_max_span(sf_dir: str):
+    """Per-user trajectory diameter: the maximum squared planar
+    distance (degree²) between any two of the user's event points.
+    Users co-partition through keyed_scan (one coarse hash exchange);
+    the per-bucket pass explodes intra-user index pairs with the
+    vectorized chunked generator — no per-key Python loop, and the
+    pair budget bounds peak memory.  Quadratic per user by nature
+    (documented assumption: per-user event counts are bounded); the
+    max of identical per-pair doubles is order-independent, so the
+    result hash-matches the SQL self-join exactly."""
+    from ..stages.scan import keyed_scan
+
+    def prep(b: pa.Table) -> pa.Table:
+        lat, lon = derive_latlon(b["event_id"].to_numpy(
+            zero_copy_only=False))
+        return pa.table({"user_id": b["user_id"],
+                         "event_id": b["event_id"],
+                         "x": pa.array(lon), "y": pa.array(lat)})
+
+    def fn(d: pd.DataFrame) -> pd.DataFrame:
+        u = d["user_id"].to_numpy()
+        x = d["x"].to_numpy()
+        y = d["y"].to_numpy()
+        best: dict[int, float] = {}
+        for ig, jg in _intra_run_pairs(u):
+            dx = x[ig] - x[jg]
+            dy = y[ig] - y[jg]
+            d2 = dx * dx + dy * dy
+            t = pd.DataFrame({"u": u[jg], "d2": d2}).groupby(
+                "u", sort=False)["d2"].max()
+            for k, v in t.items():  # ≤ distinct-users-per-chunk items
+                if v > best.get(k, -1.0):
+                    best[k] = v
+        return pd.DataFrame({"user_id": np.fromiter(best, np.int64),
+                             "max_d2": np.fromiter(best.values(),
+                                                   np.float64)})
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id"]).map_batches(
+        prep, batch_format="pyarrow")
+    return keyed_scan(ds, "user_id", ["event_id"], fn,
+                      n_rows=_nrows(sf_dir, "events"))
+
+
+def q_max_span_sql() -> str:
+    lat, lon = latlon_sql("event_id")
+    return (
+        f"WITH p AS (SELECT user_id, event_id, {lon} AS x, {lat} AS y "
+        "FROM events) "
+        "SELECT a.user_id AS user_id, "
+        "max((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)) "
+        "AS max_d2 FROM p a JOIN p b "
+        "ON a.user_id = b.user_id AND a.event_id < b.event_id "
+        "GROUP BY 1"
+    )
+
+
+def q_self_crossings(sf_dir: str):
+    """Per-user trajectory self-intersection counts: consecutive
+    events (ordered by ts, event_id) form segments in exact microdegree
+    ints; every NON-ADJACENT segment pair of the same user is tested
+    for proper crossing with integer cross-product orientation signs
+    (no epsilon, no floats — coordinates ≤ 3.6e8 keep every product
+    under 2^63).  Same keyed_scan co-partition + chunked pair explode
+    as max_span; emits users with ≥ 1 crossing."""
+    from ..stages.scan import keyed_scan
+
+    def prep(b: pa.Table) -> pa.Table:
+        lat, lon = derive_latlon(b["event_id"].to_numpy(
+            zero_copy_only=False))
+        return pa.table({
+            "user_id": b["user_id"], "t": b["ts"].cast(pa.int64()),
+            "event_id": b["event_id"],
+            "xm": pa.array(np.floor(lon * 1e6 + 0.5).astype(np.int64)),
+            "ym": pa.array(np.floor(lat * 1e6 + 0.5).astype(np.int64))})
+
+    def fn(d: pd.DataFrame) -> pd.DataFrame:
+        u = d["user_id"].to_numpy()
+        x = d["xm"].to_numpy()
+        y = d["ym"].to_numpy()
+        seg = np.r_[False, u[1:] == u[:-1]]  # row k closes segment
+        # (k-1, k); runs of segment rows inherit the user run id
+        sx1, sy1 = np.roll(x, 1)[seg], np.roll(y, 1)[seg]
+        sx2, sy2, su = x[seg], y[seg], u[seg]
+        out: dict[int, int] = {}
+        for ig, jg in _intra_run_pairs(su):
+            keep = jg - ig >= 2  # non-adjacent (shared-endpoint pairs
+            # are always improper anyway, but skip the work)
+            ig, jg = ig[keep], jg[keep]
+            ax1, ay1, ax2, ay2 = sx1[ig], sy1[ig], sx2[ig], sy2[ig]
+            bx1, by1, bx2, by2 = sx1[jg], sy1[jg], sx2[jg], sy2[jg]
+            d1 = (ax2 - ax1) * (by1 - ay1) - (ay2 - ay1) * (bx1 - ax1)
+            d2 = (ax2 - ax1) * (by2 - ay1) - (ay2 - ay1) * (bx2 - ax1)
+            d3 = (bx2 - bx1) * (ay1 - by1) - (by2 - by1) * (ax1 - bx1)
+            d4 = (bx2 - bx1) * (ay2 - by1) - (by2 - by1) * (ax2 - bx1)
+            cross = (((d1 > 0) & (d2 < 0)) | ((d1 < 0) & (d2 > 0))) \
+                & (((d3 > 0) & (d4 < 0)) | ((d3 < 0) & (d4 > 0)))
+            if cross.any():
+                t = pd.DataFrame({"u": su[jg][cross]}).groupby(
+                    "u", sort=False).size()
+                for k, v in t.items():
+                    out[k] = out.get(k, 0) + int(v)
+        return pd.DataFrame({"user_id": np.fromiter(out, np.int64),
+                             "n_cross": np.fromiter(out.values(),
+                                                    np.int64)})
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id"]
+               ).map_batches(prep, batch_format="pyarrow")
+    return keyed_scan(ds, "user_id", ["t", "event_id"], fn,
+                      n_rows=_nrows(sf_dir, "events"))
+
+
+def q_self_crossings_sql() -> str:
+    lat, lon = latlon_sql("event_id")
+    return (
+        "WITH p AS (SELECT user_id, epoch_us(ts) AS t, event_id, "
+        f"CAST(floor({lon} * 1e6 + 0.5) AS BIGINT) AS xm, "
+        f"CAST(floor({lat} * 1e6 + 0.5) AS BIGINT) AS ym FROM events), "
+        "s AS (SELECT user_id, "
+        "row_number() OVER w AS seq, "
+        "lag(xm) OVER w AS x1, lag(ym) OVER w AS y1, "
+        "xm AS x2, ym AS y2 FROM p "
+        "WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)), "
+        "seg AS (SELECT * FROM s WHERE x1 IS NOT NULL), "
+        "x AS (SELECT a.user_id, "
+        "(a.x2 - a.x1) * (b.y1 - a.y1) - (a.y2 - a.y1) * (b.x1 - a.x1) "
+        "AS d1, "
+        "(a.x2 - a.x1) * (b.y2 - a.y1) - (a.y2 - a.y1) * (b.x2 - a.x1) "
+        "AS d2, "
+        "(b.x2 - b.x1) * (a.y1 - b.y1) - (b.y2 - b.y1) * (a.x1 - b.x1) "
+        "AS d3, "
+        "(b.x2 - b.x1) * (a.y2 - b.y1) - (b.y2 - b.y1) * (a.x2 - b.x1) "
+        "AS d4 "
+        "FROM seg a JOIN seg b ON a.user_id = b.user_id "
+        "AND b.seq >= a.seq + 2) "
+        "SELECT user_id, CAST(count(*) AS BIGINT) AS n_cross FROM x "
+        "WHERE ((d1 > 0 AND d2 < 0) OR (d1 < 0 AND d2 > 0)) "
+        "AND ((d3 > 0 AND d4 < 0) OR (d3 < 0 AND d4 > 0)) "
+        "GROUP BY 1"
+    )
+
+
+def q_haversine_legs(sf_dir: str):
+    """Per-user total great-circle travel distance: consecutive hops
+    (ordered by ts, event_id) through the haversine formula, each hop
+    pinned to millimetre ints via floor(d·1e3 + 0.5) BEFORE the sum so
+    the distributed total is exact-integer (the house transcendental
+    protocol — float sums never cross an aggregate).  keyed_scan
+    co-partitions users; hops and sums are one vectorized pass per
+    bucket."""
+    from ..stages.scan import keyed_scan
+
+    def prep(b: pa.Table) -> pa.Table:
+        lat, lon = derive_latlon(b["event_id"].to_numpy(
+            zero_copy_only=False))
+        return pa.table({"user_id": b["user_id"],
+                         "t": b["ts"].cast(pa.int64()),
+                         "event_id": b["event_id"],
+                         "lat": pa.array(lat), "lon": pa.array(lon)})
+
+    C = np.pi / 180.0
+    R2 = 2.0 * 6371000.0
+
+    def fn(d: pd.DataFrame) -> pd.DataFrame:
+        u = d["user_id"].to_numpy()
+        phi = d["lat"].to_numpy() * C
+        lam = d["lon"].to_numpy() * C
+        hop = np.r_[False, u[1:] == u[:-1]]
+        p1, p2 = np.roll(phi, 1)[hop], phi[hop]
+        l1, l2 = np.roll(lam, 1)[hop], lam[hop]
+        sp = np.sin((p2 - p1) / 2.0)
+        sl = np.sin((l2 - l1) / 2.0)
+        h = sp * sp + np.cos(p1) * np.cos(p2) * (sl * sl)
+        dist = R2 * np.arcsin(np.minimum(1.0, np.sqrt(h)))
+        mm = np.floor(dist * 1e3 + 0.5).astype(np.int64)
+        g = pd.DataFrame({"user_id": u[hop], "total_mm": mm}).groupby(
+            "user_id", sort=False, as_index=False)["total_mm"].sum()
+        g["total_mm"] = g["total_mm"].astype(np.int64)
+        return g
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id"]
+               ).map_batches(prep, batch_format="pyarrow")
+    return keyed_scan(ds, "user_id", ["t", "event_id"], fn,
+                      n_rows=_nrows(sf_dir, "events"))
+
+
+def q_haversine_legs_sql() -> str:
+    lat, lon = latlon_sql("event_id")
+    return (
+        "WITH p AS (SELECT user_id, epoch_us(ts) AS t, event_id, "
+        f"{lat} * (pi() / 180.0) AS phi, "
+        f"{lon} * (pi() / 180.0) AS lam FROM events), "
+        "s AS (SELECT user_id, phi, lam, "
+        "lag(phi) OVER w AS p1, lag(lam) OVER w AS l1 FROM p "
+        "WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)), "
+        "h AS (SELECT user_id, "
+        "sin((phi - p1) / 2.0) * sin((phi - p1) / 2.0) "
+        "+ cos(p1) * cos(phi) * "
+        "(sin((lam - l1) / 2.0) * sin((lam - l1) / 2.0)) AS hv "
+        "FROM s WHERE p1 IS NOT NULL) "
+        "SELECT user_id, CAST(sum(CAST(floor("
+        "2.0 * 6371000.0 * asin(least(1.0, sqrt(hv))) * 1e3 + 0.5) "
+        "AS BIGINT)) AS BIGINT) AS total_mm FROM h GROUP BY 1"
+    )
+
+
+def q_pair_dist_hist(sf_dir: str):
+    """Ripley-K-style pair-distance histogram: every unordered event
+    pair within ε = 1° (PBSM radius self-join — only grid neighbors
+    ever meet, no all-pairs) binned by floor(d²·10/ε²); the ≤ 11-key
+    bin space merges on the combiner tree.  Pair distances recompute
+    from the ids inside the binning map (derive_latlon is pure), so
+    the join output stays ids-only."""
+    import pyarrow.compute as pc
+
+    from ..stages.agg_tree import tree_aggregate_to_table
+    from ..stages.spatial_join import point_radius_join
+
+    def pts(b: pa.Table) -> pa.Table:
+        k = b["event_id"].to_numpy(zero_copy_only=False)
+        lat, lon = derive_latlon(k)
+        return pa.table({"id": pa.array(k), "x": pa.array(lon),
+                         "y": pa.array(lat)})
+
+    a = _read(sf_dir, "events", ["event_id"]).map_batches(
+        pts, batch_format="pyarrow")
+    b = _read(sf_dir, "events", ["event_id"]).map_batches(
+        pts, batch_format="pyarrow")
+    pairs = point_radius_join(a, b, radius=_RIPLEY_EPS, cell=8.0,
+                              out_a="u", out_b="v")
+
+    def bins(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less(t["u"], t["v"]))
+        u = t["u"].to_numpy(zero_copy_only=False)
+        v = t["v"].to_numpy(zero_copy_only=False)
+        ya, xa = derive_latlon(u)
+        yb, xb = derive_latlon(v)
+        d2 = (xa - xb) * (xa - xb) + (ya - yb) * (ya - yb)
+        bin_ = np.floor(d2 * 10.0 / (_RIPLEY_EPS * _RIPLEY_EPS)
+                        ).astype(np.int64)
+        c = pa.table({"bin": pa.array(bin_),
+                      "n_pairs": pa.array(np.ones(len(bin_), np.int64))})
+        return (c.group_by(["bin"]).aggregate([("n_pairs", "sum")])
+                 .rename_columns(["bin", "n_pairs"]))
+
+    return tree_aggregate_to_table(
+        pairs.map_batches(bins, batch_format="pyarrow"),
+        ["bin"], [("n_pairs", "sum")])
+
+
+def q_pair_dist_hist_sql() -> str:
+    lat, lon = latlon_sql("event_id")
+    e2 = _RIPLEY_EPS * _RIPLEY_EPS
+    return (
+        f"WITH p AS (SELECT event_id AS id, {lon} AS x, {lat} AS y "
+        "FROM events), "
+        "d AS (SELECT (a.x - b.x) * (a.x - b.x) + "
+        "(a.y - b.y) * (a.y - b.y) AS d2 FROM p a JOIN p b "
+        "ON a.id < b.id AND (a.x - b.x) * (a.x - b.x) + "
+        f"(a.y - b.y) * (a.y - b.y) <= {e2}) "
+        f"SELECT CAST(floor(d2 * 10.0 / {e2}) AS BIGINT) AS bin, "
+        "CAST(count(*) AS BIGINT) AS n_pairs FROM d GROUP BY 1"
+    )
+
+
+def q_bbox_extent(sf_dir: str):
+    """Per-user bounding box (ST_Extent shape) in exact microdegree
+    ints plus the box area: per-batch Arrow group_by pre-reduces each
+    block to one row per (block, user) — the combiner — then ONE
+    coarse hash exchange on user_id finishes the global min/max.  The
+    event stream never shuffles."""
+    from ..stages.scan import hash_bucket_scan
+
+    def partial(b: pa.Table) -> pa.Table:
+        lat, lon = derive_latlon(b["event_id"].to_numpy(
+            zero_copy_only=False))
+        t = pa.table({
+            "user_id": b["user_id"],
+            "xm": pa.array(np.floor(lon * 1e6 + 0.5).astype(np.int64)),
+            "ym": pa.array(np.floor(lat * 1e6 + 0.5).astype(np.int64))})
+        return (t.group_by(["user_id"]).aggregate(
+            [("xm", "min"), ("xm", "max"), ("ym", "min"), ("ym", "max")])
+            .rename_columns(["user_id", "x_min", "x_max",
+                             "y_min", "y_max"]))
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id"]).map_batches(
+        partial, batch_format="pyarrow")
+
+    def final(t: pa.Table) -> pa.Table:
+        g = (t.group_by(["user_id"]).aggregate(
+            [("x_min", "min"), ("x_max", "max"),
+             ("y_min", "min"), ("y_max", "max")])
+            .rename_columns(["user_id", "x_min", "x_max",
+                             "y_min", "y_max"]))
+        area = ((g["x_max"].to_numpy() - g["x_min"].to_numpy())
+                * (g["y_max"].to_numpy() - g["y_min"].to_numpy()))
+        return g.append_column("area_u2", pa.array(area, pa.int64()))
+
+    return hash_bucket_scan(ds, ["user_id"], final)
+
+
+def q_bbox_extent_sql() -> str:
+    lat, lon = latlon_sql("event_id")
+    return (
+        "WITH p AS (SELECT user_id, "
+        f"CAST(floor({lon} * 1e6 + 0.5) AS BIGINT) AS xm, "
+        f"CAST(floor({lat} * 1e6 + 0.5) AS BIGINT) AS ym FROM events) "
+        "SELECT user_id, min(xm) AS x_min, max(xm) AS x_max, "
+        "min(ym) AS y_min, max(ym) AS y_max, "
+        "(max(xm) - min(xm)) * (max(ym) - min(ym)) AS area_u2 "
+        "FROM p GROUP BY 1"
+    )
+
+
+def q_cell_transitions(sf_dir: str):
+    """Markov cell-transition counts (sequence/mobility mining): each
+    user's consecutive events (ordered by ts, event_id) emit a
+    (from_cell → to_cell) edge on the 15° grid when the cell changes;
+    users co-partition through the coarse keyed_scan and the bounded
+    transition space merges on the combiner tree."""
+    from ..stages.agg_tree import tree_aggregate_to_table
+    from ..stages.scan import keyed_scan
+
+    def prep(b: pa.Table) -> pa.Table:
+        lat, lon = derive_latlon(b["event_id"].to_numpy(
+            zero_copy_only=False))
+        cx = np.floor((lon + 180.0) / 15.0).astype(np.int64)
+        cy = np.floor((lat + 60.0) / 15.0).astype(np.int64)
+        return pa.table({"user_id": b["user_id"],
+                         "t": b["ts"].cast(pa.int64()),
+                         "event_id": b["event_id"],
+                         "cell": pa.array(cy * 24 + cx)})
+
+    def fn(d: pd.DataFrame) -> pd.DataFrame:
+        u = d["user_id"].to_numpy()
+        c = d["cell"].to_numpy()
+        step = np.r_[False, (u[1:] == u[:-1]) & (c[1:] != c[:-1])]
+        g = (pd.DataFrame({"from_cell": np.roll(c, 1)[step],
+                           "to_cell": c[step]})
+             .groupby(["from_cell", "to_cell"], sort=False)
+             .size().reset_index(name="n"))
+        g["n"] = g["n"].astype(np.int64)
+        return g
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id"]
+               ).map_batches(prep, batch_format="pyarrow")
+    parts = keyed_scan(ds, "user_id", ["t", "event_id"], fn,
+                       n_rows=_nrows(sf_dir, "events"))
+    return tree_aggregate_to_table(
+        parts, ["from_cell", "to_cell"], [("n", "sum")])
+
+
+def q_cell_transitions_sql() -> str:
+    lat, lon = latlon_sql("event_id")
+    return (
+        f"WITH p AS (SELECT user_id, epoch_us(ts) AS t, event_id, "
+        f"CAST(floor(({lat} + 60.0) / 15.0) AS BIGINT) * 24 + "
+        f"CAST(floor(({lon} + 180.0) / 15.0) AS BIGINT) AS cell "
+        "FROM events), "
+        "s AS (SELECT cell AS to_cell, lag(cell) OVER "
+        "(PARTITION BY user_id ORDER BY t, event_id) AS from_cell "
+        "FROM p) "
+        "SELECT from_cell, to_cell, CAST(count(*) AS BIGINT) AS n "
+        "FROM s WHERE from_cell IS NOT NULL AND from_cell <> to_cell "
+        "GROUP BY 1, 2"
+    )
+
+
+def q_speed_profile(sf_dir: str):
+    """Velocity analytics over trajectories: per-hop speed =
+    haversine-mm · 1e6 // Δt_µs (pure int64 after the house
+    millimetre pinning), bucketed by decimal magnitude (exact digit
+    count — integer threshold comparisons, no log) into a bounded
+    histogram that merges on the combiner tree.  Zero/negative Δt hops
+    (same-timestamp events) are excluded on both sides."""
+    from ..stages.agg_tree import tree_aggregate_to_table
+    from ..stages.scan import keyed_scan
+
+    def prep(b: pa.Table) -> pa.Table:
+        lat, lon = derive_latlon(b["event_id"].to_numpy(
+            zero_copy_only=False))
+        return pa.table({"user_id": b["user_id"],
+                         "t": b["ts"].cast(pa.int64()),
+                         "event_id": b["event_id"],
+                         "lat": pa.array(lat), "lon": pa.array(lon)})
+
+    C = np.pi / 180.0
+    R2 = 2.0 * 6371000.0
+    POW10 = 10 ** np.arange(1, 19, dtype=np.int64)
+
+    def fn(d: pd.DataFrame) -> pd.DataFrame:
+        u = d["user_id"].to_numpy()
+        t = d["t"].to_numpy()
+        phi = d["lat"].to_numpy() * C
+        lam = d["lon"].to_numpy() * C
+        hop = np.r_[False, u[1:] == u[:-1]]
+        dt = t - np.roll(t, 1)
+        p1, p2 = np.roll(phi, 1)[hop], phi[hop]
+        l1, l2 = np.roll(lam, 1)[hop], lam[hop]
+        dt = dt[hop]
+        sp = np.sin((p2 - p1) / 2.0)
+        sl = np.sin((l2 - l1) / 2.0)
+        h = sp * sp + np.cos(p1) * np.cos(p2) * (sl * sl)
+        mm = np.floor(R2 * np.arcsin(np.minimum(1.0, np.sqrt(h)))
+                      * 1e3 + 0.5).astype(np.int64)
+        ok = dt > 0
+        speed = mm[ok] * 1_000_000 // dt[ok]
+        digits = (np.searchsorted(POW10, speed, side="right") + 1
+                  ).astype(np.int64)
+        g = (pd.DataFrame({"magnitude": digits})
+             .groupby("magnitude", sort=False).size()
+             .reset_index(name="n_hops"))
+        g["n_hops"] = g["n_hops"].astype(np.int64)
+        return g
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id"]
+               ).map_batches(prep, batch_format="pyarrow")
+    parts = keyed_scan(ds, "user_id", ["t", "event_id"], fn,
+                       n_rows=_nrows(sf_dir, "events"))
+    return tree_aggregate_to_table(
+        parts, ["magnitude"], [("n_hops", "sum")])
+
+
+def q_speed_profile_sql() -> str:
+    lat, lon = latlon_sql("event_id")
+    return (
+        "WITH p AS (SELECT user_id, epoch_us(ts) AS t, event_id, "
+        f"{lat} * (pi() / 180.0) AS phi, "
+        f"{lon} * (pi() / 180.0) AS lam FROM events), "
+        "s AS (SELECT user_id, t, phi, lam, lag(t) OVER w AS t0, "
+        "lag(phi) OVER w AS p1, lag(lam) OVER w AS l1 FROM p "
+        "WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)), "
+        "h AS (SELECT t - t0 AS dt, "
+        "CAST(floor(2.0 * 6371000.0 * asin(least(1.0, sqrt("
+        "sin((phi - p1) / 2.0) * sin((phi - p1) / 2.0) "
+        "+ cos(p1) * cos(phi) * (sin((lam - l1) / 2.0) * "
+        "sin((lam - l1) / 2.0))))) * 1e3 + 0.5) AS BIGINT) AS mm "
+        "FROM s WHERE t0 IS NOT NULL), "
+        "v AS (SELECT length(CAST(mm * 1000000 // dt AS VARCHAR)) "
+        "AS magnitude FROM h WHERE dt > 0) "
+        "SELECT CAST(magnitude AS BIGINT) AS magnitude, "
+        "CAST(count(*) AS BIGINT) AS n_hops FROM v GROUP BY 1"
+    )
+
+
+def q_traj_intersections(sf_dir: str):
+    """Cross-set line-segment intersection join — the vector-overlay
+    GIS shape (road network × trajectory hops): every event derives a
+    short directed segment (≤ 3° per axis) from its id; even-id
+    segments join odd-id segments on PROPER crossing.  Distributed
+    plan: PBSM grid co-partition over segment bounding boxes
+    (stages/spatial_join.py — cover fan-out, reference-point dedup so
+    a pair is reported by exactly one cell, hot-cell fragment-
+    replicate guard), then a stateless vectorized verify map
+    re-derives endpoints from the ids (only id pairs cross the
+    shuffle) and keeps pairs whose exact int64 microdegree
+    cross-product orientation signs witness a proper crossing — no
+    epsilon, no floats (|products| ≤ ~4e12, far inside int64).  The
+    oracle replays the bbox join plus the same strict orientation
+    predicate."""
+    from ..stages.spatial_join import box_overlap_join
+
+    def boxes(parity: int):
+        def f(b: pa.Table) -> pa.Table:
+            eid = b["event_id"].to_numpy(zero_copy_only=False)
+            eid = eid[eid % 2 == parity]
+            y1, x1, y2, x2 = _seg_params(eid)
+            return pa.table({
+                "id": pa.array(eid, pa.int64()),
+                "xmin": pa.array(np.minimum(x1, x2)),
+                "ymin": pa.array(np.minimum(y1, y2)),
+                "xmax": pa.array(np.maximum(x1, x2)),
+                "ymax": pa.array(np.maximum(y1, y2))})
+        return f
+
+    a = _read(sf_dir, "events", ["event_id"]).map_batches(
+        boxes(0), batch_format="pyarrow")
+    b = _read(sf_dir, "events", ["event_id"]).map_batches(
+        boxes(1), batch_format="pyarrow")
+    cand = box_overlap_join(a, b, cell=4.0, out_a="a_id", out_b="b_id")
+
+    def _micro(eid):
+        y1, x1, y2, x2 = _seg_params(eid)
+        def m(v):
+            return np.floor(v * 1e6 + 0.5).astype(np.int64)
+        return m(x1), m(y1), m(x2), m(y2)
+
+    def verify(t: pa.Table) -> pa.Table:
+        aid = t["a_id"].to_numpy(zero_copy_only=False)
+        bid = t["b_id"].to_numpy(zero_copy_only=False)
+        ax1, ay1, ax2, ay2 = _micro(aid)
+        bx1, by1, bx2, by2 = _micro(bid)
+        d1 = (ax2 - ax1) * (by1 - ay1) - (ay2 - ay1) * (bx1 - ax1)
+        d2 = (ax2 - ax1) * (by2 - ay1) - (ay2 - ay1) * (bx2 - ax1)
+        d3 = (bx2 - bx1) * (ay1 - by1) - (by2 - by1) * (ax1 - bx1)
+        d4 = (bx2 - bx1) * (ay2 - by1) - (by2 - by1) * (ax2 - bx1)
+        cross = (((d1 > 0) & (d2 < 0)) | ((d1 < 0) & (d2 > 0))) \
+            & (((d3 > 0) & (d4 < 0)) | ((d3 < 0) & (d4 > 0)))
+        return pa.table({"a_id": pa.array(aid[cross], pa.int64()),
+                         "b_id": pa.array(bid[cross], pa.int64())})
+
+    return cand.map_batches(verify, batch_format="pyarrow")
+
+
+def q_traj_intersections_sql() -> str:
+    # side A (even ids) keys on event_id; side B (odd) on
+    # event_id·1000003 — the CAST to HUGEINT happens BEFORE the
+    # multiply so the product itself is exact at any event_id (a
+    # BIGINT multiply would raise past ~9.2e12 while the engine's
+    # int64 wrap proceeds; the downstream latlon derive only uses
+    # the value mod 2^32, which both sides then agree on)
+    lat, lon = latlon_sql(
+        "CASE WHEN event_id % 2 = 1 THEN "
+        "CAST(event_id AS HUGEINT) * 1000003 "
+        "ELSE CAST(event_id AS HUGEINT) END")
+    return (
+        "WITH e AS (SELECT event_id, "
+        f"CAST({lat} AS DOUBLE) AS lat, CAST({lon} AS DOUBLE) AS lon, "
+        "-3.0 + 6.0 * (((event_id * 7919) % 1000) / 1000.0) AS dlat, "
+        "-3.0 + 6.0 * (((event_id * 104729) % 1000) / 1000.0) AS dlon "
+        "FROM events), "
+        "s AS (SELECT event_id, "
+        "least(lon, lon + dlon) AS xmin, greatest(lon, lon + dlon) AS xmax, "
+        "least(lat, lat + dlat) AS ymin, greatest(lat, lat + dlat) AS ymax, "
+        "CAST(floor(lon * 1e6 + 0.5) AS BIGINT) AS x1, "
+        "CAST(floor(lat * 1e6 + 0.5) AS BIGINT) AS y1, "
+        "CAST(floor((lon + dlon) * 1e6 + 0.5) AS BIGINT) AS x2, "
+        "CAST(floor((lat + dlat) * 1e6 + 0.5) AS BIGINT) AS y2 FROM e), "
+        "c AS (SELECT a.event_id AS a_id, b.event_id AS b_id, "
+        "(a.x2 - a.x1) * (b.y1 - a.y1) - (a.y2 - a.y1) * (b.x1 - a.x1) AS d1, "
+        "(a.x2 - a.x1) * (b.y2 - a.y1) - (a.y2 - a.y1) * (b.x2 - a.x1) AS d2, "
+        "(b.x2 - b.x1) * (a.y1 - b.y1) - (b.y2 - b.y1) * (a.x1 - b.x1) AS d3, "
+        "(b.x2 - b.x1) * (a.y2 - b.y1) - (b.y2 - b.y1) * (a.x2 - b.x1) AS d4 "
+        "FROM s a JOIN s b ON a.event_id % 2 = 0 AND b.event_id % 2 = 1 "
+        "AND a.xmin <= b.xmax AND b.xmin <= a.xmax "
+        "AND a.ymin <= b.ymax AND b.ymin <= a.ymax) "
+        "SELECT a_id, b_id FROM c "
+        "WHERE ((d1 > 0 AND d2 < 0) OR (d1 < 0 AND d2 > 0)) "
+        "AND ((d3 > 0 AND d4 < 0) OR (d3 < 0 AND d4 > 0))"
+    )
