@@ -533,7 +533,7 @@ def _copart_join(rows, finish, shuffle: str = "hash",
 def lsh_dedup_pipeline(ds, id_col: str, band_fn, sketch_fn, pair_ok,
                        num_partitions: int = 8,
                        broadcast_loser_limit: int = _BROADCAST_LOSER_LIMIT,
-                       shuffle: str = "hash"):
+                       shuffle: str = "hash", verify_vals=None):
     """Generic distributed LSH near-dedup: returns the Dataset of
     surviving rows (duplicate clusters keep their min-id
     representative).
@@ -542,6 +542,17 @@ def lsh_dedup_pipeline(ds, id_col: str, band_fn, sketch_fn, pair_ok,
     table; ``sketch_fn(batch, keep_mask) -> list[bytes]`` packs the
     verification sketch of each kept row; ``pair_ok(blob_a, blob_b)
     -> bool`` is the exact pairwise check.
+
+    ``verify_vals``: when the exact check needs only the 64-bit
+    ``set_hash`` the band rows already carry (perceptual hashes),
+    pass ``verify_vals(vals_a, vals_b) -> bool mask`` (vectorized
+    int64 arrays) and verification happens INLINE in the chain scan —
+    the Bloom pass, the second sketch pass and both co-partition
+    verify joins disappear entirely.  That matters when the band
+    space saturates: at 500k 64-bit hashes × 4 16-bit bands nearly
+    every bucket-adjacent pair is a random collision (~1.7M candidate
+    edges), and the per-pair-Python verify path took 45 s where the
+    inline kernel is one vectorized popcount per chain scan.
 
     Fully distributed shape (MinHash and embedding variants share it):
     (1) the band explode ships doc ids only; (2) a distributed sort on
@@ -568,7 +579,7 @@ def lsh_dedup_pipeline(ds, id_col: str, band_fn, sketch_fn, pair_ok,
 
     banded = ds.map_batches(band_fn, batch_format="pyarrow")
 
-    def _chain(bid, bh, doc, blk=None):
+    def _chain(bid, bh, doc, blk=None, vals=None):
         """Edges between bucket-adjacent sorted rows — chain edges are
         connectivity-equivalent to star edges for the CC stage.  In the
         boundary-stitch pass ``blk`` restricts edges to consecutive rows
@@ -578,18 +589,24 @@ def lsh_dedup_pipeline(ds, id_col: str, band_fn, sketch_fn, pair_ok,
         (first, last) pair would be a chord whose existence depends on
         partitioning — and since pair_ok is not transitive, a chord can
         verify where the chain path fails, making survivor sets
-        layout-dependent)."""
+        layout-dependent).  With ``verify_vals`` the chain pair is
+        ALSO exact-verified inline (same pair set, same verdict as
+        the deduped pair_ok path — hamming on set_hash is
+        deterministic), so the emitted edges are final."""
         same = (bid[1:] == bid[:-1]) & (bh[1:] == bh[:-1]) \
             & (doc[1:] != doc[:-1])
         if blk is not None:
             same &= blk[1:] != blk[:-1]
+        if verify_vals is not None:
+            same = same & verify_vals(vals[:-1], vals[1:])
         return pa.table({"doc_a": doc[:-1][same].astype(np.int64),
                          "doc_b": doc[1:][same].astype(np.int64)})
 
     def block_chain_edges(b: pa.Table) -> pa.Table:
         return _chain(b["band_id"].to_numpy(zero_copy_only=False),
                       b["band_hash"].to_numpy(zero_copy_only=False),
-                      b["doc_id"].to_numpy(zero_copy_only=False))
+                      b["doc_id"].to_numpy(zero_copy_only=False),
+                      vals=b["set_hash"].to_numpy(zero_copy_only=False))
 
     if shuffle == "hash":
         # hash-bucket co-partition: a bucket (band_id, band_hash) can
@@ -636,7 +653,8 @@ def lsh_dedup_pipeline(ds, id_col: str, band_fn, sketch_fn, pair_ok,
                                          "doc_id"]))
         stitched = _chain(bdf["band_id"].to_numpy(),
                           bdf["band_hash"].to_numpy(),
-                          bdf["doc_id"].to_numpy(), blk=bdf["_blk"].to_numpy())
+                          bdf["doc_id"].to_numpy(), blk=bdf["_blk"].to_numpy(),
+                          vals=bdf["set_hash"].to_numpy())
         if stitched.num_rows:
             edges = edges.union(ray.data.from_arrow(stitched))
     # distinct candidate edges (cross-band duplicates would multiply
@@ -646,6 +664,11 @@ def lsh_dedup_pipeline(ds, id_col: str, band_fn, sketch_fn, pair_ok,
     n_raw_edges = edges.count()
     if n_raw_edges == 0:
         return ds
+    if verify_vals is not None:
+        # chain edges were exact-verified inline: no Bloom pass, no
+        # sketch pass, no verify joins; CC dedups the cross-band
+        # duplicate edges itself
+        return _remove_losers(ds, edges, id_col, broadcast_loser_limit)
     from ..stages.scan import hash_bucket_scan as _hbs
     edges = _hbs(edges, ["doc_a", "doc_b"],
                  lambda t: t.group_by(["doc_a", "doc_b"]).aggregate([]),
@@ -749,6 +772,17 @@ def lsh_dedup_pipeline(ds, id_col: str, band_fn, sketch_fn, pair_ok,
         .union(cand_sh), verify_finish, shuffle=shuffle,
         n_rows=n_join_rows).map_batches(
         lambda b: b.select(["doc_a", "doc_b"]), batch_format="pyarrow")
+
+    return _remove_losers(ds, verified, id_col, broadcast_loser_limit)
+
+
+def _remove_losers(ds, verified, id_col: str, broadcast_loser_limit: int):
+    """CC over the verified edge set, then drop every cluster's
+    non-min members from ``ds`` — by broadcast sorted-id probe when
+    the loser set is small, else a distributed left_anti join."""
+    import ray
+
+    from ..stages.cc import connected_components
 
     stars = connected_components(verified)
     losers = stars.map_batches(

@@ -100,6 +100,13 @@ def phash_near_dup(ds, id_col: str = "image_id", hash_col: str = "dhash64",
         return int(hamming64(np.frombuffer(a, np.int64),
                              np.frombuffer(b, np.int64))[0]) <= max_dist
 
+    def verify_vals(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+        # the 8-byte hash IS the sketch and rides the band rows as
+        # set_hash, so verification is one vectorized popcount inline
+        # in the chain scan (no sketch passes / verify joins at all)
+        return hamming64(a, b) <= max_dist
+
     return lsh_dedup_pipeline(ds, id_col=id_col, band_fn=band_fn,
                               sketch_fn=sketch_fn, pair_ok=pair_ok,
-                              num_partitions=num_partitions)
+                              num_partitions=num_partitions,
+                              verify_vals=verify_vals)

@@ -46,10 +46,13 @@ def q_image_features(sf_dir: str):
     from ..fixtures import ensure_images_parquet, scale_for_sf_dir
     from ..stages.multimodal import ImageFeatures
 
+    from ..stages.multimodal import decode_pool_size
+
     images = ensure_images_parquet(scale_for_sf_dir(sf_dir))
     ds = ray.data.read_parquet(images, columns=["image_id", "bytes", "fmt"])
     return ds.map_batches(ImageFeatures, batch_format="pyarrow",
-                          batch_size=512, concurrency=2)
+                          batch_size=512,
+                          concurrency=decode_pool_size())
 
 
 def q_image_blur(sf_dir: str):
@@ -64,10 +67,13 @@ def q_image_blur(sf_dir: str):
     from ..fixtures import ensure_images_parquet, scale_for_sf_dir
     from ..stages.multimodal import ImageBlurScore
 
+    from ..stages.multimodal import decode_pool_size
+
     images = ensure_images_parquet(scale_for_sf_dir(sf_dir))
     ds = ray.data.read_parquet(images, columns=["image_id", "bytes", "fmt"])
     return ds.map_batches(ImageBlurScore, batch_format="pyarrow",
-                          batch_size=512, concurrency=2)
+                          batch_size=512,
+                          concurrency=decode_pool_size())
 
 
 def q_image_patches(sf_dir: str):
@@ -84,8 +90,11 @@ def q_image_patches(sf_dir: str):
 
     images = ensure_images_parquet(scale_for_sf_dir(sf_dir))
     ds = ray.data.read_parquet(images, columns=["image_id", "bytes", "fmt"])
+    from ..stages.multimodal import decode_pool_size
+
     patches = ds.map_batches(ImagePatchify, batch_format="pyarrow",
-                             batch_size=128, concurrency=2)
+                             batch_size=128,
+                             concurrency=decode_pool_size())
 
     def manifest(b: pa.Table) -> pa.Table:
         t = pa.table({"image_id": b["image_id"],
@@ -123,8 +132,11 @@ def q_phash_dedup(sf_dir: str):
 
     images = ensure_images_parquet(scale_for_sf_dir(sf_dir))
     ds = ray.data.read_parquet(images, columns=["image_id", "bytes", "fmt"])
+    from ..stages.multimodal import decode_pool_size
+
     hashes = ds.map_batches(PerceptualHash, batch_format="pyarrow",
-                            batch_size=512, concurrency=2)
+                            batch_size=512,
+                            concurrency=decode_pool_size())
 
     # string image ids → int64 surrogate (the dedup pipeline sorts /
     # Blooms / CCs over int64 ids); survivors still carry image_id
@@ -181,11 +193,10 @@ def q_image_pyramid(sf_dir: str):
 
     images = ensure_images_parquet(scale_for_sf_dir(sf_dir))
     ds = ray.data.read_parquet(images, columns=["image_id", "bytes", "fmt"])
-    # actor pool sized well below the session CPU count (never starve
-    # the read stage — CLAUDE.md invariant)
-    cpus = int(ray.cluster_resources().get("CPU", 8))
+    from ..stages.multimodal import decode_pool_size
+
     pyr = ds.map_batches(ImagePyramid, batch_format="pyarrow",
-                         batch_size=512, concurrency=max(2, cpus // 4))
+                         batch_size=512, concurrency=decode_pool_size())
     return pyr.map_batches(
         lambda b: b.select(["image_id", "level", "n_bytes"]),
         batch_format="pyarrow")

@@ -23,6 +23,21 @@ import pyarrow as pa
 from ..functions.image_codec import decode_image, encode_png
 
 
+def decode_pool_size(cpus: int | None = None) -> int:
+    """Actor-pool size for full-corpus decode stages: ~3/4 of the
+    session CPUs, always leaving ≥ 2 slots for the read stage (an
+    actor pool that reserves every CPU starves the reads and hangs
+    the pipeline — CLAUDE.md invariant), floor 2.  The r4 bench ran
+    these pools at a hardcoded 2 on a 32-CPU session — a 10-40×
+    under-parallelization on the decode-bound entries (phash_dedup
+    read 88 s)."""
+    if cpus is None:
+        import ray
+
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    return max(2, min(cpus - 2, cpus * 3 // 4))
+
+
 class ImageFeatures:
     """Decode → per-image features (mean RGB, brightness, aspect).
 
