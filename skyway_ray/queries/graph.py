@@ -702,7 +702,7 @@ def q_kcore(sf_dir: str):
     import pyarrow.compute as pc
 
     from ..stages.graph import (combine_state, derived_graph_edges,
-                               edge_state_messages)
+                               edge_state_messages, materialize_bounded)
 
     edges, V, n = derived_graph_edges(sf_dir, directed=False,
                                       read=_read, nrows=_nrows)
@@ -734,10 +734,10 @@ def q_kcore(sf_dir: str):
             batch_format="pyarrow").materialize()
         if bad.count() == 0:
             break
-        edges = edge_state_messages(
+        edges = materialize_bounded(edge_state_messages(
             edge_state_messages(edges, bad, "u", ["v"], survive_u,
                                 n_rows=n),
-            bad, "v", ["u"], survive_v, n_rows=n).materialize()
+            bad, "v", ["u"], survive_v, n_rows=n), n)
     else:
         raise RuntimeError("k-core peel did not converge within "
                            f"{_KCORE_ROUNDS} oracle-replayable rounds")

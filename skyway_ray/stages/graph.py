@@ -41,8 +41,24 @@ from .scan import auto_n_buckets, hash_bucket_scan
 __all__ = [
     "derived_graph_edges", "node_hash", "state_from_rows",
     "edge_state_messages", "combine_state", "state_fingerprint",
-    "topk_state",
+    "topk_state", "materialize_bounded",
 ]
+
+
+def materialize_bounded(ds, n_rows: int, slack: int = 4):
+    """Materialize ``ds``; if its block count has drifted past
+    ``slack ×`` the size-tracked target (``map_groups`` emits blocks
+    proportional to its INPUT blocks, so iterate-union-combine loops
+    otherwise double the block count every round — measured 3 → 511
+    blocks at constant 200 rows), repartition down and re-materialize.
+    The conditional check keeps the common per-round cost at zero
+    exchanges: the repartition only fires when fan-out actually
+    accumulated."""
+    out_blocks = auto_n_buckets(n_rows, floor=1)
+    m = ds.materialize()
+    if m.num_blocks() > slack * out_blocks:
+        m = m.repartition(out_blocks).materialize()
+    return m
 
 
 def node_hash(x: np.ndarray, V: int) -> np.ndarray:
@@ -182,17 +198,17 @@ def combine_state(ds, op: str, n_rows: int, transform=None,
     applied bucket-locally (for quantize / damping updates that need
     only scalars from the driver, never a vector).
 
-    Output is repartitioned to the bucket count: ``map_groups`` emits
+    Output is repartitioned (in-plan, fused into the same execution)
+    to a block count tracking the STATE size: ``map_groups`` emits
     blocks proportional to its INPUT block count, so an iterate-
     union-combine loop would otherwise double the state's block count
-    every round (measured: 3 → 511 blocks in 8 rounds while rows stay
-    at 200) and round time grows with the dead block count.  The
-    repartition is an exchange over the combined state only — ≤
-    |distinct nodes| rows, never edge-sized.  The target block count
-    tracks the STATE size (``ceil(n_rows / ROWS_PER_BUCKET)``), not
-    the bucket floor — a tiny state in one block costs one task
-    downstream, while at 10^9 nodes the block count scales up with
-    the same 2M-row budget as every other stage."""
+    every round (measured: 3 → 511 blocks in 8 rounds at constant
+    200 rows).  The repartition moves ≤ |distinct nodes| rows, never
+    edge-sized; measured cheaper in-plan than a conditional
+    post-materialize repartition, which pays a second materialize
+    whenever it fires — and in edge-fed loops it fires every round
+    (use :func:`materialize_bounded` only where drift is RARE, e.g.
+    k-core's shrinking edge set)."""
     if n_buckets is None:
         n_buckets = auto_n_buckets(n_rows)
     out_blocks = auto_n_buckets(n_rows, floor=1)
@@ -206,8 +222,8 @@ def combine_state(ds, op: str, n_rows: int, transform=None,
                           .astype(np.int64)), pa.int64())})
         return g
 
-    return hash_bucket_scan(ds, ["node"], fn,
-                            n_buckets=n_buckets).repartition(out_blocks)
+    return hash_bucket_scan(
+        ds, ["node"], fn, n_buckets=n_buckets).repartition(out_blocks)
 
 
 def state_fingerprint(state) -> tuple[int, int, int]:
