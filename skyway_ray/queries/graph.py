@@ -744,7 +744,13 @@ def q_kcore(sf_dir: str):
 
     core = deg.map_batches(
         lambda t: t.filter(pc.greater_equal(t["val"], _KCORE_K)),
-        batch_format="pyarrow").to_pandas().sort_values("node")
+        batch_format="pyarrow").to_pandas()
+    if "node" not in core.columns:
+        # a fully-peeled graph leaves an empty Dataset whose blocks
+        # carry no schema — the core is simply empty (oracle: 0 rows)
+        core = pd.DataFrame({"node": np.array([], np.int64),
+                             "val": np.array([], np.int64)})
+    core = core.sort_values("node")
     return pd.DataFrame({"node": core["node"].to_numpy(np.int64),
                          "deg": core["val"].to_numpy(np.int64)})
 

@@ -44,7 +44,13 @@ NAMES = ["pct_rank", "retention", "doc_stats", "type_entropy",
          "pair_dist_hist", "bbox_extent",
          # session-I: tiny hub graph exercises hits' V=200 floor and
          # the all-nodes-start-at-1000 vs DISTINCT-u oracle h0 parity
-         "hits"]
+         "hits",
+         # round-5 block: the co-partitioned vertex-state rewrites
+         # (sssp/kcore/assortativity/pagerank) and the chained
+         # type-state colocation over the same tiny hub graph /
+         # planted ε-triple — single-row state seeds, empty bad-node
+         # rounds, isolated-core singletons, one-type pair tables
+         "sssp", "kcore", "assortativity", "pagerank", "colocation"]
 
 
 @pytest.fixture(scope="module")
