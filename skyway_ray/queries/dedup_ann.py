@@ -841,6 +841,16 @@ def q_dbscan(sf_dir: str):
         batch_format="pyarrow").materialize()
     n_edges = edges.count()
     nb = auto_n_buckets(n_edges)
+    if n_edges == 0:
+        # no point has an ε-neighbor: everything is noise (the empty
+        # edge Dataset carries no schema, so bail before the label
+        # plan rather than teaching every stage about it)
+        return _read(sf_dir, "events", ["event_id"]).map_batches(
+            lambda t: pa.table({
+                "id": t["event_id"].combine_chunks().cast(pa.int64()),
+                "role": pa.array(np.zeros(len(t), np.int64)),
+                "comp": pa.array(np.full(len(t), -1, np.int64))}),
+            batch_format="pyarrow")
 
     def _deg_flag(key: str):
         """Bucket fn keyed on ``key``: per-key row count IS the
