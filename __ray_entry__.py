@@ -6,7 +6,7 @@ nothing here (or in skyway_ray) calls ``ray.init()``/``ray.shutdown()``.
 * ``entry()`` — flagship filter→PIP-join→tile pipeline on the smoke-
   scale synthetic image fixture (the driver smoke-checks rows ≥ 0).
 * ``queries()`` — one callable per implemented operator/pipeline from
-  SURVEY.md §2 (see ``skyway_ray/queries.py``).
+  SURVEY.md §2 (see the ``skyway_ray/queries`` package).
 * ``oracle_sql()`` — DuckDB-equivalent SQL for every hash-verifiable
   query (including ``minhash_exact``, which pins the full distributed
   MinHash+LSH pipeline at threshold 1.0 against a token-set window-min
