@@ -56,6 +56,41 @@ def dhash64(img: np.ndarray) -> np.int64:
     return _pack_bits(g[:, 1:] > g[:, :-1])
 
 
+def _sample_gray_batch(imgs: np.ndarray, oh: int, ow: int) -> np.ndarray:
+    """(n, h, w, 3) uint8 → (n, oh, ow) float64 luma on the sample
+    grid.  Sampling commutes with the elementwise luma transform, so
+    results are bit-identical to ``_sample_grid(to_gray(img), …)``
+    per image; the grid sample lands contiguous either way (fancy
+    indexing copies), so downstream reductions see the same layout."""
+    n, h, w, _ = imgs.shape
+    ys = (np.arange(oh) * h // oh).clip(0, h - 1)
+    xs = (np.arange(ow) * w // ow).clip(0, w - 1)
+    sub = imgs[:, ys][:, :, xs].astype(np.float64)
+    return sub[..., 0] * 0.299 + sub[..., 1] * 0.587 + sub[..., 2] * 0.114
+
+
+def _pack_bits_batch(bits: np.ndarray) -> np.ndarray:
+    """(n, 64) bools → (n,) int64, bit i = bits[:, i] (row-major, same
+    convention as :func:`_pack_bits`)."""
+    w = np.left_shift(np.uint64(1), np.arange(64, dtype=np.uint64))
+    return (bits.reshape(len(bits), 64).astype(np.uint64) * w).sum(
+        axis=1, dtype=np.uint64).view(np.int64)
+
+
+def ahash64_batch(imgs: np.ndarray) -> np.ndarray:
+    """Vectorized :func:`ahash64` over a same-shape (n, h, w, 3) stack
+    — bit-identical per image (tested), ~10× less per-call numpy
+    overhead on small images."""
+    g = _sample_gray_batch(imgs, 8, 8).reshape(len(imgs), 64)
+    return _pack_bits_batch(g > g.mean(axis=1, keepdims=True))
+
+
+def dhash64_batch(imgs: np.ndarray) -> np.ndarray:
+    """Vectorized :func:`dhash64` over a same-shape (n, h, w, 3) stack."""
+    g = _sample_gray_batch(imgs, 8, 9)
+    return _pack_bits_batch(g[:, :, 1:] > g[:, :, :-1])
+
+
 def phash_near_dup(ds, id_col: str = "image_id", hash_col: str = "dhash64",
                    max_dist: int = 3, bands: int = 4,
                    num_partitions: int = 8):

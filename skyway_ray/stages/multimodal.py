@@ -38,6 +38,22 @@ def decode_pool_size(cpus: int | None = None) -> int:
     return max(2, min(cpus - 2, cpus * 3 // 4))
 
 
+def _shape_groups(blobs: list, fmts: list):
+    """Decode every blob, then yield ``(indices, stacked)`` per distinct
+    (h, w) — the unit the vectorized batch kernels operate on.  Groups
+    come out in first-appearance order; callers scatter results back by
+    ``indices`` so output row order never depends on the grouping."""
+    by_shape: dict = {}
+    for i, (b, f) in enumerate(zip(blobs, fmts)):
+        img = decode_image(b, f)
+        by_shape.setdefault(img.shape[:2], ([], []))
+        idxs, imgs = by_shape[img.shape[:2]]
+        idxs.append(i)
+        imgs.append(img)
+    for idxs, imgs in by_shape.values():
+        yield np.asarray(idxs, np.int64), np.stack(imgs)
+
+
 class ImageFeatures:
     """Decode → per-image features (mean RGB, brightness, aspect).
 
@@ -58,12 +74,12 @@ class ImageFeatures:
         means = np.empty((n, 3), dtype=np.float64)
         bright = np.empty(n, dtype=np.float64)
         aspect = np.empty(n, dtype=np.float64)
-        for i in range(n):
-            img = decode_image(blobs[i], fmts[i])
-            means[i] = img.reshape(-1, 3).mean(axis=0)
-            bright[i] = img.mean()
-            h, w, _ = img.shape
-            aspect[i] = w / h
+        for idxs, stack in _shape_groups(blobs, fmts):
+            m, h, w, _ = stack.shape
+            flat = stack.reshape(m, -1, 3)
+            means[idxs] = flat.mean(axis=1)
+            bright[idxs] = flat.reshape(m, -1).mean(axis=1)
+            aspect[idxs] = w / h
         return pa.table({
             self.id_col: batch[self.id_col],
             "mean_r": means[:, 0],
@@ -131,23 +147,46 @@ class ImagePyramid:
         return img[np.ix_(ys, xs)]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        import struct
+        import zlib
+
+        from ..functions.image_codec import _PNG_SIG, _chunk
+
         blobs = batch[self.bytes_col].to_pylist()
         fmts = batch[self.fmt_col].to_pylist()
         ids = batch[self.id_col].to_pylist()
-        out_id, out_lv, out_thumb, out_n = [], [], [], []
-        for bid, blob, fmt in zip(ids, blobs, fmts):
-            img = decode_image(blob, fmt)
-            for side in self.levels:
-                t = encode_png(self._downsample(img, side))
-                out_id.append(bid)
-                out_lv.append(side)
-                out_thumb.append(t)
-                out_n.append(len(t))
+        n = len(blobs)
+        # decode/downsample/scanline-build vectorized per same-shape
+        # stack; only the zlib deflate + CRC chunking (C calls, the
+        # measured 75% floor of encode_png) stay per thumbnail.  The
+        # emitted bytes are exactly encode_png's (tested).
+        thumbs: list = [None] * (n * len(self.levels))
+        for idxs, stack in _shape_groups(blobs, fmts):
+            m, h, w, _ = stack.shape
+            for li, side in enumerate(self.levels):
+                ys = (np.arange(side) * h // side).clip(0, h - 1)
+                xs = (np.arange(side) * w // side).clip(0, w - 1)
+                sub = stack[:, ys][:, :, xs]
+                raw = np.empty((m, side, 1 + side * 3), dtype=np.uint8)
+                raw[:, :, 0] = 0
+                raw[:, :, 1:] = sub.reshape(m, side, side * 3)
+                head = _PNG_SIG + _chunk(
+                    b"IHDR",
+                    struct.pack(">IIBBBBB", side, side, 8, 2, 0, 0, 0))
+                tail = _chunk(b"IEND", b"")
+                flat = raw.reshape(m, -1)
+                for j, i in enumerate(idxs):
+                    thumbs[int(i) * len(self.levels) + li] = (
+                        head
+                        + _chunk(b"IDAT", zlib.compress(flat[j].tobytes(), 6))
+                        + tail)
+        out_id = [bid for bid in ids for _ in self.levels]
+        out_lv = list(self.levels) * n
         return pa.table({
             self.id_col: pa.array(out_id),
             "level": pa.array(out_lv, pa.int32()),
-            "thumb": pa.array(out_thumb, pa.binary()),
-            "n_bytes": pa.array(out_n, pa.int64()),
+            "thumb": pa.array(thumbs, pa.binary()),
+            "n_bytes": pa.array([len(t) for t in thumbs], pa.int64()),
         })
 
 
@@ -179,34 +218,60 @@ class ImagePatchify:
         p = self.patch
         blobs = batch[self.bytes_col].to_pylist()
         fmts = batch[self.fmt_col].to_pylist()
-        ids = batch[self.id_col].to_pylist()
-        out_id, out_px, out_py, out_buf, out_luma = [], [], [], [], []
-        for bid, blob, fmt in zip(ids, blobs, fmts):
-            img = decode_image(blob, fmt)
-            h, w, _ = img.shape
+        ids = batch[self.id_col]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        # per same-shape stack: one reshape exposes every patch grid at
+        # once; per-group results are re-sorted to the per-image loop's
+        # (input row, patch_y, patch_x) emission order
+        parts = []
+        for idxs, stack in _shape_groups(blobs, fmts):
+            m, h, w, _ = stack.shape
             gy, gx = h // p, w // p
             if gy == 0 or gx == 0:
                 continue
-            # one reshape exposes the whole patch grid: (gy, gx, p, p, 3)
-            grid = (img[:gy * p, :gx * p]
-                    .reshape(gy, p, gx, p, 3).swapaxes(1, 2))
+            grid = np.ascontiguousarray(
+                stack[:, :gy * p, :gx * p]
+                .reshape(m, gy, p, gx, p, 3).swapaxes(2, 3))
             g64 = grid.astype(np.int64)
             luma = (77 * g64[..., 0] + 150 * g64[..., 1]
                     + 29 * g64[..., 2]) >> 8
-            mean_luma = luma.reshape(gy, gx, -1).sum(axis=2) // (p * p)
-            for iy in range(gy):
-                for ix in range(gx):
-                    out_id.append(bid)
-                    out_py.append(iy)
-                    out_px.append(ix)
-                    out_buf.append(grid[iy, ix].tobytes())
-                    out_luma.append(int(mean_luma[iy, ix]))
+            mean_luma = luma.reshape(m, gy, gx, -1).sum(axis=3) // (p * p)
+            k = gy * gx
+            parts.append((
+                np.repeat(idxs, k),
+                np.tile(np.repeat(np.arange(gy, dtype=np.int32), gx), m),
+                np.tile(np.tile(np.arange(gx, dtype=np.int32), gy), m),
+                grid.reshape(m * k, -1),
+                mean_luma.reshape(-1),
+            ))
+        if not parts:
+            return pa.table({
+                self.id_col: pa.array([], type=ids.type),
+                "patch_y": pa.array([], pa.int32()),
+                "patch_x": pa.array([], pa.int32()),
+                "patch": pa.array([], pa.binary()),
+                "mean_luma": pa.array([], pa.int64()),
+            })
+        src = np.concatenate([t[0] for t in parts])
+        pys = np.concatenate([t[1] for t in parts])
+        pxs = np.concatenate([t[2] for t in parts])
+        bufs = np.concatenate([t[3] for t in parts], axis=0)
+        lumas = np.concatenate([t[4] for t in parts])
+        order = np.lexsort((pxs, pys, src))
+        bufs = np.ascontiguousarray(bufs[order])
+        n_out, patch_nbytes = bufs.shape
+        offsets = np.arange(n_out + 1, dtype=np.int32) * patch_nbytes
+        patch_arr = pa.Array.from_buffers(
+            pa.binary(), n_out,
+            [None, pa.py_buffer(offsets.tobytes()),
+             pa.py_buffer(bufs.tobytes())])
         return pa.table({
-            self.id_col: pa.array(out_id),
-            "patch_y": pa.array(out_py, pa.int32()),
-            "patch_x": pa.array(out_px, pa.int32()),
-            "patch": pa.array(out_buf, pa.binary()),
-            "mean_luma": pa.array(out_luma, pa.int64()),
+            self.id_col: ids.take(pa.array(src[order])),
+            "patch_y": pa.array(pys[order], pa.int32()),
+            "patch_x": pa.array(pxs[order], pa.int32()),
+            "patch": patch_arr,
+            "mean_luma": pa.array(lumas[order], pa.int64()),
         })
 
 
@@ -226,17 +291,19 @@ class PerceptualHash:
         self.id_col = id_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        from ..functions.phash import ahash64, dhash64
+        from ..functions.phash import ahash64_batch, dhash64_batch
 
         blobs = batch[self.bytes_col].to_pylist()
         fmts = batch[self.fmt_col].to_pylist()
         n = len(blobs)
         ah = np.empty(n, dtype=np.int64)
         dh = np.empty(n, dtype=np.int64)
-        for i in range(n):
-            img = decode_image(blobs[i], fmts[i])
-            ah[i] = ahash64(img)
-            dh[i] = dhash64(img)
+        # decode per blob (variable payloads), hash per same-shape
+        # stack — the batched kernels are bit-identical to the
+        # per-image ones (tested) with ~10× less numpy call overhead
+        for idxs, stack in _shape_groups(blobs, fmts):
+            ah[idxs] = ahash64_batch(stack)
+            dh[idxs] = dhash64_batch(stack)
         return pa.table({
             self.id_col: batch[self.id_col],
             "ahash64": pa.array(ah, pa.int64()),
@@ -291,9 +358,24 @@ class ImageBlurScore:
         n = len(blobs)
         num = np.empty(n, dtype=np.int64)
         cnt = np.empty(n, dtype=np.int64)
-        for i in range(n):
-            num[i], cnt[i] = laplacian_sharpness(
-                decode_image(blobs[i], fmts[i]))
+        # all-int64 math → the batched path is exactly the per-image
+        # laplacian_sharpness, one same-shape stack at a time
+        for idxs, stack in _shape_groups(blobs, fmts):
+            y = (77 * stack[..., 0].astype(np.int64)
+                 + 150 * stack[..., 1].astype(np.int64)
+                 + 29 * stack[..., 2].astype(np.int64)) >> 8
+            if y.shape[1] < 3 or y.shape[2] < 3:
+                num[idxs] = 0
+                cnt[idxs] = 0
+                continue
+            c = y[:, 1:-1, 1:-1]
+            lap = (4 * c - y[:, :-2, 1:-1] - y[:, 2:, 1:-1]
+                   - y[:, 1:-1, :-2] - y[:, 1:-1, 2:])
+            m = lap[0].size
+            s1 = lap.sum(axis=(1, 2))
+            s2 = (lap * lap).sum(axis=(1, 2))
+            num[idxs] = m * s2 - s1 * s1
+            cnt[idxs] = m
         return pa.table({
             self.id_col: batch[self.id_col],
             "lap_var_num": pa.array(num, pa.int64()),

@@ -560,6 +560,31 @@ class TestPhashDedup:
         ids = sorted(got.to_pandas()["image_id"])
         assert ids == [0, 2, 4]
 
+    def test_star_contraction_large_identical_run(self, ray_session):
+        """Exercises the chain scan's star-contraction branch at run
+        length ≫ 2 plus the cross-run verified edge: 300 ids share one
+        hash, 3 more sit at Hamming distance 1 (cross-run), and two
+        far singletons survive untouched.  Survivor set must equal the
+        brute-force expectation regardless of the contraction."""
+        import ray.data
+
+        from skyway_ray.functions.phash import phash_near_dup
+
+        base = np.int64(0x0123456789ABCDEF)
+        near = np.int64(base ^ np.int64(1) << np.int64(17))
+        n_run = 300
+        ids = list(range(n_run)) + [1000, 1001, 1002, 5000, 5001]
+        hashes = ([base] * n_run + [near] * 3
+                  + [np.int64(0x5555555555555555),
+                     np.int64(-0x0F0F0F0F0F0F0F10)])
+        tab = pa.table({
+            "image_id": pa.array(ids, pa.int64()),
+            "dhash64": pa.array(hashes, pa.int64()),
+        })
+        got = phash_near_dup(
+            ray.data.from_arrow(tab).repartition(4), max_dist=3)
+        assert sorted(got.to_pandas()["image_id"]) == [0, 5000, 5001]
+
 
 class TestPqAnn:
     @staticmethod
