@@ -405,17 +405,24 @@ def q_sssp(sf_dir: str):
     derived graph (stages/graph.derived_graph_edges), integer edge
     weights 1 + (31u+17v) mod 100, Jacobi rounds — distances live as a
     co-partitioned (node, dist) DATASET, never on the driver and never
-    broadcast.  Each round is two hash-bucket exchanges: edges keyed by
-    src gather the state bucket-locally and emit pre-combined (dst,
-    dist+w) candidates, then a node-keyed min-combine folds candidates
-    into the state.  Convergence checks an O(1) (count, sum)
-    fingerprint (dists only decrease, rows only appear, so equality ⟺
-    fixpoint).  Loops to fixpoint (≤ 14 rounds, asserted); the oracle
-    replays exactly 14 chained-CTE rounds (idempotent past
+    broadcast.  The static directed edge set is hash-bucket-published
+    ONCE into driver-owned object-store shards
+    (stages/graph.publish_edge_shards); each round is then ONE BSP
+    superstep of raw tasks (stages/graph.bsp_round): per-bucket gather
+    tasks read their edge shard in place and scatter pre-combined
+    (dst, dist+w) candidates by target hash, per-bucket combine tasks
+    min-fold candidates ∪ state.  Per-round network is O(|state|), not
+    O(|E|) — at R rounds the edges travel once, not R times — and no
+    Ray Data job or actor pool launches per round (absent state
+    buckets drop their edges exactly like an all-miss lookup).
+    Convergence checks an O(1) (count, sum) fingerprint returned by
+    the combine wave (dists only decrease, rows only appear, so
+    equality ⟺ fixpoint).  Loops to fixpoint (≤ 14 rounds, asserted);
+    the oracle replays exactly 14 chained-CTE rounds (idempotent past
     convergence).  Exact ints throughout; unreached nodes drop."""
-    from ..stages.graph import (combine_state, derived_graph_edges,
-                               edge_state_messages, state_fingerprint,
-                               state_from_rows)
+    from ..stages.graph import (bsp_round, derived_graph_edges,
+                               publish_edge_shards, split_state_refs,
+                               state_refs_to_table)
 
     edges, V, n = derived_graph_edges(sf_dir, directed=False,
                                       read=_read, nrows=_nrows)
@@ -429,9 +436,10 @@ def q_sssp(sf_dir: str):
             "dst": pa.array(np.concatenate([v, u]), pa.int64()),
             "w": pa.array(np.concatenate([w, w]), pa.int64())})
 
-    directed = edges.map_batches(
-        orient, batch_format="pyarrow").materialize()
     E2 = 2 * n  # upper bound on directed edge rows (bucket sizing)
+    shards = publish_edge_shards(
+        edges.map_batches(orient, batch_format="pyarrow"),
+        "src", ["dst", "w"], n_rows=E2)
 
     def emit(ek, pays, lookup):
         d, found = lookup(ek)
@@ -441,23 +449,22 @@ def q_sssp(sf_dir: str):
         return (t.group_by(["node"]).aggregate([("val", "min")])
                 .rename_columns(["node", "val"]))
 
-    state = state_from_rows([0], [0]).materialize()
-    fp = state_fingerprint(state)[:2]
+    state = split_state_refs(
+        pa.table({"node": pa.array([0], pa.int64()),
+                  "val": pa.array([0], pa.int64())}), shards.n_buckets)
+    fp = (1, 0)
     for _ in range(_SSSP_ROUNDS + 1):
-        msgs = edge_state_messages(directed, state, "src",
-                                   ["dst", "w"], emit, n_rows=E2)
-        new = combine_state(msgs.union(state), "min",
-                            n_rows=V).materialize()
-        nfp = state_fingerprint(new)[:2]
-        if nfp == fp:
-            state = new
+        state, nfp = bsp_round(shards, state, "src", ["dst", "w"],
+                               emit, "min", base_refs=state)
+        if nfp[:2] == fp:
             break
-        state, fp = new, nfp
+        fp = nfp[:2]
     else:
         raise RuntimeError("Bellman-Ford did not converge within "
                            f"{_SSSP_ROUNDS} oracle-replayable rounds")
 
-    out = state.to_pandas().sort_values("node").reset_index(drop=True)
+    out = (state_refs_to_table(state).to_pandas()
+           .sort_values("node").reset_index(drop=True))
     return pd.DataFrame({"node": out["node"].astype(np.int64),
                          "dist": out["val"].astype(np.int64)})
 
@@ -493,21 +500,32 @@ def q_hits(sf_dir: str):
     (user-node → event-node; PageRank's bipartite-flavoured sibling):
     two full hub/authority rounds, each matvec a co-partitioned
     vertex-state exchange (stages/graph): scores live as a (node, s)
-    DATASET, edges keyed by the gather endpoint read the state
-    bucket-locally (missing node ⇒ 0, mirroring the oracle's LEFT
-    JOIN COALESCE) and emit pre-combined per-dst partial sums; a
-    node-keyed sum-combine closes the matvec.  Re-quantized after
-    every matvec by the power-iteration house normalization
-    floor(w·1000 / max w) — max w is the only driver-side value (an
-    O(1)-per-block fold), so scores stay small ints and every round
-    is bit-replayable by the oracle's chained CTEs.  Output = top-10
-    authorities via per-block top-k partials."""
-    from ..stages.graph import (combine_state, derived_graph_edges,
-                               edge_state_messages, state_fingerprint,
-                               topk_state)
+    DATASET partitioned by node hash, and the edge set is
+    hash-bucket-published ONCE per gather orientation
+    (stages/graph.publish_edge_shards — the seed covers every u and
+    each matvec's output covers every gathered endpoint, so every
+    edge's gather endpoint resolves); each matvec is then ONE BSP
+    superstep of raw tasks (stages/graph.bsp_round): per-bucket
+    gathers read their edge shard in place (missing node ⇒ 0,
+    mirroring the oracle's LEFT JOIN COALESCE), scatter pre-combined
+    per-dst partial sums by target hash, and per-bucket combines
+    close the matvec — no Ray Data job or actor pool per round,
+    edges never travel after the publish.  Re-quantized after every
+    matvec by the power-iteration house normalization
+    floor(w·1000 / max w) — max w is the only driver-side value (the
+    O(1) fingerprint the combine wave returns), so scores stay small
+    ints and every round is bit-replayable by the oracle's chained
+    CTEs.  Output = top-10 authorities from the final state blocks."""
+    from ..stages.graph import (bsp_round, combine_state,
+                               derived_graph_edges, publish_edge_shards,
+                               split_state_refs, topk_state_refs,
+                               transform_state_refs)
 
     edges, V, n = derived_graph_edges(sf_dir, directed=True,
                                       read=_read, nrows=_nrows)
+    shard_dir = {
+        ("u", "v"): publish_edge_shards(edges, "u", ["v"], n_rows=n),
+        ("v", "u"): publish_edge_shards(edges, "v", ["u"], n_rows=n)}
 
     def seed(b: pa.Table) -> pa.Table:
         return pa.table({
@@ -515,8 +533,10 @@ def q_hits(sf_dir: str):
             "val": pa.array(np.full(len(b), 1000, np.int64),
                             pa.int64())})
 
-    h = combine_state(edges.map_batches(seed, batch_format="pyarrow"),
-                      "max", n_rows=V).materialize()
+    h = split_state_refs(
+        combine_state(edges.map_batches(seed, batch_format="pyarrow"),
+                      "max", n_rows=V),
+        shard_dir[("u", "v")].n_buckets)
 
     def matvec(state, src: str, dst: str):
         def emit(ek, pays, lookup):
@@ -526,18 +546,15 @@ def q_hits(sf_dir: str):
             return (t.group_by(["node"]).aggregate([("val", "sum")])
                     .rename_columns(["node", "val"]))
 
-        msgs = edge_state_messages(edges, state, src, [dst], emit,
-                                   n_rows=n)
-        g = combine_state(msgs, "sum", n_rows=V).materialize()
-        s = float(state_fingerprint(g)[2])
+        g, fp = bsp_round(shard_dir[(src, dst)], state, src, [dst],
+                          emit, "sum")
+        s = float(fp[2])
 
-        def quant(b: pa.Table) -> pa.Table:
-            w = b["val"].to_numpy(zero_copy_only=False)
-            return pa.table({"node": b["node"], "val": pa.array(
-                np.floor(w.astype(np.float64) * 1000.0 / s)
-                .astype(np.int64), pa.int64())})
+        def quant(w: np.ndarray) -> np.ndarray:
+            return np.floor(w.astype(np.float64) * 1000.0 / s) \
+                .astype(np.int64)
 
-        return g.map_batches(quant, batch_format="pyarrow").materialize()
+        return transform_state_refs(g, quant)
 
     for _ in range(2):
         a = matvec(h, "u", "v")
@@ -548,7 +565,7 @@ def q_hits(sf_dir: str):
         return d.sort_values(["val", "node"], ascending=[False, True],
                              kind="mergesort")
 
-    top = topk_state(a, 10, best_first)
+    top = topk_state_refs(a, 10, best_first)
     return pd.DataFrame({"node": top["node"].astype(np.int64),
                          "auth": top["val"].astype(np.int64)})
 

@@ -36,12 +36,14 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from .scan import auto_n_buckets, hash_bucket_scan
+from .scan import auto_n_buckets, hash_bucket_scan, int_bucket_ids
 
 __all__ = [
     "derived_graph_edges", "node_hash", "state_from_rows",
     "edge_state_messages", "combine_state", "state_fingerprint",
-    "topk_state", "materialize_bounded",
+    "topk_state", "materialize_bounded", "publish_edge_shards",
+    "ShardDirectory", "split_state_refs", "bsp_round",
+    "transform_state_refs", "state_refs_to_table", "topk_state_refs",
 ]
 
 
@@ -188,6 +190,304 @@ def edge_state_messages(edges, state, key: str, payload: list[str],
 
     return hash_bucket_scan(u, ["k"], lambda t: per_bucket(t),
                             n_buckets=n_buckets)
+
+
+def publish_edge_shards(edges, key: str, payload: list[str],
+                        n_rows: int, n_buckets: int | None = None):
+    """Hash-partition a STATIC edge set ONCE into worker-published
+    object-store shards, so every subsequent Pregel round moves only
+    state rows (the :func:`stages.knn.build_sharded_knn` directory
+    pattern applied to iterative graph compute).
+
+    :func:`edge_state_messages` re-exchanges the full edge set every
+    round — correct, but at R rounds the exchange volume is R·|E| even
+    though the topology never changes.  Here ONE ``hash_bucket_scan``
+    groups edges by ``int_bucket_ids(key)`` — the exact bucket function
+    the per-round state exchange will use, so shard b holds precisely
+    the edges whose gather endpoint hashes to state bucket b — and each
+    bucket's worker ``ray.put``s its shard (int64 numpy columns:
+    ``key`` + ``payload``) and emits one tiny ``(bucket, ref)``
+    directory row.  Per-round network is then O(|state|) + a one-time
+    per-node shard pull that plasma caches; at 100 TB the edges never
+    travel again after the publish.
+
+    Shard objects are DRIVER-OWNED task returns, never worker-side
+    ``ray.put``s: the bucket-grouped edge blocks stay in the object
+    store (a materialized Dataset — blocks are distributed, nothing
+    edge-sized reaches the driver), the driver reads only the block
+    refs plus a tiny per-block bucket-id list, and one raw Ray task
+    per (block, bucket) slices that bucket's rows out in place.  Task
+    returns are owned by the submitting driver and lineage-
+    reconstructable, so the shards survive worker churn and cannot be
+    garbage-collected while the returned handle lives.  (A worker-
+    ``ray.put`` design — the sharded-kNN shape — was tried first and
+    intermittently lost shards mid-loop: refs that ride through Ray
+    Data blocks to the driver never hold a durable claim, so the
+    owning workers deleted them; see ShardDirectory.)  Returns a
+    :class:`ShardDirectory` — the driver must keep it in scope for as
+    long as rounds run."""
+    import ray
+
+    if n_buckets is None:
+        n_buckets = auto_n_buckets(n_rows)
+    cols = [key] + payload
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        k = b[key].to_numpy(zero_copy_only=False).astype(np.int64)
+        return b.append_column(
+            "_eb", pa.array(int_bucket_ids([k], n_buckets), pa.int64()))
+
+    mat = (edges.map_batches(add_bucket, batch_format="pyarrow")
+           .groupby("_eb").map_groups(lambda t: t,
+                                      batch_format="pyarrow")
+           .materialize())
+
+    @ray.remote
+    def buckets_in(block: pa.Table) -> np.ndarray:
+        # group-by occasionally emits an empty block with an EMPTY
+        # schema (no columns at all) — skip it
+        if not len(block) or "_eb" not in block.column_names:
+            return np.array([], np.int64)
+        return np.unique(block["_eb"].to_numpy(zero_copy_only=False))
+
+    @ray.remote
+    def extract(block: pa.Table, b: int) -> dict:
+        m = block["_eb"].to_numpy(zero_copy_only=False) == b
+        return {c: np.ascontiguousarray(
+            block[c].to_numpy(zero_copy_only=False).astype(np.int64)[m])
+            for c in cols}
+
+    block_refs = [r for bundle in mat.iter_internal_ref_bundles()
+                  for r in bundle.block_refs]
+    present = ray.get([buckets_in.remote(r) for r in block_refs])
+    directory: dict[int, list] = {}
+    for r, bs in zip(block_refs, present):
+        for b in bs:
+            directory.setdefault(int(b), []).append(
+                extract.remote(r, int(b)))
+    return ShardDirectory(directory, n_buckets, mat)
+
+
+class ShardDirectory:
+    """Handle for a published shard set: ``directory`` maps
+    ``bucket -> [shard refs]``, every ref a DRIVER-owned task return.
+    The refs travel to the consuming workers as ACTOR CONSTRUCTOR
+    ARGS (``fn_constructor_args``) — in-band through actor creation,
+    pinned for the actor's lifetime.  Channels that do NOT work in
+    this Ray version, all observed raising
+    ReferenceCountingAssertionError / losing the objects under load:
+    worker-side ``ray.put`` shards whose refs ride Ray Data blocks to
+    the driver (no durable claim — owners deleted them mid-loop),
+    ``ray.put(directory)`` + worker re-get of the nested refs, and
+    closure capture inside a Ray Data UDF (the transform function is
+    pickled outside the core-worker serialization context).  The
+    directory is O(n_buckets) refs; ``_mat`` keeps the source blocks
+    alive so a lost shard is lineage-reconstructable.  At extreme
+    bucket counts raise ``rows_per_bucket`` rather than letting
+    n_buckets grow unbounded."""
+
+    def __init__(self, directory: dict, n_buckets: int, mat=None):
+        self.directory = directory
+        self.n_buckets = n_buckets
+        self._mat = mat
+
+    def __reduce__(self):
+        # workers need only the refs; never ship the source Dataset
+        return (ShardDirectory, (self.directory, self.n_buckets))
+
+
+_EMPTY_STATE = None
+
+
+def _empty_state() -> pa.Table:
+    global _EMPTY_STATE
+    if _EMPTY_STATE is None:
+        _EMPTY_STATE = pa.table({"node": pa.array([], pa.int64()),
+                                 "val": pa.array([], pa.int64())})
+    return _EMPTY_STATE
+
+
+def split_state_refs(state, n_buckets: int) -> dict:
+    """Bucket-partition a (node, val) state into driver-owned
+    per-bucket Arrow blocks: ``{bucket -> ObjectRef[pa.Table]}``
+    (missing bucket = empty).  ``state`` is a pa.Table (seeds — split
+    locally, ``ray.put`` per bucket, driver-owned) or a Dataset (two
+    raw-task waves over its materialized block refs: per-block
+    ``num_returns=n_buckets`` split, then per-bucket concat —
+    edge-sized data never touches the driver)."""
+    import ray
+
+    if isinstance(state, pa.Table):
+        k = state["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sb = int_bucket_ids([k], n_buckets)
+        return {int(b): ray.put(state.filter(pa.array(sb == b)))
+                for b in np.unique(sb)}
+
+    mat = state.materialize()
+    block_refs = [r for bundle in mat.iter_internal_ref_bundles()
+                  for r in bundle.block_refs]
+
+    @ray.remote
+    def split(block: pa.Table) -> tuple:
+        if not len(block) or "node" not in block.column_names:
+            return tuple(_empty_state() for _ in range(n_buckets))
+        k = block["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sb = int_bucket_ids([k], n_buckets)
+        return tuple(block.select(["node", "val"])
+                     .filter(pa.array(sb == b))
+                     for b in range(n_buckets))
+
+    @ray.remote
+    def concat(*tabs) -> pa.Table:
+        tabs = [t for t in tabs if len(t)]
+        return pa.concat_tables(tabs) if tabs else _empty_state()
+
+    frag_cols = [split.options(num_returns=n_buckets).remote(r)
+                 for r in block_refs]
+    if not frag_cols:
+        return {}
+    if n_buckets == 1:  # num_returns=1 yields a bare ref
+        frag_cols = [[f] for f in frag_cols]
+    return {b: concat.remote(*[col[b] for col in frag_cols])
+            for b in range(n_buckets)}
+
+
+def bsp_round(shard_dir: "ShardDirectory", state_refs: dict, key: str,
+              payload: list[str], emit, op: str, transform=None,
+              base_refs: dict | None = None) -> tuple:
+    """One Pregel superstep as two waves of raw driver-owned tasks —
+    no Ray Data job, no actor pool, no edge movement:
+
+    1. GATHER-SCATTER: per non-empty state bucket, one task reads the
+       bucket's pre-published edge shard(s) in place (top-level args —
+       plasma-local, zero-copy), runs the caller's
+       ``emit(key_arr, payload_arrays, lookup)`` (the
+       :func:`edge_state_messages` contract), and scatters the
+       pre-combined (node, val) messages into ``n_buckets`` return
+       fragments by target-node hash.
+    2. COMBINE: per bucket, one task folds its incoming fragments
+       (plus ``base_refs[bucket]`` — pass ``state_refs`` for SSSP's
+       union-with-state, a zero-base universe for PageRank, or None)
+       with an Arrow ``group_by(node).aggregate(val op)``, applies the
+       optional bucket-local ``transform(vals)``, and returns the new
+       state block plus an O(1) (count, sum, max) fingerprint.
+
+    Returns ``(new_state_refs, (count, sum, max))`` — only the tiny
+    fingerprints are ``ray.get``; state stays in the object store.
+    Driver bookkeeping is O(n_buckets²) fragment refs per round (the
+    BSP tradeoff — size ``rows_per_bucket`` so n_buckets stays in the
+    thousands).  All refs are task returns owned by the driver:
+    lineage-reconstructable, immune to the worker-owned-put GC races
+    that broke the first two designs (see :class:`ShardDirectory`)."""
+    import ray
+
+    nb = shard_dir.n_buckets
+
+    @ray.remote
+    def gather(state_block: pa.Table, *shards) -> tuple:
+        sn = state_block["node"].to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        sv = state_block["val"].to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        order = np.argsort(sn, kind="stable")
+        sn, sv = sn[order], sv[order]
+        ek = np.concatenate([s[key] for s in shards])
+        pays = {p: np.concatenate([s[p] for s in shards])
+                for p in payload}
+
+        def lookup(q, default=None):
+            return _lookup(sn, sv, q, default)
+
+        out = emit(ek, pays, lookup)
+        if out is None or not len(out):
+            return tuple(_empty_state() for _ in range(nb))
+        tb = int_bucket_ids(
+            [out["node"].to_numpy(zero_copy_only=False)], nb)
+        return tuple(out.filter(pa.array(tb == c)) for c in range(nb))
+
+    @ray.remote(num_returns=2)
+    def combine(*tabs) -> tuple:
+        tabs = [t for t in tabs if t is not None and len(t)]
+        if not tabs:
+            return _empty_state(), (0, 0, -(1 << 62))
+        g = (pa.concat_tables(tabs).group_by(["node"])
+             .aggregate([("val", op)]).rename_columns(["node", "val"]))
+        if transform is not None:
+            g = pa.table({"node": g["node"], "val": pa.array(
+                transform(g["val"].to_numpy(zero_copy_only=False)
+                          .astype(np.int64)), pa.int64())})
+        v = g["val"].to_numpy(zero_copy_only=False)
+        return g, (len(g), int(v.sum()), int(v.max()))
+
+    frags: dict[int, list] = {}
+    for b, sref in state_refs.items():
+        shard_refs = shard_dir.directory.get(b, [])
+        if not shard_refs:
+            continue  # state here, no edges gathering here
+        outs = gather.options(num_returns=nb).remote(sref, *shard_refs)
+        if nb == 1:
+            outs = [outs]
+        for c, ref in enumerate(outs):
+            frags.setdefault(c, []).append(ref)
+
+    new_refs, fp_refs = {}, []
+    for c in range(nb):
+        inputs = list(frags.get(c, []))
+        if base_refs is not None and c in base_refs:
+            inputs.append(base_refs[c])
+        if not inputs:
+            continue
+        block_ref, fp_ref = combine.remote(*inputs)
+        new_refs[c] = block_ref
+        fp_refs.append(fp_ref)
+
+    fps = ray.get(fp_refs)
+    n = sum(f[0] for f in fps)
+    s = sum(f[1] for f in fps)
+    m = max((f[2] for f in fps), default=-(1 << 62))
+    return new_refs, (n, s, m)
+
+
+def transform_state_refs(state_refs: dict, fn) -> dict:
+    """One tiny task per bucket applying ``fn(vals) -> vals`` to a
+    bucket-partitioned state (e.g. HITS' post-matvec quantization with
+    a driver-known scalar)."""
+    import ray
+
+    @ray.remote
+    def apply(t: pa.Table) -> pa.Table:
+        if not len(t):
+            return t
+        return pa.table({"node": t["node"], "val": pa.array(
+            fn(t["val"].to_numpy(zero_copy_only=False)
+               .astype(np.int64)), pa.int64())})
+
+    return {b: apply.remote(r) for b, r in state_refs.items()}
+
+
+def state_refs_to_table(state_refs: dict) -> pa.Table:
+    """Driver collect of a bucket-partitioned state — only for final
+    query outputs whose contract is a driver-side frame."""
+    import ray
+
+    tabs = [t for t in ray.get(list(state_refs.values())) if len(t)]
+    return pa.concat_tables(tabs) if tabs else _empty_state()
+
+
+def topk_state_refs(state_refs: dict, k: int, pdf_sort) -> pd.DataFrame:
+    """Global top-k of a bucket-partitioned state without a full
+    collect: one tiny task per bucket returns its local top-k
+    (``pdf_sort`` orders a DataFrame best first), the driver merges
+    ≤ k·n_buckets rows — the raw-task sibling of :func:`topk_state`."""
+    import ray
+
+    @ray.remote
+    def head(t: pa.Table) -> pd.DataFrame:
+        return pdf_sort(t.to_pandas()).head(k)
+
+    parts = ray.get([head.remote(r) for r in state_refs.values()])
+    return (pdf_sort(pd.concat(parts)) if parts else pd.DataFrame(
+        {"node": [], "val": []})).head(k).reset_index(drop=True)
 
 
 def combine_state(ds, op: str, n_rows: int, transform=None,

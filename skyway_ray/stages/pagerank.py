@@ -6,10 +6,14 @@ pass aggregates the raw event stream into a weighted edge table
 (per-batch Arrow ``group_by`` partials → combiner tree, bounded by the
 node-id space, not the stream).  Out-weights attach to the edge table
 bucket-locally in a single src-keyed hash exchange (a src's edges all
-land in one bucket, so ``outw`` is a bucket-local group sum).  Every
-power iteration is then two hash-bucket exchanges over
-:mod:`stages.graph` primitives: edges keyed by src gather the rank
-state bucket-locally and emit pre-combined per-dst contribution sums
+land in one bucket, so ``outw`` is a bucket-local group sum), and the
+weighted edge table is hash-bucket-published ONCE into object-store
+shards (:func:`stages.graph.publish_edge_shards` — the rank state
+covers the full endpoint universe every round, so the static path's
+state buckets reach every edge shard).  Every power iteration is then
+two STATE-sized exchanges over :mod:`stages.graph` primitives: the
+src-bucketed rank state reads its edge shard in place and emits
+pre-combined per-dst contribution sums
 ``(r[src] * w) // outw[src]``, and a node-keyed sum-combine applies
 the damping update ``150_000 + (850_000 * s) // 1_000_000`` (α = 0.15
 in micro-units) bucket-locally.  Ranks live as a (node, rank) Dataset
@@ -28,7 +32,8 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from .graph import combine_state, edge_state_messages
+from .graph import (bsp_round, combine_state, publish_edge_shards,
+                    split_state_refs, transform_state_refs)
 from .scan import hash_bucket_scan
 
 
@@ -59,7 +64,9 @@ def pagerank_micro(edge_ds, n_ids: int, iters: int = 3):
             "outw": pa.array(outw, pa.int64())})
 
     edges_ow = hash_bucket_scan(edges, ["src"], attach_outw,
-                                n_rows=E).materialize()
+                                n_rows=E)
+    shards = publish_edge_shards(edges_ow, "src",
+                                 ["dst", "w", "outw"], n_rows=E)
 
     def endpoints(t: pa.Table) -> pa.Table:
         uv = np.concatenate([
@@ -68,16 +75,16 @@ def pagerank_micro(edge_ds, n_ids: int, iters: int = 3):
         return pa.table({"node": pa.array(uv, pa.int64()),
                          "val": pa.array(np.zeros(len(uv), np.int64))})
 
-    # universe with val=0: the zero base unioned into every combine so
+    # universe with val=0: the zero base folded into every combine so
     # in-degree-0 nodes keep receiving the damping floor
-    uni = combine_state(
-        edges.map_batches(endpoints, batch_format="pyarrow"),
-        "max", n_rows=n_ids).materialize()
+    uni = split_state_refs(
+        combine_state(edges.map_batches(endpoints,
+                                        batch_format="pyarrow"),
+                      "max", n_rows=n_ids),
+        shards.n_buckets)
 
-    state = uni.map_batches(
-        lambda t: pa.table({"node": t["node"], "val": pa.array(
-            np.full(len(t), 1_000_000, np.int64), pa.int64())}),
-        batch_format="pyarrow").materialize()
+    state = transform_state_refs(
+        uni, lambda v: np.full(len(v), 1_000_000, np.int64))
 
     def emit(ek, pays, lookup):
         r, _ = lookup(ek, default=0)
@@ -91,11 +98,12 @@ def pagerank_micro(edge_ds, n_ids: int, iters: int = 3):
         return 150_000 + (850_000 * s) // 1_000_000
 
     for _ in range(iters):
-        msgs = edge_state_messages(edges_ow, state, "src",
-                                   ["dst", "w", "outw"], emit, n_rows=E)
-        state = combine_state(msgs.union(uni), "sum", n_rows=n_ids,
-                              transform=damp).materialize()
+        state, _ = bsp_round(shards, state, "src",
+                             ["dst", "w", "outw"], emit, "sum",
+                             transform=damp, base_refs=uni)
 
-    return state.map_batches(
+    import ray.data
+
+    return ray.data.from_arrow_refs(list(state.values())).map_batches(
         lambda t: pa.table({"node": t["node"], "rank_micro": t["val"]}),
         batch_format="pyarrow")

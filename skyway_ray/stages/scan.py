@@ -41,6 +41,19 @@ def auto_n_buckets(n_rows: int, rows_per_bucket: int = ROWS_PER_BUCKET,
     return max(floor, math.ceil(max(0, n_rows) / max(1, rows_per_bucket)))
 
 
+def int_bucket_ids(arrays: list, n_buckets: int) -> np.ndarray:
+    """The mixed multiply-xor bucket hash of int64 key columns — THE
+    bucket function of :func:`hash_bucket_scan`, factored out so
+    stages that pre-partition static data (graph edge shards) land on
+    exactly the buckets a later state exchange will hash to."""
+    h = np.zeros(len(arrays[0]), np.uint64)
+    for v in arrays:
+        h = (h ^ np.asarray(v).astype(np.int64).view(np.uint64)) \
+            * np.uint64(0x9E3779B97F4A7C15)
+        h ^= h >> np.uint64(29)
+    return (h % np.uint64(n_buckets)).astype(np.int64)
+
+
 def keyed_scan(ds, key: str, order: list[str], fn,
                n_buckets: int | None = None, hash_key=None,
                n_rows: int | None = None,
@@ -99,23 +112,21 @@ def hash_bucket_scan(ds, keys: list[str], fn, n_buckets: int | None = None,
     def add_bucket(b: pa.Table) -> pa.Table:
         import zlib
 
-        h = np.zeros(len(b), np.uint64)
+        mats = []
         for k in keys:
             v = b[k].to_numpy(zero_copy_only=False)
             if v.dtype.kind in "iub":
-                mat = v.astype(np.int64).view(np.uint64)
+                mat = v.astype(np.int64)
             else:  # strings: crc32 per batch-distinct value (vectorized
                 # dispatch via unique/inverse — vocabulary-bounded work)
                 uniq, inv = np.unique(v.astype("U"), return_inverse=True)
                 codes = np.fromiter(
                     (zlib.crc32(u.encode()) for u in uniq),
                     dtype=np.uint64, count=len(uniq))
-                mat = codes[inv]
-            h = (h ^ mat) * np.uint64(0x9E3779B97F4A7C15)
-            h ^= h >> np.uint64(29)
+                mat = codes[inv].view(np.int64)
+            mats.append(mat)
         return b.append_column(
-            "_hb", pa.array((h % np.uint64(n_buckets)).astype(np.int64),
-                            pa.int64()))
+            "_hb", pa.array(int_bucket_ids(mats, n_buckets), pa.int64()))
 
     def run(t: pa.Table) -> pa.Table:
         return fn(t.drop_columns(["_hb"]))

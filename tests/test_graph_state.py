@@ -146,3 +146,86 @@ def test_iterated_combine_blocks_stay_bounded(ray_session):
             .groupby("dst")["d"].min())
     for node, d in best.items():
         assert df.loc[node] <= d
+
+
+def test_bsp_round_matches_dynamic_exchange(ray_session):
+    """publish_edge_shards + bsp_round must reproduce the dynamic
+    edge_state_messages → min-combine-with-state round for a
+    found-masked emit (SSSP's shape) with state covering a strict
+    SUBSET of sources — including buckets holding edges but no state
+    (dropped on both paths) and state but no edges (emit nothing) —
+    across BOTH state-splitting entry points (pa.Table seed and
+    Dataset)."""
+    from skyway_ray.stages.graph import (bsp_round,
+                                         combine_state,
+                                         edge_state_messages,
+                                         publish_edge_shards,
+                                         split_state_refs,
+                                         state_refs_to_table)
+
+    import ray.data
+
+    n_edges, vmax = 5_000, 600
+    edges = _edges_ds(n_edges, vmax, seed=13)
+    rng = np.random.default_rng(99)
+    nodes = np.sort(rng.choice(vmax, size=vmax // 3, replace=False))
+    vals = rng.integers(0, 50, len(nodes))
+    state_tbl = pa.table({"node": pa.array(nodes, pa.int64()),
+                          "val": pa.array(vals, pa.int64())})
+    state_ds = ray.data.from_arrow(state_tbl).materialize()
+
+    def emit(ek, pays, lookup):
+        d, found = lookup(ek)
+        t = pa.table({
+            "node": pa.array(pays["dst"][found], pa.int64()),
+            "val": pa.array(d[found] + pays["w"][found], pa.int64())})
+        return (t.group_by(["node"]).aggregate([("val", "min")])
+                .rename_columns(["node", "val"]))
+
+    msgs = edge_state_messages(edges, state_ds, "src", ["dst", "w"],
+                               emit, n_rows=n_edges)
+    dyn = (combine_state(msgs.union(state_ds), "min",
+                         n_rows=len(nodes))
+           .to_pandas().sort_values("node").reset_index(drop=True))
+
+    shards = publish_edge_shards(edges, "src", ["dst", "w"],
+                                 n_rows=n_edges)
+    for seed_state in (state_tbl, state_ds):
+        refs = split_state_refs(seed_state, shards.n_buckets)
+        new_refs, fp = bsp_round(shards, refs, "src", ["dst", "w"],
+                                 emit, "min", base_refs=refs)
+        got = (state_refs_to_table(new_refs).to_pandas()
+               .sort_values("node").reset_index(drop=True))
+        assert len(got) > 0
+        pd.testing.assert_frame_equal(dyn.astype(np.int64),
+                                      got.astype(np.int64))
+        assert fp[0] == len(got) and fp[1] == got["val"].sum()
+
+
+def test_published_shards_cover_edges_exactly(ray_session):
+    """The shard directory partitions the edge set: concatenating
+    every shard reproduces the edges exactly (as multisets), and each
+    shard holds only keys hashing to its bucket."""
+    import ray
+
+    from skyway_ray.stages.graph import publish_edge_shards
+    from skyway_ray.stages.scan import int_bucket_ids
+
+    n_edges = 2_000
+    edges = _edges_ds(n_edges, 10**9, seed=21)
+    shards = publish_edge_shards(edges, "src", ["dst", "w"],
+                                 n_rows=n_edges)
+    directory = shards.directory
+    rows = []
+    for b, refs in directory.items():
+        for r in refs:
+            s = ray.get(r)
+            assert (int_bucket_ids([s["src"]],
+                                   shards.n_buckets) == b).all()
+            rows.append(pd.DataFrame(s))
+    got = (pd.concat(rows).sort_values(["src", "dst", "w"])
+           .reset_index(drop=True))
+    want = (edges.to_pandas().sort_values(["src", "dst", "w"])
+            .reset_index(drop=True)[["src", "dst", "w"]])
+    pd.testing.assert_frame_equal(got.astype(np.int64),
+                                  want.astype(np.int64))
