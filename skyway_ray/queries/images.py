@@ -40,19 +40,19 @@ def q_exact_dedup_images(sf_dir: str):
 def q_image_features(sf_dir: str):
     """Multimodal decode → per-image features over the image fixture
     (PNG decode is real; jpeg/webp are the deterministic fake-lossy
-    stubs — functions/image_codec.py). Actor pool, small batches."""
+    stubs — functions/image_codec.py).  Stateless tasks (the stage
+    holds no state — stages/multimodal.as_tasks); batch_size bounds
+    decoded-pixel heap per task, so MB-scale production images need it
+    lowered with the blob size."""
     import ray.data
 
     from ..fixtures import ensure_images_parquet, scale_for_sf_dir
-    from ..stages.multimodal import ImageFeatures
-
-    from ..stages.multimodal import decode_pool_size
+    from ..stages.multimodal import ImageFeatures, as_tasks
 
     images = ensure_images_parquet(scale_for_sf_dir(sf_dir))
     ds = ray.data.read_parquet(images, columns=["image_id", "bytes", "fmt"])
-    return ds.map_batches(ImageFeatures, batch_format="pyarrow",
-                          batch_size=512,
-                          concurrency=decode_pool_size())
+    return ds.map_batches(as_tasks(ImageFeatures), batch_format="pyarrow",
+                          batch_size=2048)
 
 
 def q_image_blur(sf_dir: str):
@@ -61,19 +61,16 @@ def q_image_blur(sf_dir: str):
     exact-integer Laplacian variance per image
     (stages/multimodal.py::ImageBlurScore) — scores are int64
     num/den pairs, so threshold filters replay identically across
-    partitionings."""
+    partitionings.  Stateless tasks (as_tasks)."""
     import ray.data
 
     from ..fixtures import ensure_images_parquet, scale_for_sf_dir
-    from ..stages.multimodal import ImageBlurScore
-
-    from ..stages.multimodal import decode_pool_size
+    from ..stages.multimodal import ImageBlurScore, as_tasks
 
     images = ensure_images_parquet(scale_for_sf_dir(sf_dir))
     ds = ray.data.read_parquet(images, columns=["image_id", "bytes", "fmt"])
-    return ds.map_batches(ImageBlurScore, batch_format="pyarrow",
-                          batch_size=512,
-                          concurrency=decode_pool_size())
+    return ds.map_batches(as_tasks(ImageBlurScore), batch_format="pyarrow",
+                          batch_size=2048)
 
 
 def q_image_patches(sf_dir: str):
@@ -86,15 +83,15 @@ def q_image_patches(sf_dir: str):
     import ray.data
 
     from ..fixtures import ensure_images_parquet, scale_for_sf_dir
-    from ..stages.multimodal import ImagePatchify
+    from ..stages.multimodal import ImagePatchify, as_tasks
 
     images = ensure_images_parquet(scale_for_sf_dir(sf_dir))
     ds = ray.data.read_parquet(images, columns=["image_id", "bytes", "fmt"])
-    from ..stages.multimodal import decode_pool_size
 
-    patches = ds.map_batches(ImagePatchify, batch_format="pyarrow",
-                             batch_size=128,
-                             concurrency=decode_pool_size())
+    # stateless tasks; patch rows inflate the batch ~(side/patch)² so
+    # keep the batch a notch under the feature stages'
+    patches = ds.map_batches(as_tasks(ImagePatchify),
+                             batch_format="pyarrow", batch_size=1024)
 
     def manifest(b: pa.Table) -> pa.Table:
         t = pa.table({"image_id": b["image_id"],
@@ -126,17 +123,15 @@ def q_phash_dedup(sf_dir: str):
 
     from ..fixtures import ensure_images_parquet, scale_for_sf_dir
     from ..functions.phash import phash_near_dup
-    from ..stages.multimodal import PerceptualHash
+    from ..stages.multimodal import PerceptualHash, as_tasks
 
     from ..stages.dedup import _key_hash64
 
     images = ensure_images_parquet(scale_for_sf_dir(sf_dir))
     ds = ray.data.read_parquet(images, columns=["image_id", "bytes", "fmt"])
-    from ..stages.multimodal import decode_pool_size
 
-    hashes = ds.map_batches(PerceptualHash, batch_format="pyarrow",
-                            batch_size=512,
-                            concurrency=decode_pool_size())
+    hashes = ds.map_batches(as_tasks(PerceptualHash),
+                            batch_format="pyarrow", batch_size=2048)
 
     # string image ids → int64 surrogate (the dedup pipeline sorts /
     # Blooms / CCs over int64 ids); survivors still carry image_id
@@ -187,16 +182,13 @@ def q_image_pyramid(sf_dir: str):
     import ray.data
 
     from ..fixtures import ensure_images_parquet, scale_for_sf_dir
-    from ..stages.multimodal import ImagePyramid
-
-    import ray
+    from ..stages.multimodal import ImagePyramid, as_tasks
 
     images = ensure_images_parquet(scale_for_sf_dir(sf_dir))
     ds = ray.data.read_parquet(images, columns=["image_id", "bytes", "fmt"])
-    from ..stages.multimodal import decode_pool_size
 
-    pyr = ds.map_batches(ImagePyramid, batch_format="pyarrow",
-                         batch_size=512, concurrency=decode_pool_size())
+    pyr = ds.map_batches(as_tasks(ImagePyramid), batch_format="pyarrow",
+                         batch_size=2048)
     return pyr.map_batches(
         lambda b: b.select(["image_id", "level", "n_bytes"]),
         batch_format="pyarrow")

@@ -24,18 +24,43 @@ from ..functions.image_codec import decode_image, encode_png
 
 
 def decode_pool_size(cpus: int | None = None) -> int:
-    """Actor-pool size for full-corpus decode stages: ~3/4 of the
-    session CPUs, always leaving ≥ 2 slots for the read stage (an
-    actor pool that reserves every CPU starves the reads and hangs
-    the pipeline — CLAUDE.md invariant), floor 2.  The r4 bench ran
-    these pools at a hardcoded 2 on a 32-CPU session — a 10-40×
-    under-parallelization on the decode-bound entries (phash_dedup
-    read 88 s)."""
+    """Actor-pool size for STATEFUL decode stages (model load / index
+    build in ``__init__``): ~3/4 of the session CPUs, always leaving
+    ≥ 2 slots for the read stage (an actor pool that reserves every
+    CPU starves the reads and hangs the pipeline — CLAUDE.md
+    invariant), floor 2.  The parameter-only stages run as stateless
+    tasks via :func:`as_tasks` instead — measured ~2× faster warm and
+    free of the per-query cold pool start."""
     if cpus is None:
         import ray
 
         cpus = int(ray.cluster_resources().get("CPU", 8))
     return max(2, min(cpus - 2, cpus * 3 // 4))
+
+
+def as_tasks(cls, **kwargs):
+    """Stateless-task adapter for the decode stages whose ``__init__``
+    only stores parameters (ImageFeatures, ImageBlurScore,
+    ImagePatchify, ImagePyramid, PerceptualHash — no model, no index,
+    no broadcast table): returns a plain function for
+    ``map_batches(fn, batch_size=...)`` so the stage runs as ordinary
+    Ray tasks on the session's warm worker processes instead of a
+    per-query actor pool.
+
+    Measured at sf0.1 (500k blobs, 32 CPUs): the actor-pool form pays
+    a cold pool start EVERY query run (first run 10.4 s vs 2.7 s warm
+    for patchify) and even warm runs ~2× slower than tasks (2.72 vs
+    1.48 s; phash 3.11 vs 1.37 s) — the pool serializes its constructor
+    args through the object store and caps parallelism at pool size,
+    while tasks scale to every free CPU with no warmup.  Keep the
+    class + ``concurrency=`` actor form for stages whose ``__init__``
+    does real work (KnnStage's index build, model loads)."""
+    inst = cls(**kwargs)
+
+    def run(batch):
+        return inst(batch)
+
+    return run
 
 
 def _shape_groups(blobs: list, fmts: list):
