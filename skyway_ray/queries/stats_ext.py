@@ -1,0 +1,300 @@
+"""Classical-statistics query family (round 5): rank correlation
+(Spearman), rank-sum test (Mann-Whitney U), chi-square independence
+terms and one-way ANOVA terms — the screening statistics an
+experimentation / data-quality pipeline runs over event streams.
+
+Exactness contract (CLAUDE.md): ranks are integer ROW_NUMBERs with a
+deterministic (value, event_id) tie-break, so every rank statistic is
+an exact int64; the chi²/ANOVA outputs are emitted as PER-GROUP pinned
+terms (``floor(x·1e6 + 0.5)``) computed from exact integer counts with
+the identical float operation order on both sides — no float ever sums
+across an unordered distributed aggregate.
+
+Scale posture: ranking rides ``stages/global_scan.global_rank`` (range
+buckets + offset broadcast — no global sort operator); the rank→rank
+pairing is a ``copart_hash_join`` on event_id; every final key space
+(event types, value bands) is bounded, so reductions ride the combiner
+tree."""
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ._common import _nrows, _read
+
+# Spearman composite sort keys: rank-within-type == composite global
+# rank minus a per-type offset that is IDENTICAL for both orderings
+# (it only counts rows of types with a smaller code), so the offsets
+# cancel in d = rank_v - rank_t and the oracle can use plain
+# PARTITION BY row_number.  code < 2^32 and payload < 2^31 keep the
+# packed key inside int64 (max = 2^63 - 1 exactly).
+_CODE_SHIFT = np.int64(2) ** 31
+
+
+def _type_codes(et: np.ndarray) -> np.ndarray:
+    """Vectorized crc32 per batch-distinct event_type (vocabulary-
+    bounded work, same dispatch trick as stages/scan.py)."""
+    uniq, inv = np.unique(et.astype("U"), return_inverse=True)
+    codes = np.fromiter((zlib.crc32(u.encode()) for u in uniq),
+                        dtype=np.int64, count=len(uniq))
+    return codes[inv]
+
+
+def q_spearman(sf_dir: str):
+    """Spearman rank correlation inputs per event type: n and
+    Σd² between the value-ranking and the time-ranking (ties broken by
+    event_id on both sides; ts compared at second resolution so the
+    tie-break is exercised).  ρ = 1 − 6Σd²/(n(n²−1)) is left to the
+    reader — n and Σd² are the exact-int sufficient statistics."""
+    from ..stages.agg_tree import tree_aggregate
+    from ..stages.global_scan import global_rank
+    from ..stages.joins import copart_hash_join
+
+    n_ev = _nrows(sf_dir, "events")
+
+    def prep_v(b: pa.Table) -> pa.Table:
+        v6 = np.floor(b["value"].to_numpy(zero_copy_only=False) * 1e6
+                      + 0.5).astype(np.int64)
+        code = _type_codes(b["event_type"].to_numpy(zero_copy_only=False))
+        return pa.table({"event_id": b["event_id"],
+                         "event_type": b["event_type"],
+                         "ck": pa.array(code * _CODE_SHIFT + v6,
+                                        pa.int64())})
+
+    def prep_t(b: pa.Table) -> pa.Table:
+        sec = (b["ts"].to_numpy(zero_copy_only=False)
+               .astype("datetime64[us]").astype(np.int64) // 1_000_000)
+        code = _type_codes(b["event_type"].to_numpy(zero_copy_only=False))
+        return pa.table({"event_id": b["event_id"],
+                         "ck": pa.array(code * _CODE_SHIFT + sec,
+                                        pa.int64())})
+
+    rv = global_rank(
+        _read(sf_dir, "events", ["event_id", "event_type", "value"]
+              ).map_batches(prep_v, batch_format="pyarrow"),
+        "ck", "event_id", out_col="rank_v", n_rows=n_ev,
+        keep=("event_type",))
+    rt = global_rank(
+        _read(sf_dir, "events", ["event_id", "event_type", "ts"]
+              ).map_batches(prep_t, batch_format="pyarrow"),
+        "ck", "event_id", out_col="rank_t", n_rows=n_ev)
+    j = copart_hash_join(
+        rv, rt, "event_id", n_rows=2 * n_ev,
+        left_schema=pa.schema([("event_id", pa.int64()),
+                               ("rank_v", pa.int64()),
+                               ("event_type", pa.string())]),
+        right_schema=pa.schema([("event_id", pa.int64()),
+                                ("rank_t", pa.int64())]))
+
+    def partial(b: pa.Table) -> pa.Table:
+        d = (b["rank_v"].to_numpy(zero_copy_only=False)
+             - b["rank_t"].to_numpy(zero_copy_only=False))
+        t = pa.table({"event_type": b["event_type"],
+                      "n": pa.array(np.ones(len(b), np.int64), pa.int64()),
+                      "sum_d2": pa.array(d * d, pa.int64())})
+        g = t.group_by(["event_type"]).aggregate(
+            [("n", "sum"), ("sum_d2", "sum")])
+        return g.rename_columns(["event_type", "n", "sum_d2"])
+
+    return tree_aggregate(j.map_batches(partial, batch_format="pyarrow"),
+                          ["event_type"], [("n", "sum"), ("sum_d2", "sum")])
+
+
+def q_spearman_sql() -> str:
+    return (
+        "WITH v AS (SELECT event_id, event_type, row_number() OVER ("
+        "PARTITION BY event_type ORDER BY CAST(floor(value * 1e6 + 0.5) "
+        "AS BIGINT), event_id) AS rv FROM events), "
+        "t AS (SELECT event_id, row_number() OVER (PARTITION BY "
+        "event_type ORDER BY epoch_us(ts) // 1000000, event_id) AS rt "
+        "FROM events) "
+        "SELECT event_type, CAST(count(*) AS BIGINT) AS n, "
+        "CAST(sum((rv - rt) * (rv - rt)) AS BIGINT) AS sum_d2 "
+        "FROM v JOIN t USING (event_id) GROUP BY 1"
+    )
+
+
+def q_mann_whitney(sf_dir: str):
+    """Mann-Whitney rank-sum test inputs for purchase vs view values:
+    joint ranks over the pooled sample (ties → event_id), then
+    U_A = R_A − n_A(n_A+1)/2 from exact integer rank sums."""
+    import pyarrow.compute as pc
+
+    from ..stages.agg_tree import tree_aggregate_to_table
+    from ..stages.global_scan import global_rank
+
+    def prep(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.is_in(b["event_type"],
+                              value_set=pa.array(["purchase", "view"])))
+        v6 = np.floor(t["value"].to_numpy(zero_copy_only=False) * 1e6
+                      + 0.5).astype(np.int64)
+        return pa.table({"event_id": t["event_id"],
+                         "event_type": t["event_type"],
+                         "v6": pa.array(v6, pa.int64())})
+
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "value"]
+               ).map_batches(prep, batch_format="pyarrow")
+    ranked = global_rank(ds, "v6", "event_id", out_col="rk",
+                         n_rows=_nrows(sf_dir, "events"),
+                         keep=("event_type",))
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby("event_type", as_index=False).agg(
+            n=("rk", "size"), r=("rk", "sum"))
+        g["n"] = g["n"].astype(np.int64)
+        g["r"] = g["r"].astype(np.int64)
+        return g
+
+    t = tree_aggregate_to_table(
+        ranked.map_batches(partial, batch_format="pandas"),
+        ["event_type"], [("n", "sum"), ("r", "sum")]).to_pandas()
+    t = t.set_index("event_type")
+    n_a = int(t.loc["purchase", "n"])
+    n_b = int(t.loc["view", "n"])
+    u_a = int(t.loc["purchase", "r"]) - (n_a * (n_a + 1)) // 2
+    return pd.DataFrame({"n_a": [np.int64(n_a)], "n_b": [np.int64(n_b)],
+                         "u_a": [np.int64(u_a)]})
+
+
+def q_mann_whitney_sql() -> str:
+    return (
+        "WITH x AS (SELECT event_id, event_type, "
+        "CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS v6 FROM events "
+        "WHERE event_type IN ('purchase', 'view')), "
+        "r AS (SELECT event_type, row_number() OVER (ORDER BY v6, "
+        "event_id) AS rk FROM x), "
+        "s AS (SELECT CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 "
+        "ELSE 0 END) AS BIGINT) AS n_a, CAST(sum(CASE WHEN event_type = "
+        "'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_b, "
+        "CAST(sum(CASE WHEN event_type = 'purchase' THEN rk ELSE 0 END) "
+        "AS BIGINT) AS r_a FROM r) "
+        "SELECT n_a, n_b, CAST(r_a - (n_a * (n_a + 1)) // 2 AS BIGINT) "
+        "AS u_a FROM s"
+    )
+
+
+def q_chi2_independence(sf_dir: str):
+    """Chi-square independence screen over the event_type × value-band
+    contingency table: observed counts ride the combiner tree (the
+    table is bounded: types × 5 bands), and each cell's χ² term
+    (o−e)²/e is pinned to micro-units per cell — no float crosses a
+    distributed sum, and the bounded driver fold applies the identical
+    operation order as the oracle's window expression."""
+    from ..stages.agg_tree import tree_aggregate_to_table
+
+    def partial(b: pa.Table) -> pa.Table:
+        v = b["value"].to_numpy(zero_copy_only=False)
+        band = np.minimum(np.floor(v / 100.0).astype(np.int64), 4)
+        t = pa.table({"event_type": b["event_type"],
+                      "band": pa.array(band, pa.int64()),
+                      "o": pa.array(np.ones(len(b), np.int64), pa.int64())})
+        g = t.group_by(["event_type", "band"]).aggregate([("o", "sum")])
+        return g.rename_columns(["event_type", "band", "o"])
+
+    obs = tree_aggregate_to_table(
+        _read(sf_dir, "events", ["event_type", "value"]).map_batches(
+            partial, batch_format="pyarrow"),
+        ["event_type", "band"], [("o", "sum")]).to_pandas()
+    # bounded driver fold over ≤ types×5 exact-int cells
+    rt = obs.groupby("event_type")["o"].transform("sum").to_numpy(np.int64)
+    ct = obs.groupby("band")["o"].transform("sum").to_numpy(np.int64)
+    n = np.int64(obs["o"].sum())
+    o = obs["o"].to_numpy(np.int64)
+    e = rt.astype(np.float64) * ct.astype(np.float64) / np.float64(n)
+    d = o.astype(np.float64) - e
+    chi = d * d / e
+    return pd.DataFrame({
+        "event_type": obs["event_type"].astype(str),
+        "band": obs["band"].to_numpy(np.int64),
+        "o": o,
+        "chi_micro": np.floor(chi * 1e6 + 0.5).astype(np.int64),
+    }).reset_index(drop=True)
+
+
+def q_chi2_independence_sql() -> str:
+    return (
+        "WITH c AS (SELECT event_type, LEAST(CAST(floor(value / 100.0) "
+        "AS BIGINT), 4) AS band, CAST(count(*) AS BIGINT) AS o "
+        "FROM events GROUP BY 1, 2), "
+        "t AS (SELECT event_type, band, o, "
+        "sum(o) OVER (PARTITION BY event_type) AS rt, "
+        "sum(o) OVER (PARTITION BY band) AS ct, "
+        "sum(o) OVER () AS n FROM c) "
+        "SELECT event_type, band, o, CAST(floor(((CAST(o AS DOUBLE) - "
+        "CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE)) * "
+        "(CAST(o AS DOUBLE) - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / "
+        "CAST(n AS DOUBLE))) / (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) "
+        "/ CAST(n AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS chi_micro "
+        "FROM t"
+    )
+
+
+def q_anova_f(sf_dir: str):
+    """One-way ANOVA sufficient terms per event type over value cents:
+    exact-int per-type (n, Σc, Σc²) partials ride the tree; the
+    between-group term n_g(m_g − m)² and within-group term
+    Σc² − (Σc)²/n_g are pinned per GROUP (micro-cents²) so no float
+    result ever crosses an unordered sum — F assembles from the rows.
+    Sums of squared cents stay under int64 through the test scales
+    (c ≤ 5·10⁴ → c² ≤ 2.5·10⁹/row); the 10¹²-row path would swap the
+    Σc² accumulator to a 128-bit pair, noted here for scale."""
+    from ..stages.agg_tree import tree_aggregate_to_table
+
+    def partial(b: pa.Table) -> pa.Table:
+        c = np.floor(b["value"].to_numpy(zero_copy_only=False) * 100.0
+                     + 0.5).astype(np.int64)
+        t = pa.table({"event_type": b["event_type"],
+                      "n": pa.array(np.ones(len(b), np.int64), pa.int64()),
+                      "s": pa.array(c, pa.int64()),
+                      "ss": pa.array(c * c, pa.int64())})
+        g = t.group_by(["event_type"]).aggregate(
+            [("n", "sum"), ("s", "sum"), ("ss", "sum")])
+        return g.rename_columns(["event_type", "n", "s", "ss"])
+
+    t = tree_aggregate_to_table(
+        _read(sf_dir, "events", ["event_type", "value"]).map_batches(
+            partial, batch_format="pyarrow"),
+        ["event_type"], [("n", "sum"), ("s", "sum"), ("ss", "sum")]
+        ).to_pandas()
+    n = t["n"].to_numpy(np.int64)
+    s = t["s"].to_numpy(np.int64)
+    ss = t["ss"].to_numpy(np.int64)
+    grand = np.int64(s.sum())
+    tot = np.int64(n.sum())
+    mg = s.astype(np.float64) / n.astype(np.float64)
+    m = np.float64(grand) / np.float64(tot)
+    d = mg - m
+    ssb = n.astype(np.float64) * d * d
+    ssw = ss.astype(np.float64) - (s.astype(np.float64)
+                                   * s.astype(np.float64)
+                                   / n.astype(np.float64))
+    return pd.DataFrame({
+        "event_type": t["event_type"].astype(str),
+        "n": n,
+        "ssb_micro": np.floor(ssb * 1e6 + 0.5).astype(np.int64),
+        "ssw_micro": np.floor(ssw * 1e6 + 0.5).astype(np.int64),
+    }).reset_index(drop=True)
+
+
+def q_anova_f_sql() -> str:
+    return (
+        "WITH p AS (SELECT event_type, CAST(floor(value * 100.0 + 0.5) "
+        "AS BIGINT) AS c FROM events), "
+        "g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n, "
+        "CAST(sum(c) AS BIGINT) AS s, CAST(sum(c * c) AS BIGINT) AS ss "
+        "FROM p GROUP BY 1), "
+        "t AS (SELECT event_type, n, s, ss, "
+        "sum(s) OVER () AS grand, sum(n) OVER () AS tot FROM g) "
+        "SELECT event_type, n, "
+        "CAST(floor(CAST(n AS DOUBLE) * (CAST(s AS DOUBLE) / "
+        "CAST(n AS DOUBLE) - CAST(grand AS DOUBLE) / CAST(tot AS DOUBLE)"
+        ") * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE) - CAST(grand AS "
+        "DOUBLE) / CAST(tot AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) "
+        "AS ssb_micro, "
+        "CAST(floor((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * "
+        "CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) "
+        "AS ssw_micro FROM t"
+    )

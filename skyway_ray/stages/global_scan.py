@@ -111,14 +111,16 @@ def two_sample_ks(ds, val_col: str, is_a_col: str,
 
 def global_rank(ds, val_col: str, id_col: str, out_col: str = "global_rank",
                 n_buckets: int | None = None, n_rows: int | None = None,
-                seed: int = 42):
+                seed: int = 42, keep: tuple[str, ...] = ()):
     """Distributed global ROW_NUMBER: 1-based position of every row in
     the whole-dataset ascending sort by ``(val_col, id_col)`` — the
     ORDER-BY-with-no-PARTITION window no per-key exchange can express.
     Same offset-broadcast plan as :func:`two_sample_ks`: range buckets
     (equal values never straddle), a bounded per-bucket count tree,
     exclusive offsets broadcast, then each bucket ranks locally —
-    no global sort operator, no driver-side data."""
+    no global sort operator, no driver-side data.  ``keep`` columns
+    ride along into the output (saves the rank→payload re-join when
+    the caller groups ranks by a label column)."""
     import ray
 
     from .quantiles import _sample_splitters
@@ -155,6 +157,8 @@ def global_rank(ds, val_col: str, id_col: str, out_col: str = "global_rank",
         order = np.lexsort((g[id_col].to_numpy(), g[val_col].to_numpy()))
         out = pd.DataFrame({id_col: g[id_col].to_numpy()[order]})
         out[out_col] = o[rb] + 1 + np.arange(len(g), dtype=np.int64)
+        for c in keep:
+            out[c] = g[c].to_numpy()[order]
         return out
 
     return bucketed.groupby("_rb").map_groups(rank, batch_format="pandas")
