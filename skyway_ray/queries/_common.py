@@ -439,8 +439,18 @@ def _copart_lookup(rows, lut, key_col: str, out_col: str, n_rows: int):
 
     from ..stages.scan import hash_bucket_scan
 
+    def _pa_type(t):
+        # rows built by a pandas-format map_batches report numpy dtypes
+        # (object columns as plain Python types); normalize to Arrow.
+        if isinstance(t, pa.DataType):
+            return t
+        try:
+            return pa.from_numpy_dtype(t)
+        except (TypeError, pa.ArrowNotImplementedError):
+            return pa.string()
+
     rs = rows.schema()
-    row_cols = list(zip(rs.names, rs.types))
+    row_cols = [(n, _pa_type(t)) for n, t in zip(rs.names, rs.types)]
 
     def pad_rows(t: pa.Table) -> pa.Table:
         t = t.append_column("_lk", pa.nulls(len(t), pa.string()))

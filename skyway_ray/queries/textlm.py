@@ -1430,3 +1430,75 @@ def q_bigram_ppl_sql() -> str:
         "CAST(sum(occ * pin) AS BIGINT) AS lp_sum_nano "
         "FROM t GROUP BY 1"
     )
+
+
+def q_rare_tokens(sf_dir: str):
+    """Per-document rare-token counts (tokens whose CORPUS frequency
+    is strictly below the corpus mean — the scale-free stand-in for
+    hapax legomena on bounded-vocabulary fixtures; the predicate is
+    the exact integer test c·V < T so no float average is involved):
+    the session-cached corpus wordcount pass filters to the rare
+    vocabulary, docs attach it through the open-vocabulary
+    ``_copart_lookup`` string-key exchange (neither side is assumed to
+    fit a worker — the rare set grows with the corpus), and per-doc
+    counts resolve through one doc_id hash exchange.  Docs with no
+    rare token drop (inner-join shape, mirrored in the oracle).  The
+    V/T scalars come from the vocabulary-bounded cached count table
+    (same driver-side posture as q_unigram_logprob)."""
+    from ..stages.scan import hash_bucket_scan
+    from ._common import _copart_lookup, _corpus_unigram_counts
+
+    n_docs = _nrows(sf_dir, "documents")
+    uni = _corpus_unigram_counts(sf_dir)
+    vdf = uni.to_pandas()
+    V = np.int64(len(vdf))
+    T = np.int64(vdf["n"].sum())
+
+    def to_lut(b: pa.Table) -> pa.Table:
+        n = b["n"].to_numpy(zero_copy_only=False)
+        t = b.filter(pa.array(n * V < T))
+        return pa.table({"_lk": t["tok"],
+                         "_lv": pa.array(np.ones(len(t), np.int64),
+                                         pa.int64())})
+
+    lut = uni.map_batches(to_lut, batch_format="pyarrow")
+
+    def doc_tokens(b: pd.DataFrame) -> pd.DataFrame:
+        toks = b["text"].str.lower().str.findall(r"[a-z0-9]+")
+        lens = toks.str.len().to_numpy().astype(np.int64)
+        flat = np.concatenate([np.asarray(t, dtype="U")
+                               for t in toks if len(t)] or
+                              [np.array([], dtype="U")])
+        return pd.DataFrame({
+            "doc_id": np.repeat(b["doc_id"].to_numpy(), lens),
+            "tok": flat.astype(object)})
+
+    rows = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        doc_tokens, batch_format="pandas")
+    hits = _copart_lookup(rows, lut, key_col="tok", out_col="hit",
+                          n_rows=40 * n_docs)
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table({"doc_id": b["doc_id"], "n_rare": b["hit"]})
+        g = t.group_by(["doc_id"]).aggregate([("n_rare", "sum")])
+        return g.rename_columns(["doc_id", "n_rare"])
+
+    return hash_bucket_scan(
+        hits.map_batches(partial, batch_format="pyarrow"),
+        ["doc_id"],
+        lambda t: t.group_by(["doc_id"]).aggregate([("n_rare", "sum")])
+        .rename_columns(["doc_id", "n_rare"]),
+        n_rows=n_docs)
+
+
+def q_rare_tokens_sql() -> str:
+    return (
+        "WITH w AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), "
+        "'[a-z0-9]+')) AS tok FROM documents), "
+        "cnt AS (SELECT tok, count(*) AS c FROM w GROUP BY 1), "
+        "s AS (SELECT CAST(count(*) AS BIGINT) AS v, "
+        "CAST(sum(c) AS BIGINT) AS t FROM cnt), "
+        "rare AS (SELECT tok FROM cnt, s WHERE c * v < t) "
+        "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_rare "
+        "FROM w JOIN rare USING (tok) GROUP BY 1"
+    )

@@ -1259,3 +1259,166 @@ def q_emd1d_sql() -> str:
         "CAST(n.n0 * n.n1 AS DOUBLE) / 100.0 * 1e9 + 0.5) AS BIGINT) "
         "AS w1_nano FROM t, n"
     )
+
+
+def _typed_hourly_counts(sf_dir: str) -> pd.DataFrame:
+    """Per-(event_type, hour) counts via one combiner-tree pass —
+    bounded key space (types × fixture hour range), shared by the
+    round-5 smoothing/seasonality queries."""
+    from ..stages.agg_tree import tree_aggregate_to_table
+
+    def bucket(b: pa.Table) -> pa.Table:
+        h = (b["ts"].to_numpy(zero_copy_only=False)
+             .astype("datetime64[us]").astype(np.int64) // 3_600_000_000)
+        t = pa.table({"event_type": b["event_type"],
+                      "h": pa.array(h, pa.int64()),
+                      "x": pa.array(np.ones(len(h), np.int64), pa.int64())})
+        return (t.group_by(["event_type", "h"]).aggregate([("x", "sum")])
+                .rename_columns(["event_type", "h", "x"]))
+
+    return tree_aggregate_to_table(
+        _read(sf_dir, "events", ["event_type", "ts"]).map_batches(
+            bucket, batch_format="pyarrow"),
+        ["event_type", "h"], [("x", "sum")]).to_pandas()
+
+
+def q_ewma_hourly(sf_dir: str):
+    """Exponentially-weighted moving average of the hourly event rate
+    per type (α = 1/4), sampled at the end of each day — the smoothing
+    pass of a streaming rate monitor.  The unbounded work (hour
+    bucketing + counting) is one combiner-tree pass; the recursion
+    runs driver-side over the BOUNDED (types × hours) grid with
+    zero-filled gaps, mirroring the oracle's recursive CTE term by
+    term (s ← 0.25·x + 0.75·s, same op order), and outputs pin to
+    micro-units."""
+    g = _typed_hourly_counts(sf_dir)
+    h0 = int(g["h"].min())
+    h1 = int(g["h"].max())
+    span = h1 - h0 + 1
+    rows = []
+    for et, sub in g.groupby("event_type", sort=False):
+        x = np.zeros(span, np.float64)
+        x[sub["h"].to_numpy(np.int64) - h0] = sub["x"].to_numpy(
+            np.float64)
+        s = x[0]
+        for i in range(1, span):
+            s = 0.25 * x[i] + 0.75 * s
+            if i % 24 == 23:
+                rows.append((et, i, int(np.floor(s * 1e6 + 0.5))))
+    out = pd.DataFrame(rows, columns=["event_type", "i", "ewma_micro"])
+    out["i"] = out["i"].astype(np.int64)
+    out["ewma_micro"] = out["ewma_micro"].astype(np.int64)
+    return out.reset_index(drop=True)
+
+
+def q_ewma_hourly_sql() -> str:
+    return (
+        "WITH RECURSIVE b AS (SELECT event_type, epoch_us(ts) // "
+        "3600000000 AS h FROM events), "
+        "rng AS (SELECT min(h) AS h0, max(h) AS h1 FROM b), "
+        "hours AS (SELECT unnest(range((SELECT h0 FROM rng), "
+        "(SELECT h1 FROM rng) + 1)) AS h), "
+        "types AS (SELECT DISTINCT event_type FROM b), "
+        "grid AS (SELECT event_type, h FROM types CROSS JOIN hours), "
+        "q AS (SELECT event_type, h, CAST(count(*) AS DOUBLE) AS cnt "
+        "FROM b GROUP BY 1, 2), "
+        "c AS (SELECT g.event_type, COALESCE(q.cnt, 0.0) AS x, "
+        "g.h - (SELECT h0 FROM rng) AS i FROM grid g LEFT JOIN q "
+        "ON q.event_type = g.event_type AND q.h = g.h), "
+        "r AS (SELECT event_type, i, x AS s FROM c WHERE i = 0 "
+        "UNION ALL SELECT c.event_type, c.i, 0.25 * c.x + 0.75 * r.s "
+        "FROM r JOIN c ON c.event_type = r.event_type AND c.i = r.i + 1) "
+        "SELECT event_type, CAST(i AS BIGINT) AS i, "
+        "CAST(floor(s * 1e6 + 0.5) AS BIGINT) AS ewma_micro "
+        "FROM r WHERE i % 24 = 23"
+    )
+
+
+def q_hourly_seasonality(sf_dir: str):
+    """Hour-of-day seasonal index per event type: the share of a
+    type's events in each UTC hour slot, scaled so a flat profile
+    reads 1e6 — pure integer arithmetic ((n·24·10⁶) // total), so the
+    distributed result is exact.  Counts ride the combiner tree
+    (bounded types × 24 key space); the index math is a bounded
+    driver fold."""
+    from ..stages.agg_tree import tree_aggregate_to_table
+
+    def bucket(b: pa.Table) -> pa.Table:
+        h = (b["ts"].to_numpy(zero_copy_only=False)
+             .astype("datetime64[us]").astype(np.int64)
+             // 3_600_000_000) % 24
+        t = pa.table({"event_type": b["event_type"],
+                      "hod": pa.array(h, pa.int64()),
+                      "n": pa.array(np.ones(len(h), np.int64), pa.int64())})
+        return (t.group_by(["event_type", "hod"]).aggregate([("n", "sum")])
+                .rename_columns(["event_type", "hod", "n"]))
+
+    g = tree_aggregate_to_table(
+        _read(sf_dir, "events", ["event_type", "ts"]).map_batches(
+            bucket, batch_format="pyarrow"),
+        ["event_type", "hod"], [("n", "sum")]).to_pandas()
+    tot = g.groupby("event_type")["n"].transform("sum").to_numpy(np.int64)
+    n = g["n"].to_numpy(np.int64)
+    return pd.DataFrame({
+        "event_type": g["event_type"].astype(str),
+        "hod": g["hod"].to_numpy(np.int64),
+        "n": n,
+        "idx_micro": (n * 24_000_000) // tot,
+    }).reset_index(drop=True)
+
+
+def q_hourly_seasonality_sql() -> str:
+    return (
+        "WITH c AS (SELECT event_type, (epoch_us(ts) // 3600000000) % 24 "
+        "AS hod, CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2) "
+        "SELECT event_type, hod, n, "
+        "CAST((n * 24000000) // sum(n) OVER (PARTITION BY event_type) "
+        "AS BIGINT) AS idx_micro FROM c"
+    )
+
+
+def q_seasonal_error(sf_dir: str):
+    """Seasonal-naive forecast error per event type: predict each
+    hour's count with the same hour yesterday (lag 24) over the
+    zero-filled hourly grid and report Σ|x_t − x_{t−24}| and Σx_t as
+    exact ints (the scale-free WAPE numerator/denominator).  Same
+    bounded-grid posture as q_ewma_hourly: the only unbounded pass is
+    the combiner-tree count."""
+    g = _typed_hourly_counts(sf_dir)
+    h0 = int(g["h"].min())
+    h1 = int(g["h"].max())
+    span = h1 - h0 + 1
+    rows = []
+    for et, sub in g.groupby("event_type", sort=False):
+        x = np.zeros(span, np.int64)
+        x[sub["h"].to_numpy(np.int64) - h0] = sub["x"].to_numpy(np.int64)
+        if span > 24:  # spans ≤ 24h have no lag-24 rows (oracle: WHERE
+            sae = int(np.abs(x[24:] - x[:-24]).sum())  # p IS NOT NULL)
+            tot = int(x[24:].sum())
+            rows.append((et, sae, tot))
+    out = pd.DataFrame(rows, columns=["event_type", "sae", "actual_sum"])
+    out["sae"] = out["sae"].astype(np.int64)
+    out["actual_sum"] = out["actual_sum"].astype(np.int64)
+    return out.reset_index(drop=True)
+
+
+def q_seasonal_error_sql() -> str:
+    return (
+        "WITH b AS (SELECT event_type, epoch_us(ts) // 3600000000 AS h "
+        "FROM events), "
+        "rng AS (SELECT min(h) AS h0, max(h) AS h1 FROM b), "
+        "hours AS (SELECT unnest(range((SELECT h0 FROM rng), "
+        "(SELECT h1 FROM rng) + 1)) AS h), "
+        "types AS (SELECT DISTINCT event_type FROM b), "
+        "grid AS (SELECT event_type, h FROM types CROSS JOIN hours), "
+        "q AS (SELECT event_type, h, CAST(count(*) AS BIGINT) AS n "
+        "FROM b GROUP BY 1, 2), "
+        "c AS (SELECT g.event_type, g.h, COALESCE(q.n, 0) AS x "
+        "FROM grid g LEFT JOIN q ON q.event_type = g.event_type "
+        "AND q.h = g.h), "
+        "l AS (SELECT event_type, h, x, lag(x, 24) OVER (PARTITION BY "
+        "event_type ORDER BY h) AS p FROM c) "
+        "SELECT event_type, CAST(COALESCE(sum(abs(x - p)), 0) AS BIGINT) "
+        "AS sae, CAST(COALESCE(sum(x), 0) AS BIGINT) AS actual_sum "
+        "FROM l WHERE p IS NOT NULL GROUP BY 1"
+    )
