@@ -533,7 +533,8 @@ def _copart_join(rows, finish, shuffle: str = "hash",
 def lsh_dedup_pipeline(ds, id_col: str, band_fn, sketch_fn, pair_ok,
                        num_partitions: int = 8,
                        broadcast_loser_limit: int = _BROADCAST_LOSER_LIMIT,
-                       shuffle: str = "hash", verify_vals=None):
+                       shuffle: str = "hash", verify_vals=None,
+                       extra_edges=None, remove_from=None):
     """Generic distributed LSH near-dedup: returns the Dataset of
     surviving rows (duplicate clusters keep their min-id
     representative).
@@ -571,7 +572,15 @@ def lsh_dedup_pipeline(ds, id_col: str, band_fn, sketch_fn, pair_ok,
     (:func:`..stages.cc.connected_components`); (6) losers are removed
     by broadcast id-set when ≤ ``broadcast_loser_limit`` else by a
     distributed ``left_anti`` join — no unbounded driver state at any
-    step."""
+    step.
+
+    ``extra_edges`` / ``remove_from``: when the caller contracted
+    exact-duplicate rows BEFORE banding (``ds`` holds one
+    representative per distinct sketch), pass the pre-verified
+    (doc_a, doc_b) contraction edges as ``extra_edges`` — they join
+    the CC input without going through banding or verification — and
+    the full pre-contraction Dataset as ``remove_from`` so losers drop
+    from the original corpus."""
     import ray
 
     from ..stages.cc import connected_components
@@ -689,15 +698,21 @@ def lsh_dedup_pipeline(ds, id_col: str, band_fn, sketch_fn, pair_ok,
     # distinct candidate edges (cross-band duplicates would multiply
     # the verify joins' work) through one coarse hash exchange — no
     # sort-based all-to-all
+    base = ds if remove_from is None else remove_from
     edges = edges.materialize()
     n_raw_edges = edges.count()
     if n_raw_edges == 0:
-        return ds
+        if extra_edges is None:
+            return base
+        return _remove_losers(base, extra_edges, id_col,
+                              broadcast_loser_limit)
     if verify_vals is not None:
         # chain edges were exact-verified inline: no Bloom pass, no
         # sketch pass, no verify joins; CC dedups the cross-band
         # duplicate edges itself
-        return _remove_losers(ds, edges, id_col, broadcast_loser_limit)
+        if extra_edges is not None:
+            edges = edges.union(extra_edges)
+        return _remove_losers(base, edges, id_col, broadcast_loser_limit)
     from ..stages.scan import hash_bucket_scan as _hbs
     edges = _hbs(edges, ["doc_a", "doc_b"],
                  lambda t: t.group_by(["doc_a", "doc_b"]).aggregate([]),
@@ -802,7 +817,9 @@ def lsh_dedup_pipeline(ds, id_col: str, band_fn, sketch_fn, pair_ok,
         n_rows=n_join_rows).map_batches(
         lambda b: b.select(["doc_a", "doc_b"]), batch_format="pyarrow")
 
-    return _remove_losers(ds, verified, id_col, broadcast_loser_limit)
+    if extra_edges is not None:
+        verified = verified.union(extra_edges)
+    return _remove_losers(base, verified, id_col, broadcast_loser_limit)
 
 
 def _remove_losers(ds, verified, id_col: str, broadcast_loser_limit: int):

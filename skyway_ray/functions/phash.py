@@ -104,8 +104,50 @@ def phash_near_dup(ds, id_col: str = "image_id", hash_col: str = "dhash64",
     verification is Hamming ≤ ``max_dist`` on the full 64 bits.  Runs
     on :func:`near_dup.lsh_dedup_pipeline` — same sorted-bucket chain
     edges, Bloom-prefiltered sketch pass, distributed connected
-    components as the text/embedding dedups."""
+    components as the text/embedding dedups.
+
+    Exact-duplicate contraction: a 64-bit perceptual hash space is
+    TINY next to any real corpus (the bench fixture has ~8k distinct
+    dhash values across 500k images), so banding the raw rows floods
+    the 16-bit buckets — ~2M candidate edges, ~4 star edges per image
+    re-emitted in every band.  One hash-keyed exchange first maps each
+    image to its distinct-hash representative (min id), emits those
+    (rep, member) contraction edges ONCE, and the LSH banding + chain
+    verify then run over the distinct hashes only; the CC input is the
+    contraction stars plus the few verified cross-hash edges.  Both
+    exchanges stay bounded: the contraction by corpus rows (ids+hash
+    only), the banding by the distinct-hash count."""
+    import pyarrow.compute as pc
+
+    from ..stages.scan import hash_bucket_scan
     from .near_dup import hamming64, lsh_dedup_pipeline
+
+    def contract(tb: pa.Table) -> pa.Table:
+        ids = tb[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if not len(ids):
+            return pa.table({"doc_a": pa.array([], pa.int64()),
+                             "doc_b": pa.array([], pa.int64()),
+                             "_h": pa.array([], pa.int64())})
+        h = tb[hash_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        idx = np.lexsort((ids, h))
+        h, ids = h[idx], ids[idx]
+        new_run = np.r_[True, h[1:] != h[:-1]]
+        rep = ids[np.flatnonzero(new_run)][np.cumsum(new_run) - 1]
+        return pa.table({"doc_a": pa.array(rep, pa.int64()),
+                         "doc_b": pa.array(ids, pa.int64()),
+                         "_h": pa.array(h, pa.int64())})
+
+    pairs = hash_bucket_scan(ds, [hash_col], contract,
+                             n_rows=ds.count()).materialize()
+    star_edges = pairs.map_batches(
+        lambda b: b.filter(pc.not_equal(b["doc_a"], b["doc_b"]))
+        .select(["doc_a", "doc_b"]), batch_format="pyarrow")
+
+    def rep_rows(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.equal(b["doc_a"], b["doc_b"]))
+        return pa.table({id_col: t["doc_b"], hash_col: t["_h"]})
+
+    distinct = pairs.map_batches(rep_rows, batch_format="pyarrow")
 
     width = 64 // bands
     mask = np.uint64((1 << width) - 1)
@@ -141,7 +183,8 @@ def phash_near_dup(ds, id_col: str = "image_id", hash_col: str = "dhash64",
         # in the chain scan (no sketch passes / verify joins at all)
         return hamming64(a, b) <= max_dist
 
-    return lsh_dedup_pipeline(ds, id_col=id_col, band_fn=band_fn,
+    return lsh_dedup_pipeline(distinct, id_col=id_col, band_fn=band_fn,
                               sketch_fn=sketch_fn, pair_ok=pair_ok,
                               num_partitions=num_partitions,
-                              verify_vals=verify_vals)
+                              verify_vals=verify_vals,
+                              extra_edges=star_edges, remove_from=ds)
