@@ -585,6 +585,27 @@ class TestPhashDedup:
             ray.data.from_arrow(tab).repartition(4), max_dist=3)
         assert sorted(got.to_pandas()["image_id"]) == [0, 5000, 5001]
 
+    def test_contracted_groups_merge_across_hashes(self, ray_session):
+        """Two exact-dup groups at Hamming distance 1 must fuse into
+        ONE cluster whose survivor is the global min id — which lives
+        in the SECOND group, so the contraction's per-hash
+        representative (min id of its own run) must be overridden by
+        the CC min across the cross-hash edge."""
+        import ray.data
+
+        from skyway_ray.functions.phash import phash_near_dup
+
+        h1 = np.int64(0x0123456789ABCDEF)
+        h2 = np.int64(h1 ^ np.int64(1) << np.int64(33))
+        tab = pa.table({
+            "image_id": pa.array([10, 11, 12, 13, 14, 0, 1, 2],
+                                 pa.int64()),
+            "dhash64": pa.array([h1] * 5 + [h2] * 3, pa.int64()),
+        })
+        got = phash_near_dup(
+            ray.data.from_arrow(tab).repartition(3), max_dist=3)
+        assert sorted(got.to_pandas()["image_id"]) == [0]
+
 
 class TestPqAnn:
     @staticmethod
