@@ -360,9 +360,13 @@ def q_douglas_peucker(sf_dir: str):
     exact integer geometry — see functions/simplify.py for the
     breadth-first vectorized engine (no per-user recursion; every
     active segment in a bucket advances in one numpy pass per round).
-    Rows-only entry (recursive semantics aren't SQL-expressible);
-    tests/test_geo.py pins the engine to a recursive textbook oracle
-    point-for-point on planted tracks AND on the full sf0.001 table.
+    Hash-verified against a DuckDB RECURSIVE-CTE replay of the split
+    recursion (q_douglas_peucker_sql — segments carry endpoint
+    coords; the argmax-with-first-index tie-break rides a HUGEINT
+    ``metric·2³² + (2³²−1−i)`` key; the exact ``cross² > ε²·len²``
+    test runs in HUGEINT like the engine's Python big-ints);
+    tests/test_geo.py additionally pins the engine to a recursive
+    textbook oracle point-for-point on planted tracks.
     Output: per-user point/kept counts + a kept-set checksum."""
     from ..functions.simplify import dp_keep_mask
     from ..stages.scan import keyed_scan
@@ -393,6 +397,87 @@ def q_douglas_peucker(sf_dir: str):
     ds = _read(sf_dir, "events", ["event_id", "ts", "user_id"]
                ).map_batches(prep, batch_format="pyarrow")
     return keyed_scan(ds, "user_id", ["t", "event_id"], fn)
+
+
+def q_douglas_peucker_sql() -> str:
+    """RECURSIVE-CTE replay of the DP split recursion.  The worklist
+    CTE holds live segments WITH their endpoint microdegree coords (no
+    per-iteration endpoint re-join); each step aggregates the interior
+    points' metric (|cross| to the chord, or squared endpoint distance
+    for degenerate zero-length chords), picks the engine's
+    first-index-tie-break argmax via one HUGEINT
+    ``metric·2³² + (2³²−1 − i)`` key (valid while per-user point
+    counts stay below 2³² — any realistic trajectory), applies the
+    exact HUGEINT ``cross² > ε²·len²`` split test, and emits the two
+    child segments.  The kept set is exactly the endpoint set of every
+    segment ever alive plus each user's first/last point."""
+    lat, lon = latlon_sql("event_id")
+    eps2 = _DP_EPS_MICRO * _DP_EPS_MICRO
+    c = 4294967296
+    metric = ("CASE WHEN (par.xe - par.xs) * (par.xe - par.xs) "
+              "+ (par.ye - par.ys) * (par.ye - par.ys) = 0 "
+              "THEN (q.x - par.xs) * (q.x - par.xs) "
+              "+ (q.y - par.ys) * (q.y - par.ys) "
+              "ELSE abs((par.xe - par.xs) * (q.y - par.ys) "
+              "- (par.ye - par.ys) * (q.x - par.xs)) END")
+    return (
+        "WITH RECURSIVE "
+        "pts AS (SELECT user_id, event_id, "
+        f"CAST(floor({lon} * 1e6 + 0.5) AS BIGINT) AS x, "
+        f"CAST(floor({lat} * 1e6 + 0.5) AS BIGINT) AS y, "
+        "row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)"
+        " - 1 AS i FROM events), "
+        "ends AS (SELECT user_id, max(i) AS last FROM pts GROUP BY 1), "
+        "segs AS ("
+        "SELECT e.user_id, CAST(0 AS BIGINT) AS s, e.last AS e, "
+        "p0.x AS xs, p0.y AS ys, p1.x AS xe, p1.y AS ye "
+        "FROM ends e "
+        "JOIN pts p0 ON p0.user_id = e.user_id AND p0.i = 0 "
+        "JOIN pts p1 ON p1.user_id = e.user_id AND p1.i = e.last "
+        "WHERE e.last >= 2 "
+        "UNION ALL "
+        "SELECT g.user_id, "
+        "CASE WHEN sides.side = 0 THEN g.s ELSE g.m END AS s, "
+        "CASE WHEN sides.side = 0 THEN g.m ELSE g.e END AS e, "
+        "CASE WHEN sides.side = 0 THEN g.xs ELSE g.xm END AS xs, "
+        "CASE WHEN sides.side = 0 THEN g.ys ELSE g.ym END AS ys, "
+        "CASE WHEN sides.side = 0 THEN g.xm ELSE g.xe END AS xe, "
+        "CASE WHEN sides.side = 0 THEN g.ym ELSE g.ye END AS ye "
+        "FROM ("
+        "SELECT a.user_id, a.s, a.e, a.xs, a.ys, a.xe, a.ye, "
+        f"{c - 1} - CAST(a.key % {c} AS BIGINT) AS m, "
+        "pm.x AS xm, pm.y AS ym "
+        "FROM ("
+        "SELECT par.user_id, par.s, par.e, par.xs, par.ys, par.xe, "
+        "par.ye, (par.xe - par.xs) * (par.xe - par.xs) "
+        "+ (par.ye - par.ys) * (par.ye - par.ys) AS lensq, "
+        f"max(CAST({metric} AS HUGEINT) * {c} + ({c - 1} - q.i)) AS key, "
+        f"max(CAST({metric} AS HUGEINT)) AS segmax "
+        "FROM segs par "
+        "JOIN pts q ON q.user_id = par.user_id "
+        "AND q.i > par.s AND q.i < par.e "
+        "WHERE par.e - par.s > 1 "
+        "GROUP BY 1, 2, 3, 4, 5, 6, 7) a "
+        "JOIN pts pm ON pm.user_id = a.user_id "
+        f"AND pm.i = {c - 1} - CAST(a.key % {c} AS BIGINT) "
+        f"WHERE CASE WHEN a.lensq = 0 THEN a.segmax > {eps2} "
+        f"ELSE a.segmax * a.segmax > CAST({eps2} AS HUGEINT) * a.lensq "
+        "END) g "
+        "CROSS JOIN (VALUES (0), (1)) AS sides(side)), "
+        "kept AS (SELECT DISTINCT user_id, i FROM ("
+        "SELECT user_id, s AS i FROM segs "
+        "UNION ALL SELECT user_id, e FROM segs "
+        "UNION ALL SELECT user_id, 0 FROM ends "
+        "UNION ALL SELECT user_id, last FROM ends)), "
+        "kc AS (SELECT k.user_id, CAST(count(*) AS BIGINT) AS n_kept, "
+        "CAST(sum(p.event_id) AS BIGINT) AS kept_checksum "
+        "FROM kept k JOIN pts p ON p.user_id = k.user_id "
+        "AND p.i = k.i GROUP BY 1) "
+        "SELECT p.user_id, CAST(count(*) AS BIGINT) AS n_points, "
+        "kc.n_kept, kc.kept_checksum "
+        "FROM pts p JOIN kc ON kc.user_id = p.user_id "
+        "GROUP BY 1, 3, 4"
+    )
 
 
 def q_max_span(sf_dir: str):
