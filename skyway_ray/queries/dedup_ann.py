@@ -289,25 +289,49 @@ def q_hll_users(sf_dir: str) -> pd.DataFrame:
     """Approximate COUNT(DISTINCT user_id) via a HyperLogLog sketch
     (stages/hll.py): one streaming pass, per-block 16 KiB register
     blobs folded by a map_batches tree — no shuffle, no driver funnel.
-    Approximate ⇒ rows-only (the exact path is hash-verified as
-    ``distinct_users``); tests assert the ±0.8%-class error bound."""
+    The ESTIMATE itself is hash-verified: integer keys hash with
+    splitmix64 (SQL-replayable in HUGEINT), register max-merge is
+    exact, the harmonic sum is an exact integer, and the final value
+    is one pinned float expression — so the oracle replays the sketch
+    algorithm, not the exact distinct count (which is the separate
+    hash-verified ``distinct_users``)."""
     from ..stages.hll import hll_distinct
 
     est = hll_distinct(_read(sf_dir, "events", ["user_id"]), "user_id")
-    return pd.DataFrame({"distinct_users_est": [int(round(est))]})
+    return pd.DataFrame({"distinct_users_est": [int(np.floor(est + 0.5))]})
+
+
+def q_hll_users_sql() -> str:
+    from ..stages.hll import hll_estimate_sql, hll_reg_rows_sql
+
+    reg = hll_reg_rows_sql("events", "user_id", p=14)
+    est = hll_estimate_sql(reg, p=14)
+    return (f"SELECT CAST(floor(est + 0.5) AS BIGINT) "
+            f"AS distinct_users_est FROM ({est})")
 
 
 def q_hll_users_by_type(sf_dir: str) -> pd.DataFrame:
     """Approximate COUNT(DISTINCT user_id) per event_type via grouped
     HLL sketches: the groupby shuffle carries groups×blocks 4 KiB
     blobs, never (group, user) pairs (stages/hll.py hll_distinct_by).
-    Approximate ⇒ rows-only; the exact pair-shuffle path is the
-    hash-verified ``distinct_users``."""
+    Hash-verified like ``hll_users`` — the oracle replays the sketch
+    per group (splitmix64 registers, exact integer harmonic sum,
+    pinned finalize)."""
     from ..stages.hll import hll_distinct_by
 
     return hll_distinct_by(
         _read(sf_dir, "events", ["event_type", "user_id"]),
         "event_type", "user_id").sort_values("event_type")
+
+
+def q_hll_users_by_type_sql() -> str:
+    from ..stages.hll import hll_estimate_sql, hll_reg_rows_sql
+
+    reg = hll_reg_rows_sql("events", "user_id", p=12,
+                           group_cols="event_type")
+    est = hll_estimate_sql(reg, p=12, group_cols="event_type")
+    return (f"SELECT event_type, CAST(floor(est + 0.5) AS BIGINT) "
+            f"AS n_distinct_est FROM ({est})")
 
 
 def q_pq_ann(sf_dir: str) -> pd.DataFrame:
