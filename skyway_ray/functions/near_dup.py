@@ -299,21 +299,42 @@ def jaccard(a: np.ndarray, b: np.ndarray) -> float:
 # ---------------- SimHash ----------------
 
 
+def _fnv1a64_arr(tokens: np.ndarray) -> np.ndarray:
+    """Vectorized FNV-1a 64 over ASCII tokens: byte position j of
+    every still-active token advances in one uint64 vector op, so the
+    loop count is the max token LENGTH, not the token count.  Plain
+    byte arithmetic a SQL oracle replays exactly
+    (:func:`.sqlhash.fnv1a64_sql`) — which is what pins the SimHash
+    fingerprints cross-engine."""
+    n = len(tokens)
+    out = np.full(n, np.uint64(14695981039346656037))
+    if not n:
+        return out
+    bs = [t.encode() for t in tokens]
+    lens = np.fromiter((len(b) for b in bs), np.int64, n)
+    joined = np.frombuffer(b"".join(bs), np.uint8)
+    offs = np.concatenate([[0], np.cumsum(lens)])[:-1]
+    prime = np.uint64(1099511628211)
+    for j in range(int(lens.max())):
+        act = np.flatnonzero(lens > j)
+        b = joined[offs[act] + j].astype(np.uint64)
+        out[act] = (out[act] ^ b) * prime
+    return out
+
+
 def simhash64(texts: pd.Series, seed: int = 42) -> np.ndarray:
     """64-bit SimHash over word shingles: sign of the per-bit weighted
-    sum of shingle hashes (two independent crc32 halves per token).
-    Vectorized: per-unique-token 64-bit hashes, a (tokens, 64) bit
-    matrix reduced per doc with ``np.add.reduceat``, packed with
-    shifts — no per-doc loop, no bit-string building."""
+    sum of shingle hashes (FNV-1a 64 per unique token — replayable in
+    SQL, see q_simhash_sql).  Vectorized: per-unique-token 64-bit
+    hashes, a (tokens, 64) bit matrix reduced per doc with
+    ``np.add.reduceat``, packed with shifts — no per-doc loop, no
+    bit-string building."""
     texts = list(pd.Series(texts).fillna(""))
     codes, uniq, offs = _tokenize_batch(texts)
     ndocs = len(offs) - 1
     out = np.zeros(ndocs, dtype=np.uint64)
     if len(codes):
-        hi = _crc32_arr(uniq)
-        lo = np.fromiter((zlib.crc32(t.encode(), 0xA5A5A5A5) for t in uniq),
-                         dtype=np.uint64, count=len(uniq))
-        h64 = ((hi << np.uint64(32)) | lo)[codes]
+        h64 = _fnv1a64_arr(uniq)[codes]
         lens = np.diff(offs)
         nonempty = np.flatnonzero(lens > 0)
         shifts = np.arange(64, dtype=np.uint64)

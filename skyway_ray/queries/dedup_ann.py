@@ -274,7 +274,11 @@ def q_minhash_dedup(sf_dir: str):
 
 
 def q_simhash(sf_dir: str):
-    """SimHash fingerprints over documents."""
+    """SimHash fingerprints over documents — hash-verified: the token
+    hash is FNV-1a 64 (plain byte arithmetic the oracle replays in
+    HUGEINT via list_reduce), the per-bit vote 2·ones − n is exact
+    integer, and the packed word converts uint64 → int64 identically
+    on both sides."""
     from ..functions.near_dup import simhash64
 
     def f(batch: pd.DataFrame) -> pd.DataFrame:
@@ -283,6 +287,30 @@ def q_simhash(sf_dir: str):
 
     return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
         f, batch_format="pandas")
+
+
+def q_simhash_sql() -> str:
+    from ..functions.sqlhash import fnv1a64_sql
+
+    return (
+        "WITH tok AS (SELECT doc_id, "
+        "unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tk "
+        "FROM documents), "
+        f"h AS (SELECT doc_id, {fnv1a64_sql('tk')} AS h FROM tok), "
+        "ji AS (SELECT unnest(range(0, 64)) AS j), "
+        "bits AS (SELECT doc_id, j, "
+        "CAST(sum(CASE WHEN (h // (CAST(1 AS HUGEINT) << j)) % 2 = 1 "
+        "THEN 1 ELSE 0 END) AS BIGINT) AS ones, "
+        "CAST(count(*) AS BIGINT) AS n "
+        "FROM h CROSS JOIN ji GROUP BY 1, 2), "
+        "pk AS (SELECT doc_id, sum(CASE WHEN 2 * ones - n > 0 "
+        "THEN CAST(1 AS HUGEINT) << j ELSE CAST(0 AS HUGEINT) END) AS v "
+        "FROM bits GROUP BY 1) "
+        "SELECT d.doc_id, CAST(CASE WHEN COALESCE(pk.v, 0) >= "
+        "9223372036854775808 THEN COALESCE(pk.v, 0) "
+        "- 18446744073709551616 ELSE COALESCE(pk.v, 0) END AS BIGINT) "
+        "AS simhash FROM documents d LEFT JOIN pk USING (doc_id)"
+    )
 
 
 def q_hll_users(sf_dir: str) -> pd.DataFrame:

@@ -45,29 +45,17 @@ def _splitmix64(x: np.ndarray, seed: int = 42) -> np.ndarray:
 
 def splitmix64_sql(expr: str, seed: int = 42) -> str:
     """DuckDB expression computing :func:`_splitmix64` of BIGINT
-    ``expr`` bit-for-bit: mod-2^64 multiplies decompose into 32-bit
-    halves so no intermediate exceeds HUGEINT range, xors route
-    through UBIGINT (operands stay < 2^64), shifts are floor
-    divisions."""
-    two64, two32 = 1 << 64, 1 << 32
+    ``expr`` bit-for-bit (mod-2^64 HUGEINT arithmetic — builders in
+    :mod:`..functions.sqlhash`; shifts are floor divisions)."""
+    from ..functions.sqlhash import mul64_sql, xor64_sql
 
-    def mul(e: str, k: int) -> str:
-        k_lo, k_hi = k % two32, k // two32
-        return (f"((({e}) % {two32}) * {k_lo} + "
-                f"((((({e}) // {two32}) * {k_lo} + "
-                f"(({e}) % {two32}) * {k_hi}) % {two32}) * {two32})) "
-                f"% {two64}")
-
-    def xor(a: str, b: str) -> str:
-        return (f"CAST(xor(CAST(({a}) AS UBIGINT), "
-                f"CAST(({b}) AS UBIGINT)) AS HUGEINT)")
-
+    two64 = 1 << 64
     off = ((seed + 1) * _GOLD) & _MASK64
     z = (f"((CAST({expr} AS HUGEINT) % {two64} + {two64}) % {two64} "
          f"+ {off}) % {two64}")
-    z = mul(xor(z, f"({z}) // {1 << 30}"), _MIX1)
-    z = mul(xor(z, f"({z}) // {1 << 27}"), _MIX2)
-    return xor(z, f"({z}) // {1 << 31}")
+    z = mul64_sql(xor64_sql(z, f"({z}) // {1 << 30}"), _MIX1)
+    z = mul64_sql(xor64_sql(z, f"({z}) // {1 << 27}"), _MIX2)
+    return xor64_sql(z, f"({z}) // {1 << 31}")
 
 
 def _hash64(col, seed: int = 42) -> np.ndarray:

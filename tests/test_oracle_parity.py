@@ -62,7 +62,7 @@ def test_entry_smoke(ray_session):
     "small_qty_revenue", "idle_customers", "late_priority",
     "spearman", "mann_whitney", "chi2_independence", "anova_f",
     "ewma_hourly", "hourly_seasonality", "seasonal_error", "rare_tokens",
-    "douglas_peucker", "hll_users", "hll_users_by_type",
+    "douglas_peucker", "hll_users", "hll_users_by_type", "simhash",
     "geotag", "cells", "tiles", "tile_stats", "events_by_type", "dedup_docs",
     "topk_events", "token_count", "quality", "knn", "pip_join_boxes",
     "ann_cosine", "cell_stats", "orders_per_nation", "semi_join_events",
