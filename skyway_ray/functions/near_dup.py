@@ -13,8 +13,9 @@ connected components (:mod:`..stages.cc`).  No driver-side union-find,
 no ``to_pandas()`` of pairs or candidate texts.  Everything is
 seeded/deterministic.
 
-Kernels are pure numpy: tokens are crc32-hashed once per *unique*
-batch token (``pd.factorize``), n-gram hashes are rotate-xor combines
+Kernels are pure numpy: tokens are FNV-1a-hashed once per *unique*
+batch token (``pd.factorize``; fold to 32 bits — SQL-replayable, see
+q_minhash_dedup_sql), n-gram hashes are rotate-xor combines
 of token hashes, MinHash is a single int64 grid multiply per perm
 (multiply-shift, see :class:`MinHasher`), per-doc reductions go
 through ``np.minimum.reduceat`` / ``np.add.reduceat`` — no per-doc
@@ -26,7 +27,6 @@ from __future__ import annotations
 import itertools
 import os
 import re
-import zlib
 
 import numpy as np
 import pandas as pd
@@ -40,13 +40,6 @@ _CHUNK_TOKENS = 1 << 16  # bounds the (tokens, num_perm) hash grid
 
 
 # ---------------- tokenization (batch, vocabulary-deduped) ----------------
-
-
-def _crc32_arr(tokens) -> np.ndarray:
-    if not len(tokens):
-        return np.empty(0, dtype=np.uint64)
-    return np.fromiter((zlib.crc32(t.encode()) for t in tokens),
-                       dtype=np.uint64, count=len(tokens))
 
 
 def _tokenize_batch(texts) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
@@ -67,10 +60,20 @@ def _tokenize_batch(texts) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     return codes.astype(np.int64), np.asarray(uniq, dtype=object), offs
 
 
+def _tok32_arr(tokens) -> np.ndarray:
+    """32-bit token hashes: FNV-1a 64 folded to 32 bits.  Replaced
+    crc32 so the minhash pipeline's every hash is plain byte
+    arithmetic a SQL oracle can replay — which is what lets
+    q_minhash_dedup_sql reproduce the FULL near-dedup pipeline
+    (shingles → signatures → bands → chain candidates → Jaccard
+    verify → components) bit-for-bit."""
+    return _fold32(_fnv1a64_arr(np.asarray(tokens, object)))
+
+
 def _token_hashes(text: str) -> np.ndarray:
     """Distinct word-shingle hashes of ONE doc (test/verify helper)."""
     toks = {t.lower() for t in _WORD_RE.findall(text or "")}
-    return np.unique(_crc32_arr(sorted(toks))) if toks else \
+    return np.unique(_tok32_arr(sorted(toks))) if toks else \
         np.empty(0, dtype=np.uint64)
 
 
@@ -143,7 +146,7 @@ def _shingle_batch(texts, shingle: str, ngram_n: int
     """Batch → per-doc sorted-distinct 32-bit shingle hash sets as
     (flat values, starts, counts)."""
     codes, uniq, offs = _tokenize_batch(texts)
-    tok32 = _crc32_arr(uniq)[codes] if len(codes) else \
+    tok32 = _tok32_arr(uniq)[codes] if len(codes) else \
         np.empty(0, dtype=np.uint64)
     ndocs = len(offs) - 1
     if shingle == "token":

@@ -36,6 +36,26 @@ def xor64_sql(a: str, b: str) -> str:
             f"CAST(({b}) AS UBIGINT)) AS HUGEINT)")
 
 
+def rot64_sql(e: str, k: int) -> str:
+    """64-bit left-rotate by ``k`` of a HUGEINT expression in
+    [0, 2^64) — the two shifted halves occupy disjoint bits, so OR
+    is plain addition."""
+    return (f"((({e}) % {1 << (64 - k)}) * {1 << k} "
+            f"+ (({e}) // {1 << (64 - k)}))")
+
+
+def fold32_sql(e: str) -> str:
+    """``(e ^ (e >> 32)) & 0xFFFFFFFF`` — the engine's ``_fold32``."""
+    return f"({xor64_sql(e, f'({e}) // {1 << 32}')}) % {1 << 32}"
+
+
+def signed64_sql(e: str) -> str:
+    """Reinterpret a [0, 2^64) HUGEINT as the engine's signed-int64
+    view (sort keys compare in SIGNED order on the engine side)."""
+    return (f"CAST(CASE WHEN ({e}) >= {1 << 63} THEN ({e}) - {1 << 64} "
+            f"ELSE ({e}) END AS BIGINT)")
+
+
 def fnv1a64_sql(tok_expr: str) -> str:
     """FNV-1a 64 of an ASCII VARCHAR expression, bit-identical to
     :func:`..functions.near_dup._fnv1a64_arr`: fold the codepoints

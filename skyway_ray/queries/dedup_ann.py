@@ -264,13 +264,110 @@ def q_embedding_dedup(sf_dir: str):
 
 
 def q_minhash_dedup(sf_dir: str):
-    """MinHash+LSH near-dedup over documents (survivor doc_ids)."""
+    """MinHash+LSH near-dedup over documents (survivor doc_ids) —
+    hash-verified END-TO-END at threshold 0.7: every stage of the
+    distributed pipeline is deterministic plain arithmetic, so
+    q_minhash_dedup_sql replays the whole thing in DuckDB — FNV-fold32
+    token hashes, rotate-xor 3-gram shingles, 128 multiply-shift
+    signature minima (the a/b coefficients embedded as literals),
+    FNV band folds, the sorted-bucket CHAIN candidate scan (window
+    lag over the engine's exact signed sort keys), exact shingle-set
+    Jaccard verification, and component minima."""
     from ..functions.near_dup import minhash_lsh_dedup
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     out = minhash_lsh_dedup(ds, threshold=0.7)
     return out.map_batches(lambda b: b.select(["doc_id"]),
                            batch_format="pyarrow")
+
+
+def q_minhash_dedup_sql(num_perm: int = 128, bands: int = 16,
+                        ngram_n: int = 3, threshold: float = 0.7) -> str:
+    """DuckDB replay of the full minhash_lsh_dedup pipeline (see
+    q_minhash_dedup).  Stage-for-stage: gr = per-doc distinct shingle
+    hashes; sig = per-perm minima (empty-token docs pin to U64MAX like
+    ``signatures_from_flat``); bh/sh = band FNV folds + order-free set
+    hash, compared in the engine's SIGNED int64 order; ed = the chain
+    candidates (adjacent rows per (band, band_hash) bucket sorted by
+    (set_hash, doc_id) — the engine emits exactly these, layout-
+    independent); ver = exact Jaccard ≥ threshold with the engine's
+    empty-vs-empty = 1.0 convention; reach/lab = connected-component
+    minima (any CC algorithm agrees on min-per-component); survivors =
+    everything not a non-min member."""
+    import numpy as np
+
+    from ..functions.near_dup import MinHasher
+    from ..functions.sqlhash import (FNV_OFFSET, FNV_PRIME, fnv1a64_sql,
+                                     fold32_sql, mul64_sql, rot64_sql,
+                                     signed64_sql, xor64_sql)
+
+    two64 = 1 << 64
+    rows_per_band = num_perm // bands
+    tok32 = fold32_sql(fnv1a64_sql("t"))
+    gram3 = fold32_sql(xor64_sql(
+        rot64_sql(xor64_sql(rot64_sql("h[i]", 13), "h[i+1]"), 13),
+        "h[i+2]"))
+    assert ngram_n == 3, "gram expression is unrolled for n=3"
+    gram_short = fold32_sql(
+        f"list_reduce(list_prepend(CAST(0 AS HUGEINT), h), "
+        f"(acc, x) -> {xor64_sql(rot64_sql('acc', 13), 'x')})")
+    mh = MinHasher(num_perm)
+    a_u, b_u = mh.a.view(np.uint64), mh.b.view(np.uint64)
+    perm_vals = ", ".join(
+        f"({k}, CAST({int(a_u[k])} AS HUGEINT), "
+        f"CAST({int(b_u[k])} AS HUGEINT))" for k in range(num_perm))
+    c1 = (-7046029254386353131) % two64  # set_hash64's mix constants
+    c2 = 0x0123456789ABCDEF
+    fnvfold = (f"list_reduce(list_prepend(CAST({FNV_OFFSET} AS HUGEINT), "
+               f"ss), (acc, v) -> "
+               f"{mul64_sql(xor64_sql('acc', 'v'), FNV_PRIME)})")
+    return f"""
+WITH RECURSIVE tl AS (SELECT doc_id,
+  regexp_extract_all(lower(text), '[a-z0-9]+') AS l FROM documents),
+th AS (SELECT doc_id, list_transform(l, t -> {tok32}) AS h FROM tl),
+gr AS (SELECT DISTINCT doc_id, g FROM (
+  SELECT doc_id, unnest(CASE WHEN len(h) >= {ngram_n}
+    THEN list_transform(range(1, len(h) - 1), i -> {gram3})
+    ELSE [{gram_short}] END) AS g
+  FROM th WHERE len(h) > 0)),
+perms(k, a, b) AS (VALUES {perm_vals}),
+sig AS (SELECT doc_id, k, min((a * g + b) % {two64}) AS s
+        FROM gr CROSS JOIN perms GROUP BY 1, 2
+        UNION ALL SELECT t.doc_id, p.k, CAST({two64 - 1} AS HUGEINT)
+        FROM th t CROSS JOIN perms p WHERE len(t.h) = 0),
+bnd AS (SELECT doc_id, k // {rows_per_band} AS band_id,
+        list(s ORDER BY k) AS ss FROM sig GROUP BY 1, 2),
+bh AS (SELECT doc_id, band_id, {fnvfold} AS v FROM bnd),
+sh AS (SELECT doc_id, CAST(sum((g * {c1} + {c2}) % {two64})
+       % {two64} AS HUGEINT) AS v FROM gr GROUP BY 1),
+rws AS (SELECT b.doc_id, b.band_id, {signed64_sql('b.v')} AS bhs,
+        {signed64_sql('COALESCE(s.v, 0)')} AS shs
+        FROM bh b LEFT JOIN sh s ON s.doc_id = b.doc_id),
+ed AS (SELECT DISTINCT pd AS doc_a, doc_id AS doc_b FROM (
+  SELECT doc_id, lag(doc_id) OVER (
+    PARTITION BY band_id, bhs ORDER BY shs, doc_id) AS pd FROM rws)
+  WHERE pd IS NOT NULL AND pd != doc_id),
+cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM gr GROUP BY 1),
+it AS (SELECT e.doc_a, e.doc_b, CAST(count(*) AS BIGINT) AS i
+       FROM ed e JOIN gr ga ON ga.doc_id = e.doc_a
+                 JOIN gr gb ON gb.doc_id = e.doc_b AND gb.g = ga.g
+       GROUP BY 1, 2),
+ver AS (SELECT e.doc_a, e.doc_b FROM ed e
+        LEFT JOIN it ON it.doc_a = e.doc_a AND it.doc_b = e.doc_b
+        LEFT JOIN cnt ca ON ca.doc_id = e.doc_a
+        LEFT JOIN cnt cb ON cb.doc_id = e.doc_b
+        WHERE CASE WHEN COALESCE(ca.n, 0) + COALESCE(cb.n, 0) = 0
+              THEN TRUE ELSE CAST(COALESCE(it.i, 0) AS DOUBLE)
+              / (COALESCE(ca.n, 0) + COALESCE(cb.n, 0)
+                 - COALESCE(it.i, 0)) >= {threshold!r} END),
+und AS (SELECT doc_a AS a, doc_b AS b FROM ver
+        UNION SELECT doc_b, doc_a FROM ver),
+reach AS (SELECT a AS n, b AS m FROM und
+          UNION SELECT r.n, u.b FROM reach r JOIN und u ON u.a = r.m),
+lab AS (SELECT n, min(m) AS mn FROM reach GROUP BY 1)
+SELECT doc_id FROM documents
+WHERE doc_id NOT IN (SELECT n FROM lab WHERE mn < n)
+"""
 
 
 def q_simhash(sf_dir: str):
