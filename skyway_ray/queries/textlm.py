@@ -366,9 +366,15 @@ def q_bpe_merges(sf_dir: str) -> pd.DataFrame:
     ``np.unique`` combiner → one token-key shuffle), and the merge loop
     runs over the VOCABULARY-bounded (word, count) table
     (functions/text.py::learn_bpe_merges — deterministic tie-breaks).
-    Returns (rank, left, right) merge rows.  Rows-only: the iterative
-    merge loop has no SQL equivalent; a pure-Python reference BPE
-    asserts equality in tests."""
+    Returns (rank, left, right) merge rows.  Hash-verified: the
+    iterative merge loop IS SQL-expressible — q_bpe_merges_sql replays
+    each round with a recursive CTE (grouped pair counts over the
+    round's working set, the count-then-lexicographic argmax via
+    QUALIFY, and the left-to-right non-overlapping merge apply as a
+    list_reduce whose replace-last rule is provably equivalent: a
+    merged symbol a||b can never equal a, so overlap never chains).
+    A pure-Python reference BPE additionally asserts equality in
+    tests."""
     from ..functions.text import learn_bpe_merges
 
     def count_batch(b: pd.DataFrame) -> pd.DataFrame:
@@ -390,6 +396,48 @@ def q_bpe_merges(sf_dir: str) -> pd.DataFrame:
         "left": [a for a, _ in merges],
         "right": [b for _, b in merges],
     })
+
+
+def q_bpe_merges_sql(n_merges: int = 40) -> str:
+    """Recursive-CTE replay of learn_bpe_merges (see q_bpe_merges).
+    State rows are (round, word, symbol list, count) plus the merge
+    that produced the round; each recursive step counts adjacent
+    symbol pairs over the round's working set (overlap-inclusive,
+    like the engine's zip), picks max-count-then-lexicographic-min
+    via QUALIFY, and rewrites every word's list with the fold.  The
+    accumulator is a PLAIN list — DuckDB 1.0's list_reduce drops
+    list-valued fields inside struct accumulators."""
+    fold = (
+        "list_reduce("
+        "list_prepend(CAST([] AS VARCHAR[]), "
+        "list_transform(s.syms, x -> [x])), "
+        "(acc, cur) -> CASE WHEN len(acc) > 0 AND acc[-1] = bp.a "
+        "AND cur[1] = bp.b "
+        "THEN list_append(acc[:len(acc)-1], bp.a || bp.b) "
+        "ELSE list_append(acc, cur[1]) END)")
+    return (
+        "WITH RECURSIVE "
+        "wc AS (SELECT tk AS w, CAST(count(*) AS BIGINT) AS n "
+        "FROM (SELECT unnest(regexp_extract_all(lower(text), "
+        "'[a-z0-9]+')) AS tk FROM documents) GROUP BY 1), "
+        "st AS ("
+        "SELECT 0 AS rnd, w, string_split(w, '') AS syms, n, "
+        "CAST(NULL AS VARCHAR) AS ml, CAST(NULL AS VARCHAR) AS mr "
+        "FROM wc "
+        "UNION ALL "
+        f"SELECT s.rnd + 1, s.w, {fold}, s.n, bp.a, bp.b "
+        "FROM st s "
+        "JOIN (SELECT rnd, a, b FROM ("
+        "SELECT q.rnd, q.p[1] AS a, q.p[2] AS b, sum(q.n) AS c "
+        "FROM (SELECT rnd, n, unnest(list_transform("
+        "range(1, len(syms)), i -> [syms[i], syms[i+1]])) AS p "
+        "FROM st WHERE len(syms) > 1) q GROUP BY 1, 2, 3) "
+        "QUALIFY row_number() OVER (PARTITION BY rnd "
+        "ORDER BY c DESC, a, b) = 1) bp ON bp.rnd = s.rnd "
+        f"WHERE s.rnd < {n_merges}) "
+        "SELECT DISTINCT CAST(rnd - 1 AS BIGINT) AS rank, "
+        "ml AS \"left\", mr AS \"right\" FROM st WHERE rnd > 0"
+    )
 
 
 def q_decontam(sf_dir: str):

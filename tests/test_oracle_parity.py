@@ -63,7 +63,7 @@ def test_entry_smoke(ray_session):
     "spearman", "mann_whitney", "chi2_independence", "anova_f",
     "ewma_hourly", "hourly_seasonality", "seasonal_error", "rare_tokens",
     "douglas_peucker", "hll_users", "hll_users_by_type", "simhash",
-    "minhash_dedup",
+    "minhash_dedup", "bpe_merges",
     "geotag", "cells", "tiles", "tile_stats", "events_by_type", "dedup_docs",
     "topk_events", "token_count", "quality", "knn", "pip_join_boxes",
     "ann_cosine", "cell_stats", "orders_per_nation", "semi_join_events",
