@@ -263,30 +263,52 @@ _CHECKSUM_K = 300  # first K fixture images; covers all 15 (side,fmt)
 _THUMB_SIDE = 8
 
 
-# shared SQL fragment: decoded-luma table (i, x, y, luma) for the
-# first K fixture images — generator replay (see q_image_checksum_sql)
-# → per-channel fake-lossy quantization → integer luma (77R+150G+29B)>>8
-def _luma_table_sql(k: int) -> str:
-    def raw(c: str) -> str:
-        return ("((x*3 + y*5 + " + c + "*11 + (i*37) % 256 + "
-                "CAST((((CAST(i AS HUGEINT)*2654435761 + (y*side+x)*97 "
-                "+ " + c + "*131) * 1103515245) % 18446744073709551616)"
-                " // 65536 % 32 AS BIGINT)) % 256)")
+# shared SQL fragments replaying fixtures.py::_gen_pixels in HUGEINT
+# (numpy's int64-wraparound noise term, then the fake-lossy p//4*4+2
+# quantization for non-png formats) — see q_image_checksum_sql
+def _raw_px_sql(c: str) -> str:
+    return ("((x*3 + y*5 + " + c + "*11 + (i*37) % 256 + "
+            "CAST((((CAST(i AS HUGEINT)*2654435761 + (y*side+x)*97 "
+            "+ " + c + "*131) * 1103515245) % 18446744073709551616)"
+            " // 65536 % 32 AS BIGINT)) % 256)")
 
-    def chan(c: str) -> str:
-        return (f"(CASE WHEN fmt = 'png' THEN {raw(c)} "
-                f"ELSE {raw(c)} // 4 * 4 + 2 END)")
 
+def _chan_px_sql(c: str) -> str:
+    return (f"(CASE WHEN fmt = 'png' THEN {_raw_px_sql(c)} "
+            f"ELSE {_raw_px_sql(c)} // 4 * 4 + 2 END)")
+
+
+def _imgs_cte_sql(k: int) -> str:
     return (
         "imgs AS (SELECT CAST(i AS BIGINT) AS i, "
         "CASE i % 5 WHEN 0 THEN 16 WHEN 1 THEN 24 WHEN 2 THEN 32 "
         "WHEN 3 THEN 48 ELSE 64 END AS side, "
         "CASE i % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' "
         "ELSE 'webp' END AS fmt "
-        f"FROM range({k}) t(i)), "
+        f"FROM range({k}) t(i))"
+    )
+
+
+# decoded-luma table (i, side, x, y, l) for the first K fixture images
+def _luma_table_sql(k: int) -> str:
+    return (
+        _imgs_cte_sql(k) + ", "
         "lum AS (SELECT i, side, x, y, "
-        f"(77 * {chan('0')} + 150 * {chan('1')} + 29 * {chan('2')}) "
+        f"(77 * {_chan_px_sql('0')} + 150 * {_chan_px_sql('1')} "
+        f"+ 29 * {_chan_px_sql('2')}) "
         "// 256 AS l "
+        "FROM imgs "
+        "JOIN range(64) tx(x) ON tx.x < imgs.side "
+        "JOIN range(64) ty(y) ON ty.y < imgs.side)"
+    )
+
+
+# decoded-RGB table (i, side, x, y, r, g, b) for the first K images
+def _rgb_table_sql(k: int) -> str:
+    return (
+        _imgs_cte_sql(k) + ", "
+        f"rgb AS (SELECT i, side, x, y, {_chan_px_sql('0')} AS r, "
+        f"{_chan_px_sql('1')} AS g, {_chan_px_sql('2')} AS b "
         "FROM imgs "
         "JOIN range(64) tx(x) ON tx.x < imgs.side "
         "JOIN range(64) ty(y) ON ty.y < imgs.side)"

@@ -1001,3 +1001,324 @@ def q_hu_moment_sql() -> str:
         "AS DOUBLE) / CAST(s * s * s AS DOUBLE) * 1e12 + 0.5) "
         "AS BIGINT) AS phi1_pico FROM m"
     )
+
+
+# ---------------------------------------------------------------------------
+# round-5 checksum kernels: each decodes the head-K fixture images inside
+# map_batches (bytes never leave the task) and emits exact-integer per-image
+# features; every oracle replays fixtures.py::_gen_pixels in HUGEINT like
+# q_image_checksum_sql, so encode → parquet → Arrow → decode → kernel is
+# pinned end-to-end.  Same head-K / scale caveats as image_checksum.
+
+
+def _checksum_ds(sf_dir: str):
+    """Pruned (image_id, bytes, fmt) stream of the first K fixture
+    images — the row filter is pushed to the parquet read so row
+    groups beyond K never ship their bytes."""
+    import pyarrow.dataset as pds
+    import ray.data
+
+    from ..fixtures import ensure_images_parquet, scale_for_sf_dir
+
+    hi = f"img_{_CHECKSUM_K:012d}"
+    images = ensure_images_parquet(scale_for_sf_dir(sf_dir))
+    return ray.data.read_parquet(images, columns=["image_id", "bytes", "fmt"],
+                                 filter=pds.field("image_id") < hi)
+
+
+def _luma_kernel(per_image):
+    """Build a map_batches fn: decode → integer luma plane →
+    ``per_image(y) -> {col: int}`` rows (all int64)."""
+    from ..functions.image_codec import decode_image
+
+    def fn(b: pa.Table) -> pa.Table:
+        blobs = b["bytes"].to_pylist()
+        fmts = b["fmt"].to_pylist()
+        rows = []
+        for i in range(len(blobs)):  # variable-size payloads: the
+            # per-row loop is the decode itself (module docstring)
+            img = decode_image(blobs[i], fmts[i]).astype(np.int64)
+            y = (77 * img[:, :, 0] + 150 * img[:, :, 1]
+                 + 29 * img[:, :, 2]) >> 8
+            rows.append(per_image(y))
+        cols = {"image_id": b["image_id"]}
+        if rows:
+            for k in rows[0]:
+                cols[k] = pa.array(
+                    np.array([r[k] for r in rows], np.int64))
+        return pa.table(cols)
+
+    return fn
+
+
+def q_integral_checksum(sf_dir: str):
+    """Hash verification of the INTEGRAL IMAGE (summed-area table —
+    the Viola-Jones / box-filter building block): decode → luma →
+    2-D inclusive prefix sums; emit the exact int64 sum of the table
+    and its corner (= total luma mass).  The oracle uses the closed
+    form Σ ii = Σ l(x,y)·(side−x)·(side−y), so any off-by-one in the
+    cumulative sums mismatches."""
+    def per(y: np.ndarray) -> dict:
+        ii = y.cumsum(axis=0).cumsum(axis=1)
+        return {"ii_sum": int(ii.sum()), "total": int(ii[-1, -1])}
+
+    return _checksum_ds(sf_dir).map_batches(
+        _luma_kernel(per), batch_format="pyarrow", batch_size=128)
+
+
+def q_integral_checksum_sql() -> str:
+    return (
+        "WITH " + _luma_table_sql(_CHECKSUM_K) + " "
+        "SELECT 'img_' || lpad(CAST(i AS VARCHAR), 12, '0') AS image_id,"
+        " CAST(sum(l * (side - x) * (side - y)) AS BIGINT) AS ii_sum,"
+        " CAST(sum(l) AS BIGINT) AS total FROM lum GROUP BY 1"
+    )
+
+
+def q_maxpool_checksum(sf_dir: str):
+    """Hash verification of 2×2 stride-2 MAX POOLING (the CNN
+    downsampling kernel; every fixture side is even): emit the pooled
+    plane's exact sum and min.  Oracle pools by (x//2, y//2) groups."""
+    def per(y: np.ndarray) -> dict:
+        h, w = y.shape
+        p = y.reshape(h // 2, 2, w // 2, 2).max(axis=(1, 3))
+        return {"pool_sum": int(p.sum()), "pool_min": int(p.min())}
+
+    return _checksum_ds(sf_dir).map_batches(
+        _luma_kernel(per), batch_format="pyarrow", batch_size=128)
+
+
+def q_maxpool_checksum_sql() -> str:
+    return (
+        "WITH " + _luma_table_sql(_CHECKSUM_K) + ", "
+        "p AS (SELECT i, x // 2 AS px, y // 2 AS py, max(l) AS m "
+        "FROM lum GROUP BY 1, 2, 3) "
+        "SELECT 'img_' || lpad(CAST(i AS VARCHAR), 12, '0') AS image_id,"
+        " CAST(min(m) AS BIGINT) AS pool_min,"
+        " CAST(sum(m) AS BIGINT) AS pool_sum FROM p GROUP BY 1"
+    )
+
+
+def q_rle_runs(sf_dir: str):
+    """Hash verification of ROW-WISE RUN-LENGTH structure on the
+    binarized (luma ≥ 128) plane — the RLE-compressibility signal of
+    image curation: n_runs = rows + horizontal transitions, n_set =
+    set-pixel count.  Oracle counts transitions via one left-neighbor
+    equijoin."""
+    def per(y: np.ndarray) -> dict:
+        bimg = y >= 128
+        runs = bimg.shape[0] + int((bimg[:, 1:] != bimg[:, :-1]).sum())
+        return {"n_runs": runs, "n_set": int(bimg.sum())}
+
+    return _checksum_ds(sf_dir).map_batches(
+        _luma_kernel(per), batch_format="pyarrow", batch_size=128)
+
+
+def q_rle_runs_sql() -> str:
+    return (
+        "WITH " + _luma_table_sql(_CHECKSUM_K) + ", "
+        "s1 AS (SELECT i, any_value(side) AS side, "
+        "sum(CASE WHEN l >= 128 THEN 1 ELSE 0 END) AS n_set "
+        "FROM lum GROUP BY 1), "
+        "s2 AS (SELECT c.i, sum(CASE WHEN (c.l >= 128) <> (w.l >= 128) "
+        "THEN 1 ELSE 0 END) AS chg FROM lum c "
+        "JOIN lum w ON w.i = c.i AND w.y = c.y AND w.x = c.x - 1 "
+        "GROUP BY 1) "
+        "SELECT 'img_' || lpad(CAST(s1.i AS VARCHAR), 12, '0') "
+        "AS image_id, "
+        "CAST(s1.side + COALESCE(s2.chg, 0) AS BIGINT) AS n_runs, "
+        "CAST(s1.n_set AS BIGINT) AS n_set "
+        "FROM s1 LEFT JOIN s2 ON s2.i = s1.i"
+    )
+
+
+_LBP_OFFS = ((-1, -1), (0, -1), (1, -1), (1, 0),
+             (1, 1), (0, 1), (-1, 1), (-1, 0))
+
+
+def q_lbp_hist(sf_dir: str):
+    """Hash verification of LOCAL BINARY PATTERNS (the classic
+    texture descriptor): interior pixels get an 8-bit code — bit k
+    set iff neighbor k's luma ≥ center luma, neighbor order fixed
+    clockwise from NW — and each image emits the 8-bucket coarse
+    histogram (code // 32) plus the exact code sum.  Oracle = eight
+    neighbor equijoins, same shape as sobel_octants."""
+    def per(y: np.ndarray) -> dict:
+        h, w = y.shape
+        c = y[1:-1, 1:-1]
+        code = np.zeros_like(c)
+        for k, (dx, dy) in enumerate(_LBP_OFFS):
+            n = y[1 + dy:h - 1 + dy, 1 + dx:w - 1 + dx]
+            code += (n >= c).astype(np.int64) << k
+        cnt = np.bincount((code // 32).ravel(), minlength=8)
+        d = {f"b{j}": int(cnt[j]) for j in range(8)}
+        d["code_sum"] = int(code.sum())
+        return d
+
+    return _checksum_ds(sf_dir).map_batches(
+        _luma_kernel(per), batch_format="pyarrow", batch_size=128)
+
+
+def q_lbp_hist_sql() -> str:
+    names = ("nw", "n", "ne", "e", "se", "s", "sw", "w")
+    joins = " ".join(
+        f"JOIN lum {nm} ON {nm}.i = c.i AND {nm}.x = c.x + ({dx}) "
+        f"AND {nm}.y = c.y + ({dy})"
+        for nm, (dx, dy) in zip(names, _LBP_OFFS))
+    code = " + ".join(
+        f"(CASE WHEN {nm}.l >= c.l THEN {1 << k} ELSE 0 END)"
+        for k, nm in enumerate(names))
+    bins = ", ".join(
+        f"CAST(sum(CASE WHEN code // 32 = {j} THEN 1 ELSE 0 END) "
+        f"AS BIGINT) AS b{j}" for j in range(8))
+    return (
+        "WITH " + _luma_table_sql(_CHECKSUM_K) + ", "
+        f"g AS MATERIALIZED (SELECT c.i, {code} AS code FROM lum c "
+        + joins +
+        " WHERE c.x BETWEEN 1 AND c.side - 2 "
+        "AND c.y BETWEEN 1 AND c.side - 2) "
+        "SELECT 'img_' || lpad(CAST(i AS VARCHAR), 12, '0') AS image_id, "
+        + bins + ", CAST(sum(code) AS BIGINT) AS code_sum "
+        "FROM g GROUP BY 1"
+    )
+
+
+def q_median3_checksum(sf_dir: str):
+    """Hash verification of the 3×3 MEDIAN FILTER (the denoise
+    kernel): exact 5th-order statistic of each interior pixel's
+    neighborhood; emit the filtered plane's sum and its ≥128 count.
+    Oracle = nine shifted equijoins unioned, then quantile_disc(0.5)
+    (the discrete 5th-of-9 — identical to numpy's sort[4])."""
+    def per(y: np.ndarray) -> dict:
+        h, w = y.shape
+        stk = np.stack([y[1 + dy:h - 1 + dy, 1 + dx:w - 1 + dx]
+                        for dy in (-1, 0, 1) for dx in (-1, 0, 1)])
+        med = np.sort(stk, axis=0)[4]
+        return {"med_sum": int(med.sum()),
+                "med_hi": int((med >= 128).sum())}
+
+    return _checksum_ds(sf_dir).map_batches(
+        _luma_kernel(per), batch_format="pyarrow", batch_size=128)
+
+
+def q_median3_checksum_sql() -> str:
+    shifts = " UNION ALL ".join(
+        f"SELECT c.i, c.x, c.y, n.l FROM lum c "
+        f"JOIN lum n ON n.i = c.i AND n.x = c.x + ({dx}) "
+        f"AND n.y = c.y + ({dy}) "
+        f"WHERE c.x BETWEEN 1 AND c.side - 2 "
+        f"AND c.y BETWEEN 1 AND c.side - 2"
+        for dy in (-1, 0, 1) for dx in (-1, 0, 1))
+    return (
+        "WITH " + _luma_table_sql(_CHECKSUM_K) + ", "
+        "n9 AS MATERIALIZED (" + shifts + "), "
+        "m AS (SELECT i, x, y, quantile_disc(l, 0.5) AS med "
+        "FROM n9 GROUP BY 1, 2, 3) "
+        "SELECT 'img_' || lpad(CAST(i AS VARCHAR), 12, '0') AS image_id,"
+        " CAST(sum(CASE WHEN med >= 128 THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS med_hi, CAST(sum(med) AS BIGINT) AS med_sum "
+        "FROM m GROUP BY 1"
+    )
+
+
+def q_euler4x(sf_dir: str):
+    """Hash verification of the EULER NUMBER (components − holes) of
+    the binarized (luma ≥ 128) plane via Gray's quad-counting — a
+    pure LOCAL formula, no iterative labeling: over all 2×2 quads of
+    the zero-padded image count q1 (one set pixel), q3 (three), qd
+    (diagonal pairs); 4·E = q1 − q3 + 2·qd for 4-connectivity.  Emits
+    the raw quad counts plus euler4x so both sides stay divisions-free.
+    Oracle = four LEFT-JOIN probes of the luma plane per quad corner
+    with COALESCE-0 padding."""
+    def per(y: np.ndarray) -> dict:
+        p = np.pad((y >= 128).astype(np.int64), 1)
+        b00 = p[:-1, :-1]
+        b01 = p[:-1, 1:]
+        b10 = p[1:, :-1]
+        b11 = p[1:, 1:]
+        s = b00 + b01 + b10 + b11
+        q1 = int((s == 1).sum())
+        q3 = int((s == 3).sum())
+        qd = int(((s == 2) & (b00 == b11)).sum())
+        return {"q1": q1, "q3": q3, "qd": qd,
+                "euler4x": q1 - q3 + 2 * qd}
+
+    return _checksum_ds(sf_dir).map_batches(
+        _luma_kernel(per), batch_format="pyarrow", batch_size=128)
+
+
+def q_euler4x_sql() -> str:
+    def probe(nm: str, dx: int, dy: int) -> str:
+        return (f"LEFT JOIN lum {nm} ON {nm}.i = imgs.i "
+                f"AND {nm}.x = u - 1 + {dx} AND {nm}.y = v - 1 + {dy}")
+
+    def bit(nm: str) -> str:
+        return f"COALESCE(CASE WHEN {nm}.l >= 128 THEN 1 ELSE 0 END, 0)"
+
+    return (
+        "WITH " + _luma_table_sql(_CHECKSUM_K) + ", "
+        "q AS MATERIALIZED (SELECT imgs.i, "
+        f"{bit('p00')} AS b00, {bit('p01')} AS b01, "
+        f"{bit('p10')} AS b10, {bit('p11')} AS b11 "
+        "FROM imgs "
+        "JOIN range(65) tu(u) ON tu.u <= imgs.side "
+        "JOIN range(65) tv(v) ON tv.v <= imgs.side "
+        + probe("p00", 0, 0) + " " + probe("p01", 1, 0) + " "
+        + probe("p10", 0, 1) + " " + probe("p11", 1, 1) + "), "
+        "c AS (SELECT i, b00 + b01 + b10 + b11 AS s, b00, b11 FROM q) "
+        "SELECT 'img_' || lpad(CAST(i AS VARCHAR), 12, '0') AS image_id,"
+        " CAST(sum(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT) AS q1,"
+        " CAST(sum(CASE WHEN s = 3 THEN 1 ELSE 0 END) AS BIGINT) AS q3,"
+        " CAST(sum(CASE WHEN s = 2 AND b00 = b11 THEN 1 ELSE 0 END) "
+        "AS BIGINT) AS qd, "
+        "CAST(sum(CASE WHEN s = 1 THEN 1 ELSE 0 END) "
+        "- sum(CASE WHEN s = 3 THEN 1 ELSE 0 END) "
+        "+ 2 * sum(CASE WHEN s = 2 AND b00 = b11 THEN 1 ELSE 0 END) "
+        "AS BIGINT) AS euler4x FROM c GROUP BY 1"
+    )
+
+
+def q_chan_corr(sf_dir: str):
+    """Hash verification of CHANNEL COVARIANCE (the grayscale /
+    color-cast screen of image curation): per image the exact integer
+    co-moments n·Σab − Σa·Σb for (R,G), (G,B), (R,B) — all within
+    int64 at side ≤ 64 — so a constant-hue image pins to equal
+    covariances and any channel swap flips the triple.  Oracle rides
+    the per-channel generator replay (_rgb_table_sql)."""
+    from ..functions.image_codec import decode_image
+
+    def fn(b: pa.Table) -> pa.Table:
+        blobs = b["bytes"].to_pylist()
+        fmts = b["fmt"].to_pylist()
+        out = np.empty((len(blobs), 3), np.int64)
+        for i in range(len(blobs)):
+            img = decode_image(blobs[i], fmts[i]).astype(np.int64)
+            r = img[:, :, 0].ravel()
+            g = img[:, :, 1].ravel()
+            bl = img[:, :, 2].ravel()
+            n = r.size
+            out[i, 0] = n * int((r * g).sum()) - int(r.sum()) * int(g.sum())
+            out[i, 1] = n * int((g * bl).sum()) - int(g.sum()) * int(bl.sum())
+            out[i, 2] = n * int((r * bl).sum()) - int(r.sum()) * int(bl.sum())
+        return pa.table({"image_id": b["image_id"],
+                         "cov_rg": pa.array(out[:, 0]),
+                         "cov_gb": pa.array(out[:, 1]),
+                         "cov_rb": pa.array(out[:, 2])})
+
+    return _checksum_ds(sf_dir).map_batches(
+        fn, batch_format="pyarrow", batch_size=128)
+
+
+def q_chan_corr_sql() -> str:
+    from ._common import _rgb_table_sql
+
+    return (
+        "WITH " + _rgb_table_sql(_CHECKSUM_K) + " "
+        "SELECT 'img_' || lpad(CAST(i AS VARCHAR), 12, '0') AS image_id,"
+        " CAST(count(*) * sum(r * g) - sum(r) * sum(g) AS BIGINT) "
+        "AS cov_rg, "
+        "CAST(count(*) * sum(g * b) - sum(g) * sum(b) AS BIGINT) "
+        "AS cov_gb, "
+        "CAST(count(*) * sum(r * b) - sum(r) * sum(b) AS BIGINT) "
+        "AS cov_rb FROM rgb GROUP BY 1"
+    )
