@@ -1466,3 +1466,184 @@ def q_quadtree_leaves_sql() -> str:
         "CAST(sum(CASE WHEN lvl = 3 THEN 1 ELSE 0 END) AS BIGINT) "
         "AS l3 FROM leaves GROUP BY 1"
     )
+
+
+# ---------------------------------------------------------------------------
+# round-5 computational-geometry pair: distributed convex hull and per-type
+# diameter over exact micro-degree integer coordinates, so every orientation
+# test is an exact int64 cross product on both the Ray and DuckDB sides.
+
+
+_HULL_MOD = 67
+_HULL_REM = 3
+
+
+def _micro_coords(eid: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Exact integer micro-degree coordinates from event_id.  A plain
+    multiplicative hash mod 2^32 of the SEQUENTIAL fixture ids is
+    affine between wraps, which manufactures EXACT collinear triples
+    (seen at sf0.001: one sampled point landed on the precise midpoint
+    of two hull vertices) — fatal for a strict-turn hull.  So the id
+    goes through a murmur-style xor-shift finalizer first; the xors
+    cut across carry chains, restoring general position.  numpy's
+    int64 wraparound before a mod-2^32 is harmless (2^64 is a multiple
+    of 2^32), mirrored by HUGEINT in the oracle."""
+    eid = np.asarray(eid, dtype=np.int64)
+
+    def mix(c1: int, c2: int) -> np.ndarray:
+        u = (eid * c1 + c2) % 4294967296
+        u = u ^ (u >> 16)
+        u = (u * 2246822519) % 4294967296
+        u = u ^ (u >> 13)
+        return u
+
+    u_hi = mix(2654435761, 12345)
+    u_lo = mix(1103515245, 54321)
+    latm = -60_000_000 + (120_000_000 * u_hi) // 4294967296
+    lonm = -180_000_000 + (360_000_000 * u_lo) // 4294967296
+    return latm, lonm
+
+
+def _micro_sql() -> tuple[str, str]:
+    def mix(c1: int, c2: int) -> str:
+        u = (f"CAST((CAST(event_id AS HUGEINT) * {c1} + {c2}) "
+             "% 4294967296 AS BIGINT)")
+        u = f"xor({u}, {u} // 65536)"
+        u = f"CAST((CAST({u} AS HUGEINT) * 2246822519) % 4294967296 AS BIGINT)"
+        return f"xor({u}, {u} // 8192)"
+
+    latm = (f"CAST(-60000000 + (120000000 * {mix(2654435761, 12345)}) "
+            "// 4294967296 AS BIGINT)")
+    lonm = (f"CAST(-180000000 + (360000000 * {mix(1103515245, 54321)}) "
+            "// 4294967296 AS BIGINT)")
+    return latm, lonm
+
+
+def _chain(pts: list[tuple[int, int]]) -> list[tuple[int, int]]:
+    """Andrew monotone chain over unique sorted int points; strict
+    turns (cross <= 0 pops) exclude collinear boundary points —
+    matching the oracle's strictly-left edge test."""
+    pts = sorted(set(pts))
+    if len(pts) <= 2:
+        return pts
+
+    def half(seq):
+        out: list[tuple[int, int]] = []
+        for p in seq:
+            while len(out) >= 2 and (
+                    (out[-1][0] - out[-2][0]) * (p[1] - out[-2][1])
+                    - (out[-1][1] - out[-2][1]) * (p[0] - out[-2][0])) <= 0:
+                out.pop()
+            out.append(p)
+        return out
+
+    lower = half(pts)
+    upper = half(pts[::-1])
+    return lower[:-1] + upper[:-1]
+
+
+def _hull_partials(sf_dir: str):
+    """Sampled events → per-block LOCAL hulls (map_batches): each
+    block reduces to its own hull vertices (O(log n) of a random
+    block), so only hull candidates — never raw points — reach the
+    merge.  Hulls compose (hull(A ∪ B) = hull(hull(A) ∪ hull(B))),
+    which is the whole 100-TB story: the reduce set stays tiny no
+    matter the input size."""
+    ds = _read(sf_dir, "events", ["event_id", "event_type"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        eid = b["event_id"].to_numpy(zero_copy_only=False)
+        keep = eid % _HULL_MOD == _HULL_REM
+        b = b.filter(pa.array(keep))
+        eid = eid[keep]
+        latm, lonm = _micro_coords(eid)
+        types = b["event_type"].to_pylist()
+        by_type: dict[str, list[tuple[int, int]]] = {}
+        for t, x, y in zip(types, lonm.tolist(), latm.tolist()):
+            by_type.setdefault(t, []).append((x, y))
+        rows_t, rows_x, rows_y = [], [], []
+        for t, pts in by_type.items():
+            for x, y in _chain(pts):
+                rows_t.append(t)
+                rows_x.append(x)
+                rows_y.append(y)
+        return pa.table({"event_type": pa.array(rows_t, pa.string()),
+                         "x": pa.array(rows_x, pa.int64()),
+                         "y": pa.array(rows_y, pa.int64())})
+
+    return ds.map_batches(partial, batch_format="pyarrow")
+
+
+def q_convex_hull(sf_dir: str):
+    """GLOBAL CONVEX HULL of the sampled event points (event_id %
+    67 == 3; exact micro-degree ints): per-block monotone-chain
+    partials → one bounded driver fold over the few surviving hull
+    candidates → final chain.  Emits the hull vertices as (latm,
+    lonm).  Oracle = the O(n³) strictly-left edge test, feasible
+    exactly because the sample is bounded at oracle scales; the Ray
+    path's per-block contraction is scale-free.  Assumes points in
+    general position (the pseudorandom micro grid makes an exact
+    collinear hull triple ~1e-7 unlikely, and the fixture is
+    deterministic)."""
+    cand = _hull_partials(sf_dir).to_pandas()  # bounded: local hulls only
+    pts = list(zip(cand["x"].tolist(), cand["y"].tolist()))
+    hull = _chain(pts)
+    return pd.DataFrame({"latm": [y for _, y in hull],
+                         "lonm": [x for x, _ in hull]})
+
+
+def q_convex_hull_sql() -> str:
+    latm, lonm = _micro_sql()
+    return (
+        f"WITH pts AS (SELECT DISTINCT {lonm} AS x, {latm} AS y "
+        f"FROM events WHERE event_id % {_HULL_MOD} = {_HULL_REM}) "
+        "SELECT DISTINCT a.y AS latm, a.x AS lonm FROM pts a "
+        "JOIN pts b ON NOT (a.x = b.x AND a.y = b.y) "
+        "WHERE NOT EXISTS (SELECT 1 FROM pts r WHERE "
+        "NOT (r.x = a.x AND r.y = a.y) "
+        "AND NOT (r.x = b.x AND r.y = b.y) "
+        "AND (b.x - a.x) * (r.y - a.y) "
+        "- (b.y - a.y) * (r.x - a.x) <= 0) "
+        "UNION SELECT y AS latm, x AS lonm FROM pts "
+        "WHERE (SELECT count(*) FROM pts) <= 2"
+    )
+
+
+def q_cluster_diameter(sf_dir: str):
+    """Per-event-type DIAMETER (max pairwise squared micro-degree
+    distance) of the sampled points via ROTATING-CALIPERS-shaped
+    reduction: the diameter pair of a Euclidean point set are both
+    hull vertices, so per-block local hulls (shared with
+    q_convex_hull) contract each type to a bounded candidate set and
+    the exact O(h²) max runs over hulls only — never over raw points.
+    Bounded key space (few event types) → driver fold is fine."""
+    cand = _hull_partials(sf_dir).to_pandas()
+    out_t, out_d = [], []
+    for t, grp in cand.groupby("event_type", sort=True):
+        hull = _chain(list(zip(grp["x"].tolist(), grp["y"].tolist())))
+        best = 0
+        for i in range(len(hull)):
+            xi, yi = hull[i]
+            for xj, yj in hull[i + 1:]:
+                d = (xi - xj) ** 2 + (yi - yj) ** 2
+                if d > best:
+                    best = d
+        out_t.append(t)
+        out_d.append(best)
+    return pd.DataFrame({"event_type": out_t,
+                         "diam_sq": pd.array(out_d, dtype="int64")})
+
+
+def q_cluster_diameter_sql() -> str:
+    latm, lonm = _micro_sql()
+    return (
+        f"WITH pts AS (SELECT DISTINCT event_type, {lonm} AS x, "
+        f"{latm} AS y FROM events "
+        f"WHERE event_id % {_HULL_MOD} = {_HULL_REM}) "
+        "SELECT a.event_type, CAST(COALESCE(max("
+        "(a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)), 0) "
+        "AS BIGINT) AS diam_sq "
+        "FROM pts a LEFT JOIN pts b ON b.event_type = a.event_type "
+        "AND NOT (b.x = a.x AND b.y = a.y) "
+        "GROUP BY 1"
+    )
