@@ -1322,3 +1322,146 @@ def q_chan_corr_sql() -> str:
         "CAST(count(*) * sum(r * b) - sum(r) * sum(b) AS BIGINT) "
         "AS cov_rb FROM rgb GROUP BY 1"
     )
+
+
+# fixed-point cos/sin for the 8 Hough angles θ = k·π/8 (×1024,
+# hardcoded identically in the Ray kernel and the oracle so no
+# transcendental is ever evaluated at runtime on either side)
+_HOUGH_COS = (1024, 946, 724, 392, 0, -392, -724, -946)
+_HOUGH_SIN = (0, 392, 724, 946, 1024, 946, 724, 392)
+_HOUGH_RHO_DIV = 4096          # 1024 fixed-point × 4-pixel rho bins
+_HOUGH_RHO_OFF = 262144        # shifts rho non-negative BEFORE the bin
+# division: numpy floors toward -inf, DuckDB's integer // truncates
+# toward zero, so a negative rho would bin differently on the two sides
+_HOUGH_EDGE_T2 = 3600          # gx² + gy² > 60²
+
+
+def q_hough_lines(sf_dir: str):
+    """Hash verification of an integer HOUGH LINE TRANSFORM (the
+    classic global line detector): central-difference gradients pick
+    edge pixels (gx²+gy² > T²), each votes for 8 discretized angles
+    with fixed-point rho = (x·cos + y·sin) // 4096 — the cos/sin
+    table is a shared integer constant, so both sides are
+    transcendental-free — and the image reports its top (theta, rho)
+    accumulator cell (ties broken by smaller theta then rho).  Oracle
+    = 4 neighbor equijoins → 8-angle cross join → windowed argmax."""
+    def per(y: np.ndarray) -> dict:
+        h, w = y.shape
+        gx = y[1:-1, 2:] - y[1:-1, :-2]
+        gy = y[2:, 1:-1] - y[:-2, 1:-1]
+        ex, ey = np.nonzero(gx * gx + gy * gy > _HOUGH_EDGE_T2)
+        xs, ys = ey + 1, ex + 1  # full-image pixel coords
+        votes: dict[tuple[int, int], int] = {}
+        for k in range(8):
+            rho = (xs * _HOUGH_COS[k] + ys * _HOUGH_SIN[k]
+                   + _HOUGH_RHO_OFF) // _HOUGH_RHO_DIV
+            vals, cnts = np.unique(rho, return_counts=True)
+            for r, c in zip(vals.tolist(), cnts.tolist()):
+                votes[(k, r)] = c
+        n_edges = int(len(xs))
+        if votes:
+            (bk, br), bv = max(votes.items(),
+                               key=lambda kv: (kv[1], -kv[0][0],
+                                               -kv[0][1]))
+        else:
+            bk, br, bv = 0, 0, 0
+        return {"theta_k": bk, "rho_bin": br, "votes": bv,
+                "n_edges": n_edges}
+
+    return _checksum_ds(sf_dir).map_batches(
+        _luma_kernel(per), batch_format="pyarrow", batch_size=128)
+
+
+def q_hough_lines_sql() -> str:
+    ang = ", ".join(f"({k}, {_HOUGH_COS[k]}, {_HOUGH_SIN[k]})"
+                    for k in range(8))
+    return (
+        "WITH " + _luma_table_sql(_CHECKSUM_K) + ", "
+        "g AS MATERIALIZED (SELECT c.i, c.x, c.y, "
+        "(e.l - w.l) AS gx, (s.l - n.l) AS gy FROM lum c "
+        "JOIN lum e ON e.i = c.i AND e.y = c.y AND e.x = c.x + 1 "
+        "JOIN lum w ON w.i = c.i AND w.y = c.y AND w.x = c.x - 1 "
+        "JOIN lum s ON s.i = c.i AND s.x = c.x AND s.y = c.y + 1 "
+        "JOIN lum n ON n.i = c.i AND n.x = c.x AND n.y = c.y - 1 "
+        "WHERE c.x BETWEEN 1 AND c.side - 2 "
+        "AND c.y BETWEEN 1 AND c.side - 2), "
+        f"edges AS (SELECT i, x, y FROM g "
+        f"WHERE gx * gx + gy * gy > {_HOUGH_EDGE_T2}), "
+        # ne comes from g (never empty at side >= 16), so an image with
+        # zero edge pixels still emits its fallback row like the engine
+        f"ne AS (SELECT i, sum(CASE WHEN gx * gx + gy * gy > "
+        f"{_HOUGH_EDGE_T2} THEN 1 ELSE 0 END) AS n_edges "
+        "FROM g GROUP BY 1), "
+        f"ang(k, c, s) AS (SELECT * FROM (VALUES {ang})), "
+        "acc AS (SELECT e.i, ang.k, "
+        f"(e.x * ang.c + e.y * ang.s + {_HOUGH_RHO_OFF}) "
+        f"// {_HOUGH_RHO_DIV} AS rho, "
+        "count(*) AS v FROM edges e CROSS JOIN ang GROUP BY 1, 2, 3), "
+        "top AS (SELECT i, k, rho, v, row_number() OVER ("
+        "PARTITION BY i ORDER BY v DESC, k, rho) AS rn FROM acc) "
+        "SELECT 'img_' || lpad(CAST(ne.i AS VARCHAR), 12, '0') "
+        "AS image_id, "
+        "CAST(COALESCE(top.k, 0) AS BIGINT) AS theta_k, "
+        "CAST(COALESCE(top.rho, 0) AS BIGINT) AS rho_bin, "
+        "CAST(COALESCE(top.v, 0) AS BIGINT) AS votes, "
+        "CAST(ne.n_edges AS BIGINT) AS n_edges "
+        "FROM ne LEFT JOIN top ON top.i = ne.i AND top.rn = 1"
+    )
+
+
+_HARRIS_T = 100_000_000
+
+
+def q_harris_corners(sf_dir: str):
+    """Hash verification of the HARRIS CORNER response (the interest-
+    point detector behind classical feature matching): central-
+    difference gradients, 2×2 structure-tensor window sums, exact
+    integer response R = 16·(Sxx·Syy − Sxy²) − (Sxx+Syy)² (k = 1/16
+    cleared of the division).  Emits the count of responses above a
+    fixed threshold and their exact sum.  Oracle = gradient CTE +
+    four window self-joins."""
+    def per(y: np.ndarray) -> dict:
+        gx = (y[1:-1, 2:] - y[1:-1, :-2]).astype(np.int64)
+        gy = (y[2:, 1:-1] - y[:-2, 1:-1]).astype(np.int64)
+        xx, yy, xy = gx * gx, gy * gy, gx * gy
+        sxx = xx[:-1, :-1] + xx[:-1, 1:] + xx[1:, :-1] + xx[1:, 1:]
+        syy = yy[:-1, :-1] + yy[:-1, 1:] + yy[1:, :-1] + yy[1:, 1:]
+        sxy = xy[:-1, :-1] + xy[:-1, 1:] + xy[1:, :-1] + xy[1:, 1:]
+        r = 16 * (sxx * syy - sxy * sxy) - (sxx + syy) ** 2
+        hits = r > _HARRIS_T
+        return {"n_corners": int(hits.sum()),
+                "r_sum": int(r[hits].sum())}
+
+    return _checksum_ds(sf_dir).map_batches(
+        _luma_kernel(per), batch_format="pyarrow", batch_size=128)
+
+
+def q_harris_corners_sql() -> str:
+    probes = " ".join(
+        f"JOIN g g{j} ON g{j}.i = g0.i AND g{j}.x = g0.x + {dx} "
+        f"AND g{j}.y = g0.y + {dy}"
+        for j, (dx, dy) in enumerate([(1, 0), (0, 1), (1, 1)], start=1))
+    sxx = " + ".join(f"g{j}.gx * g{j}.gx" for j in range(4))
+    syy = " + ".join(f"g{j}.gy * g{j}.gy" for j in range(4))
+    sxy = " + ".join(f"g{j}.gx * g{j}.gy" for j in range(4))
+    return (
+        "WITH " + _luma_table_sql(_CHECKSUM_K) + ", "
+        "g AS MATERIALIZED (SELECT c.i, c.side, c.x, c.y, "
+        "(e.l - w.l) AS gx, (s.l - n.l) AS gy FROM lum c "
+        "JOIN lum e ON e.i = c.i AND e.y = c.y AND e.x = c.x + 1 "
+        "JOIN lum w ON w.i = c.i AND w.y = c.y AND w.x = c.x - 1 "
+        "JOIN lum s ON s.i = c.i AND s.x = c.x AND s.y = c.y + 1 "
+        "JOIN lum n ON n.i = c.i AND n.x = c.x AND n.y = c.y - 1 "
+        "WHERE c.x BETWEEN 1 AND c.side - 2 "
+        "AND c.y BETWEEN 1 AND c.side - 2), "
+        f"r AS (SELECT g0.i, ({sxx}) AS sxx, ({syy}) AS syy, "
+        f"({sxy}) AS sxy FROM g g0 {probes} "
+        "WHERE g0.x < g0.side - 2 AND g0.y < g0.side - 2), "
+        "resp AS (SELECT i, 16 * (sxx * syy - sxy * sxy) "
+        "- (sxx + syy) * (sxx + syy) AS rr FROM r) "
+        "SELECT 'img_' || lpad(CAST(i AS VARCHAR), 12, '0') AS image_id,"
+        f" CAST(sum(CASE WHEN rr > {_HARRIS_T} THEN 1 ELSE 0 END) "
+        "AS BIGINT) AS n_corners, "
+        f"CAST(COALESCE(sum(CASE WHEN rr > {_HARRIS_T} THEN rr END), 0) "
+        "AS BIGINT) AS r_sum FROM resp GROUP BY 1"
+    )
