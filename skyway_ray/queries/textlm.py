@@ -122,9 +122,25 @@ def q_cel_filter_sql() -> str:
             "ELSE event_type IN ('view', 'purchase') END")
 
 
+_OSMF_K = 1000  # head-K elements: the fixture's tags depend only on the
+# row index (never on corpus size n — unlike nodes/members), so a fixed
+# SQL replay of the tag generator + the filter's DSL semantics is
+# identical at every scale, same pattern as the image checksum family
+
+
 def q_osmfilter_docs(sf_dir: str):
-    """The canonical docs filter over the OSM-element conformance
-    fixture (vectorized OSMFilter semantics)."""
+    """Hash verification of the CANONICAL DOCS FILTER (the OSMFilter
+    DSL end-to-end: TYPE dispatch, HAS, EQUALS, SET replace-or-append,
+    COMMIT/DROP) over the head-K conformance elements: ways with a
+    footway tag get surface=concrete set (n_tags +1 only when no
+    surface tag existed), relations tagged type=route drop, everything
+    else commits unchanged.  The oracle regenerates each element's tag
+    multiset from the fixture's closed-form index arithmetic
+    (fixtures.py::make_osm_elements — vocab picks, first-key-wins
+    dedup, the conditional footway/route appends) and applies the same
+    mutation algebra in SQL, so parser, compiler, and vectorized
+    mutation kernel are all pinned."""
+    import pyarrow.dataset as pds
     import ray.data
 
     from ..filters.vector import CompiledFilter
@@ -143,7 +159,7 @@ def q_osmfilter_docs(sf_dir: str):
         "COMMIT\n"
     )
     f = CompiledFilter.from_source(docs_filter)
-    ds = ray.data.read_parquet(path)
+    ds = ray.data.read_parquet(path, filter=pds.field("id") <= _OSMF_K)
     out = ds.map_batches(f.apply_table, batch_format="pyarrow")
     return out.map_batches(
         lambda b: pa.table({
@@ -1549,4 +1565,49 @@ def q_rare_tokens_sql() -> str:
         "rare AS (SELECT tok FROM cnt, s WHERE c * v < t) "
         "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_rare "
         "FROM w JOIN rare USING (tok) GROUP BY 1"
+    )
+
+
+def q_osmfilter_docs_sql() -> str:
+    return (
+        "WITH elems AS (SELECT CAST(i AS BIGINT) AS i, "
+        "CAST(i + 1 AS BIGINT) AS id, "
+        "CASE WHEN i % 10 < 7 THEN 'node' WHEN i % 10 < 9 THEN 'way' "
+        "ELSE 'relation' END AS type "
+        f"FROM range({_OSMF_K}) t(i)), "
+        # the 8-entry tag vocabulary (fixtures.py::_TAG_VOCAB); only
+        # key identity and the 'type' values affect the output
+        "vocab(ki, key, nv) AS (SELECT * FROM (VALUES "
+        "(0, 'highway', 4), (1, 'surface', 3), (2, 'oneway', 2), "
+        "(3, 'footway', 2), (4, 'type', 3), (5, 'route', 2), "
+        "(6, 'name', 3), (7, 'cycleway:right', 2))), "
+        "picks AS (SELECT e.i, kk.k, ((e.i * 3 + kk.k) % 8) AS ki "
+        "FROM elems e JOIN range(5) kk(k) ON kk.k < e.i % 6), "
+        "tagged AS (SELECT p.i, p.k, v.key, "
+        "CASE WHEN v.ki = 4 AND (p.i + p.k) % v.nv = 0 "
+        "THEN 'route' ELSE '' END AS tval, "
+        "row_number() OVER (PARTITION BY p.i, v.key ORDER BY p.k) "
+        "AS rn FROM picks p JOIN vocab v ON v.ki = p.ki), "
+        "base AS (SELECT i, key, tval FROM tagged WHERE rn = 1), "
+        "app AS (SELECT e.i, 'footway' AS key, '' AS tval FROM elems e "
+        "WHERE e.type = 'way' AND e.i % 4 = 0 AND NOT EXISTS ("
+        "SELECT 1 FROM base b WHERE b.i = e.i AND b.key = 'footway') "
+        "UNION ALL SELECT e.i, 'type', 'route' FROM elems e "
+        "WHERE e.type = 'relation' AND e.i % 3 = 0 AND NOT EXISTS ("
+        "SELECT 1 FROM base b WHERE b.i = e.i AND b.key = 'type')), "
+        "tags AS (SELECT * FROM base UNION ALL SELECT * FROM app), "
+        "feat AS (SELECT e.i, e.id, e.type, "
+        "COALESCE(t.ntags, 0) AS ntags, "
+        "COALESCE(t.has_footway, FALSE) AS has_footway, "
+        "COALESCE(t.has_surface, FALSE) AS has_surface, "
+        "COALESCE(t.type_route, FALSE) AS type_route "
+        "FROM elems e LEFT JOIN (SELECT i, count(*) AS ntags, "
+        "bool_or(key = 'footway') AS has_footway, "
+        "bool_or(key = 'surface') AS has_surface, "
+        "bool_or(key = 'type' AND tval = 'route') AS type_route "
+        "FROM tags GROUP BY 1) t ON t.i = e.i) "
+        "SELECT id, type, CAST(CASE WHEN type = 'way' AND has_footway "
+        "AND NOT has_surface THEN ntags + 1 ELSE ntags END AS BIGINT) "
+        "AS n_tags FROM feat "
+        "WHERE NOT (type = 'relation' AND type_route)"
     )

@@ -99,6 +99,7 @@ def test_entry_smoke(ray_session):
     "integral_checksum", "maxpool_checksum", "rle_runs", "lbp_hist",
     "median3_checksum", "euler4x", "chan_corr",
     "convex_hull", "cluster_diameter", "hough_lines", "harris_corners",
+    "osmfilter_docs",
     "repetition_ratio", "grad_energy", "weighted_centroid",
     "histeq_checksum", "speed_profile", "scatter_orientation",
     "border_buffer", "cell_transitions", "max_span", "self_crossings",
@@ -130,7 +131,7 @@ def test_sql_parity(name, entries):
 
 
 @pytest.mark.parametrize("name", [
-    "flagship_tiles", "osmfilter_docs", "exact_dedup_images",
+    "flagship_tiles", "exact_dedup_images",
     "minhash_dedup", "simhash", "langid", "fingerprint", "knn_images",
     "image_features", "image_blur", "image_patches", "hll_users", "pq_ann",
     "hll_users_by_type",
