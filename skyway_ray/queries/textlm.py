@@ -582,6 +582,48 @@ def q_prep_pipeline(sf_dir: str):
     return ds.map_batches(decontam_tokenize, batch_format="pandas")
 
 
+def q_prep_pipeline_sql() -> str:
+    """Composition oracle: every stage of the prep manifest is the SQL
+    of an already hash-verified component — langid (q_langid_sql),
+    quality counts/ratio (q_quality_sql's literals), min-id-per-text
+    dedup (q_bloom_dedup_sql's window; identical text ⟺ identical
+    fingerprint, the same no-collision premise that query rests on),
+    the 5-gram benchmark overlap (q_decontam_sql's CTEs), and the
+    BPE-piece count (q_bpe_tokens_sql's RE2 pattern) — chained in the
+    pipeline's order, so the COMPOSITION itself is pinned end-to-end."""
+    from ..functions.text import BPE_RE
+
+    punct = r"[.,;:!?''\"()\[\]{}-]"   # q_quality_sql's literal
+    bpe = BPE_RE.replace("'", "''")
+    return (
+        "WITH lang AS (SELECT * FROM (" + q_langid_sql() + ")), "
+        "q AS (SELECT doc_id, text, length(text) AS n_chars, "
+        "CAST(length(regexp_extract_all(text, '[A-Za-z0-9]+')) "
+        "AS BIGINT) AS n_tokens, "
+        f"CAST(length(regexp_extract_all(text, '{punct}')) AS BIGINT) "
+        "AS n_punct FROM documents), "
+        "keep1 AS (SELECT q.doc_id, q.text, l.lang_guess AS lang, "
+        "q.n_tokens FROM q JOIN lang l ON l.doc_id = q.doc_id "
+        "WHERE l.lang_guess <> 'und' AND q.n_chars >= 50 AND "
+        "(CASE WHEN q.n_chars > 0 THEN q.n_punct "
+        "/ CAST(q.n_chars AS DOUBLE) ELSE 0.0 END) <= 0.2), "
+        "ded AS (SELECT doc_id, text, lang, n_tokens FROM ("
+        "SELECT k.*, min(doc_id) OVER (PARTITION BY text) AS w "
+        "FROM keep1 k) WHERE doc_id = w), "
+        "docs5 AS (SELECT doc_id, regexp_extract_all(lower(text), "
+        "'[a-z0-9]+') AS arr FROM documents), "
+        "grams AS (SELECT doc_id, array_to_string(arr[i:i+4], ' ') AS g "
+        "FROM docs5, UNNEST(range(1, len(arr) - 3)) AS t(i)), "
+        "bench AS (SELECT DISTINCT g FROM grams WHERE doc_id < 10), "
+        "hits AS (SELECT DISTINCT doc_id FROM grams "
+        "WHERE g IN (SELECT g FROM bench)) "
+        "SELECT d.doc_id, d.lang, d.n_tokens, "
+        f"CAST(length(regexp_extract_all(d.text, '{bpe}')) AS BIGINT) "
+        "AS n_bpe FROM ded d "
+        "WHERE d.doc_id NOT IN (SELECT doc_id FROM hits)"
+    )
+
+
 def q_doc_stats(sf_dir: str):
     """Gopher-style repetition quality signals per document: word
     count, distinct-word count, duplicate-word fraction and

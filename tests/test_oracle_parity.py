@@ -99,7 +99,7 @@ def test_entry_smoke(ray_session):
     "integral_checksum", "maxpool_checksum", "rle_runs", "lbp_hist",
     "median3_checksum", "euler4x", "chan_corr",
     "convex_hull", "cluster_diameter", "hough_lines", "harris_corners",
-    "osmfilter_docs",
+    "osmfilter_docs", "prep_pipeline",
     "repetition_ratio", "grad_energy", "weighted_centroid",
     "histeq_checksum", "speed_profile", "scatter_orientation",
     "border_buffer", "cell_transitions", "max_span", "self_crossings",
@@ -135,7 +135,7 @@ def test_sql_parity(name, entries):
     "minhash_dedup", "simhash", "langid", "fingerprint", "knn_images",
     "image_features", "image_blur", "image_patches", "hll_users", "pq_ann",
     "hll_users_by_type",
-    "bpe_merges", "image_pyramid", "prep_pipeline", "compress_ratio",
+    "bpe_merges", "image_pyramid", "compress_ratio",
     "audio_features", "douglas_peucker",
 ])
 def test_rows_only_queries_run(name, entries):
