@@ -1465,3 +1465,37 @@ def q_harris_corners_sql() -> str:
         f"CAST(COALESCE(sum(CASE WHEN rr > {_HARRIS_T} THEN rr END), 0) "
         "AS BIGINT) AS r_sum FROM resp GROUP BY 1"
     )
+
+
+def q_exact_dedup_head(sf_dir: str):
+    """Hash verification of the PROJECTED EXACT-DEDUP path
+    (stages/dedup.py::exact_dedup_projected — projected (key, id)
+    shuffle, combiner-tree winners, broadcast semi-join back) over the
+    head-K fixture images.  The fixture's duplicate STRUCTURE is pure
+    index arithmetic — row i copies row i−1's phash exactly when
+    i % 50 == 49 (fixtures.py::make_images), values are irrelevant to
+    equality — so the surviving id set has a closed-form oracle valid
+    at every scale: all head-K ids except the copies.  A 64-bit random
+    collision would break it (~1e-14 at K=1000; the fixture is
+    deterministic, so parity is stable)."""
+    import pyarrow.dataset as pds
+    import ray.data
+
+    from ..fixtures import ensure_images_parquet, scale_for_sf_dir
+    from ..stages.dedup import exact_dedup_projected
+
+    k = 1000
+    hi = f"img_{k:012d}"
+    images = ensure_images_parquet(scale_for_sf_dir(sf_dir))
+    ds = ray.data.read_parquet(images, columns=["image_id", "phash"],
+                               filter=pds.field("image_id") < hi)
+    out = exact_dedup_projected(ds, "phash", "image_id")
+    return out.map_batches(lambda b: b.select(["image_id"]),
+                           batch_format="pyarrow")
+
+
+def q_exact_dedup_head_sql() -> str:
+    return (
+        "SELECT 'img_' || lpad(CAST(i AS VARCHAR), 12, '0') AS image_id "
+        "FROM range(1000) t(i) WHERE NOT (i % 50 = 49 AND i > 0)"
+    )
