@@ -1499,3 +1499,106 @@ def q_exact_dedup_head_sql() -> str:
         "SELECT 'img_' || lpad(CAST(i AS VARCHAR), 12, '0') AS image_id "
         "FROM range(1000) t(i) WHERE NOT (i % 50 = 49 AND i > 0)"
     )
+
+
+_HAMPAIR_K = 2000
+
+
+def q_hamming_pairs(sf_dir: str):
+    """Hash verification of BANDED-LSH CANDIDATE GENERATION against
+    brute force: all image pairs within Hamming ≤ 3 on the stored
+    64-bit phash, via the 4×16-bit band explode → hash-bucket
+    co-partition → in-bucket pair scan → vectorized popcount verify →
+    pair dedupe — the exact machinery of the near-dup harness.  With
+    4 bands and ≤ 3 differing bits, pigeonhole guarantees every true
+    pair shares a band, so the banded result must EQUAL the O(K²)
+    oracle (DuckDB bit_count(xor()) self-join over the same fixture
+    parquet) — recall 1 is verified, not assumed.  Pinned to the
+    correctness-scale fixture at every sf so the oracle is one fixed
+    file read."""
+    import pyarrow.dataset as pds
+    import ray.data
+
+    from ..fixtures import ensure_images_parquet
+    from ..functions.near_dup import hamming64
+    from ..stages.scan import hash_bucket_scan
+
+    k = _HAMPAIR_K
+    hi = f"img_{k:012d}"
+    images = ensure_images_parquet("correctness")
+    ds = ray.data.read_parquet(images, columns=["image_id", "phash"],
+                               filter=pds.field("image_id") < hi)
+
+    mask = np.uint64(0xFFFF)
+
+    def band_fn(b: pa.Table) -> pa.Table:
+        ids = b["image_id"].to_numpy(zero_copy_only=False)
+        h = b["phash"].to_numpy(zero_copy_only=False).view(np.uint64)
+        n = len(ids)
+        if not n:
+            return pa.table({"band_id": pa.array([], pa.int64()),
+                             "band_hash": pa.array([], pa.int64()),
+                             "image_id": pa.array([], pa.string()),
+                             "phash": pa.array([], pa.int64())})
+        band_id = np.repeat(np.arange(4, dtype=np.int64), n)
+        band_hash = np.concatenate([
+            ((h >> np.uint64(16 * j)) & mask).view(np.int64)
+            for j in range(4)])
+        return pa.table({
+            "band_id": pa.array(band_id),
+            "band_hash": pa.array(band_hash),
+            "image_id": pa.array(np.tile(ids, 4), pa.string()),
+            "phash": pa.array(np.tile(h.view(np.int64), 4))})
+
+    bands_ds = ds.map_batches(band_fn, batch_format="pyarrow")
+
+    def bucket_pairs(t: pa.Table) -> pa.Table:
+        bid = t["band_id"].to_numpy(zero_copy_only=False)
+        bh = t["band_hash"].to_numpy(zero_copy_only=False)
+        ids = t["image_id"].to_numpy(zero_copy_only=False)
+        ph = t["phash"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, bh, bid))
+        bid, bh, ids, ph = bid[order], bh[order], ids[order], ph[order]
+        new = np.r_[True, (bid[1:] != bid[:-1]) | (bh[1:] != bh[:-1])]
+        starts = np.flatnonzero(new)
+        ends = np.r_[starts[1:], len(bid)]
+        out_a, out_b, out_d = [], [], []
+        for s, e in zip(starts.tolist(), ends.tolist()):
+            if e - s < 2:
+                continue  # buckets are near-singletons; the rare run
+                # is tiny, so this loop touches a handful of rows
+            for i in range(s, e):
+                d = hamming64(np.full(e - i - 1, ph[i]), ph[i + 1:e])
+                hit = np.flatnonzero(d <= 3)
+                for j in hit.tolist():
+                    out_a.append(ids[i])
+                    out_b.append(ids[i + 1 + j])
+                    out_d.append(int(d[j]))
+        return pa.table({"id_a": pa.array(out_a, pa.string()),
+                         "id_b": pa.array(out_b, pa.string()),
+                         "dist": pa.array(out_d, pa.int64())})
+
+    pairs = hash_bucket_scan(bands_ds, ["band_id", "band_hash"],
+                             bucket_pairs, n_rows=4 * k)
+
+    def dedupe(t: pa.Table) -> pa.Table:
+        g = t.group_by(["id_a", "id_b"]).aggregate([("dist", "min")])
+        return g.rename_columns(["id_a", "id_b", "dist"])
+
+    return hash_bucket_scan(pairs, ["id_a", "id_b"], dedupe,
+                            n_rows=16 * k)
+
+
+def q_hamming_pairs_sql() -> str:
+    from ..fixtures import FIXTURE_DIR
+
+    path = os.path.join(FIXTURE_DIR, "images_correctness.parquet")
+    hi = f"img_{_HAMPAIR_K:012d}"
+    return (
+        f"WITH p AS (SELECT image_id, phash FROM read_parquet('{path}') "
+        f"WHERE image_id < '{hi}') "
+        "SELECT a.image_id AS id_a, b.image_id AS id_b, "
+        "CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS dist "
+        "FROM p a JOIN p b ON a.image_id < b.image_id "
+        "WHERE bit_count(xor(a.phash, b.phash)) <= 3"
+    )
