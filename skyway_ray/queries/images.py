@@ -1602,3 +1602,48 @@ def q_hamming_pairs_sql() -> str:
         "FROM p a JOIN p b ON a.image_id < b.image_id "
         "WHERE bit_count(xor(a.phash, b.phash)) <= 3"
     )
+
+
+def q_image_tiles(sf_dir: str):
+    """Hash verification of the FLAGSHIP's geotag → tile-stats spine
+    over the images table (pipelines/flagship.py minus the polygon PIP
+    join, which no SQL can replay): stages/geotag.add_geotag decodes
+    the stored phash into (lat, lon) and stages/tiling.tile_stats
+    produces the z=12 per-tile counts via the combiner tree.  The
+    oracle reads the SAME fixture parquet (pinned to the correctness
+    scale at every sf) and replays the unsigned phash split and the
+    web-mercator math in SQL — the first end-to-end pin of the
+    flagship's own stage functions on the images path."""
+    import ray.data
+
+    from ..fixtures import ensure_images_parquet
+    from ..stages.geotag import add_geotag
+    from ..stages.tiling import tile_stats
+
+    images = ensure_images_parquet("correctness")
+    ds = ray.data.read_parquet(images, columns=["image_id", "phash"])
+    ds = ds.map_batches(add_geotag, batch_format="pyarrow")
+    out = tile_stats(ds, z=12)
+    return out.map_batches(
+        lambda b: b.set_column(0, "tile_z",
+                               b["tile_z"].cast(pa.int64())),
+        batch_format="pyarrow")
+
+
+def q_image_tiles_sql() -> str:
+    from ..fixtures import FIXTURE_DIR
+    from ..geo.tiles import tile_sql
+
+    path = os.path.join(FIXTURE_DIR, "images_correctness.parquet")
+    u = ("(CAST(phash AS HUGEINT) + CASE WHEN phash < 0 "
+         "THEN 18446744073709551616 ELSE 0 END)")
+    hi = f"CAST({u} // 4294967296 AS BIGINT)"
+    lo = f"CAST({u} % 4294967296 AS BIGINT)"
+    lat = f"(-60.0 + 120.0 * {hi} / 4294967296.0)"
+    lon = f"(-180.0 + 360.0 * {lo} / 4294967296.0)"
+    xe, ye = tile_sql(lat, lon, 12)
+    return (
+        f"SELECT CAST(12 AS BIGINT) AS tile_z, {xe} AS tile_x, "
+        f"{ye} AS tile_y, CAST(count(*) AS BIGINT) AS n_images "
+        f"FROM read_parquet('{path}') GROUP BY 2, 3"
+    )
