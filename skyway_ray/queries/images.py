@@ -1647,3 +1647,66 @@ def q_image_tiles_sql() -> str:
         f"{ye} AS tile_y, CAST(count(*) AS BIGINT) AS n_images "
         f"FROM read_parquet('{path}') GROUP BY 2, 3"
     )
+
+
+def q_knn_images_exact(sf_dir: str):
+    """Hash verification of the CELL-INDEX kNN (stages/knn.py
+    CellKnnIndex bulk disk-1 + ring fallback) on the images table: 100
+    probe images against the first 2000, k=5, coordinates decoded from
+    the stored phash.  The oracle brute-forces the same top-5 with a
+    cross join over the same fixture parquet, ranked by (dist2,
+    neighbor_id) exactly like the index's (d2, id) sort — so the
+    index's candidate-ring logic must agree with exhaustive search on
+    real values (the events-table knn twin pins the same code on int
+    keys).  Pinned to the correctness-scale fixture at every sf."""
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data
+
+    from ..fixtures import ensure_images_parquet
+    from ..geo.geotag import latlon_from_phash
+    from ..stages.knn import KnnStage
+
+    images = ensure_images_parquet("correctness")
+    tab = pq.read_table(images, columns=["image_id", "phash"])
+    tab = tab.slice(0, 2000)
+    lat, lon = latlon_from_phash(tab["phash"].to_numpy(zero_copy_only=False))
+    ref_table = pa.table({"image_id": tab["image_id"],
+                          "lat": pa.array(lat), "lon": pa.array(lon)})
+    ref = ray.put(ref_table)
+    probes = ray.data.from_arrow(ref_table.slice(0, 100))
+    out = probes.map_batches(
+        KnnStage, fn_constructor_kwargs=dict(ref_table_ref=ref, k=5, res=6),
+        batch_format="pyarrow", concurrency=2)
+    return out.map_batches(
+        lambda b: pa.table({"probe_id": b["probe_id"],
+                            "neighbor_id": b["neighbor_id"],
+                            "knn_rank": b["rank"]}),
+        batch_format="pyarrow")
+
+
+def q_knn_images_exact_sql() -> str:
+    from ..fixtures import FIXTURE_DIR
+
+    path = os.path.join(FIXTURE_DIR, "images_correctness.parquet")
+    u = ("(CAST(phash AS HUGEINT) + CASE WHEN phash < 0 "
+         "THEN 18446744073709551616 ELSE 0 END)")
+    hi = f"CAST({u} // 4294967296 AS BIGINT)"
+    lo = f"CAST({u} % 4294967296 AS BIGINT)"
+    lat = f"(-60.0 + 120.0 * {hi} / 4294967296.0)"
+    lon = f"(-180.0 + 360.0 * {lo} / 4294967296.0)"
+    return (
+        "WITH pts AS (SELECT image_id, "
+        f"{lat} AS lat, {lon} AS lon "
+        f"FROM read_parquet('{path}') "
+        f"WHERE image_id < 'img_{2000:012d}'), "
+        f"probes AS (SELECT * FROM pts WHERE image_id < 'img_{100:012d}'), "
+        "d AS (SELECT p.image_id AS probe_id, r.image_id AS neighbor_id, "
+        "(r.lat - p.lat) * (r.lat - p.lat) "
+        "+ (r.lon - p.lon) * (r.lon - p.lon) AS dist2 "
+        "FROM probes p CROSS JOIN pts r), "
+        "ranked AS (SELECT probe_id, neighbor_id, row_number() OVER ("
+        "PARTITION BY probe_id ORDER BY dist2, neighbor_id) AS knn_rank "
+        "FROM d) SELECT probe_id, neighbor_id, knn_rank "
+        "FROM ranked WHERE knn_rank <= 5"
+    )

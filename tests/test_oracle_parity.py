@@ -100,7 +100,7 @@ def test_entry_smoke(ray_session):
     "median3_checksum", "euler4x", "chan_corr",
     "convex_hull", "cluster_diameter", "hough_lines", "harris_corners",
     "osmfilter_docs", "prep_pipeline", "exact_dedup_head",
-    "hamming_pairs", "image_tiles",
+    "hamming_pairs", "image_tiles", "knn_images_exact",
     "repetition_ratio", "grad_energy", "weighted_centroid",
     "histeq_checksum", "speed_profile", "scatter_orientation",
     "border_buffer", "cell_transitions", "max_span", "self_crossings",
