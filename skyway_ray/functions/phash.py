@@ -110,44 +110,52 @@ def phash_near_dup(ds, id_col: str = "image_id", hash_col: str = "dhash64",
     TINY next to any real corpus (the bench fixture has ~8k distinct
     dhash values across 500k images), so banding the raw rows floods
     the 16-bit buckets — ~2M candidate edges, ~4 star edges per image
-    re-emitted in every band.  One hash-keyed exchange first maps each
-    image to its distinct-hash representative (min id), emits those
-    (rep, member) contraction edges ONCE, and the LSH banding + chain
-    verify then run over the distinct hashes only; the CC input is the
-    contraction stars plus the few verified cross-hash edges.  Both
-    exchanges stay bounded: the contraction by corpus rows (ids+hash
-    only), the banding by the distinct-hash count."""
-    import pyarrow.compute as pc
+    re-emitted in every band.  A combiner-tree winners pass (min id
+    per distinct hash — per-block partials bounded by block-distinct
+    hashes, no corpus-sized exchange) broadcasts the (hash → rep) map;
+    one streaming pass emits the (rep, member) contraction edges, and
+    the LSH banding + chain verify run over the distinct hashes only;
+    the CC input is the contraction stars plus the few verified
+    cross-hash edges.  The banding stays bounded by the distinct-hash
+    count, the broadcast by the same."""
+    import ray
+    import ray.data
 
-    from ..stages.scan import hash_bucket_scan
+    from ..stages.agg_tree import tree_aggregate
     from .near_dup import hamming64, lsh_dedup_pipeline
 
-    def contract(tb: pa.Table) -> pa.Table:
-        ids = tb[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        if not len(ids):
-            return pa.table({"doc_a": pa.array([], pa.int64()),
-                             "doc_b": pa.array([], pa.int64()),
-                             "_h": pa.array([], pa.int64())})
-        h = tb[hash_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        idx = np.lexsort((ids, h))
-        h, ids = h[idx], ids[idx]
-        new_run = np.r_[True, h[1:] != h[:-1]]
-        rep = ids[np.flatnonzero(new_run)][np.cumsum(new_run) - 1]
-        return pa.table({"doc_a": pa.array(rep, pa.int64()),
-                         "doc_b": pa.array(ids, pa.int64()),
-                         "_h": pa.array(h, pa.int64())})
+    # winners pass: min id per distinct hash via the Arrow combiner
+    # tree — per-block partials are bounded by the block's DISTINCT
+    # hashes, so nothing resembling the corpus ever crosses a shuffle
+    # (the whole contraction exists because perceptual-hash spaces
+    # collapse: ~8k distinct dhash values across the 500k-image bench
+    # corpus).  This replaced a full (id, hash) groupby exchange that
+    # cost more than the decode itself at bench scale; for a corpus
+    # whose distinct-hash count rivals its rows the tree degrades to
+    # shipping those distincts — still ids+hashes only, and such a
+    # corpus has no contraction to exploit in the first place.
+    winners_tab = ray.get(
+        tree_aggregate(ds.select_columns([hash_col, id_col]),
+                       [hash_col], [(id_col, "min")])
+        .to_arrow_refs()[0])
+    h_np = winners_tab[hash_col].to_numpy(zero_copy_only=False)
+    order = np.argsort(h_np, kind="mergesort")
+    winners_ref = ray.put(
+        (h_np[order],
+         winners_tab[id_col].to_numpy(zero_copy_only=False)[order]))
 
-    pairs = hash_bucket_scan(ds, [hash_col], contract,
-                             n_rows=ds.count()).materialize()
-    star_edges = pairs.map_batches(
-        lambda b: b.filter(pc.not_equal(b["doc_a"], b["doc_b"]))
-        .select(["doc_a", "doc_b"]), batch_format="pyarrow")
+    def star_fn(b: pa.Table) -> pa.Table:
+        hs, reps = ray.get(winners_ref)
+        h = b[hash_col].to_numpy(zero_copy_only=False)
+        ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        rep = reps[np.searchsorted(hs, h)]
+        keep = rep != ids
+        return pa.table({"doc_a": pa.array(rep[keep], pa.int64()),
+                         "doc_b": pa.array(ids[keep], pa.int64())})
 
-    def rep_rows(b: pa.Table) -> pa.Table:
-        t = b.filter(pc.equal(b["doc_a"], b["doc_b"]))
-        return pa.table({id_col: t["doc_b"], hash_col: t["_h"]})
-
-    distinct = pairs.map_batches(rep_rows, batch_format="pyarrow")
+    star_edges = ds.map_batches(star_fn, batch_format="pyarrow")
+    distinct = ray.data.from_arrow(pa.table({
+        id_col: winners_tab[id_col], hash_col: winners_tab[hash_col]}))
 
     width = 64 // bands
     mask = np.uint64((1 << width) - 1)
