@@ -89,28 +89,25 @@ def q_image_patches(sf_dir: str):
     ds = ray.data.read_parquet(images, columns=["image_id", "bytes", "fmt"])
 
     # stateless tasks; patch rows inflate the batch ~(side/patch)² so
-    # keep the batch a notch under the feature stages'
-    patches = ds.map_batches(as_tasks(ImagePatchify),
-                             batch_format="pyarrow", batch_size=1024)
+    # keep the batch a notch under the feature stages'.  The manifest
+    # aggregates IN the same task: every image is one input row, so
+    # its patches are complete within the call — no exchange needed
+    # (the previous per-image groupby over the post-split patch stream
+    # shuffled a corpus-sized key space purely defensively).
+    patchify = as_tasks(ImagePatchify)
 
-    def manifest(b: pa.Table) -> pa.Table:
-        t = pa.table({"image_id": b["image_id"],
+    def patches_manifest(b: pa.Table) -> pa.Table:
+        p = patchify(b)
+        t = pa.table({"image_id": p["image_id"],
                       "n_patches": pa.array(
-                          np.ones(b.num_rows, np.int64)),
-                      "luma_sum": b["mean_luma"]})
+                          np.ones(p.num_rows, np.int64)),
+                      "luma_sum": p["mean_luma"]})
         return (t.group_by(["image_id"])
                  .aggregate([("n_patches", "sum"), ("luma_sum", "sum")])
                  .rename_columns(["image_id", "n_patches", "luma_sum"]))
 
-    from ..stages.scan import hash_bucket_scan
-
-    return hash_bucket_scan(
-        patches.map_batches(manifest, batch_format="pyarrow"),
-        ["image_id"],
-        lambda t: t.group_by(["image_id"]).aggregate(
-            [("n_patches", "sum"), ("luma_sum", "sum")])
-        .rename_columns(["image_id", "n_patches", "luma_sum"]),
-        n_rows=4096)
+    return ds.map_batches(patches_manifest, batch_format="pyarrow",
+                          batch_size=1024)
 
 
 def q_phash_dedup(sf_dir: str):
