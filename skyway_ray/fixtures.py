@@ -312,6 +312,36 @@ def ensure_audio_parquet(n: int = 200) -> str:
     return _atomic_write(make_audio(n), dest)
 
 
+_VIDEO_T, _VIDEO_SIDE = 8, 32
+
+
+def make_videos(n: int) -> pa.Table:
+    """Deterministic SKWV clips: frame t of video v is the closed-form
+    pixel plane ``_gen_pixels(v * 1000 + t, 32)`` — the SAME generator
+    the image-checksum oracles replay in SQL, so frame kernels
+    (sampling sums, scene-cut deltas) are hash-verifiable end-to-end
+    through container encode → parquet → decode."""
+    from .functions.video_codec import encode_video
+
+    ids, blobs = [], []
+    for v in range(n):
+        frames = np.stack([_gen_pixels(v * 1000 + t, _VIDEO_SIDE)
+                           for t in range(_VIDEO_T)])
+        ids.append(f"vid_{v:08d}")
+        blobs.append(encode_video(frames))
+    return pa.table({"video_id": pa.array(ids, pa.string()),
+                     "bytes": pa.array(blobs, pa.binary()),
+                     "fmt": pa.array(["skwv"] * n, pa.string()),
+                     "n_frames": pa.array([_VIDEO_T] * n, pa.int32())})
+
+
+def ensure_videos_parquet(n: int = 60) -> str:
+    dest = os.path.join(FIXTURE_DIR, f"videos_{n}.parquet")
+    if os.path.exists(dest):
+        return dest
+    return _atomic_write(make_videos(n), dest)
+
+
 def ensure_osm_elements_parquet(scale: str = "correctness") -> str:
     n = SCALES[scale]
     dest = os.path.join(FIXTURE_DIR, f"osm_elements_{scale}.parquet")

@@ -1707,3 +1707,85 @@ def q_knn_images_exact_sql() -> str:
         "FROM d) SELECT probe_id, neighbor_id, knn_rank "
         "FROM ranked WHERE knn_rank <= 5"
     )
+
+
+_VIDEO_N, _VIDEO_T2, _VIDEO_SIDE2 = 60, 8, 32
+_VCUT_T = 70000
+
+
+def _video_lum_sql() -> str:
+    """Luma plane of every fixture video frame: frame t of video v is
+    the closed-form pixel plane _gen_pixels(v*1000 + t, 32) — the same
+    generator the image checksksums replay — stored LOSSLESSLY in the
+    SKWV container (zlib), so no quantization branch applies."""
+    from ._common import _raw_px_sql
+
+    return (
+        f"vf AS (SELECT CAST(a.v AS BIGINT) AS v, CAST(b.t AS BIGINT) "
+        f"AS t, CAST(a.v * 1000 + b.t AS BIGINT) AS i, "
+        f"CAST({_VIDEO_SIDE2} AS BIGINT) AS side "
+        f"FROM range({_VIDEO_N}) a(v) CROSS JOIN range({_VIDEO_T2}) b(t)), "
+        "vlum AS (SELECT v, t, x, y, "
+        f"(77 * {_raw_px_sql('0')} + 150 * {_raw_px_sql('1')} "
+        f"+ 29 * {_raw_px_sql('2')}) // 256 AS l "
+        f"FROM vf JOIN range({_VIDEO_SIDE2}) tx(x) ON true "
+        f"JOIN range({_VIDEO_SIDE2}) ty(y) ON true)"
+    )
+
+
+def q_video_frames(sf_dir: str):
+    """Hash verification of VIDEO FRAME SAMPLING (the training-data
+    frame-extraction shape): decode the SKWV fixture clips inside
+    map_batches (stages/multimodal.py::VideoFrameSample), emit every
+    2nd frame's exact int64 luma sum.  The oracle replays the frame
+    generator per (video, frame) in SQL, so container encode →
+    parquet → decode → sampling is pinned end-to-end.  Real codecs
+    raise NotImplementedError in the codec module — the documented
+    environment limit; the stage and schema are the real plumbing."""
+    import ray.data
+
+    from ..fixtures import ensure_videos_parquet
+    from ..stages.multimodal import VideoFrameSample
+
+    videos = ensure_videos_parquet(_VIDEO_N)
+    ds = ray.data.read_parquet(videos, columns=["video_id", "bytes"])
+    return ds.map_batches(VideoFrameSample(every_n=2),
+                          batch_format="pyarrow", batch_size=8)
+
+
+def q_video_frames_sql() -> str:
+    return (
+        "WITH " + _video_lum_sql() + " "
+        "SELECT 'vid_' || lpad(CAST(v AS VARCHAR), 8, '0') AS video_id,"
+        " t AS frame_idx, CAST(sum(l) AS BIGINT) AS luma_sum "
+        "FROM vlum WHERE t % 2 = 0 GROUP BY 1, 2"
+    )
+
+
+def q_video_cuts(sf_dir: str):
+    """Hash verification of SCENE-CUT DETECTION: per consecutive frame
+    pair the exact L1 luma delta (stages/multimodal.py::VideoSceneCuts);
+    a cut is a delta above the fixed threshold.  Oracle = one t+1
+    equijoin over the replayed frame planes."""
+    import ray.data
+
+    from ..fixtures import ensure_videos_parquet
+    from ..stages.multimodal import VideoSceneCuts
+
+    videos = ensure_videos_parquet(_VIDEO_N)
+    ds = ray.data.read_parquet(videos, columns=["video_id", "bytes"])
+    return ds.map_batches(VideoSceneCuts(threshold=_VCUT_T),
+                          batch_format="pyarrow", batch_size=8)
+
+
+def q_video_cuts_sql() -> str:
+    return (
+        "WITH " + _video_lum_sql() + ", "
+        "d AS (SELECT a.v, a.t, sum(abs(b.l - a.l)) AS dt "
+        "FROM vlum a JOIN vlum b ON b.v = a.v AND b.x = a.x "
+        "AND b.y = a.y AND b.t = a.t + 1 GROUP BY 1, 2) "
+        "SELECT 'vid_' || lpad(CAST(v AS VARCHAR), 8, '0') AS video_id,"
+        f" CAST(sum(CASE WHEN dt > {_VCUT_T} THEN 1 ELSE 0 END) "
+        "AS BIGINT) AS n_cuts, "
+        "CAST(sum(dt) AS BIGINT) AS delta_sum FROM d GROUP BY 1"
+    )

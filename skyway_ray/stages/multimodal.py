@@ -5,14 +5,15 @@ decode/feature/resize work happens in actor pools with small batches
 (multi-MB rows × batch_size × concurrency must fit worker heaps — see
 the ``batch_size`` guidance in each class).
 
-Codec availability in this container (see functions/image_codec.py):
-PNG decode/encode is real (pure zlib); jpeg/webp are deterministic
-fake-lossy STUBS; genuine jpeg/webp byte streams raise
-``NotImplementedError``.  Audio/video decoding has no available
-library at all, so those stages are STUBS raising
-``NotImplementedError`` at decode time — the Ray-side plumbing
-(schemas, actor signatures, batch sizing, output layout) is real and
-tested via the deterministic fake codec.
+Codec availability in this container (see functions/image_codec.py,
+functions/audio_codec.py, functions/video_codec.py): PNG decode/encode
+is real (pure zlib); jpeg/webp are deterministic fake-lossy STUBS; PCM
+WAV is real (pure struct); video uses the deterministic SKWV synthetic
+container (zlib frames).  Genuine jpeg/webp/mp3/mp4-class byte streams
+raise ``NotImplementedError`` — the documented environment limit — but
+every stage's Ray-side plumbing (schemas, batch sizing, flat frame
+output, blob-free manifests) is real, tested, and hash-verified where
+a generator replay exists (video_frames, video_cuts).
 """
 
 from __future__ import annotations
@@ -465,9 +466,14 @@ class AudioFeatures:
 
 
 class VideoFrameSample:
-    """STUB — no video codec is available.  On a real cluster this is a
-    `map_batches` actor stage with batch_size=1-8 (frames are large),
-    emitting (video_id, frame_idx, frame_png) rows via flat output."""
+    """Frame sampling over the SKWV synthetic container
+    (functions/video_codec.py — real codecs raise NotImplementedError
+    there, the documented environment limit; on a cluster only the
+    codec module is swapped).  `map_batches` stage with small
+    batch_size (frames are large): decode once, emit one row per
+    every_n-th frame with its exact int64 luma sum — the blob-free
+    manifest shape; a training consumer would emit the frame tensor
+    instead via the same flat output."""
 
     def __init__(self, bytes_col: str = "bytes", id_col: str = "video_id",
                  every_n: int = 30):
@@ -476,5 +482,51 @@ class VideoFrameSample:
         self.every_n = every_n
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        raise NotImplementedError(
-            "video decode is STUBBED: no video library in this environment")
+        from ..functions.video_codec import decode_video
+
+        ids = batch[self.id_col].to_pylist()
+        out_id, out_t, out_s = [], [], []
+        for i, blob in enumerate(batch[self.bytes_col].to_pylist()):
+            frames = decode_video(blob).astype(np.int64)
+            y = (77 * frames[:, :, :, 0] + 150 * frames[:, :, :, 1]
+                 + 29 * frames[:, :, :, 2]) >> 8
+            for t in range(0, frames.shape[0], self.every_n):
+                out_id.append(ids[i])
+                out_t.append(t)
+                out_s.append(int(y[t].sum()))
+        return pa.table({
+            self.id_col: pa.array(out_id, pa.string()),
+            "frame_idx": pa.array(out_t, pa.int64()),
+            "luma_sum": pa.array(out_s, pa.int64())})
+
+
+class VideoSceneCuts:
+    """Scene-cut detection over SKWV clips: per consecutive frame pair
+    the exact L1 luma delta; a cut is a delta above ``threshold``.
+    Emits (video_id, n_cuts, delta_sum) — pure ints, so the kernel is
+    hash-verifiable against the fixture generator's SQL replay."""
+
+    def __init__(self, threshold: int, bytes_col: str = "bytes",
+                 id_col: str = "video_id"):
+        self.threshold = int(threshold)
+        self.bytes_col = bytes_col
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..functions.video_codec import decode_video
+
+        ids = batch[self.id_col].to_pylist()
+        n = len(ids)
+        cuts = np.zeros(n, np.int64)
+        dsum = np.zeros(n, np.int64)
+        for i, blob in enumerate(batch[self.bytes_col].to_pylist()):
+            frames = decode_video(blob).astype(np.int64)
+            y = (77 * frames[:, :, :, 0] + 150 * frames[:, :, :, 1]
+                 + 29 * frames[:, :, :, 2]) >> 8
+            d = np.abs(y[1:] - y[:-1]).sum(axis=(1, 2))
+            cuts[i] = int((d > self.threshold).sum())
+            dsum[i] = int(d.sum())
+        return pa.table({
+            self.id_col: pa.array(ids, pa.string()),
+            "n_cuts": pa.array(cuts),
+            "delta_sum": pa.array(dsum)})

@@ -96,3 +96,37 @@ class TestFixtures:
         assert df[df["type"] == "relation"]["members"].map(lambda x: len(x) > 0).all()
         assert df[df["type"] == "node"]["lat"].notna().all()
         assert make_osm_elements(1000).equals(t)
+
+
+class TestVideoCodec:
+    def test_roundtrip_exact(self):
+        import numpy as np
+
+        from skyway_ray.functions.video_codec import (decode_video,
+                                                      encode_video)
+
+        rng = np.random.default_rng(3)
+        frames = rng.integers(0, 256, (5, 12, 9, 3), dtype=np.uint8)
+        out = decode_video(encode_video(frames))
+        assert out.shape == frames.shape
+        assert (out == frames).all()
+
+    def test_real_codec_payload_raises(self):
+        import pytest
+
+        from skyway_ray.functions.video_codec import decode_video
+
+        with pytest.raises(NotImplementedError):
+            decode_video(b"\x00\x00\x00\x18ftypmp42fakeatom")
+
+    def test_fixture_frames_match_generator(self):
+        import numpy as np
+
+        from skyway_ray.fixtures import _VIDEO_SIDE, _gen_pixels, make_videos
+        from skyway_ray.functions.video_codec import decode_video
+
+        tab = make_videos(3)
+        frames = decode_video(tab["bytes"][1].as_py())
+        want = np.stack([_gen_pixels(1 * 1000 + t, _VIDEO_SIDE)
+                         for t in range(frames.shape[0])])
+        assert (frames == want).all()
