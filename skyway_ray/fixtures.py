@@ -312,6 +312,38 @@ def ensure_audio_parquet(n: int = 200) -> str:
     return _atomic_write(make_audio(n), dest)
 
 
+_TONE_N_SAMP, _TONE_SR = 2000, 8000
+
+
+def make_tones(n: int) -> pa.Table:
+    """Noise-free PCM tone clips: sample t of clip i is
+    ``trunc(amp_i · sin(2π·f_i·t / 8000) · 32767)`` — every term a
+    closed form of (i, t), so a DuckDB oracle replays the samples and
+    pins the WAV codec end-to-end (make_audio's clips add a PCG noise
+    stream, which no SQL can replay — hence this second fixture)."""
+    from .functions.audio_codec import encode_wav
+
+    t = np.arange(_TONE_N_SAMP)
+    ids, blobs = [], []
+    for i in range(n):
+        freq = 110.0 * (1 + (i % 17))
+        amp = 0.1 + 0.8 * ((i % 7) / 7.0)
+        wave = amp * np.sin(2.0 * np.pi * freq * t / _TONE_SR)
+        s = np.trunc(wave * 32767.0).astype(np.int16)
+        ch = 1 + (i % 2)
+        ids.append(f"tone_{i:06d}")
+        blobs.append(encode_wav(np.stack([s] * ch, axis=1), _TONE_SR))
+    return pa.table({"audio_id": pa.array(ids, pa.string()),
+                     "bytes": pa.array(blobs, pa.binary())})
+
+
+def ensure_tones_parquet(n: int = 200) -> str:
+    dest = os.path.join(FIXTURE_DIR, f"tones_{n}.parquet")
+    if os.path.exists(dest):
+        return dest
+    return _atomic_write(make_tones(n), dest)
+
+
 _VIDEO_T, _VIDEO_SIDE = 8, 32
 
 

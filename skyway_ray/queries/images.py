@@ -1789,3 +1789,62 @@ def q_video_cuts_sql() -> str:
         "AS BIGINT) AS n_cuts, "
         "CAST(sum(dt) AS BIGINT) AS delta_sum FROM d GROUP BY 1"
     )
+
+
+_TONE_N = 200
+
+
+def q_audio_checksum(sf_dir: str):
+    """Hash verification of the PCM WAV DECODE PATH (the real
+    pure-struct codec, functions/audio_codec.py): decode the noise-free
+    tone fixture inside map_batches and emit exact integer features —
+    frame count, channel count, Σ s² over all channels, peak |s|.  The
+    oracle replays every sample from the closed form
+    trunc(amp·sin(2π·f·t/8000)·32767) (fixtures.py::make_tones; numpy
+    and DuckDB share libm trig on this platform, the same premise the
+    hash-verified web-mercator tile math rests on), so a flipped byte
+    anywhere in encode → parquet → decode mismatches."""
+    import ray.data
+
+    from ..fixtures import ensure_tones_parquet
+    from ..functions.audio_codec import decode_wav
+
+    path = ensure_tones_parquet(_TONE_N)
+    ds = ray.data.read_parquet(path, columns=["audio_id", "bytes"])
+
+    def feats(b: pa.Table) -> pa.Table:
+        ids = b["audio_id"].to_pylist()
+        n = len(ids)
+        out = np.zeros((n, 4), np.int64)
+        for i, blob in enumerate(b["bytes"].to_pylist()):
+            s, _sr = decode_wav(blob)
+            s64 = s.astype(np.int64)
+            out[i] = (s.shape[0], s.shape[1],
+                      int((s64 * s64).sum()), int(np.abs(s64).max()))
+        return pa.table({"audio_id": b["audio_id"],
+                         "n_frames": pa.array(out[:, 0]),
+                         "channels": pa.array(out[:, 1]),
+                         "sumsq": pa.array(out[:, 2]),
+                         "peak": pa.array(out[:, 3])})
+
+    return ds.map_batches(feats, batch_format="pyarrow", batch_size=64)
+
+
+def q_audio_checksum_sql() -> str:
+    from ..fixtures import _TONE_N_SAMP, _TONE_SR
+
+    s = ("CAST(trunc((0.1 + 0.8 * ((i % 7) / 7.0)) "
+         f"* sin(2.0 * pi() * (110.0 * (1 + (i % 17))) * t / {_TONE_SR}.0) "
+         "* 32767.0) AS BIGINT)")
+    return (
+        f"WITH clips AS (SELECT CAST(i AS BIGINT) AS i, "
+        f"CAST(1 + i % 2 AS BIGINT) AS ch FROM range({_TONE_N}) a(i)), "
+        f"samp AS (SELECT i, ch, {s} AS s "
+        f"FROM clips JOIN range({_TONE_N_SAMP}) b(t) ON true) "
+        "SELECT 'tone_' || lpad(CAST(i AS VARCHAR), 6, '0') AS audio_id,"
+        f" CAST({_TONE_N_SAMP} AS BIGINT) AS n_frames, "
+        "any_value(ch) AS channels, "
+        "CAST(any_value(ch) * sum(s * s) AS BIGINT) AS sumsq, "
+        "CAST(max(abs(s)) AS BIGINT) AS peak "
+        "FROM samp GROUP BY 1"
+    )

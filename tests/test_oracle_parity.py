@@ -101,7 +101,7 @@ def test_entry_smoke(ray_session):
     "convex_hull", "cluster_diameter", "hough_lines", "harris_corners",
     "osmfilter_docs", "prep_pipeline", "exact_dedup_head",
     "hamming_pairs", "image_tiles", "knn_images_exact",
-    "video_frames", "video_cuts",
+    "video_frames", "video_cuts", "audio_checksum",
     "repetition_ratio", "grad_energy", "weighted_centroid",
     "histeq_checksum", "speed_profile", "scatter_orientation",
     "border_buffer", "cell_transitions", "max_span", "self_crossings",
