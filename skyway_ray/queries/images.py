@@ -1848,3 +1848,97 @@ def q_audio_checksum_sql() -> str:
         "CAST(max(abs(s)) AS BIGINT) AS peak "
         "FROM samp GROUP BY 1"
     )
+
+
+def q_morph_checksum(sf_dir: str):
+    """Hash verification of 3×3 GRAYSCALE MORPHOLOGY (erosion = min,
+    dilation = max over each interior pixel's neighborhood, gradient
+    = dilate − erode — the edge-strength / structuring-element
+    building blocks): exact int64 plane sums of all three.  Oracle =
+    the median3 shape with min/max in place of the order statistic
+    (nine shifted equijoins unioned, then min/max per pixel)."""
+    def per(y: np.ndarray) -> dict:
+        h, w = y.shape
+        stk = np.stack([y[1 + dy:h - 1 + dy, 1 + dx:w - 1 + dx]
+                        for dy in (-1, 0, 1) for dx in (-1, 0, 1)])
+        er = stk.min(axis=0)
+        di = stk.max(axis=0)
+        return {"erode_sum": int(er.sum()), "dilate_sum": int(di.sum()),
+                "grad_sum": int((di - er).sum())}
+
+    return _checksum_ds(sf_dir).map_batches(
+        _luma_kernel(per), batch_format="pyarrow", batch_size=128)
+
+
+def q_morph_checksum_sql() -> str:
+    shifts = " UNION ALL ".join(
+        f"SELECT c.i, c.x, c.y, n.l FROM lum c "
+        f"JOIN lum n ON n.i = c.i AND n.x = c.x + ({dx}) "
+        f"AND n.y = c.y + ({dy}) "
+        f"WHERE c.x BETWEEN 1 AND c.side - 2 "
+        f"AND c.y BETWEEN 1 AND c.side - 2"
+        for dy in (-1, 0, 1) for dx in (-1, 0, 1))
+    return (
+        "WITH " + _luma_table_sql(_CHECKSUM_K) + ", "
+        "n9 AS MATERIALIZED (" + shifts + "), "
+        "m AS (SELECT i, x, y, min(l) AS er, max(l) AS di "
+        "FROM n9 GROUP BY 1, 2, 3) "
+        "SELECT 'img_' || lpad(CAST(i AS VARCHAR), 12, '0') AS image_id,"
+        " CAST(sum(di) AS BIGINT) AS dilate_sum,"
+        " CAST(sum(er) AS BIGINT) AS erode_sum,"
+        " CAST(sum(di - er) AS BIGINT) AS grad_sum "
+        "FROM m GROUP BY 1"
+    )
+
+
+# 8-point DCT-II basis, pinned to exact integers (×10^4, round-half-up)
+# at module import — the SAME table is embedded as literals in the SQL
+# oracle, so both sides share one basis by construction.
+_DCT_C = np.array(
+    [[int(np.floor(np.cos(np.pi * (2 * n + 1) * k / 16.0) * 1e4 + 0.5))
+      for n in range(8)] for k in range(8)], np.int64)
+_DCT_COEFFS = ((0, 1), (1, 0), (1, 1), (2, 3), (7, 7))
+
+
+def q_block_dct(sf_dir: str):
+    """Hash verification of the 8×8 BLOCK DCT-II (the JPEG transform
+    kernel; every fixture side is a multiple of 8): five fixed (u, v)
+    coefficients per block on the integer-pinned cosine basis
+    (``_DCT_C``; |F| ≤ 255·64·10^8 < 2^63 and the per-image abs-sum
+    over ≤ 64 blocks stays within int64), emitted as exact per-image
+    abs-sums.  One int64 einsum over the reshaped block tensor per
+    coefficient — no per-pixel Python.  Oracle = one pass over the
+    luma plane with the basis inlined as CASE tables, per-block sums,
+    then per-image abs-sums (DCT separability is the cross-check)."""
+    def per(y: np.ndarray) -> dict:
+        h, w = y.shape
+        blk = y.reshape(h // 8, 8, w // 8, 8)  # (by, yl, bx, xl)
+        out = {}
+        for (u, v) in _DCT_COEFFS:
+            f = np.einsum("aybx,y,x->ab", blk, _DCT_C[v], _DCT_C[u])
+            out[f"d{u}{v}"] = int(np.abs(f).sum())
+        return out
+
+    return _checksum_ds(sf_dir).map_batches(
+        _luma_kernel(per), batch_format="pyarrow", batch_size=128)
+
+
+def q_block_dct_sql() -> str:
+    def case(col: str, k: int) -> str:
+        whens = " ".join(f"WHEN {n} THEN ({int(_DCT_C[k, n])})"
+                         for n in range(8))
+        return f"(CASE {col} % 8 {whens} END)"
+
+    per_block = ", ".join(
+        f"sum(l * {case('x', u)} * {case('y', v)}) AS d{u}{v}"
+        for u, v in _DCT_COEFFS)
+    outer = ", ".join(
+        f"CAST(sum(abs(d{u}{v})) AS BIGINT) AS d{u}{v}"
+        for u, v in _DCT_COEFFS)
+    return (
+        "WITH " + _luma_table_sql(_CHECKSUM_K) + ", "
+        f"g AS (SELECT i, x // 8 AS bx, y // 8 AS by, {per_block} "
+        "FROM lum GROUP BY 1, 2, 3) "
+        "SELECT 'img_' || lpad(CAST(i AS VARCHAR), 12, '0') AS image_id, "
+        + outer + " FROM g GROUP BY 1"
+    )
