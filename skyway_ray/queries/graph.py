@@ -72,8 +72,8 @@ def q_pagerank_sql() -> str:
     )
 
 
-def q_triangles(sf_dir: str):
-    """Distributed triangle counting on the derived 400-node graph
+def _triangle_partials(sf_dir: str, all_corners: bool = False):
+    """Shared triangle-counting pipeline on the derived 400-node graph
     (u = user_id%400 — v = event_id%400 edges): the compact-forward /
     MapReduce shape with DEGREE orientation — every undirected edge
     points from its lower-(degree, id) endpoint, which bounds wedge
@@ -84,9 +84,13 @@ def q_triangles(sf_dir: str):
     anchor (vectorized grouped pair-expansion over rank-sorted
     out-neighbourhoods, no per-node loop); a final co-partition of
     wedges ∪ oriented edges on the closing pair with a
-    sorted-membership probe.  Each triangle counts exactly once, at
-    its minimum-rank vertex; the oracle orders by the same
-    (degree, id) rank.  Reference-free addition."""
+    sorted-membership probe.  With ``all_corners=False`` each triangle
+    counts exactly once, at its minimum-rank vertex (q_triangles);
+    with ``all_corners=True`` every closed wedge credits all THREE
+    corners (the per-vertex counts of q_clustering_coeff).  Returns
+    ``(tri_ds, deg_full)``: the tree-aggregated (node, tri) Dataset
+    and the dense V-sized degree vector (bounded — V = 400).
+    Reference-free addition."""
     import ray.data
 
     from ..stages.agg_tree import tree_aggregate, tree_aggregate_to_table
@@ -180,15 +184,51 @@ def q_triangles(sf_dir: str):
         pos = np.searchsorted(ek, wk)
         hit = (pos < len(ek))
         hit[hit] = ek[pos[hit]] == wk[hit]
-        t2 = pa.table({"node": pa.array(wa[hit], pa.int64()),
-                       "tri": pa.array(np.ones(int(hit.sum()), np.int64))})
+        if all_corners:
+            nodes = np.concatenate([wa[hit], wk[hit] // np.int64(V + 1),
+                                    wk[hit] % np.int64(V + 1)])
+        else:
+            nodes = wa[hit]
+        t2 = pa.table({"node": pa.array(nodes, pa.int64()),
+                       "tri": pa.array(np.ones(len(nodes), np.int64))})
         g = t2.group_by(["node"]).aggregate([("tri", "sum")])
         return g.rename_columns(["node", "tri"])
 
     unioned = wedge_ds.union(edge_rows)
     partials = hash_bucket_scan(unioned, ["p", "q"], close,
                                 n_rows=n_ev)
-    return tree_aggregate(partials, ["node"], [("tri", "sum")])
+    return (tree_aggregate(partials, ["node"], [("tri", "sum")]),
+            deg_full)
+
+
+def q_triangles(sf_dir: str):
+    """Global triangle counts per minimum-rank vertex — see
+    _triangle_partials for the distributed shape; the oracle orders
+    by the same (degree, id) rank."""
+    tri_ds, _ = _triangle_partials(sf_dir, all_corners=False)
+    return tri_ds
+
+
+def q_clustering_coeff(sf_dir: str):
+    """LOCAL CLUSTERING COEFFICIENT per vertex of the derived
+    400-node graph: every closed wedge credits all three corners
+    (so tri_v = triangles through v), joined with the degree table
+    and pinned as the exact integer ``cc_micro = 2·10^6·tri_v //
+    (deg_v·(deg_v−1))``.  The (node, tri) fold is bounded by V = 400
+    so the final join is a driver-side array lookup; for unbounded V
+    it becomes one more hash-bucket co-partition of the tri table
+    against the degree table (the q_sssp exchange shape).  Emits only
+    vertices on ≥ 1 triangle (deg ≥ 2 is implied); oracle = the
+    triangles SQL with the three corner projections unioned before
+    the per-node count."""
+    tri_ds, deg_full = _triangle_partials(sf_dir, all_corners=True)
+    d = tri_ds.to_pandas()  # bounded: ≤ V rows
+    node = d["node"].to_numpy().astype(np.int64)
+    tri = d["tri"].to_numpy().astype(np.int64)
+    deg = deg_full[node]
+    cc = (np.int64(2_000_000) * tri) // (deg * (deg - 1))
+    return pd.DataFrame({"node": node, "tri": tri, "deg": deg,
+                         "cc_micro": cc})
 
 
 def q_triangles_sql() -> str:
@@ -211,6 +251,35 @@ def q_triangles_sql() -> str:
         "JOIN o o3 ON o3.a = o1.b AND o3.b = o2.b "
         "WHERE d1.deg < d2.deg OR (d1.deg = d2.deg AND o1.b < o2.b) "
         "GROUP BY o1.a"
+    )
+
+
+def q_clustering_coeff_sql() -> str:
+    return (
+        "WITH raw AS (SELECT user_id % 400 AS x, event_id % 400 AS y "
+        "FROM events), "
+        "e AS (SELECT DISTINCT least(x, y) AS u, greatest(x, y) AS v "
+        "FROM raw WHERE x <> y), "
+        "d AS (SELECT node, count(*) AS deg FROM "
+        "(SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e) "
+        "GROUP BY node), "
+        "o AS (SELECT CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg "
+        "AND e.u < e.v) THEN e.u ELSE e.v END AS a, "
+        "CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND e.u < e.v) "
+        "THEN e.v ELSE e.u END AS b "
+        "FROM e JOIN d du ON du.node = e.u JOIN d dv ON dv.node = e.v), "
+        "t AS (SELECT o1.a AS n1, o1.b AS n2, o2.b AS n3 "
+        "FROM o o1 JOIN o o2 ON o2.a = o1.a "
+        "JOIN d d1 ON d1.node = o1.b JOIN d d2 ON d2.node = o2.b "
+        "JOIN o o3 ON o3.a = o1.b AND o3.b = o2.b "
+        "WHERE d1.deg < d2.deg OR (d1.deg = d2.deg AND o1.b < o2.b)), "
+        "tc AS (SELECT node, count(*) AS tri FROM "
+        "(SELECT n1 AS node FROM t UNION ALL SELECT n2 FROM t "
+        "UNION ALL SELECT n3 FROM t) GROUP BY 1) "
+        "SELECT tc.node, CAST(tc.tri AS BIGINT) AS tri, "
+        "CAST(d.deg AS BIGINT) AS deg, "
+        "CAST(2000000 * tc.tri // (d.deg * (d.deg - 1)) AS BIGINT) "
+        "AS cc_micro FROM tc JOIN d ON d.node = tc.node"
     )
 
 
