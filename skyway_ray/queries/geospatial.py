@@ -1647,3 +1647,112 @@ def q_cluster_diameter_sql() -> str:
         "AND NOT (b.x = a.x AND b.y = a.y) "
         "GROUP BY 1"
     )
+
+
+def q_closest_pair(sf_dir: str):
+    """GLOBAL CLOSEST PAIR of the derived event points — the classic
+    computational-geometry primitive, distributed without an
+    all-pairs pass: with n points in the data bbox, the pigeonhole
+    grid (k = ⌊√(n−1)⌋ per axis ⇒ k² ≤ n−1 cells ⇒ some cell holds
+    two points) bounds the answer by one cell diagonal
+    r² = sx² + sy², so ONE PBSM radius self-join at r (candidate
+    volume O(n) at any scale — each point sees ~2π·r²·density
+    neighbours) provably contains the minimum.  Per-batch lexicographic
+    (d2, id_a, id_b) partials fold to one driver row.  Skewed data
+    only loosens r (more candidates, never a miss); production would
+    shrink r by sampled quantiles first.  Oracle replays the same
+    grid (3×3 neighbour-offset equijoin) — both sides filter on the
+    exact d2 ≤ sx²+sy² sum, and d2 itself is the same IEEE expression
+    on both, so the argmin row is bit-identical."""
+    from ..stages.spatial_join import point_radius_join
+
+    def pts_fn(b: pa.Table) -> pa.Table:
+        k = b["event_id"].to_numpy(zero_copy_only=False)
+        lat, lon = derive_latlon(k)
+        return pa.table({"id": pa.array(k), "x": pa.array(lon),
+                         "y": pa.array(lat)})
+
+    def pts(): return _read(sf_dir, "events", ["event_id"]).map_batches(
+        pts_fn, batch_format="pyarrow")
+
+    # pass 1: bbox (per-batch 1-row partials → tiny driver fold)
+    def bbox_partial(b: pa.Table) -> pa.Table:
+        x = b["x"].to_numpy(zero_copy_only=False)
+        y = b["y"].to_numpy(zero_copy_only=False)
+        return pa.table({"minx": [float(x.min())], "maxx": [float(x.max())],
+                         "miny": [float(y.min())], "maxy": [float(y.max())]})
+
+    bb = pts().map_batches(bbox_partial, batch_format="pyarrow").to_pandas()
+    minx, maxx = bb["minx"].min(), bb["maxx"].max()
+    miny, maxy = bb["miny"].min(), bb["maxy"].max()
+    n = _nrows(sf_dir, "events")
+    k = max(1, int(np.floor(np.sqrt(n - 1.0))))
+    sx = (maxx - minx) / k
+    sy = (maxy - miny) / k
+    r2 = sx * sx + sy * sy
+    r = float(np.sqrt(r2))
+
+    # pass 2: PBSM radius self-join at a hair over r (the capture set
+    # is a superset either way; the EXACT gate below is d2 <= r2, the
+    # unsquared sum, identical to the oracle's)
+    pairs = point_radius_join(pts(), pts(), radius=r * (1.0 + 1e-12),
+                              cell=max(2.0 * r, 1e-9),
+                              out_a="event_a", out_b="event_b")
+
+    def best_partial(b: pa.Table) -> pa.Table:
+        ea = b["event_a"].to_numpy(zero_copy_only=False)
+        eb = b["event_b"].to_numpy(zero_copy_only=False)
+        keep = ea < eb
+        ea, eb = ea[keep], eb[keep]
+        empty = pa.table({"event_a": pa.array([], pa.int64()),
+                          "event_b": pa.array([], pa.int64()),
+                          "d2": pa.array([], pa.float64())})
+        if not len(ea):
+            return empty
+        ya, xa = derive_latlon(ea)
+        yb, xb = derive_latlon(eb)
+        dx = xa - xb
+        dy = ya - yb
+        d2 = dx * dx + dy * dy
+        ok = d2 <= r2
+        if not ok.any():
+            return empty
+        ea, eb, d2 = ea[ok], eb[ok], d2[ok]
+        i = np.lexsort((eb, ea, d2))[0]
+        return pa.table({"event_a": pa.array([ea[i]], pa.int64()),
+                         "event_b": pa.array([eb[i]], pa.int64()),
+                         "d2": pa.array([d2[i]], pa.float64())})
+
+    best = pairs.map_batches(best_partial,
+                             batch_format="pyarrow").to_pandas()
+    return (best.sort_values(["d2", "event_a", "event_b"],
+                             kind="mergesort")
+            .head(1).reset_index(drop=True))
+
+
+def q_closest_pair_sql() -> str:
+    lat, lon = latlon_sql("event_id")
+    return (
+        f"WITH a AS (SELECT event_id, {lon} AS x, {lat} AS y "
+        "FROM events), "
+        "s AS (SELECT count(*) AS n, min(x) AS minx, max(x) AS maxx, "
+        "min(y) AS miny, max(y) AS maxy FROM a), "
+        "p AS (SELECT greatest(1.0, floor(sqrt(CAST(n AS DOUBLE) - 1.0)))"
+        " AS k, * FROM s), "
+        "q AS (SELECT (maxx - minx) / k AS sx, (maxy - miny) / k AS sy,"
+        " * FROM p), "
+        "rr AS (SELECT sx * sx + sy * sy AS r2, sqrt(sx * sx + sy * sy)"
+        " AS r FROM q), "
+        "g AS (SELECT a.event_id, a.x, a.y, "
+        "CAST(floor(a.x / rr.r) AS BIGINT) AS cx, "
+        "CAST(floor(a.y / rr.r) AS BIGINT) AS cy FROM a, rr), "
+        "cand AS (SELECT p1.event_id AS event_a, p2.event_id AS event_b,"
+        " (p1.x - p2.x) * (p1.x - p2.x) + (p1.y - p2.y) * (p1.y - p2.y)"
+        " AS d2 FROM g p1 "
+        "JOIN range(-1, 2) ox(dx) ON true "
+        "JOIN range(-1, 2) oy(dy) ON true "
+        "JOIN g p2 ON p2.cx = p1.cx + ox.dx AND p2.cy = p1.cy + oy.dy "
+        "AND p1.event_id < p2.event_id) "
+        "SELECT event_a, event_b, d2 FROM cand, rr WHERE d2 <= rr.r2 "
+        "ORDER BY d2, event_a, event_b LIMIT 1"
+    )
