@@ -1756,3 +1756,108 @@ def q_closest_pair_sql() -> str:
         "SELECT event_a, event_b, d2 FROM cand, rr WHERE d2 <= rr.r2 "
         "ORDER BY d2, event_a, event_b LIMIT 1"
     )
+
+
+_RASTER_STEP = 500_000  # 0.5° lattice, microdegrees
+
+
+def q_triangle_raster(sf_dir: str):
+    """VECTOR→RASTER fill: each supplier derives a small triangle
+    (v0 = its hashed point pinned to microdegree ints; v1/v2 = v0
+    plus pure-integer ±3° deltas) and counts the 0.5° lattice points
+    STRICTLY inside it — polygon rasterization by exact integer
+    cross-product sign tests (the PIP kernel on a regular grid).
+    Embarrassingly parallel: per-batch vectorized bbox→candidate
+    expansion (the point_radius_join fan-out pattern), three cross
+    products, one bincount — no shuffle at all; the per-triangle
+    candidate count is bounded by (6°/0.5°+1)² = 169 at any corpus
+    size.  area2 (twice the area, micro²) rides along as the exact
+    affine cross-check.  Oracle = the same integer geometry over a
+    global lattice restricted by BETWEEN bbox joins."""
+    STEP = _RASTER_STEP
+
+    def per(b: pa.Table) -> pa.Table:
+        k = b["s_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if not len(k):
+            return pa.table({"s_suppkey": pa.array([], pa.int64()),
+                             "n_cells": pa.array([], pa.int64()),
+                             "area2": pa.array([], pa.int64())})
+        lat, lon = derive_latlon(k)
+        x0 = np.floor(lon * 1e6 + 0.5).astype(np.int64)
+        y0 = np.floor(lat * 1e6 + 0.5).astype(np.int64)
+        d1x = -3_000_000 + (k * 7919) % 1000 * 6000
+        d1y = -3_000_000 + (k * 104729) % 1000 * 6000
+        d2x = -3_000_000 + (k * 1299709) % 1000 * 6000
+        d2y = -3_000_000 + (k * 15485863) % 1000 * 6000
+        x1, y1 = x0 + d1x, y0 + d1y
+        x2, y2 = x0 + d2x, y0 + d2y
+        minx = np.minimum(np.minimum(x0, x1), x2)
+        maxx = np.maximum(np.maximum(x0, x1), x2)
+        miny = np.minimum(np.minimum(y0, y1), y2)
+        maxy = np.maximum(np.maximum(y0, y1), y2)
+        gx0 = -((-minx) // STEP)   # ceil
+        gx1 = maxx // STEP         # floor
+        gy0 = -((-miny) // STEP)
+        gy1 = maxy // STEP
+        nx = np.maximum(gx1 - gx0 + 1, 0)
+        ny = np.maximum(gy1 - gy0 + 1, 0)
+        total = nx * ny
+        rep = np.repeat(np.arange(len(k), dtype=np.int64), total)
+        offs = np.cumsum(total) - total
+        local = np.arange(int(total.sum()), dtype=np.int64) \
+            - np.repeat(offs, total)
+        px = (gx0[rep] + local % nx[rep]) * STEP
+        py = (gy0[rep] + local // nx[rep]) * STEP
+        c1 = (x1 - x0)[rep] * (py - y0[rep]) \
+            - (y1 - y0)[rep] * (px - x0[rep])
+        c2 = (x2 - x1)[rep] * (py - y1[rep]) \
+            - (y2 - y1)[rep] * (px - x1[rep])
+        c3 = (x0 - x2)[rep] * (py - y2[rep]) \
+            - (y0 - y2)[rep] * (px - x2[rep])
+        inside = ((c1 > 0) & (c2 > 0) & (c3 > 0)) \
+            | ((c1 < 0) & (c2 < 0) & (c3 < 0))
+        cnt = np.bincount(rep[inside], minlength=len(k)).astype(np.int64)
+        area2 = np.abs((x1 - x0) * (y2 - y0) - (y1 - y0) * (x2 - x0))
+        return pa.table({"s_suppkey": pa.array(k),
+                         "n_cells": pa.array(cnt),
+                         "area2": pa.array(area2)})
+
+    return _read(sf_dir, "supplier", ["s_suppkey"]).map_batches(
+        per, batch_format="pyarrow")
+
+
+def q_triangle_raster_sql() -> str:
+    lat, lon = latlon_sql("s_suppkey")
+    STEP = _RASTER_STEP
+    return (
+        f"WITH tri AS (SELECT s_suppkey AS k, "
+        f"CAST(floor({lon} * 1e6 + 0.5) AS BIGINT) AS x0, "
+        f"CAST(floor({lat} * 1e6 + 0.5) AS BIGINT) AS y0 "
+        "FROM supplier), "
+        "v AS (SELECT k, x0, y0, "
+        "x0 - 3000000 + (k * 7919) % 1000 * 6000 AS x1, "
+        "y0 - 3000000 + (k * 104729) % 1000 * 6000 AS y1, "
+        "x0 - 3000000 + (k * 1299709) % 1000 * 6000 AS x2, "
+        "y0 - 3000000 + (k * 15485863) % 1000 * 6000 AS y2 FROM tri), "
+        "cand AS (SELECT v.*, "
+        f"gx * {STEP} AS px, gy * {STEP} AS py "
+        "FROM v JOIN range(-367, 368) tx(gx) "
+        f"ON gx * {STEP} BETWEEN least(x0, x1, x2) "
+        "AND greatest(x0, x1, x2) "
+        "JOIN range(-127, 128) ty(gy) "
+        f"ON gy * {STEP} BETWEEN least(y0, y1, y2) "
+        "AND greatest(y0, y1, y2)), "
+        "c AS (SELECT k, "
+        "(x1 - x0) * (py - y0) - (y1 - y0) * (px - x0) AS c1, "
+        "(x2 - x1) * (py - y1) - (y2 - y1) * (px - x1) AS c2, "
+        "(x0 - x2) * (py - y2) - (y0 - y2) * (px - x2) AS c3 "
+        "FROM cand), "
+        "n AS (SELECT k, count(*) AS cnt FROM c "
+        "WHERE (c1 > 0 AND c2 > 0 AND c3 > 0) "
+        "OR (c1 < 0 AND c2 < 0 AND c3 < 0) GROUP BY 1) "
+        "SELECT v.k AS s_suppkey, "
+        "CAST(COALESCE(n.cnt, 0) AS BIGINT) AS n_cells, "
+        "CAST(abs((x1 - x0) * (y2 - y0) - (y1 - y0) * (x2 - x0)) "
+        "AS BIGINT) AS area2 "
+        "FROM v LEFT JOIN n ON n.k = v.k"
+    )

@@ -1942,3 +1942,133 @@ def q_block_dct_sql() -> str:
         "SELECT 'img_' || lpad(CAST(i AS VARCHAR), 12, '0') AS image_id, "
         + outer + " FROM g GROUP BY 1"
     )
+
+
+def q_bilinear_checksum(sf_dir: str):
+    """Hash verification of BILINEAR 2× UPSAMPLING arithmetic (the
+    interpolation kernel of resize pipelines): exact integer sums of
+    the three interpolated planes — horizontal midpoints
+    (l[x]+l[x+1])//2, vertical midpoints, and center points
+    (4-neighbour sum)//4.  Floor division per element, so a rounding
+    regression anywhere mismatches.  Oracle = one right-, one down-,
+    and one diagonal-shifted equijoin."""
+    def per(y: np.ndarray) -> dict:
+        h = (y[:, :-1] + y[:, 1:]) // 2
+        v = (y[:-1, :] + y[1:, :]) // 2
+        c = (y[:-1, :-1] + y[:-1, 1:] + y[1:, :-1] + y[1:, 1:]) // 4
+        return {"h_sum": int(h.sum()), "v_sum": int(v.sum()),
+                "c_sum": int(c.sum())}
+
+    return _checksum_ds(sf_dir).map_batches(
+        _luma_kernel(per), batch_format="pyarrow", batch_size=128)
+
+
+def q_bilinear_checksum_sql() -> str:
+    return (
+        "WITH " + _luma_table_sql(_CHECKSUM_K) + ", "
+        "h AS (SELECT c.i, sum((c.l + r.l) // 2) AS s FROM lum c "
+        "JOIN lum r ON r.i = c.i AND r.y = c.y AND r.x = c.x + 1 "
+        "GROUP BY 1), "
+        "v AS (SELECT c.i, sum((c.l + d.l) // 2) AS s FROM lum c "
+        "JOIN lum d ON d.i = c.i AND d.x = c.x AND d.y = c.y + 1 "
+        "GROUP BY 1), "
+        "ce AS (SELECT c.i, sum((c.l + r.l + d.l + dr.l) // 4) AS s "
+        "FROM lum c "
+        "JOIN lum r ON r.i = c.i AND r.y = c.y AND r.x = c.x + 1 "
+        "JOIN lum d ON d.i = c.i AND d.x = c.x AND d.y = c.y + 1 "
+        "JOIN lum dr ON dr.i = c.i AND dr.x = c.x + 1 "
+        "AND dr.y = c.y + 1 GROUP BY 1) "
+        "SELECT 'img_' || lpad(CAST(h.i AS VARCHAR), 12, '0') "
+        "AS image_id, CAST(h.s AS BIGINT) AS h_sum, "
+        "CAST(v.s AS BIGINT) AS v_sum, CAST(ce.s AS BIGINT) AS c_sum "
+        "FROM h JOIN v ON v.i = h.i JOIN ce ON ce.i = h.i"
+    )
+
+
+def q_image_entropy(sf_dir: str):
+    """Hash verification of the LUMA HISTOGRAM ENTROPY quality screen
+    (low-entropy = flat/synthetic images): Shannon entropy over the
+    256-bin luma histogram, pinned per TERM as
+    floor(−(p·ln p)·10⁹ + 0.5) and summed as int64 (the q_type_entropy
+    recipe — numpy and DuckDB share libm ln on this platform).  Also
+    emits n_distinct lumas as an integer cross-check."""
+    def per(y: np.ndarray) -> dict:
+        c = np.bincount(y.ravel(), minlength=256).astype(np.float64)
+        c = c[c > 0]
+        p = c / y.size
+        terms = np.floor(-(p * np.log(p)) * 1e9 + 0.5).astype(np.int64)
+        return {"entropy_nano": int(terms.sum()), "n_lumas": len(c)}
+
+    return _checksum_ds(sf_dir).map_batches(
+        _luma_kernel(per), batch_format="pyarrow", batch_size=128)
+
+
+def q_image_entropy_sql() -> str:
+    return (
+        "WITH " + _luma_table_sql(_CHECKSUM_K) + ", "
+        "c AS (SELECT i, any_value(side) AS side, l, count(*) AS c "
+        "FROM lum GROUP BY i, l), "
+        "t AS (SELECT i, CAST(floor(-((CAST(c AS DOUBLE) / "
+        "(side * side)) * ln(CAST(c AS DOUBLE) / (side * side))) "
+        "* 1e9 + 0.5) AS BIGINT) AS term FROM c) "
+        "SELECT 'img_' || lpad(CAST(t.i AS VARCHAR), 12, '0') "
+        "AS image_id, CAST(sum(term) AS BIGINT) AS entropy_nano, "
+        "CAST(count(*) AS BIGINT) AS n_lumas FROM t GROUP BY 1"
+    )
+
+
+def q_audio_zcr(sf_dir: str):
+    """Hash verification of the ZERO-CROSSING RATE feature (the
+    classic voiced/unvoiced + pitch proxy) on the decoded tone
+    fixture: per clip the exact count of consecutive-sample sign
+    flips (s_t·s_{t+1} < 0) on channel 0, plus the positive-sample
+    and exact-zero counts.  Oracle replays the closed-form tone with
+    a t+1 self-join, like q_audio_checksum."""
+    import ray.data
+
+    from ..fixtures import ensure_tones_parquet
+    from ..functions.audio_codec import decode_wav
+
+    path = ensure_tones_parquet(_TONE_N)
+    ds = ray.data.read_parquet(path, columns=["audio_id", "bytes"])
+
+    def feats(b: pa.Table) -> pa.Table:
+        ids = b["audio_id"].to_pylist()
+        out = np.zeros((len(ids), 3), np.int64)
+        for i, blob in enumerate(b["bytes"].to_pylist()):
+            s, _sr = decode_wav(blob)
+            s0 = s[:, 0].astype(np.int64)
+            out[i] = (int((s0[:-1] * s0[1:] < 0).sum()),
+                      int((s0 > 0).sum()), int((s0 == 0).sum()))
+        return pa.table({"audio_id": b["audio_id"],
+                         "zcr": pa.array(out[:, 0]),
+                         "n_pos": pa.array(out[:, 1]),
+                         "n_zero": pa.array(out[:, 2])})
+
+    return ds.map_batches(feats, batch_format="pyarrow", batch_size=64)
+
+
+def q_audio_zcr_sql() -> str:
+    from ..fixtures import _TONE_N_SAMP, _TONE_SR
+
+    def s(tcol: str) -> str:
+        return ("CAST(trunc((0.1 + 0.8 * ((i % 7) / 7.0)) "
+                f"* sin(2.0 * pi() * (110.0 * (1 + (i % 17))) * {tcol} "
+                f"/ {_TONE_SR}.0) * 32767.0) AS BIGINT)")
+
+    return (
+        f"WITH clips AS (SELECT CAST(i AS BIGINT) AS i "
+        f"FROM range({_TONE_N}) a(i)), "
+        f"samp AS (SELECT i, t, {s('t')} AS s "
+        f"FROM clips JOIN range({_TONE_N_SAMP}) b(t) ON true) "
+        "SELECT 'tone_' || lpad(CAST(c.i AS VARCHAR), 6, '0') "
+        "AS audio_id, "
+        "CAST(sum(CASE WHEN c.s * n.s < 0 THEN 1 ELSE 0 END) AS BIGINT)"
+        " AS zcr, "
+        "CAST(sum(CASE WHEN c.s > 0 THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS n_pos, "
+        "CAST(sum(CASE WHEN c.s = 0 THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS n_zero "
+        "FROM samp c LEFT JOIN samp n ON n.i = c.i AND n.t = c.t + 1 "
+        "GROUP BY 1"
+    )

@@ -99,6 +99,7 @@ def test_entry_smoke(ray_session):
     "integral_checksum", "maxpool_checksum", "rle_runs", "lbp_hist",
     "median3_checksum", "euler4x", "chan_corr",
     "morph_checksum", "block_dct", "clustering_coeff", "closest_pair",
+    "bilinear_checksum", "image_entropy", "audio_zcr", "triangle_raster",
     "convex_hull", "cluster_diameter", "hough_lines", "harris_corners",
     "osmfilter_docs", "prep_pipeline", "exact_dedup_head",
     "hamming_pairs", "image_tiles", "knn_images_exact",
