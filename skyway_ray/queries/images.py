@@ -2072,3 +2072,112 @@ def q_audio_zcr_sql() -> str:
         "FROM samp c LEFT JOIN samp n ON n.i = c.i AND n.t = c.t + 1 "
         "GROUP BY 1"
     )
+
+
+def q_haar_checksum(sf_dir: str):
+    """Hash verification of the level-1 HAAR WAVELET transform (the
+    JPEG2000 / multiresolution building block), kept exact by
+    leaving the 2×2 butterfly UNDIVIDED: per block a = p00+p01+p10+p11
+    (LL), h = (p00−p01)+(p10−p11) (LH), v = (p00+p01)−(p10+p11) (HL),
+    d = (p00−p01)−(p10−p11) (HH); emit the LL plane sum and the exact
+    abs-sums of the three detail planes (the compressibility signal).
+    Oracle = one pass grouped by (x//2, y//2) with ±1 parity masks."""
+    def per(y: np.ndarray) -> dict:
+        p00 = y[0::2, 0::2]
+        p01 = y[0::2, 1::2]
+        p10 = y[1::2, 0::2]
+        p11 = y[1::2, 1::2]
+        a = p00 + p01 + p10 + p11
+        h = (p00 - p01) + (p10 - p11)
+        v = (p00 + p01) - (p10 + p11)
+        d = (p00 - p01) - (p10 - p11)
+        return {"ll_sum": int(a.sum()), "lh_abs": int(np.abs(h).sum()),
+                "hl_abs": int(np.abs(v).sum()), "hh_abs": int(np.abs(d).sum())}
+
+    return _checksum_ds(sf_dir).map_batches(
+        _luma_kernel(per), batch_format="pyarrow", batch_size=128)
+
+
+def q_haar_checksum_sql() -> str:
+    return (
+        "WITH " + _luma_table_sql(_CHECKSUM_K) + ", "
+        "blk AS (SELECT i, x // 2 AS bx, y // 2 AS by, "
+        "sum(l) AS a, "
+        "sum(l * (1 - 2 * (x % 2))) AS h, "
+        "sum(l * (1 - 2 * (y % 2))) AS v, "
+        "sum(l * (1 - 2 * (x % 2)) * (1 - 2 * (y % 2))) AS d "
+        "FROM lum GROUP BY 1, 2, 3) "
+        "SELECT 'img_' || lpad(CAST(i AS VARCHAR), 12, '0') AS image_id,"
+        " CAST(sum(a) AS BIGINT) AS ll_sum,"
+        " CAST(sum(abs(h)) AS BIGINT) AS lh_abs,"
+        " CAST(sum(abs(v)) AS BIGINT) AS hl_abs,"
+        " CAST(sum(abs(d)) AS BIGINT) AS hh_abs "
+        "FROM blk GROUP BY 1"
+    )
+
+
+def q_image_prep(sf_dir: str):
+    """End-to-end IMAGE curation prep (the multimodal composition
+    story, mirroring q_prep_pipeline for text): ONE decode pass
+    computes aHash64 + exact-integer Laplacian sharpness + dims per
+    image (fused — bytes are read once and never shuffled), a
+    deterministic quality gate drops tiny/flat images (side ≥ 24 and
+    integer variance num ≥ den²), then exact perceptual dedup keeps
+    the min-id representative per aHash via one projected hash-bucket
+    exchange.  Returns the surviving-image manifest
+    (image_id, ahash64, blur_num, blur_den, side).  Rows-only: every
+    component is hash-pinned elsewhere (dhash_checksum /
+    blur_checksum / exact_dedup_head)."""
+    import ray.data
+
+    from ..fixtures import ensure_images_parquet, scale_for_sf_dir
+    from ..functions.phash import ahash64_batch
+    from ..stages.multimodal import _shape_groups
+    from ..stages.scan import hash_bucket_scan
+
+    images = ensure_images_parquet(scale_for_sf_dir(sf_dir))
+    ds = ray.data.read_parquet(images, columns=["image_id", "bytes", "fmt"])
+
+    def fused(b: pa.Table) -> pa.Table:
+        blobs = b["bytes"].to_pylist()
+        fmts = b["fmt"].to_pylist()
+        n = len(blobs)
+        ah = np.zeros(n, np.int64)
+        num = np.zeros(n, np.int64)
+        den = np.zeros(n, np.int64)
+        side = np.zeros(n, np.int64)
+        for idxs, stack in _shape_groups(blobs, fmts):
+            ah[idxs] = ahash64_batch(stack)
+            s = stack.astype(np.int64)
+            y = (77 * s[..., 0] + 150 * s[..., 1] + 29 * s[..., 2]) >> 8
+            if y.shape[1] >= 3 and y.shape[2] >= 3:
+                c = y[:, 1:-1, 1:-1]
+                lap = (4 * c - y[:, :-2, 1:-1] - y[:, 2:, 1:-1]
+                       - y[:, 1:-1, :-2] - y[:, 1:-1, 2:])
+                m = lap[0].size
+                s1 = lap.sum(axis=(1, 2))
+                s2 = (lap * lap).sum(axis=(1, 2))
+                num[idxs] = m * s2 - s1 * s1
+                den[idxs] = m
+            side[idxs] = y.shape[1]
+        t = pa.table({"image_id": b["image_id"],
+                      "ahash64": pa.array(ah), "blur_num": pa.array(num),
+                      "blur_den": pa.array(den), "side": pa.array(side)})
+        keep = (side >= 24) & (num >= den * den)
+        return t.filter(pa.array(keep))
+
+    feats = ds.map_batches(fused, batch_format="pyarrow", batch_size=1024)
+
+    def first_per_hash(t: pa.Table) -> pa.Table:
+        h = t["ahash64"].to_numpy(zero_copy_only=False)
+        # image_id strings sort lexicographically == numerically
+        # (zero-padded); min-id per hash via one lexsort + run head
+        iid = np.asarray(t["image_id"].to_pylist())
+        order = np.lexsort((iid, h))
+        hs = h[order]
+        head = np.ones(len(hs), dtype=bool)
+        head[1:] = hs[1:] != hs[:-1]
+        return t.take(pa.array(order[head]))
+
+    n = ds.count()
+    return hash_bucket_scan(feats, ["ahash64"], first_per_hash, n_rows=n)

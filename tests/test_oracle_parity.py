@@ -100,6 +100,7 @@ def test_entry_smoke(ray_session):
     "median3_checksum", "euler4x", "chan_corr",
     "morph_checksum", "block_dct", "clustering_coeff", "closest_pair",
     "bilinear_checksum", "image_entropy", "audio_zcr", "triangle_raster",
+    "haar_checksum",
     "convex_hull", "cluster_diameter", "hough_lines", "harris_corners",
     "osmfilter_docs", "prep_pipeline", "exact_dedup_head",
     "hamming_pairs", "image_tiles", "knn_images_exact",
@@ -140,7 +141,7 @@ def test_sql_parity(name, entries):
     "image_features", "image_blur", "image_patches", "hll_users", "pq_ann",
     "hll_users_by_type",
     "bpe_merges", "image_pyramid", "compress_ratio",
-    "audio_features", "douglas_peucker",
+    "audio_features", "douglas_peucker", "image_prep",
 ])
 def test_rows_only_queries_run(name, entries):
     qs, _ = entries
