@@ -1422,3 +1422,129 @@ def q_seasonal_error_sql() -> str:
         "AS sae, CAST(COALESCE(sum(x), 0) AS BIGINT) AS actual_sum "
         "FROM l WHERE p IS NOT NULL GROUP BY 1"
     )
+
+
+_DTW_L = 12
+
+
+def q_dtw_pairs(sf_dir: str):
+    """DYNAMIC TIME WARPING distance between paired user value-series
+    (users 2k vs 2k+1, each series = its first L=12 events by
+    event_id, values pinned to cents) — the classic elastic
+    time-series similarity the suite's pointwise metrics can't
+    express.  Distributed shape: one user-keyed hash-bucket exchange
+    extracts each series head (sort + run-head slice, vectorized),
+    one pair-keyed exchange co-locates the two sides, and the DP
+    itself runs as a wavefront VECTORIZED ACROSS PAIRS inside the
+    bucket task — L² numpy ops on (n_pairs,)-vectors, never a Python
+    loop over pairs; per-pair state is bounded (L² ints) at any
+    corpus size.  All-integer costs ⇒ exact.  Oracle = a recursive
+    CTE advancing one anti-diagonal per iteration, carrying the
+    previous diagonal via age-tagged re-emission."""
+    from ..stages.scan import hash_bucket_scan
+
+    L = _DTW_L
+    n_ev = _nrows(sf_dir, "events")
+
+    def prep(b: pa.Table) -> pa.Table:
+        v = b["value"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "user_id": b["user_id"],
+            "event_id": b["event_id"],
+            "v": pa.array(np.floor(v * 100.0 + 0.5).astype(np.int64)),
+        })
+
+    def head_l(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        e = t["event_id"].to_numpy(zero_copy_only=False)
+        v = t["v"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((e, u))
+        u, v = u[order], v[order]
+        new_u = np.ones(len(u), dtype=bool)
+        new_u[1:] = u[1:] != u[:-1]
+        starts = np.flatnonzero(new_u)
+        sizes = np.diff(np.append(starts, len(u)))
+        pos = np.arange(len(u), dtype=np.int64) - np.repeat(starts, sizes)
+        keep = (pos < L) & np.repeat(sizes >= L, sizes)
+        u, v, pos = u[keep], v[keep], pos[keep]
+        return pa.table({"pair": pa.array(u // 2),
+                         "side": pa.array(u % 2),
+                         "pos": pa.array(pos), "v": pa.array(v)})
+
+    series = hash_bucket_scan(
+        _read(sf_dir, "events",
+              ["user_id", "event_id", "value"]).map_batches(
+            prep, batch_format="pyarrow"),
+        ["user_id"], head_l, n_rows=n_ev)
+
+    def dp_fn(t: pa.Table) -> pa.Table:
+        p = t["pair"].to_numpy(zero_copy_only=False)
+        s = t["side"].to_numpy(zero_copy_only=False)
+        pos = t["pos"].to_numpy(zero_copy_only=False)
+        v = t["v"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((pos, s, p))
+        p, v = p[order], v[order]
+        new_p = np.ones(len(p), dtype=bool)
+        new_p[1:] = p[1:] != p[:-1]
+        starts = np.flatnonzero(new_p)
+        sizes = np.diff(np.append(starts, len(p)))
+        full = sizes == 2 * L   # both sides present and complete
+        keep = np.repeat(full, sizes)
+        p, v = p[keep], v[keep]
+        if not len(p):
+            return pa.table({"pair": pa.array([], pa.int64()),
+                             "dtw": pa.array([], pa.int64())})
+        n_pairs = len(p) // (2 * L)
+        arr = v.reshape(n_pairs, 2, L)
+        a, b = arr[:, 0, :], arr[:, 1, :]
+        cost = np.abs(a[:, :, None] - b[:, None, :])
+        dp = np.empty((n_pairs, L, L), np.int64)
+        dp[:, 0, 0] = cost[:, 0, 0]
+        for j in range(1, L):
+            dp[:, 0, j] = dp[:, 0, j - 1] + cost[:, 0, j]
+        for i in range(1, L):
+            dp[:, i, 0] = dp[:, i - 1, 0] + cost[:, i, 0]
+            for j in range(1, L):
+                dp[:, i, j] = cost[:, i, j] + np.minimum(
+                    np.minimum(dp[:, i - 1, j], dp[:, i, j - 1]),
+                    dp[:, i - 1, j - 1])
+        return pa.table({"pair": pa.array(p[::2 * L]),
+                         "dtw": pa.array(dp[:, L - 1, L - 1])})
+
+    return hash_bucket_scan(series, ["pair"], dp_fn,
+                            n_rows=max(n_ev // (2 * L), 1))
+
+
+def q_dtw_pairs_sql() -> str:
+    L = _DTW_L
+    return (
+        "WITH RECURSIVE "
+        "ev AS (SELECT user_id, "
+        "CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS v, "
+        "row_number() OVER (PARTITION BY user_id ORDER BY event_id) - 1"
+        " AS pos FROM events), "
+        f"s0 AS (SELECT * FROM ev WHERE pos < {L}), "
+        "full_u AS (SELECT user_id FROM s0 GROUP BY 1 "
+        f"HAVING count(*) = {L}), "
+        "s AS (SELECT s0.user_id // 2 AS pair, s0.user_id % 2 AS side, "
+        "pos, v FROM s0 JOIN full_u ON full_u.user_id = s0.user_id), "
+        "cost AS (SELECT a.pair, a.pos AS i, b.pos AS j, "
+        "abs(a.v - b.v) AS c FROM s a JOIN s b ON b.pair = a.pair "
+        "AND a.side = 0 AND b.side = 1), "
+        "dp AS (SELECT pair, i, j, c AS d, 0 AS age FROM cost "
+        "WHERE i = 0 AND j = 0 "
+        "UNION ALL SELECT * FROM ("
+        "SELECT pair, i, j, d, 1 AS age FROM dp "
+        f"WHERE age = 0 AND i + j < {2 * L - 2} "
+        "UNION ALL "
+        "SELECT c.pair, c.i, c.j, c.c + min(p.d) AS d, 0 AS age "
+        "FROM cost c JOIN dp p ON p.pair = c.pair AND ("
+        "(p.age = 0 AND ((p.i = c.i - 1 AND p.j = c.j) "
+        "OR (p.i = c.i AND p.j = c.j - 1))) "
+        "OR (p.age = 1 AND p.i = c.i - 1 AND p.j = c.j - 1)) "
+        "WHERE c.i + c.j = (SELECT max(q.i + q.j) FROM dp q "
+        "WHERE q.age = 0) + 1 "
+        "GROUP BY c.pair, c.i, c.j, c.c)) "
+        "SELECT pair, CAST(d AS BIGINT) AS dtw FROM dp "
+        f"WHERE i = {L - 1} AND j = {L - 1} AND age = 0"
+    )
