@@ -1861,3 +1861,96 @@ def q_triangle_raster_sql() -> str:
         "AS BIGINT) AS area2 "
         "FROM v LEFT JOIN n ON n.k = v.k"
     )
+
+
+_MM_SCALE = 1_000  # interior-distance quantization: cross² ≤ ~8.7e14
+# at centidegree scale (|w| ≤ 36600+12600, |d| ≤ 600), so ×10³ stays
+# within int64 on both sides; 10⁶ overflows for antipodal points
+
+
+def q_map_match(sf_dir: str):
+    """MAP MATCHING: snap every event point to its nearest derived
+    road segment (25 segments hashed off the nation table — a bounded
+    small side, broadcast by construction; the per-batch kernel is one
+    (n_points × n_segments) integer matrix, NO shuffle at all).
+    Coordinates are centidegree ints; the point-to-segment distance is
+    the exact integer CASE split on dot products (before-start /
+    past-end endpoints vs interior), with the interior distance
+    quantized as q = (cross²·10³) // len² — all products within int64
+    at centidegree scale — so the argmin (ties broken by lowest
+    seg_id, numpy argmin-first == SQL ORDER BY q, seg) is
+    partition-exact.  At unbounded segment counts the broadcast
+    becomes the cell-bucketed PBSM candidate join (stages/
+    spatial_join.py); 25 keeps the oracle a cross join.  Oracle =
+    the same integer geometry over events × nation."""
+    S = _MM_SCALE
+
+    def segs() -> tuple:
+        k = np.arange(25, dtype=np.int64)
+        lat, lon = derive_latlon(k)
+        ax = np.floor(lon * 1e2 + 0.5).astype(np.int64)
+        ay = np.floor(lat * 1e2 + 0.5).astype(np.int64)
+        bx = ax + (-600 + (k * 7919) % 100 * 12)
+        by = ay + (-600 + (k * 104729) % 100 * 12)
+        return ax, ay, bx, by
+
+    ax, ay, bx, by = segs()
+    dx, dy = bx - ax, by - ay
+    len2 = dx * dx + dy * dy
+
+    def per(b: pa.Table) -> pa.Table:
+        e = b["event_id"].to_numpy(zero_copy_only=False)
+        if not len(e):
+            return pa.table({"event_id": pa.array([], pa.int64()),
+                             "seg": pa.array([], pa.int64()),
+                             "q": pa.array([], pa.int64())})
+        lat, lon = derive_latlon(e)
+        px = np.floor(lon * 1e2 + 0.5).astype(np.int64)[:, None]
+        py = np.floor(lat * 1e2 + 0.5).astype(np.int64)[:, None]
+        wx, wy = px - ax[None, :], py - ay[None, :]
+        dot = wx * dx[None, :] + wy * dy[None, :]
+        cross = wx * dy[None, :] - wy * dx[None, :]
+        d2a = wx * wx + wy * wy
+        vx, vy = px - bx[None, :], py - by[None, :]
+        d2b = vx * vx + vy * vy
+        interior = (cross * cross * S) // len2[None, :]
+        q = np.where(dot <= 0, d2a * S,
+                     np.where(dot >= len2[None, :], d2b * S, interior))
+        seg = np.argmin(q, axis=1).astype(np.int64)
+        return pa.table({"event_id": pa.array(e),
+                         "seg": pa.array(seg),
+                         "q": pa.array(q[np.arange(len(e)), seg])})
+
+    return _read(sf_dir, "events", ["event_id"]).map_batches(
+        per, batch_format="pyarrow")
+
+
+def q_map_match_sql() -> str:
+    slat, slon = latlon_sql("CAST(n_nationkey AS BIGINT)")
+    elat, elon = latlon_sql("event_id")
+    S = _MM_SCALE
+    return (
+        f"WITH seg0 AS (SELECT CAST(n_nationkey AS BIGINT) AS seg, "
+        f"CAST(floor({slon} * 1e2 + 0.5) AS BIGINT) AS ax, "
+        f"CAST(floor({slat} * 1e2 + 0.5) AS BIGINT) AS ay "
+        "FROM nation), "
+        "seg AS (SELECT seg, ax, ay, "
+        "ax - 600 + (seg * 7919) % 100 * 12 AS bx, "
+        "ay - 600 + (seg * 104729) % 100 * 12 AS by FROM seg0), "
+        f"pt AS (SELECT event_id, "
+        f"CAST(floor({elon} * 1e2 + 0.5) AS BIGINT) AS px, "
+        f"CAST(floor({elat} * 1e2 + 0.5) AS BIGINT) AS py FROM events), "
+        "sc AS (SELECT event_id, seg, "
+        "CASE WHEN (px - ax) * (bx - ax) + (py - ay) * (by - ay) <= 0 "
+        f"THEN ((px - ax) * (px - ax) + (py - ay) * (py - ay)) * {S} "
+        "WHEN (px - ax) * (bx - ax) + (py - ay) * (by - ay) >= "
+        "(bx - ax) * (bx - ax) + (by - ay) * (by - ay) "
+        f"THEN ((px - bx) * (px - bx) + (py - by) * (py - by)) * {S} "
+        "ELSE ((px - ax) * (by - ay) - (py - ay) * (bx - ax)) "
+        f"* ((px - ax) * (by - ay) - (py - ay) * (bx - ax)) * {S} "
+        "// ((bx - ax) * (bx - ax) + (by - ay) * (by - ay)) END AS q "
+        "FROM pt, seg), "
+        "r AS (SELECT event_id, seg, q, row_number() OVER "
+        "(PARTITION BY event_id ORDER BY q, seg) AS rn FROM sc) "
+        "SELECT event_id, seg, q FROM r WHERE rn = 1"
+    )
