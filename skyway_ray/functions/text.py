@@ -293,3 +293,57 @@ def compression_ratio(texts: pd.Series, level: int = 6) -> np.ndarray:
         raw = t.encode()
         out[i] = len(zlib.compress(raw, level)) / len(raw) if raw else 1.0
     return out
+
+
+def winnow_features(texts, k: int = 8, w: int = 4):
+    """WINNOWING (MOSS) fingerprint features per string: byte k-gram
+    rolling hashes ``h(p) = Horner_{i<k}(b_{p+i}+1) mod 2^64`` reduced
+    mod 2^32, then the sum of per-window minima over every w
+    consecutive k-gram hashes — the document-similarity fingerprint
+    selection, pinned as two exact ints (n_kgrams, winnow_sum) so the
+    window-min logic itself hash-verifies.  ONE flat-buffer pass like
+    :func:`fingerprint64`: k bounded Horner steps vectorized over all
+    flat positions, one stride-tricks sliding min, one cumsum — cross-
+    string positions are computed but never read (validity by string
+    offsets).  Returns ``(n_kgrams, winnow_sum)`` int64 arrays."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if isinstance(texts, (pa.Array, pa.ChunkedArray)):
+        arr = pc.fill_null(texts, "").cast(pa.large_string())
+    else:
+        arr = pa.array(texts.fillna(""), type=pa.large_string())
+    arr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+    m = len(arr)
+    n_kg = np.zeros(m, dtype=np.int64)
+    wsum = np.zeros(m, dtype=np.int64)
+    if m == 0:
+        return n_kg, wsum
+    offs = np.frombuffer(arr.buffers()[1], np.int64,
+                         count=m + 1, offset=8 * arr.offset)
+    lens = np.diff(offs)
+    total = int(offs[-1] - offs[0])
+    n_kg[:] = np.maximum(lens - k + 1, 0)
+    L = total - k + 1
+    if L <= 0:
+        return n_kg, wsum
+    data = np.frombuffer(arr.buffers()[2], np.uint8,
+                         count=total, offset=int(offs[0]))
+    starts = (offs[:-1] - offs[0]).astype(np.int64)
+    acc = np.zeros(L, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for i in range(k):
+            acc = acc * _FP_K + (data[i:i + L].astype(np.uint64)
+                                 + np.uint64(1))
+    h32 = (acc & np.uint64(0xFFFFFFFF)).astype(np.int64)
+    W = L - w + 1
+    if W <= 0:
+        return n_kg, wsum
+    wmin = np.lib.stride_tricks.sliding_window_view(h32, w).min(axis=1)
+    csum = np.zeros(W + 1, dtype=np.int64)
+    np.cumsum(wmin, out=csum[1:])
+    n_win = np.maximum(lens - k - w + 2, 0)
+    ok = (n_win > 0) & (starts + n_win <= W)
+    s0 = starts[ok]
+    wsum[ok] = csum[s0 + n_win[ok]] - csum[s0]
+    return n_kg, wsum

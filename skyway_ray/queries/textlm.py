@@ -1653,3 +1653,57 @@ def q_osmfilter_docs_sql() -> str:
         "AS n_tags FROM feat "
         "WHERE NOT (type = 'relation' AND type_route)"
     )
+
+
+def q_winnowing(sf_dir: str):
+    """WINNOWING document fingerprints (the MOSS near-dup selection
+    scheme): per doc the byte-8-gram rolling-hash count and the exact
+    sum of window-4 minima (functions/text.py::winnow_features — one
+    flat-buffer batch kernel, no per-string Python).  Streaming
+    map-only; at corpus scale the selected minima would feed the LSH
+    dedup harness — the pinned sums prove the selection logic.
+    Oracle = an explicit 8-step HUGEINT Horner chain per position and
+    a w-row window min, summed per doc."""
+    from ..functions.text import winnow_features
+
+    def f(b: pd.DataFrame) -> pd.DataFrame:
+        nk, ws = winnow_features(b["text"])
+        return pd.DataFrame({"doc_id": b["doc_id"],
+                             "n_kgrams": nk, "winnow_sum": ws})
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        f, batch_format="pandas")
+
+
+def q_winnowing_sql() -> str:
+    K, M = 1099511628211, 18446744073709551616
+    k, w = 8, 4
+
+    def byte(i: int) -> str:
+        return (f"(CAST(concat('0x', substr(hx, 2 * (p + {i}) + 1, 2)) "
+                "AS INT) + 1)")
+
+    acc = f"CAST({byte(0)} AS HUGEINT)"
+    for i in range(1, k):
+        acc = (f"(({acc}) * {K}::HUGEINT + {byte(i)}) "
+               f"% {M}::HUGEINT")
+    return (
+        "WITH d AS (SELECT doc_id, hex(encode(text)) AS hx, "
+        "octet_length(encode(text)) AS n FROM documents), "
+        "pos AS (SELECT doc_id, hx, n, p FROM d "
+        "JOIN range(0, 8192) r(p) "  # fixture docs ≤ ~600 B; bound is a SQL-only cap
+        
+        f"ON p <= n - {k}), "
+        f"h AS (SELECT doc_id, n, p, CAST(({acc}) % 4294967296::HUGEINT "
+        "AS BIGINT) AS h32 FROM pos), "
+        "wm AS (SELECT doc_id, n, p, min(h32) OVER "
+        "(PARTITION BY doc_id ORDER BY p "
+        f"ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING) AS wmin "
+        "FROM h), "
+        "agg AS (SELECT doc_id, CAST(sum(wmin) AS BIGINT) AS winnow_sum"
+        f" FROM wm WHERE p <= n - {k} - {w} + 1 GROUP BY 1) "
+        "SELECT d.doc_id, "
+        f"CAST(greatest(d.n - {k} + 1, 0) AS BIGINT) AS n_kgrams, "
+        "COALESCE(agg.winnow_sum, 0) AS winnow_sum "
+        "FROM d LEFT JOIN agg ON agg.doc_id = d.doc_id"
+    )

@@ -100,7 +100,7 @@ def test_entry_smoke(ray_session):
     "median3_checksum", "euler4x", "chan_corr",
     "morph_checksum", "block_dct", "clustering_coeff", "closest_pair",
     "bilinear_checksum", "image_entropy", "audio_zcr", "triangle_raster",
-    "haar_checksum", "dtw_pairs", "map_match",
+    "haar_checksum", "dtw_pairs", "map_match", "winnowing",
     "convex_hull", "cluster_diameter", "hough_lines", "harris_corners",
     "osmfilter_docs", "prep_pipeline", "exact_dedup_head",
     "hamming_pairs", "image_tiles", "knn_images_exact",
