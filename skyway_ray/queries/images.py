@@ -2181,3 +2181,86 @@ def q_image_prep(sf_dir: str):
 
     n = ds.count()
     return hash_bucket_scan(feats, ["ahash64"], first_per_hash, n_rows=n)
+
+
+def q_hist_intersect(sf_dir: str):
+    """HISTOGRAM INTERSECTION image similarity (the classic Swain-
+    Ballard retrieval kernel): pair every fixture image i with i+5
+    (same side class, so supports are comparable) and emit the exact
+    Σ_l min(h_i(l), h_{i+5}(l)) over the 256-bin luma histograms.
+    Distributed shape: decode + bincount per image in the map stage
+    (bytes never shuffle), each image emits its NONZERO histogram
+    rows under the ≤ 2 pair keys it participates in, one pair-keyed
+    hash-bucket exchange, and the per-pair merge is a (pair, luma)
+    sort + length-2-run min — histograms, never pixels, cross the
+    wire.  Oracle = the luma-table counts self-joined at i+5."""
+    from ..stages.scan import hash_bucket_scan
+
+    K = _CHECKSUM_K
+
+    def hists(b: pa.Table) -> pa.Table:
+        from ..functions.image_codec import decode_image
+
+        ids = b["image_id"].to_pylist()
+        fmts = b["fmt"].to_pylist()
+        blobs = b["bytes"].to_pylist()
+        pair, role, luma, cnt = [], [], [], []
+        for s in range(len(ids)):
+            i = int(ids[s][4:])
+            img = decode_image(blobs[s], fmts[s]).astype(np.int64)
+            y = (77 * img[:, :, 0] + 150 * img[:, :, 1]
+                 + 29 * img[:, :, 2]) >> 8
+            h = np.bincount(y.ravel(), minlength=256)
+            nz = np.flatnonzero(h)
+            for p, r in ((i, 0), (i - 5, 1)):
+                if 0 <= p <= K - 6:
+                    pair.append(np.full(len(nz), p, np.int64))
+                    role.append(np.full(len(nz), r, np.int64))
+                    luma.append(nz.astype(np.int64))
+                    cnt.append(h[nz])
+        if not pair:
+            return pa.table({"pair": pa.array([], pa.int64()),
+                             "role": pa.array([], pa.int64()),
+                             "l": pa.array([], pa.int64()),
+                             "c": pa.array([], pa.int64())})
+        return pa.table({"pair": pa.array(np.concatenate(pair)),
+                         "role": pa.array(np.concatenate(role)),
+                         "l": pa.array(np.concatenate(luma)),
+                         "c": pa.array(np.concatenate(cnt))})
+
+    def merge(t: pa.Table) -> pa.Table:
+        p = t["pair"].to_numpy(zero_copy_only=False)
+        l = t["l"].to_numpy(zero_copy_only=False)
+        c = t["c"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((l, p))
+        p, l, c = p[order], l[order], c[order]
+        # length-2 runs of equal (pair, l) = luma present in BOTH
+        same = np.zeros(len(p), dtype=bool)
+        if len(p) > 1:
+            same[1:] = (p[1:] == p[:-1]) & (l[1:] == l[:-1])
+        isect = np.minimum(c, np.roll(c, 1)) * same
+        out_p = np.unique(p)
+        sums = np.zeros(len(out_p), np.int64)
+        idx = np.searchsorted(out_p, p[same])
+        np.add.at(sums, idx, isect[same])
+        return pa.table({"pair": pa.array(out_p),
+                         "hist_isect": pa.array(sums)})
+
+    rows = _checksum_ds(sf_dir).map_batches(hists, batch_format="pyarrow",
+                                            batch_size=128)
+    return hash_bucket_scan(rows, ["pair"], merge, n_rows=K * 300)
+
+
+def q_hist_intersect_sql() -> str:
+    return (
+        "WITH " + _luma_table_sql(_CHECKSUM_K) + ", "
+        "c AS (SELECT i, l, count(*) AS c FROM lum GROUP BY 1, 2), "
+        "s AS (SELECT a.i, sum(least(a.c, b.c)) AS v "
+        "FROM c a JOIN c b ON b.i = a.i + 5 AND b.l = a.l "
+        "GROUP BY 1) "
+        # total over every pair id: a zero-overlap pair must emit 0,
+        # matching the Ray side's always-emitted pair rows
+        f"SELECT r.p AS pair, CAST(COALESCE(s.v, 0) AS BIGINT) "
+        f"AS hist_isect FROM range(0, {_CHECKSUM_K - 5}) r(p) "
+        "LEFT JOIN s ON s.i = r.p"
+    )

@@ -1548,3 +1548,135 @@ def q_dtw_pairs_sql() -> str:
         "SELECT pair, CAST(d AS BIGINT) AS dtw FROM dp "
         f"WHERE i = {L - 1} AND j = {L - 1} AND age = 0"
     )
+
+
+def q_mann_kendall(sf_dir: str):
+    """MANN-KENDALL trend statistic per user — the non-parametric
+    trend test (S = Σ_{i<j} sign(y_j − y_i) over the time-ordered
+    series): pure int64, so exact at any partitioning.  One
+    keyed_scan pass; the within-user pair expansion is the vectorized
+    _intra_run_pairs chunker (per-key cardinality bounded by design —
+    user-sized, not table-sized).  Emits (user_id, s_stat, n_pairs);
+    oracle = a per-user self-join on the same (t, event_id) order."""
+    from ..stages.scan import keyed_scan
+    from ._common import _intra_run_pairs
+
+    def prep(b: pa.Table) -> pa.Table:
+        v = b["value"].to_numpy(zero_copy_only=False)
+        return pa.table({"user_id": b["user_id"],
+                         "t": b["ts"].cast(pa.int64()),
+                         "event_id": b["event_id"],
+                         "y": pa.array(np.floor(v * 1e3 + 0.5
+                                                ).astype(np.int64))})
+
+    def fn(d: pd.DataFrame) -> pd.DataFrame:
+        u = d["user_id"].to_numpy()
+        y = d["y"].to_numpy()
+        uniq, codes = np.unique(u, return_inverse=True)
+        s = np.zeros(len(uniq), np.int64)
+        npairs = np.zeros(len(uniq), np.int64)
+        for ig, jg in _intra_run_pairs(u):
+            sg = np.sign(y[jg] - y[ig])
+            np.add.at(s, codes[ig], sg)
+            np.add.at(npairs, codes[ig], np.ones(len(ig), np.int64))
+        return pd.DataFrame({"user_id": uniq, "s_stat": s,
+                             "n_pairs": npairs})
+
+    ds = _read(sf_dir, "events",
+               ["event_id", "user_id", "ts", "value"]).map_batches(
+        prep, batch_format="pyarrow")
+    return keyed_scan(ds, key="user_id", order=["t", "event_id"],
+                      fn=fn, n_rows=_nrows(sf_dir, "events"))
+
+
+def q_mann_kendall_sql() -> str:
+    return (
+        "WITH p AS (SELECT user_id, epoch_us(ts) AS t, event_id, "
+        "CAST(floor(value * 1000 + 0.5) AS BIGINT) AS y FROM events) "
+        "SELECT a.user_id, "
+        "CAST(sum(sign(b.y - a.y)) AS BIGINT) AS s_stat, "
+        "CAST(count(*) AS BIGINT) AS n_pairs "
+        "FROM p a JOIN p b ON b.user_id = a.user_id "
+        "AND (a.t < b.t OR (a.t = b.t AND a.event_id < b.event_id)) "
+        "GROUP BY 1"
+    )
+
+
+def q_theilsen_slope(sf_dir: str):
+    """THEIL-SEN robust trend per user: the LOWER MEDIAN of all
+    pairwise slopes (y_j − y_i)/(x_j − x_i) with x = whole hours since
+    the user's first event (ties on x skipped), pinned as
+    floor(slope·10⁶ + 0.5).  The slope set is built by the same
+    bounded per-key pair chunker as q_mann_kendall, then one
+    (user, slope) lexsort + segment pick — no per-user Python.  The
+    float division and the microint pin are identical expressions on
+    both sides; the lower median (element (m−1)//2 of the sorted
+    slopes) avoids even-count averaging.  Oracle = self-join +
+    row_number picked at (m−1)//2 + 1."""
+    from ..stages.scan import keyed_scan
+    from ._common import _intra_run_pairs
+
+    def prep(b: pa.Table) -> pa.Table:
+        v = b["value"].to_numpy(zero_copy_only=False)
+        return pa.table({"user_id": b["user_id"],
+                         "t": b["ts"].cast(pa.int64()),
+                         "event_id": b["event_id"],
+                         "y": pa.array(np.floor(v * 1e3 + 0.5
+                                                ).astype(np.int64))})
+
+    def fn(d: pd.DataFrame) -> pd.DataFrame:
+        u = d["user_id"].to_numpy()
+        g = d.groupby("user_id", sort=False)
+        tmin = g["t"].transform("min").to_numpy()
+        x = (d["t"].to_numpy() - tmin) // 3_600_000_000
+        y = d["y"].to_numpy()
+        us, ss = [], []
+        for ig, jg in _intra_run_pairs(u):
+            dx = x[jg] - x[ig]
+            ok = dx != 0
+            us.append(u[ig][ok])
+            ss.append((y[jg][ok] - y[ig][ok]).astype(np.float64)
+                      / dx[ok].astype(np.float64))
+        if not us:
+            return pd.DataFrame({"user_id": [], "slope_micro": [],
+                                 "n_slopes": []}).astype(np.int64)
+        uu = np.concatenate(us)
+        sl = np.concatenate(ss)
+        order = np.lexsort((sl, uu))
+        uu, sl = uu[order], sl[order]
+        new_u = np.ones(len(uu), dtype=bool)
+        new_u[1:] = uu[1:] != uu[:-1]
+        starts = np.flatnonzero(new_u)
+        sizes = np.diff(np.append(starts, len(uu)))
+        med = sl[starts + (sizes - 1) // 2]
+        return pd.DataFrame({
+            "user_id": uu[starts],
+            "slope_micro": np.floor(med * 1e6 + 0.5).astype(np.int64),
+            "n_slopes": sizes.astype(np.int64)})
+
+    ds = _read(sf_dir, "events",
+               ["event_id", "user_id", "ts", "value"]).map_batches(
+        prep, batch_format="pyarrow")
+    return keyed_scan(ds, key="user_id", order=["t", "event_id"],
+                      fn=fn, n_rows=_nrows(sf_dir, "events"))
+
+
+def q_theilsen_slope_sql() -> str:
+    return (
+        "WITH p AS (SELECT user_id, epoch_us(ts) AS t, event_id, "
+        "CAST(floor(value * 1000 + 0.5) AS BIGINT) AS y FROM events), "
+        "x AS (SELECT user_id, event_id, t, (t - min(t) OVER "
+        "(PARTITION BY user_id)) // 3600000000 AS x, y FROM p), "
+        "sl AS (SELECT a.user_id, "
+        "CAST(b.y - a.y AS DOUBLE) / CAST(b.x - a.x AS DOUBLE) AS s "
+        "FROM x a JOIN x b ON b.user_id = a.user_id "
+        "AND (a.t < b.t OR (a.t = b.t AND a.event_id < b.event_id)) "
+        "WHERE b.x <> a.x), "
+        "r AS (SELECT user_id, s, row_number() OVER "
+        "(PARTITION BY user_id ORDER BY s) AS rn, "
+        "count(*) OVER (PARTITION BY user_id) AS m FROM sl) "
+        "SELECT user_id, "
+        "CAST(floor(s * 1e6 + 0.5) AS BIGINT) AS slope_micro, "
+        "CAST(m AS BIGINT) AS n_slopes "
+        "FROM r WHERE rn = (m - 1) // 2 + 1"
+    )

@@ -101,6 +101,7 @@ def test_entry_smoke(ray_session):
     "morph_checksum", "block_dct", "clustering_coeff", "closest_pair",
     "bilinear_checksum", "image_entropy", "audio_zcr", "triangle_raster",
     "haar_checksum", "dtw_pairs", "map_match", "winnowing",
+    "mann_kendall", "theilsen_slope", "hist_intersect",
     "convex_hull", "cluster_diameter", "hough_lines", "harris_corners",
     "osmfilter_docs", "prep_pipeline", "exact_dedup_head",
     "hamming_pairs", "image_tiles", "knn_images_exact",
