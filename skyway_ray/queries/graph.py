@@ -870,3 +870,77 @@ def q_kcore_sql() -> str:
         f"FROM (SELECT u AS node FROM e{_KCORE_ROUNDS} "
         f"UNION ALL SELECT v FROM e{_KCORE_ROUNDS}) GROUP BY node")
     return "".join(parts)
+
+
+def q_modularity(sf_dir: str):
+    """NEWMAN MODULARITY of a fixed 16-block partition (community =
+    node // 25) of the derived 400-node graph — kept EXACT as the
+    integer numerator N = Σ_c (4·m·e_c − d_c²) over denominator 4m²
+    (never formed), so no float crosses the aggregate.  One distinct-
+    edge pair-key exchange (the q_triangles edge set), then a single
+    map pass emits bounded (comm, e, d) partials onto the combiner
+    tree; the final fold is over ≤ 16 communities.  Oracle = the same
+    distinct-edge CTE with integer group sums."""
+    from ..stages.agg_tree import tree_aggregate_to_table
+    from ..stages.scan import hash_bucket_scan
+
+    V = 400
+
+    def prep(b: pa.Table) -> pa.Table:
+        x = b["user_id"].to_numpy(zero_copy_only=False) % V
+        y = b["event_id"].to_numpy(zero_copy_only=False) % V
+        keep = x != y
+        x, y = x[keep], y[keep]
+        return pa.table({"u": pa.array(np.minimum(x, y), pa.int64()),
+                         "v": pa.array(np.maximum(x, y), pa.int64())})
+
+    def distinct(t: pa.Table) -> pa.Table:
+        return t.group_by(["u", "v"]).aggregate([])
+
+    edges = hash_bucket_scan(
+        _read(sf_dir, "events", ["user_id", "event_id"]).map_batches(
+            prep, batch_format="pyarrow"),
+        ["u", "v"], distinct, n_rows=_nrows(sf_dir, "events")).materialize()
+    m = edges.count()
+
+    def partial(t: pa.Table) -> pa.Table:
+        u = t["u"].to_numpy(zero_copy_only=False)
+        v = t["v"].to_numpy(zero_copy_only=False)
+        cu, cv = u // 25, v // 25
+        comm = np.concatenate([cu, cv])
+        e = np.concatenate([(cu == cv).astype(np.int64),
+                            np.zeros(len(cv), np.int64)])
+        d = np.ones(2 * len(u), np.int64)
+        tt = pa.table({"comm": pa.array(comm), "e": pa.array(e),
+                       "d": pa.array(d)})
+        g = tt.group_by(["comm"]).aggregate([("e", "sum"), ("d", "sum")])
+        return g.rename_columns(["comm", "e", "d"])
+
+    agg = tree_aggregate_to_table(
+        edges.map_batches(partial, batch_format="pyarrow"),
+        ["comm"], [("e", "sum"), ("d", "sum")])
+    e_c = agg["e"].to_numpy(zero_copy_only=False)
+    d_c = agg["d"].to_numpy(zero_copy_only=False)
+    q_num = int((4 * m * e_c - d_c * d_c).sum())
+    return pd.DataFrame({"m": [np.int64(m)],
+                         "n_comms": [np.int64(len(e_c))],
+                         "q_num": [np.int64(q_num)]})
+
+
+def q_modularity_sql() -> str:
+    return (
+        "WITH raw AS (SELECT user_id % 400 AS x, event_id % 400 AS y "
+        "FROM events), "
+        "e AS (SELECT DISTINCT least(x, y) AS u, greatest(x, y) AS v "
+        "FROM raw WHERE x <> y), "
+        "mm AS (SELECT count(*) AS m FROM e), "
+        "c AS (SELECT comm, sum(intra) AS e_c, count(*) AS d_c FROM ("
+        "SELECT u // 25 AS comm, "
+        "CASE WHEN u // 25 = v // 25 THEN 1 ELSE 0 END AS intra FROM e "
+        "UNION ALL SELECT v // 25 AS comm, 0 AS intra FROM e) "
+        "GROUP BY 1) "
+        "SELECT CAST(mm.m AS BIGINT) AS m, "
+        "CAST(count(*) AS BIGINT) AS n_comms, "
+        "CAST(sum(4 * mm.m * c.e_c - c.d_c * c.d_c) AS BIGINT) AS q_num "
+        "FROM c, mm GROUP BY mm.m"
+    )

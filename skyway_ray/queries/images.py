@@ -2264,3 +2264,68 @@ def q_hist_intersect_sql() -> str:
         f"AS hist_isect FROM range(0, {_CHECKSUM_K - 5}) r(p) "
         "LEFT JOIN s ON s.i = r.p"
     )
+
+
+def q_audio_dft(sf_dir: str):
+    """Hash verification of SINGLE-BIN DFT energy extraction (the
+    spectral-feature primitive) on the decoded tone fixture: per clip
+    and per probe bin (bin 0 = the clip's own tone frequency, bin 1 =
+    a fixed 440 Hz), the cosine/sine correlation sums with each term
+    pinned ``floor(s_t·cos(2πft/sr)·10⁶ + 0.5)`` BEFORE the sum —
+    so only exact ints cross the aggregate (the repo's no-float-sums
+    rule), while the trig itself rides the shared libm (the
+    q_audio_checksum premise).  A clip's own-bin |C| dwarfs its
+    440-bin leak, pinning both the decode and the correlation."""
+    import ray.data
+
+    from ..fixtures import _TONE_SR, ensure_tones_parquet
+    from ..functions.audio_codec import decode_wav
+
+    path = ensure_tones_parquet(_TONE_N)
+    ds = ray.data.read_parquet(path, columns=["audio_id", "bytes"])
+
+    def feats(b: pa.Table) -> pa.Table:
+        ids = b["audio_id"].to_pylist()
+        aid, bin_, cs, ss = [], [], [], []
+        for s_i, blob in enumerate(b["bytes"].to_pylist()):
+            i = int(ids[s_i][5:])
+            s, sr = decode_wav(blob)
+            s0 = s[:, 0].astype(np.float64)
+            t = np.arange(s.shape[0], dtype=np.float64)
+            for k, f in ((0, 110.0 * (1 + (i % 17))), (1, 440.0)):
+                w = 2.0 * np.pi * f * t / float(_TONE_SR)
+                c = np.floor(s0 * np.cos(w) * 1e6 + 0.5).astype(np.int64)
+                sn = np.floor(s0 * np.sin(w) * 1e6 + 0.5).astype(np.int64)
+                aid.append(ids[s_i])
+                bin_.append(k)
+                cs.append(int(c.sum()))
+                ss.append(int(sn.sum()))
+        return pa.table({"audio_id": pa.array(aid),
+                         "bin": pa.array(np.array(bin_, np.int64)),
+                         "c_sum": pa.array(np.array(cs, np.int64)),
+                         "s_sum": pa.array(np.array(ss, np.int64))})
+
+    return ds.map_batches(feats, batch_format="pyarrow", batch_size=64)
+
+
+def q_audio_dft_sql() -> str:
+    from ..fixtures import _TONE_N_SAMP, _TONE_SR
+
+    s = ("CAST(trunc((0.1 + 0.8 * ((i % 7) / 7.0)) "
+         f"* sin(2.0 * pi() * (110.0 * (1 + (i % 17))) * t / {_TONE_SR}.0)"
+         " * 32767.0) AS BIGINT)")
+    f = f"CASE k WHEN 0 THEN 110.0 * (1 + (i % 17)) ELSE 440.0 END"
+    w = f"2.0 * pi() * ({f}) * t / {_TONE_SR}.0"
+    return (
+        f"WITH clips AS (SELECT CAST(i AS BIGINT) AS i "
+        f"FROM range({_TONE_N}) a(i)), "
+        f"samp AS (SELECT i, t, {s} AS s "
+        f"FROM clips JOIN range({_TONE_N_SAMP}) b(t) ON true), "
+        "terms AS (SELECT i, k, "
+        f"CAST(floor(s * cos({w}) * 1e6 + 0.5) AS BIGINT) AS tc, "
+        f"CAST(floor(s * sin({w}) * 1e6 + 0.5) AS BIGINT) AS ts "
+        "FROM samp JOIN range(0, 2) kk(k) ON true) "
+        "SELECT 'tone_' || lpad(CAST(i AS VARCHAR), 6, '0') AS audio_id,"
+        " CAST(k AS BIGINT) AS bin, CAST(sum(tc) AS BIGINT) AS c_sum, "
+        "CAST(sum(ts) AS BIGINT) AS s_sum FROM terms GROUP BY 1, 2"
+    )

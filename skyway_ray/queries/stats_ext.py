@@ -298,3 +298,94 @@ def q_anova_f_sql() -> str:
         "CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) "
         "AS ssw_micro FROM t"
     )
+
+
+_CMS_W_BITS = 10                       # 1024 buckets per row
+_CMS_D = 4                             # rows (seeds 0..3)
+
+
+def q_cms_counts(sf_dir: str):
+    """COUNT-MIN SKETCH point estimates per event type, HASH-VERIFIED:
+    the sketch is the real distributed artifact — a MERGEABLE
+    4×1024 int64 grid (32 KiB) built by per-batch vocabulary-bounded
+    partials on the combiner tree (type → fingerprint64 code →
+    splitmix64(seed=r) top-10-bit bucket).  Estimates = min over the 4
+    rows of the probed cells; the exact per-type counts ride along, so
+    the CMS overcount guarantee (est ≥ exact) is itself asserted by
+    the oracle, which replays code, buckets, and cell sums in HUGEINT
+    (stages/hll.splitmix64_sql precedent).  At 100 TB only the 32 KiB
+    grids merge — never raw keys."""
+    from ..functions.text import fingerprint64
+    from ..stages.agg_tree import tree_aggregate_to_table
+    from ..stages.hll import _splitmix64
+
+    shift = np.uint64(64 - _CMS_W_BITS)
+
+    def partial(b: pa.Table) -> pa.Table:
+        et = b["event_type"].to_numpy(zero_copy_only=False)
+        uniq, counts = np.unique(et.astype("U"), return_counts=True)
+        code = fingerprint64(pd.Series(uniq))
+        rows, buckets, cs = [], [], []
+        for r in range(_CMS_D):
+            rows.append(np.full(len(uniq), r, np.int64))
+            buckets.append((_splitmix64(code, seed=r) >> shift
+                            ).astype(np.int64))
+            cs.append(counts.astype(np.int64))
+        return pa.table({"r": pa.array(np.concatenate(rows)),
+                         "b": pa.array(np.concatenate(buckets)),
+                         "c": pa.array(np.concatenate(cs))})
+
+    ev = _read(sf_dir, "events", ["event_type"])
+    sketch = tree_aggregate_to_table(
+        ev.map_batches(partial, batch_format="pyarrow"),
+        ["r", "b"], [("c", "sum")])
+    grid = np.zeros((_CMS_D, 1 << _CMS_W_BITS), np.int64)
+    grid[sketch["r"].to_numpy(zero_copy_only=False),
+         sketch["b"].to_numpy(zero_copy_only=False)] = \
+        sketch["c"].to_numpy(zero_copy_only=False)
+
+    def exact_partial(b: pa.Table) -> pa.Table:
+        et = b["event_type"].to_numpy(zero_copy_only=False)
+        uniq, counts = np.unique(et.astype("U"), return_counts=True)
+        return pa.table({"event_type": pa.array(uniq),
+                         "c": pa.array(counts.astype(np.int64))})
+
+    exact = tree_aggregate_to_table(
+        ev.map_batches(exact_partial, batch_format="pyarrow"),
+        ["event_type"], [("c", "sum")]).to_pandas()
+    code = fingerprint64(exact["event_type"])
+    est = np.full(len(exact), np.iinfo(np.int64).max, np.int64)
+    for r in range(_CMS_D):
+        bkt = (_splitmix64(code, seed=r) >> shift).astype(np.int64)
+        est = np.minimum(est, grid[r, bkt])
+    return pd.DataFrame({"event_type": exact["event_type"],
+                         "est": est,
+                         "exact": exact["c"].to_numpy()})
+
+
+def q_cms_counts_sql() -> str:
+    from ..stages.hll import splitmix64_sql
+
+    fp = ("CASE WHEN octet_length(encode(event_type)) = 0 "
+          "THEN 0::HUGEINT ELSE list_reduce(list_transform("
+          "range(0, octet_length(encode(event_type))), "
+          "i -> CAST(CAST(concat('0x', substr(hex(encode(event_type)), "
+          "2*i+1, 2)) AS INT) AS HUGEINT) + 1), "
+          "(acc, b) -> (acc * 1099511628211::HUGEINT + b) "
+          "% 18446744073709551616::HUGEINT) END")
+    bcols = ", ".join(
+        f"({splitmix64_sql('h', seed=r)}) // {1 << (64 - _CMS_W_BITS)}"
+        f" AS b{r}" for r in range(_CMS_D))
+    joins = " ".join(
+        f"JOIN (SELECT a.event_type, sum(x.c) AS s FROM b a "
+        f"JOIN b x ON x.b{r} = a.b{r} GROUP BY 1) e{r} "
+        f"ON e{r}.event_type = b.event_type" for r in range(_CMS_D))
+    least = ", ".join(f"e{r}.s" for r in range(_CMS_D))
+    return (
+        "WITH t AS (SELECT event_type, count(*) AS c FROM events "
+        "GROUP BY 1), "
+        f"h0 AS (SELECT event_type, c, {fp} AS h FROM t), "
+        f"b AS (SELECT event_type, c, {bcols} FROM h0) "
+        f"SELECT b.event_type, CAST(least({least}) AS BIGINT) AS est, "
+        f"CAST(b.c AS BIGINT) AS exact FROM b {joins}"
+    )
