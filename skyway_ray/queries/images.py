@@ -2329,3 +2329,79 @@ def q_audio_dft_sql() -> str:
         " CAST(k AS BIGINT) AS bin, CAST(sum(tc) AS BIGINT) AS c_sum, "
         "CAST(sum(ts) AS BIGINT) AS s_sum FROM terms GROUP BY 1, 2"
     )
+
+
+def q_kapur_threshold(sf_dir: str):
+    """Hash verification of KAPUR'S MAXIMUM-ENTROPY THRESHOLD (the
+    information-theoretic sibling of Otsu): per image, over thresholds
+    t ∈ [0, 254], maximize H0 + H1 with Hk = ln(w_k) − s_k/(10⁶·w_k),
+    where the only float SUMS are avoided — s_k are exact int
+    cumulatives of per-luma pinned terms floor(c·ln c·10⁶ + 0.5), and
+    w_k are exact count cumulatives, so both sides evaluate the same
+    float expression on the same ints (libm ln parity, the
+    q_type_entropy premise).  Ties → lowest t; flat (single-luma)
+    images emit the (-1, 0) fallback, mirrored in the oracle (the
+    q_otsu_checksum lesson).  Oracle = integer cumulatives via a
+    grouped l ≤ t inequality join onto the dense threshold grid."""
+    def per(y: np.ndarray) -> dict:
+        c = np.bincount(y.ravel(), minlength=256).astype(np.int64)
+        n = y.size
+        term = np.zeros(256, np.int64)
+        nz = c > 0
+        term[nz] = np.floor(c[nz] * np.log(c[nz]) * 1e6
+                            + 0.5).astype(np.int64)
+        w0 = np.cumsum(c)
+        s0 = np.cumsum(term)
+        w0t, s0t = w0[:255], s0[:255]
+        valid = (w0t > 0) & (w0t < n)
+        if not valid.any():
+            return {"t_best": -1, "score_nano": 0}
+        sA = s0[255]
+        w1 = (n - w0t).astype(np.float64)
+        w0f = w0t.astype(np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            score = (np.log(w0f) - s0t / (1e6 * w0f)) \
+                + (np.log(w1) - (sA - s0t) / (1e6 * w1))
+        score[~valid] = -np.inf
+        t = int(np.argmax(score))
+        return {"t_best": t,
+                "score_nano": int(np.floor(score[t] * 1e9 + 0.5))}
+
+    return _checksum_ds(sf_dir).map_batches(
+        _luma_kernel(per), batch_format="pyarrow", batch_size=128)
+
+
+def q_kapur_threshold_sql() -> str:
+    return (
+        "WITH " + _luma_table_sql(_CHECKSUM_K) + ", "
+        "c AS (SELECT i, any_value(side) AS side, l, count(*) AS c "
+        "FROM lum GROUP BY i, l), "
+        "tm AS (SELECT i, side, l, c, CAST(floor(CAST(c AS DOUBLE) * "
+        "ln(CAST(c AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS term FROM c), "
+        "sa_t AS (SELECT i, sum(term) AS sa FROM tm GROUP BY 1), "
+        "grid AS (SELECT ii.i, tt.t, sum(tm.c) AS w0, "
+        "sum(tm.term) AS s0, any_value(sa_t.sa) AS sa, "
+        "ii.side * ii.side AS n FROM imgs ii "
+        "JOIN range(0, 255) tt(t) ON true "
+        "JOIN tm ON tm.i = ii.i AND tm.l <= tt.t "
+        "JOIN sa_t ON sa_t.i = ii.i "
+        "GROUP BY ii.i, tt.t, ii.side), "
+        "sc AS (SELECT i, t, "
+        "(ln(CAST(w0 AS DOUBLE)) - CAST(s0 AS DOUBLE) "
+        "/ (1e6 * CAST(w0 AS DOUBLE))) + "
+        "(ln(CAST(n - w0 AS DOUBLE)) - CAST(sa - s0 AS DOUBLE) "
+        "/ (1e6 * CAST(n - w0 AS DOUBLE))) AS score "
+        "FROM grid WHERE w0 > 0 AND w0 < n), "
+        "r AS (SELECT i, t, score, row_number() OVER (PARTITION BY i "
+        "ORDER BY score DESC, t) AS rn FROM sc), "
+        "win AS (SELECT i, CAST(t AS BIGINT) AS t_best, "
+        "CAST(floor(score * 1e9 + 0.5) AS BIGINT) AS score_nano "
+        "FROM r WHERE rn = 1), "
+        # flat (single-luma) images never reach sc — emit the fallback
+        "flat AS (SELECT i, CAST(-1 AS BIGINT) AS t_best, "
+        "CAST(0 AS BIGINT) AS score_nano FROM c GROUP BY i "
+        "HAVING count(*) = 1) "
+        "SELECT 'img_' || lpad(CAST(i AS VARCHAR), 12, '0') AS image_id,"
+        " t_best, score_nano FROM (SELECT * FROM win "
+        "UNION ALL SELECT * FROM flat)"
+    )

@@ -389,3 +389,87 @@ def q_cms_counts_sql() -> str:
         f"SELECT b.event_type, CAST(least({least}) AS BIGINT) AS est, "
         f"CAST(b.c AS BIGINT) AS exact FROM b {joins}"
     )
+
+
+_MERKLE_LEAF = 128
+_MERKLE_FAN = 16
+
+
+def q_merkle_levels(sf_dir: str):
+    """MERKLE-STYLE RANGE-HASH TREE over the events table — the
+    anti-entropy / sync primitive a 100 TB store uses to find which
+    key ranges diverge without shipping rows: row digest =
+    splitmix64(event_id) + splitmix64(cents, seed=1) (mod 2^64), leaf
+    = sum of row digests over event_id // 128, then two more levels
+    of fan-16 range sums.  Commutative mod-2^64 sums ⇒ one combiner-
+    tree pass builds every level regardless of partitioning; emitted
+    as two's-complement int64.  Oracle replays the digests in HUGEINT
+    (splitmix64_sql) and re-aggregates each level."""
+    from ..stages.agg_tree import tree_aggregate_to_table
+    from ..stages.hll import _splitmix64
+
+    M = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+    def partial(b: pa.Table) -> pa.Table:
+        e = b["event_id"].to_numpy(zero_copy_only=False)
+        v = b["value"].to_numpy(zero_copy_only=False)
+        cents = np.floor(v * 100.0 + 0.5).astype(np.int64)
+        with np.errstate(over="ignore"):
+            h = (_splitmix64(e, seed=0) + _splitmix64(cents, seed=1)) & M
+        t = pa.table({"leaf": pa.array((e // _MERKLE_LEAF
+                                        ).astype(np.int64)),
+                      "h": pa.array(h.view(np.int64))})
+        # per-batch pre-sum in uint64 wrap space
+        g = t.to_pandas().groupby("leaf", sort=False, as_index=False)
+        s = g.agg(h=("h", lambda x: np.int64(
+            x.to_numpy().view(np.uint64).sum(dtype=np.uint64))))
+        return pa.Table.from_pandas(s, preserve_index=False)
+
+    leaves = tree_aggregate_to_table(
+        _read(sf_dir, "events", ["event_id", "value"]).map_batches(
+            partial, batch_format="pyarrow"),
+        ["leaf"], [("h", "sum")]).to_pandas()
+    # int64 'sum' in the tree wraps exactly like uint64 mod 2^64 ✓
+    out = [pd.DataFrame({"level": np.int64(0),
+                         "node": leaves["leaf"].to_numpy(),
+                         "h": leaves["h"].to_numpy()})]
+    cur = out[0]
+    for lvl in (1, 2):
+        nodes = cur["node"].to_numpy() // _MERKLE_FAN
+        with np.errstate(over="ignore"):
+            df = pd.DataFrame({"node": nodes,
+                               "h": cur["h"].to_numpy()})
+            g = (df.groupby("node", as_index=False)
+                 .agg(h=("h", lambda x: np.int64(
+                     x.to_numpy().view(np.uint64).sum(dtype=np.uint64)))))
+        cur = pd.DataFrame({"level": np.int64(lvl),
+                            "node": g["node"].to_numpy(),
+                            "h": g["h"].to_numpy()})
+        out.append(cur)
+    return pd.concat(out, ignore_index=True)
+
+
+def q_merkle_levels_sql() -> str:
+    from ..stages.hll import splitmix64_sql
+
+    h = (f"(({splitmix64_sql('event_id', seed=0)}) + "
+         f"({splitmix64_sql('CAST(floor(value * 100.0 + 0.5) AS BIGINT)', seed=1)}))"
+         " % 18446744073709551616::HUGEINT")
+    to_i64 = ("CASE WHEN s >= 9223372036854775808::HUGEINT "
+              "THEN s - 18446744073709551616::HUGEINT ELSE s END")
+    return (
+        f"WITH r AS (SELECT event_id // {_MERKLE_LEAF} AS leaf, "
+        f"{h} AS h FROM events), "
+        "l0 AS (SELECT leaf AS node, "
+        "sum(h) % 18446744073709551616::HUGEINT AS s FROM r GROUP BY 1), "
+        f"l1 AS (SELECT node // {_MERKLE_FAN} AS node, "
+        "sum(s) % 18446744073709551616::HUGEINT AS s FROM l0 GROUP BY 1), "
+        f"l2 AS (SELECT node // {_MERKLE_FAN} AS node, "
+        "sum(s) % 18446744073709551616::HUGEINT AS s FROM l1 GROUP BY 1) "
+        "SELECT CAST(0 AS BIGINT) AS level, node, "
+        f"CAST({to_i64} AS BIGINT) AS h FROM l0 "
+        "UNION ALL SELECT 1, node, "
+        f"CAST({to_i64} AS BIGINT) FROM l1 "
+        "UNION ALL SELECT 2, node, "
+        f"CAST({to_i64} AS BIGINT) FROM l2"
+    )
