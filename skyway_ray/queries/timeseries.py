@@ -1680,3 +1680,129 @@ def q_theilsen_slope_sql() -> str:
         "CAST(m AS BIGINT) AS n_slopes "
         "FROM r WHERE rn = (m - 1) // 2 + 1"
     )
+
+
+_LTTB_B = 6
+
+
+def q_lttb_downsample(sf_dir: str):
+    """LARGEST-TRIANGLE-THREE-BUCKETS downsampling of each user's
+    value series to B=6 points — the standard time-series
+    visualization reducer, made EXACT by clearing the next-bucket
+    average's denominator: the winner of bucket k maximizes
+    |((cx−px)·(Sy−m·py) − (cy−py)·(Sx−m·px))| against the previous
+    selection (px,py) and the next bucket's integer SUMS (Sx,Sy,m) —
+    all int64, ties → lowest x via the packed key area·2²⁰+(2²⁰−1−x).
+    One keyed_scan pass; the B−2 sequential selections run as
+    vectorized waves ACROSS users (np.maximum.at segmented argmax),
+    never a per-user loop.  Users with n < B are dropped on both
+    sides.  Oracle = a recursive CTE carrying the previous selection,
+    one bucket per iteration (the q_dtw_pairs pattern)."""
+    from ..stages.scan import keyed_scan
+
+    B = _LTTB_B
+
+    def prep(b: pa.Table) -> pa.Table:
+        v = b["value"].to_numpy(zero_copy_only=False)
+        return pa.table({"user_id": b["user_id"],
+                         "t": b["ts"].cast(pa.int64()),
+                         "event_id": b["event_id"],
+                         "y": pa.array(np.floor(v * 100.0 + 0.5
+                                                ).astype(np.int64))})
+
+    def fn(d: pd.DataFrame) -> pd.DataFrame:
+        u = d["user_id"].to_numpy()
+        y = d["y"].to_numpy()
+        uniq, codes = np.unique(u, return_inverse=True)
+        nu = len(uniq)
+        starts = np.r_[0, 1 + np.flatnonzero(u[1:] != u[:-1])]
+        sizes = np.diff(np.r_[starts, len(u)])
+        x = np.arange(len(u), dtype=np.int64) - np.repeat(starts, sizes)
+        n = np.repeat(sizes, sizes)
+        ok = n >= B
+        k = np.where(x == 0, 0,
+                     np.where(x == n - 1, B - 1,
+                              1 + (x - 1) * (B - 2) // np.maximum(n - 2, 1)))
+        cnt = np.zeros((nu, B), np.int64)
+        sx = np.zeros((nu, B), np.int64)
+        sy = np.zeros((nu, B), np.int64)
+        np.add.at(cnt, (codes[ok], k[ok]), 1)
+        np.add.at(sx, (codes[ok], k[ok]), x[ok])
+        np.add.at(sy, (codes[ok], k[ok]), y[ok])
+        keep_u = sizes >= B
+        sel_x = np.zeros(nu, np.int64)
+        sel_y = np.zeros(nu, np.int64)
+        sel_y[:] = y[starts]
+        rows_u = [uniq[keep_u]]
+        rows_k = [np.zeros(int(keep_u.sum()), np.int64)]
+        rows_x = [np.zeros(int(keep_u.sum()), np.int64)]
+        rows_y = [y[starts][keep_u]]
+        for kk in range(1, B - 1):
+            mask = ok & (k == kk)
+            cu, cx, cy = codes[mask], x[mask], y[mask]
+            px, py = sel_x[cu], sel_y[cu]
+            m = cnt[cu, kk + 1]
+            nsx, nsy = sx[cu, kk + 1], sy[cu, kk + 1]
+            area = np.abs((cx - px) * (nsy - m * py)
+                          - (cy - py) * (nsx - m * px))
+            key = area * 1048576 + (1048575 - cx)
+            best = np.full(nu, -1, np.int64)
+            np.maximum.at(best, cu, key)
+            win = key == best[cu]
+            sel_x[cu[win]] = cx[win]
+            sel_y[cu[win]] = cy[win]
+            rows_u.append(uniq[cu[win]])
+            rows_k.append(np.full(int(win.sum()), kk, np.int64))
+            rows_x.append(cx[win])
+            rows_y.append(cy[win])
+        last = ok & (x == n - 1)
+        rows_u.append(uniq[codes[last]])
+        rows_k.append(np.full(int(last.sum()), B - 1, np.int64))
+        rows_x.append(x[last])
+        rows_y.append(y[last])
+        return pd.DataFrame({"user_id": np.concatenate(rows_u),
+                             "k": np.concatenate(rows_k),
+                             "x": np.concatenate(rows_x),
+                             "y": np.concatenate(rows_y)})
+
+    ds = _read(sf_dir, "events",
+               ["event_id", "user_id", "ts", "value"]).map_batches(
+        prep, batch_format="pyarrow")
+    return keyed_scan(ds, key="user_id", order=["t", "event_id"],
+                      fn=fn, n_rows=_nrows(sf_dir, "events"))
+
+
+def q_lttb_downsample_sql() -> str:
+    B = _LTTB_B
+    return (
+        "WITH RECURSIVE "
+        "p0 AS (SELECT user_id, epoch_us(ts) AS t, event_id, "
+        "CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS y FROM events), "
+        "p AS (SELECT user_id, y, row_number() OVER "
+        "(PARTITION BY user_id ORDER BY t, event_id) - 1 AS x, "
+        "count(*) OVER (PARTITION BY user_id) AS n FROM p0), "
+        f"b AS (SELECT * , CASE WHEN x = 0 THEN 0 "
+        f"WHEN x = n - 1 THEN {B - 1} "
+        f"ELSE 1 + (x - 1) * {B - 2} // (n - 2) END AS k "
+        f"FROM p WHERE n >= {B}), "
+        "bs AS (SELECT user_id, k, sum(x) AS sx, sum(y) AS sy, "
+        "count(*) AS m FROM b GROUP BY 1, 2), "
+        "cand AS (SELECT b.user_id, b.x, b.y, b.k, nb.sx, nb.sy, nb.m "
+        "FROM b JOIN bs nb ON nb.user_id = b.user_id "
+        f"AND nb.k = b.k + 1 WHERE b.k BETWEEN 1 AND {B - 2}), "
+        "dp AS (SELECT user_id, 0 AS k, x, y FROM b WHERE k = 0 "
+        "UNION ALL "
+        "SELECT user_id, k, x, y FROM ("
+        "SELECT q.user_id, q.k, q.x, q.y, row_number() OVER "
+        "(PARTITION BY q.user_id ORDER BY q.key DESC) AS rn FROM ("
+        "SELECT pv.user_id, pv.k + 1 AS k, c.x, c.y, "
+        "abs((c.x - pv.x) * (c.sy - c.m * pv.y) "
+        "- (c.y - pv.y) * (c.sx - c.m * pv.x)) * 1048576 "
+        "+ (1048575 - c.x) AS key "
+        "FROM dp pv JOIN cand c ON c.user_id = pv.user_id "
+        f"AND c.k = pv.k + 1 WHERE pv.k + 1 <= {B - 2}) q) "
+        "WHERE rn = 1) "
+        "SELECT user_id, CAST(k AS BIGINT) AS k, x, y FROM dp "
+        f"UNION ALL SELECT user_id, {B - 1}, x, y FROM b "
+        f"WHERE k = {B - 1}"
+    )
