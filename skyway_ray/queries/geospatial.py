@@ -1954,3 +1954,71 @@ def q_map_match_sql() -> str:
         "(PARTITION BY event_id ORDER BY q, seg) AS rn FROM sc) "
         "SELECT event_id, seg, q FROM r WHERE rn = 1"
     )
+
+
+def q_box_isect_area(sf_dir: str):
+    """RECTANGLE INTERSECTION AREA per overlapping (event, part) box
+    pair — the spatial-overlay measure on top of the PBSM join: pairs
+    from box_overlap_join (grid co-partition, reference-point dedup),
+    then a map stage re-derives both boxes FROM THE IDS (coordinates
+    never ride the shuffle — the q_traj_intersections trick) and pins
+    area = (min(xmax)−max(xmin))·(min(ymax)−max(ymin)) as
+    floor(·10⁶ + 0.5).  Oracle = the box_join SQL with the same
+    least/greatest expression."""
+    from ..stages.spatial_join import box_overlap_join
+
+    a = _read(sf_dir, "events", ["event_id"]).map_batches(
+        _event_boxes, batch_format="pyarrow")
+    b = _read(sf_dir, "part", ["p_partkey"]).map_batches(
+        _part_boxes, batch_format="pyarrow")
+    pairs = box_overlap_join(a, b, cell=8.0,
+                             out_a="event_id", out_b="p_partkey")
+
+    def area(t: pa.Table) -> pa.Table:
+        e = t["event_id"].to_numpy(zero_copy_only=False)
+        p = t["p_partkey"].to_numpy(zero_copy_only=False)
+        elat, elon = derive_latlon(e)
+        plat, plon = derive_latlon(p)
+        ehw = 0.5 + (e % 5).astype(np.float64) * 0.6
+        ehh = 0.5 + (e % 4).astype(np.float64) * 0.75
+        phw = 1.0 + (p % 4).astype(np.float64) * 0.7
+        phh = 1.0 + (p % 3).astype(np.float64) * 0.8
+        ox = np.minimum(elon + ehw, plon + phw) \
+            - np.maximum(elon - ehw, plon - phw)
+        oy = np.minimum(elat + ehh, plat + phh) \
+            - np.maximum(elat - ehh, plat - phh)
+        return pa.table({
+            "event_id": pa.array(e), "p_partkey": pa.array(p),
+            "area_micro": pa.array(np.floor(ox * oy * 1e6 + 0.5
+                                            ).astype(np.int64))})
+
+    return pairs.map_batches(area, batch_format="pyarrow")
+
+
+def q_box_isect_area_sql() -> str:
+    elat, elon = latlon_sql("event_id")
+    plat, plon = latlon_sql("p_partkey")
+    return f"""
+WITH a AS (
+  SELECT event_id,
+         {elon} - (0.5 + (event_id % 5) * 0.6) AS xmin,
+         {elon} + (0.5 + (event_id % 5) * 0.6) AS xmax,
+         {elat} - (0.5 + (event_id % 4) * 0.75) AS ymin,
+         {elat} + (0.5 + (event_id % 4) * 0.75) AS ymax
+  FROM events
+), b AS (
+  SELECT p_partkey,
+         {plon} - (1.0 + (p_partkey % 4) * 0.7) AS xmin,
+         {plon} + (1.0 + (p_partkey % 4) * 0.7) AS xmax,
+         {plat} - (1.0 + (p_partkey % 3) * 0.8) AS ymin,
+         {plat} + (1.0 + (p_partkey % 3) * 0.8) AS ymax
+  FROM part
+)
+SELECT a.event_id, b.p_partkey,
+ CAST(floor((least(a.xmax, b.xmax) - greatest(a.xmin, b.xmin))
+  * (least(a.ymax, b.ymax) - greatest(a.ymin, b.ymin)) * 1e6 + 0.5)
+  AS BIGINT) AS area_micro
+FROM a JOIN b
+ON a.xmin <= b.xmax AND b.xmin <= a.xmax
+AND a.ymin <= b.ymax AND b.ymin <= a.ymax
+"""

@@ -1806,3 +1806,58 @@ def q_lttb_downsample_sql() -> str:
         f"UNION ALL SELECT user_id, {B - 1}, x, y FROM b "
         f"WHERE k = {B - 1}"
     )
+
+
+def q_interval_stab(sf_dir: str):
+    """INTERVAL STABBING counts — for every distinct order day, how
+    many order validity intervals [day, day + (key%30)+1] cover it —
+    the classic sweep-line shape done as pure boundary counting: each
+    interval emits (+1 at start, −1 at end+1), the per-day deltas ride
+    the combiner tree (day domain is bounded), and the prefix sum +
+    probe lookup fold on the driver over the tiny boundary table
+    (searchsorted — no join).  Exact ints; the oracle is the naive
+    inequality join, so the sweep and the O(n·probes) definition are
+    proven equal."""
+    from ..stages.agg_tree import tree_aggregate_to_table
+
+    DAY_US = 86_400_000_000
+
+    def deltas(b: pa.Table) -> pa.Table:
+        s = (b["o_orderdate"].cast(pa.int64()).to_numpy(
+            zero_copy_only=False) // DAY_US)
+        k = b["o_orderkey"].to_numpy(zero_copy_only=False)
+        e1 = s + (k % 30 + 1) + 1
+        t = pa.table({"day": pa.array(np.concatenate([s, e1])),
+                      "delta": pa.array(np.concatenate(
+                          [np.ones(len(s), np.int64),
+                           -np.ones(len(s), np.int64)])),
+                      "probe": pa.array(np.concatenate(
+                          [np.ones(len(s), np.int64),
+                           np.zeros(len(s), np.int64)]))})
+        g = t.group_by(["day"]).aggregate([("delta", "sum"),
+                                           ("probe", "max")])
+        return g.rename_columns(["day", "delta", "probe"])
+
+    tab = tree_aggregate_to_table(
+        _read(sf_dir, "orders",
+              ["o_orderkey", "o_orderdate"]).map_batches(
+            deltas, batch_format="pyarrow"),
+        ["day"], [("delta", "sum"), ("probe", "max")]).to_pandas()
+    tab = tab.sort_values("day", kind="mergesort").reset_index(drop=True)
+    days = tab["day"].to_numpy()
+    n_open = np.cumsum(tab["delta"].to_numpy())
+    probes = days[tab["probe"].to_numpy() > 0]
+    idx = np.searchsorted(days, probes, side="right") - 1
+    return pd.DataFrame({"d": probes, "n_open": n_open[idx]})
+
+
+def q_interval_stab_sql() -> str:
+    return (
+        "WITH iv AS (SELECT epoch_us(o_orderdate) // 86400000000 AS s, "
+        "epoch_us(o_orderdate) // 86400000000 + (o_orderkey % 30 + 1) "
+        "AS e FROM orders), "
+        "probes AS (SELECT DISTINCT s AS d FROM iv) "
+        "SELECT d, CAST(count(*) AS BIGINT) AS n_open "
+        "FROM probes p JOIN iv ON iv.s <= p.d AND p.d <= iv.e "
+        "GROUP BY 1"
+    )

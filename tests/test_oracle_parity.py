@@ -103,7 +103,8 @@ def test_entry_smoke(ray_session):
     "haar_checksum", "dtw_pairs", "map_match", "winnowing",
     "mann_kendall", "theilsen_slope", "hist_intersect",
     "modularity", "cms_counts", "audio_dft", "merkle_levels",
-    "kapur_threshold", "lttb_downsample",
+    "kapur_threshold", "lttb_downsample", "box_isect_area",
+    "interval_stab",
     "convex_hull", "cluster_diameter", "hough_lines", "harris_corners",
     "osmfilter_docs", "prep_pipeline", "exact_dedup_head",
     "hamming_pairs", "image_tiles", "knn_images_exact",
