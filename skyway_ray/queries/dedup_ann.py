@@ -1300,3 +1300,116 @@ def q_silhouette_sql() -> str:
         "CAST(count(*) AS DOUBLE) + 0.5) AS BIGINT) "
         "AS mean_sil_nano FROM s GROUP BY 1"
     )
+
+
+def q_ann_filtered(sf_dir: str):
+    """FILTERED VECTOR SEARCH (the metadata-predicate + ANN combo
+    every retrieval stack needs): brute-force cosine top-10 for the
+    first 5 query vectors over ONLY the corpus vectors with even
+    ``label`` — the predicate is pushed INTO the scan batch before any
+    scoring work (filter → matmul), so excluded vectors cost a mask,
+    not a dot product.  Same broadcast-queries / partial-top-k merge
+    shape as q_ann_cosine; oracle adds the WHERE."""
+    import pyarrow.parquet as pq
+    import ray
+
+    from ..functions.ann import (cosine_topk_batch, embeddings_to_matrix,
+                                merge_topk, _normalize)
+    from ..functions.near_dup import _obj_cached
+
+    emb = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    qmask = emb["vec_id"].to_numpy(zero_copy_only=False) < 5
+    qtab = emb.filter(pa.array(qmask))
+    qm = _normalize(embeddings_to_matrix(qtab["embedding"]
+                                         ).astype(np.float64))
+    qids = qtab["vec_id"].to_numpy(zero_copy_only=False)
+    ref = ray.put((qm, qids))
+    ds = _read(sf_dir, "embeddings")
+
+    def topk_batch(batch: pa.Table) -> pa.Table:
+        qm2, qids2 = _obj_cached(ref)
+        keep = batch["label"].to_numpy(zero_copy_only=False) % 2 == 0
+        batch = batch.filter(pa.array(keep))
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        if len(ids) == 0:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "neighbor_id": pa.array([], pa.int64()),
+                             "cos": pa.array([], pa.float64())})
+        vecs = embeddings_to_matrix(batch["embedding"])
+        return cosine_topk_batch(vecs, ids, qm2, qids2, 10)
+
+    partials = ds.map_batches(topk_batch, batch_format="pyarrow")
+    out = merge_topk(partials, 10)
+    return out.map_batches(
+        lambda b: b.rename_columns(["query_id", "neighbor_id",
+                                    "ann_rank"]),
+        batch_format="pyarrow")
+
+
+def q_ann_filtered_sql() -> str:
+    return (
+        "WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings "
+        "WHERE vec_id < 5), "
+        "sims AS (SELECT q.query_id, e.vec_id AS neighbor_id, "
+        "list_cosine_similarity(q.embedding, e.embedding) AS cos "
+        "FROM q CROSS JOIN embeddings e WHERE e.label % 2 = 0), "
+        "ranked AS (SELECT query_id, neighbor_id, row_number() OVER "
+        "(PARTITION BY query_id ORDER BY "
+        "cast(floor(cos * 1000000 + 0.5) AS bigint) DESC, neighbor_id) "
+        "AS ann_rank FROM sims) "
+        "SELECT query_id, neighbor_id, ann_rank FROM ranked "
+        "WHERE ann_rank <= 10"
+    )
+
+
+def q_rrf_fusion(sf_dir: str):
+    """HYBRID RETRIEVAL via RECIPROCAL-RANK FUSION: the BM25 lexical
+    top-20 (q_bm25_topk, terms spark/window/hash/vector over
+    documents) fused with the dense top-10 of query vector 0
+    (q_ann_cosine over embeddings, ids shared with doc ids) by
+    rrf = 10⁶ // (60 + r_lex) + 10⁶ // (60 + r_dense) — integer
+    division, so the fusion is exact.  Both retrievals stay fully
+    distributed; only the two BOUNDED rank lists meet on the driver.
+    Emits the fused top-10 (doc_id, rrf, rank); ties → lowest doc_id.
+    Oracle composes both sub-oracles and replays the fusion."""
+    from .textlm import q_bm25_topk
+
+    bm = q_bm25_topk(sf_dir)
+    bm = bm.to_pandas() if not isinstance(bm, pd.DataFrame) else bm
+    bm = bm.sort_values(["score6", "doc_id"],
+                        ascending=[False, True]).reset_index(drop=True)
+    rb = {int(d): i + 1 for i, d in enumerate(bm["doc_id"])}
+    ann = q_ann_cosine(sf_dir)
+    ann = ann.to_pandas() if not isinstance(ann, pd.DataFrame) else ann
+    a0 = ann[ann["query_id"] == 0]
+    ra = {int(d): int(r) for d, r in zip(a0["neighbor_id"],
+                                         a0["ann_rank"])}
+    docs = sorted(set(rb) | set(ra))
+    rrf = [(1_000_000 // (60 + rb[d]) if d in rb else 0)
+           + (1_000_000 // (60 + ra[d]) if d in ra else 0)
+           for d in docs]
+    out = pd.DataFrame({"doc_id": np.array(docs, np.int64),
+                        "rrf": np.array(rrf, np.int64)})
+    out = out.sort_values(["rrf", "doc_id"],
+                          ascending=[False, True]).head(10)
+    out["rank"] = np.arange(1, len(out) + 1, dtype=np.int64)
+    return out.reset_index(drop=True)
+
+
+def q_rrf_fusion_sql() -> str:
+    from .textlm import q_bm25_topk_sql
+
+    return (
+        f"WITH rb AS (SELECT doc_id, row_number() OVER "
+        f"(ORDER BY score6 DESC, doc_id) AS r "
+        f"FROM ({q_bm25_topk_sql()})), "
+        f"ra AS (SELECT neighbor_id AS doc_id, ann_rank AS r "
+        f"FROM ({q_ann_cosine_sql()}) WHERE query_id = 0), "
+        "f AS (SELECT COALESCE(rb.doc_id, ra.doc_id) AS doc_id, "
+        "COALESCE(1000000 // (60 + rb.r), 0) "
+        "+ COALESCE(1000000 // (60 + ra.r), 0) AS rrf "
+        "FROM rb FULL OUTER JOIN ra ON ra.doc_id = rb.doc_id), "
+        "t AS (SELECT doc_id, rrf, row_number() OVER "
+        "(ORDER BY rrf DESC, doc_id) AS rank FROM f) "
+        "SELECT doc_id, rrf, rank FROM t WHERE rank <= 10"
+    )
