@@ -2022,3 +2022,63 @@ FROM a JOIN b
 ON a.xmin <= b.xmax AND b.xmin <= a.xmax
 AND a.ymin <= b.ymax AND b.ymin <= a.ymax
 """
+
+
+_HR_ORDER = 8
+_HR_BOX = (100, 140, 80, 120)  # cx0, cx1, cy0, cy1 (cell coords, incl.)
+
+
+def q_hilbert_range(sf_dir: str):
+    """HILBERT-CURVE RANGE SCAN: count events inside a grid-aligned
+    lat/lon box by (1) enumerating the box's cells on the order-8
+    Hilbert curve driver-side (bounded — ≤ 41×41 cells), (2) merging
+    consecutive keys into ranges, and (3) counting events whose
+    Hilbert key lands in any range via one broadcast + searchsorted
+    per batch + combiner-tree sum — the index-range-scan access path
+    a curve-ordered 100 TB table uses instead of a full scan.  The
+    oracle counts the SAME box directly on cell coordinates, so
+    equality proves the curve encode and the cover enumeration agree
+    exactly (the box is grid-aligned, so no partial-cell slack)."""
+    from ..geo.hilbert import hilbert_d, hilbert_xy_from_latlon
+    from ..stages.agg_tree import tree_aggregate_to_table
+
+    cx0, cx1, cy0, cy1 = _HR_BOX
+    gx, gy = np.meshgrid(np.arange(cx0, cx1 + 1, dtype=np.int64),
+                         np.arange(cy0, cy1 + 1, dtype=np.int64))
+    keys = np.sort(hilbert_d(gx.ravel(), gy.ravel(), _HR_ORDER))
+    brk = np.flatnonzero(np.diff(keys) > 1)
+    starts = keys[np.r_[0, brk + 1]]
+    ends = keys[np.r_[brk, len(keys) - 1]]
+
+    def partial(b: pa.Table) -> pa.Table:
+        e = b["event_id"].to_numpy(zero_copy_only=False)
+        lat, lon = derive_latlon(e)
+        x, y = hilbert_xy_from_latlon(lat, lon, _HR_ORDER)
+        d = hilbert_d(x, y, _HR_ORDER)
+        pos = np.searchsorted(starts, d, side="right") - 1
+        inside = (pos >= 0) & (d <= ends[np.clip(pos, 0, len(ends) - 1)])
+        return pa.table({"one": pa.array(np.zeros(1, np.int64)),
+                         "n": pa.array(np.array([int(inside.sum())],
+                                                np.int64))})
+
+    tab = tree_aggregate_to_table(
+        _read(sf_dir, "events", ["event_id"]).map_batches(
+            partial, batch_format="pyarrow"),
+        ["one"], [("n", "sum")])
+    return pd.DataFrame({"n_in_box": tab["n"].to_numpy(
+        zero_copy_only=False).astype(np.int64)})
+
+
+def q_hilbert_range_sql() -> str:
+    lat, lon = latlon_sql("event_id")
+    n = 1 << _HR_ORDER
+    cx0, cx1, cy0, cy1 = _HR_BOX
+    return (
+        f"WITH p AS (SELECT "
+        f"CAST(floor(({lon} + 180.0) / 360.0 * {n}) AS BIGINT) AS cx, "
+        f"CAST(floor(({lat} + 90.0) / 180.0 * {n}) AS BIGINT) AS cy "
+        "FROM events) "
+        "SELECT CAST(count(*) AS BIGINT) AS n_in_box FROM p "
+        f"WHERE cx BETWEEN {cx0} AND {cx1} "
+        f"AND cy BETWEEN {cy0} AND {cy1}"
+    )
