@@ -1861,3 +1861,60 @@ def q_interval_stab_sql() -> str:
         "FROM probes p JOIN iv ON iv.s <= p.d AND p.d <= iv.e "
         "GROUP BY 1"
     )
+
+
+_XCORR_LAGS = 6
+
+
+def q_xcorr_lags(sf_dir: str):
+    """LAGGED CROSS-CORRELATION between the 'click' and 'purchase'
+    hourly count series — the lead/lag discovery primitive (does one
+    stream anticipate the other?): for every lag ℓ ∈ [−6, 6], the
+    exact int64 dot product Σ_h click(h)·purchase(h+ℓ) over the
+    bounded hourly grid.  One combiner-tree pass builds both series
+    (per-(type, hour) partials); the 13 dots fold on the driver over
+    the tiny grid.  Pure counts ⇒ exact.  Oracle = a shifted
+    self-join of the hourly count CTE."""
+    from ..stages.agg_tree import tree_aggregate_to_table
+
+    def bucket(b: pa.Table) -> pa.Table:
+        et = b["event_type"].to_numpy(zero_copy_only=False)
+        keep = (et == "click") | (et == "purchase")
+        ts = b["ts"].to_numpy(zero_copy_only=False)[keep]
+        h = ts.astype("datetime64[us]").astype(np.int64) // 3_600_000_000
+        t = pa.table({"et": pa.array(et[keep]),
+                      "h": pa.array(h, pa.int64()),
+                      "x": pa.array(np.ones(len(h), np.int64))})
+        return (t.group_by(["et", "h"]).aggregate([("x", "sum")])
+                .rename_columns(["et", "h", "x"]))
+
+    tab = tree_aggregate_to_table(
+        _read(sf_dir, "events", ["event_type", "ts"]).map_batches(
+            bucket, batch_format="pyarrow"),
+        ["et", "h"], [("x", "sum")]).to_pandas()
+    a = tab[tab["et"] == "click"].set_index("h")["x"]
+    b = tab[tab["et"] == "purchase"].set_index("h")["x"]
+    lags = np.arange(-_XCORR_LAGS, _XCORR_LAGS + 1, dtype=np.int64)
+    dots = []
+    for lag in lags:
+        shifted = b.copy()
+        shifted.index = shifted.index - lag
+        j = a.to_frame("a").join(shifted.to_frame("b"), how="inner")
+        dots.append(int((j["a"].to_numpy()
+                         * j["b"].to_numpy()).sum()))
+    return pd.DataFrame({"lag": lags,
+                         "dot": np.array(dots, np.int64)})
+
+
+def q_xcorr_lags_sql() -> str:
+    L = _XCORR_LAGS
+    return (
+        "WITH c AS (SELECT event_type AS et, "
+        "epoch_us(ts) // 3600000000 AS h, count(*) AS x FROM events "
+        "WHERE event_type IN ('click', 'purchase') GROUP BY 1, 2) "
+        f"SELECT lag, CAST(sum(a.x * b.x) AS BIGINT) AS dot "
+        f"FROM range(-{L}, {L + 1}) t(lag) "
+        "JOIN c a ON a.et = 'click' "
+        "JOIN c b ON b.et = 'purchase' AND b.h = a.h + lag "
+        "GROUP BY 1"
+    )
