@@ -2409,3 +2409,38 @@ def q_kapur_threshold_sql() -> str:
         " t_best, score_nano FROM (SELECT * FROM win "
         "UNION ALL SELECT * FROM flat)"
     )
+
+
+def q_radial_profile(sf_dir: str):
+    """Hash verification of the RADIAL LUMA PROFILE (the vignetting /
+    center-bias screen): each pixel lands in one of 8 rings by the
+    pure-integer band = (r²·8) // (2·(side/2)² + 1) around the image
+    center (no sqrt, no float), and the per-ring exact luma sums are
+    emitted as 8 columns.  Oracle = the same integer expression over
+    the luma plane."""
+    def per(y: np.ndarray) -> dict:
+        h, w = y.shape
+        cy, cx = h // 2, w // 2
+        yy, xx = np.mgrid[0:h, 0:w]
+        r2 = (xx - cx) ** 2 + (yy - cy) ** 2
+        band = (r2 * 8) // (2 * (h // 2) ** 2 + 1)
+        sums = np.zeros(8, np.int64)
+        np.add.at(sums, band.ravel(), y.ravel())
+        return {f"r{i}": int(sums[i]) for i in range(8)}
+
+    return _checksum_ds(sf_dir).map_batches(
+        _luma_kernel(per), batch_format="pyarrow", batch_size=128)
+
+
+def q_radial_profile_sql() -> str:
+    band = ("(((x - side // 2) * (x - side // 2) "
+            "+ (y - side // 2) * (y - side // 2)) * 8) "
+            "// (2 * (side // 2) * (side // 2) + 1)")
+    cols = ", ".join(
+        f"CAST(sum(CASE WHEN {band} = {i} THEN l ELSE 0 END) AS BIGINT)"
+        f" AS r{i}" for i in range(8))
+    return (
+        "WITH " + _luma_table_sql(_CHECKSUM_K) + " "
+        "SELECT 'img_' || lpad(CAST(i AS VARCHAR), 12, '0') AS image_id,"
+        f" {cols} FROM lum GROUP BY 1"
+    )
