@@ -139,42 +139,21 @@ def run_bench() -> dict:
         t_flagship = min(t_flagship, time.perf_counter() - t0)
     queries["flagship"] = round(t_flagship, 3)
 
+    ray.shutdown()
+
     if os.environ.get("GRAFT_BENCH_FLAGSHIP_ONLY") != "1":
         from skyway_ray.queries import QUERIES
 
-        # best-of-N per query (first run doubles as its own warm-up):
-        # single runs on this virtualized host drift ±40%, which reads
-        # as regression noise against BASELINE.md.  Iterate the registry
-        # itself (not a hand-kept list) so every entry is timed and the
-        # compact q_sec array in the summary line aligns 1:1 with
-        # list(QUERIES) order.
-        repeats = int(os.environ.get("GRAFT_BENCH_REPEATS", "3"))
-        for name in list(QUERIES):
-            best = float("inf")
-            attempts = 0
-            for _ in range(max(1, repeats)):
-                while True:
-                    attempts += 1
-                    t0 = time.perf_counter()
-                    try:
-                        _consume(QUERIES[name](sf_dir))
-                    except Exception as e:  # noqa: BLE001
-                        # a transient runtime fault (e.g. a Ray shuffle
-                        # race) must not kill the whole artifact: retry
-                        # once, then record the failure and move on
-                        if attempts <= max(1, repeats) + 1:
-                            print(f"[bench] {name} failed "
-                                  f"(attempt {attempts}): {e!r:.200}",
-                                  file=sys.stderr)
-                            continue
-                        best = None
-                        break
-                    best = min(best or float("inf"),
-                               time.perf_counter() - t0)
-                    break
-                if best is None:
-                    break
-            queries[name] = round(best, 3) if best is not None else None
+        # The registry suite runs in CHUNKED SUBPROCESSES, each with a
+        # fresh Ray session: long single sessions executing thousands
+        # of small Datasets trip rare Ray-core fatal races on this
+        # build (reference_count.cc / task_manager.cc "Check failed"
+        # aborts observed twice), and a C-level abort is unrecoverable
+        # in-process.  Each child appends per-query results to a
+        # progress file as it goes, so a crashed chunk resumes from
+        # the next query on retry — a core crash costs one session
+        # restart, never the artifact.
+        queries.update(_run_suite_chunked(list(QUERIES), sf_dir))
 
     out = {
         "metric": "flagship_e2e_sec",
@@ -192,6 +171,97 @@ def run_bench() -> dict:
     }
     ray.shutdown()
     return out
+
+
+def _run_suite_chunked(names: list, sf_dir: str) -> dict:
+    """Time every registry query via chunked child processes (fresh
+    Ray session per chunk; see run_bench comment).  Children stream
+    results to a progress file, so retries resume mid-chunk."""
+    import tempfile
+
+    chunk = int(os.environ.get("GRAFT_BENCH_CHUNK", "40"))
+    done: dict = {}
+    for i in range(0, len(names), chunk):
+        todo = names[i:i + chunk]
+        for _attempt in range(3):
+            remaining = [n for n in todo if n not in done]
+            if not remaining:
+                break
+            fd, path = tempfile.mkstemp(prefix="bench_chunk_")
+            os.close(fd)
+            env = dict(os.environ, GRAFT_BENCH_CHUNK_NAMES=",".join(remaining),
+                       GRAFT_BENCH_PROGRESS=path, GRAFT_SF_DIR=sf_dir)
+            proc = subprocess.run([sys.executable, os.path.abspath(__file__),
+                                   "--chunk"], env=env, capture_output=True,
+                                  text=True)
+            if proc.returncode != 0:
+                print(f"[bench] chunk died (rc={proc.returncode}); "
+                      f"resuming: {proc.stderr[-300:]}", file=sys.stderr)
+            try:
+                with open(path) as f:
+                    for line in f:
+                        name, sec = json.loads(line)
+                        done[name] = sec
+            finally:
+                os.unlink(path)
+        for n in todo:
+            done.setdefault(n, None)
+    return done
+
+
+def run_chunk() -> None:
+    """Child mode: time GRAFT_BENCH_CHUNK_NAMES in one fresh Ray
+    session, appending ``[name, best_sec]`` JSON lines to
+    GRAFT_BENCH_PROGRESS after every query."""
+    import ray
+
+    ncpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    ray.init(address="local", num_cpus=ncpus, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+
+    from skyway_ray.queries import QUERIES
+
+    sf_dir = os.environ["GRAFT_SF_DIR"]
+    names = os.environ["GRAFT_BENCH_CHUNK_NAMES"].split(",")
+    repeats = int(os.environ.get("GRAFT_BENCH_REPEATS", "3"))
+    with open(os.environ["GRAFT_BENCH_PROGRESS"], "a") as progress:
+        for name in names:
+            best = float("inf")
+            attempts = 0
+            for _ in range(max(1, repeats)):
+                while True:
+                    attempts += 1
+                    t0 = time.perf_counter()
+                    try:
+                        _consume(QUERIES[name](sf_dir))
+                    except Exception as e:  # noqa: BLE001
+                        # a transient PYTHON-level fault (e.g. a Ray
+                        # shuffle race surfacing as an exception) must
+                        # not kill the chunk: retry once, then record
+                        # the failure and move on.  (C-level Ray-core
+                        # aborts kill the process; the parent resumes
+                        # from the progress file.)
+                        if attempts <= max(1, repeats) + 1:
+                            print(f"[bench] {name} failed "
+                                  f"(attempt {attempts}): {e!r:.200}",
+                                  file=sys.stderr)
+                            continue
+                        best = None
+                        break
+                    best = min(best or float("inf"),
+                               time.perf_counter() - t0)
+                    break
+                if best is None:
+                    break
+            progress.write(json.dumps(
+                [name, round(best, 3) if best is not None else None]) + "\n")
+            progress.flush()
+    ray.shutdown()
 
 
 def run_scaling() -> dict:
@@ -315,5 +385,7 @@ def _emit(out: dict) -> None:
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
+    elif "--chunk" in sys.argv:
+        run_chunk()
     else:
         _emit(run_bench())
