@@ -1019,3 +1019,113 @@ def q_traj_intersections_sql() -> str:
         "WHERE ((d1 > 0 AND d2 < 0) OR (d1 < 0 AND d2 > 0)) "
         "AND ((d3 > 0 AND d4 < 0) OR (d3 < 0 AND d4 > 0))"
     )
+
+
+_VW_K = 8
+
+
+def q_visvalingam(sf_dir: str):
+    """VISVALINGAM-WHYATT polyline simplification of each user's
+    trajectory down to K=8 points — the iterative minimum-triangle-
+    area sibling of Douglas-Peucker, kept EXACT: coordinates are
+    microdegree ints, effective areas are integer cross products, and
+    each round removes the per-user (area, seq)-lexicographic minimum
+    interior point.  One keyed_scan pass; rounds run VECTORIZED
+    ACROSS USERS over doubly-linked prev/next index arrays (remove one
+    point per over-budget user per round — never a per-user Python
+    loop).  Oracle = a recursive CTE recomputing lag/lead areas and
+    deleting the per-user argmin each iteration (prototype-validated
+    against an independent reference loop)."""
+    from ..stages.scan import keyed_scan
+
+    K = _VW_K
+
+    def prep(b: pa.Table) -> pa.Table:
+        e = b["event_id"].to_numpy(zero_copy_only=False)
+        lat, lon = derive_latlon(e)
+        return pa.table({"user_id": b["user_id"],
+                         "t": b["ts"].cast(pa.int64()),
+                         "event_id": b["event_id"],
+                         "mx": pa.array(np.floor(lon * 1e6 + 0.5
+                                                 ).astype(np.int64)),
+                         "my": pa.array(np.floor(lat * 1e6 + 0.5
+                                                 ).astype(np.int64))})
+
+    def fn(d: pd.DataFrame) -> pd.DataFrame:
+        u = d["user_id"].to_numpy()
+        mx = d["mx"].to_numpy().astype(np.int64)
+        my = d["my"].to_numpy().astype(np.int64)
+        n = len(u)
+        uniq, codes = np.unique(u, return_inverse=True)
+        starts = np.r_[0, 1 + np.flatnonzero(u[1:] != u[:-1])]
+        sizes = np.diff(np.r_[starts, n])
+        x = np.arange(n, dtype=np.int64) - np.repeat(starts, sizes)
+        cnt = sizes.copy()
+        prv = np.arange(n, dtype=np.int64) - 1
+        nxt = np.arange(n, dtype=np.int64) + 1
+        prv[starts] = -1
+        nxt[starts + sizes - 1] = -1
+        alive = np.ones(n, dtype=bool)
+        while True:
+            over = cnt > K
+            if not over.any():
+                break
+            interior = alive & (prv >= 0) & (nxt >= 0) & over[codes]
+            idx = np.flatnonzero(interior)
+            pi, ni = prv[idx], nxt[idx]
+            area = np.abs((mx[idx] - mx[pi]) * (my[ni] - my[pi])
+                          - (my[idx] - my[pi]) * (mx[ni] - mx[pi]))
+            cu = codes[idx]
+            amin = np.full(len(uniq), np.iinfo(np.int64).max, np.int64)
+            np.minimum.at(amin, cu, area)
+            tied = area == amin[cu]
+            xmin = np.full(len(uniq), np.iinfo(np.int64).max, np.int64)
+            np.minimum.at(xmin, cu[tied], x[idx[tied]])
+            win = tied & (x[idx] == xmin[cu])
+            rm = idx[win]          # exactly one per over-budget user
+            alive[rm] = False
+            cnt[codes[rm]] -= 1
+            p, nx2 = prv[rm], nxt[rm]
+            nxt[p] = nx2
+            prv[nx2] = p
+        keep = alive
+        return pd.DataFrame({"user_id": u[keep], "x": x[keep],
+                             "mx": mx[keep], "my": my[keep]})
+
+    ds = _read(sf_dir, "events",
+               ["event_id", "user_id", "ts"]).map_batches(
+        prep, batch_format="pyarrow")
+    return keyed_scan(ds, key="user_id", order=["t", "event_id"],
+                      fn=fn, n_rows=_nrows(sf_dir, "events"))
+
+
+def q_visvalingam_sql() -> str:
+    lat, lon = latlon_sql("event_id")
+    K = _VW_K
+    return (
+        "WITH RECURSIVE "
+        f"p0 AS (SELECT user_id, epoch_us(ts) AS t, event_id, "
+        f"CAST(floor({lon} * 1e6 + 0.5) AS BIGINT) AS mx, "
+        f"CAST(floor({lat} * 1e6 + 0.5) AS BIGINT) AS my FROM events), "
+        "p AS (SELECT user_id, row_number() OVER (PARTITION BY user_id "
+        "ORDER BY t, event_id) - 1 AS x, mx, my FROM p0), "
+        "dp AS (SELECT 0 AS it, user_id, x, mx, my FROM p "
+        "UNION ALL SELECT * FROM ("
+        "WITH a AS (SELECT it, user_id, x, mx, my, "
+        "count(*) OVER (PARTITION BY user_id) AS cnt, "
+        "lag(mx) OVER w AS px, lag(my) OVER w AS py, "
+        "lead(mx) OVER w AS nx, lead(my) OVER w AS ny FROM dp "
+        "WINDOW w AS (PARTITION BY user_id ORDER BY x)), "
+        "ar AS (SELECT *, CASE WHEN px IS NULL OR nx IS NULL THEN NULL "
+        "ELSE abs((mx - px) * (ny - py) - (my - py) * (nx - px)) END "
+        f"AS area FROM a WHERE cnt > {K}), "
+        "rm AS (SELECT user_id, x FROM (SELECT user_id, x, "
+        "row_number() OVER (PARTITION BY user_id ORDER BY area, x) "
+        "AS rn FROM ar WHERE area IS NOT NULL) WHERE rn = 1) "
+        "SELECT ar.it + 1 AS it, ar.user_id, ar.x, ar.mx, ar.my "
+        "FROM ar LEFT JOIN rm ON rm.user_id = ar.user_id "
+        "AND rm.x = ar.x WHERE rm.user_id IS NULL)) "
+        "SELECT user_id, x, mx, my FROM (SELECT *, "
+        "max(it) OVER (PARTITION BY user_id) AS mit FROM dp) "
+        "WHERE it = mit"
+    )

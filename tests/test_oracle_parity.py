@@ -105,7 +105,7 @@ def test_entry_smoke(ray_session):
     "modularity", "cms_counts", "audio_dft", "merkle_levels",
     "kapur_threshold", "lttb_downsample", "box_isect_area",
     "interval_stab", "ann_filtered", "rrf_fusion", "hilbert_range",
-    "xcorr_lags", "radial_profile",
+    "xcorr_lags", "radial_profile", "visvalingam",
     "convex_hull", "cluster_diameter", "hough_lines", "harris_corners",
     "osmfilter_docs", "prep_pipeline", "exact_dedup_head",
     "hamming_pairs", "image_tiles", "knn_images_exact",
