@@ -473,3 +473,122 @@ def q_merkle_levels_sql() -> str:
         "UNION ALL SELECT 2, node, "
         f"CAST({to_i64} AS BIGINT) FROM l2"
     )
+
+
+_ITEM_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def q_itemset_triples(sf_dir: str):
+    """FREQUENT ITEMSET mining (the market-basket shape) over the
+    bounded event-type domain: one user-keyed hash-bucket exchange
+    builds each user's 5-bit presence mask (np.bitwise_or.at in the
+    bucket task), the buckets emit the BOUNDED mask histogram
+    (≤ 2⁵ keys) onto the combiner tree, and the driver folds support
+    counts for every type TRIPLE = users whose mask covers it — the
+    a-priori candidate lattice is bounded by the vocabulary, never the
+    data, so only 32 ints cross the final wire.  Exact; oracle folds
+    the same masks from a DISTINCT (user, type) projection."""
+    from itertools import combinations
+
+    from ..stages.agg_tree import tree_aggregate_to_table
+    from ..stages.scan import hash_bucket_scan
+
+    tcode = {t: i for i, t in enumerate(_ITEM_TYPES)}
+
+    def prep(b: pa.Table) -> pa.Table:
+        et = b["event_type"].to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(et.astype("U"), return_inverse=True)
+        codes = np.array([tcode[t] for t in uniq], np.int64)
+        t = pa.table({"user_id": b["user_id"],
+                      "bit": pa.array(np.int64(1) << codes[inv])})
+        g = t.group_by(["user_id", "bit"]).aggregate([])
+        return g
+
+    def mask_hist(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        bit = t["bit"].to_numpy(zero_copy_only=False)
+        uu, ui = np.unique(u, return_inverse=True)
+        mm = np.zeros(len(uu), np.int64)
+        np.bitwise_or.at(mm, ui, bit)
+        hm, hc = np.unique(mm, return_counts=True)
+        return pa.table({"m": pa.array(hm),
+                         "n": pa.array(hc.astype(np.int64))})
+
+    rows = _read(sf_dir, "events",
+                 ["user_id", "event_type"]).map_batches(
+        prep, batch_format="pyarrow")
+    hist = tree_aggregate_to_table(
+        hash_bucket_scan(rows, ["user_id"], mask_hist,
+                         n_rows=_nrows(sf_dir, "events")),
+        ["m"], [("n", "sum")]).to_pandas()
+    m = hist["m"].to_numpy()
+    n = hist["n"].to_numpy()
+    out = []
+    for combo in combinations(range(len(_ITEM_TYPES)), 3):
+        cm = sum(1 << c for c in combo)
+        out.append((combo[0], combo[1], combo[2],
+                    int(n[(m & cm) == cm].sum())))
+    df = pd.DataFrame(out, columns=["t0", "t1", "t2", "support"])
+    return df.astype(np.int64)
+
+
+def q_itemset_triples_sql() -> str:
+    code = ("CASE event_type " + " ".join(
+        f"WHEN '{t}' THEN {i}" for i, t in enumerate(_ITEM_TYPES))
+        + " END")
+    from itertools import combinations
+    combos = " UNION ALL ".join(
+        f"SELECT {a} AS t0, {b} AS t1, {c} AS t2, "
+        f"{(1 << a) | (1 << b) | (1 << c)} AS cm"
+        for a, b, c in combinations(range(len(_ITEM_TYPES)), 3))
+    return (
+        f"WITH d AS (SELECT DISTINCT user_id, {code} AS c FROM events), "
+        "mk AS (SELECT user_id, sum(1 << c) AS m FROM d GROUP BY 1), "
+        f"combos AS ({combos}) "
+        "SELECT CAST(t0 AS BIGINT) AS t0, CAST(t1 AS BIGINT) AS t1, "
+        "CAST(t2 AS BIGINT) AS t2, "
+        "CAST(count(mk.user_id) AS BIGINT) AS support "
+        "FROM combos LEFT JOIN mk ON (mk.m & combos.cm) = combos.cm "
+        "GROUP BY 1, 2, 3"
+    )
+
+
+def q_fano_factor(sf_dir: str):
+    """FANO FACTOR burstiness screen per event type: over the hourly
+    count series, the exact integer pair (n·Σc² − (Σc)², n·Σc) whose
+    ratio is the variance-to-mean index — Poisson ⇒ ≈ n·Σc, bursty ⇒
+    larger.  Per-(type, hour) counts ride one combiner-tree pass;
+    the moment fold is over the bounded hourly grid.  No floats."""
+    from ..stages.agg_tree import tree_aggregate_to_table
+
+    def bucket(b: pa.Table) -> pa.Table:
+        ts = b["ts"].to_numpy(zero_copy_only=False)
+        h = ts.astype("datetime64[us]").astype(np.int64) // 3_600_000_000
+        t = pa.table({"et": b["event_type"], "h": pa.array(h, pa.int64()),
+                      "x": pa.array(np.ones(len(h), np.int64))})
+        return (t.group_by(["et", "h"]).aggregate([("x", "sum")])
+                .rename_columns(["et", "h", "x"]))
+
+    tab = tree_aggregate_to_table(
+        _read(sf_dir, "events", ["event_type", "ts"]).map_batches(
+            bucket, batch_format="pyarrow"),
+        ["et", "h"], [("x", "sum")]).to_pandas()
+    g = tab.groupby("et")["x"]
+    n = g.size().astype(np.int64)
+    s1 = g.sum().astype(np.int64)
+    s2 = g.apply(lambda v: int((v.to_numpy() ** 2).sum())).astype(np.int64)
+    return pd.DataFrame({"event_type": n.index.to_numpy(),
+                         "fano_num": (n * s2 - s1 * s1).to_numpy(),
+                         "fano_den": (n * s1).to_numpy()})
+
+
+def q_fano_factor_sql() -> str:
+    return (
+        "WITH c AS (SELECT event_type, epoch_us(ts) // 3600000000 AS h, "
+        "count(*) AS x FROM events GROUP BY 1, 2) "
+        "SELECT event_type, "
+        "CAST(count(*) * sum(x * x) - sum(x) * sum(x) AS BIGINT) "
+        "AS fano_num, "
+        "CAST(count(*) * sum(x) AS BIGINT) AS fano_den "
+        "FROM c GROUP BY 1"
+    )
