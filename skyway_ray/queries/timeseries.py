@@ -1427,23 +1427,15 @@ def q_seasonal_error_sql() -> str:
 _DTW_L = 12
 
 
-def q_dtw_pairs(sf_dir: str):
-    """DYNAMIC TIME WARPING distance between paired user value-series
-    (users 2k vs 2k+1, each series = its first L=12 events by
-    event_id, values pinned to cents) — the classic elastic
-    time-series similarity the suite's pointwise metrics can't
-    express.  Distributed shape: one user-keyed hash-bucket exchange
-    extracts each series head (sort + run-head slice, vectorized),
-    one pair-keyed exchange co-locates the two sides, and the DP
-    itself runs as a wavefront VECTORIZED ACROSS PAIRS inside the
-    bucket task — L² numpy ops on (n_pairs,)-vectors, never a Python
-    loop over pairs; per-pair state is bounded (L² ints) at any
-    corpus size.  All-integer costs ⇒ exact.  Oracle = a recursive
-    CTE advancing one anti-diagonal per iteration, carrying the
-    previous diagonal via age-tagged re-emission."""
+def _paired_series(sf_dir: str, L: int):
+    """(pair, side, pos, v) rows of each user's first-L cent-pinned
+    value series (sides = user parity, pair = user_id // 2; users with
+    fewer than L events are dropped) via one user-keyed hash-bucket
+    exchange — the shared extraction of q_dtw_pairs and
+    q_hausdorff_pairs (one copy, so the pairing derivation cannot
+    desynchronize across the family)."""
     from ..stages.scan import hash_bucket_scan
 
-    L = _DTW_L
     n_ev = _nrows(sf_dir, "events")
 
     def prep(b: pa.Table) -> pa.Table:
@@ -1471,11 +1463,32 @@ def q_dtw_pairs(sf_dir: str):
                          "side": pa.array(u % 2),
                          "pos": pa.array(pos), "v": pa.array(v)})
 
-    series = hash_bucket_scan(
+    return hash_bucket_scan(
         _read(sf_dir, "events",
               ["user_id", "event_id", "value"]).map_batches(
             prep, batch_format="pyarrow"),
         ["user_id"], head_l, n_rows=n_ev)
+
+
+def q_dtw_pairs(sf_dir: str):
+    """DYNAMIC TIME WARPING distance between paired user value-series
+    (users 2k vs 2k+1, each series = its first L=12 events by
+    event_id, values pinned to cents) — the classic elastic
+    time-series similarity the suite's pointwise metrics can't
+    express.  Distributed shape: one user-keyed hash-bucket exchange
+    extracts each series head (sort + run-head slice, vectorized),
+    one pair-keyed exchange co-locates the two sides, and the DP
+    itself runs as a wavefront VECTORIZED ACROSS PAIRS inside the
+    bucket task — L² numpy ops on (n_pairs,)-vectors, never a Python
+    loop over pairs; per-pair state is bounded (L² ints) at any
+    corpus size.  All-integer costs ⇒ exact.  Oracle = a recursive
+    CTE advancing one anti-diagonal per iteration, carrying the
+    previous diagonal via age-tagged re-emission."""
+    from ..stages.scan import hash_bucket_scan
+
+    L = _DTW_L
+    n_ev = _nrows(sf_dir, "events")
+    series = _paired_series(sf_dir, L)
 
     def dp_fn(t: pa.Table) -> pa.Table:
         p = t["pair"].to_numpy(zero_copy_only=False)
@@ -1917,4 +1930,76 @@ def q_xcorr_lags_sql() -> str:
         "JOIN c a ON a.et = 'click' "
         "JOIN c b ON b.et = 'purchase' AND b.h = a.h + lag "
         "GROUP BY 1"
+    )
+
+
+def q_hausdorff_pairs(sf_dir: str):
+    """Discrete HAUSDORFF DISTANCE between paired user value-series
+    (the order-insensitive companion of q_dtw_pairs, same
+    _paired_series extraction): H = max(h(A→B), h(B→A)) with
+    h(A→B) = max_a min_b (a−b)² — exact int64 squared cents.  The
+    per-pair max-min folds run vectorized across all pairs in the
+    bucket (one (n_pairs, L, L) squared-difference tensor).  Oracle =
+    two plain min-then-max aggregations — no recursion needed."""
+    from ..stages.scan import hash_bucket_scan
+
+    L = _DTW_L
+    series = _paired_series(sf_dir, L)
+
+    def fold(t: pa.Table) -> pa.Table:
+        p = t["pair"].to_numpy(zero_copy_only=False)
+        s = t["side"].to_numpy(zero_copy_only=False)
+        pos = t["pos"].to_numpy(zero_copy_only=False)
+        v = t["v"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((pos, s, p))
+        p, v = p[order], v[order]
+        new_p = np.ones(len(p), dtype=bool)
+        new_p[1:] = p[1:] != p[:-1]
+        starts = np.flatnonzero(new_p)
+        sizes = np.diff(np.append(starts, len(p)))
+        full = sizes == 2 * L
+        keep = np.repeat(full, sizes)
+        p, v = p[keep], v[keep]
+        if not len(p):
+            return pa.table({"pair": pa.array([], pa.int64()),
+                             "hausdorff2": pa.array([], pa.int64())})
+        n_pairs = len(p) // (2 * L)
+        arr = v.reshape(n_pairs, 2, L)
+        a, b = arr[:, 0, :], arr[:, 1, :]
+        d2 = (a[:, :, None] - b[:, None, :]) ** 2
+        h_ab = d2.min(axis=2).max(axis=1)
+        h_ba = d2.min(axis=1).max(axis=1)
+        return pa.table({"pair": pa.array(p[::2 * L]),
+                         "hausdorff2": pa.array(
+                             np.maximum(h_ab, h_ba))})
+
+    return hash_bucket_scan(series, ["pair"], fold,
+                            n_rows=max(_nrows(sf_dir, "events")
+                                       // (2 * L), 1))
+
+
+def q_hausdorff_pairs_sql() -> str:
+    L = _DTW_L
+    return (
+        "WITH ev AS (SELECT user_id, "
+        "CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS v, "
+        "row_number() OVER (PARTITION BY user_id ORDER BY event_id) - 1"
+        " AS pos FROM events), "
+        f"s0 AS (SELECT * FROM ev WHERE pos < {L}), "
+        "full_u AS (SELECT user_id FROM s0 GROUP BY 1 "
+        f"HAVING count(*) = {L}), "
+        "s AS (SELECT s0.user_id // 2 AS pair, s0.user_id % 2 AS side, "
+        "pos, v FROM s0 JOIN full_u ON full_u.user_id = s0.user_id), "
+        "m1 AS (SELECT a.pair, a.pos, "
+        "min((a.v - b.v) * (a.v - b.v)) AS mn FROM s a "
+        "JOIN s b ON b.pair = a.pair AND a.side = 0 AND b.side = 1 "
+        "GROUP BY 1, 2), "
+        "m2 AS (SELECT b.pair, b.pos, "
+        "min((a.v - b.v) * (a.v - b.v)) AS mn FROM s a "
+        "JOIN s b ON b.pair = a.pair AND a.side = 0 AND b.side = 1 "
+        "GROUP BY 1, 2), "
+        "h1 AS (SELECT pair, max(mn) AS h FROM m1 GROUP BY 1), "
+        "h2 AS (SELECT pair, max(mn) AS h FROM m2 GROUP BY 1) "
+        "SELECT h1.pair, CAST(greatest(h1.h, h2.h) AS BIGINT) "
+        "AS hausdorff2 FROM h1 JOIN h2 ON h2.pair = h1.pair"
     )

@@ -100,7 +100,7 @@ def test_entry_smoke(ray_session):
     "median3_checksum", "euler4x", "chan_corr",
     "morph_checksum", "block_dct", "clustering_coeff", "closest_pair",
     "bilinear_checksum", "image_entropy", "audio_zcr", "triangle_raster",
-    "haar_checksum", "dtw_pairs", "map_match", "winnowing",
+    "haar_checksum", "dtw_pairs", "map_match", "winnowing", "hausdorff_pairs",
     "mann_kendall", "theilsen_slope", "hist_intersect",
     "modularity", "cms_counts", "audio_dft", "merkle_levels",
     "itemset_triples", "fano_factor",
