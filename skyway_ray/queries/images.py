@@ -2444,3 +2444,62 @@ def q_radial_profile_sql() -> str:
         "SELECT 'img_' || lpad(CAST(i AS VARCHAR), 12, '0') AS image_id,"
         f" {cols} FROM lum GROUP BY 1"
     )
+
+
+def q_caption_tile_tokens(sf_dir: str):
+    """CROSS-MODAL aggregation — the image+caption north-star join:
+    per (z=6 web-mercator tile, caption token) counts over the image
+    fixture, where the coordinate comes from the stored phash geotag
+    (stages/geotag) and the token is the caption's payload suffix
+    (split-once semantics keep multi-word/unicode tokens whole).
+    One pruned 2-column read → vectorized decode+tokenize → per-batch
+    pre-aggregation → combiner tree on the data-bounded (tile, token)
+    key space.  Oracle reads the same fixture parquet and replays the
+    phash split, web-mercator, and the prefix-strip in SQL."""
+    import ray.data
+
+    from ..fixtures import ensure_images_parquet
+    from ..geo.tiles import tile_xy
+    from ..stages.agg_tree import tree_aggregate
+    from ..stages.geotag import add_geotag
+
+    images = ensure_images_parquet("correctness")
+    ds = ray.data.read_parquet(images, columns=["image_id", "phash",
+                                                "caption"])
+    ds = ds.map_batches(add_geotag, batch_format="pyarrow")
+
+    def partial(b: pa.Table) -> pa.Table:
+        lat = b["lat"].to_numpy(zero_copy_only=False)
+        lon = b["lon"].to_numpy(zero_copy_only=False)
+        x, y = tile_xy(lat, lon, 6)
+        toks = np.array([c.split(" ", 2)[2]
+                         for c in b["caption"].to_pylist()], object)
+        t = pa.table({"tile_x": pa.array(x), "tile_y": pa.array(y),
+                      "tok": pa.array(toks.astype(str)),
+                      "n": pa.array(np.ones(len(x), np.int64))})
+        return (t.group_by(["tile_x", "tile_y", "tok"])
+                .aggregate([("n", "sum")])
+                .rename_columns(["tile_x", "tile_y", "tok", "n"]))
+
+    return tree_aggregate(ds.map_batches(partial, batch_format="pyarrow"),
+                          ["tile_x", "tile_y", "tok"], [("n", "sum")])
+
+
+def q_caption_tile_tokens_sql() -> str:
+    from ..fixtures import FIXTURE_DIR
+    from ..geo.tiles import tile_sql
+
+    path = os.path.join(FIXTURE_DIR, "images_correctness.parquet")
+    u = ("(CAST(phash AS HUGEINT) + CASE WHEN phash < 0 "
+         "THEN 18446744073709551616 ELSE 0 END)")
+    hi = f"CAST({u} // 4294967296 AS BIGINT)"
+    lo = f"CAST({u} % 4294967296 AS BIGINT)"
+    lat = f"(-60.0 + 120.0 * {hi} / 4294967296.0)"
+    lon = f"(-180.0 + 360.0 * {lo} / 4294967296.0)"
+    xe, ye = tile_sql(lat, lon, 6)
+    return (
+        f"SELECT {xe} AS tile_x, {ye} AS tile_y, "
+        "regexp_replace(caption, '^caption [0-9]+ ', '') AS tok, "
+        "CAST(count(*) AS BIGINT) AS n "
+        f"FROM read_parquet('{path}') GROUP BY 1, 2, 3"
+    )

@@ -106,7 +106,7 @@ def test_entry_smoke(ray_session):
     "itemset_triples", "fano_factor",
     "kapur_threshold", "lttb_downsample", "box_isect_area",
     "interval_stab", "ann_filtered", "rrf_fusion", "hilbert_range",
-    "xcorr_lags", "radial_profile", "visvalingam",
+    "xcorr_lags", "radial_profile", "visvalingam", "caption_tile_tokens",
     "convex_hull", "cluster_diameter", "hough_lines", "harris_corners",
     "osmfilter_docs", "prep_pipeline", "exact_dedup_head",
     "hamming_pairs", "image_tiles", "knn_images_exact",
