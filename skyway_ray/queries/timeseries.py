@@ -2003,3 +2003,41 @@ def q_hausdorff_pairs_sql() -> str:
         "SELECT h1.pair, CAST(greatest(h1.h, h2.h) AS BIGINT) "
         "AS hausdorff2 FROM h1 JOIN h2 ON h2.pair = h1.pair"
     )
+
+
+def q_markov_entropy(sf_dir: str):
+    """CONDITIONAL ENTROPY of the type-transition Markov chain, per
+    source state — the sequence-predictability screen on top of
+    q_transitions (same distributed counting pass; the 5×5 count
+    matrix is bounded, so the entropy fold is a driver formality):
+    h_nano = Σ_next floor(−(p·ln p)·10⁹ + 0.5) with p = n/row_total —
+    int-pinned per term, the q_type_entropy recipe."""
+    tr = q_transitions(sf_dir).to_pandas()
+    g = tr.groupby("prev_type", sort=True)
+    out = []
+    for prev, grp in g:
+        n = grp["n"].to_numpy().astype(np.float64)
+        r = n.sum()
+        p = n / r
+        terms = np.floor(-(p * np.log(p)) * 1e9 + 0.5).astype(np.int64)
+        out.append((prev, int(terms.sum()), int(r)))
+    return pd.DataFrame(out, columns=["prev_type", "h_nano",
+                                      "row_total"])
+
+
+def q_markov_entropy_sql() -> str:
+    return (
+        "WITH s AS (SELECT user_id, event_type, lag(event_type) OVER "
+        "(PARTITION BY user_id ORDER BY ts, event_id) AS prev "
+        "FROM events), "
+        "c AS (SELECT prev, event_type, count(*) AS n FROM s "
+        "WHERE prev IS NOT NULL GROUP BY 1, 2), "
+        "r AS (SELECT prev, sum(n) AS rt FROM c GROUP BY 1), "
+        "t AS (SELECT c.prev, r.rt, CAST(floor(-((CAST(c.n AS DOUBLE) "
+        "/ CAST(r.rt AS DOUBLE)) * ln(CAST(c.n AS DOUBLE) / "
+        "CAST(r.rt AS DOUBLE))) * 1e9 + 0.5) AS BIGINT) AS term "
+        "FROM c JOIN r ON r.prev = c.prev) "
+        "SELECT prev AS prev_type, CAST(sum(term) AS BIGINT) AS h_nano,"
+        " CAST(any_value(rt) AS BIGINT) AS row_total "
+        "FROM t GROUP BY 1"
+    )

@@ -103,7 +103,7 @@ def test_entry_smoke(ray_session):
     "haar_checksum", "dtw_pairs", "map_match", "winnowing", "hausdorff_pairs",
     "mann_kendall", "theilsen_slope", "hist_intersect",
     "modularity", "cms_counts", "audio_dft", "merkle_levels",
-    "itemset_triples", "fano_factor",
+    "itemset_triples", "fano_factor", "markov_entropy",
     "kapur_threshold", "lttb_downsample", "box_isect_area",
     "interval_stab", "ann_filtered", "rrf_fusion", "hilbert_range",
     "xcorr_lags", "radial_profile", "visvalingam", "caption_tile_tokens",
