@@ -1870,7 +1870,7 @@ _MM_SCALE = 1_000  # interior-distance quantization: cross² ≤ ~8.7e14
 
 def q_map_match(sf_dir: str):
     """MAP MATCHING: snap every event point to its nearest derived
-    road segment (25 segments hashed off the nation table — a bounded
+    road segment (segments hashed off the nation table keys — a bounded
     small side, broadcast by construction; the per-batch kernel is one
     (n_points × n_segments) integer matrix, NO shuffle at all).
     Coordinates are centidegree ints; the point-to-segment distance is
@@ -1886,7 +1886,15 @@ def q_map_match(sf_dir: str):
     S = _MM_SCALE
 
     def segs() -> tuple:
-        k = np.arange(25, dtype=np.int64)
+        # derive segments FROM the nation table keys (25 at TPC-H
+        # scales) — the oracle reads the same table, so a fixture with
+        # fewer nations stays in contract; the table is KB-sized, read
+        # once on the driver and closure-broadcast
+        import pyarrow.parquet as pq
+        k = np.sort(pq.read_table(
+            os.path.join(sf_dir, "nation.parquet"),
+            columns=["n_nationkey"])["n_nationkey"].to_numpy(
+            zero_copy_only=False).astype(np.int64))
         lat, lon = derive_latlon(k)
         ax = np.floor(lon * 1e2 + 0.5).astype(np.int64)
         ay = np.floor(lat * 1e2 + 0.5).astype(np.int64)
@@ -1921,8 +1929,17 @@ def q_map_match(sf_dir: str):
                          "seg": pa.array(seg),
                          "q": pa.array(q[np.arange(len(e)), seg])})
 
-    return _read(sf_dir, "events", ["event_id"]).map_batches(
-        per, batch_format="pyarrow")
+    from ..stages.scan import hash_bucket_scan
+
+    # one ids-only distinct exchange: the snap is functional in
+    # event_id, and the oracle's rn=1 is per DISTINCT id — duplicate
+    # event rows must not double-emit
+    ids = hash_bucket_scan(
+        _read(sf_dir, "events", ["event_id"]),
+        ["event_id"],
+        lambda t: t.group_by(["event_id"]).aggregate([]),
+        n_rows=_nrows(sf_dir, "events"))
+    return ids.map_batches(per, batch_format="pyarrow")
 
 
 def q_map_match_sql() -> str:

@@ -498,9 +498,11 @@ def q_itemset_triples(sf_dir: str):
     def prep(b: pa.Table) -> pa.Table:
         et = b["event_type"].to_numpy(zero_copy_only=False)
         uniq, inv = np.unique(et.astype("U"), return_inverse=True)
-        codes = np.array([tcode[t] for t in uniq], np.int64)
-        t = pa.table({"user_id": b["user_id"],
-                      "bit": pa.array(np.int64(1) << codes[inv])})
+        codes = np.array([tcode.get(t, -1) for t in uniq], np.int64)
+        row_code = codes[inv]
+        keep = row_code >= 0            # unknown types are not items
+        t = pa.table({"user_id": b["user_id"].filter(pa.array(keep)),
+                      "bit": pa.array(np.int64(1) << row_code[keep])})
         g = t.group_by(["user_id", "bit"]).aggregate([])
         return g
 
@@ -542,7 +544,8 @@ def q_itemset_triples_sql() -> str:
         f"{(1 << a) | (1 << b) | (1 << c)} AS cm"
         for a, b, c in combinations(range(len(_ITEM_TYPES)), 3))
     return (
-        f"WITH d AS (SELECT DISTINCT user_id, {code} AS c FROM events), "
+        f"WITH d AS (SELECT DISTINCT user_id, {code} AS c FROM events "
+        "WHERE " + code + " IS NOT NULL), "
         "mk AS (SELECT user_id, sum(1 << c) AS m FROM d GROUP BY 1), "
         f"combos AS ({combos}) "
         "SELECT CAST(t0 AS BIGINT) AS t0, CAST(t1 AS BIGINT) AS t1, "

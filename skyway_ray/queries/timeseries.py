@@ -1592,8 +1592,10 @@ def q_mann_kendall(sf_dir: str):
             sg = np.sign(y[jg] - y[ig])
             np.add.at(s, codes[ig], sg)
             np.add.at(npairs, codes[ig], np.ones(len(ig), np.int64))
-        return pd.DataFrame({"user_id": uniq, "s_stat": s,
-                             "n_pairs": npairs})
+        keep = npairs > 0     # single-event users have no pairs —
+        # the self-join oracle never emits them
+        return pd.DataFrame({"user_id": uniq[keep], "s_stat": s[keep],
+                             "n_pairs": npairs[keep]})
 
     ds = _read(sf_dir, "events",
                ["event_id", "user_id", "ts", "value"]).map_batches(
@@ -1924,12 +1926,17 @@ def q_xcorr_lags_sql() -> str:
     return (
         "WITH c AS (SELECT event_type AS et, "
         "epoch_us(ts) // 3600000000 AS h, count(*) AS x FROM events "
-        "WHERE event_type IN ('click', 'purchase') GROUP BY 1, 2) "
-        f"SELECT lag, CAST(sum(a.x * b.x) AS BIGINT) AS dot "
+        "WHERE event_type IN ('click', 'purchase') GROUP BY 1, 2), "
+        # LEFT JOIN keeps every lag total: a fixture with one of the
+        # two series absent must yield 13 zero rows, like the engine
+        f"d AS (SELECT lag, sum(a.x * b.x) AS dot "
         f"FROM range(-{L}, {L + 1}) t(lag) "
         "JOIN c a ON a.et = 'click' "
         "JOIN c b ON b.et = 'purchase' AND b.h = a.h + lag "
-        "GROUP BY 1"
+        "GROUP BY 1) "
+        f"SELECT t2.lag, CAST(COALESCE(d.dot, 0) AS BIGINT) AS dot "
+        f"FROM range(-{L}, {L + 1}) t2(lag) "
+        "LEFT JOIN d ON d.lag = t2.lag"
     )
 
 

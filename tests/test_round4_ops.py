@@ -50,7 +50,24 @@ NAMES = ["pct_rank", "retention", "doc_stats", "type_entropy",
          # type-state colocation over the same tiny hub graph /
          # planted ε-triple — single-row state seeds, empty bad-node
          # rounds, isolated-core singletons, one-type pair tables
-         "sssp", "kcore", "assortativity", "pagerank", "colocation"]
+         "sssp", "kcore", "assortativity", "pagerank", "colocation",
+         # session-G block: sequence DP + robust stats + sketches +
+         # geometry over the same edge fixture — single-event users
+         # (no MK pairs / no transitions), all users shorter than the
+         # DTW/Hausdorff L=12 (both sides must emit EMPTY with stable
+         # schemas), under-K Visvalingam passthrough, x-tied Theil-Sen
+         # pairs (dx=0 skipped), event types outside the item
+         # vocabulary (ignored, not KeyError), a click-less
+         # cross-correlation (13 zero rows on BOTH sides), 4-nation
+         # map-match segments (derived from the table, not a constant),
+         # 3-row supplier/part spatial sides
+         "mann_kendall", "theilsen_slope", "dtw_pairs",
+         "hausdorff_pairs", "lttb_downsample", "visvalingam",
+         "interval_stab", "xcorr_lags", "markov_entropy",
+         "fano_factor", "itemset_triples", "merkle_levels",
+         "cms_counts", "closest_pair", "map_match", "triangle_raster",
+         "modularity", "clustering_coeff", "hilbert_range",
+         "box_isect_area", "winnowing"]
 
 
 @pytest.fixture(scope="module")
@@ -103,6 +120,18 @@ def edge_dir(tmp_path_factory):
     for i, eid in enumerate([5000, 130574, 256148, 71574]):
         rows.append((eid, base + dt.timedelta(hours=15 + i),
                      eid % 400, "geo", 1.0))
+    # users 4 and 5: twelve events each → ONE complete DTW/Hausdorff
+    # pair (pair=2) — all other users are shorter than L=12, so the
+    # L-gate drops them on both sides; derived points sit ≥ 14.6° from
+    # the planted dbscan constellation and add star edges only (no new
+    # triangle).  x-hour ties inside user 4 exercise Theil-Sen's
+    # dx=0 skip; 'click'/'purchase' rows give xcorr a non-empty lag 0.
+    for j in range(12):
+        rows.append((9000 + j, base + dt.timedelta(hours=20 + j // 2),
+                     4, "click" if j % 2 else "purchase",
+                     float((j * 7) % 5) + 0.25))
+        rows.append((9100 + j, base + dt.timedelta(hours=20 + j),
+                     5, "view", float((j * 3) % 4) - 1.5))
     ev = pa.table({
         "event_id": pa.array([r[0] for r in rows], pa.int64()),
         "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
@@ -158,6 +187,21 @@ def edge_dir(tmp_path_factory):
             [1.0, 2.0, 3.0, 4.0],
             [1.5, 2.5, 3.5, 4.5],
             [-1.0, -2.0, -3.0, -4.0]]
+    # supplier/part: tiny spatial sides for triangle_raster /
+    # box_isect_area (3 rows each; keys spread the derived shapes)
+    pq.write_table(pa.table({
+        "s_suppkey": pa.array([1, 2, 3], pa.int64()),
+        "s_name": pa.array(["s1", "s2", "s3"], pa.string()),
+        "s_nationkey": pa.array([0, 1, 2], pa.int32()),
+    }), os.path.join(d, "supplier.parquet"))
+    pq.write_table(pa.table({
+        # keys equal to live event ids → identical derived centers,
+        # so box_isect_area has guaranteed overlaps (403 is also a
+        # DUPLICATED event id — per-row join semantics exercised)
+        "p_partkey": pa.array([30, 403, 5000], pa.int64()),
+        "p_name": pa.array(["p30", "p403", "p5000"], pa.string()),
+    }), os.path.join(d, "part.parquet"))
+
     pq.write_table(pa.table({
         "vec_id": pa.array([0, 1, 2, 3], pa.int64()),
         "embedding": pa.array(vecs, pa.list_(pa.float32())),
@@ -183,7 +227,8 @@ def test_edge_parity(name, edge_dir, ray_session):
     if not isinstance(got, pd.DataFrame):
         got = got.to_pandas()
     con = duckdb.connect()
-    for t in ("events", "documents", "nation", "orders", "embeddings"):
+    for t in ("events", "documents", "nation", "orders", "embeddings",
+              "supplier", "part"):
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM "
                 f"read_parquet('{edge_dir}/{t}.parquet')")
     want = con.sql(ORACLE_SQL[name]).df()
