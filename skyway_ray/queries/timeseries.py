@@ -2048,3 +2048,200 @@ def q_markov_entropy_sql() -> str:
         " CAST(any_value(rt) AS BIGINT) AS row_total "
         "FROM t GROUP BY 1"
     )
+
+
+def q_rs_range(sf_dir: str):
+    """RESCALED-RANGE (Hurst / long-memory screen) inputs per user,
+    denominators cleared so everything is exact int64: over the
+    time-ordered cent series, c_k = Σ_{i≤k}(n·y_i − S) is the n-scaled
+    demeaned cumulative sum (S = Σy), R_scaled = max_k c_k − min_k c_k
+    (= n·R), and var_num = n·Σy² − S² (= n²·σ²).  H ≈ log(R/σ√n)
+    ratios are left to the analyst — the sufficient statistics are
+    the pinned integers.  One keyed_scan; per-user folds are global
+    cumsum + segmented min/max (no per-user loop)."""
+    from ..stages.scan import keyed_scan
+
+    def prep(b: pa.Table) -> pa.Table:
+        v = b["value"].to_numpy(zero_copy_only=False)
+        return pa.table({"user_id": b["user_id"],
+                         "t": b["ts"].cast(pa.int64()),
+                         "event_id": b["event_id"],
+                         "y": pa.array(np.floor(v * 100.0 + 0.5
+                                                ).astype(np.int64))})
+
+    def fn(d: pd.DataFrame) -> pd.DataFrame:
+        u = d["user_id"].to_numpy()
+        y = d["y"].to_numpy()
+        uniq, codes = np.unique(u, return_inverse=True)
+        starts = np.r_[0, 1 + np.flatnonzero(u[1:] != u[:-1])]
+        sizes = np.diff(np.r_[starts, len(u)])
+        n = np.repeat(sizes, sizes)
+        S = np.zeros(len(uniq), np.int64)
+        np.add.at(S, codes, y)
+        dev = n * y - S[codes]
+        c = np.cumsum(dev)
+        seg0 = np.repeat(np.r_[np.int64(0), c[starts[1:] - 1]], sizes)
+        c = c - seg0
+        cmax = np.full(len(uniq), np.iinfo(np.int64).min, np.int64)
+        cmin = np.full(len(uniq), np.iinfo(np.int64).max, np.int64)
+        np.maximum.at(cmax, codes, c)
+        np.minimum.at(cmin, codes, c)
+        s2 = np.zeros(len(uniq), np.int64)
+        np.add.at(s2, codes, y * y)
+        nn = sizes.astype(np.int64)
+        return pd.DataFrame({"user_id": uniq,
+                             "r_scaled": cmax - cmin,
+                             "var_num": nn * s2 - S * S,
+                             "n": nn})
+
+    ds = _read(sf_dir, "events",
+               ["event_id", "user_id", "ts", "value"]).map_batches(
+        prep, batch_format="pyarrow")
+    return keyed_scan(ds, key="user_id", order=["t", "event_id"],
+                      fn=fn, n_rows=_nrows(sf_dir, "events"))
+
+
+def q_rs_range_sql() -> str:
+    return (
+        "WITH p AS (SELECT user_id, epoch_us(ts) AS t, event_id, "
+        "CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS y FROM events), "
+        "st AS (SELECT user_id, count(*) AS n, sum(y) AS s, "
+        "sum(y * y) AS s2 FROM p GROUP BY 1), "
+        "c AS (SELECT p.user_id, st.n, st.s, st.s2, "
+        "sum(st.n * p.y - st.s) OVER (PARTITION BY p.user_id "
+        "ORDER BY p.t, p.event_id ROWS UNBOUNDED PRECEDING) AS ck "
+        "FROM p JOIN st ON st.user_id = p.user_id) "
+        "SELECT user_id, CAST(max(ck) - min(ck) AS BIGINT) AS r_scaled,"
+        " CAST(any_value(n) * any_value(s2) - any_value(s) * "
+        "any_value(s) AS BIGINT) AS var_num, "
+        "CAST(any_value(n) AS BIGINT) AS n FROM c GROUP BY 1"
+    )
+
+
+def q_perm_counts(sf_dir: str):
+    """ORDINAL-PATTERN (permutation-entropy) counts per user: each
+    consecutive value triple maps to one of six order patterns
+    (strict-less comparisons with the repo's deterministic tie rule:
+    earlier position wins ties, i.e. a ≤ b reads 'a before b'), and
+    the bounded (user, pattern) counts ride the combiner tree.  The
+    entropy itself is left to the reader — the counts are the exact
+    sufficient statistics (and what a drift monitor actually stores).
+    Pattern id = 2·[y0>y1] + [y1>y2] + 3·[y0>y2] ∈ [0, 7] minus the
+    two impossible codes — emitted as the raw id to keep both sides
+    trivially identical."""
+    from ..stages.agg_tree import tree_aggregate
+    from ..stages.scan import keyed_scan
+
+    def prep(b: pa.Table) -> pa.Table:
+        v = b["value"].to_numpy(zero_copy_only=False)
+        return pa.table({"user_id": b["user_id"],
+                         "t": b["ts"].cast(pa.int64()),
+                         "event_id": b["event_id"],
+                         "y": pa.array(np.floor(v * 100.0 + 0.5
+                                                ).astype(np.int64))})
+
+    def fn(d: pd.DataFrame) -> pd.DataFrame:
+        u = d["user_id"].to_numpy()
+        y = d["y"].to_numpy()
+        ok = (u[:-2] == u[1:-1]) & (u[:-2] == u[2:])
+        y0, y1, y2 = y[:-2][ok], y[1:-1][ok], y[2:][ok]
+        pat = (2 * (y0 > y1) + (y1 > y2) + 3 * (y0 > y2)).astype(np.int64)
+        uu = u[:-2][ok]
+        t = pd.DataFrame({"user_id": uu, "pattern": pat})
+        g = (t.groupby(["user_id", "pattern"], as_index=False)
+             .size().rename(columns={"size": "n"}))
+        g["n"] = g["n"].astype(np.int64)
+        return g
+
+    ds = _read(sf_dir, "events",
+               ["event_id", "user_id", "ts", "value"]).map_batches(
+        prep, batch_format="pyarrow")
+    partials = keyed_scan(ds, key="user_id", order=["t", "event_id"],
+                          fn=fn, n_rows=_nrows(sf_dir, "events"))
+    return tree_aggregate(partials, ["user_id", "pattern"],
+                          [("n", "sum")])
+
+
+def q_perm_counts_sql() -> str:
+    return (
+        "WITH p AS (SELECT user_id, "
+        "CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS y, "
+        "row_number() OVER (PARTITION BY user_id "
+        "ORDER BY ts, event_id) AS rn, "
+        "count(*) OVER (PARTITION BY user_id) AS n FROM events), "
+        "tr AS (SELECT a.user_id, a.y AS y0, b.y AS y1, c.y AS y2 "
+        "FROM p a JOIN p b ON b.user_id = a.user_id "
+        "AND b.rn = a.rn + 1 "
+        "JOIN p c ON c.user_id = a.user_id AND c.rn = a.rn + 2) "
+        "SELECT user_id, CAST(2 * (CASE WHEN y0 > y1 THEN 1 ELSE 0 END)"
+        " + (CASE WHEN y1 > y2 THEN 1 ELSE 0 END) "
+        "+ 3 * (CASE WHEN y0 > y2 THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS pattern, CAST(count(*) AS BIGINT) AS n "
+        "FROM tr GROUP BY 1, 2"
+    )
+
+
+def q_runs_test(sf_dir: str):
+    """WALD-WOLFOWITZ RUNS TEST inputs per user: split the
+    time-ordered cent series at the user's LOWER MEDIAN (exact order
+    statistic, index (n−1)//2), classify each value above/not-above,
+    and count the runs plus the two class sizes — the randomness
+    screen's exact sufficient statistics.  Median via one segmented
+    sort inside the keyed_scan bucket; runs via one shifted compare.
+    Users with a single event emit (1, n_above, n_le) like the
+    oracle's window arithmetic."""
+    from ..stages.scan import keyed_scan
+
+    def prep(b: pa.Table) -> pa.Table:
+        v = b["value"].to_numpy(zero_copy_only=False)
+        return pa.table({"user_id": b["user_id"],
+                         "t": b["ts"].cast(pa.int64()),
+                         "event_id": b["event_id"],
+                         "y": pa.array(np.floor(v * 100.0 + 0.5
+                                                ).astype(np.int64))})
+
+    def fn(d: pd.DataFrame) -> pd.DataFrame:
+        u = d["user_id"].to_numpy()
+        y = d["y"].to_numpy()
+        uniq, codes = np.unique(u, return_inverse=True)
+        starts = np.r_[0, 1 + np.flatnonzero(u[1:] != u[:-1])]
+        sizes = np.diff(np.r_[starts, len(u)])
+        order = np.lexsort((y, u))   # per-user value sort
+        med = y[order][starts + (sizes - 1) // 2]
+        above = y > med[codes]
+        run_start = np.ones(len(u), dtype=bool)
+        run_start[1:] = (u[1:] != u[:-1]) | (above[1:] != above[:-1])
+        runs = np.zeros(len(uniq), np.int64)
+        np.add.at(runs, codes[run_start], 1)
+        na = np.zeros(len(uniq), np.int64)
+        np.add.at(na, codes, above.astype(np.int64))
+        return pd.DataFrame({"user_id": uniq, "runs": runs,
+                             "n_above": na,
+                             "n_le": sizes.astype(np.int64) - na})
+
+    ds = _read(sf_dir, "events",
+               ["event_id", "user_id", "ts", "value"]).map_batches(
+        prep, batch_format="pyarrow")
+    return keyed_scan(ds, key="user_id", order=["t", "event_id"],
+                      fn=fn, n_rows=_nrows(sf_dir, "events"))
+
+
+def q_runs_test_sql() -> str:
+    return (
+        "WITH p AS (SELECT user_id, epoch_us(ts) AS t, event_id, "
+        "CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS y FROM events), "
+        "r AS (SELECT user_id, t, event_id, y, row_number() OVER "
+        "(PARTITION BY user_id ORDER BY y, user_id) AS vr, "
+        "count(*) OVER (PARTITION BY user_id) AS n FROM p), "
+        "md AS (SELECT user_id, y AS med FROM r "
+        "WHERE vr = (n - 1) // 2 + 1), "
+        "c AS (SELECT p.user_id, p.t, p.event_id, "
+        "CASE WHEN p.y > md.med THEN 1 ELSE 0 END AS ab "
+        "FROM p JOIN md ON md.user_id = p.user_id), "
+        "s AS (SELECT user_id, ab, lag(ab) OVER (PARTITION BY user_id "
+        "ORDER BY t, event_id) AS pab FROM c) "
+        "SELECT user_id, CAST(sum(CASE WHEN pab IS NULL OR ab <> pab "
+        "THEN 1 ELSE 0 END) AS BIGINT) AS runs, "
+        "CAST(sum(ab) AS BIGINT) AS n_above, "
+        "CAST(sum(1 - ab) AS BIGINT) AS n_le FROM s GROUP BY 1"
+    )

@@ -67,7 +67,10 @@ NAMES = ["pct_rank", "retention", "doc_stats", "type_entropy",
          "fano_factor", "itemset_triples", "merkle_levels",
          "cms_counts", "closest_pair", "map_match", "triangle_raster",
          "modularity", "clustering_coeff", "hilbert_range",
-         "box_isect_area", "winnowing"]
+         "box_isect_area", "winnowing",
+         # sequence-stat tail: single-event users (runs=1, zero
+         # triples, R=0), duplicate values (median ties)
+         "rs_range", "perm_counts", "runs_test"]
 
 
 @pytest.fixture(scope="module")
