@@ -2245,3 +2245,80 @@ def q_runs_test_sql() -> str:
         "CAST(sum(ab) AS BIGINT) AS n_above, "
         "CAST(sum(1 - ab) AS BIGINT) AS n_le FROM s GROUP BY 1"
     )
+
+
+def q_lis_length(sf_dir: str):
+    """LONGEST STRICTLY-INCREASING SUBSEQUENCE length of each user's
+    time-ordered cent series — the classic sequence-DP, vectorized
+    ACROSS USERS: round r computes dp at position r for every user at
+    once; the predecessor max folds over offsets (Σr small vector ops,
+    never a per-user loop).  Exact ints.  Oracle = a carry-all
+    recursive CTE advancing one position per iteration (the q_dtw
+    multi-reference pattern), prototype-validated against patience
+    sorting."""
+    from ..stages.scan import keyed_scan
+
+    def prep(b: pa.Table) -> pa.Table:
+        v = b["value"].to_numpy(zero_copy_only=False)
+        return pa.table({"user_id": b["user_id"],
+                         "t": b["ts"].cast(pa.int64()),
+                         "event_id": b["event_id"],
+                         "y": pa.array(np.floor(v * 100.0 + 0.5
+                                                ).astype(np.int64))})
+
+    def fn(d: pd.DataFrame) -> pd.DataFrame:
+        u = d["user_id"].to_numpy()
+        y = d["y"].to_numpy()
+        uniq, codes = np.unique(u, return_inverse=True)
+        starts = np.r_[0, 1 + np.flatnonzero(u[1:] != u[:-1])]
+        sizes = np.diff(np.r_[starts, len(u)])
+        dp = np.ones(len(u), np.int64)
+        for r in range(1, int(sizes.max()) if len(sizes) else 0):
+            sel = sizes > r
+            ir = starts[sel] + r
+            yr = y[ir]
+            best = np.zeros(len(ir), np.int64)
+            for off in range(1, r + 1):
+                ip = ir - off
+                np.maximum(best, np.where(y[ip] < yr, dp[ip], 0),
+                           out=best)
+            dp[ir] = 1 + best
+        lis = np.zeros(len(uniq), np.int64)
+        np.maximum.at(lis, codes, dp)
+        return pd.DataFrame({"user_id": uniq, "lis_len": lis,
+                             "n": sizes.astype(np.int64)})
+
+    ds = _read(sf_dir, "events",
+               ["event_id", "user_id", "ts", "value"]).map_batches(
+        prep, batch_format="pyarrow")
+    return keyed_scan(ds, key="user_id", order=["t", "event_id"],
+                      fn=fn, n_rows=_nrows(sf_dir, "events"))
+
+
+def q_lis_length_sql() -> str:
+    return (
+        "WITH RECURSIVE "
+        "p0 AS (SELECT user_id, "
+        "CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS y, "
+        "row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)"
+        " AS rn FROM events), "
+        "pn AS (SELECT user_id, count(*) AS n FROM p0 GROUP BY 1), "
+        "dp AS (SELECT user_id, rn, y, CAST(1 AS BIGINT) AS d "
+        "FROM p0 WHERE rn = 1 "
+        "UNION ALL SELECT * FROM ("
+        "WITH cur AS (SELECT * FROM dp), "
+        "mx AS (SELECT cur.user_id, max(cur.rn) AS mr, "
+        "any_value(pn.n) AS n FROM cur "
+        "JOIN pn ON pn.user_id = cur.user_id GROUP BY 1), "
+        "nxt AS (SELECT p0.user_id, p0.rn, p0.y, "
+        "1 + COALESCE(max(CASE WHEN c.y < p0.y THEN c.d END), 0) AS d "
+        "FROM p0 JOIN mx ON mx.user_id = p0.user_id "
+        "AND p0.rn = mx.mr + 1 "
+        "LEFT JOIN cur c ON c.user_id = p0.user_id GROUP BY 1, 2, 3) "
+        "SELECT c.user_id, c.rn, c.y, c.d FROM cur c "
+        "JOIN mx ON mx.user_id = c.user_id WHERE mx.mr < mx.n "
+        "UNION ALL SELECT * FROM nxt)) "
+        "SELECT dp.user_id, CAST(max(dp.d) AS BIGINT) AS lis_len, "
+        "CAST(any_value(pn.n) AS BIGINT) AS n FROM dp "
+        "JOIN pn ON pn.user_id = dp.user_id GROUP BY 1"
+    )

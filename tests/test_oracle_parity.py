@@ -104,7 +104,7 @@ def test_entry_smoke(ray_session):
     "mann_kendall", "theilsen_slope", "hist_intersect",
     "modularity", "cms_counts", "audio_dft", "merkle_levels",
     "itemset_triples", "fano_factor", "markov_entropy",
-    "rs_range", "perm_counts", "runs_test",
+    "rs_range", "perm_counts", "runs_test", "lis_length",
     "kapur_threshold", "lttb_downsample", "box_isect_area",
     "interval_stab", "ann_filtered", "rrf_fusion", "hilbert_range",
     "xcorr_lags", "radial_profile", "visvalingam", "caption_tile_tokens",

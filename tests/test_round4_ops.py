@@ -70,7 +70,7 @@ NAMES = ["pct_rank", "retention", "doc_stats", "type_entropy",
          "box_isect_area", "winnowing",
          # sequence-stat tail: single-event users (runs=1, zero
          # triples, R=0), duplicate values (median ties)
-         "rs_range", "perm_counts", "runs_test"]
+         "rs_range", "perm_counts", "runs_test", "lis_length"]
 
 
 @pytest.fixture(scope="module")
