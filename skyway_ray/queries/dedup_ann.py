@@ -1413,3 +1413,51 @@ def q_rrf_fusion_sql() -> str:
         "(ORDER BY rrf DESC, doc_id) AS rank FROM f) "
         "SELECT doc_id, rrf, rank FROM t WHERE rank <= 10"
     )
+
+
+def q_kmv_distinct(sf_dir: str):
+    """KMV (k-minimum-values) DISTINCT sketch over user ids — the
+    order-statistics sibling of the HLL estimator, mergeable by
+    construction: each partition keeps its k smallest splitmix64
+    hashes (per-batch partial top-k — only k ints cross the wire),
+    the merge is a k-smallest fold, and the pinned outputs are the
+    exact k-th minimum hash (as uint64 → two's-complement int64) and
+    k — everything the estimator (k−1)·2⁶⁴/kth needs.  Oracle =
+    ORDER BY the same HUGEINT hash LIMIT k."""
+    from ..stages.hll import _splitmix64
+
+    K = 64
+
+    def partial(b: pa.Table) -> pa.Table:
+        u = np.unique(b["user_id"].to_numpy(zero_copy_only=False))
+        h = np.unique(_splitmix64(u, seed=7))
+        h = h[:K] if len(h) > K else h
+        return pa.table({"h": pa.array(h.view(np.int64))})
+
+    parts = _read(sf_dir, "events", ["user_id"]).map_batches(
+        partial, batch_format="pyarrow").to_pandas()
+    # driver fold: ≤ K ints per input block (uint64 ascending order)
+    hs = np.unique(parts["h"].to_numpy().view(np.uint64))
+    hs = hs[:K]
+    kth = int(hs[-1].view(np.int64)) if len(hs) else 0
+    return pd.DataFrame({"k": [np.int64(len(hs))],
+                         "kth_min": [np.int64(kth)]})
+
+
+def q_kmv_distinct_sql() -> str:
+    from ..stages.hll import splitmix64_sql
+
+    h = splitmix64_sql("user_id", seed=7)
+    # NOTE: the two's-complement view must be applied AFTER max(hv) —
+    # max over the signed view would pick the wrong element whenever
+    # the k-th minimum crosses 2^63
+    to_i64 = ("CASE WHEN mh >= 9223372036854775808::HUGEINT "
+              "THEN mh - 18446744073709551616::HUGEINT ELSE mh END")
+    return (
+        f"WITH u AS (SELECT DISTINCT user_id FROM events), "
+        f"hh AS (SELECT ({h}) AS hv FROM u), "
+        "d AS (SELECT DISTINCT hv FROM hh ORDER BY hv LIMIT 64), "
+        "m AS (SELECT count(*) AS k, max(hv) AS mh FROM d) "
+        "SELECT CAST(k AS BIGINT) AS k, "
+        f"CAST({to_i64} AS BIGINT) AS kth_min FROM m"
+    )

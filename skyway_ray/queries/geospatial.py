@@ -2099,3 +2099,53 @@ def q_hilbert_range_sql() -> str:
         f"WHERE cx BETWEEN {cx0} AND {cx1} "
         f"AND cy BETWEEN {cy0} AND {cy1}"
     )
+
+
+def q_quadkeys(sf_dir: str):
+    """BING-MAPS QUADKEY encoding at z=12 — the string tile-key format
+    interop layer (quadkey digit d_i interleaves the tile x/y bits at
+    level i): per distinct tile its quadkey string and point count.
+    The tile math is the hash-verified web-mercator path; the digit
+    build is one vectorized base-4 loop over 12 levels.  Oracle
+    rebuilds the string with 12 CASE digits — equality pins the bit
+    interleave exactly."""
+    from ..stages.agg_tree import tree_aggregate_to_table
+
+    Z = 12
+
+    def enc(b: pa.Table) -> pa.Table:
+        lat, lon = derive_latlon(b["event_id"].to_numpy(
+            zero_copy_only=False))
+        x, y = tile_xy(lat, lon, Z)
+        t = pa.table({"tile_x": pa.array(x), "tile_y": pa.array(y),
+                      "n": pa.array(np.ones(len(x), np.int64))})
+        return (t.group_by(["tile_x", "tile_y"]).aggregate([("n", "sum")])
+                .rename_columns(["tile_x", "tile_y", "n"]))
+
+    tab = tree_aggregate_to_table(
+        _read(sf_dir, "events", ["event_id"]).map_batches(
+            enc, batch_format="pyarrow"),
+        ["tile_x", "tile_y"], [("n", "sum")]).to_pandas()
+    x = tab["tile_x"].to_numpy().astype(np.int64)
+    y = tab["tile_y"].to_numpy().astype(np.int64)
+    digits = np.zeros((len(x), Z), np.int64)
+    for i in range(Z):
+        bit = Z - 1 - i
+        digits[:, i] = ((x >> bit) & 1) + 2 * ((y >> bit) & 1)
+    qk = np.array(["".join(str(d) for d in row) for row in digits],
+                  object)
+    return pd.DataFrame({"quadkey": qk.astype(str),
+                         "n": tab["n"].to_numpy().astype(np.int64)})
+
+
+def q_quadkeys_sql() -> str:
+    lat, lon = latlon_sql("event_id")
+    xe, ye = tile_sql(lat, lon, 12)
+    digs = " || ".join(
+        f"CAST((x // {1 << (11 - i)}) % 2 + 2 * ((y // {1 << (11 - i)})"
+        " % 2) AS VARCHAR)" for i in range(12))
+    return (
+        f"WITH t AS (SELECT {xe} AS x, {ye} AS y FROM events), "
+        "g AS (SELECT x, y, count(*) AS n FROM t GROUP BY 1, 2) "
+        f"SELECT {digs} AS quadkey, CAST(n AS BIGINT) AS n FROM g"
+    )

@@ -944,3 +944,83 @@ def q_modularity_sql() -> str:
         "CAST(sum(4 * mm.m * c.e_c - c.d_c * c.d_c) AS BIGINT) AS q_num "
         "FROM c, mm GROUP BY mm.m"
     )
+
+
+def q_rich_club(sf_dir: str):
+    """RICH-CLUB structure of the derived 400-node graph: for degree
+    thresholds k ∈ {2, 4, 8, 16}, the number of nodes with deg > k and
+    the number of edges BOTH of whose endpoints pass — the hub-
+    interconnection screen, exact ints (the φ(k) ratio e_k/(n_k·(n_k−1)/2)
+    is left to the reader).  Distinct edges via one pair-key exchange,
+    the bounded degree vector broadcast, one counting pass per
+    threshold folded on the combiner tree."""
+    from ..stages.agg_tree import tree_aggregate_to_table
+    from ..stages.scan import hash_bucket_scan
+
+    V = 400
+
+    def prep(b: pa.Table) -> pa.Table:
+        x = b["user_id"].to_numpy(zero_copy_only=False) % V
+        y = b["event_id"].to_numpy(zero_copy_only=False) % V
+        keep = x != y
+        x, y = x[keep], y[keep]
+        return pa.table({"u": pa.array(np.minimum(x, y), pa.int64()),
+                         "v": pa.array(np.maximum(x, y), pa.int64())})
+
+    edges = hash_bucket_scan(
+        _read(sf_dir, "events", ["user_id", "event_id"]).map_batches(
+            prep, batch_format="pyarrow"),
+        ["u", "v"], lambda t: t.group_by(["u", "v"]).aggregate([]),
+        n_rows=_nrows(sf_dir, "events")).materialize()
+    deg_tab = tree_aggregate_to_table(
+        edges.map_batches(
+            lambda t: pa.table({
+                "node": pa.array(np.concatenate(
+                    [t["u"].to_numpy(zero_copy_only=False),
+                     t["v"].to_numpy(zero_copy_only=False)]), pa.int64()),
+                "deg": pa.array(np.ones(2 * len(t), np.int64))}),
+            batch_format="pyarrow"),
+        ["node"], [("deg", "sum")])
+    deg = np.zeros(V, np.int64)
+    deg[deg_tab["node"].to_numpy(zero_copy_only=False)] = \
+        deg_tab["deg"].to_numpy(zero_copy_only=False)
+    KS = (2, 4, 8, 16)
+
+    def count_pass(t: pa.Table) -> pa.Table:
+        u = t["u"].to_numpy(zero_copy_only=False)
+        v = t["v"].to_numpy(zero_copy_only=False)
+        ks, es = [], []
+        for k in KS:
+            ks.append(k)
+            es.append(int(((deg[u] > k) & (deg[v] > k)).sum()))
+        return pa.table({"k": pa.array(np.array(ks, np.int64)),
+                         "e_k": pa.array(np.array(es, np.int64))})
+
+    agg = tree_aggregate_to_table(
+        edges.map_batches(count_pass, batch_format="pyarrow"),
+        ["k"], [("e_k", "sum")]).to_pandas()
+    agg = agg.sort_values("k").reset_index(drop=True)
+    n_k = np.array([(deg > k).sum() for k in agg["k"]], np.int64)
+    return pd.DataFrame({"k": agg["k"].to_numpy().astype(np.int64),
+                         "n_k": n_k,
+                         "e_k": agg["e_k"].to_numpy().astype(np.int64)})
+
+
+def q_rich_club_sql() -> str:
+    return (
+        "WITH raw AS (SELECT user_id % 400 AS x, event_id % 400 AS y "
+        "FROM events), "
+        "e AS (SELECT DISTINCT least(x, y) AS u, greatest(x, y) AS v "
+        "FROM raw WHERE x <> y), "
+        "d AS (SELECT node, count(*) AS deg FROM "
+        "(SELECT u AS node FROM e UNION ALL SELECT v FROM e) "
+        "GROUP BY 1), "
+        "ks AS (SELECT unnest([2, 4, 8, 16]) AS k) "
+        "SELECT CAST(ks.k AS BIGINT) AS k, "
+        "CAST((SELECT count(*) FROM d WHERE d.deg > ks.k) AS BIGINT) "
+        "AS n_k, "
+        "CAST((SELECT count(*) FROM e "
+        "JOIN d du ON du.node = e.u JOIN d dv ON dv.node = e.v "
+        "WHERE du.deg > ks.k AND dv.deg > ks.k) AS BIGINT) AS e_k "
+        "FROM ks"
+    )

@@ -70,7 +70,8 @@ NAMES = ["pct_rank", "retention", "doc_stats", "type_entropy",
          "box_isect_area", "winnowing",
          # sequence-stat tail: single-event users (runs=1, zero
          # triples, R=0), duplicate values (median ties)
-         "rs_range", "perm_counts", "runs_test", "lis_length"]
+         "rs_range", "perm_counts", "runs_test", "lis_length",
+         "quadkeys", "rich_club", "kmv_distinct"]
 
 
 @pytest.fixture(scope="module")
