@@ -1129,3 +1129,116 @@ def q_visvalingam_sql() -> str:
         "max(it) OVER (PARTITION BY user_id) AS mit FROM dp) "
         "WHERE it = mit"
     )
+
+
+def q_visit_entropy(sf_dir: str):
+    """VISIT (location) ENTROPY per user — the mobility-predictability
+    metric: Shannon entropy of each user's z=8 tile-visit
+    distribution, pinned per TERM (floor(−p·ln p·10⁹ + 0.5) on exact
+    visit counts — the q_type_entropy recipe) plus the distinct-tile
+    count.  One user-keyed hash-bucket exchange; per-user folds are
+    np.unique segment reductions."""
+    from ..stages.scan import hash_bucket_scan
+
+    def prep(b: pa.Table) -> pa.Table:
+        e = b["event_id"].to_numpy(zero_copy_only=False)
+        lat, lon = derive_latlon(e)
+        x, y = tile_xy(lat, lon, 8)
+        return pa.table({"user_id": b["user_id"],
+                         "tile": pa.array(y * (1 << 8) + x)})
+
+    def fold(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        tl = t["tile"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((tl, u))
+        u, tl = u[order], tl[order]
+        new_pair = np.ones(len(u), dtype=bool)
+        new_pair[1:] = (u[1:] != u[:-1]) | (tl[1:] != tl[:-1])
+        pu = u[new_pair]
+        c = np.diff(np.append(np.flatnonzero(new_pair), len(u)))
+        uniq, codes = np.unique(pu, return_inverse=True)
+        n = np.zeros(len(uniq), np.int64)
+        np.add.at(n, codes, c)
+        p = c / n[codes]
+        terms = np.floor(-(p * np.log(p)) * 1e9 + 0.5).astype(np.int64)
+        h = np.zeros(len(uniq), np.int64)
+        np.add.at(h, codes, terms)
+        nt = np.zeros(len(uniq), np.int64)
+        np.add.at(nt, codes, 1)
+        return pa.table({"user_id": pa.array(uniq),
+                         "h_nano": pa.array(h),
+                         "n_tiles": pa.array(nt)})
+
+    rows = _read(sf_dir, "events",
+                 ["event_id", "user_id"]).map_batches(
+        prep, batch_format="pyarrow")
+    return hash_bucket_scan(rows, ["user_id"], fold,
+                            n_rows=_nrows(sf_dir, "events"))
+
+
+def q_visit_entropy_sql() -> str:
+    lat, lon = latlon_sql("event_id")
+    xe, ye = tile_sql(lat, lon, 8)
+    return (
+        f"WITH t AS (SELECT user_id, ({ye}) * 256 + ({xe}) AS tile "
+        "FROM events), "
+        "c AS (SELECT user_id, tile, count(*) AS c FROM t "
+        "GROUP BY 1, 2), "
+        "n AS (SELECT user_id, sum(c) AS n, count(*) AS nt FROM c "
+        "GROUP BY 1), "
+        "tm AS (SELECT c.user_id, CAST(floor(-((CAST(c.c AS DOUBLE) / "
+        "CAST(n.n AS DOUBLE)) * ln(CAST(c.c AS DOUBLE) / "
+        "CAST(n.n AS DOUBLE))) * 1e9 + 0.5) AS BIGINT) AS term, n.nt "
+        "FROM c JOIN n ON n.user_id = c.user_id) "
+        "SELECT user_id, CAST(sum(term) AS BIGINT) AS h_nano, "
+        "CAST(any_value(nt) AS BIGINT) AS n_tiles FROM tm GROUP BY 1"
+    )
+
+
+def q_radius_gyration(sf_dir: str):
+    """RADIUS OF GYRATION per user (the González-Hidalgo-Barabási
+    mobility scale), denominators cleared so everything is exact
+    int64 in CENTIDEGREE space: n²·r_g² = n·Σ(x²+y²) − (Σx)² − (Σy)²
+    (x² ≤ 1.3e9 at centidegrees keeps n·Σ within int64 at any
+    per-user cardinality the fixture carries; micro-degrees would
+    overflow — the scale choice is the documented bound).  Per-batch
+    moment partials ride the combiner tree keyed by user."""
+    from ..stages.agg_tree import tree_aggregate_to_table
+
+    def partial(b: pa.Table) -> pa.Table:
+        e = b["event_id"].to_numpy(zero_copy_only=False)
+        lat, lon = derive_latlon(e)
+        x = np.floor(lon * 1e2 + 0.5).astype(np.int64)
+        y = np.floor(lat * 1e2 + 0.5).astype(np.int64)
+        t = pa.table({"user_id": b["user_id"],
+                      "n": pa.array(np.ones(len(x), np.int64)),
+                      "sx": pa.array(x), "sy": pa.array(y),
+                      "s2": pa.array(x * x + y * y)})
+        g = t.group_by(["user_id"]).aggregate(
+            [("n", "sum"), ("sx", "sum"), ("sy", "sum"), ("s2", "sum")])
+        return g.rename_columns(["user_id", "n", "sx", "sy", "s2"])
+
+    tab = tree_aggregate_to_table(
+        _read(sf_dir, "events", ["event_id", "user_id"]).map_batches(
+            partial, batch_format="pyarrow"),
+        ["user_id"], [("n", "sum"), ("sx", "sum"), ("sy", "sum"),
+                      ("s2", "sum")]).to_pandas()
+    n = tab["n"].to_numpy().astype(np.int64)
+    sx = tab["sx"].to_numpy().astype(np.int64)
+    sy = tab["sy"].to_numpy().astype(np.int64)
+    s2 = tab["s2"].to_numpy().astype(np.int64)
+    return pd.DataFrame({"user_id": tab["user_id"].to_numpy(),
+                         "rg2_num": n * s2 - sx * sx - sy * sy,
+                         "n": n})
+
+
+def q_radius_gyration_sql() -> str:
+    lat, lon = latlon_sql("event_id")
+    return (
+        f"WITH p AS (SELECT user_id, "
+        f"CAST(floor({lon} * 1e2 + 0.5) AS BIGINT) AS x, "
+        f"CAST(floor({lat} * 1e2 + 0.5) AS BIGINT) AS y FROM events) "
+        "SELECT user_id, CAST(count(*) * sum(x * x + y * y) "
+        "- sum(x) * sum(x) - sum(y) * sum(y) AS BIGINT) AS rg2_num, "
+        "CAST(count(*) AS BIGINT) AS n FROM p GROUP BY 1"
+    )

@@ -71,7 +71,8 @@ NAMES = ["pct_rank", "retention", "doc_stats", "type_entropy",
          # sequence-stat tail: single-event users (runs=1, zero
          # triples, R=0), duplicate values (median ties)
          "rs_range", "perm_counts", "runs_test", "lis_length",
-         "quadkeys", "rich_club", "kmv_distinct"]
+         "quadkeys", "rich_club", "kmv_distinct", "visit_entropy",
+         "radius_gyration"]
 
 
 @pytest.fixture(scope="module")
