@@ -1707,3 +1707,60 @@ def q_winnowing_sql() -> str:
         "COALESCE(agg.winnow_sum, 0) AS winnow_sum "
         "FROM d LEFT JOIN agg ON agg.doc_id = d.doc_id"
     )
+
+
+def q_byte_entropy(sf_dir: str):
+    """BYTE-HISTOGRAM ENTROPY per document — the compressibility /
+    encoding-anomaly screen (the text sibling of q_image_entropy):
+    Shannon entropy over each doc's UTF-8 byte distribution, pinned
+    per term (floor(−p·ln p·10⁹ + 0.5)) + the distinct-byte count.
+    ONE flat-buffer pass: a joint (doc_code·256 + byte) bincount
+    gives every histogram without per-string Python.  Oracle unrolls
+    bytes via the winnowing hex-pair position join."""
+    def f(b: pd.DataFrame) -> pd.DataFrame:
+        arr = pa.array(b["text"].fillna(""), type=pa.large_string())
+        m = len(arr)
+        offs = np.frombuffer(arr.buffers()[1], np.int64, count=m + 1,
+                             offset=8 * arr.offset)
+        lens = np.diff(offs)
+        total = int(offs[-1] - offs[0])
+        h = np.zeros(m, np.int64)
+        nb = np.zeros(m, np.int64)
+        if total:
+            data = np.frombuffer(arr.buffers()[2], np.uint8,
+                                 count=total, offset=int(offs[0]))
+            code = np.repeat(np.arange(m, dtype=np.int64), lens)
+            joint = np.bincount(code * 256 + data.astype(np.int64),
+                                minlength=m * 256).reshape(m, 256)
+            nz = joint > 0
+            nb = nz.sum(axis=1).astype(np.int64)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                p = joint / np.maximum(lens, 1)[:, None]
+                terms = np.where(nz, np.floor(-(p * np.log(
+                    np.where(nz, p, 1.0))) * 1e9 + 0.5), 0.0)
+            h = terms.sum(axis=1).astype(np.int64)
+        return pd.DataFrame({"doc_id": b["doc_id"],
+                             "h_nano": h, "n_bytes": nb})
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        f, batch_format="pandas")
+
+
+def q_byte_entropy_sql() -> str:
+    return (
+        "WITH d AS (SELECT doc_id, hex(encode(text)) AS hx, "
+        "octet_length(encode(text)) AS n FROM documents), "
+        "pos AS (SELECT doc_id, hx, n, p FROM d "
+        "JOIN range(0, 8192) r(p) ON p < n), "
+        "b AS (SELECT doc_id, n, CAST(concat('0x', "
+        "substr(hx, 2 * p + 1, 2)) AS INT) AS byte FROM pos), "
+        "c AS (SELECT doc_id, any_value(n) AS n, byte, count(*) AS c "
+        "FROM b GROUP BY doc_id, byte), "
+        "t AS (SELECT doc_id, CAST(floor(-((CAST(c AS DOUBLE) / n) * "
+        "ln(CAST(c AS DOUBLE) / n)) * 1e9 + 0.5) AS BIGINT) AS term "
+        "FROM c) "
+        "SELECT d.doc_id, CAST(COALESCE(s.h, 0) AS BIGINT) AS h_nano, "
+        "CAST(COALESCE(s.nb, 0) AS BIGINT) AS n_bytes FROM d "
+        "LEFT JOIN (SELECT doc_id, sum(term) AS h, count(*) AS nb "
+        "FROM t GROUP BY 1) s ON s.doc_id = d.doc_id"
+    )

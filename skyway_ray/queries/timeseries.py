@@ -2322,3 +2322,117 @@ def q_lis_length_sql() -> str:
         "CAST(any_value(pn.n) AS BIGINT) AS n FROM dp "
         "JOIN pn ON pn.user_id = dp.user_id GROUP BY 1"
     )
+
+
+def q_max_gap(sf_dir: str):
+    """MAXIMUM ADJACENT GAP per event type over the sorted cent
+    values — the cheap outlier/cluster-break screen (a huge gap =
+    separated modes): exact int64 max of consecutive differences plus
+    the count.  Per-type value counts ride one combiner-tree pass
+    (the quantized cent domain bounds the key space like
+    q_equidepth_hist); the gap fold walks each type's sorted distinct
+    values driver-side.  Oracle = lag over the distinct values."""
+    from ..stages.agg_tree import tree_aggregate_to_table
+
+    def partial(b: pa.Table) -> pa.Table:
+        v = b["value"].to_numpy(zero_copy_only=False)
+        t = pa.table({"et": b["event_type"],
+                      "c": pa.array(np.floor(v * 100.0 + 0.5
+                                             ).astype(np.int64)),
+                      "n": pa.array(np.ones(len(v), np.int64))})
+        return (t.group_by(["et", "c"]).aggregate([("n", "sum")])
+                .rename_columns(["et", "c", "n"]))
+
+    tab = tree_aggregate_to_table(
+        _read(sf_dir, "events", ["event_type", "value"]).map_batches(
+            partial, batch_format="pyarrow"),
+        ["et", "c"], [("n", "sum")]).to_pandas()
+    tab = tab.sort_values(["et", "c"], kind="mergesort")
+    et = tab["et"].to_numpy()
+    c = tab["c"].to_numpy()
+    n = tab["n"].to_numpy()
+    same = np.zeros(len(et), dtype=bool)
+    same[1:] = et[1:] == et[:-1]
+    gap = np.zeros(len(et), np.int64)
+    gap[same] = c[same] - c[np.flatnonzero(same) - 1]
+    uniq, codes = np.unique(et, return_inverse=True)
+    mg = np.zeros(len(uniq), np.int64)
+    np.maximum.at(mg, codes, gap)
+    cnt = np.zeros(len(uniq), np.int64)
+    np.add.at(cnt, codes, n)
+    return pd.DataFrame({"event_type": uniq, "max_gap": mg,
+                         "n": cnt})
+
+
+def q_max_gap_sql() -> str:
+    return (
+        "WITH p AS (SELECT event_type, "
+        "CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS c FROM events), "
+        "d AS (SELECT DISTINCT event_type, c FROM p), "
+        "g AS (SELECT event_type, c - lag(c) OVER "
+        "(PARTITION BY event_type ORDER BY c) AS gap FROM d) "
+        "SELECT g.event_type, "
+        "CAST(COALESCE(max(gap), 0) AS BIGINT) AS max_gap, "
+        "CAST(any_value(t.n) AS BIGINT) AS n FROM g "
+        "JOIN (SELECT event_type, count(*) AS n FROM p GROUP BY 1) t "
+        "ON t.event_type = g.event_type GROUP BY 1"
+    )
+
+
+def q_ks_exact(sf_dir: str):
+    """EXACT two-sample KOLMOGOROV-SMIRNOV statistic between the
+    'click' and 'purchase' cent-value distributions, denominators
+    cleared: D·n1·n2 = max over pooled distinct values of
+    |F1·n1·n2 − F2·n1·n2| = |cum1·n2 − cum2·n1| — pure int64.  The
+    per-(type, cent) counts ride the combiner tree (quantized-domain
+    bound); the cumulative walk folds driver-side over the bounded
+    distinct-value table.  Oracle = window cumulative sums over the
+    same counts."""
+    from ..stages.agg_tree import tree_aggregate_to_table
+
+    def partial(b: pa.Table) -> pa.Table:
+        et = b["event_type"].to_numpy(zero_copy_only=False)
+        keep = (et == "click") | (et == "purchase")
+        v = b["value"].to_numpy(zero_copy_only=False)[keep]
+        t = pa.table({"et": pa.array(et[keep]),
+                      "c": pa.array(np.floor(v * 100.0 + 0.5
+                                             ).astype(np.int64)),
+                      "n": pa.array(np.ones(int(keep.sum()), np.int64))})
+        return (t.group_by(["et", "c"]).aggregate([("n", "sum")])
+                .rename_columns(["et", "c", "n"]))
+
+    tab = tree_aggregate_to_table(
+        _read(sf_dir, "events", ["event_type", "value"]).map_batches(
+            partial, batch_format="pyarrow"),
+        ["et", "c"], [("n", "sum")]).to_pandas()
+    vals = np.unique(tab["c"].to_numpy())
+    c1 = np.zeros(len(vals), np.int64)
+    c2 = np.zeros(len(vals), np.int64)
+    m1 = tab["et"] == "click"
+    idx1 = np.searchsorted(vals, tab.loc[m1, "c"].to_numpy())
+    c1[idx1] = tab.loc[m1, "n"].to_numpy()
+    m2 = tab["et"] == "purchase"
+    idx2 = np.searchsorted(vals, tab.loc[m2, "c"].to_numpy())
+    c2[idx2] = tab.loc[m2, "n"].to_numpy()
+    n1, n2 = int(c1.sum()), int(c2.sum())
+    d = np.abs(np.cumsum(c1) * n2 - np.cumsum(c2) * n1)
+    return pd.DataFrame({"d_num": [np.int64(d.max() if len(d) else 0)],
+                         "n1": [np.int64(n1)], "n2": [np.int64(n2)]})
+
+
+def q_ks_exact_sql() -> str:
+    return (
+        "WITH p AS (SELECT event_type, "
+        "CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS c FROM events "
+        "WHERE event_type IN ('click', 'purchase')), "
+        "cc AS (SELECT c, "
+        "sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS a, "
+        "sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS b "
+        "FROM p GROUP BY 1), "
+        "n AS (SELECT sum(a) AS n1, sum(b) AS n2 FROM cc), "
+        "w AS (SELECT sum(a) OVER (ORDER BY c) AS f1, "
+        "sum(b) OVER (ORDER BY c) AS f2 FROM cc) "
+        "SELECT CAST(COALESCE(max(abs(w.f1 * n.n2 - w.f2 * n.n1)), 0) "
+        "AS BIGINT) AS d_num, CAST(any_value(n.n1) AS BIGINT) AS n1, "
+        "CAST(any_value(n.n2) AS BIGINT) AS n2 FROM w, n"
+    )
