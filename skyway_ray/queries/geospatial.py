@@ -2149,3 +2149,84 @@ def q_quadkeys_sql() -> str:
         "g AS (SELECT x, y, count(*) AS n FROM t GROUP BY 1, 2) "
         f"SELECT {digs} AS quadkey, CAST(n AS BIGINT) AS n FROM g"
     )
+
+
+def q_clark_evans(sf_dir: str):
+    """CLARK-EVANS nearest-neighbour inputs for the 'signup' point
+    pattern — the aggregation-vs-dispersion screen: per point the
+    distance to its nearest OTHER point (via the per-cell sorted
+    Hilbert-key index, k=2 probed against the same point set, self
+    dropped by id — coincident points still yield the correct 0), and
+    the exact global fold (n, Σ floor(nn_dist·10⁶ + 0.5)).  Distances
+    are re-derived FROM THE ID PAIR (the q_box_isect_area trick), so
+    the index never needs to ship floats.  Oracle = the quadratic
+    min-distance join over the same derived points."""
+    import pyarrow.parquet as pq
+
+    from ..stages.agg_tree import tree_aggregate_to_table
+    from ..stages.knn import CellKnnIndex
+
+    con_cols = ["event_id", "event_type"]
+    tab = pq.read_table(os.path.join(sf_dir, "events.parquet"),
+                        columns=con_cols)
+    keep = tab["event_type"].to_numpy(zero_copy_only=False) == "signup"
+    ids = tab["event_id"].to_numpy(zero_copy_only=False)[keep].astype(
+        np.int64)
+    lat, lon = derive_latlon(ids)
+    index = CellKnnIndex(lat, lon, ids, res=5)
+
+    def probe(b: pa.Table) -> pa.Table:
+        et = b["event_type"].to_numpy(zero_copy_only=False)
+        e = b["event_id"].to_numpy(zero_copy_only=False)[
+            et == "signup"].astype(np.int64)
+        if not len(e):
+            return pa.table({"one": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64()),
+                             "s": pa.array([], pa.int64())})
+        plat, plon = derive_latlon(e)
+        t = index.query_batch(plat, plon, 2, qids=e)
+        pid = t["probe_id"].to_numpy(zero_copy_only=False)
+        nid = t["neighbor_id"].to_numpy(zero_copy_only=False)
+        ok = pid != nid
+        pid, nid = pid[ok], nid[ok]
+        alat, alon = derive_latlon(pid)
+        blat, blon = derive_latlon(nid)
+        dx = alon - blon
+        dy = alat - blat
+        d2 = dx * dx + dy * dy
+        # per probe keep the min remaining d2 (k=2 minus self)
+        order = np.lexsort((d2, pid))
+        pid, d2 = pid[order], d2[order]
+        first = np.ones(len(pid), dtype=bool)
+        first[1:] = pid[1:] != pid[:-1]
+        nn = np.floor(np.sqrt(d2[first]) * 1e6 + 0.5).astype(np.int64)
+        return pa.table({"one": pa.array(np.zeros(1, np.int64)),
+                         "n": pa.array(np.array([int(first.sum())],
+                                                np.int64)),
+                         "s": pa.array(np.array([int(nn.sum())],
+                                                np.int64))})
+
+    agg = tree_aggregate_to_table(
+        _read(sf_dir, "events", ["event_id", "event_type"]).map_batches(
+            probe, batch_format="pyarrow"),
+        ["one"], [("n", "sum"), ("s", "sum")]).to_pandas()
+    if not len(agg):   # no points of the type: the (0, 0) total row
+        return pd.DataFrame({"n": [np.int64(0)],
+                             "sum_nn_micro": [np.int64(0)]})
+    return pd.DataFrame({"n": agg["n"].to_numpy().astype(np.int64),
+                         "sum_nn_micro": agg["s"].to_numpy().astype(
+                             np.int64)})
+
+
+def q_clark_evans_sql() -> str:
+    lat, lon = latlon_sql("event_id")
+    return (
+        f"WITH p AS (SELECT event_id, {lon} AS x, {lat} AS y "
+        "FROM events WHERE event_type = 'signup'), "
+        "nn AS (SELECT a.event_id, min((a.x - b.x) * (a.x - b.x) "
+        "+ (a.y - b.y) * (a.y - b.y)) AS d2 "
+        "FROM p a JOIN p b ON b.event_id <> a.event_id GROUP BY 1) "
+        "SELECT CAST(count(*) AS BIGINT) AS n, "
+        "CAST(COALESCE(sum(CAST(floor(sqrt(d2) * 1e6 + 0.5) "
+        "AS BIGINT)), 0) AS BIGINT) AS sum_nn_micro FROM nn"
+    )

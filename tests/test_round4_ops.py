@@ -72,7 +72,8 @@ NAMES = ["pct_rank", "retention", "doc_stats", "type_entropy",
          # triples, R=0), duplicate values (median ties)
          "rs_range", "perm_counts", "runs_test", "lis_length",
          "quadkeys", "rich_club", "kmv_distinct", "visit_entropy",
-         "radius_gyration", "max_gap", "ks_exact", "byte_entropy"]
+         "radius_gyration", "max_gap", "ks_exact", "byte_entropy",
+         "clark_evans"]
 
 
 @pytest.fixture(scope="module")
