@@ -2436,3 +2436,125 @@ def q_ks_exact_sql() -> str:
         "AS BIGINT) AS d_num, CAST(any_value(n.n1) AS BIGINT) AS n1, "
         "CAST(any_value(n.n2) AS BIGINT) AS n2 FROM w, n"
     )
+
+
+def q_bhattacharyya(sf_dir: str):
+    """BHATTACHARYYA overlap inputs between the 'click' and
+    'purchase' dollar-bucket value histograms: per shared bucket the
+    term floor(√(c1·c2)·10⁶ + 0.5) (sqrt is correctly rounded on both
+    sides; the product is exact int64), summed exactly, plus both
+    totals — BC = Σ√(p·q) = sum_term/(10⁶·√(n1·n2)) is left to the
+    reader.  Bounded bucket domain ⇒ one combiner-tree pass."""
+    from ..stages.agg_tree import tree_aggregate_to_table
+
+    def partial(b: pa.Table) -> pa.Table:
+        et = b["event_type"].to_numpy(zero_copy_only=False)
+        keep = (et == "click") | (et == "purchase")
+        v = b["value"].to_numpy(zero_copy_only=False)[keep]
+        t = pa.table({"et": pa.array(et[keep]),
+                      "d": pa.array((np.floor(v * 100.0 + 0.5)
+                                     .astype(np.int64)) // 100),
+                      "n": pa.array(np.ones(int(keep.sum()), np.int64))})
+        return (t.group_by(["et", "d"]).aggregate([("n", "sum")])
+                .rename_columns(["et", "d", "n"]))
+
+    tab = tree_aggregate_to_table(
+        _read(sf_dir, "events", ["event_type", "value"]).map_batches(
+            partial, batch_format="pyarrow"),
+        ["et", "d"], [("n", "sum")]).to_pandas()
+    a = tab[tab["et"] == "click"].set_index("d")["n"]
+    b = tab[tab["et"] == "purchase"].set_index("d")["n"]
+    j = a.to_frame("a").join(b.to_frame("b"), how="inner")
+    term = np.floor(np.sqrt(j["a"].to_numpy().astype(np.float64)
+                            * j["b"].to_numpy().astype(np.float64))
+                    * 1e6 + 0.5).astype(np.int64)
+    return pd.DataFrame({"bc_sum": [np.int64(term.sum())],
+                         "n1": [np.int64(int(a.sum()))],
+                         "n2": [np.int64(int(b.sum()))]})
+
+
+def q_bhattacharyya_sql() -> str:
+    return (
+        "WITH p AS (SELECT event_type, "
+        "CAST(floor(value * 100.0 + 0.5) AS BIGINT) // 100 AS d "
+        "FROM events WHERE event_type IN ('click', 'purchase')), "
+        "c AS (SELECT d, "
+        "sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS a, "
+        "sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS b "
+        "FROM p GROUP BY 1) "
+        "SELECT CAST(COALESCE(sum(CASE WHEN a > 0 AND b > 0 THEN "
+        "CAST(floor(sqrt(CAST(a AS DOUBLE) * CAST(b AS DOUBLE)) "
+        "* 1e6 + 0.5) AS BIGINT) ELSE 0 END), 0) AS BIGINT) AS bc_sum,"
+        " CAST(COALESCE(sum(a), 0) AS BIGINT) AS n1, "
+        "CAST(COALESCE(sum(b), 0) AS BIGINT) AS n2 FROM c"
+    )
+
+
+def q_attribution_pairs(sf_dir: str):
+    """TIME-BANDED ATTRIBUTION: per user, the number of
+    (click → purchase) event pairs with the purchase 0–15 minutes
+    AFTER the click (inclusive) — the conversion-credit primitive.
+    One user-keyed hash-bucket exchange; per bucket BOTH sides sort
+    once and a two-sided searchsorted counts every click's window
+    (no pair materialization).  Emits users with ≥ 1 attributed
+    pair.  Exact ints; oracle = the banded self-join."""
+    from ..stages.scan import hash_bucket_scan
+
+    W = 15 * 60 * 1_000_000
+
+    def prep(b: pa.Table) -> pa.Table:
+        et = b["event_type"].to_numpy(zero_copy_only=False)
+        keep = (et == "click") | (et == "purchase")
+        t = b.filter(pa.array(keep))
+        ett = et[keep]
+        return pa.table({"user_id": t["user_id"],
+                         "t_us": t["ts"].cast(pa.int64()),
+                         "is_p": pa.array((ett == "purchase")
+                                          .astype(np.int8))})
+
+    def fold(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        ts = t["t_us"].to_numpy(zero_copy_only=False)
+        isp = t["is_p"].to_numpy(zero_copy_only=False).astype(bool)
+        empty = pa.table({"user_id": pa.array([], pa.int64()),
+                          "n_pairs": pa.array([], pa.int64())})
+        if not len(u) or isp.all() or not isp.any():
+            return empty
+        # composite (dense-user, time-offset) keys make the purchase
+        # array GLOBALLY sorted, so every click's [t, t+W] window is
+        # ONE two-sided searchsorted — no per-click Python (the
+        # q_rolling_counts trick); S > span+W keeps runs disjoint
+        uniq_all, code_all = np.unique(u, return_inverse=True)
+        tmin = ts.min()
+        S = np.int64(int(ts.max()) - int(tmin) + W + 2)
+        key = code_all.astype(np.int64) * S + (ts - tmin)
+        ck, pk = key[~isp], np.sort(key[isp])
+        cu = u[~isp]
+        lo = np.searchsorted(pk, ck, side="left")
+        hi = np.searchsorted(pk, ck + W, side="right")
+        n = hi - lo
+        uniq, codes = np.unique(cu, return_inverse=True)
+        tot = np.zeros(len(uniq), np.int64)
+        np.add.at(tot, codes, n)
+        keep = tot > 0
+        return pa.table({"user_id": pa.array(uniq[keep]),
+                         "n_pairs": pa.array(tot[keep])})
+
+    rows = _read(sf_dir, "events",
+                 ["user_id", "ts", "event_type"]).map_batches(
+        prep, batch_format="pyarrow")
+    return hash_bucket_scan(rows, ["user_id"], fold,
+                            n_rows=_nrows(sf_dir, "events"))
+
+
+def q_attribution_pairs_sql() -> str:
+    W = 15 * 60 * 1_000_000
+    return (
+        "WITH c AS (SELECT user_id, epoch_us(ts) AS t FROM events "
+        "WHERE event_type = 'click'), "
+        "p AS (SELECT user_id, epoch_us(ts) AS t FROM events "
+        "WHERE event_type = 'purchase') "
+        "SELECT c.user_id, CAST(count(*) AS BIGINT) AS n_pairs "
+        "FROM c JOIN p ON p.user_id = c.user_id "
+        f"AND p.t >= c.t AND p.t <= c.t + {W} GROUP BY 1"
+    )
