@@ -2230,3 +2230,65 @@ def q_clark_evans_sql() -> str:
         "CAST(COALESCE(sum(CAST(floor(sqrt(d2) * 1e6 + 0.5) "
         "AS BIGINT)), 0) AS BIGINT) AS sum_nn_micro FROM nn"
     )
+
+
+def q_tile_entropy(sf_dir: str):
+    """MULTI-SCALE SPATIAL HETEROGENEITY: Shannon entropy of the
+    event-count distribution over occupied web-mercator tiles at
+    z ∈ {6, 8, 10} — ONE data pass builds the z10 leaf on the
+    combiner tree and the coarser zooms re-derive by bit-shift (the
+    q_tile_pyramid nesting), then each level's entropy folds from
+    exact counts with int-pinned terms (q_type_entropy recipe).
+    Emits (z, h_nano, n_tiles)."""
+    from ..stages.agg_tree import tree_aggregate_to_table
+
+    def leaf(b: pa.Table) -> pa.Table:
+        lat, lon = derive_latlon(b["event_id"].to_numpy(
+            zero_copy_only=False))
+        x, y = tile_xy(lat, lon, 10)
+        t = pa.table({"tile_x": pa.array(x), "tile_y": pa.array(y),
+                      "n": pa.array(np.ones(len(x), np.int64))})
+        return (t.group_by(["tile_x", "tile_y"]).aggregate([("n", "sum")])
+                .rename_columns(["tile_x", "tile_y", "n"]))
+
+    tab = tree_aggregate_to_table(
+        _read(sf_dir, "events", ["event_id"]).map_batches(
+            leaf, batch_format="pyarrow"),
+        ["tile_x", "tile_y"], [("n", "sum")]).to_pandas()
+    out = []
+    for z in (10, 8, 6):
+        shift = 10 - z
+        d = pd.DataFrame({
+            "x": tab["tile_x"].to_numpy() >> shift,
+            "y": tab["tile_y"].to_numpy() >> shift,
+            "n": tab["n"].to_numpy()})
+        g = d.groupby(["x", "y"])["n"].sum()
+        c = g.to_numpy().astype(np.float64)
+        tot = c.sum()
+        p = c / tot
+        terms = np.floor(-(p * np.log(p)) * 1e9 + 0.5).astype(np.int64)
+        out.append((z, int(terms.sum()), len(c)))
+    return pd.DataFrame(out, columns=["z", "h_nano", "n_tiles"]
+                        ).astype(np.int64)
+
+
+def q_tile_entropy_sql() -> str:
+    lat, lon = latlon_sql("event_id")
+    xe, ye = tile_sql(lat, lon, 10)
+    parts = []
+    for z in (10, 8, 6):
+        shift = 10 - z
+        parts.append(
+            f"SELECT {z} AS z, CAST(sum(term) AS BIGINT) AS h_nano, "
+            "CAST(count(*) AS BIGINT) AS n_tiles FROM ("
+            f"SELECT CAST(floor(-((CAST(n AS DOUBLE) / tot) * "
+            "ln(CAST(n AS DOUBLE) / tot)) * 1e9 + 0.5) AS BIGINT) "
+            "AS term FROM ("
+            f"SELECT x // {1 << shift} AS gx, y // {1 << shift} AS gy, "
+            "sum(n) AS n, sum(sum(n)) OVER () AS tot "
+            "FROM leaf GROUP BY 1, 2))")
+    return (
+        f"WITH pts AS (SELECT {xe} AS x, {ye} AS y FROM events), "
+        "leaf AS (SELECT x, y, count(*) AS n FROM pts GROUP BY 1, 2) "
+        + " UNION ALL ".join(parts)
+    )

@@ -2503,3 +2503,42 @@ def q_caption_tile_tokens_sql() -> str:
         "CAST(count(*) AS BIGINT) AS n "
         f"FROM read_parquet('{path}') GROUP BY 1, 2, 3"
     )
+
+
+def q_btc_checksum(sf_dir: str):
+    """Hash verification of BLOCK TRUNCATION CODING structure (the
+    classic 4×4 two-level codec): per block the bitmap splits pixels
+    at the block mean — tested EXACTLY as 16·pixel ≥ block_sum, no
+    division — and the per-image sums of (hi-count, hi-sum, lo-sum)
+    pin both the threshold logic and the level reconstruction inputs.
+    Oracle groups by (x//4, y//4) with the same integer compare."""
+    def per(y: np.ndarray) -> dict:
+        h, w = y.shape
+        blk = y.reshape(h // 4, 4, w // 4, 4)
+        bs = blk.sum(axis=(1, 3))
+        hi = 16 * blk >= bs[:, None, :, None]
+        n_hi = int(hi.sum())
+        sum_hi = int((blk * hi).sum())
+        return {"n_hi": n_hi, "sum_hi": sum_hi,
+                "sum_lo": int(blk.sum()) - sum_hi}
+
+    return _checksum_ds(sf_dir).map_batches(
+        _luma_kernel(per), batch_format="pyarrow", batch_size=128)
+
+
+def q_btc_checksum_sql() -> str:
+    return (
+        "WITH " + _luma_table_sql(_CHECKSUM_K) + ", "
+        "bs AS (SELECT i, x // 4 AS bx, y // 4 AS by, sum(l) AS s "
+        "FROM lum GROUP BY 1, 2, 3) "
+        "SELECT 'img_' || lpad(CAST(lum.i AS VARCHAR), 12, '0') "
+        "AS image_id, "
+        "CAST(sum(CASE WHEN 16 * l >= bs.s THEN 1 ELSE 0 END) "
+        "AS BIGINT) AS n_hi, "
+        "CAST(sum(CASE WHEN 16 * l >= bs.s THEN l ELSE 0 END) "
+        "AS BIGINT) AS sum_hi, "
+        "CAST(sum(CASE WHEN 16 * l >= bs.s THEN 0 ELSE l END) "
+        "AS BIGINT) AS sum_lo "
+        "FROM lum JOIN bs ON bs.i = lum.i AND bs.bx = lum.x // 4 "
+        "AND bs.by = lum.y // 4 GROUP BY 1"
+    )

@@ -73,7 +73,8 @@ NAMES = ["pct_rank", "retention", "doc_stats", "type_entropy",
          "rs_range", "perm_counts", "runs_test", "lis_length",
          "quadkeys", "rich_club", "kmv_distinct", "visit_entropy",
          "radius_gyration", "max_gap", "ks_exact", "byte_entropy",
-         "clark_evans", "bhattacharyya", "attribution_pairs"]
+         "clark_evans", "bhattacharyya", "attribution_pairs",
+         "tile_entropy"]
 
 
 @pytest.fixture(scope="module")
