@@ -2479,3 +2479,57 @@ def q_target_encode_sql() -> str:
         "(CAST(n AS DOUBLE) + 10.0) * 1e6 + 0.5) AS BIGINT) "
         "AS enc_micro FROM g, t"
     )
+
+
+def q_weighted_median(sf_dir: str):
+    """EXACT WEIGHTED LOWER MEDIAN of lineitem extended price,
+    weighted by integer quantity, per return flag: the first
+    price-cent (ascending) whose doubled cumulative weight reaches
+    the total (2·cum ≥ W — integer compare, no halves).  Per-(flag,
+    cent) weight sums ride the combiner tree (the quantized domain
+    bound of q_equidepth_hist); the cumulative pick folds driver-side
+    per bounded flag.  Oracle = window cumsum + the same compare."""
+    from ..stages.agg_tree import tree_aggregate_to_table
+
+    def partial(b: pa.Table) -> pa.Table:
+        p = b["l_extendedprice"].to_numpy(zero_copy_only=False)
+        q = b["l_quantity"].to_numpy(zero_copy_only=False)
+        t = pa.table({"f": b["l_returnflag"],
+                      "c": pa.array(np.floor(p * 100.0 + 0.5
+                                             ).astype(np.int64)),
+                      "w": pa.array(np.floor(q + 0.5).astype(np.int64))})
+        return (t.group_by(["f", "c"]).aggregate([("w", "sum")])
+                .rename_columns(["f", "c", "w"]))
+
+    tab = tree_aggregate_to_table(
+        _read(sf_dir, "lineitem",
+              ["l_returnflag", "l_extendedprice",
+               "l_quantity"]).map_batches(
+            partial, batch_format="pyarrow"),
+        ["f", "c"], [("w", "sum")]).to_pandas()
+    tab = tab.sort_values(["f", "c"], kind="mergesort")
+    out = []
+    for f, grp in tab.groupby("f", sort=True):
+        w = grp["w"].to_numpy().astype(np.int64)
+        c = grp["c"].to_numpy().astype(np.int64)
+        tot = int(w.sum())
+        cum = np.cumsum(w)
+        i = int(np.argmax(2 * cum >= tot))
+        out.append((f, int(c[i]), tot))
+    return pd.DataFrame(out, columns=["l_returnflag", "wmedian_cents",
+                                      "total_w"])
+
+
+def q_weighted_median_sql() -> str:
+    return (
+        "WITH p AS (SELECT l_returnflag AS f, "
+        "CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS c, "
+        "CAST(floor(l_quantity + 0.5) AS BIGINT) AS w FROM lineitem), "
+        "g AS (SELECT f, c, sum(w) AS w FROM p GROUP BY 1, 2), "
+        "cu AS (SELECT f, c, sum(w) OVER (PARTITION BY f ORDER BY c) "
+        "AS cum, sum(w) OVER (PARTITION BY f) AS tot FROM g) "
+        "SELECT f AS l_returnflag, "
+        "CAST(min(CASE WHEN 2 * cum >= tot THEN c END) AS BIGINT) "
+        "AS wmedian_cents, CAST(any_value(tot) AS BIGINT) AS total_w "
+        "FROM cu GROUP BY 1"
+    )
