@@ -2533,3 +2533,62 @@ def q_weighted_median_sql() -> str:
         "AS wmedian_cents, CAST(any_value(tot) AS BIGINT) AS total_w "
         "FROM cu GROUP BY 1"
     )
+
+
+def q_ri_audit(sf_dir: str):
+    """REFERENTIAL-INTEGRITY AUDIT — the cross-table data-quality
+    sweep every warehouse load runs: orphan counts over three FK
+    edges (orders.o_custkey → customer, lineitem.l_orderkey → orders,
+    events.user_id → customer) plus each child's row count.  Each
+    edge is one broadcast anti-semi-join (sorted parent key array via
+    ray.put, searchsorted membership per batch — stages/joins.py) and
+    a count; parents at TPC-H scales are the small sides by
+    construction (an unbounded parent would swap in the Bloom-chain
+    from stages/dedup).  Oracle = three NOT-IN counts."""
+    import pyarrow.parquet as pq
+
+    from ..stages.joins import broadcast_semi_join
+
+    def parent_keys(table: str, col: str) -> np.ndarray:
+        return pq.read_table(os.path.join(sf_dir, f"{table}.parquet"),
+                             columns=[col])[col].to_numpy(
+            zero_copy_only=False).astype(np.int64)
+
+    edges = (
+        ("orders", "o_custkey", "customer", "c_custkey"),
+        ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("events", "user_id", "customer", "c_custkey"),
+    )
+    out = []
+    for child, fk, parent, pk in edges:
+        keys = parent_keys(parent, pk)
+        ds = _read(sf_dir, child, [fk])
+        n_child = ds.count()
+
+        def to_i64(b: pa.Table, fk=fk) -> pa.Table:
+            v = b[fk].to_numpy(zero_copy_only=False).astype(np.int64)
+            return pa.table({fk: pa.array(v)})
+
+        orphans = broadcast_semi_join(
+            ds.map_batches(to_i64, batch_format="pyarrow"),
+            keys, on=fk, anti=True).count()
+        out.append((f"{child}.{fk}", np.int64(orphans),
+                    np.int64(n_child)))
+    return pd.DataFrame(out, columns=["edge", "n_orphans", "n_child"])
+
+
+def q_ri_audit_sql() -> str:
+    return (
+        "SELECT 'orders.o_custkey' AS edge, "
+        "CAST((SELECT count(*) FROM orders WHERE o_custkey NOT IN "
+        "(SELECT c_custkey FROM customer)) AS BIGINT) AS n_orphans, "
+        "CAST((SELECT count(*) FROM orders) AS BIGINT) AS n_child "
+        "UNION ALL SELECT 'lineitem.l_orderkey', "
+        "CAST((SELECT count(*) FROM lineitem WHERE l_orderkey NOT IN "
+        "(SELECT o_orderkey FROM orders)) AS BIGINT), "
+        "CAST((SELECT count(*) FROM lineitem) AS BIGINT) "
+        "UNION ALL SELECT 'events.user_id', "
+        "CAST((SELECT count(*) FROM events WHERE user_id NOT IN "
+        "(SELECT c_custkey FROM customer)) AS BIGINT), "
+        "CAST((SELECT count(*) FROM events) AS BIGINT)"
+    )
