@@ -2292,3 +2292,129 @@ def q_tile_entropy_sql() -> str:
         "leaf AS (SELECT x, y, count(*) AS n FROM pts GROUP BY 1, 2) "
         + " UNION ALL ".join(parts)
     )
+
+
+def q_box_cover_cells(sf_dir: str):
+    """COVERAGE AREA of the union of event boxes, exactly, by 0.5°
+    cell decomposition: every box enumerates the lattice cells whose
+    center it contains (bounded fan-out — the box sizes are bounded by
+    derivation), the distinct covered-cell count folds through one
+    cell-keyed exchange, and the answer is exact — the scanline union
+    without the sequential sweep.  Distinctness makes overlap
+    handling free at any scale.  Oracle = the same enumeration via
+    BETWEEN range joins + COUNT(DISTINCT)."""
+    from ..stages.agg_tree import tree_aggregate_to_table
+    from ..stages.scan import hash_bucket_scan
+
+    STEP = 500_000  # microdegrees
+
+    def cells(b: pa.Table) -> pa.Table:
+        t = _event_boxes(b)
+        xmin = np.floor(t["xmin"].to_numpy() * 1e6 + 0.5).astype(np.int64)
+        xmax = np.floor(t["xmax"].to_numpy() * 1e6 + 0.5).astype(np.int64)
+        ymin = np.floor(t["ymin"].to_numpy() * 1e6 + 0.5).astype(np.int64)
+        ymax = np.floor(t["ymax"].to_numpy() * 1e6 + 0.5).astype(np.int64)
+        # cell center (gx+0.5)·STEP inside [xmin, xmax]:
+        # gx ≥ ceil(xmin/STEP − 0.5), gx ≤ floor(xmax/STEP − 0.5)
+        gx0 = -((-(2 * xmin - STEP)) // (2 * STEP))
+        gx1 = (2 * xmax - STEP) // (2 * STEP)
+        gy0 = -((-(2 * ymin - STEP)) // (2 * STEP))
+        gy1 = (2 * ymax - STEP) // (2 * STEP)
+        nx = np.maximum(gx1 - gx0 + 1, 0)
+        ny = np.maximum(gy1 - gy0 + 1, 0)
+        total = nx * ny
+        rep = np.repeat(np.arange(len(nx), dtype=np.int64), total)
+        offs = np.cumsum(total) - total
+        loc = np.arange(int(total.sum()), dtype=np.int64) \
+            - np.repeat(offs, total)
+        gx = gx0[rep] + loc % nx[rep]
+        gy = gy0[rep] + loc // nx[rep]
+        tt = pa.table({"cell": pa.array(gy * np.int64(1 << 21) + gx),
+                       "one": pa.array(np.ones(len(gx), np.int64))})
+        return (tt.group_by(["cell"]).aggregate([("one", "min")])
+                .rename_columns(["cell", "one"]))
+
+    distinct = hash_bucket_scan(
+        _read(sf_dir, "events", ["event_id"]).map_batches(
+            cells, batch_format="pyarrow"),
+        ["cell"], lambda t: t.group_by(["cell"]).aggregate([]),
+        n_rows=_nrows(sf_dir, "events") * 40)
+    n = distinct.count()
+    return pd.DataFrame({"n_cells": [np.int64(n)]})
+
+
+def q_box_cover_cells_sql() -> str:
+    elat, elon = latlon_sql("event_id")
+    STEP = 500_000
+    return f"""
+WITH b AS (
+  SELECT CAST(floor(({elon} - (0.5 + (event_id % 5) * 0.6)) * 1e6 + 0.5)
+         AS BIGINT) AS xmin,
+         CAST(floor(({elon} + (0.5 + (event_id % 5) * 0.6)) * 1e6 + 0.5)
+         AS BIGINT) AS xmax,
+         CAST(floor(({elat} - (0.5 + (event_id % 4) * 0.75)) * 1e6 + 0.5)
+         AS BIGINT) AS ymin,
+         CAST(floor(({elat} + (0.5 + (event_id % 4) * 0.75)) * 1e6 + 0.5)
+         AS BIGINT) AS ymax
+  FROM events
+)
+SELECT CAST(count(DISTINCT gy * 2097152 + gx) AS BIGINT) AS n_cells
+FROM b
+JOIN range(-367, 368) tx(gx)
+  ON gx * {2 * STEP} >= 2 * b.xmin - {STEP}
+ AND gx * {2 * STEP} <= 2 * b.xmax - {STEP}
+JOIN range(-127, 128) ty(gy)
+  ON gy * {2 * STEP} >= 2 * b.ymin - {STEP}
+ AND gy * {2 * STEP} <= 2 * b.ymax - {STEP}
+"""
+
+
+def q_simpson_tiles(sf_dir: str):
+    """SIMPSON DIVERSITY per z=6 tile — the ecology sibling of
+    entropy, EXACT as integers: D_num = Σ_type n·(n−1) and
+    D_den = N·(N−1) per tile (the probability two events in the tile
+    share a type).  Bounded (tile, type) keys ride one combiner tree;
+    no float anywhere."""
+    from ..stages.agg_tree import tree_aggregate_to_table
+
+    def partial(b: pa.Table) -> pa.Table:
+        lat, lon = derive_latlon(b["event_id"].to_numpy(
+            zero_copy_only=False))
+        x, y = tile_xy(lat, lon, 6)
+        t = pa.table({"tile_x": pa.array(x), "tile_y": pa.array(y),
+                      "et": b["event_type"],
+                      "n": pa.array(np.ones(len(x), np.int64))})
+        return (t.group_by(["tile_x", "tile_y", "et"])
+                .aggregate([("n", "sum")])
+                .rename_columns(["tile_x", "tile_y", "et", "n"]))
+
+    tab = tree_aggregate_to_table(
+        _read(sf_dir, "events",
+              ["event_id", "event_type"]).map_batches(
+            partial, batch_format="pyarrow"),
+        ["tile_x", "tile_y", "et"], [("n", "sum")]).to_pandas()
+    n = tab["n"].to_numpy().astype(np.int64)
+    tab["num"] = n * (n - 1)
+    g = (tab.groupby(["tile_x", "tile_y"], as_index=False)
+         .agg(d_num=("num", "sum"), N=("n", "sum")))
+    return pd.DataFrame({
+        "tile_x": g["tile_x"].to_numpy().astype(np.int64),
+        "tile_y": g["tile_y"].to_numpy().astype(np.int64),
+        "d_num": g["d_num"].to_numpy().astype(np.int64),
+        "d_den": (g["N"].to_numpy().astype(np.int64)
+                  * (g["N"].to_numpy().astype(np.int64) - 1))})
+
+
+def q_simpson_tiles_sql() -> str:
+    lat, lon = latlon_sql("event_id")
+    xe, ye = tile_sql(lat, lon, 6)
+    return (
+        f"WITH p AS (SELECT {xe} AS tile_x, {ye} AS tile_y, event_type "
+        "FROM events), "
+        "c AS (SELECT tile_x, tile_y, event_type, count(*) AS n "
+        "FROM p GROUP BY 1, 2, 3) "
+        "SELECT tile_x, tile_y, "
+        "CAST(sum(n * (n - 1)) AS BIGINT) AS d_num, "
+        "CAST(sum(n) * (sum(n) - 1) AS BIGINT) AS d_den "
+        "FROM c GROUP BY 1, 2"
+    )

@@ -2558,3 +2558,138 @@ def q_attribution_pairs_sql() -> str:
         "FROM c JOIN p ON p.user_id = c.user_id "
         f"AND p.t >= c.t AND p.t <= c.t + {W} GROUP BY 1"
     )
+
+
+def q_interval_union(sf_dir: str):
+    """GAPS-AND-ISLANDS interval union per user — the classic merge
+    of overlapping validity windows: each event opens
+    [t, t + (event_id % 30 + 1) minutes], and the user's total
+    covered microseconds (plus island count) is exact int64.  One
+    keyed_scan; the merge is a per-segment running-max of ends
+    (cummax with segment resets) and one island-start mask — no
+    per-user loop.  Oracle = the textbook window-function island
+    detection."""
+    from ..stages.scan import keyed_scan
+
+    MIN_US = 60_000_000
+
+    def prep(b: pa.Table) -> pa.Table:
+        e = b["event_id"].to_numpy(zero_copy_only=False)
+        t = b["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({"user_id": b["user_id"],
+                         "s": pa.array(t),
+                         "event_id": b["event_id"],
+                         "e": pa.array(t + (e % 30 + 1) * MIN_US)})
+
+    def fn(d: pd.DataFrame) -> pd.DataFrame:
+        u = d["user_id"].to_numpy()
+        s = d["s"].to_numpy()
+        e = d["e"].to_numpy()
+        # rows arrive sorted by (user, s, event_id); segmented cummax
+        # of ends via log-doubling (exact, no per-user loop)
+        starts = np.r_[0, 1 + np.flatnonzero(u[1:] != u[:-1])]
+        sizes = np.diff(np.r_[starts, len(u)])
+        pos = np.arange(len(u)) - np.repeat(starts, sizes)
+        cm = e.copy()
+        shift = 1
+        while shift < len(u):
+            prev = np.empty_like(cm)
+            prev[:shift] = np.iinfo(np.int64).min
+            prev[shift:] = cm[:-shift]
+            ok = pos >= shift
+            cm = np.where(ok, np.maximum(cm, prev), cm)
+            shift *= 2
+        prev_cm = np.empty_like(cm)
+        prev_cm[0] = np.iinfo(np.int64).min
+        prev_cm[1:] = cm[:-1]
+        new_island = (pos == 0) | (s > prev_cm)
+        # covered time = Σ over rows of max(0, new coverage added)
+        add = np.where(new_island, e - s,
+                       np.maximum(e - prev_cm, 0))
+        # rows fully inside the running envelope add 0 via the clamp;
+        # rows extending it add the extension; island heads add e−s
+        uniq, codes = np.unique(u, return_inverse=True)
+        cov = np.zeros(len(uniq), np.int64)
+        np.add.at(cov, codes, add)
+        ni = np.zeros(len(uniq), np.int64)
+        np.add.at(ni, codes, new_island.astype(np.int64))
+        return pd.DataFrame({"user_id": uniq, "covered_us": cov,
+                             "n_islands": ni})
+
+    ds = _read(sf_dir, "events",
+               ["event_id", "user_id", "ts"]).map_batches(
+        prep, batch_format="pyarrow")
+    return keyed_scan(ds, key="user_id", order=["s", "event_id"],
+                      fn=fn, n_rows=_nrows(sf_dir, "events"))
+
+
+def q_interval_union_sql() -> str:
+    return (
+        "WITH iv AS (SELECT user_id, epoch_us(ts) AS s, event_id, "
+        "epoch_us(ts) + (event_id % 30 + 1) * 60000000 AS e "
+        "FROM events), "
+        "m AS (SELECT user_id, s, e, max(e) OVER (PARTITION BY user_id"
+        " ORDER BY s, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND "
+        "1 PRECEDING) AS pm FROM iv), "
+        "g AS (SELECT user_id, s, e, pm, CASE WHEN pm IS NULL "
+        "OR s > pm THEN 1 ELSE 0 END AS isl FROM m) "
+        "SELECT user_id, CAST(sum(CASE WHEN isl = 1 THEN e - s "
+        "ELSE greatest(e - pm, 0) END) AS BIGINT) AS covered_us, "
+        "CAST(sum(isl) AS BIGINT) AS n_islands FROM g GROUP BY 1"
+    )
+
+
+def q_scan_stat(sf_dir: str):
+    """SCAN STATISTIC per event type: the maximum number of events in
+    ANY sliding 1-hour window (window starts at event times — the
+    discrete scan statistic of epidemic/burst detection).  Types are
+    bounded, so each type's sorted time array folds in one bucket:
+    counts are ONE two-sided searchsorted (the q_rolling_counts
+    trick), max is exact.  Oracle = per-event window counts via a
+    banded self-join, maxed."""
+    from ..stages.scan import hash_bucket_scan
+
+    W = 3_600_000_000
+
+    from ..functions.text import fingerprint64
+
+    def prep(b: pa.Table) -> pa.Table:
+        et = b["event_type"].to_numpy(zero_copy_only=False)
+        return pa.table({"et": b["event_type"],
+                         "et_h": pa.array(fingerprint64(
+                             pd.Series(et.astype("U")))),
+                         "t_us": b["ts"].cast(pa.int64())})
+
+    def fold(t: pa.Table) -> pa.Table:
+        et = t["et"].to_numpy(zero_copy_only=False)
+        ts = t["t_us"].to_numpy(zero_copy_only=False)
+        uniq = np.unique(et.astype("U"))
+        out_e, out_m = [], []
+        for e in uniq:     # bounded type domain (≤ a handful)
+            x = np.sort(ts[et == e])
+            hi = np.searchsorted(x, x + W, side="left")
+            lo = np.searchsorted(x, x, side="left")
+            out_e.append(e)
+            out_m.append(int((hi - lo).max()) if len(x) else 0)
+        return pa.table({"event_type": pa.array(out_e),
+                         "max_1h": pa.array(np.array(out_m, np.int64))})
+
+    rows = _read(sf_dir, "events", ["event_type", "ts"]).map_batches(
+        prep, batch_format="pyarrow")
+    return hash_bucket_scan(rows, ["et_h"], fold,
+                            n_rows=_nrows(sf_dir, "events"))
+
+
+def q_scan_stat_sql() -> str:
+    return (
+        "WITH p AS (SELECT event_id, event_type, epoch_us(ts) AS t "
+        "FROM events), "
+        # group per anchor EVENT, not per timestamp — duplicate
+        # timestamps must not merge anchors (each contributes one
+        # window)
+        "c AS (SELECT a.event_id, a.event_type, count(*) AS n "
+        "FROM p a JOIN p b ON b.event_type = a.event_type "
+        "AND b.t >= a.t AND b.t < a.t + 3600000000 GROUP BY 1, 2) "
+        "SELECT event_type, CAST(max(n) AS BIGINT) AS max_1h "
+        "FROM c GROUP BY 1"
+    )

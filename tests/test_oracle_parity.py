@@ -109,6 +109,7 @@ def test_entry_smoke(ray_session):
     "radius_gyration", "max_gap", "ks_exact", "byte_entropy",
     "clark_evans", "bhattacharyya", "attribution_pairs",
     "tile_entropy", "btc_checksum", "weighted_median", "ri_audit",
+    "interval_union", "box_cover_cells", "simpson_tiles", "scan_stat",
     "kapur_threshold", "lttb_downsample", "box_isect_area",
     "interval_stab", "ann_filtered", "rrf_fusion", "hilbert_range",
     "xcorr_lags", "radial_profile", "visvalingam", "caption_tile_tokens",

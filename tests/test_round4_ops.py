@@ -74,7 +74,8 @@ NAMES = ["pct_rank", "retention", "doc_stats", "type_entropy",
          "quadkeys", "rich_club", "kmv_distinct", "visit_entropy",
          "radius_gyration", "max_gap", "ks_exact", "byte_entropy",
          "clark_evans", "bhattacharyya", "attribution_pairs",
-         "tile_entropy"]
+         "tile_entropy", "interval_union", "simpson_tiles",
+         "scan_stat", "box_cover_cells"]
 
 
 @pytest.fixture(scope="module")
