@@ -2542,3 +2542,42 @@ def q_btc_checksum_sql() -> str:
         "FROM lum JOIN bs ON bs.i = lum.i AND bs.bx = lum.x // 4 "
         "AND bs.by = lum.y // 4 GROUP BY 1"
     )
+
+
+def q_noise_mad(sf_dir: str):
+    """Hash verification of the NOISE ESTIMATE via the exact LOWER
+    MEDIAN of |4-neighbour Laplacian| over interior pixels (the
+    robust sensor-noise proxy a denoise stack thresholds on): the
+    median is the order statistic at (n−1)//2 — no averaging, so it
+    is an exact int.  Oracle = the shifted-equijoin Laplacian with a
+    row_number pick."""
+    def per(y: np.ndarray) -> dict:
+        c = y[1:-1, 1:-1]
+        lap = np.abs(4 * c - y[:-2, 1:-1] - y[2:, 1:-1]
+                     - y[1:-1, :-2] - y[1:-1, 2:]).ravel()
+        lap.sort()
+        return {"mad_lap": int(lap[(len(lap) - 1) // 2]),
+                "n_int": len(lap)}
+
+    return _checksum_ds(sf_dir).map_batches(
+        _luma_kernel(per), batch_format="pyarrow", batch_size=128)
+
+
+def q_noise_mad_sql() -> str:
+    return (
+        "WITH " + _luma_table_sql(_CHECKSUM_K) + ", "
+        "lp AS (SELECT c.i, abs(4 * c.l - u.l - d.l - le.l - r.l) "
+        "AS v FROM lum c "
+        "JOIN lum u ON u.i = c.i AND u.x = c.x AND u.y = c.y - 1 "
+        "JOIN lum d ON d.i = c.i AND d.x = c.x AND d.y = c.y + 1 "
+        "JOIN lum le ON le.i = c.i AND le.x = c.x - 1 AND le.y = c.y "
+        "JOIN lum r ON r.i = c.i AND r.x = c.x + 1 AND r.y = c.y "
+        "WHERE c.x BETWEEN 1 AND c.side - 2 "
+        "AND c.y BETWEEN 1 AND c.side - 2), "
+        "rk AS (SELECT i, v, row_number() OVER (PARTITION BY i "
+        "ORDER BY v) AS rn, count(*) OVER (PARTITION BY i) AS n "
+        "FROM lp) "
+        "SELECT 'img_' || lpad(CAST(i AS VARCHAR), 12, '0') AS image_id,"
+        " CAST(v AS BIGINT) AS mad_lap, CAST(n AS BIGINT) AS n_int "
+        "FROM rk WHERE rn = (n - 1) // 2 + 1"
+    )

@@ -1764,3 +1764,65 @@ def q_byte_entropy_sql() -> str:
         "LEFT JOIN (SELECT doc_id, sum(term) AS h, count(*) AS nb "
         "FROM t GROUP BY 1) s ON s.doc_id = d.doc_id"
     )
+
+
+_HEAPS_NS = (1000, 2000, 4000, 8000)
+_HEAPS_DOC_CAP = 200
+
+
+def q_heaps_curve(sf_dir: str):
+    """HEAPS'-LAW vocabulary-growth curve: distinct token count among
+    the first N corpus tokens (docs ordered by doc_id, tokens in doc
+    order) for N ∈ {1k, 2k, 4k, 8k}.  Only the corpus HEAD can matter
+    (≤ 200 docs cover every probe at fixture token densities), so the
+    read is a pushed-down doc_id filter and the fold is bounded by
+    construction — the head-K pattern of the image-checksum family.
+    Tokenization is the corpus-standard [a-z0-9]+ lowercase.  Oracle
+    re-derives positions with a per-doc range join + window offsets."""
+    import pyarrow.dataset as pds
+    import ray.data
+
+    def toks(b: pd.DataFrame) -> pd.DataFrame:
+        t = b["text"].str.lower().str.findall(r"[a-z0-9]+")
+        lens = t.str.len().to_numpy()
+        flat = np.concatenate([np.asarray(x, object) for x in t
+                               if len(x)] or [np.array([], object)])
+        doc = np.repeat(b["doc_id"].to_numpy(), lens)
+        pos = np.arange(len(flat), dtype=np.int64) - np.repeat(
+            np.cumsum(lens) - lens, lens)
+        return pd.DataFrame({"doc_id": doc, "pos": pos,
+                             "tok": flat.astype(str)})
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"],
+        filter=pds.field("doc_id") < _HEAPS_DOC_CAP)
+    rows = ds.map_batches(toks, batch_format="pandas").to_pandas()
+    rows = rows.sort_values(["doc_id", "pos"],
+                            kind="mergesort").reset_index(drop=True)
+    toks_arr = rows["tok"].to_numpy()
+    out = []
+    for N in _HEAPS_NS:
+        head = toks_arr[:N]
+        out.append((N, len(np.unique(head))))
+    return pd.DataFrame(out, columns=["n_tokens", "vocab"]
+                        ).astype(np.int64)
+
+
+def q_heaps_curve_sql() -> str:
+    ns = ", ".join(str(n) for n in _HEAPS_NS)
+    return (
+        "WITH d AS (SELECT doc_id, "
+        "regexp_extract_all(lower(text), '[a-z0-9]+') AS l "
+        f"FROM documents WHERE doc_id < {_HEAPS_DOC_CAP}), "
+        "t AS (SELECT doc_id, p, l[p + 1] AS tok FROM d "
+        "JOIN range(0, 8192) r(p) ON p < len(l)), "
+        "o AS (SELECT doc_id, sum(len(l)) OVER (ORDER BY doc_id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS off "
+        "FROM d), "
+        "g AS (SELECT t.tok, COALESCE(o.off, 0) + t.p AS gpos "
+        "FROM t JOIN o ON o.doc_id = t.doc_id) "
+        f"SELECT CAST(n AS BIGINT) AS n_tokens, "
+        "CAST((SELECT count(DISTINCT tok) FROM g WHERE gpos < n) "
+        f"AS BIGINT) AS vocab FROM (SELECT unnest([{ns}]) AS n)"
+    )
