@@ -2581,3 +2581,54 @@ def q_noise_mad_sql() -> str:
         " CAST(v AS BIGINT) AS mad_lap, CAST(n AS BIGINT) AS n_int "
         "FROM rk WHERE rn = (n - 1) // 2 + 1"
     )
+
+
+def q_audio_envelope(sf_dir: str):
+    """Hash verification of WINDOWED ENERGY extraction (the RMS
+    envelope every VAD / onset detector consumes): per clip, the
+    exact Σs² of each 100-sample window on decoded channel 0 —
+    20 windows per 2000-sample tone.  Oracle groups the closed-form
+    samples by t // 100 (the q_audio_checksum replay)."""
+    import ray.data
+
+    from ..fixtures import ensure_tones_parquet
+    from ..functions.audio_codec import decode_wav
+
+    path = ensure_tones_parquet(_TONE_N)
+    ds = ray.data.read_parquet(path, columns=["audio_id", "bytes"])
+
+    def feats(b: pa.Table) -> pa.Table:
+        ids = b["audio_id"].to_pylist()
+        aid, win, ss = [], [], []
+        for i, blob in enumerate(b["bytes"].to_pylist()):
+            s, _sr = decode_wav(blob)
+            s0 = s[:, 0].astype(np.int64)
+            n = (len(s0) // 100) * 100
+            w = (s0[:n] * s0[:n]).reshape(-1, 100).sum(axis=1)
+            aid.extend([ids[i]] * len(w))
+            win.extend(range(len(w)))
+            ss.extend(int(v) for v in w)
+        return pa.table({"audio_id": pa.array(aid),
+                         "win": pa.array(np.array(win, np.int64)),
+                         "sumsq": pa.array(np.array(ss, np.int64))})
+
+    return ds.map_batches(feats, batch_format="pyarrow", batch_size=64)
+
+
+def q_audio_envelope_sql() -> str:
+    from ..fixtures import _TONE_N_SAMP, _TONE_SR
+
+    s = ("CAST(trunc((0.1 + 0.8 * ((i % 7) / 7.0)) "
+         f"* sin(2.0 * pi() * (110.0 * (1 + (i % 17))) * t / {_TONE_SR}.0)"
+         " * 32767.0) AS BIGINT)")
+    n_full = (_TONE_N_SAMP // 100) * 100
+    return (
+        f"WITH clips AS (SELECT CAST(i AS BIGINT) AS i "
+        f"FROM range({_TONE_N}) a(i)), "
+        f"samp AS (SELECT i, t, {s} AS sv "
+        f"FROM clips JOIN range({n_full}) b(t) ON true) "
+        "SELECT 'tone_' || lpad(CAST(i AS VARCHAR), 6, '0') "
+        "AS audio_id, CAST(t // 100 AS BIGINT) AS win, "
+        "CAST(sum(sv * sv) AS BIGINT) AS sumsq "
+        "FROM samp GROUP BY 1, 2"
+    )
