@@ -2693,3 +2693,69 @@ def q_scan_stat_sql() -> str:
         "SELECT event_type, CAST(max(n) AS BIGINT) AS max_1h "
         "FROM c GROUP BY 1"
     )
+
+
+def q_lag_cov(sf_dir: str):
+    """LAG-1 AUTOCOVARIANCE sufficient statistics of each event
+    type's time-ordered cent-value series: over consecutive pairs,
+    the exact ints (m, Σxy, Σx, Σy) with x = earlier, y = later —
+    cov₁ = (m·Σxy − Σx·Σy)/m² is left to the reader.  Types are
+    bounded, so the series fold is one hash-bucket exchange keyed by
+    the type fingerprint; pairs come from two shifted views of the
+    in-bucket (type, time) sort.  Oracle = a LEAD window pairing."""
+    from ..functions.text import fingerprint64
+    from ..stages.scan import hash_bucket_scan
+
+    def prep(b: pa.Table) -> pa.Table:
+        et = b["event_type"].to_numpy(zero_copy_only=False)
+        v = b["value"].to_numpy(zero_copy_only=False)
+        return pa.table({"et": b["event_type"],
+                         "et_h": pa.array(fingerprint64(
+                             pd.Series(et.astype("U")))),
+                         "t_us": b["ts"].cast(pa.int64()),
+                         "event_id": b["event_id"],
+                         "y": pa.array(np.floor(v * 100.0 + 0.5
+                                                ).astype(np.int64))})
+
+    def fold(t: pa.Table) -> pa.Table:
+        et = t["et"].to_numpy(zero_copy_only=False).astype("U")
+        ts = t["t_us"].to_numpy(zero_copy_only=False)
+        e = t["event_id"].to_numpy(zero_copy_only=False)
+        y = t["y"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((e, ts, et))
+        et, y = et[order], y[order]
+        same = et[1:] == et[:-1]
+        x1, y1 = y[:-1][same], y[1:][same]
+        g = et[:-1][same]
+        uniq, codes = np.unique(g, return_inverse=True)
+        m = np.zeros(len(uniq), np.int64)
+        sxy = np.zeros(len(uniq), np.int64)
+        sx = np.zeros(len(uniq), np.int64)
+        sy = np.zeros(len(uniq), np.int64)
+        np.add.at(m, codes, 1)
+        np.add.at(sxy, codes, x1 * y1)
+        np.add.at(sx, codes, x1)
+        np.add.at(sy, codes, y1)
+        return pa.table({"event_type": pa.array(uniq),
+                         "m": pa.array(m), "sxy": pa.array(sxy),
+                         "sx": pa.array(sx), "sy": pa.array(sy)})
+
+    rows = _read(sf_dir, "events",
+                 ["event_id", "event_type", "ts", "value"]).map_batches(
+        prep, batch_format="pyarrow")
+    return hash_bucket_scan(rows, ["et_h"], fold,
+                            n_rows=_nrows(sf_dir, "events"))
+
+
+def q_lag_cov_sql() -> str:
+    return (
+        "WITH p AS (SELECT event_type, epoch_us(ts) AS t, event_id, "
+        "CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS y FROM events), "
+        "q AS (SELECT event_type, y AS x1, lead(y) OVER "
+        "(PARTITION BY event_type ORDER BY t, event_id) AS y1 FROM p) "
+        "SELECT event_type, CAST(count(*) AS BIGINT) AS m, "
+        "CAST(sum(x1 * y1) AS BIGINT) AS sxy, "
+        "CAST(sum(x1) AS BIGINT) AS sx, "
+        "CAST(sum(y1) AS BIGINT) AS sy "
+        "FROM q WHERE y1 IS NOT NULL GROUP BY 1"
+    )
