@@ -2632,3 +2632,56 @@ def q_audio_envelope_sql() -> str:
         "CAST(sum(sv * sv) AS BIGINT) AS sumsq "
         "FROM samp GROUP BY 1, 2"
     )
+
+
+def q_colorfulness(sf_dir: str):
+    """Hash verification of the HASLER-SÜSSTRUNK COLORFULNESS
+    opponent-channel moments (the aesthetic/colour-cast screen):
+    rg = R−G and yb2 = R+G−2B (doubled to stay integer), pinned as
+    the exact variance numerators n·Σc² − (Σc)² plus Σ|c| for both
+    channels — the metric √(σ²_rg+σ²_yb) + 0.3·√(μ²…) is left to the
+    reader, its inputs are exact.  Oracle rides the per-channel
+    generator replay (_rgb_table_sql)."""
+    from ..functions.image_codec import decode_image
+
+    def fn(b: pa.Table) -> pa.Table:
+        blobs = b["bytes"].to_pylist()
+        fmts = b["fmt"].to_pylist()
+        cols = {k: [] for k in ("v_rg", "v_yb2", "a_rg", "a_yb2", "n")}
+        for i in range(len(blobs)):
+            img = decode_image(blobs[i], fmts[i]).astype(np.int64)
+            r, g, bb = img[:, :, 0], img[:, :, 1], img[:, :, 2]
+            rg = (r - g).ravel()
+            yb2 = (r + g - 2 * bb).ravel()
+            n = rg.size
+            for key, c in (("rg", rg), ("yb2", yb2)):
+                s1 = int(c.sum())
+                s2 = int((c * c).sum())
+                cols[f"v_{key}"].append(n * s2 - s1 * s1)
+                cols[f"a_{key}"].append(int(np.abs(c).sum()))
+            cols["n"].append(n)
+        out = {"image_id": b["image_id"]}
+        for k, v in cols.items():
+            out[k] = pa.array(np.array(v, np.int64))
+        return pa.table(out)
+
+    return _checksum_ds(sf_dir).map_batches(
+        fn, batch_format="pyarrow", batch_size=128)
+
+
+def q_colorfulness_sql() -> str:
+    from ._common import _rgb_table_sql
+
+    return (
+        "WITH " + _rgb_table_sql(_CHECKSUM_K) + ", "
+        "ch AS (SELECT i, r - g AS rg, r + g - 2 * b AS yb2 FROM rgb) "
+        "SELECT 'img_' || lpad(CAST(i AS VARCHAR), 12, '0') AS image_id,"
+        " CAST(count(*) * sum(rg * rg) - sum(rg) * sum(rg) AS BIGINT) "
+        "AS v_rg, "
+        "CAST(count(*) * sum(yb2 * yb2) - sum(yb2) * sum(yb2) "
+        "AS BIGINT) AS v_yb2, "
+        "CAST(sum(abs(rg)) AS BIGINT) AS a_rg, "
+        "CAST(sum(abs(yb2)) AS BIGINT) AS a_yb2, "
+        "CAST(count(*) AS BIGINT) AS n "
+        "FROM ch GROUP BY 1"
+    )
