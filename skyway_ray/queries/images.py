@@ -2685,3 +2685,47 @@ def q_colorfulness_sql() -> str:
         "CAST(count(*) AS BIGINT) AS n "
         "FROM ch GROUP BY 1"
     )
+
+
+def q_structure_tensor(sf_dir: str):
+    """Hash verification of the STRUCTURE TENSOR moments (the edge-
+    coherence / corner-ness inputs): over interior pixels the exact
+    int64 sums Σgx², Σgy², Σgx·gy of the Sobel gradients — the
+    eigen-gap coherence (λ1−λ2)²/(λ1+λ2)² is left to the reader,
+    its inputs are exact.  Oracle = eight neighbour equijoins forming
+    the same Sobel responses."""
+    def per(y: np.ndarray) -> dict:
+        gx = ((y[:-2, 2:] + 2 * y[1:-1, 2:] + y[2:, 2:])
+              - (y[:-2, :-2] + 2 * y[1:-1, :-2] + y[2:, :-2]))
+        gy = ((y[2:, :-2] + 2 * y[2:, 1:-1] + y[2:, 2:])
+              - (y[:-2, :-2] + 2 * y[:-2, 1:-1] + y[:-2, 2:]))
+        return {"sxx": int((gx * gx).sum()),
+                "syy": int((gy * gy).sum()),
+                "sxy": int((gx * gy).sum())}
+
+    return _checksum_ds(sf_dir).map_batches(
+        _luma_kernel(per), batch_format="pyarrow", batch_size=128)
+
+
+def q_structure_tensor_sql() -> str:
+    def nb(nm, dx, dy):
+        return (f"JOIN lum {nm} ON {nm}.i = c.i AND {nm}.x = c.x + ({dx})"
+                f" AND {nm}.y = c.y + ({dy}) ")
+
+    joins = "".join(nb(nm, dx, dy) for nm, (dx, dy) in {
+        "tl": (-1, -1), "t": (0, -1), "tr": (1, -1),
+        "l": (-1, 0), "r": (1, 0),
+        "bl": (-1, 1), "b": (0, 1), "br": (1, 1)}.items())
+    gx = "(tr.l + 2 * r.l + br.l - tl.l - 2 * l.l - bl.l)"
+    gy = "(bl.l + 2 * b.l + br.l - tl.l - 2 * t.l - tr.l)"
+    return (
+        "WITH " + _luma_table_sql(_CHECKSUM_K) + ", "
+        f"g AS (SELECT c.i, {gx} AS gx, {gy} AS gy FROM lum c "
+        + joins +
+        "WHERE c.x BETWEEN 1 AND c.side - 2 "
+        "AND c.y BETWEEN 1 AND c.side - 2) "
+        "SELECT 'img_' || lpad(CAST(i AS VARCHAR), 12, '0') AS image_id,"
+        " CAST(sum(gx * gx) AS BIGINT) AS sxx, "
+        "CAST(sum(gy * gy) AS BIGINT) AS syy, "
+        "CAST(sum(gx * gy) AS BIGINT) AS sxy FROM g GROUP BY 1"
+    )

@@ -2759,3 +2759,59 @@ def q_lag_cov_sql() -> str:
         "CAST(sum(y1) AS BIGINT) AS sy "
         "FROM q WHERE y1 IS NOT NULL GROUP BY 1"
     )
+
+
+def q_longest_streak(sf_dir: str):
+    """LONGEST STRICTLY-INCREASING CONSECUTIVE RUN of each user's
+    time-ordered cent values (the streak/momentum screen — the
+    contiguous sibling of q_lis_length): exact ints via one
+    keyed_scan; run lengths fall out of a reset-mask cumulative
+    (position minus last-reset position), no per-user loop.  Oracle =
+    the gaps-and-islands grouping."""
+    from ..stages.scan import keyed_scan
+
+    def prep(b: pa.Table) -> pa.Table:
+        v = b["value"].to_numpy(zero_copy_only=False)
+        return pa.table({"user_id": b["user_id"],
+                         "t": b["ts"].cast(pa.int64()),
+                         "event_id": b["event_id"],
+                         "y": pa.array(np.floor(v * 100.0 + 0.5
+                                                ).astype(np.int64))})
+
+    def fn(d: pd.DataFrame) -> pd.DataFrame:
+        u = d["user_id"].to_numpy()
+        y = d["y"].to_numpy()
+        n = len(u)
+        pos = np.arange(n, dtype=np.int64)
+        reset = np.ones(n, dtype=bool)
+        reset[1:] = (u[1:] != u[:-1]) | (y[1:] <= y[:-1])
+        last_reset = np.maximum.accumulate(np.where(reset, pos, -1))
+        run = pos - last_reset + 1
+        uniq, codes = np.unique(u, return_inverse=True)
+        best = np.zeros(len(uniq), np.int64)
+        np.maximum.at(best, codes, run)
+        return pd.DataFrame({"user_id": uniq, "streak": best})
+
+    ds = _read(sf_dir, "events",
+               ["event_id", "user_id", "ts", "value"]).map_batches(
+        prep, batch_format="pyarrow")
+    return keyed_scan(ds, key="user_id", order=["t", "event_id"],
+                      fn=fn, n_rows=_nrows(sf_dir, "events"))
+
+
+def q_longest_streak_sql() -> str:
+    return (
+        "WITH p AS (SELECT user_id, epoch_us(ts) AS t, event_id, "
+        "CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS y FROM events), "
+        "m AS (SELECT user_id, t, event_id, y, CASE WHEN "
+        "lag(y) OVER w IS NULL OR y <= lag(y) OVER w THEN 1 ELSE 0 END"
+        " AS brk FROM p WINDOW w AS (PARTITION BY user_id "
+        "ORDER BY t, event_id)), "
+        "g AS (SELECT user_id, sum(brk) OVER (PARTITION BY user_id "
+        "ORDER BY t, event_id ROWS UNBOUNDED PRECEDING) AS grp "
+        "FROM m), "
+        "r AS (SELECT user_id, grp, count(*) AS ln FROM g "
+        "GROUP BY 1, 2) "
+        "SELECT user_id, CAST(max(ln) AS BIGINT) AS streak FROM r "
+        "GROUP BY 1"
+    )

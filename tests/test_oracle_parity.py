@@ -111,7 +111,7 @@ def test_entry_smoke(ray_session):
     "tile_entropy", "btc_checksum", "weighted_median", "ri_audit",
     "interval_union", "box_cover_cells", "simpson_tiles", "scan_stat",
     "noise_mad", "heaps_curve", "audio_envelope", "lag_cov",
-    "colorfulness",
+    "colorfulness", "structure_tensor", "longest_streak",
     "kapur_threshold", "lttb_downsample", "box_isect_area",
     "interval_stab", "ann_filtered", "rrf_fusion", "hilbert_range",
     "xcorr_lags", "radial_profile", "visvalingam", "caption_tile_tokens",

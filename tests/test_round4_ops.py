@@ -75,7 +75,7 @@ NAMES = ["pct_rank", "retention", "doc_stats", "type_entropy",
          "radius_gyration", "max_gap", "ks_exact", "byte_entropy",
          "clark_evans", "bhattacharyya", "attribution_pairs",
          "tile_entropy", "interval_union", "simpson_tiles",
-         "scan_stat", "box_cover_cells", "lag_cov"]
+         "scan_stat", "box_cover_cells", "lag_cov", "longest_streak"]
 
 
 @pytest.fixture(scope="module")
