@@ -2592,3 +2592,64 @@ def q_ri_audit_sql() -> str:
         "(SELECT c_custkey FROM customer)) AS BIGINT), "
         "CAST((SELECT count(*) FROM events) AS BIGINT)"
     )
+
+
+def q_nation_gini(sf_dir: str):
+    """PER-NATION GINI inequality of supplier account balances, kept
+    exact by the sorted-rank identity: with cents x₍₁₎ ≤ … ≤ x₍ₙ₎,
+    G_num = Σ (2i − n − 1)·x₍ᵢ₎ and G_den = n·Σx (ties ordered by
+    supplier key — both sides use the identical (cents, key) rank).
+    One keyed_scan over the bounded per-nation groups; no floats.
+    Oracle = the same identity via row_number."""
+    from ..stages.scan import keyed_scan
+
+    def prep(b: pa.Table) -> pa.Table:
+        v = b["s_acctbal"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "nation": pa.array(b["s_nationkey"].to_numpy(
+                zero_copy_only=False).astype(np.int64)),
+            "c": pa.array(np.floor(v * 100.0 + 0.5).astype(np.int64)),
+            "k": pa.array(b["s_suppkey"].to_numpy(
+                zero_copy_only=False).astype(np.int64))})
+
+    def fn(d: pd.DataFrame) -> pd.DataFrame:
+        nat = d["nation"].to_numpy()
+        c = d["c"].to_numpy()
+        k = d["k"].to_numpy()
+        order = np.lexsort((k, c, nat))
+        nat, c = nat[order], c[order]
+        starts = np.r_[0, 1 + np.flatnonzero(nat[1:] != nat[:-1])]
+        sizes = np.diff(np.r_[starts, len(nat)])
+        i = np.arange(len(nat), dtype=np.int64) \
+            - np.repeat(starts, sizes) + 1
+        n = np.repeat(sizes, sizes)
+        term = (2 * i - n - 1) * c
+        uniq = nat[starts]
+        num = np.zeros(len(uniq), np.int64)
+        codes = np.repeat(np.arange(len(uniq)), sizes)
+        np.add.at(num, codes, term)
+        sx = np.zeros(len(uniq), np.int64)
+        np.add.at(sx, codes, c)
+        return pd.DataFrame({"nation": uniq, "g_num": num,
+                             "g_den": sizes.astype(np.int64) * sx,
+                             "n": sizes.astype(np.int64)})
+
+    ds = _read(sf_dir, "supplier",
+               ["s_suppkey", "s_nationkey", "s_acctbal"]).map_batches(
+        prep, batch_format="pyarrow")
+    return keyed_scan(ds, key="nation", order=["c", "k"], fn=fn,
+                      n_rows=_nrows(sf_dir, "supplier"))
+
+
+def q_nation_gini_sql() -> str:
+    return (
+        "WITH p AS (SELECT CAST(s_nationkey AS BIGINT) AS nation, "
+        "CAST(floor(s_acctbal * 100.0 + 0.5) AS BIGINT) AS c, "
+        "s_suppkey AS k FROM supplier), "
+        "r AS (SELECT nation, c, row_number() OVER (PARTITION BY "
+        "nation ORDER BY c, k) AS i, count(*) OVER (PARTITION BY "
+        "nation) AS n FROM p) "
+        "SELECT nation, CAST(sum((2 * i - n - 1) * c) AS BIGINT) "
+        "AS g_num, CAST(any_value(n) * sum(c) AS BIGINT) AS g_den, "
+        "CAST(any_value(n) AS BIGINT) AS n FROM r GROUP BY 1"
+    )
