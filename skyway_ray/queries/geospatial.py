@@ -2418,3 +2418,51 @@ def q_simpson_tiles_sql() -> str:
         "CAST(sum(n) * (sum(n) - 1) AS BIGINT) AS d_den "
         "FROM c GROUP BY 1, 2"
     )
+
+
+def q_tile_gini(sf_dir: str):
+    """SPATIAL GINI — concentration of events over occupied z=8
+    tiles, exact by the sorted-rank identity over the bounded
+    tile-count table (the inequality view of q_tile_entropy's
+    heterogeneity): G_num = Σ(2i−m−1)·cᵢ over counts sorted by
+    (count, tile id), G_den = m·Σc.  One combiner-tree pass + a
+    bounded driver fold; no floats."""
+    from ..stages.agg_tree import tree_aggregate_to_table
+
+    def leaf(b: pa.Table) -> pa.Table:
+        lat, lon = derive_latlon(b["event_id"].to_numpy(
+            zero_copy_only=False))
+        x, y = tile_xy(lat, lon, 8)
+        t = pa.table({"tile": pa.array(y * np.int64(1 << 9) + x),
+                      "n": pa.array(np.ones(len(x), np.int64))})
+        return (t.group_by(["tile"]).aggregate([("n", "sum")])
+                .rename_columns(["tile", "n"]))
+
+    tab = tree_aggregate_to_table(
+        _read(sf_dir, "events", ["event_id"]).map_batches(
+            leaf, batch_format="pyarrow"),
+        ["tile"], [("n", "sum")]).to_pandas()
+    c = tab["n"].to_numpy().astype(np.int64)
+    tile = tab["tile"].to_numpy().astype(np.int64)
+    order = np.lexsort((tile, c))
+    c = c[order]
+    m = len(c)
+    i = np.arange(1, m + 1, dtype=np.int64)
+    return pd.DataFrame({
+        "g_num": [np.int64(int(((2 * i - m - 1) * c).sum()))],
+        "g_den": [np.int64(m * int(c.sum()))],
+        "m": [np.int64(m)]})
+
+
+def q_tile_gini_sql() -> str:
+    lat, lon = latlon_sql("event_id")
+    xe, ye = tile_sql(lat, lon, 8)
+    return (
+        f"WITH t AS (SELECT ({ye}) * 512 + ({xe}) AS tile FROM events),"
+        " c AS (SELECT tile, count(*) AS n FROM t GROUP BY 1), "
+        "r AS (SELECT n, row_number() OVER (ORDER BY n, tile) AS i, "
+        "count(*) OVER () AS m FROM c) "
+        "SELECT CAST(sum((2 * i - m - 1) * n) AS BIGINT) AS g_num, "
+        "CAST(any_value(m) * sum(n) AS BIGINT) AS g_den, "
+        "CAST(any_value(m) AS BIGINT) AS m FROM r"
+    )

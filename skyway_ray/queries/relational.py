@@ -2653,3 +2653,62 @@ def q_nation_gini_sql() -> str:
         "AS g_num, CAST(any_value(n) * sum(c) AS BIGINT) AS g_den, "
         "CAST(any_value(n) AS BIGINT) AS n FROM r GROUP BY 1"
     )
+
+
+def q_theil_nation(sf_dir: str):
+    """THEIL-T inequality of supplier balances per nation — the
+    decomposable entropy sibling of q_nation_gini: per supplier the
+    pinned term floor((x·n/S)·ln(x·n/S)·10⁹ + 0.5) with x = cents,
+    S = nation sum, n = nation count (identical float chain both
+    sides, ints in, the q_type_entropy protocol; zero/negative
+    balances are excluded — ln needs x > 0, same WHERE on both
+    sides).  One keyed_scan; emits (nation, t_sum, n_pos)."""
+    from ..stages.scan import keyed_scan
+
+    def prep(b: pa.Table) -> pa.Table:
+        v = b["s_acctbal"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "nation": pa.array(b["s_nationkey"].to_numpy(
+                zero_copy_only=False).astype(np.int64)),
+            "c": pa.array(np.floor(v * 100.0 + 0.5).astype(np.int64)),
+            "k": pa.array(b["s_suppkey"].to_numpy(
+                zero_copy_only=False).astype(np.int64))})
+
+    def fn(d: pd.DataFrame) -> pd.DataFrame:
+        d = d[d["c"] > 0]
+        nat = d["nation"].to_numpy()
+        c = d["c"].to_numpy().astype(np.float64)
+        uniq, codes = np.unique(nat, return_inverse=True)
+        n = np.zeros(len(uniq), np.int64)
+        np.add.at(n, codes, 1)
+        S = np.zeros(len(uniq), np.float64)
+        np.add.at(S, codes, c)
+        r = c * n[codes] / S[codes]
+        terms = np.floor(r * np.log(r) * 1e9 + 0.5).astype(np.int64)
+        t = np.zeros(len(uniq), np.int64)
+        np.add.at(t, codes, terms)
+        return pd.DataFrame({"nation": uniq, "t_sum": t, "n_pos": n})
+
+    ds = _read(sf_dir, "supplier",
+               ["s_suppkey", "s_nationkey", "s_acctbal"]).map_batches(
+        prep, batch_format="pyarrow")
+    return keyed_scan(ds, key="nation", order=["c", "k"], fn=fn,
+                      n_rows=_nrows(sf_dir, "supplier"))
+
+
+def q_theil_nation_sql() -> str:
+    return (
+        "WITH p AS (SELECT CAST(s_nationkey AS BIGINT) AS nation, "
+        "CAST(floor(s_acctbal * 100.0 + 0.5) AS BIGINT) AS c "
+        "FROM supplier), "
+        "q AS (SELECT nation, c FROM p WHERE c > 0), "
+        "g AS (SELECT nation, count(*) AS n, sum(c) AS S FROM q "
+        "GROUP BY 1), "
+        "t AS (SELECT q.nation, g.n, CAST(floor("
+        "(CAST(q.c AS DOUBLE) * g.n / CAST(g.S AS DOUBLE)) * "
+        "ln(CAST(q.c AS DOUBLE) * g.n / CAST(g.S AS DOUBLE)) "
+        "* 1e9 + 0.5) AS BIGINT) AS term "
+        "FROM q JOIN g ON g.nation = q.nation) "
+        "SELECT nation, CAST(sum(term) AS BIGINT) AS t_sum, "
+        "CAST(any_value(n) AS BIGINT) AS n_pos FROM t GROUP BY 1"
+    )

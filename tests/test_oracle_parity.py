@@ -112,7 +112,7 @@ def test_entry_smoke(ray_session):
     "interval_union", "box_cover_cells", "simpson_tiles", "scan_stat",
     "noise_mad", "heaps_curve", "audio_envelope", "lag_cov",
     "colorfulness", "structure_tensor", "longest_streak",
-    "nation_gini",
+    "nation_gini", "theil_nation", "tile_gini",
     "kapur_threshold", "lttb_downsample", "box_isect_area",
     "interval_stab", "ann_filtered", "rrf_fusion", "hilbert_range",
     "xcorr_lags", "radial_profile", "visvalingam", "caption_tile_tokens",
